@@ -1,0 +1,133 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Train/validation/test split operators (reference `split_script.py` v1 and
+  * `new_split_script.py` v2; SURVEY §2.5 T1–T4, §2.2 P6, §2.3 J2).
+  *
+  * The reference's v2 split abandoned Spark entirely (pandas on the driver,
+  * `new_split_script.py:3-18`) — the exact scalability failure this engine
+  * removes. Every operator here is a distributed DataFrame op:
+  *
+  *  - per-group fractional sampling = one shuffle on the group key
+  *    (window `row_number` over `rand(seed)`), O(1) state per row;
+  *  - anti-joins replace pandas merge-indicator;
+  *  - no `collect`/`toPandas` anywhere — the 400-element driver-built
+  *    IN-lists of v1 (`split_script.py:27-40`) become hash/sample labels
+  *    computed on the executors.
+  */
+object Split {
+
+  /** P6: label rows by membership of a key in driver-known id lists
+    * (reference `split_script.py:40`). Only for small id lists — the lists
+    * travel inside the plan. Prefer `labelByHash` at scale.
+    */
+  def labelByMembership(
+      df: DataFrame,
+      key: String,
+      trainIds: Seq[Long],
+      valIds: Seq[Long],
+      labelCol: String = "train_val_test"): DataFrame =
+    df.withColumn(labelCol,
+      when(col(key).isin(trainIds: _*), lit("train"))
+        .when(col(key).isin(valIds: _*), lit("validation"))
+        .otherwise(lit("test")))
+
+  /** Deterministic modulo-hash split — the scale-safe, oracle-reproducible
+    * replacement for driver-built id lists: label is a pure function of the
+    * key, needs no shuffle, no driver state, and is identical in ANSI SQL.
+    * Buckets [0,trainUpTo) → train, [trainUpTo,valUpTo) → validation,
+    * rest → test.
+    */
+  def labelByHash(
+      df: DataFrame,
+      key: String,
+      buckets: Int = 10,
+      trainUpTo: Int = 6,
+      valUpTo: Int = 8,
+      labelCol: String = "train_val_test"): DataFrame = {
+    val b = pmod(col(key), lit(buckets))
+    df.withColumn(labelCol,
+      when(b < trainUpTo, lit("train"))
+        .when(b < valUpTo, lit("validation"))
+        .otherwise(lit("test")))
+  }
+
+  /** T1: stratified sample with per-stratum fractions
+    * (reference `split_script.py:43` `sampleBy`).
+    */
+  def sampleByLabel(
+      df: DataFrame,
+      labelCol: String,
+      fractions: Map[String, Double],
+      seed: Long): DataFrame =
+    df.stat.sampleBy(labelCol, fractions, seed)
+
+  /** T3: seeded per-group fractional sample — distributed form of the
+    * reference's pandas `groupby(...).sample(frac)` (`new_split_script.py:6`).
+    * Exact per group: takes `ceil(frac * n_g)` rows of each group, chosen by
+    * a seeded pseudo-random order. One shuffle on `key`; rows never leave
+    * executors.
+    *
+    * The "random" order is `xxhash64(seed, row content)`, NOT `rand(seed)`:
+    * `rand` is a function of partition index + intra-partition row order,
+    * and post-shuffle row order is nondeterministic — a lazily re-evaluated
+    * sample would silently differ between plan subtrees (observed as split
+    * leakage). A content hash is stable under any execution order, any
+    * partitioning, and re-evaluation — the only sound construction for a
+    * sample that downstream anti-joins must agree with.
+    */
+  def perGroupSample(df: DataFrame, key: String, frac: Double, seed: Long,
+      saltCols: Seq[String] = Nil): DataFrame = {
+    val salt = (if (saltCols.nonEmpty) saltCols else df.columns.toSeq).map(col)
+    val h = xxhash64(lit(seed) +: salt: _*)
+    val w = Window.partitionBy(col(key)).orderBy(h +: salt: _*)
+    val cnt = Window.partitionBy(col(key))
+    df.withColumn("__n", count(lit(1)).over(cnt))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= ceil(col("__n") * frac))
+      .drop("__n", "__rn")
+  }
+
+  /** J2/T4: left-anti complement (reference pandas merge-indicator,
+    * `new_split_script.py:8,13`; scipy masking `extension.py:103`).
+    */
+  def antiJoin(df: DataFrame, other: DataFrame, keys: Seq[String]): DataFrame =
+    df.join(other, keys, "left_anti")
+
+  /** The reference v2 split, fully distributed: 25% of each user's rows →
+    * validation; 25% of each user's remaining rows → test; rest → train
+    * (`new_split_script.py:6-14`).
+    */
+  def splitV2(ratings: DataFrame, frac: Double = 0.25, seed: Long = 1234L)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val keys = Seq("userId", "movieId", "rating")
+    val validation = perGroupSample(ratings, "userId", frac, seed)
+    val remainder = antiJoin(ratings, validation, keys)
+    val test = perGroupSample(remainder, "userId", frac, seed + 1)
+    val train = antiJoin(remainder, test, keys)
+    (train, validation, test)
+  }
+
+  /** Distributed disjointness / completeness report (the invariant the
+    * extension asserted on scipy matrices, `extension.py:150-152`):
+    * one row of counts — any nonzero overlap means the split leaks.
+    */
+  def disjointnessReport(
+      train: DataFrame, validation: DataFrame, test: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    // one lazy plan (6 aggregate subtrees cross-joined as 1-row relations),
+    // not 6 driver actions — keeps the check usable inside larger pipelines.
+    def n(df: DataFrame, as: String) = df.agg(count(lit(1)).as(as))
+    def overlap(a: DataFrame, b: DataFrame, as: String) =
+      a.join(b, keys, "left_semi").agg(count(lit(1)).as(as))
+    n(train, "n_train")
+      .crossJoin(n(validation, "n_validation"))
+      .crossJoin(n(test, "n_test"))
+      .crossJoin(overlap(train, validation, "overlap_train_val"))
+      .crossJoin(overlap(train, test, "overlap_train_test"))
+      .crossJoin(overlap(validation, test, "overlap_val_test"))
+  }
+}

@@ -1,0 +1,272 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join / window / set-op / distinct operator coverage (SURVEY §2.3–§2.6)
+  * with DuckDB oracles.
+  *
+  * Scale notes per query are inline; the common rules:
+  *  - dimension joins (`region`, `nation`, small `customer` slices) are
+  *    explicitly `broadcast()` — at 100 TB the fact side never shuffles
+  *    for them;
+  *  - fact-fact joins shuffle on their equi-key and are left to
+  *    sort-merge + AQE (skew split happens at runtime);
+  *  - window queries partition on high-cardinality keys (custkey), so
+  *    state per partition stays bounded;
+  *  - integer outputs are cast to BIGINT and doubles rounded to 6dp on
+  *    both sides so schema+hash compare exactly.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, d: String, name: String) = Tables.load(s, d, name)
+  private def cents(c: Column) = round(c * 100, 0).cast("long")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // J1: inner equi-join fact⋈dim — dim broadcast, no shuffle of orders.
+    "q_join_inner" -> ((s, d) => {
+      val c = t(s, d, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      t(s, d, "orders")
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(sum(cents(col("o_totalprice"))).as("revenue_c"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // Multi-way join through the dimension chain (TPC-H Q5 shape):
+    // lineitem⋈orders shuffles on orderkey; everything above is broadcast.
+    "q_join_multi" -> ((s, d) => {
+      val r = t(s, d, "region").select(col("r_regionkey"), col("r_name"))
+      val n = t(s, d, "nation")
+      val c = t(s, d, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, d, "lineitem")
+        .select(col("l_orderkey"), cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_c"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(col("rev_c")).as("revenue_c"), count(lit(1)).as("n_items"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // J2: left-anti — replaces the reference's pandas merge-indicator idiom
+    // (`new_split_script.py:8`). Customers with no URGENT order.
+    "q_join_anti" -> ((s, d) => {
+      val urgent = t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      t(s, d, "customer")
+        .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // left-semi (EXISTS): customers with at least one high-value order.
+    "q_join_semi" -> ((s, d) => {
+      val big = t(s, d, "orders").filter(col("o_totalprice") > 400000.0)
+      t(s, d, "customer")
+        .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // T2: multiset difference (reference `split_script.py:46` exceptAll) —
+    // lineitem partkeys minus part keys, bag semantics.
+    "q_exceptall" -> ((s, d) => {
+      t(s, d, "lineitem").select(col("l_partkey").as("k"))
+        .exceptAll(t(s, d, "part").select(col("p_partkey").as("k")))
+        .orderBy(col("k"))
+    }),
+
+    // A7: distinct (reference `split_script.py:24`).
+    "q_distinct" -> ((s, d) => {
+      t(s, d, "customer").select(col("c_mktsegment")).distinct()
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // A8: exact count-distinct (reference counted a collected list,
+    // `split_script.py:24`; here a single distributed aggregate).
+    "q_count_distinct" -> ((s, d) => {
+      t(s, d, "orders").agg(
+        countDistinct(col("o_custkey")).as("n_users"),
+        count(lit(1)).as("n_orders"))
+    }),
+
+    // P6/P8: when/isin/otherwise labeling (reference `split_script.py:40`).
+    "q_when_isin" -> ((s, d) => {
+      t(s, d, "orders")
+        .withColumn("label",
+          when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), lit("hot"))
+            .when(col("o_orderpriority") === "3-MEDIUM", lit("warm"))
+            .otherwise(lit("cold")))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("total_c"))
+        .orderBy(col("label"))
+    }),
+
+    // O5/A6 shape: per-group top-k via ranking window (the DataFrame-native
+    // equivalent of recommendForAllUsers' per-user top-k, SURVEY A6).
+    "q_window_topk" -> ((s, d) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("price_c").desc, col("l_orderkey"), col("l_linenumber"))
+      t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          cents(col("l_extendedprice")).as("price_c"))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 5)
+        .orderBy(col("l_returnflag"), col("rn"))
+    }),
+
+    // Analytic window: per-customer running revenue (frame = unbounded
+    // preceding → current row), exact BIGINT accumulation.
+    "q_window_running" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          cents(col("o_totalprice")).as("price_c"))
+        .withColumn("running_c", sum(col("price_c")).over(w))
+        .select(col("o_custkey"), col("o_orderkey"), col("running_c"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // lag(): days since the customer's previous order.
+    "q_window_lag" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+        .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+        .select(col("o_custkey"), col("o_orderkey"),
+          datediff(col("o_orderdate").cast("date"), col("prev_date").cast("date"))
+            .cast("long").as("days_since_prev"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // A4 shape: two-level aggregate + collect_list (reference
+    // `als.py:115-118`) — list emitted as a sorted joined string so the
+    // value hash is engine-independent.
+    "q_collect_list" -> ((s, d) => {
+      val r = Tables.ratings(s, d)
+      r.groupBy(col("userId"), col("movieId"))
+        .agg(avg(col("rating")).as("rating"))
+        .groupBy(col("userId"))
+        .agg(
+          concat_ws(",", sort_array(collect_list(col("movieId")))).as("movies_list"),
+          count(lit(1)).as("n_movies"))
+        .orderBy(col("userId"))
+    }),
+
+    // A2: grand aggregate over the fact table (1 row).
+    "q_global_agg" -> ((s, d) => {
+      t(s, d, "lineitem").agg(
+        count(lit(1)).as("n"),
+        sum(cents(col("l_extendedprice"))).as("sum_price_c"),
+        round(min(col("l_quantity")), 6).as("min_qty"),
+        round(max(col("l_quantity")), 6).as("max_qty"),
+        countDistinct(col("l_partkey")).as("n_parts"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_join_inner" ->
+      """SELECT c_mktsegment,
+        |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_c,
+        |  COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_join_multi" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_c,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_semi" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_exceptall" ->
+      """SELECT l_partkey AS k FROM lineitem
+        |EXCEPT ALL
+        |SELECT p_partkey AS k FROM part
+        |ORDER BY k""".stripMargin,
+
+    "q_distinct" ->
+      "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+
+    "q_count_distinct" ->
+      """SELECT COUNT(DISTINCT o_custkey) AS n_users, COUNT(*) AS n_orders
+        |FROM orders""".stripMargin,
+
+    "q_when_isin" ->
+      """SELECT CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'hot'
+        |            WHEN o_orderpriority = '3-MEDIUM' THEN 'warm'
+        |            ELSE 'cold' END AS label,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_c
+        |FROM orders GROUP BY 1 ORDER BY label""".stripMargin,
+
+    "q_window_topk" ->
+      """SELECT * FROM (
+        |  SELECT l_returnflag, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |    CAST(ROUND(l_extendedprice*100) AS BIGINT) AS price_c,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag
+        |      ORDER BY CAST(ROUND(l_extendedprice*100) AS BIGINT) DESC,
+        |               l_orderkey, l_linenumber) AS BIGINT) AS rn
+        |  FROM lineitem)
+        |WHERE rn <= 5 ORDER BY l_returnflag, rn""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_c
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_window_lag" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(date_diff('day',
+        |    CAST(LAG(o_orderdate, 1) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS DATE),
+        |    CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since_prev
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_collect_list" ->
+      s"""WITH ${Tables.ratingsSql},
+         |dedup AS (
+         |  SELECT userId, movieId, AVG(rating) AS rating
+         |  FROM ratings GROUP BY userId, movieId
+         |)
+         |SELECT userId,
+         |  array_to_string(list_sort(list(movieId)), ',') AS movies_list,
+         |  COUNT(*) AS n_movies
+         |FROM dedup GROUP BY userId ORDER BY userId""".stripMargin,
+
+    "q_global_agg" ->
+      """SELECT COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+        |  ROUND(MIN(l_quantity), 6) AS min_qty,
+        |  ROUND(MAX(l_quantity), 6) AS max_qty,
+        |  COUNT(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem""".stripMargin
+  )
+}
