@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Text hashing expressions for the dedup / fingerprinting operators.
+  * Same custom-Expression rationale as [[VectorFunctions]]: these are
+  * per-document inner loops (|tokens| × 64 bits) that must stay inside
+  * whole-stage codegen.
+  */
+object TextHashFunctions {
+
+  /** FNV-1a 64-bit over UTF-8 bytes — stable across JVMs/runs, cheap,
+    * public-domain constants.
+    */
+  @inline def fnv64(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** 64-bit SimHash of a token array (Charikar): bit j of the result is the
+    * sign of the sum over tokens of ±1 at bit j of the token's hash.
+    * Documents sharing most tokens differ in few bits → hamming distance
+    * is a near-dup measure.
+    */
+  case class SimHash64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(a: Any): Any = {
+      val arr = a.asInstanceOf[ArrayData]
+      val counts = new Array[Int](64)
+      var t = 0
+      while (t < arr.numElements()) {
+        if (!arr.isNullAt(t)) {
+          val h = fnv64(arr.getUTF8String(t).getBytes)
+          var j = 0
+          while (j < 64) {
+            if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+            j += 1
+          }
+        }
+        t += 1
+      }
+      var sig = 0L
+      var j = 0
+      while (j < 64) { if (counts(j) >= 0) sig |= (1L << j); j += 1 }
+      sig
+    }
+    // tight but branch-heavy loop; interpreted eval is already array-local.
+    // Codegen delegates to the static helper to keep generated code small.
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.TextHashFunctions.simhashEval($a);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** static entry point for generated code */
+  def simhashEval(arr: ArrayData): Long =
+    SimHash64(null).nullSafeEval(arr).asInstanceOf[Long]
+
+  /** Hamming distance between two 64-bit signatures (for simhash near-dup
+    * thresholds) — plain bitCount, exposed as a Column helper.
+    */
+  def hamming64(a: Column, b: Column): Column = {
+    // bit_count(xor) via SQL built-in — already codegen'd
+    org.apache.spark.sql.functions.bit_count(a.bitwiseXOR(b)).cast("int")
+  }
+
+  def simhash64(tokens: Column): Column = Bridge.column(SimHash64(Bridge.expression(tokens)))
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    Bridge.registerFunction(spark, "simhash64", es => SimHash64(es.head))
+}

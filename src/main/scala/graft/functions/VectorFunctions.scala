@@ -1,0 +1,180 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for embedding math over `ARRAY<FLOAT>`
+  * columns (similarity search / near-dup detection on the `embeddings`
+  * table).
+  *
+  * Why custom expressions and not `functions.aggregate`/`zip_with`: the
+  * built-in higher-order functions allocate per-element lambda frames and
+  * box floats; a fused loop with `doGenCode` stays inside whole-stage
+  * codegen with zero allocation per row — at 100 TB × 64-dim vectors the
+  * dot product is the innermost loop of the whole workload. (Preference
+  * order per the build contract: compose built-ins < custom Expression —
+  * this is the case where built-ins genuinely lose.)
+  */
+object VectorFunctions {
+
+  /** cosine(a, b) ∈ [-1, 1]; 0.0 when either norm is 0. */
+  case class CosineSimilarity(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < n) {
+        val xi = x.getFloat(i); val yi = y.getFloat(i)
+        dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
+      }
+      if (nx == 0.0 || ny == 0.0) 0.0 else dot / math.sqrt(nx * ny)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i"); val n = ctx.freshName("n")
+        val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+        val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
+        s"""
+           |int $n = Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  float $xi = $a.getFloat($i); float $yi = $b.getFloat($i);
+           |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+           |}
+           |${ev.value} = ($nx == 0.0 || $ny == 0.0) ? 0.0 : $dot / Math.sqrt($nx * $ny);
+         """.stripMargin
+      })
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** dot(a, b) as double. */
+  case class DotProduct(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var dot = 0.0; var i = 0
+      while (i < n) { dot += x.getFloat(i) * y.getFloat(i); i += 1 }
+      dot
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i"); val n = ctx.freshName("n"); val dot = ctx.freshName("dot")
+        s"""
+           |int $n = Math.min($a.numElements(), $b.numElements());
+           |double $dot = 0.0;
+           |for (int $i = 0; $i < $n; $i++) $dot += $a.getFloat($i) * $b.getFloat($i);
+           |${ev.value} = $dot;
+         """.stripMargin
+      })
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
+  /** ||a||₂ as double. */
+  case class L2Norm(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      var s = 0.0; var i = 0
+      while (i < x.numElements()) { val v = x.getFloat(i); s += v * v; i += 1 }
+      math.sqrt(s)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val i = ctx.freshName("i"); val s = ctx.freshName("s"); val v = ctx.freshName("v")
+        s"""
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $a.numElements(); $i++) {
+           |  float $v = $a.getFloat($i); $s += $v * $v;
+           |}
+           |${ev.value} = Math.sqrt($s);
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** Signed random-projection signature (SimHash for cosine space): bit j of
+    * the result is `sign(dot(v, h_j))` where hyperplane `h_j` has Rademacher
+    * (±1) entries derived from a mixed integer hash of (seed, j, i) — no
+    * stored hyperplane matrix, no driver state, deterministic everywhere.
+    * Vectors with small cosine distance agree on most bits, so equal
+    * band-slices of the signature make LSH buckets for ANN / near-dup.
+    */
+  case class RandomProjectionSignature(child: Expression, seed: Int, bits: Int)
+      extends UnaryExpression {
+    require(bits >= 1 && bits <= 64, "bits must be in [1, 64]")
+    override def dataType: DataType = LongType
+    // finalizer-free avalanche mix (splitmix64-style), public-domain constant
+    @inline private def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    override def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      var sig = 0L
+      var j = 0
+      while (j < bits) {
+        var acc = 0.0; var i = 0
+        while (i < x.numElements()) {
+          val r = mix(seed.toLong * 0x100000001L + j.toLong * 0x10001L + i)
+          val sign = if ((r & 1L) == 0L) 1.0f else -1.0f
+          acc += x.getFloat(i) * sign
+          i += 1
+        }
+        if (acc >= 0) sig |= (1L << j)
+        j += 1
+      }
+      sig
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val i = ctx.freshName("i"); val j = ctx.freshName("j")
+        val acc = ctx.freshName("acc"); val sig = ctx.freshName("sig"); val z = ctx.freshName("z")
+        s"""
+           |long $sig = 0L;
+           |for (int $j = 0; $j < $bits; $j++) {
+           |  double $acc = 0.0;
+           |  for (int $i = 0; $i < $a.numElements(); $i++) {
+           |    long $z = ${seed}L * 0x100000001L + ((long) $j) * 0x10001L + $i + 0x9e3779b97f4a7c15L;
+           |    $z = ($z ^ ($z >>> 30)) * 0xbf58476d1ce4e5b9L;
+           |    $z = ($z ^ ($z >>> 27)) * 0x94d049bb133111ebL;
+           |    $z = $z ^ ($z >>> 31);
+           |    $acc += $a.getFloat($i) * ((($z & 1L) == 0L) ? 1.0f : -1.0f);
+           |  }
+           |  if ($acc >= 0) $sig |= (1L << $j);
+           |}
+           |${ev.value} = $sig;
+         """.stripMargin
+      })
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  // Column-API wrappers
+  def cosine_similarity(a: Column, b: Column): Column =
+    Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
+  def dot_product(a: Column, b: Column): Column =
+    Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+  def l2_norm(a: Column): Column = Bridge.column(L2Norm(Bridge.expression(a)))
+  def rp_signature(a: Column, seed: Int, bits: Int = 64): Column =
+    Bridge.column(RandomProjectionSignature(Bridge.expression(a), seed, bits))
+
+  /** SQL registration: `SELECT cosine_similarity(e1, e2) FROM ...`. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    Bridge.registerFunction(spark, "cosine_similarity", es => CosineSimilarity(es.head, es(1)))
+    Bridge.registerFunction(spark, "dot_product", es => DotProduct(es.head, es(1)))
+    Bridge.registerFunction(spark, "l2_norm", es => L2Norm(es.head))
+  }
+}

@@ -1,0 +1,140 @@
+package graft.operators
+
+import graft.functions.TextHashFunctions
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for training-data pipelines: exact,
+  * MinHash+LSH (Jaccard), SimHash (Hamming), n-gram Jaccard, and
+  * embedding-cosine near-dup.
+  *
+  * Scale shapes:
+  *  - exact: one hash-shuffle on the content hash; winner-per-group via
+  *    min(), not a window over the full data;
+  *  - MinHash LSH: per-doc signature (map-only) → explode to bands
+  *    (×bands rows) → shuffle on (band, bucket) → pair-join inside
+  *    buckets only. Never an all-pairs cross join;
+  *  - verification (exact Jaccard / cosine) runs on candidate pairs only.
+  */
+object Dedup {
+
+  /** Normalized word tokens: lowercase, strip non-alphanumerics, split. */
+  def tokens(text: Column): Column =
+    filter(split(lower(regexp_replace(text, "[^\\p{L}\\p{N}\\s]", " ")), "\\s+"),
+      t => length(t) > 0)
+
+  /** Word n-gram shingles (distinct). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    array_distinct(
+      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Exact dedup: group rows by a content hash, keep the smallest id
+    * (deterministic canonical winner). Returns the surviving rows' ids +
+    * group size. (SURVEY §7.1 module 6; `dropDuplicates` keeps an
+    * ARBITRARY row — unacceptable for a reproducible pipeline, so min-id
+    * it is.)
+    */
+  def exactDedup(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signature as an array of k minima: element j is
+    * `min over shingles s of xxhash64(j, s)` — the standard unbiased
+    * Jaccard estimator family, expressed entirely with built-in
+    * higher-order functions (no UDF).
+    */
+  def minhashSignature(shingleCol: Column, k: Int): Column =
+    transform(sequence(lit(1), lit(k)),
+      j => array_min(transform(shingleCol, s => xxhash64(j, s))))
+
+  /** MinHash LSH candidate pairs: docs whose signatures collide in ≥1 band,
+    * with the exact Jaccard of their shingle sets attached for
+    * thresholding. `bands × rowsPerBand = k` hash functions.
+    */
+  def minhashCandidates(
+      docs: DataFrame, nShingle: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val k = bands * rowsPerBand
+    val withSig = docs
+      .select(col(idCol).as("id"), shingles(col(textCol), nShingle).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), k))
+    val banded = withSig.select(col("id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))
+      ).as(Seq("band", "bucket")))
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Exact Jaccard similarity of two (distinct-element) arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = (size(a) + size(b)).cast("double") - inter
+    when(union === 0.0, 0.0).otherwise(inter / union)
+  }
+
+  /** Near-dup pairs above a Jaccard threshold, via MinHash LSH. */
+  def minhashNearDups(docs: DataFrame, threshold: Double = 0.8,
+      nShingle: Int = 3, bands: Int = 8, rowsPerBand: Int = 4): DataFrame =
+    minhashCandidates(docs, nShingle, bands, rowsPerBand)
+      .filter(col("jaccard") >= threshold)
+
+  /** SimHash near-dup pairs: 64-bit signature per doc (custom codegen'd
+    * expression), bucketed by 4 × 16-bit bands (two docs within Hamming
+    * distance ≤ 3 are guaranteed to collide in ≥1 band by pigeonhole),
+    * then exact Hamming verification.
+    */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val sig = docs.select(col(idCol).as("id"),
+      TextHashFunctions.simhash64(tokens(col(textCol))).as("sig"))
+    val bandBits = 16
+    val banded = sig.select(col("id"), col("sig"),
+      posexplode(array((0 until 4).map(bnd =>
+        shiftright(col("sig"), bnd * bandBits).bitwiseAND(lit((1L << bandBits) - 1))
+      ): _*)).as(Seq("band", "bucket")))
+    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", TextHashFunctions.hamming64(col("sig_a"), col("sig_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Embedding-cosine near-dup pairs via the Similarity LSH machinery. */
+  def cosineNearDups(embeddings: DataFrame, threshold: Double = 0.95,
+      bands: Int = 8, bandBits: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val buckets = Similarity.lshBuckets(embeddings, bands, bandBits, 42, idCol, vecCol)
+    val a = buckets.select(col("band"), col("bucket"), col(idCol).as("id_a"), col(vecCol).as("va"))
+    val b = buckets.select(col("band"), col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos", cosine_similarity(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+  }
+
+  /** From near-dup pairs to a kept set: canonical representative is the
+    * smallest id reachable in ONE hop (greedy star-collapse — the standard
+    * single-pass approximation; run [[dedupKeepSet]] iteratively for full
+    * connected components if chains matter).
+    */
+  def dedupKeepSet(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val demoted = pairs.select(col("id_b").as(idCol)).distinct()
+    docs.select(col(idCol)).join(demoted, Seq(idCol), "left_anti")
+  }
+}

@@ -1,0 +1,135 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`embeddings(vec_id, embedding ARRAY<FLOAT>, label)`).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]] — exact cosine top-k. O(|Q|·|C|) score
+  *    evaluations but fully distributed and codegen'd; the correctness
+  *    baseline, and the right tool when |Q| is small (broadcast the
+  *    queries, one pass over the corpus, per-query bounded heap via
+  *    ranking window).
+  *  - [[lshTopK]] — signed-random-projection LSH: corpus is bucketed by
+  *    band slices of a 64-bit signature; only bucket-colliding candidates
+  *    are scored. Sub-linear candidate sets at scale; recall tunable by
+  *    (bands × bits). The bucket table is reusable (build once, probe many).
+  */
+object Similarity {
+
+  /** Exact top-k neighbors for each query vector.
+    *
+    * @param corpus  (idCol, vecCol) relation — the big side, streamed
+    * @param queries (idCol, vecCol) relation — small, broadcast
+    */
+  def bruteForceTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv")))
+    val scored = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cos", cosine_similarity(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
+  /** Corpus bucket table: one row per (band, bucket, id, vec). Build once,
+    * write bucketed/partitioned by (band, bucket) at scale, probe forever.
+    *
+    * @param bands    number of LSH bands (more bands → higher recall)
+    * @param bandBits signature bits per band (more bits → higher precision)
+    */
+  def lshBuckets(
+      corpus: DataFrame, bands: Int = 8, bandBits: Int = 8, seed: Int = 42,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val sig = rp_signature(col(vecCol), seed, bands * bandBits)
+    val mask = (1L << bandBits) - 1L
+    corpus
+      .select(col(idCol), col(vecCol), sig.as("__sig"))
+      .select(col(idCol), col(vecCol),
+        posexplode(array((0 until bands).map { b =>
+          shiftright(col("__sig"), b * bandBits).bitwiseAND(lit(mask))
+        }: _*)).as(Seq("band", "bucket")))
+  }
+
+  /** ANN top-k via LSH candidate generation + exact cosine rerank.
+    * Shuffle profile: one shuffle of the (replicated ×bands) corpus on
+    * (band, bucket); candidate join is an equi-join on those keys; the
+    * rerank window shuffles candidates on query_id. No cross join anywhere.
+    */
+  def lshTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      bands: Int = 8, bandBits: Int = 8, seed: Int = 42,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cb = lshBuckets(corpus, bands, bandBits, seed, idCol, vecCol)
+      .select(col("band"), col("bucket"), col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val qb = lshBuckets(queries, bands, bandBits, seed, idCol, vecCol)
+      .select(col("band"), col("bucket"), col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val candidates = qb.join(cb, Seq("band", "bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("__qv"), col("__cv"))
+      .dropDuplicates("query_id", "neighbor_id") // collapses multi-band hits
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    candidates
+      .withColumn("cos", cosine_similarity(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
+  /** IVF-style coarse quantization alternative: assign every vector to its
+    * nearest of `nCentroids` seed vectors (deterministically sampled from
+    * the corpus by hash), probe only the query's cell and its `nProbe`-1
+    * runner-up cells. Returns (assignments, probeTopK).
+    */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // deterministic "centroids": the nCentroids corpus vectors with the
+    // smallest xxhash64(id) — stable, no kmeans iterations needed for the
+    // plumbing (swap in KMeans centroids for quality at scale).
+    val w = Window.orderBy(xxhash64(col(idCol)), col(idCol))
+    val centroids = broadcast(
+      corpus.select(col(idCol), col(vecCol))
+        .withColumn("__r", row_number().over(w))
+        .filter(col("__r") <= nCentroids)
+        .select(col("__r").as("centroid_id"), col(vecCol).as("__centv")))
+
+    def assign(df: DataFrame, id: String, keep: Int): DataFrame = {
+      val ww = Window.partitionBy(col(id)).orderBy(col("__d").desc, col("centroid_id"))
+      df.crossJoin(centroids)
+        .withColumn("__d", cosine_similarity(col(vecCol), col("__centv")))
+        .withColumn("__cr", row_number().over(ww))
+        .filter(col("__cr") <= keep)
+        .drop("__centv", "__d", "__cr")
+    }
+
+    val corpusCells = assign(corpus.select(col(idCol), col(vecCol)), idCol, 1)
+      .select(col("centroid_id"), col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val queryCells = assign(queries.select(col(idCol), col(vecCol)), idCol, nProbe)
+      .select(col("centroid_id"), col(idCol).as("query_id"), col(vecCol).as("__qv"))
+
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    queryCells.join(corpusCells, Seq("centroid_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cos", cosine_similarity(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(wq).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+}

@@ -1,0 +1,117 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: token counting, quality
+  * scoring, language ID, fingerprinting — all pure column expressions
+  * (codegen'd, map-only; no shuffle, no UDF, no driver state), so they
+  * pipeline into any scan at any scale.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def tokenCountWs(text: Column): Column =
+    size(filter(split(text, "\\s+"), t => length(t) > 0)).cast("long")
+
+  /** BPE-ish token count: word pieces + standalone punctuation, the usual
+    * pre-tokenizer regex shape (`\p{L}+|\p{N}+|[^\p{L}\p{N}\s]`).
+    */
+  def tokenCountBpeish(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]"), lit(0))).cast("long")
+
+  /** Stopword list shared by the quality score and the language scorer. */
+  val enStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "be", "this")
+
+  /** Quality metrics struct: length, token counts, punctuation / stopword /
+    * uppercase ratios, mean token length — the standard cheap filters for
+    * corpus curation.
+    */
+  def qualityMetrics(text: Column): Seq[Column] = {
+    val toks = Dedup.tokens(text)
+    val nTok = size(toks).cast("double")
+    val nChar = length(text).cast("double")
+    val punct = size(regexp_extract_all(text, lit("[\\p{Punct}]"), lit(0))).cast("double")
+    val upper = size(regexp_extract_all(text, lit("[A-Z]"), lit(0))).cast("double")
+    val stops = size(filter(toks, t => t.isin(enStopwords: _*))).cast("double")
+    Seq(
+      nChar.cast("long").as("n_chars_m"),
+      nTok.cast("long").as("n_tokens"),
+      round(when(nChar === 0, 0.0).otherwise(punct / nChar), 6).as("punct_ratio"),
+      round(when(nChar === 0, 0.0).otherwise(upper / nChar), 6).as("upper_ratio"),
+      round(when(nTok === 0, 0.0).otherwise(stops / nTok), 6).as("stopword_ratio"),
+      round(avgTokenLen(toks), 6).as("mean_token_len"))
+  }
+
+  private def avgTokenLen(toks: Column): Column =
+    when(size(toks) === 0, 0.0).otherwise(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
+
+  /** Scalar quality score ∈ [0,1]: penalize too-short/too-long docs, low
+    * stopword density, punctuation soup. Deterministic, tune-free default.
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = Dedup.tokens(text)
+    val nTok = size(toks).cast("double")
+    val stops = size(filter(toks, t => t.isin(enStopwords: _*))).cast("double")
+    val punct = size(regexp_extract_all(text, lit("[\\p{Punct}]"), lit(0))).cast("double")
+    val nChar = length(text).cast("double")
+    val lenScore = least(nTok / 20.0, lit(1.0)) // ramps 0→1 until 20 tokens
+    val stopScore = least(when(nTok === 0, 0.0).otherwise(stops / nTok) * 4.0, lit(1.0))
+    val punctPenalty = greatest(lit(1.0) - when(nChar === 0, 0.0).otherwise(punct / nChar) * 5.0, lit(0.0))
+    round(lenScore * 0.4 + stopScore * 0.3 + punctPenalty * 0.3, 6)
+  }
+
+  /** Tiny per-language function-word lists for the n-gram/stopword
+    * language-ID heuristic.
+    */
+  val langStopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "for", "with"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del", "las", "por"),
+    "de" -> Seq("der", "die", "und", "das", "nicht", "ist", "von", "mit", "den", "im"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "dans", "que", "pour", "une"))
+
+  /** Language ID: count function-word hits per language over the token
+    * array; argmax with a deterministic tiebreak (language code asc);
+    * "und" (undetermined) when nothing matches.
+    */
+  def langId(text: Column): Column = {
+    val toks = Dedup.tokens(text)
+    // struct array sorted asc on (-hits, lang) → element 1 is the winner
+    // with the most hits, ties broken by language code ascending.
+    val sorted = sort_array(array(langStopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct((-size(filter(toks, t => t.isin(words: _*)))).as("neg_hits"), lit(lang).as("lang"))
+    }: _*))
+    val top = element_at(sorted, 1)
+    when(top.getField("neg_hits") === 0, lit("und")).otherwise(top.getField("lang"))
+  }
+
+  /** Per-language hit counts (for inspection / oracle parity). */
+  def langHits(text: Column): Seq[Column] = {
+    val toks = Dedup.tokens(text)
+    langStopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      size(filter(toks, t => t.isin(words: _*))).cast("long").as(s"hits_$lang")
+    }
+  }
+
+  /** Exact-content fingerprint: xxhash64 of the normalized token stream —
+    * whitespace/punctuation-insensitive identity.
+    */
+  def fingerprint(text: Column): Column =
+    xxhash64(concat_ws(" ", Dedup.tokens(text)))
+
+  /** Winnowing-style rolling fingerprint set: hashes of all char n-grams of
+    * the normalized text, keep every hash ≡ 0 (mod keepMod) — a
+    * deterministic ~1/keepMod sample of positions, robust to local edits
+    * (the classic document-fingerprinting construction).
+    */
+  def rollingFingerprints(text: Column, n: Int = 8, keepMod: Int = 4): Column = {
+    val norm = concat_ws(" ", Dedup.tokens(text))
+    val hashes = transform(
+      sequence(lit(0), greatest(length(norm) - n, lit(0))),
+      i => xxhash64(norm.substr(i + 1, lit(n))))
+    array_distinct(filter(hashes, h => pmod(h, lit(keepMod)) === 0))
+  }
+}

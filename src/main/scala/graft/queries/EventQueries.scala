@@ -1,0 +1,195 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Multimodal
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-time analytics (batch form of the streaming pipelines in
+  * `graft.streaming.EventStreams` — same groupBy(window)/sessionization
+  * semantics, verifiable against DuckDB) + multimodal plumbing queries.
+  *
+  * Timestamp rule: `events.ts` is nanosecond-precision parquet. Spark
+  * truncates to µs, DuckDB keeps ns, and DuckDB's `CAST(double AS BIGINT)`
+  * ROUNDS while Spark's `unix_timestamp` floors — so every timestamp that
+  * reaches output is `FLOOR(epoch)` on both sides.
+  */
+object EventQueries {
+
+  private def ev(s: SparkSession, d: String) = Tables.events(s, d)
+  private def cents(c: org.apache.spark.sql.Column) = round(c * 100, 0).cast("long")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // tumbling 1h windows via window() — the batch twin of
+    // EventStreams.tumblingCounts
+    "q_events_hourly" -> ((s, d) => {
+      ev(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_c"))
+        .select(col("window.start").cast("string").as("window_start"),
+          col("event_type"), col("n"), col("value_c"))
+        .orderBy(col("window_start"), col("event_type"))
+    }),
+
+    // gap-based sessionization (30 min), batch gaps-and-islands form of
+    // EventStreams.sessionize
+    "q_events_sessions" -> ((s, d) => {
+      val base = ev(s, d).select(col("user_id"), col("event_id"),
+        unix_timestamp(col("ts")).as("sec"), col("value"))
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("sec"), col("event_id"))
+      val flagged = base
+        .withColumn("prev_sec", lag(col("sec"), 1).over(wOrd))
+        .withColumn("new_session",
+          when(col("prev_sec").isNull || col("sec") - col("prev_sec") > 1800, 1L).otherwise(0L))
+      val sessions = flagged
+        .withColumn("session_id",
+          sum(col("new_session")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+      sessions.groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("sec")).as("session_start_sec"),
+          max(col("sec")).as("session_end_sec"),
+          count(lit(1)).as("n_events"),
+          sum(cents(col("value"))).as("value_c"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
+    // JSON-ish prop extraction (regexp — identical semantics both engines)
+    "q_events_props" -> ((s, d) => {
+      ev(s, d)
+        .withColumn("k", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("long"))
+        .groupBy(pmod(col("k"), lit(10)).as("k_mod"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_c"))
+        .orderBy(col("k_mod"))
+    }),
+
+    // event-type funnel ordering per user: first signup → first purchase
+    // lag analysis (windowed min over conditional)
+    "q_events_funnel" -> ((s, d) => {
+      ev(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "signup", unix_timestamp(col("ts")))).as("first_signup_sec"),
+          min(when(col("event_type") === "purchase", unix_timestamp(col("ts")))).as("first_purchase_sec"),
+          count(lit(1)).as("n_events"))
+        .withColumn("signup_to_purchase_sec",
+          when(col("first_signup_sec").isNotNull && col("first_purchase_sec").isNotNull
+            && (col("first_purchase_sec") >= col("first_signup_sec")),
+            col("first_purchase_sec") - col("first_signup_sec")))
+        .orderBy(col("user_id"))
+    }),
+
+    // multimodal: synthetic media table → metadata-real resize stage
+    "q_media_resize" -> ((s, d) => {
+      Multimodal.resize(Multimodal.syntheticMediaTable(Tables.documents(s, d)), 512)
+        .select(col("media_id"), col("kind"),
+          col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"),
+          col("resized_width").cast("long").as("resized_width"),
+          col("resized_height").cast("long").as("resized_height"))
+        .orderBy(col("media_id"))
+    }),
+
+    // multimodal: video frame sampling (explode pattern, no byte fan-out)
+    "q_media_frames" -> ((s, d) => {
+      Multimodal.sampleFrames(Multimodal.syntheticMediaTable(Tables.documents(s, d)), 30)
+        .select(col("media_id"), col("n_frames").cast("long").as("n_frames"),
+          col("frame_idx").cast("long").as("frame_idx"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
+    // multimodal: batched feature extraction through the stub codec
+    // (mapPartitions path — not SQL-expressible → rows-only)
+    "q_media_features" -> ((s, d) => {
+      val feats = Multimodal.extractFeatures(
+        Multimodal.syntheticMediaTable(Tables.documents(s, d)), dim = 16)
+      feats.toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"), col("content_hash"),
+          round(element_at(col("feature"), 1), 4).as("f0"))
+        .orderBy(col("media_id"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_events_hourly" ->
+      """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_c
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "q_events_sessions" ->
+      """WITH base AS (
+        |  SELECT user_id, event_id,
+        |    CAST(FLOOR(date_part('epoch', ts)) AS BIGINT) AS sec, value
+        |  FROM events
+        |),
+        |flagged AS (
+        |  SELECT *, CASE WHEN lag(sec) OVER w IS NULL
+        |                   OR sec - lag(sec) OVER w > 1800
+        |                 THEN 1 ELSE 0 END AS new_session
+        |  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+        |),
+        |sessions AS (
+        |  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY sec, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |  FROM flagged
+        |)
+        |SELECT user_id, session_id,
+        |  MIN(sec) AS session_start_sec, MAX(sec) AS session_end_sec,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_c
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+
+    "q_events_props" ->
+      """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) % 10 AS k_mod,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_c
+        |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin,
+
+    "q_events_funnel" ->
+      """SELECT user_id,
+        |  MIN(CASE WHEN event_type = 'signup'
+        |      THEN CAST(FLOOR(date_part('epoch', ts)) AS BIGINT) END) AS first_signup_sec,
+        |  MIN(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(FLOOR(date_part('epoch', ts)) AS BIGINT) END) AS first_purchase_sec,
+        |  COUNT(*) AS n_events,
+        |  CASE WHEN MIN(CASE WHEN event_type = 'signup'
+        |              THEN CAST(FLOOR(date_part('epoch', ts)) AS BIGINT) END) IS NOT NULL
+        |        AND MIN(CASE WHEN event_type = 'purchase'
+        |              THEN CAST(FLOOR(date_part('epoch', ts)) AS BIGINT) END) IS NOT NULL
+        |        AND MIN(CASE WHEN event_type = 'purchase'
+        |              THEN CAST(FLOOR(date_part('epoch', ts)) AS BIGINT) END) >=
+        |            MIN(CASE WHEN event_type = 'signup'
+        |              THEN CAST(FLOOR(date_part('epoch', ts)) AS BIGINT) END)
+        |       THEN MIN(CASE WHEN event_type = 'purchase'
+        |              THEN CAST(FLOOR(date_part('epoch', ts)) AS BIGINT) END) -
+        |            MIN(CASE WHEN event_type = 'signup'
+        |              THEN CAST(FLOOR(date_part('epoch', ts)) AS BIGINT) END)
+        |  END AS signup_to_purchase_sec
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_media_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+        |    CAST((doc_id * 37) % 1920 + 1 AS BIGINT) AS width,
+        |    CAST((doc_id * 53) % 1080 + 1 AS BIGINT) AS height
+        |  FROM documents
+        |)
+        |SELECT media_id, kind, width, height,
+        |  CAST(GREATEST(FLOOR(width * LEAST(512.0 / GREATEST(width, height), 1.0)), 1) AS BIGINT) AS resized_width,
+        |  CAST(GREATEST(FLOOR(height * LEAST(512.0 / GREATEST(width, height), 1.0)), 1) AS BIGINT) AS resized_height
+        |FROM m ORDER BY media_id""".stripMargin,
+
+    "q_media_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+        |    CAST(doc_id % 240 + 1 AS BIGINT) AS n_frames
+        |  FROM documents
+        |)
+        |SELECT media_id, n_frames,
+        |  UNNEST(generate_series(0, GREATEST(n_frames - 1, 0), 30)) AS frame_idx
+        |FROM m WHERE kind = 'video' ORDER BY media_id, frame_idx""".stripMargin
+  )
+}

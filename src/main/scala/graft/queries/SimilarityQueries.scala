@@ -1,0 +1,122 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, Similarity}
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity-search queries over the `embeddings` table
+  * (`vec_id, embedding ARRAY<FLOAT>, label`).
+  *
+  * The brute-force top-k is the DuckDB-verifiable baseline (cosine ranked
+  * on the 6dp-rounded score so rank boundaries can't flip on float drift);
+  * the LSH and IVF paths are the scale path — candidate sets depend on
+  * Spark-specific hashing, so they get rows-only checks + scalatest recall
+  * assertions against the brute-force truth.
+  */
+object SimilarityQueries {
+
+  private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // exact cosine top-5 neighbors for the first 10 vectors (custom
+    // codegen'd CosineSimilarity expression in the inner loop)
+    "q_cosine_topk" -> ((s, d) => {
+      val e = emb(s, d)
+      val q = broadcast(e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")))
+      val scored = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+        .crossJoin(q)
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("cos_r", round(cosine_similarity(col("qv"), col("cv")), 6))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos_r").desc, col("neighbor_id"))
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos_r"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // per-vector norms + global norm stats by label (L2Norm expression)
+    "q_embed_norms" -> ((s, d) => {
+      emb(s, d)
+        .select(col("label").cast("long").as("label"),
+          l2_norm(col("embedding")).as("nrm"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          round(avg(col("nrm")), 6).as("avg_norm"),
+          round(min(col("nrm")), 6).as("min_norm"),
+          round(max(col("nrm")), 6).as("max_norm"))
+        .orderBy(col("label"))
+    }),
+
+    // LSH-bucketed ANN (scale path) — rows-only; recall vs brute force
+    // asserted in scalatest
+    "q_cosine_ann" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.lshTopK(e, e.filter(col("vec_id") < 10), k = 5,
+        bands = 16, bandBits = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cos"), 6).as("cos_r"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // IVF-style coarse-quantized ANN — rows-only
+    "q_cosine_ivf" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), k = 5,
+        nCentroids = 16, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cos"), 6).as("cos_r"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // embedding-cosine near-dup candidate pairs (LSH) — top-50 by cosine,
+    // rows-only (bucketing is Spark-hash-specific)
+    "q_dedup_cosine" -> ((s, d) => {
+      val pairs = Dedup.cosineNearDups(emb(s, d), threshold = -1.0,
+        bands = 16, bandBits = 4)
+      val w = Window.orderBy(col("cos").desc, col("id_a"), col("id_b"))
+      pairs.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 50)
+        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_r"))
+        .orderBy(col("cos_r").desc, col("id_a"), col("id_b"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+        |           FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |    ROUND(list_cosine_similarity(
+        |      list_transform(q.qv, x -> CAST(x AS DOUBLE)),
+        |      list_transform(e.embedding, x -> CAST(x AS DOUBLE))), 6) AS cos_r
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id
+        |),
+        |ranked AS (
+        |  SELECT query_id, neighbor_id, cos_r,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cos_r DESC, neighbor_id) AS BIGINT) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, neighbor_id, rank, cos_r FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_embed_norms" ->
+      """WITH n AS (
+        |  SELECT CAST(label AS BIGINT) AS label,
+        |    sqrt(list_aggregate(list_transform(embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')) AS nrm
+        |  FROM embeddings
+        |)
+        |SELECT label, COUNT(*) AS n,
+        |  ROUND(AVG(nrm), 6) AS avg_norm,
+        |  ROUND(MIN(nrm), 6) AS min_norm,
+        |  ROUND(MAX(nrm), 6) AS max_norm
+        |FROM n GROUP BY label ORDER BY label""".stripMargin
+  )
+}

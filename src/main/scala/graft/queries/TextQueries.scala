@@ -1,0 +1,202 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Dedup, TextAnalysis}
+import graft.functions.TextHashFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + dedup queries over the `documents` table.
+  *
+  * Tokenizer parity contract (Spark ⇄ DuckDB): normalize =
+  * `lower(regexp_replace(text, "[^\p{L}\p{N}\s]", " "))`, tokens = split
+  * on `\s+` minus empties. Spark uses Java regex, DuckDB RE2 — for these
+  * character classes the semantics coincide (probed in tools/check.py
+  * development; see .claude/skills/verify/SKILL.md gotchas).
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  private val duckToks =
+    """list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0)"""
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // token counting: whitespace + BPE-ish pre-tokenizer regex
+    "q_token_count" -> ((s, d) => {
+      docs(s, d).select(
+        col("doc_id"),
+        TextAnalysis.tokenCountWs(col("text")).as("n_ws"),
+        TextAnalysis.tokenCountBpeish(col("text")).as("n_bpeish"),
+        length(col("text")).cast("long").as("n_chars_m"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // quality metrics + composite score
+    "q_text_quality" -> ((s, d) => {
+      docs(s, d).select(
+        Seq(col("doc_id")) ++
+          TextAnalysis.qualityMetrics(col("text")) :+
+          TextAnalysis.qualityScore(col("text")).as("quality"): _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    // language-ID heuristic + per-language hit counts
+    "q_lang_id" -> ((s, d) => {
+      docs(s, d).select(
+        Seq(col("doc_id")) ++
+          TextAnalysis.langHits(col("text")) :+
+          TextAnalysis.langId(col("text")).as("lang_guess"): _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    // md5 content fingerprint (oracle-able) — xxhash64 variant in
+    // q_fingerprint_xx (rows-only; xxhash64 is Spark-specific)
+    "q_fingerprint" -> ((s, d) => {
+      docs(s, d).select(
+        col("doc_id"),
+        md5(concat_ws(" ", Dedup.tokens(col("text")))).as("fp_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "q_fingerprint_xx" -> ((s, d) => {
+      docs(s, d).select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp_xx"),
+        size(TextAnalysis.rollingFingerprints(col("text"), 8, 4)).cast("long")
+          .as("n_rolling_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // exact dedup by content hash, min-id winner
+    "q_dedup_exact" -> ((s, d) => {
+      Dedup.exactDedup(docs(s, d))
+        .orderBy(col("content_hash"))
+    }),
+
+    // exact unigram-set Jaccard over all doc pairs with id < 30 — the
+    // ground-truth near-dup measure the LSH paths approximate
+    "q_ngram_jaccard" -> ((s, d) => {
+      val base = docs(s, d).filter(col("doc_id") < 30)
+        .select(col("doc_id"), array_distinct(Dedup.tokens(col("text"))).as("toks"))
+      val a = base.select(col("doc_id").as("id_a"), col("toks").as("ta"))
+      val b = base.select(col("doc_id").as("id_b"), col("toks").as("tb"))
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(Dedup.jaccard(col("ta"), col("tb")), 6).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // MinHash LSH candidates (unigram shingles — the synthetic docs share a
+    // small vocabulary, so unigram sets are the near-dup signal); pair set
+    // depends on xxhash64 banding → rows-only + scalatest recall checks.
+    "q_dedup_minhash" -> ((s, d) => {
+      // bounded slice: unigram sets over a small shared vocabulary make
+      // nearly every pair a candidate — O(n²) by construction, so cap n
+      Dedup.minhashCandidates(docs(s, d).filter(col("doc_id") < 500),
+        nShingle = 1, bands = 8, rowsPerBand = 2)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // SimHash signatures (custom codegen'd expression) — rows-only
+    "q_dedup_simhash" -> ((s, d) => {
+      docs(s, d).select(
+        col("doc_id"),
+        TextHashFunctions.simhash64(Dedup.tokens(col("text"))).as("simhash"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_token_count" ->
+      s"""SELECT doc_id,
+         |  CAST(len($duckToks) AS BIGINT) AS n_ws,
+         |  CAST(len(regexp_extract_all(text, '\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]')) AS BIGINT) AS n_bpeish,
+         |  CAST(length(text) AS BIGINT) AS n_chars_m
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text, $duckToks AS toks,
+         |    CAST(length(text) AS DOUBLE) AS nchar
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |  CAST(nchar AS BIGINT) AS n_chars_m,
+         |  CAST(len(toks) AS BIGINT) AS n_tokens,
+         |  ROUND(CASE WHEN nchar = 0 THEN 0.0 ELSE
+         |    len(regexp_extract_all(text, '[[:punct:]]')) / nchar END, 6) AS punct_ratio,
+         |  ROUND(CASE WHEN nchar = 0 THEN 0.0 ELSE
+         |    len(regexp_extract_all(text, '[A-Z]')) / nchar END, 6) AS upper_ratio,
+         |  ROUND(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+         |    CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this'], x))) AS DOUBLE) / len(toks) END, 6) AS stopword_ratio,
+         |  ROUND(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+         |    CAST(list_aggregate(list_transform(toks, x -> CAST(len(x) AS BIGINT)), 'sum') AS DOUBLE) / len(toks) END, 6) AS mean_token_len,
+         |  ROUND(
+         |    LEAST(len(toks) / 20.0, 1.0) * 0.4 +
+         |    LEAST((CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+         |      CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this'], x))) AS DOUBLE) / len(toks) END) * 4.0, 1.0) * 0.3 +
+         |    GREATEST(1.0 - (CASE WHEN nchar = 0 THEN 0.0 ELSE
+         |      len(regexp_extract_all(text, '[[:punct:]]')) / nchar END) * 5.0, 0.0) * 0.3,
+         |  6) AS quality
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_lang_id" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $duckToks AS toks FROM documents
+         |), h AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_filter(toks, x -> list_contains(['der','die','und','das','nicht','ist','von','mit','den','im'], x))) AS BIGINT) AS hits_de,
+         |    CAST(len(list_filter(toks, x -> list_contains(['the','and','of','to','is','in','that','it','for','with'], x))) AS BIGINT) AS hits_en,
+         |    CAST(len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','los','del','las','por'], x))) AS BIGINT) AS hits_es,
+         |    CAST(len(list_filter(toks, x -> list_contains(['le','la','et','les','des','est','dans','que','pour','une'], x))) AS BIGINT) AS hits_fr
+         |  FROM t
+         |)
+         |SELECT doc_id, hits_de, hits_en, hits_es, hits_fr,
+         |  CASE WHEN GREATEST(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+         |       WHEN hits_de = GREATEST(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
+         |       WHEN hits_en = GREATEST(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
+         |       WHEN hits_es = GREATEST(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
+         |       ELSE 'fr' END AS lang_guess
+         |FROM h ORDER BY doc_id""".stripMargin,
+
+    "q_fingerprint" ->
+      s"""SELECT doc_id,
+         |  md5(array_to_string($duckToks, ' ')) AS fp_md5
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+        |  COUNT(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, list_distinct($duckToks) AS toks
+         |  FROM documents WHERE doc_id < 30
+         |),
+         |tok AS (SELECT doc_id, UNNEST(toks) AS w FROM base),
+         |sizes AS (SELECT doc_id, len(toks) AS n FROM base),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+         |  FROM tok a JOIN tok b ON a.w = b.w AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |),
+         |pairs AS (
+         |  SELECT sa.doc_id AS id_a, sb.doc_id AS id_b,
+         |    COALESCE(i.c, 0) AS c, sa.n AS na, sb.n AS nb
+         |  FROM sizes sa JOIN sizes sb ON sa.doc_id < sb.doc_id
+         |  LEFT JOIN inter i ON i.id_a = sa.doc_id AND i.id_b = sb.doc_id
+         |)
+         |SELECT id_a, id_b,
+         |  ROUND(CASE WHEN na + nb - c = 0 THEN 0.0
+         |        ELSE CAST(c AS DOUBLE) / (na + nb - c) END, 6) AS jaccard
+         |FROM pairs
+         |WHERE ROUND(CASE WHEN na + nb - c = 0 THEN 0.0
+         |      ELSE CAST(c AS DOUBLE) / (na + nb - c) END, 6) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin
+  )
+}

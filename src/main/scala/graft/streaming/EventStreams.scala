@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming pipelines over the `events` shape
+  * (`event_id, ts, user_id, event_type, value, props` — TESTDATA.md).
+  *
+  * The reference has no streaming surface at all (SURVEY §2.11); these are
+  * the engine extensions the contract asks for. Every transform is defined
+  * on a plain DataFrame so the SAME code serves batch (`spark.read`) and
+  * streaming (`spark.readStream`) inputs — the Structured Streaming
+  * unification. Tests drive them with MemoryStream;
+  * `graft.queries.EventQueries` runs the batch-equivalent with DuckDB
+  * oracles.
+  *
+  * Scale notes: watermarks bound state; aggregation state is partitioned
+  * by (window, key) — high cardinality, no hot executor; session windows
+  * use the built-in session_window state store, and the
+  * `flatMapGroupsWithState` variant shows the custom-state escape hatch.
+  */
+object EventStreams {
+
+  /** Tumbling-window counts/sums per event type, watermarked. */
+  def tumblingCounts(events: DataFrame, window_ : String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Sliding-window rates (5-minute hop over 1-hour window). */
+  def slidingRates(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Gap-based sessionization with the built-in session_window. */
+  def sessionize(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+
+  /** Streaming dedup by event_id within the watermark horizon. */
+  def dedupe(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-static enrichment join (events ⋈ static user dimension). */
+  def enrich(events: DataFrame, userDim: DataFrame): DataFrame =
+    events.join(broadcast(userDim), Seq("user_id"), "left")
+
+  // ----- custom state: per-user running session via flatMapGroupsWithState
+
+  case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  case class UserSession(user_id: Long, n_events: Long, total_value: Double,
+      last_ts: Long)
+  case class SessionUpdate(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom per-key state machine (the mapGroupsWithState escape hatch for
+    * semantics session_window can't express — here: emit an update per
+    * batch with running totals, expire after 1h idle).
+    */
+  def runningUserTotals(events: Dataset[Ev]): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserSession, SessionUpdate](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[UserSession]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionUpdate(uid, s.n_events, s.total_value))
+          } else {
+            val buf = evs.toSeq
+            val prev = state.getOption.getOrElse(UserSession(uid, 0L, 0.0, 0L))
+            val next = UserSession(uid,
+              prev.n_events + buf.size,
+              prev.total_value + buf.map(_.value).sum,
+              math.max(prev.last_ts, buf.map(_.ts.getTime).foldLeft(0L)(math.max)))
+            state.update(next)
+            state.setTimeoutDuration("1 hour")
+            Iterator(SessionUpdate(uid, next.n_events, next.total_value))
+          }
+      }
+  }
+}
