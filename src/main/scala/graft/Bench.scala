@@ -1,24 +1,59 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Wall-clock benchmark over the headline queries at
+  * SPARK_GRAFT_SF_DIR (default sf0.1). Prints ONE JSON line.
+  *
+  * Each query is forced with the `noop` sink — unlike `.count()`, which
+  * lets Catalyst collapse the plan to a count aggregate and skip column
+  * reads, noop materializes every output row/column, i.e. measures the
+  * real operator work.
+  */
 object Bench {
+
+  /** Headline set: every operator family, excluding only the ML-training
+    * queries (ALS fit dominates wall-clock and is benchmarked separately
+    * in scalatest with metric bands — a model fit isn't a query).
+    */
+  val headline: Seq[String] = Seq(
+    "q1_agg", "q_scan_project", "q_ratings", "q_pop_top100",
+    "q_join_inner", "q_join_multi", "q_join_anti", "q_exceptall",
+    "q_window_topk", "q_window_running", "q_collect_list",
+    "q_split_hash", "q_eval_hit_ratio", "q_eval_map_user", "q_eval_map_std",
+    "q_token_count", "q_text_quality", "q_lang_id",
+    "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
+    "q_cosine_topk", "q_cosine_ann", "q_embed_norms",
+    "q_events_hourly", "q_events_sessions", "q_media_features")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val results = headline.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        val t0 = System.nanoTime()
+        val ok = try {
+          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+          true
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+        }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -111,7 +111,13 @@ object Eval {
   def referenceMapScore(topK: Seq[Int], labels: Seq[Int]): Double = {
     if (labels.isEmpty) 0.0
     else {
-      val pos = topK.zipWithIndex.toMap // first occurrence wins
+      // first occurrence wins (the reference `break`s at the first match,
+      // als.py:14-17) — note Scala's zipWithIndex.toMap would keep the
+      // LAST index, which is why this folds left-to-right guarding on
+      // prior presence
+      val pos = topK.zipWithIndex.foldLeft(Map.empty[Int, Int]) {
+        case (m, (id, i)) => if (m.contains(id)) m else m.updated(id, i)
+      }
       val s = labels.iterator.map { m =>
         pos.get(m) match {
           case Some(r) => (1.0 + 1.0 / (r + 1)) / topK.size

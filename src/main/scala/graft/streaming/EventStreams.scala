@@ -69,14 +69,24 @@ object EventStreams {
 
   /** Custom per-key state machine (the mapGroupsWithState escape hatch for
     * semantics session_window can't express — here: emit an update per
-    * batch with running totals, expire after 1h idle).
+    * batch with running totals).
+    *
+    * `withIdleTimeout = true` expires state after 1h idle via
+    * ProcessingTimeTimeout. NOTE: with a processing-time timeout the
+    * engine keeps scheduling micro-batches to evict state, so
+    * `processAllAvailable()` never quiesces — callers that drive the
+    * query synchronously (tests, backfills) must use the default
+    * NoTimeout. Observed as a hang, not inferred.
     */
-  def runningUserTotals(events: Dataset[Ev]): Dataset[SessionUpdate] = {
+  def runningUserTotals(events: Dataset[Ev], withIdleTimeout: Boolean = false)
+      : Dataset[SessionUpdate] = {
     import events.sparkSession.implicits._
+    val timeout =
+      if (withIdleTimeout) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
     events
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[UserSession, SessionUpdate](
-        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+      .flatMapGroupsWithState[UserSession, SessionUpdate](OutputMode.Append, timeout) {
         (uid: Long, evs: Iterator[Ev], state: GroupState[UserSession]) =>
           if (state.hasTimedOut) {
             val s = state.get
@@ -90,7 +100,7 @@ object EventStreams {
               prev.total_value + buf.map(_.value).sum,
               math.max(prev.last_ts, buf.map(_.ts.getTime).foldLeft(0L)(math.max)))
             state.update(next)
-            state.setTimeoutDuration("1 hour")
+            if (withIdleTimeout) state.setTimeoutDuration("1 hour")
             Iterator(SessionUpdate(uid, next.n_events, next.total_value))
           }
       }

@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Dedup + ANN behavior: planted duplicates must be found; LSH recall
+  * against the brute-force truth must clear a floor.
+  */
+class DedupSimilaritySpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("exactDedup groups identical texts under the min id") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "unrelated text here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactDedup(docs).collect()
+    assert(out.length == 2)
+    val dup = out.find(_.getLong(2) == 2L).get
+    assert(dup.getLong(1) == 1L, "min doc_id kept")
+  }
+
+  test("jaccard on known sets") {
+    val df = Seq((Seq("a", "b", "c"), Seq("b", "c", "d"))).toDF("x", "y")
+    val j = df.select(Dedup.jaccard(col("x"), col("y"))).first().getDouble(0)
+    assert(math.abs(j - 0.5) < 1e-12)
+  }
+
+  test("minhash LSH finds a planted near-duplicate pair") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 57).map(i => s"tok$i").mkString(" ") + " x y z"
+    val noise = (100 to 160).map(i => s"other$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, noise)).toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(docs, threshold = 0.7, nShingle = 1,
+      bands = 8, rowsPerBand = 2).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
+      s"planted pair not found: ${pairs.mkString(",")}")
+    assert(!pairs.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
+  }
+
+  test("simhash near-dups: single-token edit stays within hamming 3") {
+    val base = (1 to 80).map(i => s"w$i").mkString(" ")
+    val edited = base.replace("w40", "zzz")
+    val docs = Seq((1L, base), (2L, edited)).toDF("doc_id", "text")
+    val pairs = Dedup.simhashNearDups(docs, maxHamming = 6).collect()
+    assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
+  }
+
+  test("brute-force topK: self excluded, ranks contiguous, cosine sorted") {
+    val e = Tables.embeddings(spark, sf)
+    val out = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), 3).cache()
+    assert(out.filter(col("query_id") === col("neighbor_id")).count() == 0)
+    val perQuery = out.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n"), min(col("rank")).as("mn"), max(col("rank")).as("mx"))
+      .collect()
+    perQuery.foreach { r =>
+      assert(r.getLong(1) == 3 && r.getLong(2) == 1 && r.getLong(3) == 3)
+    }
+    val notSorted = out.as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1).values.exists { rows =>
+        val sorted = rows.sortBy(_._3).map(_._4)
+        sorted.zip(sorted.tail).exists { case (a, b) => a < b }
+      }
+    assert(!notSorted)
+  }
+
+  test("LSH ANN recall >= 0.6 vs brute force on sf0.001 embeddings") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 20)
+    val truth = Similarity.bruteForceTopK(e, q, 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val ann = Similarity.lshTopK(e, q, 5, bands = 16, bandBits = 4)
+      .select(col("query_id"), col("neighbor_id"))
+    val hit = truth.join(ann, Seq("query_id", "neighbor_id"), "left_semi").count()
+    val recall = hit.toDouble / truth.count()
+    assert(recall >= 0.6, s"recall $recall")
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import graft.functions.{TextHashFunctions, VectorFunctions}
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.functions._
+
+/** Custom Catalyst expressions: correctness on known values, codegen ⇄
+  * interpreted agreement, determinism, and locality properties.
+  */
+class FunctionsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("cosine_similarity on known vectors (codegen path)") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f), 1.0),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f), 0.0),
+      (Array(1.0f, 0.0f), Array(-1.0f, 0.0f), -1.0),
+      (Array(0.0f, 0.0f), Array(1.0f, 0.0f), 0.0) // zero-norm guard
+    ).toDF("a", "b", "want")
+    val bad = df.select(abs(cosine_similarity(col("a"), col("b")) - col("want")).as("err"))
+      .filter(col("err") > 1e-6).count()
+    assert(bad == 0)
+  }
+
+  test("codegen and interpreted eval agree") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types._
+    val a = Array(0.3f, -1.2f, 0.7f)
+    val b = Array(-0.4f, 0.9f, 2.0f)
+    // codegen path (whole-stage generated from the DataFrame select)
+    val fromDf = Seq((a, b)).toDF("a", "b")
+      .select(cosine_similarity(col("a"), col("b"))).first().getDouble(0)
+    // interpreted path (direct eval of the expression tree)
+    val interp = VectorFunctions.CosineSimilarity(
+      Literal.create(a, ArrayType(FloatType)),
+      Literal.create(b, ArrayType(FloatType))).eval(null).asInstanceOf[Double]
+    assert(math.abs(fromDf - interp) < 1e-12)
+    // SQL registration path
+    VectorFunctions.register(spark)
+    Seq((a, b)).toDF("a", "b").createOrReplaceTempView("vv")
+    val viaSql = spark.sql("SELECT cosine_similarity(a, b) FROM vv").first().getDouble(0)
+    assert(math.abs(fromDf - viaSql) < 1e-12)
+  }
+
+  test("dot_product and l2_norm") {
+    val df = Seq((Array(3.0f, 4.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    val r = df.select(
+      dot_product(col("a"), col("b")).as("d"),
+      l2_norm(col("a")).as("n")).first()
+    assert(math.abs(r.getDouble(0) - 11.0) < 1e-6)
+    assert(math.abs(r.getDouble(1) - 5.0) < 1e-6)
+  }
+
+  test("rp_signature: deterministic; near vectors share more bits than far") {
+    val base = Array.tabulate(64)(i => math.sin(i * 1.7).toFloat)
+    val near = base.zipWithIndex.map { case (v, i) => if (i == 0) v + 0.01f else v }
+    val far = Array.tabulate(64)(i => math.cos(i * 3.1).toFloat)
+    val df = Seq((base, near, far)).toDF("base", "near", "far")
+    val r = df.select(
+      rp_signature(col("base"), 42).as("sb"),
+      rp_signature(col("near"), 42).as("sn"),
+      rp_signature(col("far"), 42).as("sf"),
+      rp_signature(col("base"), 42).as("sb2")).first()
+    assert(r.getLong(0) == r.getLong(3), "deterministic")
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(r.getLong(0), r.getLong(1)) < ham(r.getLong(0), r.getLong(2)),
+      "locality: near vector differs in fewer bits than far vector")
+  }
+
+  test("simhash64: identical token sets identical, near sets near") {
+    val df = Seq(
+      ("the quick brown fox jumps", "the quick brown fox jumps", "completely different words entirely here")
+    ).toDF("a", "b", "c")
+    import graft.operators.Dedup
+    val r = df.select(
+      TextHashFunctions.simhash64(Dedup.tokens(col("a"))).as("sa"),
+      TextHashFunctions.simhash64(Dedup.tokens(col("b"))).as("sb"),
+      TextHashFunctions.simhash64(Dedup.tokens(col("c"))).as("sc")).first()
+    assert(r.getLong(0) == r.getLong(1))
+    assert(r.getLong(0) != r.getLong(2))
+  }
+}

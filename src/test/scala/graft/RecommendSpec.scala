@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.{Eval, Multimodal, Recommend}
+import org.apache.spark.sql.functions._
+
+/** ALS on a structured synthetic fixture: users with a known block
+  * preference pattern → RMSE must beat the trivial predictor and
+  * recommendations must surface the preferred block.
+  * (Exact reference metrics aren't portable across Spark versions —
+  * SURVEY §7.4 risk 3 — so bands, not equality.)
+  */
+class RecommendSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  // block structure: even users love even items (5.0), hate odd (1.0);
+  // odd users the reverse. 40 users x 30 items, 80% observed.
+  lazy val fixture = {
+    val rows = for {
+      u <- 0 until 40; i <- 0 until 30
+      if (u * 31 + i * 17) % 5 != 0 // drop ~20% as holdout
+    } yield (u, i, if ((u + i) % 2 == 0) 5.0f else 1.0f)
+    rows.toDF("userId", "movieId", "rating")
+  }
+  lazy val holdout = {
+    val rows = for {
+      u <- 0 until 40; i <- 0 until 30
+      if (u * 31 + i * 17) % 5 == 0
+    } yield (u, i, if ((u + i) % 2 == 0) 5.0f else 1.0f)
+    rows.toDF("userId", "movieId", "rating")
+  }
+
+  lazy val model = Recommend.train(fixture,
+    Recommend.AlsConfig(rank = 8, maxIter = 5, regParam = 0.1, seed = 7L))
+
+  test("ALS learns the block structure (RMSE well below trivial 2.0)") {
+    val rmse = Eval.rmse(Recommend.predict(model, holdout)).first().getDouble(0)
+    assert(rmse < 1.0, s"rmse $rmse")
+  }
+
+  test("recommendTopK surfaces the preferred parity block") {
+    val recs = Recommend.recommendTopK(model, 5)
+    // for even users, top-5 recommended items should be mostly even
+    val evenUserOddItem = recs
+      .filter(pmod(col("userId"), lit(2)) === 0 && pmod(col("movieId"), lit(2)) === 1)
+      .count()
+    val total = recs.filter(pmod(col("userId"), lit(2)) === 0).count()
+    assert(evenUserOddItem.toDouble / total < 0.2,
+      s"$evenUserOddItem of $total even-user recs are odd items")
+  }
+
+  test("topKPerKey returns exactly k ranked rows per key") {
+    val scored = Seq((1, 10, 3.0), (1, 11, 5.0), (1, 12, 4.0), (2, 10, 1.0))
+      .toDF("userId", "movieId", "score")
+    val out = Recommend.topKPerKey(scored, "userId", Seq(col("score").desc, col("movieId")), 2)
+      .select(col("userId"), col("movieId"), col("rank"))
+      .as[(Int, Int, Long)].collect().toSet
+    assert(out == Set((1, 11, 1L), (1, 12, 2L), (2, 10, 1L)))
+  }
+
+  test("multimodal feature extraction is deterministic and batch-shaped") {
+    val media = Multimodal.syntheticMediaTable(Tables.documents(spark, sf))
+    val f1 = Multimodal.extractFeatures(media, dim = 8, batchSize = 16)
+      .select(col("media_id"), col("content_hash")).as[(Long, Long)].collect().toMap
+    val f2 = Multimodal.extractFeatures(media, dim = 8, batchSize = 64)
+      .select(col("media_id"), col("content_hash")).as[(Long, Long)].collect().toMap
+    assert(f1 == f2, "batch size must not affect results")
+    assert(f1.size == 500)
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.Split
+import org.apache.spark.sql.functions._
+
+/** Split invariants (mirrors the reference's only asserts,
+  * extension.py:150-152: train/val/test pairwise disjoint) plus the
+  * completeness property A = (A⋉B) ⊎ (A▷B) and per-group fraction bounds.
+  */
+class SplitSpec extends SparkTestBase {
+
+  lazy val ratings = Tables.ratings(spark, sf)
+    .groupBy(col("userId"), col("movieId")).agg(avg(col("rating")).as("rating"))
+    .cache()
+
+  test("splitV2: disjoint and complete") {
+    val (train, v, t) = Split.splitV2(ratings, 0.25, 1234L)
+    val rep = Split.disjointnessReport(train, v, t, Seq("userId", "movieId")).first()
+    val total = ratings.count()
+    assert(rep.getLong(3) == 0, "train/val overlap")
+    assert(rep.getLong(4) == 0, "train/test overlap")
+    assert(rep.getLong(5) == 0, "val/test overlap")
+    assert(rep.getLong(0) + rep.getLong(1) + rep.getLong(2) == total, "completeness")
+  }
+
+  test("splitV2 is stable under re-evaluation (content-hash ordering)") {
+    val (_, v1, _) = Split.splitV2(ratings, 0.25, 1234L)
+    val (_, v2, _) = Split.splitV2(ratings, 0.25, 1234L)
+    assert(v1.exceptAll(v2).count() == 0)
+    assert(v2.exceptAll(v1).count() == 0)
+  }
+
+  test("perGroupSample takes ceil(frac*n) rows per group") {
+    val sizes = ratings.groupBy(col("userId")).agg(count(lit(1)).as("n"))
+    val sampled = Split.perGroupSample(ratings, "userId", 0.25, 7L)
+      .groupBy(col("userId")).agg(count(lit(1)).as("k"))
+    val bad = sizes.join(sampled, Seq("userId"), "left")
+      .withColumn("k", coalesce(col("k"), lit(0L)))
+      .filter(col("k") =!= ceil(col("n") * 0.25).cast("long"))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("labelByHash partitions every row into exactly one label") {
+    val labeled = Split.labelByHash(ratings, "movieId")
+    val n = labeled.count()
+    val byLabel = labeled.groupBy(col("train_val_test")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLabel.keySet == Set("train", "validation", "test"))
+    assert(byLabel.values.sum == n)
+  }
+
+  test("antiJoin complement partitions the relation") {
+    val sample = Split.perGroupSample(ratings, "userId", 0.5, 3L)
+    val rest = Split.antiJoin(ratings, sample, Seq("userId", "movieId"))
+    assert(sample.count() + rest.count() == ratings.count())
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Structured Streaming pipelines driven by MemoryStream — verifies the
+  * streaming path end-to-end (state, watermark, output modes), matching
+  * the batch twins in EventQueries.
+  */
+class StreamingSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  case class E(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  private def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+
+  test("tumblingCounts aggregates per hour/type over a memory stream") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[E]
+    val out = EventStreams.tumblingCounts(mem.toDF(), "1 hour", "2 hours")
+    val q = out.writeStream.outputMode("complete")
+      .format("memory").queryName("tumbling_out").start()
+    try {
+      mem.addData(
+        E(1, ts(10), 1, "click", 1.0), E(2, ts(20), 1, "click", 2.0),
+        E(3, ts(70), 2, "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_out")
+        .select(col("window_start").cast("string"), col("event_type"), col("n"), col("total_value"))
+        .as[(String, String, Long, Double)].collect().toSet
+      assert(rows == Set(
+        ("2024-01-01 00:00:00", "click", 2L, 3.0),
+        ("2024-01-01 01:00:00", "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize groups by 30-minute gaps") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[E]
+    val out = EventStreams.sessionize(mem.toDF(), "30 minutes")
+    val q = out.writeStream.outputMode("complete")
+      .format("memory").queryName("session_out").start()
+    try {
+      // user 1: events at 0, 10 (one session), then 120 (new session)
+      mem.addData(
+        E(1, ts(0), 1, "a", 1.0), E(2, ts(10), 1, "a", 1.0), E(3, ts(120), 1, "a", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("session_out")
+        .select(col("user_id"), col("n_events")).as[(Long, Long)].collect().sorted
+      assert(rows.toSeq == Seq((1L, 1L), (1L, 2L)))
+    } finally q.stop()
+  }
+
+  test("streaming dedupe drops duplicate event_ids within watermark") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[E]
+    val out = EventStreams.dedupe(mem.toDF(), "2 hours")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      mem.addData(E(1, ts(0), 1, "a", 1.0), E(1, ts(0), 1, "a", 1.0), E(2, ts(1), 1, "a", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 2)
+    } finally q.stop()
+  }
+
+  test("runningUserTotals accumulates custom state per user") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Ev]
+    val out = EventStreams.runningUserTotals(mem.toDS())
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("state_out").start()
+    try {
+      mem.addData(
+        EventStreams.Ev(1, ts(0), 1, "a", 2.0),
+        EventStreams.Ev(2, ts(1), 1, "a", 3.0),
+        EventStreams.Ev(3, ts(2), 2, "a", 7.0))
+      q.processAllAvailable()
+      val rows = spark.table("state_out")
+        .as[EventStreams.SessionUpdate].collect().map(u => (u.user_id, u.n_events, u.total_value)).toSet
+      assert(rows == Set((1L, 2L, 5.0), (2L, 1L, 7.0)))
+    } finally q.stop()
+  }
+}
