@@ -100,6 +100,63 @@ object Eval {
     predictions.agg(
       round(sqrt(avg(pow(col(predCol) - col(labelCol), 2.0))), 6).as("rmse"))
 
+  /** M7: the standard-MAP cross-check via
+    * `org.apache.spark.mllib.evaluation.RankingMetrics` — the exact API the
+    * reference imported and then abandoned for memory reasons
+    * (`als.py:3`, `FinalReport.pdf p.2 §4`). Inputs as in
+    * [[standardMapAtK]]; returns meanAveragePrecisionAt(k) as 1 row.
+    * Note: RDD-based (collects per-user arrays onto executors, not the
+    * driver) — fine as a cross-check, the column form is the scale path.
+    */
+  def rankingMetricsMapAtK(labelRows: DataFrame, userRecs: DataFrame, k: Int,
+      userCol: String = "userId", keyCol: String = "movieId"): DataFrame = {
+    val spark = labelRows.sparkSession
+    import spark.implicits._
+    val recsByUser = userRecs
+      .groupBy(col(userCol))
+      .agg(sort_array(collect_list(struct(col("rank"), col(keyCol)))).as("rl"))
+      .select(col(userCol), col("rl").getField(keyCol).as("recs"))
+    val labelsByUser = labelRows.select(col(userCol), col(keyCol)).distinct()
+      .groupBy(col(userCol)).agg(collect_list(col(keyCol)).as("labels"))
+    // right join: users with labels but NO recommendations still count
+    // (AP 0), matching standardMapAtK's left-join-from-labels semantics
+    val pairs = recsByUser.join(labelsByUser, Seq(userCol), "right")
+      .select(coalesce(col("recs"), array()).as("recs"), col("labels"))
+      .as[(Seq[Long], Seq[Long])]
+      .rdd.map { case (r, l) => (r.toArray, l.toArray) }
+    val metric = new org.apache.spark.mllib.evaluation.RankingMetrics(pairs)
+      .meanAveragePrecisionAt(k)
+    Seq(metric).toDF("map_at_k_mllib").select(round(col("map_at_k_mllib"), 6).as("map_at_k_mllib"))
+  }
+
+  /** U4 quirk replica: the reference's RDD lambda passes the GROUND-TRUTH
+    * list as `top_k_recommendations` and the recommendation list as
+    * `user_labels` (`als.py:128-131` — arguments swapped relative to the
+    * U2 signature). For parity we expose the swapped variant explicitly:
+    * per user, each RECOMMENDED item is looked up in the user's LABEL
+    * list position.
+    */
+  def referenceMapPerUserSwapped(labelRows: DataFrame, rankedTopK: DataFrame, k: Int,
+      userCol: String = "userId", keyCol: String = "movieId"): DataFrame = {
+    // labels (per user) play the role of the ranked list: rank = position
+    // by ascending keyCol order is NOT the reference's order — the
+    // reference's list order is collect_list order, which is
+    // nondeterministic; we fix it to sorted order and document the choice.
+    val w = Window.partitionBy(col(userCol)).orderBy(col(keyCol))
+    val labelRanked = labelRows.select(col(userCol), col(keyCol)).distinct()
+      .withColumn("lrank", row_number().over(w))
+    val nLabels = labelRanked.groupBy(col(userCol)).agg(count(lit(1)).as("n_labels"))
+    val recs = broadcast(rankedTopK.select(col(keyCol)))
+    val hits = recs.join(labelRanked, Seq(keyCol)) // recommended ∧ in labels
+      .select(col(userCol),
+        (lit(1.0) + lit(1.0) / col("lrank")).as("raw"))
+      .groupBy(col(userCol)).agg(sum(col("raw")).as("sum_raw"))
+    // AP_u = (Σ_hits (1 + 1/lrank) / n_labels) / k; users w/o hits → 0
+    nLabels.join(hits, Seq(userCol), "left")
+      .select((coalesce(col("sum_raw"), lit(0.0)) / col("n_labels") / lit(k.toDouble)).as("ap"))
+      .agg(round(avg(col("ap")), 6).as("map_ref_swapped"))
+  }
+
   // ---------------------------------------------------------------------
   // Typed Aggregator forms (SURVEY §7.3) — for users holding
   // Dataset[(recs, labels)] pairs; same math as the column forms above.

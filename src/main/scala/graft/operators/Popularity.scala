@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Popularity baseline (reference `popularity_model.py:39-82`, SURVEY §2
@@ -41,44 +42,49 @@ object Popularity {
 
   /** Full popularity pipeline → top-k movies by weighted score.
     *
+    * Single-pass shape: the global statistics (m = mean of movie means,
+    * q = count quantile) are computed as UNBOUNDED window aggregates over
+    * the per-movie relation rather than a separate aggregate branch — a
+    * two-branch plan re-derives the ratings join + per-movie aggregate
+    * twice (no ReusedExchange across the percentile branch; observed in
+    * `.explain`), i.e. two full fact-table scans at 100 TB. The window
+    * funnels |movies| rows (≪ |ratings|) through one partition, which is
+    * the right trade until the catalog itself is huge — then use
+    * [[topMoviesApprox]] whose sketch merges distributively.
+    *
     * @param quantile popularity cutoff quantile (reference uses 0.9,
     *                 `popularity_model.py:50`)
     * @param k        size of the recommendation list (task spec top-100,
     *                 reference `README.md:57`)
     */
-  def topMovies(ratings: DataFrame, quantile: Double = 0.9, k: Int = 100): DataFrame = {
-    val agg = aggRatings(ratings)
-    // exact percentile (not percentile_approx) so the DuckDB oracle's
-    // quantile_cont matches bit-for-bit; at 100 TB the input to this
-    // aggregate is the per-movie relation (|movies| rows, not |ratings|),
-    // so exactness is affordable. Swap to approx via `statsApprox` if not.
-    val stats = agg.agg(
-      avg(col("avg_rating")).as("m"),
-      expr(s"percentile(user_count, $quantile)").as("q"))
-    agg.crossJoin(broadcast(stats))
-      .filter(col("user_count") >= col("q"))
-      .withColumn("score",
-        weightedScore(col("user_count").cast("double"), col("avg_rating"), col("q"), col("m")))
+  def topMovies(ratings: DataFrame, quantile: Double = 0.9, k: Int = 100): DataFrame =
+    scoreAll(aggRatings(ratings), expr(s"percentile(user_count, $quantile)"))
       .select(col("movieId"), col("avg_rating"), col("user_count"), col("score"))
       .orderBy(col("score").desc, col("movieId").asc) // total tiebreak (SURVEY §7.4)
       .limit(k)
-  }
 
   /** Sketch-based variant for the true 100 TB path: `percentile_approx`
     * (KLL/GK, mergeable, single pass) — same shape, approximate cutoff.
     * Kept out of the oracle set (approx ≠ DuckDB exact).
     */
-  def topMoviesApprox(ratings: DataFrame, quantile: Double = 0.9, k: Int = 100): DataFrame = {
-    val agg = aggRatings(ratings)
-    val stats = agg.agg(
-      avg(col("avg_rating")).as("m"),
-      percentile_approx(col("user_count"), lit(quantile), lit(10000)).as("q"))
-    agg.crossJoin(broadcast(stats))
-      .filter(col("user_count") >= col("q"))
-      .withColumn("score",
-        weightedScore(col("user_count").cast("double"), col("avg_rating"), col("q"), col("m")))
+  def topMoviesApprox(ratings: DataFrame, quantile: Double = 0.9, k: Int = 100): DataFrame =
+    scoreAll(aggRatings(ratings),
+      percentile_approx(col("user_count"), lit(quantile), lit(10000)))
       .select(col("movieId"), col("avg_rating"), col("user_count"), col("score"))
       .orderBy(col("score").desc, col("movieId").asc)
       .limit(k)
+
+  /** Shared scoring core: attach global stats via an unbounded window over
+    * the aggregated relation, filter to the popularity cutoff, score.
+    */
+  def scoreAll(agg: DataFrame, quantileExpr: Column): DataFrame = {
+    val w = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    agg
+      .withColumn("m", avg(col("avg_rating")).over(w))
+      .withColumn("q", quantileExpr.over(w))
+      .filter(col("user_count") >= col("q"))
+      .withColumn("score",
+        weightedScore(col("user_count").cast("double"), col("avg_rating"), col("q"), col("m")))
   }
 }

@@ -35,21 +35,14 @@ object PipelineQueries {
   /** Popularity top-100 of the train partition, ranked on the ROUNDED score
     * so rank boundaries can't flip on sub-1e-6 cross-engine float drift.
     */
-  private def rankedTop100(train: DataFrame): DataFrame = {
-    val agg = Popularity.aggRatings(train)
-    val stats = agg.agg(
-      avg(col("avg_rating")).as("m"),
-      expr("percentile(user_count, 0.9)").as("q"))
-    agg.crossJoin(broadcast(stats))
-      .filter(col("user_count") >= col("q"))
-      .withColumn("score_r", round(
-        Popularity.weightedScore(col("user_count").cast("double"),
-          col("avg_rating"), col("q"), col("m")), 6))
+  private def rankedTop100(train: DataFrame): DataFrame =
+    Popularity.scoreAll(Popularity.aggRatings(train),
+      expr("percentile(user_count, 0.9)"))
+      .withColumn("score_r", round(col("score"), 6))
       .withColumn("rank",
         row_number().over(Window.orderBy(col("score_r").desc, col("movieId"))).cast("long"))
       .filter(col("rank") <= K)
       .select(col("movieId"), col("rank"))
-  }
 
   // oracle fragment: same ranked top-100 in ANSI SQL
   private val rankedTop100Sql =
@@ -148,6 +141,27 @@ object PipelineQueries {
       Eval.standardMapAtK(v, recs, 10)
     }),
 
+    // U4 quirk replica: reference's swapped-argument mAP (als.py:128-131
+    // passes ground truth as top_k) — deterministic sorted-label order.
+    "q_eval_map_swapped" -> ((s, d) => {
+      val (train, v, _) = hashSplit(Tables.ratings(s, d))
+      Eval.referenceMapPerUserSwapped(v, rankedTop100(train), K)
+    }),
+
+    // M7: standard MAP@10 via mllib RankingMetrics (the API the reference
+    // imported then abandoned, als.py:3) — cross-checks q_eval_map_std.
+    // RDD-based → rows-only; equality with the column form asserted in
+    // scalatest.
+    "q_eval_map_mllib" -> ((s, d) => {
+      val (train, v, _) = hashSplit(Tables.ratings(s, d))
+      val dedup = train.groupBy(col("userId"), col("movieId"))
+        .agg(avg(col("rating")).as("r"))
+      val recs = Recommend.topKPerKey(dedup, "userId",
+        Seq(col("r").desc, col("movieId")), 10)
+        .select(col("userId"), col("movieId"), col("rank"))
+      Eval.rankingMetricsMapAtK(v, recs, 10)
+    }),
+
     // M1-M4: ALS train→predict→RMSE (als.py:87-107). The split here is at
     // the INTERACTION level (hash of user+item), not by movieId — an
     // item-disjoint split makes every test item cold-start and
@@ -203,6 +217,23 @@ object PipelineQueries {
          |  GROUP BY v.userId
          |)
          |SELECT ROUND(AVG(ap), 6) AS map_ref_user FROM per_user""".stripMargin,
+
+    "q_eval_map_swapped" ->
+      s"""WITH $splitSql,
+         |$rankedTop100Sql,
+         |label_ranked AS (
+         |  SELECT userId, movieId,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY userId ORDER BY movieId) AS BIGINT) AS lrank
+         |  FROM (SELECT DISTINCT userId, movieId FROM val)
+         |),
+         |nlab AS (SELECT userId, COUNT(*) AS n_labels FROM label_ranked GROUP BY userId),
+         |hits AS (
+         |  SELECT l.userId, SUM(1.0 + 1.0/l.lrank) AS sum_raw
+         |  FROM top100 t JOIN label_ranked l ON t.movieId = l.movieId
+         |  GROUP BY l.userId
+         |)
+         |SELECT ROUND(AVG(COALESCE(h.sum_raw, 0.0) / n.n_labels / $K.0), 6) AS map_ref_swapped
+         |FROM nlab n LEFT JOIN hits h ON n.userId = h.userId""".stripMargin,
 
     "q_eval_map_std" ->
       s"""WITH $splitSql,

@@ -1,0 +1,91 @@
+package graft
+
+import graft.operators.{Eval, Popularity, Recommend}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+/** Ingest parity (SURVEY §2.1 S1/S2/S4/S5): headered + headerless CSV with
+  * schema-at-scan, positional rename, CSV/parquet sinks round-trip; plus
+  * the approx-percentile popularity variant and the mllib-vs-column MAP
+  * equality cross-check.
+  */
+class IngestSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("CSV round-trip: headered write → schema-at-scan read (S1/S5)") {
+    val dir = Files.createTempDirectory("graft_csv").toString
+    val src = Seq((1, 10, 4.5, 111), (2, 20, 3.0, 222))
+      .toDF("userId", "movieId", "rating", "timestamp")
+      .select(col("userId"), col("movieId"),
+        col("rating").cast("double"), col("timestamp"))
+    src.write.mode("overwrite").option("header", "true").csv(s"$dir/headered")
+    val back = Tables.readCsv(spark, s"$dir/headered",
+      Tables.movieLensRatingsSchema, header = true)
+    assert(back.schema == Tables.movieLensRatingsSchema)
+    assert(back.exceptAll(
+      src.select(col("userId").cast("int"), col("movieId").cast("int"),
+        col("rating"), col("timestamp").cast("int"))).count() == 0)
+  }
+
+  test("headerless CSV + positional rename (S2/S4)") {
+    val dir = Files.createTempDirectory("graft_csv2").toString
+    Seq((5, 50, 2.5, 999)).toDF("a", "b", "c", "d")
+      .write.mode("overwrite").csv(s"$dir/bare")
+    // the reference's idiom: read positionally, rename with toDF, cast
+    val back = spark.read.csv(s"$dir/bare")
+      .toDF("userId", "movieId", "rating", "timestamp")
+      .withColumn("userId", col("userId").cast("integer"))
+      .withColumn("rating", col("rating").cast("double"))
+    val r = back.first()
+    assert(r.getInt(0) == 5 && r.getDouble(2) == 2.5)
+  }
+
+  test("parquet sink round-trip preserves types (engine default sink)") {
+    val dir = Files.createTempDirectory("graft_pq").toString
+    val src = Tables.ratings(spark, sf).limit(100)
+    src.write.mode("overwrite").parquet(s"$dir/r")
+    val back = spark.read.parquet(s"$dir/r")
+    assert(back.schema == src.schema)
+    assert(back.count() == 100)
+  }
+
+  test("topMoviesApprox ≈ topMovies (A3 percentile_approx variant)") {
+    val ratings = Tables.ratings(spark, sf)
+    val exact = Popularity.topMovies(ratings, 0.9, 20).select("movieId")
+      .as[Long].collect().toSet
+    val approx = Popularity.topMoviesApprox(ratings, 0.9, 20).select("movieId")
+      .as[Long].collect().toSet
+    // sketch accuracy 10000 on this cardinality → same cutoff, same set
+    assert((exact intersect approx).size >= 18,
+      s"approx diverged: ${exact.diff(approx)}")
+  }
+
+  test("mllib RankingMetrics agrees with the column-expression MAP@k (M7)") {
+    val ratings = Tables.ratings(spark, sf)
+    val train = ratings.filter(pmod(col("movieId"), lit(10)) < 6)
+    val v = ratings.filter(pmod(col("movieId"), lit(10)).isin(6, 7))
+    val dedup = train.groupBy(col("userId"), col("movieId"))
+      .agg(avg(col("rating")).as("r"))
+    val recs = Recommend.topKPerKey(dedup, "userId",
+      Seq(col("r").desc, col("movieId")), 10)
+      .select(col("userId"), col("movieId"), col("rank"))
+    val colForm = Eval.standardMapAtK(v, recs, 10).first().getDouble(0)
+    val mllibForm = Eval.rankingMetricsMapAtK(v, recs, 10).first().getDouble(0)
+    assert(math.abs(colForm - mllibForm) < 1e-4,
+      s"column=$colForm mllib=$mllibForm")
+  }
+
+  test("cross-validation surfaces the best typed params (M6, mini grid)") {
+    val rows = for { u <- 0 until 20; i <- 0 until 15 }
+      yield (u, i, if ((u + i) % 2 == 0) 5.0f else 1.0f)
+    val df = rows.toDF("userId", "movieId", "rating")
+    val cv = Recommend.crossValidate(df,
+      ranks = Seq(2, 4), regParams = Seq(0.1), numFolds = 2,
+      cfg = Recommend.AlsConfig(rank = 2, maxIter = 2, regParam = 0.1, seed = 11L))
+    val best = Recommend.bestAls(cv)
+    assert(Seq(2, 4).contains(best.rank))
+    assert(cv.avgMetrics.length == 2)
+  }
+}
