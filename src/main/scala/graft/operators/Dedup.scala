@@ -59,19 +59,32 @@ object Dedup {
   def minhashCandidates(
       docs: DataFrame, nShingle: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
-    val k = bands * rowsPerBand
-    val withSig = docs
-      .select(col(idCol).as("id"), shingles(col(textCol), nShingle).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), k))
-    val banded = withSig.select(col("id"), col("sh"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))
-      ).as(Seq("band", "bucket")))
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "bucket"))
+    // band buckets via ONE fused expression (tokens touched once per hash
+    // fn) — the composable transform/array_min pipeline re-evaluates the
+    // tokenizer inside every lambda (see MinHashBandBuckets scaladoc;
+    // observed 128 tokenizations/doc). Band-join carries bare ids only:
+    // shingle arrays must not ride the ×bands replicated shuffle.
+    val banded = docs.select(col(idCol).as("id"),
+      posexplode(TextHashFunctions.minhash_band_buckets(
+        shingles(col(textCol), nShingle), bands, rowsPerBand))
+        .as(Seq("band", "bucket")))
+    val pairs = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"))
+    // aggregate barrier (id is unique, first() is a no-op): without it
+    // CollapseProject inlines the shingles() expression ABOVE the pair
+    // join and tokenization runs once per PAIR instead of once per doc
+    // (observed 3× bench regression). The barrier pins one computation
+    // per doc; the arrays then shuffle once on id — the intended shape.
+    val content = docs
+      .select(col(idCol).as("id"), shingles(col(textCol), nShingle).as("sh"))
+      .groupBy(col("id")).agg(first(col("sh")).as("sh"))
+    pairs
+      .join(content.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(content.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -117,12 +130,19 @@ object Dedup {
   def cosineNearDups(embeddings: DataFrame, threshold: Double = 0.95,
       bands: Int = 8, bandBits: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // same id-only band-join shape as minhashCandidates: vectors join back
+    // after pair dedup, never through the ×bands shuffle
     val buckets = Similarity.lshBuckets(embeddings, bands, bandBits, 42, idCol, vecCol)
-    val a = buckets.select(col("band"), col("bucket"), col(idCol).as("id_a"), col(vecCol).as("va"))
-    val b = buckets.select(col("band"), col("bucket"), col(idCol).as("id_b"), col(vecCol).as("vb"))
-    a.join(b, Seq("band", "bucket"))
+      .select(col("band"), col("bucket"), col(idCol).as("id"))
+    val pairs = buckets.select(col("band"), col("bucket"), col("id").as("id_a"))
+      .join(buckets.select(col("band"), col("bucket"), col("id").as("id_b")),
+        Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
+    val vecs = embeddings.select(col(idCol), col(vecCol))
+    pairs
+      .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("va")), Seq("id_a"))
+      .join(vecs.select(col(idCol).as("id_b"), col(vecCol).as("vb")), Seq("id_b"))
       .withColumn("cos", cosine_similarity(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))

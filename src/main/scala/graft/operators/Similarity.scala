@@ -72,17 +72,24 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame, k: Int,
       bands: Int = 8, bandBits: Int = 8, seed: Int = 42,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // id-only band join: corpus vectors must not ride the ×bands
+    // replicated shuffle — they are joined back per deduplicated
+    // candidate pair (the query side is small and broadcast anyway)
     val cb = lshBuckets(corpus, bands, bandBits, seed, idCol, vecCol)
-      .select(col("band"), col("bucket"), col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .select(col("band"), col("bucket"), col(idCol).as("neighbor_id"))
     val qb = lshBuckets(queries, bands, bandBits, seed, idCol, vecCol)
-      .select(col("band"), col("bucket"), col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .select(col("band"), col("bucket"), col(idCol).as("query_id"))
     val candidates = qb.join(cb, Seq("band", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), col("__qv"), col("__cv"))
+      .select(col("query_id"), col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id") // collapses multi-band hits
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     candidates
+      .join(broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))),
+        Seq("query_id"))
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
+        Seq("neighbor_id"))
       .withColumn("cos", cosine_similarity(col("__qv"), col("__cv")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)

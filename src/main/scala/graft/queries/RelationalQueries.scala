@@ -161,6 +161,46 @@ object RelationalQueries {
         .orderBy(col("userId"))
     }),
 
+    // rollup: hierarchical totals (engine addition — absent in reference,
+    // standard OLAP surface). Group-key nulls from the rollup are
+    // projected to 'ALL' so null-ordering differences can't bite.
+    "q_rollup" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(cents(col("l_quantity"))).as("qty_c"), count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("qty_c"), col("n"))
+        .orderBy(col("rf"), col("ls"))
+    }),
+
+    // cube: all grouping combinations.
+    "q_cube" -> ((s, d) => {
+      t(s, d, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("o_totalprice"))).as("total_c"))
+        .select(coalesce(col("o_orderstatus"), lit("ALL")).as("st"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("pr"),
+          col("n"), col("total_c"))
+        .orderBy(col("st"), col("pr"))
+    }),
+
+    // union / intersect (set-op surface the reference never used).
+    "q_union_intersect" -> ((s, d) => {
+      val a = t(s, d, "lineitem").select(col("l_partkey").as("k")).distinct()
+      val b = t(s, d, "part").select(col("p_partkey").as("k")).distinct()
+      a.union(b).distinct().agg(count(lit(1)).as("n_union"))
+        .crossJoin(a.intersect(b).agg(count(lit(1)).as("n_intersect")))
+    }),
+
+    // HLL approximate count-distinct — the 100 TB path for A8. Not
+    // oracle-able (sketch-specific); scalatest asserts tolerance vs exact.
+    "q_approx_distinct" -> ((s, d) => {
+      t(s, d, "lineitem").agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+    }),
+
     // A2: grand aggregate over the fact table (1 row).
     "q_global_agg" -> ((s, d) => {
       t(s, d, "lineitem").agg(
@@ -260,6 +300,30 @@ object RelationalQueries {
          |  array_to_string(list_sort(list(movieId)), ',') AS movies_list,
          |  COUNT(*) AS n_movies
          |FROM dedup GROUP BY userId ORDER BY userId""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |  COALESCE(l_linestatus, 'ALL') AS ls,
+        |  CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_c,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+
+    "q_cube" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS st,
+        |  COALESCE(o_orderpriority, 'ALL') AS pr,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_c
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY st, pr""".stripMargin,
+
+    "q_union_intersect" ->
+      """SELECT
+        |  (SELECT COUNT(*) FROM (
+        |     SELECT l_partkey AS k FROM lineitem UNION SELECT p_partkey FROM part)) AS n_union,
+        |  (SELECT COUNT(*) FROM (
+        |     SELECT DISTINCT l_partkey AS k FROM lineitem
+        |     INTERSECT SELECT DISTINCT p_partkey FROM part)) AS n_intersect""".stripMargin,
 
     "q_global_agg" ->
       """SELECT COUNT(*) AS n,

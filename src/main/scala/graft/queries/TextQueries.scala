@@ -94,11 +94,12 @@ object TextQueries {
     "q_dedup_minhash" -> ((s, d) => {
       // bounded slice: unigram sets over a small shared vocabulary make
       // nearly every pair a candidate — O(n²) by construction, so cap n
+      // no global orderBy: rows-only check, and a total sort would run the
+      // whole plan twice (range-partitioner sampling pass)
       Dedup.minhashCandidates(docs(s, d).filter(col("doc_id") < 500),
         nShingle = 1, bands = 8, rowsPerBand = 2)
         .filter(col("jaccard") >= 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
-        .orderBy(col("id_a"), col("id_b"))
     }),
 
     // SimHash signatures (custom codegen'd expression) — rows-only

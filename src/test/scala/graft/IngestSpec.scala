@@ -77,6 +77,15 @@ class IngestSpec extends SparkTestBase {
       s"column=$colForm mllib=$mllibForm")
   }
 
+  test("approx_count_distinct within rsd tolerance of exact (HLL, A8 scale path)") {
+    val li = Tables.lineitem(spark, sf)
+    val r = li.agg(
+      approx_count_distinct(col("l_partkey"), 0.02).as("a"),
+      countDistinct(col("l_partkey")).as("e")).first()
+    val (a, e) = (r.getLong(0).toDouble, r.getLong(1).toDouble)
+    assert(math.abs(a - e) / e < 0.05, s"approx $a exact $e")
+  }
+
   test("cross-validation surfaces the best typed params (M6, mini grid)") {
     val rows = for { u <- 0 until 20; i <- 0 until 15 }
       yield (u, i, if ((u + i) % 2 == 0) 5.0f else 1.0f)
