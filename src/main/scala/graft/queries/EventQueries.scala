@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.Multimodal
+import graft.operators.{AsofJoin, Multimodal}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -76,6 +76,32 @@ object EventQueries {
             && (col("first_purchase_sec") >= col("first_signup_sec")),
             col("first_purchase_sec") - col("first_signup_sec")))
         .orderBy(col("user_id"))
+    }),
+
+    // as-of backward join (union+window form, AsofJoin scaladoc): each
+    // purchase event gets the user's most recent click at-or-before it.
+    // Microsecond epochs: distinct across events, so ties can't make the
+    // DuckDB ASOF oracle ambiguous.
+    "q_events_asof" -> ((s, d) => {
+      val e = ev(s, d).withColumn("us", unix_micros(col("ts")))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("us"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("us"))
+      AsofJoin.asofBackward(purchases, clicks, "user_id", "us", "us",
+        attach = Map("click_id" -> "last_click_id"), rightTiebreak = "click_id")
+        .select(col("user_id"), col("event_id"), col("us"), col("last_click_id"))
+        .orderBy(col("user_id"), col("us"))
+    }),
+
+    // JSON prop parsing with an explicit schema (from_json — the typed
+    // path next to the regexp fallback in q_events_props)
+    "q_events_json" -> ((s, d) => {
+      ev(s, d)
+        .withColumn("j", from_json(col("props"), org.apache.spark.sql.types.StructType(Seq(org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType)))))
+        .select(col("event_id"), col("j.k").as("k"))
+        .filter(col("k").isNotNull)
+        .orderBy(col("event_id"))
     }),
 
     // multimodal: synthetic media table → metadata-real resize stage
@@ -167,6 +193,24 @@ object EventQueries {
         |              THEN CAST(FLOOR(date_part('epoch', ts)) AS BIGINT) END)
         |  END AS signup_to_purchase_sec
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_events_asof" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS us
+        |  FROM events
+        |),
+        |p AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id AS click_id, us FROM e WHERE event_type = 'click')
+        |SELECT p.user_id, p.event_id, p.us, c.click_id AS last_click_id
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.us >= c.us
+        |ORDER BY p.user_id, p.us""".stripMargin,
+
+    "q_events_json" ->
+      """SELECT event_id, CAST(props::JSON->>'$.k' AS BIGINT) AS k
+        |FROM events
+        |WHERE props::JSON->>'$.k' IS NOT NULL
+        |ORDER BY event_id""".stripMargin,
 
     "q_media_resize" ->
       """WITH m AS (

@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.AsofJoin
+import graft.plans.{GraftExtensions, VectorAlgebraRule}
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.functions._
+
+/** As-of join semantics on hand-built fixtures + the session-extension
+  * optimizer rule observable in the optimized plan and result.
+  */
+class AsofExtensionsSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("asofBackward attaches the latest right row at-or-before each left row") {
+    val left = Seq((1L, 100L, "p1"), (1L, 200L, "p2"), (2L, 50L, "p3"))
+      .toDF("user_id", "us", "name")
+    val right = Seq((1L, 90L, 900L), (1L, 150L, 901L), (1L, 250L, 902L), (3L, 10L, 903L))
+      .toDF("user_id", "us", "click_id")
+    val out = AsofJoin.asofBackward(left, right, "user_id", "us", "us",
+      Map("click_id" -> "last_click"), "click_id")
+      .select(col("name"), col("last_click"))
+      .collect().map(r => r.getString(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out == Map("p1" -> 900L, "p2" -> 901L, "p3" -> -1L))
+  }
+
+  test("asofBackward: equal timestamps match (<= semantics), tiebreak deterministic") {
+    val left = Seq((1L, 100L, "p")).toDF("user_id", "us", "name")
+    val right = Seq((1L, 100L, 7L), (1L, 100L, 9L)).toDF("user_id", "us", "click_id")
+    val out = AsofJoin.asofBackward(left, right, "user_id", "us", "us",
+      Map("click_id" -> "last_click"), "click_id").first()
+    assert(out.getAs[Long]("last_click") == 9L, "largest tiebreak wins on equal time")
+  }
+
+  test("VectorAlgebraRule rewrites self-cosine and self-dot (plan + values)") {
+    GraftExtensions.installRule(spark)
+    val df = Seq((Array(3.0f, 4.0f), Array(0.0f, 0.0f)))
+      .toDF("v", "z")
+      .select(
+        cosine_similarity(col("v"), col("v")).as("cos_self"),
+        cosine_similarity(col("z"), col("z")).as("cos_zero"),
+        dot_product(col("v"), col("v")).as("dot_self"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("cosinesimilarity"),
+      s"self-cosine not rewritten:\n$optimized")
+    val r = df.first()
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getDouble(1) == 0.0, "zero vector self-cosine must stay 0")
+    assert(math.abs(r.getDouble(2) - 25.0) < 1e-9)
+  }
+
+  test("GraftExtensions wires functions + rule into a fresh session build") {
+    // apply() against a bare SparkSessionExtensions instance verifies the
+    // registration wiring without tearing down the shared test session
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    // building a session with these extensions is exercised in
+    // production via spark.sql.extensions; here we assert apply() ran
+    // without error and the rule object is the shared singleton
+    assert(VectorAlgebraRule.ruleName.nonEmpty)
+  }
+}
