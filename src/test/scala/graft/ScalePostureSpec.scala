@@ -1,0 +1,110 @@
+package graft
+
+import graft.operators.{Eval, Popularity, Split}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Evidence for the SCALING.md claims that the local harness can't show
+  * through the flat testdata: partition pruning on partitioned layouts,
+  * bucketed joins planning without exchanges, and the full
+  * reference-user pipeline (CSV → split → popularity → eval) through the
+  * public API only.
+  */
+class ScalePostureSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("partitioned parquet: partition filters prune the scan") {
+    val dir = Files.createTempDirectory("graft_part").toString
+    val src = Tables.ratings(spark, sf)
+      .withColumn("bucket", pmod(col("movieId"), lit(10)))
+    src.write.mode("overwrite").partitionBy("bucket").parquet(s"$dir/r")
+    val q = spark.read.parquet(s"$dir/r").filter(col("bucket") === 3)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"), plan)
+    // pruned scan touches ~1/10th of the files the full read would
+    val full = spark.read.parquet(s"$dir/r")
+    val scanned = q.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }.get
+    val total = full.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }.get
+    assert(scanned == 1 && total == 10, s"scanned=$scanned total=$total")
+    assert(q.count() == src.filter(col("bucket") === 3).count())
+  }
+
+  test("bucketed tables join without exchanges (shuffle-free co-located join)") {
+    // warehouse.dir is a static conf; the default ./spark-warehouse is
+    // used and gitignored. Auto-broadcast off: at test scale Catalyst
+    // would broadcast the small side and never exercise the bucketed
+    // sort-merge path that matters at real scale.
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try bucketedJoinBody()
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
+  private def bucketedJoinBody(): Unit = {
+    // a previously failed run can leave the managed-table dir without a
+    // metastore entry; saveAsTable then aborts on LOCATION_ALREADY_EXISTS
+    for (t <- Seq("o_b", "l_b")) {
+      val d = new java.io.File(s"spark-warehouse/$t")
+      if (d.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(d)
+      }
+    }
+    spark.sql("DROP TABLE IF EXISTS o_b")
+    spark.sql("DROP TABLE IF EXISTS l_b")
+    Tables.orders(spark, sf).write.bucketBy(4, "o_orderkey")
+      .sortBy("o_orderkey").saveAsTable("o_b")
+    Tables.lineitem(spark, sf).write.bucketBy(4, "l_orderkey")
+      .sortBy("l_orderkey").saveAsTable("l_b")
+    val j = spark.table("o_b").join(spark.table("l_b"),
+      col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey")).agg(sum(col("l_quantity")).as("q"))
+    val plan = j.queryExecution.executedPlan.toString
+    // the join itself must not shuffle either side (only the groupBy may)
+    assert(plan.contains("SortMergeJoin"), plan)
+    val joinKeyExchanges = "Exchange hashpartitioning\\((o_orderkey|l_orderkey)".r
+      .findAllIn(plan).length
+    assert(joinKeyExchanges == 0,
+      s"bucketed join should not re-shuffle join keys:\n$plan")
+    assert(j.count() > 0)
+  }
+
+  test("reference-user migration path: CSV → split → popularity → eval, public API only") {
+    val dir = Files.createTempDirectory("graft_ml").toString
+    // a MovieLens-shaped CSV written the way the reference's data arrives
+    Tables.ratings(spark, sf)
+      .select(col("userId"), col("movieId"), col("rating"),
+        unix_timestamp(col("ts")).cast("int").as("timestamp"))
+      .write.mode("overwrite").option("header", "true").csv(s"$dir/ratings")
+
+    val ratings = Tables.readCsv(spark, s"$dir/ratings",
+      Tables.movieLensRatingsSchema, header = true)
+    val dedup = ratings.groupBy(col("userId"), col("movieId"))
+      .agg(avg(col("rating")).as("rating"))
+    val (train, validation, test0) = Split.splitV2(dedup, 0.25, 1234L)
+    val rep = Split.disjointnessReport(train, validation, test0,
+      Seq("userId", "movieId")).first()
+    assert(rep.getLong(3) == 0 && rep.getLong(4) == 0 && rep.getLong(5) == 0)
+
+    val top = Popularity.topMovies(train, 0.9, 100)
+    assert(top.count() > 0 && top.count() <= 100)
+
+    val ranked = top.select(col("movieId"),
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("movieId"))).cast("long").as("rank"))
+    val hr = Eval.hitRatioGlobal(validation, top).first().getDouble(0)
+    val map = Eval.referenceMapGlobal(validation, ranked, 100).first().getDouble(0)
+    assert(hr >= 0.0 && hr <= 1.0)
+    assert(map >= 0.0 && map <= 1.0)
+  }
+}
