@@ -25,39 +25,37 @@ object TextAnalysis {
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
     "that", "for", "on", "with", "as", "at", "by", "be", "this")
 
-  /** Quality metrics struct: length, token counts, punctuation / stopword /
+  /** Quality metrics: length, token counts, punctuation / stopword /
     * uppercase ratios, mean token length — the standard cheap filters for
-    * corpus curation.
+    * corpus curation. One fused `TextStats` pass per document (the
+    * composed HOF form re-tokenized per lambda — see TextStats scaladoc).
     */
   def qualityMetrics(text: Column): Seq[Column] = {
-    val toks = Dedup.tokens(text)
-    val nTok = size(toks).cast("double")
-    val nChar = length(text).cast("double")
-    val punct = size(regexp_extract_all(text, lit("[\\p{Punct}]"), lit(0))).cast("double")
-    val upper = size(regexp_extract_all(text, lit("[A-Z]"), lit(0))).cast("double")
-    val stops = size(filter(toks, t => t.isin(enStopwords: _*))).cast("double")
+    val f = graft.functions.TextStats.text_stats(text)
+    val nTok = f.getField("n_tokens").cast("double")
+    val nChar = f.getField("n_chars").cast("double")
+    val punct = f.getField("n_punct").cast("double")
+    val upper = f.getField("n_upper").cast("double")
+    val stops = f.getField("n_stop").cast("double")
+    val sumLen = f.getField("sum_token_len").cast("double")
     Seq(
       nChar.cast("long").as("n_chars_m"),
       nTok.cast("long").as("n_tokens"),
       round(when(nChar === 0, 0.0).otherwise(punct / nChar), 6).as("punct_ratio"),
       round(when(nChar === 0, 0.0).otherwise(upper / nChar), 6).as("upper_ratio"),
       round(when(nTok === 0, 0.0).otherwise(stops / nTok), 6).as("stopword_ratio"),
-      round(avgTokenLen(toks), 6).as("mean_token_len"))
+      round(when(nTok === 0, 0.0).otherwise(sumLen / nTok), 6).as("mean_token_len"))
   }
-
-  private def avgTokenLen(toks: Column): Column =
-    when(size(toks) === 0, 0.0).otherwise(
-      aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / size(toks))
 
   /** Scalar quality score ∈ [0,1]: penalize too-short/too-long docs, low
     * stopword density, punctuation soup. Deterministic, tune-free default.
     */
   def qualityScore(text: Column): Column = {
-    val toks = Dedup.tokens(text)
-    val nTok = size(toks).cast("double")
-    val stops = size(filter(toks, t => t.isin(enStopwords: _*))).cast("double")
-    val punct = size(regexp_extract_all(text, lit("[\\p{Punct}]"), lit(0))).cast("double")
-    val nChar = length(text).cast("double")
+    val f = graft.functions.TextStats.text_stats(text)
+    val nTok = f.getField("n_tokens").cast("double")
+    val nChar = f.getField("n_chars").cast("double")
+    val punct = f.getField("n_punct").cast("double")
+    val stops = f.getField("n_stop").cast("double")
     val lenScore = least(nTok / 20.0, lit(1.0)) // ramps 0→1 until 20 tokens
     val stopScore = least(when(nTok === 0, 0.0).otherwise(stops / nTok) * 4.0, lit(1.0))
     val punctPenalty = greatest(lit(1.0) - when(nChar === 0, 0.0).otherwise(punct / nChar) * 5.0, lit(0.0))
