@@ -83,6 +83,18 @@ object Tables {
       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |)""".stripMargin
 
+  /** Typed row for the ratings view (Dataset[T] surface — compile-time
+    * field checks where the dynamic DataFrame isn't wanted).
+    */
+  case class Rating(userId: Long, movieId: Long, rating: Double,
+      ts: java.sql.Timestamp)
+
+  def ratingsDs(spark: SparkSession, sfDir: String)
+      : org.apache.spark.sql.Dataset[Rating] = {
+    import spark.implicits._
+    ratings(spark, sfDir).as[Rating]
+  }
+
   /** Reference-parity CSV ingest (SURVEY §2.1 S1/S2/S4, §1.3): headered or
     * headerless CSV + positional rename + explicit schema — replaces the
     * reference's string-read-then-cast pipeline (`als.py:24-26`) with

@@ -51,6 +51,47 @@ class IngestSpec extends SparkTestBase {
     assert(back.count() == 100)
   }
 
+  test("ORC and JSON sinks round-trip (S5 generalization)") {
+    val dir = Files.createTempDirectory("graft_sink").toString
+    val src = Tables.ratings(spark, sf).limit(50)
+    src.write.mode("overwrite").orc(s"$dir/orc")
+    src.write.mode("overwrite").json(s"$dir/json")
+    assert(spark.read.orc(s"$dir/orc").count() == 50)
+    // JSON round-trip: schema-on-read needs the explicit schema for types
+    val back = spark.read.schema(src.schema).json(s"$dir/json")
+    assert(back.count() == 50)
+    assert(back.exceptAll(src).count() == 0)
+  }
+
+  test("typed Dataset[Rating] surface agrees with the DataFrame view") {
+    val ds = Tables.ratingsDs(spark, sf)
+    val viaDs = ds.filter(_.rating >= 4.5).count()
+    val viaDf = Tables.ratings(spark, sf).filter(col("rating") >= 4.5).count()
+    assert(viaDs == viaDf && viaDs > 0)
+  }
+
+  test("MeanScore Aggregator equals direct mean of scores (U2 typed form)") {
+    import spark.implicits._
+    val pairs = Seq(
+      (Seq(1, 2, 3), Seq(2, 99)),
+      (Seq(1, 2, 3), Seq(1)),
+      (Seq(5, 5, 7), Seq(5)))
+    val agg = new Eval.MeanScore(Eval.referenceMapScore)
+    val got = pairs.toDS().select(agg.toColumn).first()
+    val want = pairs.map { case (t, l) => Eval.referenceMapScore(t, l) }.sum / pairs.size
+    assert(math.abs(got - want) < 1e-12)
+  }
+
+  test("ALS with full reference hyperparameters (rank=100, maxIter=3, reg=0.15)") {
+    val ratings = Tables.ratings(spark, sf)
+    val b = pmod(xxhash64(lit(7), col("userId"), col("movieId")), lit(10))
+    val train = ratings.filter(b < 8)
+    val test0 = ratings.filter(b >= 8)
+    val model = Recommend.train(train, Recommend.AlsConfig()) // reference defaults
+    val rmse = Eval.rmse(Recommend.predict(model, test0)).first().getDouble(0)
+    assert(!rmse.isNaN && rmse > 0.0 && rmse < 3.0, s"rmse $rmse")
+  }
+
   test("topMoviesApprox ≈ topMovies (A3 percentile_approx variant)") {
     val ratings = Tables.ratings(spark, sf)
     val exact = Popularity.topMovies(ratings, 0.9, 20).select("movieId")
