@@ -53,6 +53,21 @@ object EventQueries {
         .orderBy(col("user_id"), col("session_id"))
     }),
 
+    // the BUILT-IN session_window in batch mode (same operator the
+    // streaming path uses) — cross-checked against the gaps-and-islands
+    // formulation in q_events_sessions via the DuckDB oracle: a session's
+    // end is its last event + gap.
+    "q_events_session_window" -> ((s, d) => {
+      ev(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum(cents(col("value"))).as("value_c"))
+        .select(col("user_id"),
+          unix_timestamp(col("session_window.start")).as("start_sec"),
+          unix_timestamp(col("session_window.end")).as("end_sec"),
+          col("n_events"), col("value_c"))
+        .orderBy(col("user_id"), col("start_sec"))
+    }),
+
     // JSON-ish prop extraction (regexp — identical semantics both engines)
     "q_events_props" -> ((s, d) => {
       ev(s, d)
@@ -165,6 +180,32 @@ object EventQueries {
         |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_c
         |FROM sessions GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin,
+
+    // µs-precision gaps (session_window merges on the full timestamp:
+    // same session iff gap < 30min strictly); end = last event + gap,
+    // floored to seconds only at output
+    "q_events_session_window" ->
+      """WITH base AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events
+        |),
+        |flagged AS (
+        |  SELECT *, CASE WHEN lag(us) OVER w IS NULL
+        |                   OR us - lag(us) OVER w >= 1800000000
+        |                 THEN 1 ELSE 0 END AS new_session
+        |  FROM base WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        |),
+        |sessions AS (
+        |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM flagged
+        |)
+        |SELECT user_id,
+        |  CAST(FLOOR(MIN(us)/1000000) AS BIGINT) AS start_sec,
+        |  CAST(FLOOR(MAX(us)/1000000) AS BIGINT) + 1800 AS end_sec,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_c
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, start_sec""".stripMargin,
 
     "q_events_props" ->
       """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) % 10 AS k_mod,

@@ -55,6 +55,38 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("slidingRates emits one row per overlapping hop window") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[E]
+    val out = EventStreams.slidingRates(mem.toDF())
+    val q = out.writeStream.outputMode("complete")
+      .format("memory").queryName("sliding_out").start()
+    try {
+      mem.addData(E(1, ts(30), 1, "click", 1.0))
+      q.processAllAvailable()
+      // 1h window / 5min hop → the event lands in 12 overlapping windows
+      val n = spark.table("sliding_out").count()
+      assert(n == 12, s"expected 12 hop windows, got $n")
+    } finally q.stop()
+  }
+
+  test("stream-static enrich attaches dimension columns") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[E]
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val out = EventStreams.enrich(mem.toDF(), dim)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("enrich_out").start()
+    try {
+      mem.addData(E(1, ts(0), 1, "a", 1.0), E(2, ts(1), 9, "a", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("enrich_out")
+        .select(col("user_id"), col("tier")).as[(Long, Option[String])]
+        .collect().toMap
+      assert(rows == Map(1L -> Some("gold"), 9L -> None))
+    } finally q.stop()
+  }
+
   test("streaming dedupe drops duplicate event_ids within watermark") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[E]
