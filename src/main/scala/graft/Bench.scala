@@ -24,7 +24,8 @@ object Bench {
     "q_token_count", "q_text_quality", "q_lang_id",
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
     "q_cosine_topk", "q_cosine_ann", "q_embed_norms",
-    "q_events_hourly", "q_events_sessions", "q_media_features")
+    "q_events_hourly", "q_events_sessions", "q_events_session_window",
+    "q_events_asof", "q_media_features")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -46,6 +46,13 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
   }
 
+  test("dedupKeepSet demotes the non-canonical side of each pair") {
+    val docs = Seq((1L, "x"), (2L, "x"), (3L, "y"), (4L, "z")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L, 1.0)).toDF("id_a", "id_b", "jaccard")
+    val kept = Dedup.dedupKeepSet(docs, pairs).as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L))
+  }
+
   test("brute-force topK: self excluded, ranks contiguous, cosine sorted") {
     val e = Tables.embeddings(spark, sf)
     val out = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), 3).cache()

@@ -50,6 +50,17 @@ class SplitSpec extends SparkTestBase {
     assert(byLabel.values.sum == n)
   }
 
+  test("labelByMembership mirrors the reference isin labeling (P6)") {
+    val labeled = Split.labelByMembership(ratings, "userId",
+      trainIds = Seq(1L, 2L, 3L), valIds = Seq(4L, 5L))
+    val got = labeled.groupBy(col("train_val_test")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = ratings.count()
+    assert(got.values.sum == n)
+    val trainN = ratings.filter(col("userId").isin(1L, 2L, 3L)).count()
+    assert(got.getOrElse("train", 0L) == trainN)
+  }
+
   test("antiJoin complement partitions the relation") {
     val sample = Split.perGroupSample(ratings, "userId", 0.5, 3L)
     val rest = Split.antiJoin(ratings, sample, Seq("userId", "movieId"))
