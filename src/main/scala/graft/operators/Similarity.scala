@@ -96,24 +96,60 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
-  /** IVF-style coarse quantization alternative: assign every vector to its
-    * nearest of `nCentroids` seed vectors (deterministically sampled from
-    * the corpus by hash), probe only the query's cell and its `nProbe`-1
-    * runner-up cells. Returns (assignments, probeTopK).
+  /** IVF-style coarse quantization: assign every vector to its nearest
+    * centroid cell, probe only the query's `nProbe` nearest cells.
+    *
+    * Centroids come from [[hashCentroids]] (deterministic, plumbing-grade;
+    * recall limited) or [[kmeansCentroids]] (MLlib KMeans on the corpus —
+    * the quality path; see `ivfKmeansTopK`).
     */
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       nCentroids: Int = 16, nProbe: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfWithCentroids(corpus, queries,
+      hashCentroids(corpus, nCentroids, idCol, vecCol), k, nProbe, idCol, vecCol)
+
+  /** IVF with KMeans centroids (one MLlib fit over the corpus — at 100 TB
+    * fit on a sample; assignment stays a broadcast join + codegen'd cosine).
+    */
+  def ivfKmeansTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 2, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfWithCentroids(corpus, queries,
+      kmeansCentroids(corpus, nCentroids, seed, vecCol), k, nProbe, idCol, vecCol)
+
+  /** Deterministic "centroids": the nCentroids corpus vectors with the
+    * smallest xxhash64(id) — stable under any partitioning.
+    */
+  def hashCentroids(corpus: DataFrame, nCentroids: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // deterministic "centroids": the nCentroids corpus vectors with the
-    // smallest xxhash64(id) — stable, no kmeans iterations needed for the
-    // plumbing (swap in KMeans centroids for quality at scale).
     val w = Window.orderBy(xxhash64(col(idCol)), col(idCol))
-    val centroids = broadcast(
-      corpus.select(col(idCol), col(vecCol))
-        .withColumn("__r", row_number().over(w))
-        .filter(col("__r") <= nCentroids)
-        .select(col("__r").as("centroid_id"), col(vecCol).as("__centv")))
+    corpus.select(col(idCol), col(vecCol))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= nCentroids)
+      .select(col("__r").as("centroid_id"), col(vecCol).as("__centv"))
+  }
+
+  /** KMeans centroids as a (centroid_id, __centv ARRAY<FLOAT>) relation. */
+  def kmeansCentroids(corpus: DataFrame, nCentroids: Int, seed: Long,
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val vecs = corpus.select(
+      org.apache.spark.ml.functions.array_to_vector(col(vecCol)).as("features"))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nCentroids).setSeed(seed).setMaxIter(10).fit(vecs)
+    model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i + 1, c.toArray.map(_.toFloat)) }
+      .toSeq.toDF("centroid_id", "__centv")
+  }
+
+  private def ivfWithCentroids(
+      corpus: DataFrame, queries: DataFrame, centroidDf: DataFrame,
+      k: Int, nProbe: Int, idCol: String, vecCol: String): DataFrame = {
+    val centroids = broadcast(centroidDf)
 
     def assign(df: DataFrame, id: String, keep: Int): DataFrame = {
       val ww = Window.partitionBy(col(id)).orderBy(col("__d").desc, col("centroid_id"))

@@ -73,6 +73,16 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF with KMeans centroids (the quality path) — rows-only
+    "q_cosine_ivf_km" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.ivfKmeansTopK(e, e.filter(col("vec_id") < 10), k = 5,
+        nCentroids = 16, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cos"), 6).as("cos_r"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // embedding-cosine near-dup candidate pairs (LSH) — top-50 by cosine,
     // rows-only (bucketing is Spark-hash-specific)
     "q_dedup_cosine" -> ((s, d) => {

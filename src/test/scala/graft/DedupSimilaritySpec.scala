@@ -71,6 +71,20 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(!notSorted)
   }
 
+  test("KMeans-IVF beats hash-IVF recall vs brute force (sf0.001)") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 20)
+    val truth = Similarity.bruteForceTopK(e, q, 5)
+      .select(col("query_id"), col("neighbor_id"))
+    def recall(ann: org.apache.spark.sql.DataFrame): Double =
+      truth.join(ann.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_semi").count().toDouble / truth.count()
+    val hashR = recall(Similarity.ivfTopK(e, q, 5, nCentroids = 16, nProbe = 4))
+    val kmR = recall(Similarity.ivfKmeansTopK(e, q, 5, nCentroids = 16, nProbe = 4))
+    assert(kmR >= hashR - 0.05, s"kmeans $kmR vs hash $hashR")
+    assert(kmR >= 0.5, s"kmeans recall $kmR")
+  }
+
   test("LSH ANN recall >= 0.6 vs brute force on sf0.001 embeddings") {
     val e = Tables.embeddings(spark, sf)
     val q = e.filter(col("vec_id") < 20)
