@@ -100,6 +100,30 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("file sink + checkpoint: restart resumes without reprocessing") {
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val mem = MemoryStream[E]
+    def start() = EventStreams.dedupe(mem.toDF(), "2 hours")
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", s"$dir/out")
+      .option("checkpointLocation", s"$dir/ckpt").start()
+    val q1 = start()
+    try {
+      mem.addData(E(1, ts(0), 1, "a", 1.0), E(2, ts(1), 1, "a", 2.0))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // restart against the same checkpoint; only new data lands
+    val q2 = start()
+    try {
+      mem.addData(E(3, ts(2), 2, "b", 3.0))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.count() == 3, "no duplicates, no loss across restart")
+    assert(out.select(col("event_id")).as[Long].collect().toSet == Set(1L, 2L, 3L))
+  }
+
   test("runningUserTotals accumulates custom state per user") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[EventStreams.Ev]
