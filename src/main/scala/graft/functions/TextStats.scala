@@ -82,4 +82,50 @@ object TextStats {
 
   def text_stats(text: Column): Column =
     Bridge.column(TextStatsExpr(Bridge.expression(text)))
+
+  /** Per-language function-word hit counts in one tokenization pass:
+    * element i of the result is the hit count for language i of
+    * `TextAnalysis.langStopwords` in code-ascending order (de, en, es,
+    * fr). Same fusion rationale as [[TextStatsExpr]] — the composed form
+    * tokenized once per language lambda.
+    */
+  case class LangHitsExpr(child: Expression) extends UnaryExpression {
+    @transient private lazy val langs: Array[(String, Set[String])] =
+      graft.operators.TextAnalysis.langStopwords.toSeq.sortBy(_._1)
+        .map { case (l, ws) => (l, ws.toSet) }.toArray
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(a: Any): Any = {
+      val s = a.asInstanceOf[UTF8String].toString
+      val hits = new Array[Long](langs.length)
+      val sb = new java.lang.StringBuilder
+      def flush(): Unit = if (sb.length > 0) {
+        val t = sb.toString
+        var j = 0
+        while (j < langs.length) { if (langs(j)._2.contains(t)) hits(j) += 1; j += 1 }
+        sb.setLength(0)
+      }
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (Character.isLetter(c) || Character.isDigit(c))
+          sb.append(Character.toLowerCase(c))
+        else flush()
+        i += 1
+      }
+      flush()
+      new GenericArrayData(hits)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) " +
+          s"graft.functions.TextStats.langHitsEval($a);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def langHitsEval(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
+    LangHitsExpr(null).nullSafeEval(s)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+
+  def lang_hits(text: Column): Column =
+    Bridge.column(LangHitsExpr(Bridge.expression(text)))
 }

@@ -76,21 +76,22 @@ object TextAnalysis {
     * "und" (undetermined) when nothing matches.
     */
   def langId(text: Column): Column = {
-    val toks = Dedup.tokens(text)
+    val hits = graft.functions.TextStats.lang_hits(text) // one tokenization
     // struct array sorted asc on (-hits, lang) → element 1 is the winner
     // with the most hits, ties broken by language code ascending.
-    val sorted = sort_array(array(langStopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
-      struct((-size(filter(toks, t => t.isin(words: _*)))).as("neg_hits"), lit(lang).as("lang"))
-    }: _*))
+    val sorted = sort_array(array(
+      langStopwords.keys.toSeq.sorted.zipWithIndex.map { case (lang, i) =>
+        struct((-element_at(hits, i + 1)).as("neg_hits"), lit(lang).as("lang"))
+      }: _*))
     val top = element_at(sorted, 1)
     when(top.getField("neg_hits") === 0, lit("und")).otherwise(top.getField("lang"))
   }
 
   /** Per-language hit counts (for inspection / oracle parity). */
   def langHits(text: Column): Seq[Column] = {
-    val toks = Dedup.tokens(text)
-    langStopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
-      size(filter(toks, t => t.isin(words: _*))).cast("long").as(s"hits_$lang")
+    val hits = graft.functions.TextStats.lang_hits(text)
+    langStopwords.keys.toSeq.sorted.zipWithIndex.map { case (lang, i) =>
+      element_at(hits, i + 1).as(s"hits_$lang")
     }
   }
 
