@@ -68,6 +68,22 @@ object EventQueries {
         .orderBy(col("user_id"), col("start_sec"))
     }),
 
+    // pivot: per-user event-type counts as columns (explicit value list →
+    // deterministic output schema)
+    "q_events_pivot" -> ((s, d) => {
+      ev(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .count()
+        .select(col("user_id"),
+          coalesce(col("click"), lit(0L)).as("n_click"),
+          coalesce(col("view"), lit(0L)).as("n_view"),
+          coalesce(col("purchase"), lit(0L)).as("n_purchase"),
+          coalesce(col("signup"), lit(0L)).as("n_signup"),
+          coalesce(col("error"), lit(0L)).as("n_error"))
+        .orderBy(col("user_id"))
+    }),
+
     // JSON-ish prop extraction (regexp — identical semantics both engines)
     "q_events_props" -> ((s, d) => {
       ev(s, d)
@@ -206,6 +222,15 @@ object EventQueries {
         |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_c
         |FROM sessions GROUP BY user_id, session_id
         |ORDER BY user_id, start_sec""".stripMargin,
+
+    "q_events_pivot" ->
+      """SELECT user_id,
+        |  COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+        |  COUNT(*) FILTER (WHERE event_type = 'view') AS n_view,
+        |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        |  COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+        |  COUNT(*) FILTER (WHERE event_type = 'error') AS n_error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_events_props" ->
       """SELECT CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) % 10 AS k_mod,
