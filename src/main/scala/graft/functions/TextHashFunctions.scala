@@ -84,9 +84,11 @@ object TextHashFunctions {
       val arr = a.asInstanceOf[ArrayData]
       val k = bands * rowsPerBand
       val minima = Array.fill(k)(Long.MaxValue)
+      var seen = false
       var t = 0
       while (t < arr.numElements()) {
         if (!arr.isNullAt(t)) {
+          seen = true
           val base = fnv64(arr.getUTF8String(t).getBytes)
           var j = 0
           while (j < k) {
@@ -100,6 +102,13 @@ object TextHashFunctions {
           }
         }
         t += 1
+      }
+      // empty input (token-less doc) → NO buckets: every all-MaxValue
+      // signature is identical, so emitting buckets would band-collide
+      // all empty docs with each other (spurious O(m²) near-dup pairs)
+      if (!seen) {
+        return org.apache.spark.sql.catalyst.util.ArrayData
+          .toArrayData(Array.emptyLongArray)
       }
       val buckets = new Array[Long](bands)
       var b = 0

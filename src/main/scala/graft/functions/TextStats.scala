@@ -21,55 +21,70 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Tokenizer semantics mirror `Dedup.tokens` (lowercase; non-letter/digit
   * → space; split on whitespace runs) and the punctuation/upper classes
-  * mirror Java regex `\p{Punct}` (ASCII) and `[A-Z]`, so results are
-  * bit-identical to the composed form on which the DuckDB oracle was
-  * validated.
+  * mirror Java regex `\p{Punct}` (ASCII) and `[A-Z]`. Iteration is by
+  * Unicode CODE POINT, not UTF-16 unit: `n_chars`/token lengths count code
+  * points (matching Spark `length()` and DuckDB `length()` on
+  * supplementary-plane text), and case folding is per code point.
+  *
+  * All shared state (stopword set, language tables) lives in static vals
+  * on this object so the codegen entry points ([[statsEval]],
+  * [[langHitsEval]]) do zero per-row setup.
   */
 object TextStats {
 
   val stopwords: Set[String] =
     graft.operators.TextAnalysis.enStopwords.toSet
 
-  case class TextStatsExpr(child: Expression) extends UnaryExpression {
-    override def dataType: DataType = StructType(Seq(
-      StructField("n_chars", LongType, nullable = false),
-      StructField("n_tokens", LongType, nullable = false),
-      StructField("n_punct", LongType, nullable = false),
-      StructField("n_upper", LongType, nullable = false),
-      StructField("n_stop", LongType, nullable = false),
-      StructField("sum_token_len", LongType, nullable = false)))
+  /** (langCode, functionWordSet) in code-ascending order — shared by the
+    * interpreted and codegen paths of [[LangHitsExpr]].
+    */
+  val langs: Array[(String, Set[String])] =
+    graft.operators.TextAnalysis.langStopwords.toSeq.sortBy(_._1)
+      .map { case (l, ws) => (l, ws.toSet) }.toArray
 
-    override def nullSafeEval(a: Any): Any = {
-      val s = a.asInstanceOf[UTF8String].toString
-      var punct = 0L; var upper = 0L
-      var i = 0
-      while (i < s.length) {
-        val c = s.charAt(i)
-        // Java \p{Punct}: !"#$%&'()*+,-./ : ;<=>?@ [\]^_` {|}~
-        if ((c >= 33 && c <= 47) || (c >= 58 && c <= 64) ||
-          (c >= 91 && c <= 96) || (c >= 123 && c <= 126)) punct += 1
-        if (c >= 'A' && c <= 'Z') upper += 1
-        i += 1
-      }
-      var nTok = 0L; var nStop = 0L; var sumLen = 0L
-      val sb = new java.lang.StringBuilder
-      def flush(): Unit = if (sb.length > 0) {
-        nTok += 1; sumLen += sb.length
-        if (stopwords.contains(sb.toString)) nStop += 1
-        sb.setLength(0)
-      }
-      i = 0
-      while (i < s.length) {
-        val c = s.charAt(i)
-        if (Character.isLetter(c) || Character.isDigit(c))
-          sb.append(Character.toLowerCase(c))
-        else flush() // whitespace AND stripped punctuation both delimit
-        i += 1
-      }
-      flush()
-      InternalRow(s.length.toLong, nTok, punct, upper, nStop, sumLen)
+  private val statsSchema = StructType(Seq(
+    StructField("n_chars", LongType, nullable = false),
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_punct", LongType, nullable = false),
+    StructField("n_upper", LongType, nullable = false),
+    StructField("n_stop", LongType, nullable = false),
+    StructField("sum_token_len", LongType, nullable = false)))
+
+  /** Single-pass stats core — static, allocation-light, shared by the
+    * interpreted `eval` and the generated code.
+    */
+  def statsEval(u: UTF8String): InternalRow = {
+    val s = u.toString
+    var nChars = 0L; var punct = 0L; var upper = 0L
+    var nTok = 0L; var nStop = 0L; var sumLen = 0L
+    var tokLen = 0L
+    val sb = new java.lang.StringBuilder
+    def flush(): Unit = if (tokLen > 0) {
+      nTok += 1; sumLen += tokLen
+      if (stopwords.contains(sb.toString)) nStop += 1
+      sb.setLength(0); tokLen = 0
     }
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      nChars += 1
+      // Java \p{Punct}: !"#$%&'()*+,-./ : ;<=>?@ [\]^_` {|}~ (ASCII-only)
+      if ((cp >= 33 && cp <= 47) || (cp >= 58 && cp <= 64) ||
+        (cp >= 91 && cp <= 96) || (cp >= 123 && cp <= 126)) punct += 1
+      if (cp >= 'A' && cp <= 'Z') upper += 1
+      if (Character.isLetter(cp) || Character.isDigit(cp)) {
+        sb.appendCodePoint(Character.toLowerCase(cp)); tokLen += 1
+      } else flush() // whitespace AND stripped punctuation both delimit
+      i += Character.charCount(cp)
+    }
+    flush()
+    InternalRow(nChars, nTok, punct, upper, nStop, sumLen)
+  }
 
+  case class TextStatsExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = statsSchema
+    override def nullSafeEval(a: Any): Any =
+      statsEval(a.asInstanceOf[UTF8String])
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, a =>
         s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) " +
@@ -77,54 +92,47 @@ object TextStats {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
-  def statsEval(s: UTF8String): InternalRow =
-    TextStatsExpr(null).nullSafeEval(s).asInstanceOf[InternalRow]
-
   def text_stats(text: Column): Column =
     Bridge.column(TextStatsExpr(Bridge.expression(text)))
 
   /** Per-language function-word hit counts in one tokenization pass:
     * element i of the result is the hit count for language i of
-    * `TextAnalysis.langStopwords` in code-ascending order (de, en, es,
-    * fr). Same fusion rationale as [[TextStatsExpr]] — the composed form
-    * tokenized once per language lambda.
+    * [[langs]] (code-ascending: de, en, es, fr). Same fusion rationale as
+    * [[TextStatsExpr]] — the composed form tokenized once per language
+    * lambda.
     */
-  case class LangHitsExpr(child: Expression) extends UnaryExpression {
-    @transient private lazy val langs: Array[(String, Set[String])] =
-      graft.operators.TextAnalysis.langStopwords.toSeq.sortBy(_._1)
-        .map { case (l, ws) => (l, ws.toSet) }.toArray
-    override def dataType: DataType = ArrayType(LongType, containsNull = false)
-    override def nullSafeEval(a: Any): Any = {
-      val s = a.asInstanceOf[UTF8String].toString
-      val hits = new Array[Long](langs.length)
-      val sb = new java.lang.StringBuilder
-      def flush(): Unit = if (sb.length > 0) {
-        val t = sb.toString
-        var j = 0
-        while (j < langs.length) { if (langs(j)._2.contains(t)) hits(j) += 1; j += 1 }
-        sb.setLength(0)
-      }
-      var i = 0
-      while (i < s.length) {
-        val c = s.charAt(i)
-        if (Character.isLetter(c) || Character.isDigit(c))
-          sb.append(Character.toLowerCase(c))
-        else flush()
-        i += 1
-      }
-      flush()
-      new GenericArrayData(hits)
+  def langHitsEval(u: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val s = u.toString
+    val hits = new Array[Long](langs.length)
+    val sb = new java.lang.StringBuilder
+    def flush(): Unit = if (sb.length > 0) {
+      val t = sb.toString
+      var j = 0
+      while (j < langs.length) { if (langs(j)._2.contains(t)) hits(j) += 1; j += 1 }
+      sb.setLength(0)
     }
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (Character.isLetter(cp) || Character.isDigit(cp))
+        sb.appendCodePoint(Character.toLowerCase(cp))
+      else flush()
+      i += Character.charCount(cp)
+    }
+    flush()
+    new GenericArrayData(hits)
+  }
+
+  case class LangHitsExpr(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(a: Any): Any =
+      langHitsEval(a.asInstanceOf[UTF8String])
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, a =>
         s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) " +
           s"graft.functions.TextStats.langHitsEval($a);")
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
-
-  def langHitsEval(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData =
-    LangHitsExpr(null).nullSafeEval(s)
-      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
 
   def lang_hits(text: Column): Column =
     Bridge.column(LangHitsExpr(Bridge.expression(text)))

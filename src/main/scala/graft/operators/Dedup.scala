@@ -25,12 +25,19 @@ object Dedup {
     filter(split(lower(regexp_replace(text, "[^\\p{L}\\p{N}\\s]", " ")), "\\s+"),
       t => length(t) > 0)
 
-  /** Word n-gram shingles (distinct). */
+  /** Word n-gram shingles (distinct). Token-less documents (empty or
+    * punctuation-only text) yield an EMPTY shingle set — without the
+    * final filter, `concat_ws` over the empty slice produces `[""]`,
+    * which band-collides every junk doc with every other junk doc and
+    * reports spurious jaccard-1.0 near-dup pairs (O(m²) of them).
+    */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
-    array_distinct(
-      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    filter(
+      array_distinct(
+        transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))),
+      s => length(s) > 0)
   }
 
   /** Exact dedup: group rows by a content hash, keep the smallest id

@@ -60,7 +60,10 @@ object Popularity {
   def topMovies(ratings: DataFrame, quantile: Double = 0.9, k: Int = 100): DataFrame =
     scoreAll(aggRatings(ratings), expr(s"percentile(user_count, $quantile)"))
       .select(col("movieId"), col("avg_rating"), col("user_count"), col("score"))
-      .orderBy(col("score").desc, col("movieId").asc) // total tiebreak (SURVEY §7.4)
+      // rank on the ROUNDED score with a movieId tiebreak (SURVEY §7.4):
+      // ranking on the raw double lets sub-1e-6 cross-engine float drift
+      // flip which movie holds the rank-k cutoff
+      .orderBy(round(col("score"), 6).desc, col("movieId").asc)
       .limit(k)
 
   /** Sketch-based variant for the true 100 TB path: `percentile_approx`
@@ -71,7 +74,7 @@ object Popularity {
     scoreAll(aggRatings(ratings),
       percentile_approx(col("user_count"), lit(quantile), lit(10000)))
       .select(col("movieId"), col("avg_rating"), col("user_count"), col("score"))
-      .orderBy(col("score").desc, col("movieId").asc)
+      .orderBy(round(col("score"), 6).desc, col("movieId").asc)
       .limit(k)
 
   /** Shared scoring core: attach global stats via an unbounded window over

@@ -100,15 +100,26 @@ object Split {
   /** The reference v2 split, fully distributed: 25% of each user's rows →
     * validation; 25% of each user's remaining rows → test; rest → train
     * (`new_split_script.py:6-14`).
+    *
+    * Safe under EXACT duplicate rows: the anti-joins use value keys, so a
+    * naive construction that samples one copy of a duplicate into
+    * validation would remove ALL copies from the remainder (rows silently
+    * vanishing from every split). Each copy is disambiguated with a
+    * per-duplicate ordinal (`row_number` over the full row) that joins the
+    * value keys — duplicates split independently, and
+    * train ⊎ validation ⊎ test == input holds as a multiset.
     */
   def splitV2(ratings: DataFrame, frac: Double = 0.25, seed: Long = 1234L)
       : (DataFrame, DataFrame, DataFrame) = {
-    val keys = Seq("userId", "movieId", "rating")
-    val validation = perGroupSample(ratings, "userId", frac, seed)
-    val remainder = antiJoin(ratings, validation, keys)
+    val allCols = ratings.columns.toSeq
+    val dupW = Window.partitionBy(allCols.map(col): _*).orderBy(lit(1))
+    val base = ratings.withColumn("__dup", row_number().over(dupW))
+    val keys = Seq("userId", "movieId", "rating", "__dup")
+    val validation = perGroupSample(base, "userId", frac, seed)
+    val remainder = antiJoin(base, validation, keys)
     val test = perGroupSample(remainder, "userId", frac, seed + 1)
     val train = antiJoin(remainder, test, keys)
-    (train, validation, test)
+    (train.drop("__dup"), validation.drop("__dup"), test.drop("__dup"))
   }
 
   /** Distributed disjointness / completeness report (the invariant the
