@@ -37,7 +37,9 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR: keep stdout/stderr clean so the driver's JSON-line parse never
+    // trips on WARN noise (e.g. bounded ≤100-row global-window notices)
+    spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     // warmup (not timed): touch every table once so footer reads, codegen

@@ -64,6 +64,74 @@ object TextHashFunctions {
   def simhashEval(arr: ArrayData): Long =
     SimHash64(null).nullSafeEval(arr).asInstanceOf[Long]
 
+  /** Distinct word n-gram shingles of a document in ONE pass: tokenize
+    * (lowercase per code point; any non-letter/digit delimits — same
+    * semantics as `Dedup.tokens`), slide an n-token window, dedupe.
+    *
+    * Why a fused expression and not `transform(sequence(0, size(toks)-n),
+    * i -> concat_ws(' ', slice(toks, i+1, n)))`: Catalyst higher-order
+    * functions re-evaluate their argument expression inside every lambda
+    * invocation, and `toks` (the whole regexp tokenizer) sits INSIDE the
+    * lambda — the composed form re-tokenized each document once per
+    * shingle index (~|tokens| regex passes per doc; measured 11+ s for
+    * 5k docs where this expression takes well under a second).
+    *
+    * Shape parity with the composed form: n-grams for |tokens| ≥ n; the
+    * single full-token join when 0 < |tokens| < n; EMPTY for token-less
+    * docs (no [""] — that band-collides all junk docs, see
+    * [[MinHashBandBuckets]]).
+    */
+  case class ShingleSet(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(a: Any): Any =
+      shingleEval(a.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) " +
+          s"graft.functions.TextHashFunctions.shingleEval($a, $n);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** static entry point for generated code */
+  def shingleEval(u: UTF8String, n: Int): ArrayData = {
+    val s = u.toString
+    val toks = new java.util.ArrayList[String]
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (Character.isLetter(cp) || Character.isDigit(cp))
+        sb.appendCodePoint(Character.toLowerCase(cp))
+      else if (sb.length > 0) { toks.add(sb.toString); sb.setLength(0) }
+      i += Character.charCount(cp)
+    }
+    if (sb.length > 0) toks.add(sb.toString)
+    val m = toks.size
+    val out = new java.util.LinkedHashSet[String]
+    if (m > 0 && m < n) {
+      out.add(String.join(" ", toks))
+    } else {
+      var start = 0
+      while (start <= m - n) {
+        val g = new java.lang.StringBuilder
+        var j = 0
+        while (j < n) {
+          if (j > 0) g.append(' ')
+          g.append(toks.get(start + j)); j += 1
+        }
+        out.add(g.toString); start += 1
+      }
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var k = 0
+    while (it.hasNext) { arr(k) = UTF8String.fromString(it.next()); k += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  def shingle_set(text: Column, n: Int): Column =
+    Bridge.column(ShingleSet(Bridge.expression(text), n))
+
   /** MinHash band-bucket vector in ONE pass: element b of the result is
     * `hash(minhash slice for band b)` over `bands × rowsPerBand` hash
     * functions `h_j(t) = mix(seed ⊕ j ⊕ fnv64(t))`.

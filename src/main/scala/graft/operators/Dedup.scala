@@ -26,19 +26,18 @@ object Dedup {
       t => length(t) > 0)
 
   /** Word n-gram shingles (distinct). Token-less documents (empty or
-    * punctuation-only text) yield an EMPTY shingle set — without the
-    * final filter, `concat_ws` over the empty slice produces `[""]`,
-    * which band-collides every junk doc with every other junk doc and
-    * reports spurious jaccard-1.0 near-dup pairs (O(m²) of them).
+    * punctuation-only text) yield an EMPTY shingle set — [""] would
+    * band-collide every junk doc with every other junk doc and report
+    * spurious jaccard-1.0 near-dup pairs (O(m²) of them).
+    *
+    * Fused single-pass expression ([[TextHashFunctions.ShingleSet]]): the
+    * composable `transform(sequence(...), i -> concat_ws(slice(toks)))`
+    * form re-evaluates the whole tokenizer inside every lambda invocation
+    * (one regex pass per shingle INDEX — Catalyst HOF semantics), which
+    * made shingling the dominant cost of the minhash path.
     */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    filter(
-      array_distinct(
-        transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
-          i => concat_ws(" ", slice(toks, i + 1, lit(n))))),
-      s => length(s) > 0)
-  }
+  def shingles(text: Column, n: Int): Column =
+    TextHashFunctions.shingle_set(text, n)
 
   /** Exact dedup: group rows by a content hash, keep the smallest id
     * (deterministic canonical winner). Returns the surviving rows' ids +
@@ -69,18 +68,13 @@ object Dedup {
     // band buckets via ONE fused expression (tokens touched once per hash
     // fn) — the composable transform/array_min pipeline re-evaluates the
     // tokenizer inside every lambda (see MinHashBandBuckets scaladoc;
-    // observed 128 tokenizations/doc). Band-join carries bare ids only:
+    // observed 128 tokenizations/doc). Bucket rows carry bare ids only:
     // shingle arrays must not ride the ×bands replicated shuffle.
     val banded = docs.select(col(idCol).as("id"),
       posexplode(TextHashFunctions.minhash_band_buckets(
         shingles(col(textCol), nShingle), bands, rowsPerBand))
         .as(Seq("band", "bucket")))
-    val pairs = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-      .join(banded.select(col("band"), col("bucket"), col("id").as("id_b")),
-        Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-      .select(col("id_a"), col("id_b"))
+    val pairs = bucketPairs(banded)
     // aggregate barrier (id is unique, first() is a no-op): without it
     // CollapseProject inlines the shingles() expression ABOVE the pair
     // join and tokenization runs once per PAIR instead of once per doc
@@ -95,6 +89,32 @@ object Dedup {
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** All unordered id pairs that share a (band, bucket) — the LSH
+    * candidate set, via ONE groupBy over the bucket rows. A banded
+    * self-join would re-run the whole signature computation for the
+    * second join branch (identical plan but no exchange to reuse at that
+    * point) and shuffle the replicated corpus twice; here signatures are
+    * computed once and only bare ids ride the shuffle. The in-bucket pair
+    * expansion is a lambda over the collected id list: `ids` is a plain
+    * attribute after the aggregate barrier, so Catalyst HOF re-evaluation
+    * is field access, not recomputation. Bucket sizes stay
+    * O(near-dup cluster) when the banding is tuned to the threshold —
+    * monitor max bucket size under skew (a hot bucket means the band/row
+    * parameters admit pairs far below the intended threshold).
+    *
+    * @param buckets (band, bucket, id) rows
+    */
+  def bucketPairs(buckets: DataFrame): DataFrame =
+    buckets
+      .groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_set(col("id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .dropDuplicates("id_a", "id_b")
 
   /** Exact Jaccard similarity of two (distinct-element) arrays. */
   def jaccard(a: Column, b: Column): Column = {
@@ -119,15 +139,13 @@ object Dedup {
     val sig = docs.select(col(idCol).as("id"),
       TextHashFunctions.simhash64(tokens(col(textCol))).as("sig"))
     val bandBits = 16
-    val banded = sig.select(col("id"), col("sig"),
+    val banded = sig.select(col("id"),
       posexplode(array((0 until 4).map(bnd =>
         shiftright(col("sig"), bnd * bandBits).bitwiseAND(lit((1L << bandBits) - 1))
       ): _*)).as(Seq("band", "bucket")))
-    val a = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    bucketPairs(banded)
+      .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .withColumn("hamming", TextHashFunctions.hamming64(col("sig_a"), col("sig_b")))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
@@ -137,15 +155,11 @@ object Dedup {
   def cosineNearDups(embeddings: DataFrame, threshold: Double = 0.95,
       bands: Int = 8, bandBits: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    // same id-only band-join shape as minhashCandidates: vectors join back
+    // same id-only bucket shape as minhashCandidates: vectors join back
     // after pair dedup, never through the ×bands shuffle
     val buckets = Similarity.lshBuckets(embeddings, bands, bandBits, 42, idCol, vecCol)
       .select(col("band"), col("bucket"), col(idCol).as("id"))
-    val pairs = buckets.select(col("band"), col("bucket"), col("id").as("id_a"))
-      .join(buckets.select(col("band"), col("bucket"), col("id").as("id_b")),
-        Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    val pairs = bucketPairs(buckets)
     val vecs = embeddings.select(col(idCol), col(vecCol))
     pairs
       .join(vecs.select(col(idCol).as("id_a"), col(vecCol).as("va")), Seq("id_a"))

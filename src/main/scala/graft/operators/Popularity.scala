@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Popularity baseline (reference `popularity_model.py:39-82`, SURVEY §2
@@ -42,16 +41,6 @@ object Popularity {
 
   /** Full popularity pipeline → top-k movies by weighted score.
     *
-    * Single-pass shape: the global statistics (m = mean of movie means,
-    * q = count quantile) are computed as UNBOUNDED window aggregates over
-    * the per-movie relation rather than a separate aggregate branch — a
-    * two-branch plan re-derives the ratings join + per-movie aggregate
-    * twice (no ReusedExchange across the percentile branch; observed in
-    * `.explain`), i.e. two full fact-table scans at 100 TB. The window
-    * funnels |movies| rows (≪ |ratings|) through one partition, which is
-    * the right trade until the catalog itself is huge — then use
-    * [[topMoviesApprox]] whose sketch merges distributively.
-    *
     * @param quantile popularity cutoff quantile (reference uses 0.9,
     *                 `popularity_model.py:50`)
     * @param k        size of the recommendation list (task spec top-100,
@@ -77,15 +66,24 @@ object Popularity {
       .orderBy(round(col("score"), 6).desc, col("movieId").asc)
       .limit(k)
 
-  /** Shared scoring core: attach global stats via an unbounded window over
-    * the aggregated relation, filter to the popularity cutoff, score.
+  /** Shared scoring core: reduce the per-movie relation to a 1-row global
+    * stats aggregate (m = mean of movie means, q = count quantile) and
+    * attach it back with a broadcast cross join, then filter to the
+    * popularity cutoff and score.
+    *
+    * Why not an unbounded window over `agg`: that funnels the whole
+    * per-movie relation through ONE partition (WindowExec with an empty
+    * partition spec) — at catalog scale it serializes the scoring stage.
+    * The two-branch aggregate keeps every stage 32-wide: both branches
+    * consume the SAME shuffle exchange under the movieId aggregate
+    * (ReusedExchange — one fact-table scan), the stats branch reduces
+    * |movies| rows to 1, and the broadcast back onto the probe side is a
+    * single row.
     */
   def scoreAll(agg: DataFrame, quantileExpr: Column): DataFrame = {
-    val w = Window.partitionBy()
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val stats = agg.agg(avg(col("avg_rating")).as("m"), quantileExpr.as("q"))
     agg
-      .withColumn("m", avg(col("avg_rating")).over(w))
-      .withColumn("q", quantileExpr.over(w))
+      .crossJoin(broadcast(stats))
       .filter(col("user_count") >= col("q"))
       .withColumn("score",
         weightedScore(col("user_count").cast("double"), col("avg_rating"), col("q"), col("m")))

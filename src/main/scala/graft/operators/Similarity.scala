@@ -125,10 +125,15 @@ object Similarity {
     */
   def hashCentroids(corpus: DataFrame, nCentroids: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val w = Window.orderBy(xxhash64(col(idCol)), col(idCol))
+    // bound to nCentroids rows FIRST (TakeOrdered: per-partition heaps +
+    // driver merge), then number the survivors — the global ranking window
+    // only ever sees nCentroids rows, never the corpus
+    val w = Window.orderBy(col("__h"), col(idCol))
     corpus.select(col(idCol), col(vecCol))
+      .withColumn("__h", xxhash64(col(idCol)))
+      .orderBy(col("__h"), col(idCol))
+      .limit(nCentroids)
       .withColumn("__r", row_number().over(w))
-      .filter(col("__r") <= nCentroids)
       .select(col("__r").as("centroid_id"), col(vecCol).as("__centv"))
   }
 

@@ -34,14 +34,22 @@ object PipelineQueries {
 
   /** Popularity top-100 of the train partition, ranked on the ROUNDED score
     * so rank boundaries can't flip on sub-1e-6 cross-engine float drift.
+    *
+    * Shape: the top-K rows are selected FIRST via `orderBy().limit(K)`
+    * (TakeOrderedAndProject — per-partition bounded heaps + driver merge,
+    * never a global sort), and only that ≤K-row set goes through the
+    * global ranking window. A WindowExec with an empty partition spec is
+    * single-partition by definition, which is fine over K rows and fatal
+    * over a catalog — bounding before ranking is the 100 TB-safe order.
     */
   private def rankedTop100(train: DataFrame): DataFrame =
     Popularity.scoreAll(Popularity.aggRatings(train),
       expr("percentile(user_count, 0.9)"))
       .withColumn("score_r", round(col("score"), 6))
+      .orderBy(col("score_r").desc, col("movieId"))
+      .limit(K)
       .withColumn("rank",
         row_number().over(Window.orderBy(col("score_r").desc, col("movieId"))).cast("long"))
-      .filter(col("rank") <= K)
       .select(col("movieId"), col("rank"))
 
   // oracle fragment: same ranked top-100 in ANSI SQL

@@ -86,13 +86,13 @@ object SimilarityQueries {
     // embedding-cosine near-dup candidate pairs (LSH) — top-50 by cosine,
     // rows-only (bucketing is Spark-hash-specific)
     "q_dedup_cosine" -> ((s, d) => {
-      val pairs = Dedup.cosineNearDups(emb(s, d), threshold = -1.0,
+      // top-50 via orderBy+limit (TakeOrdered — per-partition heaps), not a
+      // global ranking window: no single-partition WindowExec in the plan
+      Dedup.cosineNearDups(emb(s, d), threshold = -1.0,
         bands = 16, bandBits = 4)
-      val w = Window.orderBy(col("cos").desc, col("id_a"), col("id_b"))
-      pairs.withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= 50)
+        .orderBy(col("cos").desc, col("id_a"), col("id_b"))
+        .limit(50)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_r"))
-        .orderBy(col("cos_r").desc, col("id_a"), col("id_b"))
     })
   )
 

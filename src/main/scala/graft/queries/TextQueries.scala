@@ -88,17 +88,19 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // MinHash LSH candidates (unigram shingles — the synthetic docs share a
-    // small vocabulary, so unigram sets are the near-dup signal); pair set
-    // depends on xxhash64 banding → rows-only + scalatest recall checks.
+    // MinHash LSH near-dup pairs over the FULL documents table (trigram
+    // shingles, 8 bands × 4 rows → collision threshold (1/b)^(1/r) ≈ 0.59,
+    // tuned to the 0.8 near-dup cut). Trigram Jaccard on this corpus is
+    // bimodal — planted near-dups ≥ 0.8, everything else ≈ 0 — so the
+    // banding admits O(planted) candidate pairs and the exact-Jaccard
+    // verification join touches a vanishing fraction of all pairs.
+    // (Unigram shingles over the small shared vocabulary make ~72% of ALL
+    // pairs candidates — the mis-tuned-LSH failure mode: measured 90,303
+    // candidates among 500 docs where the true ≥0.8 near-dup count is 25.)
+    // Pair set depends on the banding hash → rows-only + scalatest recall.
     "q_dedup_minhash" -> ((s, d) => {
-      // bounded slice: unigram sets over a small shared vocabulary make
-      // nearly every pair a candidate — O(n²) by construction, so cap n
-      // no global orderBy: rows-only check, and a total sort would run the
-      // whole plan twice (range-partitioner sampling pass)
-      Dedup.minhashCandidates(docs(s, d).filter(col("doc_id") < 500),
-        nShingle = 1, bands = 8, rowsPerBand = 2)
-        .filter(col("jaccard") >= 0.5)
+      Dedup.minhashNearDups(docs(s, d), threshold = 0.8,
+        nShingle = 3, bands = 8, rowsPerBand = 4)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     }),
 
