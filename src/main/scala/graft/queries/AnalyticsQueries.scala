@@ -1,0 +1,568 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Analytic / function-surface coverage beyond the reference's operator set:
+  * outer joins, analytic window functions, statistical and positional
+  * aggregates, string/date/array/map scalar-function suites, full TPC-H
+  * query shapes, a non-equi range join, unpivot, SQL-text grouping sets,
+  * the typed Dataset API, and a mergeable HLL sketch.
+  *
+  * Scale rules as elsewhere: dimension/bucket sides broadcast; fact scans
+  * prune columns; per-row suites are bounded by a pushed-down key
+  * predicate where the output would otherwise be the whole table; doubles
+  * rounded 6dp and money as integer cents on BOTH engines.
+  */
+object AnalyticsQueries {
+
+  private def t(s: SparkSession, d: String, name: String) = Tables.load(s, d, name)
+  private def cents(c: Column) = round(c * 100, 0).cast("long")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // FULL OUTER join of two pre-aggregated relations (per-nation customer
+    // vs supplier counts): both sides reduced before the join, so the
+    // outer join itself is tiny regardless of fact scale.
+    "q_join_outer" -> ((s, d) => {
+      val c = t(s, d, "customer").groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"))
+      val sp = t(s, d, "supplier").groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(sp, col("c_nationkey") === col("s_nationkey"), "full_outer")
+        .select(
+          coalesce(col("c_nationkey"), col("s_nationkey")).cast("long").as("nationkey"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy(col("nationkey"))
+    }),
+
+    // LEFT OUTER fact-side: every order keeps a row even with no matching
+    // (filtered) lineitems — revenue coalesced to 0.
+    "q_join_left" -> ((s, d) => {
+      val li = t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(cents(col("l_extendedprice"))).as("ret_rev_c"))
+      t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"), "left_outer")
+        .select(col("o_orderkey"), col("o_custkey"),
+          coalesce(col("ret_rev_c"), lit(0L)).as("ret_rev_c"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Analytic window battery per customer: lead, first/last value with an
+    // explicit full frame, ntile, percent_rank, cume_dist. Partitioned on
+    // the high-cardinality key — no global window.
+    "q_window_analytics" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate"), cents(col("o_totalprice")).as("price_c"))
+        .withColumn("next_order", lead(col("o_orderkey"), 1).over(w))
+        .withColumn("first_price_c", first(col("price_c")).over(wf))
+        .withColumn("last_price_c", last(col("price_c")).over(wf))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("pr", round(percent_rank().over(w), 6))
+        .withColumn("cd", round(cume_dist().over(w), 6))
+        .select(col("o_custkey"), col("o_orderkey"), col("next_order"),
+          col("first_price_c"), col("last_price_c"), col("quartile"),
+          col("pr"), col("cd"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
+    // Statistical aggregate suite per return flag. Spark's skewness /
+    // kurtosis are POPULATION moments (g1, excess g2); the oracle converts
+    // DuckDB's sample skewness back to g1 and uses kurtosis_pop directly.
+    "q_stats_agg" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(stddev_samp(col("l_quantity")), 6).as("sd_qty"),
+          round(stddev_pop(col("l_quantity")), 6).as("sdp_qty"),
+          round(var_samp(col("l_quantity")), 6).as("var_qty"),
+          round(var_pop(col("l_quantity")), 6).as("varp_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 6).as("cov_qd"),
+          round(covar_pop(col("l_quantity"), col("l_discount")), 6).as("covp_qd"),
+          round(skewness(col("l_quantity")), 6).as("skew_qty"),
+          round(kurtosis(col("l_quantity")), 6).as("kurt_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Exact percentiles (interpolated) + median per return flag — the
+    // exact path next to percentile_approx (A3's sketch form, q_pop_stats).
+    "q_percentiles" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.25)"), 6).as("p25"),
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_quantity, 0.75)"), 6).as("p75"),
+          round(median(col("l_quantity")), 6).as("med"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Positional aggregates: deterministic argmax/argmin via max/min over
+    // a totally-ordered struct (price, orderkey, linenumber — no ties
+    // possible), plus max_by/min_by on the equivalent packed key, plus a
+    // deterministic mode.
+    "q_minmax_by" -> ((s, d) => {
+      val priced = t(s, d, "lineitem").select(
+        col("l_linestatus"),
+        cents(col("l_extendedprice")).as("price_c"),
+        col("l_orderkey"), col("l_linenumber").cast("long").as("lineno"),
+        col("l_returnflag"))
+      // packed total-order key for max_by/min_by: price ⊕ orderkey ⊕ lineno
+      val packed = col("price_c") * 100000000L + col("l_orderkey") * 10L + col("lineno")
+      priced.groupBy(col("l_linestatus"))
+        .agg(
+          max(struct(col("price_c"), col("l_orderkey"), col("lineno"))).as("mx"),
+          min(struct(col("price_c"), col("l_orderkey"), col("lineno"))).as("mn"),
+          max_by(col("l_orderkey"), packed).as("argmax_okey"),
+          min_by(col("l_orderkey"), packed).as("argmin_okey"),
+          mode(col("l_returnflag"), deterministic = true).as("mode_rf"))
+        .select(col("l_linestatus"),
+          col("mx.price_c").as("max_price_c"),
+          col("mx.l_orderkey").as("max_okey"),
+          col("mx.lineno").as("max_lineno"),
+          col("mn.price_c").as("min_price_c"),
+          col("argmax_okey"), col("argmin_okey"), col("mode_rf"))
+        .orderBy(col("l_linestatus"))
+    }),
+
+    // String scalar-function suite over a pushed-down part slice (predicate
+    // reaches the parquet scan; the suite itself is pure codegen'd
+    // projection).
+    "q_string_funcs" -> ((s, d) => {
+      t(s, d, "part").filter(col("p_partkey") < 100)
+        .select(
+          col("p_partkey"),
+          upper(col("p_name")).as("u"),
+          length(col("p_name")).cast("long").as("len"),
+          substring(col("p_name"), 1, 5).as("sub"),
+          lpad(col("p_brand"), 12, "*").as("lp"),
+          rpad(col("p_type"), 10, ".").as("rp"),
+          reverse(col("p_type")).as("rev"),
+          translate(col("p_name"), "aeiou", "AEIOU").as("tr"),
+          levenshtein(col("p_brand"), lit("Brand#11")).cast("long").as("lev"),
+          regexp_extract(col("p_name"), "^(\\w+)", 1).as("first_word"),
+          element_at(split(col("p_name"), " "), -1).as("last_word"),
+          instr(col("p_name"), "e").cast("long").as("pos_e"),
+          repeat(col("p_brand"), 2).as("rep"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("cw"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // Date/time scalar-function suite over an orders slice. dayofweek is
+    // 1=Sunday in Spark vs 0=Sunday in DuckDB (oracle adds 1); both use
+    // ISO weeks. Timestamps leave the query as DATE (µs-safe, TZ-free).
+    "q_date_funcs" -> ((s, d) => {
+      t(s, d, "orders").filter(col("o_orderkey") < 500)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          quarter(col("o_orderdate")).cast("long").as("q"),
+          dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+          dayofweek(col("o_orderdate")).cast("long").as("dow"),
+          weekofyear(col("o_orderdate")).cast("long").as("woy"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+          datediff(col("o_orderdate").cast("date"), lit("1995-01-01").cast("date"))
+            .cast("long").as("days_since_epoch_start"),
+          add_months(col("o_orderdate").cast("date"), 3).as("plus3m"),
+          last_day(col("o_orderdate").cast("date")).as("eom"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Array function suite: construction (sequence/split), sort, contains,
+    // position, element math via zip_with, flatten — emitted as scalars /
+    // joined strings so the value-hash is engine-independent.
+    "q_array_funcs" -> ((s, d) => {
+      val seqCol = sequence(lit(1), (col("p_size") % 5) + 1)
+      t(s, d, "part").filter(col("p_partkey") < 200)
+        .select(
+          col("p_partkey"),
+          concat_ws(",", array_sort(split(col("p_name"), " "))).as("sorted_words"),
+          array_contains(split(col("p_name"), " "), "red").as("has_red"),
+          array_position(split(col("p_name"), " "), element_at(split(col("p_name"), " "), -1))
+            .cast("long").as("last_pos"),
+          size(seqCol).cast("long").as("seq_n"),
+          aggregate(seqCol, lit(0L), (acc, x) => acc + x).as("seq_sum"),
+          concat_ws(",", zip_with(seqCol, seqCol, (a, b) => a + b)).as("doubled"),
+          concat_ws(",", flatten(array(array(col("p_brand")), array(col("p_type")))))
+            .as("flat"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // Map type surface: build, extract, cardinality, sorted keys — scalar
+    // outputs (map parquet encodings are not hash-comparable across
+    // engines).
+    "q_map_funcs" -> ((s, d) => {
+      val m = map_from_arrays(
+        array(lit("brand"), lit("type")),
+        array(col("p_brand"), col("p_type")))
+      t(s, d, "part").filter(col("p_partkey") < 200)
+        .select(
+          col("p_partkey"),
+          element_at(m, "brand").as("brand_v"),
+          element_at(m, "type").as("type_v"),
+          size(m).cast("long").as("m_n"),
+          concat_ws(",", array_sort(map_keys(m))).as("m_keys"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // TPC-H Q1 (full): the canonical scan→filter→agg shape; shipdate
+    // predicate pushed to parquet, money exact in cents (discount/tax in
+    // tenths of a percent to stay integral).
+    "q_tpch_q1" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(cents(col("l_quantity"))).as("sum_qty_c"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_c"),
+          sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_c"),
+          sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax")))).as("sum_charge_c"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // TPC-H Q3 shape: segment-filtered customer (broadcast) ⋈ orders ⋈
+    // lineitem, revenue top-10 with full tiebreak — orderBy+limit is
+    // TakeOrdered, not a global sort.
+    "q_tpch_q3" -> ((s, d) => {
+      val c = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val o = t(s, d, "orders")
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"), col("o_orderpriority"))
+      val l = t(s, d, "lineitem")
+        .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+        .select(col("l_orderkey"),
+          cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_c"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(col("rev_c")).as("revenue_c"))
+        .select(col("o_orderkey"), col("o_orderdate").cast("date").as("odate"),
+          col("o_orderpriority"), col("revenue_c"))
+        .orderBy(col("revenue_c").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q10 shape: returned-item revenue per customer, top 20.
+    "q_tpch_q10" -> ((s, d) => {
+      val l = t(s, d, "lineitem").filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_c"))
+      val o = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+        .filter(col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val c = t(s, d, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"), col("c_nationkey"))
+      val n = t(s, d, "nation").select(col("n_nationkey"), col("n_name"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(col("rev_c")).as("revenue_c"),
+          round(min(col("c_acctbal")), 6).as("acctbal"))
+        .orderBy(col("revenue_c").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // Non-equi RANGE join: price-band bucketing via a broadcast
+    // nested-loop join against a 4-row literal band table — the band side
+    // is always broadcast; the fact side never shuffles.
+    "q_range_join" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      val bands = Seq(
+        (1L, 900.0, 925.0), (2L, 925.0, 950.0),
+        (3L, 950.0, 975.0), (4L, 975.0, 1000.0))
+        .toDF("band_id", "lo", "hi")
+      t(s, d, "part")
+        .join(broadcast(bands),
+          col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+        .groupBy(col("band_id"))
+        .agg(count(lit(1)).as("n_parts"),
+          round(avg(col("p_size")), 6).as("avg_size"))
+        .orderBy(col("band_id"))
+    }),
+
+    // Unpivot (wide → long): per-flag metric columns melted to
+    // (flag, metric, value) rows.
+    "q_unpivot" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(sum(cents(col("l_quantity"))).as("qty_c"),
+          sum(cents(col("l_extendedprice"))).as("price_c"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("qty_c"), col("price_c")), "metric", "v")
+        .orderBy(col("l_returnflag"), col("metric"))
+    }),
+
+    // SQL-text entry point + GROUPING SETS (neither ROLLUP nor CUBE):
+    // exercises spark.sql over a registered view — the engine's parser
+    // surface.
+    "q_grouping_sets" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("graft_li")
+      s.sql(
+        """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+          |       COALESCE(l_linestatus, 'ALL') AS ls,
+          |       COUNT(*) AS n,
+          |       CAST(SUM(CAST(ROUND(l_quantity*100, 0) AS BIGINT)) AS BIGINT) AS qty_c
+          |FROM graft_li
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY rf, ls""".stripMargin)
+    }),
+
+    // Typed Dataset surface (SURVEY §1.5): case-class Encoder +
+    // groupByKey/mapGroups. Kept for API parity — the per-group closure
+    // exits codegen, so the column form (q1_agg etc.) is the perf path;
+    // rounding happens in DataFrame-land so both engines share one rule.
+    "q_typed_agg" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      Tables.ratingsDs(s, d)
+        .groupByKey(_.userId)
+        .mapGroups { (uid, rows) =>
+          var n = 0L; var sum = 0.0
+          rows.foreach { r => n += 1; sum += r.rating }
+          (uid, n, sum)
+        }
+        .toDF("userId", "n", "sum_rating")
+        .select(col("userId"), col("n"),
+          round(col("sum_rating") / col("n"), 6).as("avg_rating"))
+        .orderBy(col("userId"))
+    }),
+
+    // Mergeable DataSketches HLL (the 100 TB count-distinct path: partial
+    // sketches union across partitions/days). Sketch-specific → rows-only;
+    // tolerance vs exact asserted in scalatest.
+    "q_hll_sketch" -> ((s, d) => {
+      t(s, d, "lineitem").agg(
+        hll_sketch_estimate(hll_sketch_agg(col("l_partkey"))).as("est_parts"),
+        hll_sketch_estimate(hll_sketch_agg(col("l_suppkey"))).as("est_supps"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_join_outer" ->
+      """WITH c AS (SELECT c_nationkey, COUNT(*) AS n_cust FROM customer GROUP BY 1),
+        |s AS (SELECT s_nationkey, COUNT(*) AS n_supp FROM supplier GROUP BY 1)
+        |SELECT CAST(COALESCE(c_nationkey, s_nationkey) AS BIGINT) AS nationkey,
+        |  COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+        |FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
+        |ORDER BY nationkey""".stripMargin,
+
+    "q_join_left" ->
+      """WITH li AS (
+        |  SELECT l_orderkey,
+        |    CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS ret_rev_c
+        |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1)
+        |SELECT o_orderkey, o_custkey, COALESCE(ret_rev_c, 0) AS ret_rev_c
+        |FROM orders LEFT JOIN li ON o_orderkey = l_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_window_analytics" ->
+      """SELECT o_custkey, o_orderkey,
+        |  LEAD(o_orderkey, 1) OVER w AS next_order,
+        |  FIRST_VALUE(price_c) OVER wf AS first_price_c,
+        |  LAST_VALUE(price_c) OVER wf AS last_price_c,
+        |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        |  ROUND(PERCENT_RANK() OVER w, 6) AS pr,
+        |  ROUND(CUME_DIST() OVER w, 6) AS cd
+        |FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+        |        CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_c FROM orders)
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_stats_agg" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  ROUND(stddev_samp(l_quantity), 6) AS sd_qty,
+        |  ROUND(stddev_pop(l_quantity), 6) AS sdp_qty,
+        |  ROUND(var_samp(l_quantity), 6) AS var_qty,
+        |  ROUND(var_pop(l_quantity), 6) AS varp_qty,
+        |  ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+        |  ROUND(covar_samp(l_quantity, l_discount), 6) AS cov_qd,
+        |  ROUND(covar_pop(l_quantity, l_discount), 6) AS covp_qd,
+        |  ROUND(skewness(l_quantity) * (COUNT(*)-2)
+        |        / sqrt(COUNT(*)*(COUNT(*)-1.0)), 6) AS skew_qty,
+        |  ROUND(kurtosis_pop(l_quantity), 6) AS kurt_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |  ROUND(CAST(quantile_cont(l_quantity, 0.25) AS DOUBLE), 6) AS p25,
+        |  ROUND(CAST(quantile_cont(l_quantity, 0.5) AS DOUBLE), 6) AS p50,
+        |  ROUND(CAST(quantile_cont(l_quantity, 0.75) AS DOUBLE), 6) AS p75,
+        |  ROUND(CAST(median(l_quantity) AS DOUBLE), 6) AS med
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_minmax_by" ->
+      """WITH priced AS (
+        |  SELECT l_linestatus,
+        |    CAST(ROUND(l_extendedprice*100) AS BIGINT) AS price_c,
+        |    l_orderkey, CAST(l_linenumber AS BIGINT) AS lineno, l_returnflag
+        |  FROM lineitem),
+        |rfc AS (
+        |  SELECT l_linestatus, l_returnflag, COUNT(*) AS c
+        |  FROM priced GROUP BY 1, 2),
+        |modes AS (
+        |  SELECT l_linestatus, l_returnflag AS mode_rf
+        |  FROM rfc
+        |  QUALIFY ROW_NUMBER() OVER (PARTITION BY l_linestatus
+        |    ORDER BY c DESC, l_returnflag) = 1),
+        |g AS (
+        |  SELECT l_linestatus,
+        |    max({'price_c': price_c, 'l_orderkey': l_orderkey, 'lineno': lineno}) AS mx,
+        |    min({'price_c': price_c, 'l_orderkey': l_orderkey, 'lineno': lineno}) AS mn,
+        |    arg_max(l_orderkey, price_c*100000000 + l_orderkey*10 + lineno) AS argmax_okey,
+        |    arg_min(l_orderkey, price_c*100000000 + l_orderkey*10 + lineno) AS argmin_okey
+        |  FROM priced GROUP BY l_linestatus)
+        |SELECT g.l_linestatus,
+        |  mx.price_c AS max_price_c, mx.l_orderkey AS max_okey, mx.lineno AS max_lineno,
+        |  mn.price_c AS min_price_c, argmax_okey, argmin_okey, mode_rf
+        |FROM g JOIN modes ON g.l_linestatus = modes.l_linestatus
+        |ORDER BY g.l_linestatus""".stripMargin,
+
+    "q_string_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS u,
+        |  CAST(length(p_name) AS BIGINT) AS len,
+        |  substring(p_name, 1, 5) AS sub,
+        |  lpad(p_brand, 12, '*') AS lp,
+        |  rpad(p_type, 10, '.') AS rp,
+        |  reverse(p_type) AS rev,
+        |  translate(p_name, 'aeiou', 'AEIOU') AS tr,
+        |  CAST(levenshtein(p_brand, 'Brand#11') AS BIGINT) AS lev,
+        |  regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+        |  string_split(p_name, ' ')[-1] AS last_word,
+        |  CAST(strpos(p_name, 'e') AS BIGINT) AS pos_e,
+        |  repeat(p_brand, 2) AS rep,
+        |  concat_ws('|', p_brand, p_type) AS cw
+        |FROM part WHERE p_partkey < 100 ORDER BY p_partkey""".stripMargin,
+
+    "q_date_funcs" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(month(o_orderdate) AS BIGINT) AS m,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS q,
+        |  CAST(dayofmonth(o_orderdate) AS BIGINT) AS dom,
+        |  CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+        |  CAST(weekofyear(o_orderdate) AS BIGINT) AS woy,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+        |    AS days_since_epoch_start,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m,
+        |  last_day(CAST(o_orderdate AS DATE)) AS eom
+        |FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""".stripMargin,
+
+    "q_array_funcs" ->
+      """SELECT p_partkey,
+        |  array_to_string(list_sort(string_split(p_name, ' ')), ',') AS sorted_words,
+        |  list_contains(string_split(p_name, ' '), 'red') AS has_red,
+        |  CAST(list_position(string_split(p_name, ' '),
+        |    string_split(p_name, ' ')[-1]) AS BIGINT) AS last_pos,
+        |  CAST(p_size % 5 + 1 AS BIGINT) AS seq_n,
+        |  CAST(list_reduce(range(1, p_size % 5 + 2), (a, b) -> a + b) AS BIGINT) AS seq_sum,
+        |  array_to_string(list_transform(range(1, p_size % 5 + 2), x -> x * 2), ',') AS doubled,
+        |  concat_ws(',', p_brand, p_type) AS flat
+        |FROM part WHERE p_partkey < 200 ORDER BY p_partkey""".stripMargin,
+
+    "q_map_funcs" ->
+      """SELECT p_partkey,
+        |  map_extract(map(['brand','type'], [p_brand, p_type]), 'brand')[1] AS brand_v,
+        |  map_extract(map(['brand','type'], [p_brand, p_type]), 'type')[1] AS type_v,
+        |  CAST(cardinality(map(['brand','type'], [p_brand, p_type])) AS BIGINT) AS m_n,
+        |  array_to_string(list_sort(map_keys(map(['brand','type'], [p_brand, p_type]))), ',')
+        |    AS m_keys
+        |FROM part WHERE p_partkey < 200 ORDER BY p_partkey""".stripMargin,
+
+    "q_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_c,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_c,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*(1.0+l_tax)*100) AS BIGINT)) AS BIGINT) AS sum_charge_c,
+        |  ROUND(AVG(l_quantity), 6) AS avg_qty,
+        |  ROUND(AVG(l_discount), 6) AS avg_disc,
+        |  COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_tpch_q3" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS odate, o_orderpriority,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_c
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue_c DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_c,
+        |  ROUND(MIN(c_acctbal), 6) AS acctbal
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue_c DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+
+    "q_range_join" ->
+      """WITH bands(band_id, lo, hi) AS (
+        |  VALUES (1, 900.0, 925.0), (2, 925.0, 950.0),
+        |         (3, 950.0, 975.0), (4, 975.0, 1000.0))
+        |SELECT CAST(band_id AS BIGINT) AS band_id, COUNT(*) AS n_parts,
+        |  ROUND(AVG(p_size), 6) AS avg_size
+        |FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+        |GROUP BY band_id ORDER BY band_id""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH wide AS (
+        |  SELECT l_returnflag,
+        |    CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_c,
+        |    CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS price_c
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, metric, v
+        |FROM wide UNPIVOT (v FOR metric IN (qty_c, price_c))
+        |ORDER BY l_returnflag, metric""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |       COALESCE(l_linestatus, 'ALL') AS ls,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS qty_c
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY rf, ls""".stripMargin,
+
+    "q_typed_agg" ->
+      s"""WITH ${Tables.ratingsSql}
+         |SELECT userId, COUNT(*) AS n,
+         |  ROUND(SUM(rating)/COUNT(*), 6) AS avg_rating
+         |FROM ratings GROUP BY userId ORDER BY userId""".stripMargin
+  )
+}
