@@ -125,6 +125,23 @@ object EventQueries {
         .orderBy(col("user_id"), col("us"))
     }),
 
+    // interval join (batch twin of EventStreams.intervalJoin, which is the
+    // watermarked stream-stream form): every click by the same user within
+    // 10 minutes AFTER a view. µs epochs at the output edge.
+    "q_events_interval" -> ((s, d) => {
+      val e = ev(s, d)
+      val views = e.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id"), col("ts"))
+      graft.streaming.EventStreams.intervalJoin(views, clicks, "10 minutes")
+        .select(col("user_id"),
+          col("a_id").as("view_id"), col("b_id").as("click_id"),
+          unix_micros(col("a_ts")).as("view_us"),
+          unix_micros(col("b_ts")).as("click_us"))
+        .orderBy(col("user_id"), col("view_us"), col("click_us"))
+    }),
+
     // JSON prop parsing with an explicit schema (from_json — the typed
     // path next to the regexp fallback in q_events_props)
     "q_events_json" -> ((s, d) => {
@@ -271,6 +288,18 @@ object EventQueries {
         |SELECT p.user_id, p.event_id, p.us, c.click_id AS last_click_id
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.us >= c.us
         |ORDER BY p.user_id, p.us""".stripMargin,
+
+    "q_events_interval" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events
+        |),
+        |v AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'view'),
+        |c AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'click')
+        |SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+        |  v.us AS view_us, c.us AS click_us
+        |FROM v JOIN c ON v.user_id = c.user_id
+        |  AND c.us >= v.us AND c.us <= v.us + 600000000
+        |ORDER BY v.user_id, view_us, click_us""".stripMargin,
 
     "q_events_json" ->
       """SELECT event_id, CAST(props::JSON->>'$.k' AS BIGINT) AS k

@@ -59,6 +59,27 @@ object EventStreams {
   def enrich(events: DataFrame, userDim: DataFrame): DataFrame =
     events.join(broadcast(userDim), Seq("user_id"), "left")
 
+  /** Stream-stream INTERVAL join: each left event pairs with the right
+    * events of the same user whose timestamp falls in
+    * `[left.ts, left.ts + within]`. In streaming both inputs must carry a
+    * watermark (callers apply `withWatermark` first) — the time-bound join
+    * condition is what lets the engine expire buffered state on both
+    * sides; an unbounded-condition stream-stream join would buffer
+    * forever. The same plan runs in batch (EventQueries.q_events_interval
+    * is the DuckDB-oracled twin).
+    */
+  def intervalJoin(a: DataFrame, b: DataFrame, within: String = "10 minutes")
+      : DataFrame = {
+    val l = a.select(col("user_id"), col("event_id").as("a_id"), col("ts").as("a_ts"))
+    val r = b.select(col("user_id").as("b_user"), col("event_id").as("b_id"),
+      col("ts").as("b_ts"))
+    l.join(r,
+      col("user_id") === col("b_user") &&
+        col("b_ts") >= col("a_ts") &&
+        col("b_ts") <= col("a_ts") + expr(s"INTERVAL $within"))
+      .select(col("user_id"), col("a_id"), col("b_id"), col("a_ts"), col("b_ts"))
+  }
+
   // ----- custom state: per-user running session via flatMapGroupsWithState
 
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

@@ -80,4 +80,35 @@ class FunctionsSpec extends SparkTestBase {
     assert(r.getLong(0) == r.getLong(1))
     assert(r.getLong(0) != r.getLong(2))
   }
+
+  test("hll_sketch estimate within 5% of exact count-distinct") {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val exact = li.select(countDistinct(col("l_partkey"))).first().getLong(0)
+    val est = li.agg(
+      hll_sketch_estimate(hll_sketch_agg(col("l_partkey")))).first().getLong(0)
+    assert(math.abs(est - exact).toDouble / exact < 0.05,
+      s"estimate $est vs exact $exact")
+  }
+
+  test("shingle_set matches the composed HOF formulation") {
+    import graft.operators.Dedup
+    val composed = {
+      val toks = Dedup.tokens(col("t"))
+      filter(
+        array_distinct(transform(
+          sequence(lit(0), greatest(size(toks) - 3, lit(0))),
+          i => concat_ws(" ", slice(toks, i + 1, lit(3))))),
+        s => length(s) > 0)
+    }
+    val df = Seq(
+      "The quick brown fox jumps over the lazy dog",
+      "one two", "", "!!! ...", "a b c d a b c d").toDF("t")
+    val rows = df.select(
+      sort_array(Dedup.shingles(col("t"), 3)).as("fused"),
+      sort_array(composed).as("ref")).collect()
+    rows.foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"fused=${r.getSeq[String](0)} ref=${r.getSeq[String](1)}")
+    }
+  }
 }

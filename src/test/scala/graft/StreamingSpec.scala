@@ -124,6 +124,50 @@ class StreamingSpec extends SparkTestBase {
     assert(out.select(col("event_id")).as[Long].collect().toSet == Set(1L, 2L, 3L))
   }
 
+  test("stream-stream interval join pairs views with clicks within 10 min") {
+    implicit val sc = spark.sqlContext
+    val views = MemoryStream[E]
+    val clicks = MemoryStream[E]
+    val out = EventStreams.intervalJoin(
+      views.toDF().withWatermark("ts", "1 hour"),
+      clicks.toDF().withWatermark("ts", "1 hour"),
+      "10 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("interval_out").start()
+    try {
+      views.addData(E(1, ts(0), 1, "view", 0.0), E(2, ts(60), 2, "view", 0.0))
+      clicks.addData(
+        E(10, ts(5), 1, "click", 0.0),   // within 10 min of view 1 → joins
+        E(11, ts(30), 1, "click", 0.0),  // 30 min after view 1 → dropped
+        E(12, ts(65), 2, "click", 0.0),  // within 10 min of view 2 → joins
+        E(13, ts(58), 2, "click", 0.0))  // BEFORE view 2 → dropped
+      q.processAllAvailable()
+      val rows = spark.table("interval_out")
+        .select(col("a_id"), col("b_id")).as[(Long, Long)].collect().toSet
+      assert(rows == Set((1L, 10L), (2L, 12L)))
+    } finally q.stop()
+  }
+
+  test("foreachBatch sink sees each micro-batch exactly once") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[E]
+    val seen = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    val q = EventStreams.dedupe(mem.toDF(), "2 hours")
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        seen.put(id, batch.count()); ()
+      }.start()
+    try {
+      mem.addData(E(1, ts(0), 1, "a", 1.0), E(2, ts(1), 1, "a", 2.0))
+      q.processAllAvailable()
+      mem.addData(E(3, ts(2), 2, "b", 3.0), E(1, ts(0), 1, "a", 1.0)) // dup of 1
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      val total = seen.values().asScala.sum
+      assert(total == 3, s"3 distinct events across batches, got $total in $seen")
+    } finally q.stop()
+  }
+
   test("runningUserTotals accumulates custom state per user") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[EventStreams.Ev]
