@@ -4,8 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** As-of (backward) join: for each left row, attach the latest right row
-  * with the same key and `rightTime <= leftTime`.
+/** As-of joins: for each left row, attach the latest right row with the
+  * same key and `rightTime <= leftTime` (backward), or the earliest with
+  * `rightTime >= leftTime` (forward).
   *
   * Spark has no native as-of join; the preference ladder (compose >
   * custom Expression > custom SparkPlan) lands on COMPOSE here, because
@@ -38,7 +39,27 @@ object AsofJoin {
   def asofBackward(
       left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String,
-      attach: Map[String, String], rightTiebreak: String): DataFrame = {
+      attach: Map[String, String], rightTiebreak: String): DataFrame =
+    asofImpl(left, right, key, leftTime, rightTime, attach, rightTiebreak,
+      forward = false)
+
+  /** As-of FORWARD join: attach the EARLIEST right row with
+    * `rightTime >= leftTime` (equality matches). Same union+window shape
+    * run over the reversed time order; equal-time right rows resolve to
+    * the SMALLEST tiebreak value (mirror of backward's largest).
+    */
+  def asofForward(
+      left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String,
+      attach: Map[String, String], rightTiebreak: String): DataFrame =
+    asofImpl(left, right, key, leftTime, rightTime, attach, rightTiebreak,
+      forward = true)
+
+  private def asofImpl(
+      left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String,
+      attach: Map[String, String], rightTiebreak: String,
+      forward: Boolean): DataFrame = {
 
     val leftCols = left.columns
     val attachSrc = attach.keys.toSeq
@@ -59,10 +80,17 @@ object AsofJoin {
         leftCols.filter(_ != key).map(c => col(c).as(s"__l_$c")): _*)
 
     val unioned = rTagged.unionByName(lTagged, allowMissingColumns = false)
-    // order: time asc, right-before-left on ties (<= semantics), then
-    // tiebreak so duplicate-time right rows resolve deterministically
-    val w = Window.partitionBy(col(key))
-      .orderBy(col("__t"), col("__tag"), col("__tb"))
+    // backward: time asc, right-before-left on ties (<= semantics), then
+    // tiebreak asc so duplicate-time right rows resolve to the LARGEST
+    // tiebreak (last seen wins in the running `last`).
+    // forward: the same sweep over time DESC — "last right seen" is then
+    // the earliest right at-or-after; tiebreak desc → smallest wins.
+    val w = (if (forward)
+      Window.partitionBy(col(key))
+        .orderBy(col("__t").desc, col("__tag"), col("__tb").desc)
+    else
+      Window.partitionBy(col(key))
+        .orderBy(col("__t"), col("__tag"), col("__tb")))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val withLast = attachDst.foldLeft(unioned) { (df, d) =>

@@ -125,6 +125,20 @@ object EventQueries {
         .orderBy(col("user_id"), col("us"))
     }),
 
+    // as-of FORWARD join: each purchase gets the user's NEXT click
+    // at-or-after it (same union+window operator, reversed sweep).
+    "q_events_asof_fwd" -> ((s, d) => {
+      val e = ev(s, d).withColumn("us", unix_micros(col("ts")))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("us"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("us"))
+      AsofJoin.asofForward(purchases, clicks, "user_id", "us", "us",
+        attach = Map("click_id" -> "next_click_id"), rightTiebreak = "click_id")
+        .select(col("user_id"), col("event_id"), col("us"), col("next_click_id"))
+        .orderBy(col("user_id"), col("us"))
+    }),
+
     // interval join (batch twin of EventStreams.intervalJoin, which is the
     // watermarked stream-stream form): every click by the same user within
     // 10 minutes AFTER a view. µs epochs at the output edge.
@@ -287,6 +301,18 @@ object EventQueries {
         |c AS (SELECT user_id, event_id AS click_id, us FROM e WHERE event_type = 'click')
         |SELECT p.user_id, p.event_id, p.us, c.click_id AS last_click_id
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.us >= c.us
+        |ORDER BY p.user_id, p.us""".stripMargin,
+
+    "q_events_asof_fwd" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |    epoch_us(ts) AS us
+        |  FROM events
+        |),
+        |p AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id AS click_id, us FROM e WHERE event_type = 'click')
+        |SELECT p.user_id, p.event_id, p.us, c.click_id AS next_click_id
+        |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.us <= c.us
         |ORDER BY p.user_id, p.us""".stripMargin,
 
     "q_events_interval" ->

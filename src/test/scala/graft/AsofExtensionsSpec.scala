@@ -32,6 +32,26 @@ class AsofExtensionsSpec extends SparkTestBase {
     assert(out.getAs[Long]("last_click") == 9L, "largest tiebreak wins on equal time")
   }
 
+  test("asofForward attaches the earliest right row at-or-after each left row") {
+    val left = Seq((1L, 100L, "p1"), (1L, 200L, "p2"), (2L, 50L, "p3"))
+      .toDF("user_id", "us", "name")
+    val right = Seq((1L, 90L, 900L), (1L, 150L, 901L), (1L, 250L, 902L), (3L, 10L, 903L))
+      .toDF("user_id", "us", "click_id")
+    val out = AsofJoin.asofForward(left, right, "user_id", "us", "us",
+      Map("click_id" -> "next_click"), "click_id")
+      .select(col("name"), col("next_click"))
+      .collect().map(r => r.getString(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(out == Map("p1" -> 901L, "p2" -> 902L, "p3" -> -1L))
+  }
+
+  test("asofForward: equal timestamps match (>= semantics), smallest tiebreak wins") {
+    val left = Seq((1L, 100L, "p")).toDF("user_id", "us", "name")
+    val right = Seq((1L, 100L, 7L), (1L, 100L, 9L)).toDF("user_id", "us", "click_id")
+    val out = AsofJoin.asofForward(left, right, "user_id", "us", "us",
+      Map("click_id" -> "next_click"), "click_id").first()
+    assert(out.getAs[Long]("next_click") == 7L, "smallest tiebreak wins on equal time")
+  }
+
   test("VectorAlgebraRule rewrites self-cosine and self-dot (plan + values)") {
     GraftExtensions.installRule(spark)
     val df = Seq((Array(3.0f, 4.0f), Array(0.0f, 0.0f)))
