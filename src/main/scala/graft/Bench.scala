@@ -25,7 +25,11 @@ object Bench {
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
     "q_cosine_topk", "q_cosine_ann", "q_embed_norms",
     "q_events_hourly", "q_events_sessions", "q_events_session_window",
-    "q_events_asof", "q_media_features")
+    "q_events_asof", "q_media_features",
+    // round-2 additions: full TPC-H shapes, stats aggs, non-equi range
+    // join, stream-shaped interval join
+    "q_tpch_q1", "q_tpch_q3", "q_stats_agg", "q_range_join",
+    "q_events_interval")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
