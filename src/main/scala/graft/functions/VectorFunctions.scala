@@ -162,6 +162,87 @@ object VectorFunctions {
     override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
   }
 
+  /** INT8 quantization of a float vector in ONE pass:
+    * `struct(scale, q)` with `scale = 127 / max|v|` (1.0 for the zero
+    * vector) and `q_i = trunc(v_i * scale)` ∈ [-127, 127].
+    *
+    * TRUNCATION, not rounding: `Math.round` (half-up) and SQL `round`
+    * (half-away-from-zero) disagree on negative halves, while `trunc`
+    * is identical everywhere — determinism beats the half-ulp of extra
+    * precision for a storage/transport format.
+    *
+    * Why fused: the composed HOF form re-evaluates the `max|v|` aggregate
+    * inside the per-element lambda after CollapseProject inlines it —
+    * O(d²) per row (same pitfall as ShingleSet).
+    *
+    * Cosine is scale-invariant, so int8 ANN probes can run
+    * [[Int8CosineSimilarity]] directly on `q` (4× narrower shuffles /
+    * cache lines than float32); dot products divide by `scale_a*scale_b`.
+    */
+  case class QuantizeInt8(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("scale", DoubleType, nullable = false),
+      StructField("q", ArrayType(IntegerType, containsNull = false), nullable = false)))
+    override def nullSafeEval(a: Any): Any =
+      quantizeEval(a.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) " +
+          s"graft.functions.VectorFunctions.quantizeEval($a);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** static entry point for generated code */
+  def quantizeEval(x: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = x.numElements()
+    var mx = 0.0; var i = 0
+    while (i < n) { val v = math.abs(x.getFloat(i).toDouble); if (v > mx) mx = v; i += 1 }
+    val scale = if (mx == 0.0) 1.0 else 127.0 / mx
+    val q = new Array[Int](n)
+    i = 0
+    while (i < n) { q(i) = (x.getFloat(i).toDouble * scale).toInt; i += 1 }
+    org.apache.spark.sql.catalyst.InternalRow(scale,
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(q))
+  }
+
+  /** cosine over INT arrays (quantized vectors) — same contract as
+    * [[CosineSimilarity]].
+    */
+  case class Int8CosineSimilarity(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), y.numElements())
+      var dot = 0L; var nx = 0L; var ny = 0L; var i = 0
+      while (i < n) {
+        val xi = x.getInt(i).toLong; val yi = y.getInt(i).toLong
+        dot += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
+      }
+      if (nx == 0L || ny == 0L) 0.0
+      else dot / math.sqrt(nx.toDouble * ny.toDouble)
+    }
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val i = ctx.freshName("i"); val n = ctx.freshName("n")
+        val dot = ctx.freshName("dot"); val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+        val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
+        s"""
+           |int $n = Math.min($a.numElements(), $b.numElements());
+           |long $dot = 0L, $nx = 0L, $ny = 0L;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  long $xi = $a.getInt($i); long $yi = $b.getInt($i);
+           |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+           |}
+           |${ev.value} = ($nx == 0L || $ny == 0L) ? 0.0
+           |  : $dot / Math.sqrt((double) $nx * (double) $ny);
+         """.stripMargin
+      })
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+  }
+
   // Column-API wrappers
   def cosine_similarity(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
@@ -170,6 +251,10 @@ object VectorFunctions {
   def l2_norm(a: Column): Column = Bridge.column(L2Norm(Bridge.expression(a)))
   def rp_signature(a: Column, seed: Int, bits: Int = 64): Column =
     Bridge.column(RandomProjectionSignature(Bridge.expression(a), seed, bits))
+  def quantize_int8(a: Column): Column =
+    Bridge.column(QuantizeInt8(Bridge.expression(a)))
+  def cosine_similarity_int8(a: Column, b: Column): Column =
+    Bridge.column(Int8CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
 
   /** SQL registration: `SELECT cosine_similarity(e1, e2) FROM ...`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

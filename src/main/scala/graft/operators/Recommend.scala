@@ -63,6 +63,33 @@ object Recommend {
         (col("pos") + 1).cast("long").as("rank"),
         col("rec.rating").as("score"))
 
+  /** M4 (item side): per-item top-k users, flat rows — the
+    * `recommendForAllItems` twin of [[recommendTopK]] (audience targeting /
+    * item-cold-start triage; not used by the reference but part of the
+    * same MLlib surface).
+    */
+  def recommendUsersTopK(model: ALSModel, k: Int): DataFrame =
+    model.recommendForAllItems(k)
+      .select(col("movieId"),
+        posexplode(col("recommendations")).as(Seq("pos", "rec")))
+      .select(col("movieId"),
+        col("rec.userId").as("userId"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("rec.rating").as("score"))
+
+  /** M4 (subset): recommendations for a user subset only — at scale the
+    * subset is the probe side; MLlib joins it against the factor matrix
+    * before the blocked top-k, so cost tracks |subset|, not |all users|.
+    */
+  def recommendForUsers(model: ALSModel, users: DataFrame, k: Int): DataFrame =
+    model.recommendForUserSubset(users, k)
+      .select(col("userId"),
+        posexplode(col("recommendations")).as(Seq("pos", "rec")))
+      .select(col("userId"),
+        col("rec.movieId").as("movieId"),
+        (col("pos") + 1).cast("long").as("rank"),
+        col("rec.rating").as("score"))
+
   /** A6/O5 DataFrame-native per-key top-k for arbitrary scored relations
     * (the non-ALS path): ranking window + filter. At scale this is one
     * shuffle on `key`; no global sort, no driver collect (contrast

@@ -345,6 +345,17 @@ object AnalyticsQueries {
         .orderBy(col("userId"))
     }),
 
+    // Two-phase salted aggregation (explicit skew mitigation — the form
+    // for hot group keys AQE can't split because it's an aggregate, not a
+    // join). Result provably identical to the direct groupBy.
+    "q_salted_agg" -> ((s, d) => {
+      graft.operators.Skew.saltedSumCount(Tables.ratings(s, d),
+        "movieId", "rating", spread = Seq("userId", "ts"), buckets = 16)
+        .select(col("movieId"),
+          round(col("sum_rating"), 6).as("sum_rating_r"), col("n"))
+        .orderBy(col("movieId"))
+    }),
+
     // Mergeable DataSketches HLL (the 100 TB count-distinct path: partial
     // sketches union across partitions/days). Sketch-specific → rows-only;
     // tolerance vs exact asserted in scalatest.
@@ -558,6 +569,12 @@ object AnalyticsQueries {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY rf, ls""".stripMargin,
+
+    "q_salted_agg" ->
+      s"""WITH ${Tables.ratingsSql}
+         |SELECT movieId, ROUND(SUM(rating), 6) AS sum_rating_r,
+         |  COUNT(*) AS n
+         |FROM ratings GROUP BY movieId ORDER BY movieId""".stripMargin,
 
     "q_typed_agg" ->
       s"""WITH ${Tables.ratingsSql}

@@ -83,6 +83,18 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // INT8 quantization (training-data transport format): scale +
+    // truncated int vector, DuckDB-verified bit-for-bit (trunc semantics
+    // are engine-independent; see QuantizeInt8 scaladoc)
+    "q_embed_quantize" -> ((s, d) => {
+      emb(s, d).filter(col("vec_id") < 50)
+        .select(col("vec_id"), quantize_int8(col("embedding")).as("qz"))
+        .select(col("vec_id"),
+          round(col("qz.scale"), 6).as("scale_r"),
+          array_join(col("qz.q").cast("array<string>"), ",").as("q_str"))
+        .orderBy(col("vec_id"))
+    }),
+
     // embedding-cosine near-dup candidate pairs (LSH) — top-50 by cosine,
     // rows-only (bucketing is Spark-hash-specific)
     "q_dedup_cosine" -> ((s, d) => {
@@ -115,6 +127,20 @@ object SimilarityQueries {
         |)
         |SELECT query_id, neighbor_id, rank, cos_r FROM ranked
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    "q_embed_quantize" ->
+      """WITH b AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings WHERE vec_id < 50
+        |),
+        |m AS (SELECT vec_id, e,
+        |        list_max(list_transform(e, x -> abs(x))) AS mx FROM b),
+        |q AS (SELECT vec_id, e,
+        |        CASE WHEN mx = 0 THEN 1.0 ELSE 127.0/mx END AS scale FROM m)
+        |SELECT vec_id, ROUND(scale, 6) AS scale_r,
+        |  array_to_string(list_transform(e,
+        |    x -> CAST(trunc(x * scale) AS BIGINT)), ',') AS q_str
+        |FROM q ORDER BY vec_id""".stripMargin,
 
     "q_embed_norms" ->
       """WITH n AS (

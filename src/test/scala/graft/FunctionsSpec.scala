@@ -81,6 +81,31 @@ class FunctionsSpec extends SparkTestBase {
     assert(r.getLong(0) != r.getLong(2))
   }
 
+  test("int8 quantization: zero-vector guard, bounded values, cosine preserved") {
+    val z = Seq(Tuple1(Array(0.0f, 0.0f))).toDF("v")
+      .select(quantize_int8(col("v")).as("qz")).first()
+    assert(z.getStruct(0).getDouble(0) == 1.0)
+    assert(z.getStruct(0).getSeq[Int](1) == Seq(0, 0))
+
+    val e = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // bounded: |q_i| <= 127 for every vector
+    val overflow = e.select(quantize_int8(col("embedding")).as("qz"))
+      .select(explode(col("qz.q")).as("qi")).filter(abs(col("qi")) > 127).count()
+    assert(overflow == 0)
+    // cosine preservation: int8 cosine within 0.01 of float cosine on pairs
+    val a = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("ia"), col("embedding").as("va"),
+        quantize_int8(col("embedding")).getField("q").as("qa"))
+    val b = e.filter(col("vec_id") >= 20 && col("vec_id") < 40)
+      .select(col("vec_id").as("ib"), col("embedding").as("vb"),
+        quantize_int8(col("embedding")).getField("q").as("qb"))
+    val err = a.crossJoin(b)
+      .select(abs(cosine_similarity(col("va"), col("vb")) -
+        cosine_similarity_int8(col("qa"), col("qb"))).as("e"))
+      .agg(max(col("e"))).first().getDouble(0)
+    assert(err < 0.01, s"max cosine drift $err")
+  }
+
   test("hll_sketch estimate within 5% of exact count-distinct") {
     val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
     val exact = li.select(countDistinct(col("l_partkey"))).first().getLong(0)

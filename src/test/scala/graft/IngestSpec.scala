@@ -63,6 +63,35 @@ class IngestSpec extends SparkTestBase {
     assert(back.exceptAll(src).count() == 0)
   }
 
+  test("binaryFile source: media bytes arrive schema'd and whole") {
+    val dir = Files.createTempDirectory("graft_bin")
+    val payloads = Map("a.bin" -> Array[Byte](1, 2, 3),
+      "b.bin" -> Array.tabulate[Byte](256)(_.toByte))
+    payloads.foreach { case (n, bytes) =>
+      Files.write(dir.resolve(n), bytes)
+    }
+    val df = spark.read.format("binaryFile").load(dir.toString)
+    assert(df.columns.toSet == Set("path", "modificationTime", "length", "content"))
+    val back = df.select(element_at(split(col("path"), "/"), -1).as("name"),
+      col("content")).collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+    assert(back.keySet == payloads.keySet)
+    payloads.foreach { case (n, bytes) =>
+      assert(java.util.Arrays.equals(back(n), bytes), s"bytes of $n")
+    }
+  }
+
+  test("text source: one row per line, pipelines into the doc operators") {
+    val dir = Files.createTempDirectory("graft_txt").toString
+    Seq("The quick brown fox", "hello world hello").toDF("value")
+      .write.mode("overwrite").text(dir)
+    val docs = spark.read.text(dir)
+      .select(monotonically_increasing_id().as("doc_id"), col("value").as("text"))
+    val toks = docs.select(graft.functions.TextStats.text_stats(col("text")).as("st"))
+      .select(col("st.n_tokens")).as[Long].collect().sorted
+    assert(toks.toSeq == Seq(3L, 4L))
+  }
+
   test("typed Dataset[Rating] surface agrees with the DataFrame view") {
     val ds = Tables.ratingsDs(spark, sf)
     val viaDs = ds.filter(_.rating >= 4.5).count()

@@ -49,6 +49,24 @@ class RecommendSpec extends SparkTestBase {
       s"$evenUserOddItem of $total even-user recs are odd items")
   }
 
+  test("recommendUsersTopK (item side) surfaces the matching parity users") {
+    val recs = Recommend.recommendUsersTopK(model, 5)
+    val evenItemOddUser = recs
+      .filter(pmod(col("movieId"), lit(2)) === 0 && pmod(col("userId"), lit(2)) === 1)
+      .count()
+    val total = recs.filter(pmod(col("movieId"), lit(2)) === 0).count()
+    assert(evenItemOddUser.toDouble / total < 0.2,
+      s"$evenItemOddUser of $total even-item recs are odd users")
+  }
+
+  test("recommendForUsers covers exactly the requested subset") {
+    val subset = Seq(0, 2, 4).toDF("userId")
+    val recs = Recommend.recommendForUsers(model, subset, 3)
+    assert(recs.select(col("userId")).distinct().as[Int].collect().toSet == Set(0, 2, 4))
+    assert(recs.groupBy(col("userId")).count()
+      .filter(col("count") =!= 3).count() == 0, "3 recs per requested user")
+  }
+
   test("topKPerKey returns exactly k ranked rows per key") {
     val scored = Seq((1, 10, 3.0), (1, 11, 5.0), (1, 12, 4.0), (2, 10, 1.0))
       .toDF("userId", "movieId", "score")
