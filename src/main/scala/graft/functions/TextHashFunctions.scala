@@ -207,6 +207,62 @@ object TextHashFunctions {
       seed: Long = 42L): Column =
     Bridge.column(MinHashBandBuckets(Bridge.expression(tokens), bands, rowsPerBand, seed))
 
+  /** Winnowing-style rolling fingerprints in ONE pass: normalize
+    * (tokenize + single-space join, same tokenizer as [[ShingleSet]]),
+    * hash every char n-gram of the normalized text (FNV-1a over chars),
+    * keep hashes ≡ 0 (mod keepMod) — a deterministic ~1/keepMod position
+    * sample robust to local edits. Output sorted distinct.
+    *
+    * Fused for the same reason as [[ShingleSet]]: the composed form put
+    * the normalization expression inside the per-position `transform`
+    * lambda — one full tokenization per CHARACTER of the document.
+    */
+  case class RollingFingerprints(child: Expression, n: Int, keepMod: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(a: Any): Any =
+      rollingFpEval(a.asInstanceOf[UTF8String], n, keepMod)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) " +
+          s"graft.functions.TextHashFunctions.rollingFpEval($a, $n, $keepMod);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** static entry point for generated code */
+  def rollingFpEval(u: UTF8String, n: Int, keepMod: Int): ArrayData = {
+    val s = u.toString
+    val norm = new java.lang.StringBuilder
+    var i = 0
+    var inTok = false
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (Character.isLetter(cp) || Character.isDigit(cp)) {
+        if (!inTok && norm.length > 0) norm.append(' ')
+        norm.appendCodePoint(Character.toLowerCase(cp)); inTok = true
+      } else inTok = false
+      i += Character.charCount(cp)
+    }
+    val kept = new java.util.TreeSet[java.lang.Long]
+    val m = norm.length
+    var start = 0
+    while (start <= m - n) {
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < n) { h ^= norm.charAt(start + j); h *= 0x100000001b3L; j += 1 }
+      if (java.lang.Math.floorMod(h, keepMod.toLong) == 0L) kept.add(h)
+      start += 1
+    }
+    val out = new Array[Long](kept.size)
+    val it = kept.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    ArrayData.toArrayData(out)
+  }
+
+  def rolling_fingerprints(text: Column, n: Int, keepMod: Int): Column =
+    Bridge.column(RollingFingerprints(Bridge.expression(text), n, keepMod))
+
   /** Hamming distance between two 64-bit signatures (for simhash near-dup
     * thresholds) — plain bitCount, exposed as a Column helper.
     */

@@ -95,6 +95,17 @@ object TextAnalysis {
     }
   }
 
+  /** PII/noise scrubbing for corpus curation: emails → `<EMAIL>`,
+    * URLs → `<URL>`, digit runs → `<NUM>`. Pure regexp_replace chain
+    * (codegen'd, map-only); patterns are RE2-compatible so the DuckDB
+    * oracle applies the identical chain.
+    */
+  def scrub(text: Column): Column = {
+    val email = regexp_replace(text, "[\\w.+-]+@[\\w-]+\\.[\\w.]+", "<EMAIL>")
+    val url = regexp_replace(email, "https?://\\S+", "<URL>")
+    regexp_replace(url, "\\d+", "<NUM>")
+  }
+
   /** Exact-content fingerprint: xxhash64 of the normalized token stream —
     * whitespace/punctuation-insensitive identity.
     */
@@ -104,13 +115,12 @@ object TextAnalysis {
   /** Winnowing-style rolling fingerprint set: hashes of all char n-grams of
     * the normalized text, keep every hash ≡ 0 (mod keepMod) — a
     * deterministic ~1/keepMod sample of positions, robust to local edits
-    * (the classic document-fingerprinting construction).
+    * (the classic document-fingerprinting construction). Fused single-pass
+    * expression — the composed `transform(sequence(...), i ->
+    * hash(norm.substr(i, n)))` form re-evaluated the whole normalization
+    * inside the lambda, once per CHARACTER (see RollingFingerprints
+    * scaladoc).
     */
-  def rollingFingerprints(text: Column, n: Int = 8, keepMod: Int = 4): Column = {
-    val norm = concat_ws(" ", Dedup.tokens(text))
-    val hashes = transform(
-      sequence(lit(0), greatest(length(norm) - n, lit(0))),
-      i => xxhash64(norm.substr(i + 1, lit(n))))
-    array_distinct(filter(hashes, h => pmod(h, lit(keepMod)) === 0))
-  }
+  def rollingFingerprints(text: Column, n: Int = 8, keepMod: Int = 4): Column =
+    graft.functions.TextHashFunctions.rolling_fingerprints(text, n, keepMod)
 }

@@ -104,6 +104,44 @@ object TextQueries {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     }),
 
+    // corpus-wide top-20 trigram shingles (explode → count → top-k with
+    // full tiebreak): the n-gram frequency table a tokenizer/contamination
+    // audit starts from. One shuffle (ngram) + TakeOrdered.
+    "q_top_ngrams" -> ((s, d) => {
+      docs(s, d)
+        .select(explode(Dedup.shingles(col("text"), 3)).as("ngram"))
+        .groupBy(col("ngram"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("n_docs").desc, col("ngram"))
+        .limit(20)
+    }),
+
+    // PII/noise scrubbing over the events props strings (the only text in
+    // the testdata with digit runs): emails/URLs/numbers → placeholders.
+    "q_text_scrub" -> ((s, d) => {
+      Tables.events(s, d)
+        .select(col("event_id"),
+          TextAnalysis.scrub(col("props")).as("scrubbed"),
+          size(regexp_extract_all(col("props"), lit("\\d+"), lit(0)))
+            .cast("long").as("n_nums"))
+        .orderBy(col("event_id"))
+    }),
+
+    // composed curation pipeline: exact-dedup winners ⋂ quality ≥ 0.5 ⋂
+    // language 'en' → per-source corpus stats. The shape every training-
+    // data cleaning job has; all stages are the operators verified above,
+    // so the whole composition is DuckDB-oracled end-to-end.
+    "q_corpus_clean" -> ((s, d) => {
+      val base = docs(s, d)
+      val keep = Dedup.exactDedup(base).select(col("keep_id").as("doc_id"))
+      base.join(keep, Seq("doc_id"))
+        .filter(TextAnalysis.qualityScore(col("text")) >= 0.5)
+        .filter(TextAnalysis.langId(col("text")) === "en")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_total"))
+        .orderBy(col("source"))
+    }),
+
     // SimHash signatures (custom codegen'd expression) — rows-only
     "q_dedup_simhash" -> ((s, d) => {
       docs(s, d).select(
@@ -170,6 +208,66 @@ object TextQueries {
       s"""SELECT doc_id,
          |  md5(array_to_string($duckToks, ' ')) AS fp_md5
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_top_ngrams" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS tk FROM documents),
+         |sh AS (
+         |  SELECT doc_id, UNNEST(list_distinct(
+         |    CASE WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+         |         WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+         |         ELSE [array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)]
+         |    END)) AS ngram
+         |  FROM t
+         |)
+         |SELECT ngram, COUNT(*) AS n_docs FROM sh GROUP BY ngram
+         |ORDER BY n_docs DESC, ngram LIMIT 20""".stripMargin,
+
+    "q_text_scrub" ->
+      """SELECT event_id,
+        |  regexp_replace(regexp_replace(regexp_replace(props,
+        |    '[\w.+-]+@[\w-]+\.[\w.]+', '<EMAIL>', 'g'),
+        |    'https?://\S+', '<URL>', 'g'),
+        |    '\d+', '<NUM>', 'g') AS scrubbed,
+        |  CAST(len(regexp_extract_all(props, '\d+')) AS BIGINT) AS n_nums
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_corpus_clean" ->
+      s"""WITH keepers AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+         |),
+         |t AS (
+         |  SELECT d.doc_id, d.source, d.n_chars, d.text, $duckToks AS toks,
+         |    CAST(length(d.text) AS DOUBLE) AS nchar
+         |  FROM documents d JOIN keepers k ON d.doc_id = k.doc_id
+         |),
+         |scored AS (
+         |  SELECT *,
+         |    ROUND(
+         |      LEAST(len(toks) / 20.0, 1.0) * 0.4 +
+         |      LEAST((CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+         |        CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this'], x))) AS DOUBLE) / len(toks) END) * 4.0, 1.0) * 0.3 +
+         |      GREATEST(1.0 - (CASE WHEN nchar = 0 THEN 0.0 ELSE
+         |        len(regexp_extract_all(text, '[[:punct:]]')) / nchar END) * 5.0, 0.0) * 0.3,
+         |    6) AS quality,
+         |    CAST(len(list_filter(toks, x -> list_contains(['der','die','und','das','nicht','ist','von','mit','den','im'], x))) AS BIGINT) AS hits_de,
+         |    CAST(len(list_filter(toks, x -> list_contains(['the','and','of','to','is','in','that','it','for','with'], x))) AS BIGINT) AS hits_en,
+         |    CAST(len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','los','del','las','por'], x))) AS BIGINT) AS hits_es,
+         |    CAST(len(list_filter(toks, x -> list_contains(['le','la','et','les','des','est','dans','que','pour','une'], x))) AS BIGINT) AS hits_fr
+         |  FROM t
+         |),
+         |lang AS (
+         |  SELECT *,
+         |    CASE WHEN GREATEST(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+         |         WHEN hits_de = GREATEST(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
+         |         WHEN hits_en = GREATEST(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
+         |         WHEN hits_es = GREATEST(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
+         |         ELSE 'fr' END AS lang_guess
+         |  FROM scored
+         |)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+         |FROM lang WHERE quality >= 0.5 AND lang_guess = 'en'
+         |GROUP BY source ORDER BY source""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,

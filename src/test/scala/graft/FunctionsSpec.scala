@@ -106,6 +106,22 @@ class FunctionsSpec extends SparkTestBase {
     assert(err < 0.01, s"max cosine drift $err")
   }
 
+  test("rolling fingerprints: deterministic, mostly survive a local edit") {
+    import graft.operators.TextAnalysis
+    val df = Seq((
+      "The quick brown fox jumps over the lazy dog again and again tonight",
+      "The quick brown fox jumps over the crazy dog again and again tonight"
+    )).toDF("a", "b")
+    val r = df.select(
+      TextAnalysis.rollingFingerprints(col("a"), 8, 4).as("fa"),
+      TextAnalysis.rollingFingerprints(col("b"), 8, 4).as("fb"))
+      .select(size(array_intersect(col("fa"), col("fb"))).as("common"),
+        size(col("fa")).as("na")).first()
+    assert(r.getInt(1) > 0, "non-empty fingerprint set")
+    assert(r.getInt(0) >= r.getInt(1) / 2,
+      s"one-word edit kept only ${r.getInt(0)}/${r.getInt(1)} fingerprints")
+  }
+
   test("hll_sketch estimate within 5% of exact count-distinct") {
     val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
     val exact = li.select(countDistinct(col("l_partkey"))).first().getLong(0)
