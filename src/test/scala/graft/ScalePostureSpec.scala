@@ -79,6 +79,57 @@ class ScalePostureSpec extends SparkTestBase {
     assert(j.count() > 0)
   }
 
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    // InjectRuntimeFilter: a selective dim-side predicate grows a bloom
+    // filter that is pushed into the fact scan at runtime — row-level
+    // pruning BEFORE the shuffle, the 100 TB complement to static
+    // partition pruning. Thresholds lowered to fire at test scale; the
+    // rewrite is what's asserted, results must be unchanged.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "500MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val o = Tables.orders(spark, sf).filter(col("o_orderpriority") === "1-URGENT")
+      val l = Tables.lineitem(spark, sf)
+      val j = l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      val optimized = j.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("bloom_filter") || optimized.contains("BloomFilter"),
+        s"runtime bloom filter not injected:\n$optimized")
+      val n = j.first().getLong(1)
+      val expected = l.join(o.hint("broadcast"), col("l_orderkey") === col("o_orderkey")).count()
+      assert(n == expected, s"bloom-filtered result $n != $expected")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("cached relation is reused across actions (InMemoryTableScan)") {
+    val agg = Popularity.aggRatings(Tables.ratings(spark, sf)).cache()
+    try {
+      val n = agg.count() // materialize
+      val plan2 = agg.filter(col("user_count") > 1).queryExecution.executedPlan.toString
+      assert(plan2.contains("InMemoryTableScan"), plan2)
+      assert(agg.filter(col("user_count") >= 1).count() <= n)
+    } finally agg.unpersist()
+  }
+
+  test("df.observe surfaces pipeline metrics without a second pass") {
+    val obs = new org.apache.spark.sql.Observation("ratings_metrics")
+    val r = Tables.ratings(spark, sf)
+      .observe(obs, count(lit(1)).as("n_rows"),
+        sum(when(col("rating") >= 4.0, 1).otherwise(0)).as("n_high"))
+    val total = r.count()
+    val metrics = obs.get
+    assert(metrics("n_rows") == total)
+    assert(metrics("n_high").asInstanceOf[Long] <= total)
+  }
+
   test("reference-user migration path: CSV → split → popularity → eval, public API only") {
     val dir = Files.createTempDirectory("graft_ml").toString
     // a MovieLens-shaped CSV written the way the reference's data arrives

@@ -168,6 +168,29 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("file stream source: new parquet files picked up incrementally") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_fsrc").toString
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val e1 = Seq((1L, ts(0), 1L, "a", 1.0), (2L, ts(1), 1L, "b", 2.0))
+      .toDF(cols: _*)
+    e1.write.mode("append").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(e1.schema).parquet(s"$dir/in")
+    val q = EventStreams.tumblingCounts(stream, "1 hour", "2 hours")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("fsrc_out").start()
+    try {
+      q.processAllAvailable()
+      val n1 = spark.table("fsrc_out").agg(sum(col("n"))).first().getLong(0)
+      assert(n1 == 2, s"first batch: $n1")
+      // a new file landing in the directory is the incremental unit
+      Seq((3L, ts(2), 2L, "a", 3.0)).toDF(cols: _*)
+        .write.mode("append").parquet(s"$dir/in")
+      q.processAllAvailable()
+      val n2 = spark.table("fsrc_out").agg(sum(col("n"))).first().getLong(0)
+      assert(n2 == 3, s"after new file: $n2")
+    } finally q.stop()
+  }
+
   test("runningUserTotals accumulates custom state per user") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[EventStreams.Ev]
