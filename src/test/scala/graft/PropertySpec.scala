@@ -1,0 +1,128 @@
+package graft
+
+import graft.operators.{Dedup, Eval, Popularity, Split}
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based tests (SURVEY §5 test plan): scalacheck generators with
+  * a fixed seed; scalar metric properties checked directly, column/
+  * operator properties checked VECTORIZED — all generated cases become one
+  * DataFrame and the property is asserted as a column predicate, so each
+  * property costs one Spark job instead of one per case.
+  */
+class PropertySpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private def cases[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).map(i => g.pureApply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val idList: Gen[List[Int]] =
+    Gen.chooseNum(0, 12).flatMap(k => Gen.listOfN(k, Gen.chooseNum(0, 30)))
+
+  // NOTE (found by this property): the reference's formula is NOT a
+  // normalized AP. A label found at rank 1 contributes (1 + 1/1)/k = 2/k,
+  // so the score's true range is [0, 2/k] — score 2.0 for k=1 — which is
+  // why the reference's published mAP values are so small (≤ 0.02 at
+  // k=100 by construction, see BASELINE.md). Replicated exactly; the
+  // normalized metric is standardMapAtK.
+  test("referenceMapScore: in [0, 2/k] and equal to a direct als.py:10-20 transcription") {
+    def direct(topK: Seq[Int], labels: Seq[Int]): Double = {
+      if (labels.isEmpty) return 0.0
+      var s = 0.0
+      for (m <- labels) {
+        var found = false
+        var i = 0
+        while (i < topK.size && !found) {
+          if (topK(i) == m) { s += (1.0 + 1.0 / (i + 1)) / topK.size; found = true }
+          i += 1
+        }
+      }
+      s / labels.size
+    }
+    for ((topK, labels) <- cases(Gen.zip(idList, idList), 300)) {
+      val v = Eval.referenceMapScore(topK, labels)
+      val bound = 2.0 / math.max(1, topK.size)
+      assert(v >= 0.0 && v <= bound + 1e-12, s"out of [0, $bound]: $v for ($topK, $labels)")
+      assert(math.abs(v - direct(topK, labels)) < 1e-12, s"mismatch for ($topK, $labels)")
+    }
+  }
+
+  test("hitRatioScore: in [0,1] and equal to |labels ∩ topK| / |labels|") {
+    for ((topK, labels) <- cases(Gen.zip(idList, idList), 300)) {
+      val v = Eval.hitRatioScore(topK, labels)
+      val expect = if (labels.isEmpty) 0.0
+        else labels.count(topK.toSet).toDouble / labels.size
+      assert(v == expect && v >= 0.0 && v <= 1.0, s"($topK, $labels) -> $v")
+    }
+  }
+
+  test("jaccard: range, symmetry, self-similarity (vectorized)") {
+    val pairs = cases(Gen.zip(idList, idList), 200)
+      .map { case (a, b) => (a.distinct.map(_.toString), b.distinct.map(_.toString)) }
+    val df = pairs.toDF("a", "b")
+      .select(Dedup.jaccard(col("a"), col("b")).as("jab"),
+        Dedup.jaccard(col("b"), col("a")).as("jba"),
+        Dedup.jaccard(col("a"), col("a")).as("jaa"),
+        size(col("a")).as("na"))
+    val bad = df.filter(
+      col("jab") < 0 || col("jab") > 1 ||
+        col("jab") =!= col("jba") ||
+        (col("na") > 0 && col("jaa") =!= 1.0) ||
+        (col("na") === 0 && col("jaa") =!= 0.0)).count()
+    assert(bad == 0)
+  }
+
+  test("weightedScore is a convex combination of r and avg (vectorized)") {
+    val g = Gen.zip(Gen.chooseNum(1, 1000), Gen.chooseNum(0.5, 5.0),
+      Gen.chooseNum(1.0, 500.0), Gen.chooseNum(0.5, 5.0))
+    val df = cases(g, 300).toDF("v", "r", "per", "avg")
+      .select(col("r"), col("avg"),
+        Popularity.weightedScore(col("v").cast("double"), col("r"),
+          col("per"), col("avg")).as("s"))
+    val bad = df.filter(
+      col("s") < least(col("r"), col("avg")) - 1e-9 ||
+        col("s") > greatest(col("r"), col("avg")) + 1e-9).count()
+    assert(bad == 0, "score escaped [min(r,avg), max(r,avg)]")
+  }
+
+  test("int8 quantization error bounded by one step (vectorized)") {
+    val vecGen = Gen.chooseNum(1, 16).flatMap(d =>
+      Gen.listOfN(d, Gen.chooseNum(-100.0f, 100.0f)))
+    val df = cases(vecGen, 200).map(v => Tuple1(v.toArray)).toDF("v")
+      .select(col("v"), quantize_int8(col("v")).as("qz"))
+      .select(explode(arrays_zip(col("v"), col("qz.q"))).as("z"),
+        col("qz.scale").as("scale"))
+      .select((abs(col("z.v") - col("z.q") / col("scale")) * col("scale")).as("stepErr"))
+    val bad = df.filter(col("stepErr") >= 1.0 + 1e-9).count()
+    assert(bad == 0, "quantization error exceeded one integer step")
+  }
+
+  test("antiJoin partition property: A = (A ⋉ B) ⊎ (A ▷ B)") {
+    val rowGen = Gen.listOfN(40, Gen.zip(Gen.chooseNum(0, 8), Gen.chooseNum(0, 8)))
+    for (rows <- cases(Gen.zip(rowGen, rowGen), 3)) {
+      val a = rows._1.toDF("k", "x")
+      val b = rows._2.toDF("k", "x")
+      val semi = a.join(b, Seq("k", "x"), "left_semi")
+      val anti = Split.antiJoin(a, b, Seq("k", "x"))
+      assert(semi.count() + anti.count() == a.count())
+      assert(semi.unionAll(anti).exceptAll(a).isEmpty &&
+        a.exceptAll(semi.unionAll(anti)).isEmpty)
+    }
+  }
+
+  test("splitV2 multiset-partitions arbitrary inputs (incl. duplicates)") {
+    val rowGen = Gen.listOfN(60,
+      Gen.zip(Gen.chooseNum(1, 5), Gen.chooseNum(1, 10), Gen.oneOf(1.0, 2.0)))
+    for (rows <- cases(rowGen, 3)) {
+      val r = rows.toDF("userId", "movieId", "rating")
+      val (train, v, t) = Split.splitV2(r, 0.25, 99L)
+      val together = train.unionAll(v).unionAll(t)
+      assert(together.count() == r.count())
+      assert(together.exceptAll(r).isEmpty && r.exceptAll(together).isEmpty,
+        "train ⊎ val ⊎ test must equal the input as a multiset")
+    }
+  }
+}
