@@ -182,6 +182,20 @@ object PipelineQueries {
       Eval.rmse(Recommend.predict(model, test))
     }),
 
+    // The COMPLETE reference lifecycle in one query (als.py:87-133):
+    // fit → recommendForAllUsers → distributed MAP@k of the recs against
+    // the held-out interactions. Rows-only (ALS factors are not
+    // SQL-expressible); the eval math itself is the oracle-verified
+    // standardMapAtK.
+    "q_als_map" -> ((s, d) => {
+      val (train, test) = interactionSplit(Tables.ratings(s, d))
+      val cfg = Recommend.AlsConfig(rank = 32, maxIter = 3, regParam = 0.15)
+      val model = Recommend.train(train, cfg)
+      val recs = Recommend.recommendTopK(model, 10)
+        .select(col("userId"), col("movieId"), col("rank"))
+      Eval.standardMapAtK(test, recs, 10)
+    }),
+
     // M4: per-user top-5 recommendations, flat rows (als.py:96,120).
     "q_als_recs" -> ((s, d) => {
       val (train, _) = interactionSplit(Tables.ratings(s, d))

@@ -88,6 +88,46 @@ object EventStreams {
       last_ts: Long)
   case class SessionUpdate(user_id: Long, n_events: Long, total_value: Double)
 
+  /** The same running-totals state machine on the Spark 4 arbitrary-state
+    * v2 API (`transformWithState`): typed `ValueState` obtained from the
+    * processor handle, explicit `TimeMode`/TTL, RocksDB-backed (the API
+    * requires the RocksDB state store provider — set
+    * `spark.sql.streaming.stateStore.providerClass` accordingly). This is
+    * the forward path for custom streaming state; `runningUserTotals`
+    * (flatMapGroupsWithState) is kept as the v1 form.
+    */
+  class RunningTotalsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, SessionUpdate] {
+    @transient private var totals: org.apache.spark.sql.streaming.ValueState[UserSession] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      totals = getHandle.getValueState[UserSession]("totals",
+        org.apache.spark.sql.Encoders.product[UserSession],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[Ev],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[SessionUpdate] = {
+      val buf = rows.toSeq
+      val prev = if (totals.exists()) totals.get() else UserSession(uid, 0L, 0.0, 0L)
+      val next = UserSession(uid,
+        prev.n_events + buf.size,
+        prev.total_value + buf.map(_.value).sum,
+        math.max(prev.last_ts, buf.map(_.ts.getTime).foldLeft(0L)(math.max)))
+      totals.update(next)
+      Iterator(SessionUpdate(uid, next.n_events, next.total_value))
+    }
+  }
+
+  /** [[RunningTotalsProcessor]] wired through `transformWithState`. */
+  def runningUserTotalsV2(events: Dataset[Ev]): Dataset[SessionUpdate] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new RunningTotalsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Custom per-key state machine (the mapGroupsWithState escape hatch for
     * semantics session_window can't express — here: emit an update per
     * batch with running totals).

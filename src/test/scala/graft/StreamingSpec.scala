@@ -168,6 +168,36 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("transformWithState (state v2, RocksDB) accumulates per-user totals") {
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[EventStreams.Ev]
+      val out = EventStreams.runningUserTotalsV2(mem.toDS())
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName("state2_out").start()
+      try {
+        mem.addData(
+          EventStreams.Ev(1, ts(0), 1, "a", 2.0),
+          EventStreams.Ev(2, ts(1), 1, "a", 3.0))
+        q.processAllAvailable()
+        mem.addData(EventStreams.Ev(3, ts(2), 1, "a", 5.0))
+        q.processAllAvailable()
+        val rows = spark.table("state2_out")
+          .as[EventStreams.SessionUpdate].collect()
+          .map(u => (u.user_id, u.n_events, u.total_value)).toSet
+        // batch 1 emits (1,2,5.0); batch 2 resumes state → (1,3,10.0)
+        assert(rows == Set((1L, 2L, 5.0), (1L, 3L, 10.0)), rows.toString)
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("file stream source: new parquet files picked up incrementally") {
     val dir = java.nio.file.Files.createTempDirectory("graft_fsrc").toString
     val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
