@@ -273,6 +273,20 @@ object TextHashFunctions {
 
   def simhash64(tokens: Column): Column = Bridge.column(SimHash64(Bridge.expression(tokens)))
 
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import VectorFunctions.litInt
     Bridge.registerFunction(spark, "simhash64", es => SimHash64(es.head))
+    Bridge.registerFunction(spark, "shingle_set",
+      es => ShingleSet(es.head, litInt(es(1), "n")))
+    Bridge.registerFunction(spark, "minhash_band_buckets",
+      es => MinHashBandBuckets(es.head,
+        litInt(es(1), "bands"), litInt(es(2), "rowsPerBand"), 42L))
+    Bridge.registerFunction(spark, "rolling_fingerprints",
+      es => RollingFingerprints(es.head,
+        litInt(es(1), "n"), litInt(es(2), "keepMod")))
+    Bridge.registerFunction(spark, "text_stats",
+      es => TextStats.TextStatsExpr(es.head))
+    Bridge.registerFunction(spark, "lang_hits",
+      es => TextStats.LangHitsExpr(es.head))
+  }
 }

@@ -261,5 +261,18 @@ object VectorFunctions {
     Bridge.registerFunction(spark, "cosine_similarity", es => CosineSimilarity(es.head, es(1)))
     Bridge.registerFunction(spark, "dot_product", es => DotProduct(es.head, es(1)))
     Bridge.registerFunction(spark, "l2_norm", es => L2Norm(es.head))
+    Bridge.registerFunction(spark, "quantize_int8", es => QuantizeInt8(es.head))
+    Bridge.registerFunction(spark, "cosine_similarity_int8",
+      es => Int8CosineSimilarity(es.head, es(1)))
+    Bridge.registerFunction(spark, "rp_signature", es =>
+      RandomProjectionSignature(es.head,
+        litInt(es(1), "seed"), litInt(es(2), "bits")))
+  }
+
+  /** SQL-literal int argument (e.g. `rp_signature(v, 42, 64)`). */
+  private[graft] def litInt(e: Expression, name: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
   }
 }

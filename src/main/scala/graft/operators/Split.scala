@@ -35,6 +35,29 @@ object Split {
         .when(col(key).isin(valIds: _*), lit("validation"))
         .otherwise(lit("test")))
 
+  /** Deterministic fraction sampling by an ARITHMETIC content hash
+    * (Knuth multiplicative mixing, pure 64-bit integer ops): keep a row
+    * iff `mix(keys) mod 10_000 < fraction * 10_000`.
+    *
+    * Three properties `df.sample()` / `rand(seed)` don't give you:
+    * reproducible across engines (the mix is plain arithmetic — the same
+    * expression runs in ANSI SQL, so sampled pipelines stay
+    * oracle-checkable), stable under lazy re-evaluation and partition
+    * recomputation (pure function of row content), and stable under data
+    * APPEND (a row's keep/drop never changes when other rows arrive — the
+    * property that makes incremental training-data refreshes consistent).
+    * Map-only: pipelines into any scan, no shuffle, no driver state.
+    */
+  def hashSample(df: DataFrame, keys: Seq[Column], fraction: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction")
+    val mixed = keys.zipWithIndex
+      .map { case (k, i) =>
+        k.cast("long") * lit(Seq(2654435761L, 40503L, 2246822519L, 3266489917L)(i % 4))
+      }
+      .reduce(_ + _)
+    df.filter(pmod(mixed, lit(10000L)) < lit((fraction * 10000).toLong))
+  }
+
   /** Deterministic modulo-hash split — the scale-safe, oracle-reproducible
     * replacement for driver-built id lists: label is a pure function of the
     * key, needs no shuffle, no driver state, and is identical in ANSI SQL.

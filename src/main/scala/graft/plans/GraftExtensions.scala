@@ -49,6 +49,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[Expression]) => L2Norm(es.head)))
     e.injectFunction((FunctionIdentifier("simhash64"), info("simhash64"),
       (es: Seq[Expression]) => SimHash64(es.head)))
+    e.injectFunction((FunctionIdentifier("quantize_int8"), info("quantize_int8"),
+      (es: Seq[Expression]) => graft.functions.VectorFunctions.QuantizeInt8(es.head)))
+    e.injectFunction((FunctionIdentifier("cosine_similarity_int8"), info("cosine_similarity_int8"),
+      (es: Seq[Expression]) => graft.functions.VectorFunctions.Int8CosineSimilarity(es.head, es(1))))
+    e.injectFunction((FunctionIdentifier("shingle_set"), info("shingle_set"),
+      (es: Seq[Expression]) => graft.functions.TextHashFunctions.ShingleSet(es.head,
+        graft.functions.VectorFunctions.litInt(es(1), "n"))))
+    e.injectFunction((FunctionIdentifier("rolling_fingerprints"), info("rolling_fingerprints"),
+      (es: Seq[Expression]) => graft.functions.TextHashFunctions.RollingFingerprints(es.head,
+        graft.functions.VectorFunctions.litInt(es(1), "n"),
+        graft.functions.VectorFunctions.litInt(es(2), "keepMod"))))
+    e.injectFunction((FunctionIdentifier("text_stats"), info("text_stats"),
+      (es: Seq[Expression]) => graft.functions.TextStats.TextStatsExpr(es.head)))
     e.injectOptimizerRule(_ => VectorAlgebraRule)
   }
 }

@@ -118,6 +118,18 @@ object PipelineQueries {
           (col("n_sampled") + col("n_holdout") - col("n_total")).as("partition_violation"))
     }),
 
+    // Deterministic arithmetic-hash sampling (Split.hashSample): ~10% of
+    // ratings by (userId, movieId) content — reproducible in ANSI SQL, so
+    // the SAMPLED pipeline itself is oracle-checked (impossible with
+    // rand/sample, SURVEY §7.4 risk 1).
+    "q_hash_sample" -> ((s, d) => {
+      Split.hashSample(Tables.ratings(s, d),
+        Seq(col("userId"), col("movieId")), 0.1)
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("userId")).as("n_users"),
+          round(sum(col("rating")), 6).as("sum_rating"))
+    }),
+
     // U3 global hit-ratio of popularity recs (popularity_model.py:67,76).
     "q_eval_hit_ratio" -> ((s, d) => {
       val (train, v, _) = hashSplit(Tables.ratings(s, d))
@@ -216,6 +228,14 @@ object PipelineQueries {
          |            ELSE 'test' END AS train_val_test,
          |  COUNT(*) AS n, COUNT(DISTINCT movieId) AS n_movies
          |FROM ratings GROUP BY 1 ORDER BY train_val_test""".stripMargin,
+
+    "q_hash_sample" ->
+      s"""WITH ${Tables.ratingsSql}
+         |SELECT COUNT(*) AS n,
+         |  COUNT(DISTINCT userId) AS n_users,
+         |  ROUND(SUM(rating), 6) AS sum_rating
+         |FROM ratings
+         |WHERE (userId * 2654435761 + movieId * 40503) % 10000 < 1000""".stripMargin,
 
     "q_eval_hit_ratio" ->
       s"""WITH $splitSql,

@@ -69,6 +69,27 @@ class AsofExtensionsSpec extends SparkTestBase {
     assert(math.abs(r.getDouble(2) - 25.0) < 1e-9)
   }
 
+  test("registered SQL functions run from SQL text") {
+    graft.functions.VectorFunctions.register(spark)
+    graft.functions.TextHashFunctions.register(spark)
+    Seq((Array(3.0f, 4.0f), "The quick brown fox! The fox.", 7L))
+      .toDF("v", "t", "id").createOrReplaceTempView("graft_fn_t")
+    val r = spark.sql(
+      """SELECT l2_norm(v) AS n,
+        |  cosine_similarity(v, v) AS cs,
+        |  cosine_similarity_int8(quantize_int8(v).q, quantize_int8(v).q) AS ci,
+        |  size(shingle_set(t, 2)) AS n_sh,
+        |  text_stats(t).n_tokens AS n_tok,
+        |  size(rolling_fingerprints(t, 4, 2)) AS n_fp
+        |FROM graft_fn_t""".stripMargin).first()
+    assert(math.abs(r.getAs[Double]("n") - 5.0) < 1e-9)
+    assert(r.getAs[Double]("cs") == 1.0)
+    assert(math.abs(r.getAs[Double]("ci") - 1.0) < 1e-9)
+    assert(r.getAs[Int]("n_sh") == 5, "distinct bigrams of 6 tokens")
+    assert(r.getAs[Long]("n_tok") == 6L)
+    assert(r.getAs[Int]("n_fp") >= 0)
+  }
+
   test("GraftExtensions wires functions + rule into a fresh session build") {
     // apply() against a bare SparkSessionExtensions instance verifies the
     // registration wiring without tearing down the shared test session
