@@ -130,6 +130,32 @@ object PipelineQueries {
           round(sum(col("rating")), 6).as("sum_rating"))
     }),
 
+    // Typed COGROUP: per-user merge of two differently-shaped relations
+    // (ratings ⊞ events) in one custom function — the Scala analogue of
+    // applyInPandas over cogrouped frames. Both sides shuffle once on the
+    // key; the merge closure sees each user's rows from both inputs.
+    // Deterministic outputs (counts + sums) → DuckDB-oracled.
+    "q_cogroup" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      val r = Tables.ratings(s, d).select(col("userId"), col("rating"))
+        .as[(Long, Double)].groupByKey(_._1)
+      val e = Tables.events(s, d)
+        .select(col("user_id"), col("value")).as[(Long, Double)]
+        .groupByKey(_._1)
+      r.cogroup(e) { (uid, ratings, events) =>
+        var nr = 0L; var sr = 0.0
+        ratings.foreach { t => nr += 1; sr += t._2 }
+        var ne = 0L; var se = 0.0
+        events.foreach { t => ne += 1; se += t._2 }
+        Iterator((uid, nr, sr, ne, se))
+      }.toDF("userId", "n_ratings", "sum_rating_raw", "n_events", "sum_value_raw")
+        .select(col("userId"), col("n_ratings"),
+          round(col("sum_rating_raw"), 6).as("sum_rating"),
+          col("n_events"), round(col("sum_value_raw"), 6).as("sum_value"))
+        .orderBy(col("userId"))
+    }),
+
     // U3 global hit-ratio of popularity recs (popularity_model.py:67,76).
     "q_eval_hit_ratio" -> ((s, d) => {
       val (train, v, _) = hashSplit(Tables.ratings(s, d))
@@ -236,6 +262,22 @@ object PipelineQueries {
          |  ROUND(SUM(rating), 6) AS sum_rating
          |FROM ratings
          |WHERE (userId * 2654435761 + movieId * 40503) % 10000 < 1000""".stripMargin,
+
+    "q_cogroup" ->
+      s"""WITH ${Tables.ratingsSql},
+         |r AS (SELECT userId, COUNT(*) AS n_ratings,
+         |        ROUND(SUM(rating), 6) AS sum_rating
+         |      FROM ratings GROUP BY userId),
+         |e AS (SELECT user_id AS userId, COUNT(*) AS n_events,
+         |        ROUND(SUM(value), 6) AS sum_value
+         |      FROM events GROUP BY user_id)
+         |SELECT COALESCE(r.userId, e.userId) AS userId,
+         |  COALESCE(n_ratings, 0) AS n_ratings,
+         |  COALESCE(sum_rating, 0.0) AS sum_rating,
+         |  COALESCE(n_events, 0) AS n_events,
+         |  COALESCE(sum_value, 0.0) AS sum_value
+         |FROM r FULL OUTER JOIN e ON r.userId = e.userId
+         |ORDER BY userId""".stripMargin,
 
     "q_eval_hit_ratio" ->
       s"""WITH $splitSql,
