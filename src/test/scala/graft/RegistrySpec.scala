@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators.{AsofJoin, Dedup}
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+
+/** Registry integrity + operator edge cases.
+  *
+  * The query registry is built by merging module maps with `++`, which
+  * silently OVERWRITES duplicate keys — a name collision would silently
+  * drop a query from the verified surface. Asserted impossible here.
+  */
+class RegistrySpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private val modules = Seq(
+    "CoreQueries" -> (graft.queries.CoreQueries.queries.keySet,
+      graft.queries.CoreQueries.oracleSql.keySet),
+    "RelationalQueries" -> (graft.queries.RelationalQueries.queries.keySet,
+      graft.queries.RelationalQueries.oracleSql.keySet),
+    "PipelineQueries" -> (graft.queries.PipelineQueries.queries.keySet,
+      graft.queries.PipelineQueries.oracleSql.keySet),
+    "TextQueries" -> (graft.queries.TextQueries.queries.keySet,
+      graft.queries.TextQueries.oracleSql.keySet),
+    "EventQueries" -> (graft.queries.EventQueries.queries.keySet,
+      graft.queries.EventQueries.oracleSql.keySet),
+    "SimilarityQueries" -> (graft.queries.SimilarityQueries.queries.keySet,
+      graft.queries.SimilarityQueries.oracleSql.keySet),
+    "AnalyticsQueries" -> (graft.queries.AnalyticsQueries.queries.keySet,
+      graft.queries.AnalyticsQueries.oracleSql.keySet))
+
+  test("no query-name collisions across modules (++ merge would drop one)") {
+    val all = modules.flatMap(_._2._1.toSeq)
+    val dupes = all.groupBy(identity).collect { case (k, v) if v.size > 1 => k }
+    assert(dupes.isEmpty, s"duplicate query names: $dupes")
+    assert(SparkEntry.queries.size == all.size)
+  }
+
+  test("every oracle key has a query; every oracle lives with its query's module") {
+    assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
+    for ((name, (qs, os)) <- modules)
+      assert((os -- qs).isEmpty, s"$name has orphan oracle keys: ${os -- qs}")
+  }
+
+  test("asof joins tolerate an empty right side (all-null attach)") {
+    val left = Seq((1L, 100L, "p")).toDF("user_id", "us", "name")
+    val right = Seq.empty[(Long, Long, Long)].toDF("user_id", "us", "click_id")
+    for (f <- Seq(AsofJoin.asofBackward _, AsofJoin.asofForward _)) {
+      val out = f(left, right, "user_id", "us", "us",
+        Map("click_id" -> "c"), "click_id")
+      assert(out.count() == 1 && out.first().isNullAt(out.columns.indexOf("c")))
+    }
+  }
+
+  test("interval join with no in-window partner emits nothing") {
+    val a = Seq((1L, 1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("user_id", "event_id", "ts")
+    val b = Seq((1L, 2L, java.sql.Timestamp.valueOf("2024-01-01 05:00:00")))
+      .toDF("user_id", "event_id", "ts")
+    assert(EventStreams.intervalJoin(a, b, "10 minutes").count() == 0)
+  }
+
+  test("an identical-doc cluster of 5 yields exactly C(5,2) minhash pairs") {
+    val docs = (0 until 5).map(i => (i.toLong, "spark shuffles partition data across the cluster"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(docs, threshold = 0.99,
+      nShingle = 3, bands = 8, rowsPerBand = 4)
+    assert(pairs.count() == 10, "all 10 unordered pairs, each exactly once")
+    assert(pairs.filter(col("jaccard") =!= 1.0).count() == 0)
+  }
+
+  test("hashSample is append-stable: a row's verdict ignores other rows") {
+    val small = Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("userId", "movieId")
+    val big = (small.as[(Long, Long)].collect().toSeq ++
+      (100 to 200).map(i => (i.toLong, i.toLong * 7))).toDF("userId", "movieId")
+    val keys = Seq(col("userId"), col("movieId"))
+    val keptSmall = graft.operators.Split.hashSample(small, keys, 0.5)
+      .as[(Long, Long)].collect().toSet
+    val keptBigOverlap = graft.operators.Split.hashSample(big, keys, 0.5)
+      .as[(Long, Long)].collect().toSet
+      .intersect(small.as[(Long, Long)].collect().toSet)
+    assert(keptSmall == keptBigOverlap)
+  }
+}
