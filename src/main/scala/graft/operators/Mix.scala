@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-data composition operators: weighted source mixing and
+  * token-budget packing — the two transforms that sit between a cleaned
+  * corpus and a training run.
+  */
+object Mix {
+
+  /** Weighted mixing: materialize source `df` at sampling weight `w`
+    * (epochs): each row appears `floor(w)` times plus once more for the
+    * deterministic `frac(w)` hash-sample of rows. An `epoch` column
+    * disambiguates the copies (shufflers/downstream dedup see distinct
+    * rows; the copy multiset is reproducible).
+    *
+    * Entirely map-side: replicate = explode of a literal sequence,
+    * fractional part = [[Split.hashSample]] (content-hash — append-stable,
+    * engine-portable). No shuffle, no rand().
+    */
+  def weighted(df: DataFrame, weight: Double, keys: Seq[Column]): DataFrame = {
+    require(weight >= 0.0, s"weight $weight")
+    val whole = math.floor(weight).toInt
+    val frac = weight - whole
+    val replicated =
+      if (whole == 0) None
+      else Some(df.withColumn("epoch",
+        explode(sequence(lit(0), lit(whole - 1)))))
+    val fractional =
+      if (frac == 0.0) None
+      else Some(Split.hashSample(df, keys, frac).withColumn("epoch", lit(whole)))
+    (replicated.toSeq ++ fractional.toSeq).reduce(_ unionByName _)
+  }
+
+  /** Mix several same-schema sources at per-source weights. */
+  def weightedMix(sources: Seq[(DataFrame, Double)], keys: Seq[Column]): DataFrame =
+    sources.map { case (df, w) => weighted(df, w, keys) }.reduce(_ unionByName _)
+
+  /** Token-budget packing: assign documents to training shards so each
+    * shard holds ~`budget` tokens. Exact bin packing is sequential; the
+    * distributed form salts documents into `nWorkers` independent streams
+    * by content hash, orders each stream deterministically, and cuts it at
+    * running-token boundaries:
+    *
+    *   shard = worker * 2^32 + floor((cumsum(tokens) - tokens) / budget)
+    *
+    * One shuffle (on the worker salt); per-stream state is a running sum
+    * (bounded window frame). Oversized documents (> budget) get a shard
+    * of their own by construction. Deterministic: worker and order are
+    * content-hash functions, so the packing survives recomputation and
+    * re-runs — reproducible shard manifests.
+    */
+  def packByTokenBudget(
+      docs: DataFrame, idCol: String, tokenCol: String,
+      budget: Long, nWorkers: Int = 32): DataFrame =
+    packByTokenBudget(docs, idCol, tokenCol, budget, nWorkers,
+      pmod(xxhash64(col(idCol)), lit(nWorkers.toLong)),
+      xxhash64(lit(1), col(idCol)))
+
+  /** Variant with caller-supplied worker/order hash expressions — e.g.
+    * arithmetic mixing when the manifest must be reproducible in plain
+    * ANSI SQL (xxhash64 is Spark-specific).
+    */
+  def packByTokenBudget(
+      docs: DataFrame, idCol: String, tokenCol: String,
+      budget: Long, nWorkers: Int,
+      workerCol: Column, ordCol: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__worker"))
+      .orderBy(col("__ord"), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs
+      .withColumn("__worker", workerCol)
+      .withColumn("__ord", ordCol)
+      .withColumn("__cum", sum(col(tokenCol)).over(w))
+      .withColumn("shard",
+        col("__worker") * lit(1L << 32) +
+          floor((col("__cum") - col(tokenCol)) / lit(budget)).cast("long"))
+      .drop("__worker", "__ord", "__cum")
+  }
+}

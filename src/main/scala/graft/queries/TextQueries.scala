@@ -142,6 +142,32 @@ object TextQueries {
         .orderBy(col("source"))
     }),
 
+    // weighted source mixing (Mix.weighted): sources src0–src4 at 2.5
+    // epochs, the rest at 1.0 — replicate + deterministic hash-sample, no
+    // rand(); per-epoch corpus stats oracled exactly.
+    "q_data_mix" -> ((s, d) => {
+      val base = docs(s, d)
+      val a = base.filter(col("source") < "src5")
+      val b = base.filter(col("source") >= "src5")
+      graft.operators.Mix.weightedMix(Seq((a, 2.5), (b, 1.0)), Seq(col("doc_id")))
+        .groupBy(col("epoch"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_total"))
+        .orderBy(col("epoch"))
+    }),
+
+    // token-budget shard packing (Mix.packByTokenBudget with arithmetic
+    // hashes so the manifest reproduces in ANSI SQL): ~5000 chars per
+    // shard across 8 salted streams; per-shard stats oracled exactly.
+    "q_pack_tokens" -> ((s, d) => {
+      graft.operators.Mix.packByTokenBudget(
+        docs(s, d), "doc_id", "n_chars", budget = 5000L, nWorkers = 8,
+        workerCol = pmod(col("doc_id") * 2654435761L, lit(8L)),
+        ordCol = pmod(col("doc_id") * 40503L, lit(1000003L)))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_total"))
+        .orderBy(col("shard"))
+    }),
+
     // SimHash signatures (custom codegen'd expression) — rows-only
     "q_dedup_simhash" -> ((s, d) => {
       docs(s, d).select(
@@ -268,6 +294,37 @@ object TextQueries {
          |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
          |FROM lang WHERE quality >= 0.5 AND lang_guess = 'en'
          |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_data_mix" ->
+      """WITH a AS (SELECT doc_id, n_chars FROM documents WHERE source < 'src5'),
+        |b AS (SELECT doc_id, n_chars FROM documents WHERE source >= 'src5'),
+        |mixed AS (
+        |  SELECT t.epoch, a.doc_id, a.n_chars FROM a, UNNEST([0, 1]) AS t(epoch)
+        |  UNION ALL
+        |  SELECT 2 AS epoch, doc_id, n_chars FROM a
+        |  WHERE (doc_id * 2654435761) % 10000 < 5000
+        |  UNION ALL
+        |  SELECT 0 AS epoch, doc_id, n_chars FROM b
+        |)
+        |SELECT CAST(epoch AS INT) AS epoch, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+        |FROM mixed GROUP BY epoch ORDER BY epoch""".stripMargin,
+
+    "q_pack_tokens" ->
+      """WITH t AS (
+        |  SELECT doc_id, n_chars,
+        |    (doc_id * 2654435761) % 8 AS wk,
+        |    (doc_id * 40503) % 1000003 AS ord
+        |  FROM documents
+        |),
+        |c AS (
+        |  SELECT *, SUM(n_chars) OVER (PARTITION BY wk ORDER BY ord, doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t
+        |)
+        |SELECT wk * 4294967296 + CAST(FLOOR((cum - n_chars) / 5000.0) AS BIGINT) AS shard,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
+        |FROM c GROUP BY 1 ORDER BY shard""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,

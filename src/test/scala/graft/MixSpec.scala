@@ -1,0 +1,38 @@
+package graft
+
+import graft.operators.Mix
+import org.apache.spark.sql.functions._
+
+/** Training-data composition: weighted mixing multiplicities and
+  * token-budget packing invariants.
+  */
+class MixSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("weighted(2.5): every row appears 2 or 3 times, epochs distinct") {
+    val df = (1L to 400L).map(i => (i, i * 10)).toDF("doc_id", "n_chars")
+    val mixed = Mix.weighted(df, 2.5, Seq(col("doc_id")))
+    val perRow = mixed.groupBy(col("doc_id")).count()
+    assert(perRow.filter(col("count") < 2 || col("count") > 3).count() == 0)
+    val n3 = perRow.filter(col("count") === 3).count()
+    assert(n3 > 100 && n3 < 300, s"~half should get the fractional epoch, got $n3")
+    assert(mixed.groupBy(col("doc_id"), col("epoch")).count()
+      .filter(col("count") > 1).count() == 0, "epoch disambiguates copies")
+  }
+
+  test("packByTokenBudget: shards bounded by budget + max doc; deterministic") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val packed = Mix.packByTokenBudget(docs, "doc_id", "n_chars", 5000L, 8)
+    val maxDoc = docs.agg(max(col("n_chars"))).first().getLong(0)
+    val shardTotals = packed.groupBy(col("shard"))
+      .agg(sum(col("n_chars")).as("t"))
+    assert(shardTotals.filter(col("t") >= 5000L + maxDoc).count() == 0,
+      "a shard can overflow only by the doc that crossed the boundary")
+    // every doc lands in exactly one shard; assignment is reproducible
+    assert(packed.count() == docs.count())
+    val again = Mix.packByTokenBudget(docs, "doc_id", "n_chars", 5000L, 8)
+    assert(packed.select(col("doc_id"), col("shard"))
+      .exceptAll(again.select(col("doc_id"), col("shard"))).isEmpty)
+  }
+}
