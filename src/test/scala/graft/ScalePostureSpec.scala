@@ -79,6 +79,27 @@ class ScalePostureSpec extends SparkTestBase {
     assert(j.count() > 0)
   }
 
+  test("q_tpch_q3 plan: date predicates pushed to parquet, dim side broadcast") {
+    val plan = SparkEntry.queries("q_tpch_q3")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"),
+      s"shipdate predicate not pushed:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      "customer dim should broadcast, never shuffle the fact side")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-10 must be TakeOrdered, not a global sort")
+  }
+
+  test("q_corpus_clean plan: one documents aggregation feeds the keeper join") {
+    val plan = SparkEntry.queries("q_corpus_clean")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // quality/lang filters are map-side expressions over the scan — no
+    // extra shuffle beyond dedup-group + keeper join + final aggregate
+    assert(plan.contains("HashAggregate"), plan.take(500))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "curation pipeline must stay equi-join only")
+  }
+
   test("runtime bloom filter prunes the fact side of a selective join") {
     // InjectRuntimeFilter: a selective dim-side predicate grows a bloom
     // filter that is pushed into the fact scan at runtime — row-level
