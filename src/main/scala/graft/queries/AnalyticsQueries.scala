@@ -345,6 +345,59 @@ object AnalyticsQueries {
         .orderBy(col("userId"))
     }),
 
+    // Null-safety surface: nulls manufactured with nullif, then repaired/
+    // filtered with na.fill, na.drop, coalesce, nvl2, and ANSI-safe try_*
+    // arithmetic (division by zero → NULL, not an exception).
+    "q_null_safety" -> ((s, d) => {
+      val base = t(s, d, "orders")
+        .withColumn("p0", nullif(col("o_totalprice"), col("o_totalprice"))) // always null
+        .withColumn("st_n", nullif(col("o_orderstatus"), lit("O")))
+      val filled = base.na.fill(Map("p0" -> -1.0, "st_n" -> "OPEN"))
+      filled
+        .withColumn("ratio", try_divide(col("o_totalprice"),
+          col("o_totalprice") - col("o_totalprice"))) // x/0 → NULL
+        .withColumn("tag", nvl2(nullif(col("o_orderstatus"), lit("F")),
+          lit("not_f"), lit("was_f")))
+        .groupBy(col("st_n"), col("tag"))
+        .agg(count(lit(1)).as("n"),
+          count(col("ratio")).as("n_ratio_nonnull"),
+          round(min(col("p0")), 6).as("filled_min"))
+        .orderBy(col("st_n"), col("tag"))
+    }),
+
+    // Array higher-order predicates + construction surface: exists,
+    // forall, array_compact, array_append/prepend, array_repeat —
+    // emitted as scalars/joined strings.
+    "q_array_hof" -> ((s, d) => {
+      val words = split(col("p_name"), " ")
+      t(s, d, "part").filter(col("p_partkey") < 200)
+        .select(
+          col("p_partkey"),
+          exists(words, w => length(w) > 4).as("has_long_word"),
+          forall(words, w => length(w) > 2).as("all_gt2"),
+          size(array_compact(array(col("p_brand"), lit(null), col("p_type"))))
+            .cast("long").as("n_compact"),
+          concat_ws(",", array_append(words, lit("END"))).as("appended"),
+          concat_ws(",", array_prepend(words, lit("BEGIN"))).as("prepended"),
+          concat_ws(",", array_repeat(col("p_brand"), 2)).as("repeated"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    // df.stat.crosstab: contingency table with an explicit stable column
+    // projection (crosstab column order is value-dependent).
+    "q_crosstab" -> ((s, d) => {
+      val aliases = Seq("1-URGENT" -> "n_urgent", "2-HIGH" -> "n_high",
+        "3-MEDIUM" -> "n_medium", "4-NOT SPECIFIED" -> "n_notspec",
+        "5-LOW" -> "n_low")
+      val ct = t(s, d, "orders").stat.crosstab("o_orderstatus", "o_orderpriority")
+      aliases.foldLeft(ct) { case (df, (p, a)) =>
+        df.withColumn(a, coalesce(col(s"`$p`").cast("long"), lit(0L)))
+      }
+        .select(col("o_orderstatus_o_orderpriority").as("status") +:
+          aliases.map { case (_, a) => col(a) }: _*)
+        .orderBy(col("status"))
+    }),
+
     // Two-phase salted aggregation (explicit skew mitigation — the form
     // for hot group keys AQE can't split because it's an aggregate, not a
     // join). Result provably identical to the direct groupBy.
@@ -569,6 +622,39 @@ object AnalyticsQueries {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY rf, ls""".stripMargin,
+
+    "q_null_safety" ->
+      """WITH t AS (
+        |  SELECT CASE WHEN o_orderstatus = 'O' THEN 'OPEN'
+        |              ELSE o_orderstatus END AS st_n,
+        |         CASE WHEN o_orderstatus = 'F' THEN 'was_f'
+        |              ELSE 'not_f' END AS tag
+        |  FROM orders)
+        |SELECT st_n, tag, COUNT(*) AS n,
+        |  CAST(0 AS BIGINT) AS n_ratio_nonnull,
+        |  -1.0 AS filled_min
+        |FROM t GROUP BY st_n, tag ORDER BY st_n, tag""".stripMargin,
+
+    "q_array_hof" ->
+      """SELECT p_partkey,
+        |  len(list_filter(string_split(p_name, ' '), x -> len(x) > 4)) > 0 AS has_long_word,
+        |  len(list_filter(string_split(p_name, ' '), x -> len(x) > 2))
+        |    = len(string_split(p_name, ' ')) AS all_gt2,
+        |  CAST(len(list_filter([p_brand, NULL, p_type], x -> x IS NOT NULL)) AS BIGINT)
+        |    AS n_compact,
+        |  array_to_string(list_append(string_split(p_name, ' '), 'END'), ',') AS appended,
+        |  array_to_string(list_prepend('BEGIN', string_split(p_name, ' ')), ',') AS prepended,
+        |  p_brand || ',' || p_brand AS repeated
+        |FROM part WHERE p_partkey < 200 ORDER BY p_partkey""".stripMargin,
+
+    "q_crosstab" ->
+      """SELECT o_orderstatus AS status,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '2-HIGH') AS n_high,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '3-MEDIUM') AS n_medium,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '4-NOT SPECIFIED') AS n_notspec,
+        |  COUNT(*) FILTER (WHERE o_orderpriority = '5-LOW') AS n_low
+        |FROM orders GROUP BY o_orderstatus ORDER BY status""".stripMargin,
 
     "q_salted_agg" ->
       s"""WITH ${Tables.ratingsSql}
