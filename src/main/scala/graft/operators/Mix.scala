@@ -30,7 +30,9 @@ object Mix {
     val fractional =
       if (frac == 0.0) None
       else Some(Split.hashSample(df, keys, frac).withColumn("epoch", lit(whole)))
-    (replicated.toSeq ++ fractional.toSeq).reduce(_ unionByName _)
+    val parts = replicated.toSeq ++ fractional.toSeq
+    if (parts.isEmpty) df.withColumn("epoch", lit(0)).limit(0) // weight 0.0
+    else parts.reduce(_ unionByName _)
   }
 
   /** Mix several same-schema sources at per-source weights. */
@@ -66,6 +68,8 @@ object Mix {
       docs: DataFrame, idCol: String, tokenCol: String,
       budget: Long, nWorkers: Int,
       workerCol: Column, ordCol: Column): DataFrame = {
+    require(budget > 0, s"budget $budget")
+    require(nWorkers > 0, s"nWorkers $nWorkers")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__worker"))
       .orderBy(col("__ord"), col(idCol))

@@ -156,6 +156,27 @@ object EventQueries {
         .orderBy(col("user_id"), col("view_us"), col("click_us"))
     }),
 
+    // time-series RESAMPLE + gap fill: a dense hourly grid per event type
+    // (sequence over the global [min, max] hour span, exploded and
+    // broadcast-joined against the per-type dim), hours with no events
+    // zero-filled — the standard densification step before window models.
+    "q_events_gapfill" -> ((s, d) => {
+      val hourly = ev(s, d)
+        .groupBy(col("event_type"),
+          (floor(unix_timestamp(col("ts")) / 3600) * 3600).as("hour_sec"))
+        .agg(count(lit(1)).as("n"))
+      val span = ev(s, d).agg(
+        (floor(min(unix_timestamp(col("ts"))) / 3600) * 3600).as("lo"),
+        (floor(max(unix_timestamp(col("ts"))) / 3600) * 3600).as("hi"))
+      val grid = span
+        .select(explode(sequence(col("lo"), col("hi"), lit(3600))).as("hour_sec"))
+        .crossJoin(ev(s, d).select(col("event_type")).distinct())
+      grid.join(hourly, Seq("event_type", "hour_sec"), "left")
+        .select(col("event_type"), col("hour_sec"),
+          coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy(col("event_type"), col("hour_sec"))
+    }),
+
     // JSON prop parsing with an explicit schema (from_json — the typed
     // path next to the regexp fallback in q_events_props)
     "q_events_json" -> ((s, d) => {
@@ -326,6 +347,27 @@ object EventQueries {
         |FROM v JOIN c ON v.user_id = c.user_id
         |  AND c.us >= v.us AND c.us <= v.us + 600000000
         |ORDER BY v.user_id, view_us, click_us""".stripMargin,
+
+    "q_events_gapfill" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    CAST(FLOOR(FLOOR(date_part('epoch', ts)) / 3600) * 3600 AS BIGINT) AS hour_sec,
+        |    COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |),
+        |span AS (
+        |  SELECT CAST(FLOOR(FLOOR(date_part('epoch', MIN(ts))) / 3600) * 3600 AS BIGINT) AS lo,
+        |         CAST(FLOOR(FLOOR(date_part('epoch', MAX(ts))) / 3600) * 3600 AS BIGINT) AS hi
+        |  FROM events
+        |),
+        |grid AS (
+        |  SELECT t.event_type, g.hour_sec
+        |  FROM (SELECT DISTINCT event_type FROM events) t,
+        |       (SELECT UNNEST(generate_series(lo, hi, 3600)) AS hour_sec FROM span) g
+        |)
+        |SELECT grid.event_type, grid.hour_sec, COALESCE(h.n, 0) AS n
+        |FROM grid LEFT JOIN h USING (event_type, hour_sec)
+        |ORDER BY event_type, hour_sec""".stripMargin,
 
     "q_events_json" ->
       """SELECT event_id, CAST(props::JSON->>'$.k' AS BIGINT) AS k
