@@ -68,15 +68,16 @@ object EventStreams {
     * forever. The same plan runs in batch (EventQueries.q_events_interval
     * is the DuckDB-oracled twin).
     */
-  def intervalJoin(a: DataFrame, b: DataFrame, within: String = "10 minutes")
-      : DataFrame = {
+  def intervalJoin(a: DataFrame, b: DataFrame, within: String = "10 minutes",
+      joinType: String = "inner"): DataFrame = {
     val l = a.select(col("user_id"), col("event_id").as("a_id"), col("ts").as("a_ts"))
     val r = b.select(col("user_id").as("b_user"), col("event_id").as("b_id"),
       col("ts").as("b_ts"))
     l.join(r,
       col("user_id") === col("b_user") &&
         col("b_ts") >= col("a_ts") &&
-        col("b_ts") <= col("a_ts") + expr(s"INTERVAL $within"))
+        col("b_ts") <= col("a_ts") + expr(s"INTERVAL $within"),
+      joinType)
       .select(col("user_id"), col("a_id"), col("b_id"), col("a_ts"), col("b_ts"))
   }
 

@@ -148,6 +148,36 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("LEFT OUTER stream-stream join null-pads unmatched views after the watermark") {
+    implicit val sc = spark.sqlContext
+    val views = MemoryStream[E]
+    val clicks = MemoryStream[E]
+    val out = EventStreams.intervalJoin(
+      views.toDF().withWatermark("ts", "10 minutes"),
+      clicks.toDF().withWatermark("ts", "10 minutes"),
+      "10 minutes", joinType = "left_outer")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("louter_out").start()
+    try {
+      views.addData(E(1, ts(0), 1, "view", 0.0), E(2, ts(1), 2, "view", 0.0))
+      clicks.addData(E(10, ts(5), 1, "click", 0.0)) // matches view 1; view 2 unmatched
+      q.processAllAvailable()
+      // advance event time far past view 2's join window so its state can
+      // be finalized as a null-padded row (outer results only emit once
+      // the watermark proves no future match can arrive)
+      views.addData(E(3, ts(300), 9, "view", 0.0))
+      clicks.addData(E(11, ts(300), 9, "click", 0.0))
+      q.processAllAvailable()
+      views.addData(E(4, ts(400), 8, "view", 0.0))
+      clicks.addData(E(12, ts(400), 8, "click", 0.0))
+      q.processAllAvailable()
+      val rows = spark.table("louter_out")
+        .select(col("a_id"), col("b_id")).as[(Long, Option[Long])].collect().toSet
+      assert(rows.contains((1L, Some(10L))), s"matched pair missing: $rows")
+      assert(rows.contains((2L, None)), s"null-padded unmatched view missing: $rows")
+    } finally q.stop()
+  }
+
   test("foreachBatch sink sees each micro-batch exactly once") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[E]
