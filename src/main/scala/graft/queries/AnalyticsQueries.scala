@@ -279,6 +279,73 @@ object AnalyticsQueries {
         .limit(20)
     }),
 
+    // TPC-H Q5 shape: region-filtered six-way join, revenue per nation.
+    "q_tpch_q5" -> ((s, d) => {
+      val r = t(s, d, "region").filter(col("r_name") === "ASIA")
+        .select(col("r_regionkey"))
+      val n = t(s, d, "nation").select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      val c = t(s, d, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val o = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+        .filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_c"))
+      val sup = t(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey")
+          && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("rev_c")).as("revenue_c"))
+        .orderBy(col("revenue_c").desc, col("n_name"))
+    }),
+
+    // TPC-H Q6 shape: pure scan-filter-aggregate (the pushdown showcase).
+    "q_tpch_q6" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
+        .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .filter(col("l_discount") >= 0.03 && col("l_discount") <= 0.05)
+        .filter(col("l_quantity") < 24)
+        .agg(sum(cents(col("l_extendedprice") * col("l_discount"))).as("revenue_c"),
+          count(lit(1)).as("n"))
+    }),
+
+    // TPC-H Q14 shape: conditional aggregation ratio (promo revenue share).
+    "q_tpch_q14" -> ((s, d) => {
+      val p = t(s, d, "part").select(col("p_partkey"), col("p_type"))
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp"))
+        .filter(col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .select(col("l_partkey"),
+          cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_c"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .agg(round(
+          sum(when(col("p_type").startsWith("PROMO"), col("rev_c")).otherwise(0L))
+            .cast("double") * 100.0 / sum(col("rev_c")).cast("double"), 6)
+          .as("promo_pct"))
+    }),
+
+    // Value-based RANGE window frame: trailing-7-day revenue per customer
+    // (frame bounded by the ORDER-BY VALUE, not row counts — the frame
+    // kind the rows-based queries don't exercise).
+    "q_window_range_frame" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("day_sec"))
+        .rangeBetween(-7L * 86400L, 0L)
+      t(s, d, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          unix_timestamp(col("o_orderdate")).as("day_sec"),
+          cents(col("o_totalprice")).as("price_c"))
+        .withColumn("trailing7d_c", sum(col("price_c")).over(w))
+        .select(col("o_custkey"), col("o_orderkey"), col("trailing7d_c"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     // Non-equi RANGE join: price-band bucketing via a broadcast
     // nested-loop join against a 4-row literal band table — the band side
     // is always broadcast; the fact side never shuffles.
@@ -594,6 +661,48 @@ object AnalyticsQueries {
         |GROUP BY c_custkey, c_name, n_name
         |ORDER BY revenue_c DESC, c_custkey
         |LIMIT 20""".stripMargin,
+
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_c
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue_c DESC, n_name""".stripMargin,
+
+    "q_tpch_q6" ->
+      """SELECT
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*l_discount*100) AS BIGINT)) AS BIGINT) AS revenue_c,
+        |  COUNT(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.03 AND 0.05
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q_tpch_q14" ->
+      """SELECT ROUND(
+        |  CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+        |    THEN CAST(ROUND(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)
+        |    ELSE 0 END) AS DOUBLE) * 100.0 /
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS DOUBLE),
+        |  6) AS promo_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin,
+
+    "q_window_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) OVER (
+        |    PARTITION BY o_custkey ORDER BY CAST(FLOOR(date_part('epoch', o_orderdate)) AS BIGINT)
+        |    RANGE BETWEEN 604800 PRECEDING AND 0 FOLLOWING) AS BIGINT) AS trailing7d_c
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q_range_join" ->
       """WITH bands(band_id, lo, hi) AS (
