@@ -28,8 +28,9 @@ object Bench {
     "q_events_asof", "q_media_features",
     // round-2 additions: full TPC-H shapes, stats aggs, non-equi range
     // join, stream-shaped interval join, training-data composition
-    "q_tpch_q1", "q_tpch_q3", "q_stats_agg", "q_range_join",
-    "q_events_interval", "q_corpus_clean", "q_data_mix", "q_pack_tokens")
+    "q_tpch_q1", "q_tpch_q3", "q_tpch_q5", "q_tpch_q6", "q_stats_agg",
+    "q_range_join", "q_events_interval", "q_corpus_clean", "q_data_mix",
+    "q_pack_tokens", "q_window_range_frame")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -130,6 +130,36 @@ class ScalePostureSpec extends SparkTestBase {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime") {
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "10KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "10KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import spark.implicits._
+      // 90% of the fact rows share one key; the dim side is small but
+      // broadcast is disabled, so the sort-merge join sees one huge
+      // partition that AQE must split
+      val fact = ((1 to 200000).map(i => (1L, i.toLong)) ++
+        (1 to 20000).map(i => ((i % 50).toLong + 2L, i.toLong)))
+        .toDF("k", "v")
+      val dim = (1L to 60L).map(k => (k, s"d$k")).toDF("k", "label")
+      val j = fact.join(dim, Seq("k")).groupBy(col("label")).count()
+      j.collect()
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("isSkew=true") || plan.contains("skewed"),
+        s"AQE skew split not visible in final plan:\n${plan.take(3000)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("cached relation is reused across actions (InMemoryTableScan)") {
     val agg = Popularity.aggRatings(Tables.ratings(spark, sf)).cache()
     try {
