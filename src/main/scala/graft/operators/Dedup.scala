@@ -98,15 +98,37 @@ object Dedup {
     * computed once and only bare ids ride the shuffle. The in-bucket pair
     * expansion is a lambda over the collected id list: `ids` is a plain
     * attribute after the aggregate barrier, so Catalyst HOF re-evaluation
-    * is field access, not recomputation. Bucket sizes stay
-    * O(near-dup cluster) when the banding is tuned to the threshold —
-    * monitor max bucket size under skew (a hot bucket means the band/row
-    * parameters admit pairs far below the intended threshold).
+    * is field access, not recomputation.
     *
-    * @param buckets (band, bucket, id) rows
+    * Hot buckets are BOUNDED: a mis-tuned banding or an adversarial/junk
+    * corpus can funnel millions of ids into one (band, bucket), and an
+    * unbounded `collect_set` builds that whole set in a single task
+    * (OOM), then explodes O(n²) pairs from it. Each bucket is therefore
+    * capped at `maxBucket` ids BEFORE collection: a `row_number` window
+    * over the same (band, bucket) keys the aggregate shuffles on — so it
+    * adds no exchange, and its sort spills to disk where a collect
+    * cannot — keeps the `maxBucket` smallest ids (deterministic, and the
+    * bucket's min id survives, preserving min-id canonical winners).
+    * Truncation is observable via [[bucketStats]] over the same bucket
+    * rows — a nonzero `n_truncated` means the banding parameters admit
+    * pairs far below the intended threshold and need retuning, which is
+    * the correct response to a hot bucket (capping only bounds the blast
+    * radius; it cannot make a degenerate banding selective).
+    *
+    * Precondition: (band, bucket, id) rows are distinct per producer
+    * (true for every banding in this repo — one row per id per band);
+    * duplicate rows would waste cap slots.
+    *
+    * @param buckets   (band, bucket, id) rows
+    * @param maxBucket per-bucket id cap (default 256 → ≤ 32,640 pairs per
+    *                  bucket; a genuine near-dup cluster of n docs only
+    *                  needs its min id to win, which the cap preserves)
     */
-  def bucketPairs(buckets: DataFrame): DataFrame =
+  def bucketPairs(buckets: DataFrame, maxBucket: Int = 256): DataFrame = {
+    val w = Window.partitionBy(col("band"), col("bucket")).orderBy(col("id"))
     buckets
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxBucket)
       .groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_set(col("id"))).as("ids"))
       .filter(size(col("ids")) > 1)
@@ -115,6 +137,23 @@ object Dedup {
           y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
       .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Side-output health report for a banded bucketing: one row of
+    * (n_buckets, max_bucket, n_truncated, ids_dropped) at a given cap.
+    * This is the "log line" of [[bucketPairs]] — at 100 TB you run it on
+    * the same bucket relation (one count aggregate, trivially cheap next
+    * to the pair join) and alert on `n_truncated > 0`.
+    */
+  def bucketStats(buckets: DataFrame, maxBucket: Int = 256): DataFrame =
+    buckets
+      .groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        max(col("n")).as("max_bucket"),
+        sum(when(col("n") > maxBucket, 1L).otherwise(0L)).as("n_truncated"),
+        sum(when(col("n") > maxBucket, col("n") - maxBucket).otherwise(0L)).as("ids_dropped"))
 
   /** Exact Jaccard similarity of two (distinct-element) arrays. */
   def jaccard(a: Column, b: Column): Column = {

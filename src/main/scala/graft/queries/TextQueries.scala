@@ -168,6 +168,32 @@ object TextQueries {
         .orderBy(col("shard"))
     }),
 
+    // bucketPairs hot-bucket cap on a SQL-expressible synthetic bucketing
+    // (band/bucket from arithmetic on orders keys, cap 8): DuckDB mirrors
+    // the row_number pre-filter + in-bucket pair expansion exactly, so the
+    // truncation semantics — keep the 8 smallest ids, expand only those —
+    // are value-oracled, not just bounded-by-assertion.
+    "q_bucket_pairs_capped" -> ((s, d) => {
+      val b = Tables.orders(s, d).filter(col("o_orderkey") < 2000)
+        .select(pmod(col("o_custkey"), lit(3)).as("band"),
+          pmod(col("o_custkey"), lit(20)).as("bucket"),
+          col("o_orderkey").as("id"))
+      Dedup.bucketPairs(b, maxBucket = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // bucketStats side output (the bucketPairs "log line") on the real
+    // minhash banding's SQL mirror: a synthetic lineitem bucketing with a
+    // cap chosen so SOME buckets truncate — n_buckets / max_bucket /
+    // n_truncated / ids_dropped all value-oracled.
+    "q_bucket_stats" -> ((s, d) => {
+      val b = Tables.lineitem(s, d)
+        .select(col("l_linenumber").as("band"),
+          pmod(col("l_partkey"), lit(50)).as("bucket"),
+          col("l_orderkey").as("id"))
+      Dedup.bucketStats(b, maxBucket = 100)
+    }),
+
     // SimHash signatures (custom codegen'd expression) — rows-only
     "q_dedup_simhash" -> ((s, d) => {
       docs(s, d).select(
@@ -330,6 +356,35 @@ object TextQueries {
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
         |  COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
+
+    "q_bucket_pairs_capped" ->
+      """WITH b AS (
+        |  SELECT o_custkey % 3 AS band, o_custkey % 20 AS bucket,
+        |         o_orderkey AS id
+        |  FROM orders WHERE o_orderkey < 2000
+        |), r AS (
+        |  SELECT band, bucket, id,
+        |    ROW_NUMBER() OVER (PARTITION BY band, bucket ORDER BY id) AS rn
+        |  FROM b
+        |), k AS (SELECT band, bucket, id FROM r WHERE rn <= 8)
+        |SELECT DISTINCT a.id AS id_a, c.id AS id_b
+        |FROM k a JOIN k c ON a.band = c.band AND a.bucket = c.bucket
+        |                  AND a.id < c.id
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_bucket_stats" ->
+      """WITH b AS (
+        |  SELECT l_linenumber AS band, l_partkey % 50 AS bucket,
+        |         l_orderkey AS id
+        |  FROM lineitem
+        |), per AS (
+        |  SELECT band, bucket, COUNT(*) AS n FROM b GROUP BY band, bucket
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |  CAST(MAX(n) AS BIGINT) AS max_bucket,
+        |  CAST(SUM(CASE WHEN n > 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
+        |  CAST(SUM(CASE WHEN n > 100 THEN n - 100 ELSE 0 END) AS BIGINT) AS ids_dropped
+        |FROM per""".stripMargin,
 
     "q_ngram_jaccard" ->
       s"""WITH base AS (

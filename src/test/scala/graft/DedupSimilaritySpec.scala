@@ -46,6 +46,26 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
   }
 
+  test("bucketPairs caps a planted hot bucket and keeps the smallest ids") {
+    // one hot bucket with 10k ids + one normal bucket: the cap must bound
+    // the pair explosion to C(cap,2) and keep the cap smallest ids, while
+    // the normal bucket is untouched.
+    val hot = (1L to 10000L).map(i => (0, 7, i))
+    val normal = Seq((1, 3, 100001L), (1, 3, 100002L), (1, 3, 100003L))
+    val buckets = (hot ++ normal).toDF("band", "bucket", "id")
+    val pairs = Dedup.bucketPairs(buckets, maxBucket = 16).cache()
+    val hotPairs = pairs.filter(col("id_b") <= 10000L)
+    assert(hotPairs.count() == 16L * 15 / 2, "hot bucket capped to C(16,2)")
+    assert(hotPairs.agg(max(col("id_b"))).first().getLong(0) == 16L,
+      "cap keeps the smallest ids (min-id winner preserved)")
+    assert(pairs.filter(col("id_a") === 100001L).count() == 2,
+      "normal bucket unaffected by the cap")
+    val stats = Dedup.bucketStats(buckets, maxBucket = 16).first()
+    assert(stats.getLong(0) == 2 && stats.getLong(1) == 10000L)
+    assert(stats.getLong(2) == 1 && stats.getLong(3) == 10000L - 16)
+    pairs.unpersist()
+  }
+
   test("dedupKeepSet demotes the non-canonical side of each pair") {
     val docs = Seq((1L, "x"), (2L, "x"), (3L, "y"), (4L, "z")).toDF("doc_id", "text")
     val pairs = Seq((1L, 2L, 1.0)).toDF("id_a", "id_b", "jaccard")

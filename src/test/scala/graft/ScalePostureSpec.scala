@@ -160,6 +160,20 @@ class ScalePostureSpec extends SparkTestBase {
     }
   }
 
+  test("bucketPairs: cap window and pair aggregate share one (band,bucket) exchange") {
+    // the hot-bucket cap (row_number over (band,bucket)) must ride the
+    // same shuffle the pair aggregate already needs — if it introduced
+    // its own exchange the bound would cost a second pass over the
+    // bucket rows at 100 TB
+    val buckets = Seq((0, 1, 1L), (0, 1, 2L), (0, 2, 3L), (1, 1, 4L))
+      .toDF("band", "bucket", "id")
+    val plan = graft.operators.Dedup.bucketPairs(buckets, 16)
+      .queryExecution.executedPlan.toString
+    val bandExchanges = "Exchange hashpartitioning\\(band".r.findAllIn(plan).length
+    assert(bandExchanges == 1,
+      s"expected exactly one (band,bucket) exchange, got $bandExchanges:\n$plan")
+  }
+
   test("cached relation is reused across actions (InMemoryTableScan)") {
     val agg = Popularity.aggRatings(Tables.ratings(spark, sf)).cache()
     try {
