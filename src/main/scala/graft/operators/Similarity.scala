@@ -151,24 +151,53 @@ object Similarity {
       .toSeq.toDF("centroid_id", "__centv")
   }
 
+  /** Nearest-`keep` centroid cells of a vector as a MAP-ONLY projection.
+    *
+    * The centroid set is ≤ nCentroids rows BY CONSTRUCTION (that is what
+    * coarse quantization means), so it is collected once and inlined as a
+    * literal array of (neg-cos, centroid_id) structs; the per-row argmax
+    * is `array_sort` over one `transform` pass. The earlier shape —
+    * `crossJoin(broadcast(centroids))` + a per-id `row_number` window —
+    * multiplied the corpus ×nCentroids and then SHUFFLED the multiplied
+    * corpus on id just to pick each row's nearest centroid; at 100 TB
+    * that is a 16× row blowup plus a full-corpus exchange for a purely
+    * per-row decision. This form does the same nCentroids cosine
+    * evaluations with zero joins, zero exchanges, zero row multiplication.
+    *
+    * Struct sort order = (-cos asc, centroid_id asc) ≡ (cos desc, id asc):
+    * identical tiebreak to the window it replaces.
+    */
+  private def nearestCells(cents: Array[(Int, Array[Float])], vec: Column,
+      keep: Int): Column = {
+    val centArr = array(cents.map { case (cid, cv) =>
+      struct(typedlit(cv).as("cv"), lit(cid).as("cid"))
+    }: _*)
+    slice(
+      array_sort(transform(centArr, c => struct(
+        (-cosine_similarity(vec, c.getField("cv"))).as("negcos"),
+        c.getField("cid").as("cid")))),
+      1, keep)
+  }
+
   private def ivfWithCentroids(
       corpus: DataFrame, queries: DataFrame, centroidDf: DataFrame,
       k: Int, nProbe: Int, idCol: String, vecCol: String): DataFrame = {
-    val centroids = broadcast(centroidDf)
+    val cents = centroidDf.collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
 
-    def assign(df: DataFrame, id: String, keep: Int): DataFrame = {
-      val ww = Window.partitionBy(col(id)).orderBy(col("__d").desc, col("centroid_id"))
-      df.crossJoin(centroids)
-        .withColumn("__d", cosine_similarity(col(vecCol), col("__centv")))
-        .withColumn("__cr", row_number().over(ww))
-        .filter(col("__cr") <= keep)
-        .drop("__centv", "__d", "__cr")
-    }
-
-    val corpusCells = assign(corpus.select(col(idCol), col(vecCol)), idCol, 1)
+    // corpus side: exactly one cell per vector — a single projected column
+    val corpusCells = corpus.select(col(idCol), col(vecCol))
+      .withColumn("centroid_id",
+        element_at(nearestCells(cents, col(vecCol), 1), 1).getField("cid"))
       .select(col("centroid_id"), col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-    val queryCells = assign(queries.select(col(idCol), col(vecCol)), idCol, nProbe)
-      .select(col("centroid_id"), col(idCol).as("query_id"), col(vecCol).as("__qv"))
+
+    // query side: nProbe cells per query (tiny relation; explode is fine)
+    val queryCells = queries.select(col(idCol), col(vecCol))
+      .select(col(idCol), col(vecCol),
+        explode(nearestCells(cents, col(vecCol), nProbe)).as("__c"))
+      .select(col("__c.cid").as("centroid_id"),
+        col(idCol).as("query_id"), col(vecCol).as("__qv"))
 
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))

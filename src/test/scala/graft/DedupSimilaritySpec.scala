@@ -105,6 +105,18 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(kmR >= 0.5, s"kmeans recall $kmR")
   }
 
+  test("IVF cell assignment is map-only: no cross join, no corpus shuffle on id") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 5)
+    val plan = Similarity.ivfTopK(e, q, 3, nCentroids = 8, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"centroid assignment must not multiply the corpus:\n$plan")
+    assert("Exchange hashpartitioning\\(vec_id".r.findFirstIn(plan).isEmpty,
+      s"per-row argmax must not shuffle the corpus on id:\n$plan")
+  }
+
   test("LSH ANN recall >= 0.6 vs brute force on sf0.001 embeddings") {
     val e = Tables.embeddings(spark, sf)
     val q = e.filter(col("vec_id") < 20)
