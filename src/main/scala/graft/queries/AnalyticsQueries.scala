@@ -330,6 +330,67 @@ object AnalyticsQueries {
           .as("promo_pct"))
     }),
 
+    // TPC-H Q4 shape: correlated EXISTS (predicate subquery). Catalyst's
+    // RewritePredicateSubquery turns the EXISTS into a LEFT SEMI join on
+    // l_orderkey — no per-row subquery execution; the lineitem side is
+    // reduced by the pushed returnflag predicate before the join.
+    // (The testdata has no l_commitdate/l_receiptdate; the returnflag
+    // predicate stands in — the decorrelation shape is identical.)
+    "q_tpch_q4" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("graft_ord")
+      t(s, d, "lineitem").createOrReplaceTempView("graft_li")
+      s.sql(
+        """SELECT o_orderpriority, COUNT(*) AS order_count
+          |FROM graft_ord
+          |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+          |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+          |  AND EXISTS (SELECT 1 FROM graft_li
+          |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin)
+    }),
+
+    // TPC-H Q17 shape: correlated SCALAR subquery (per-part average
+    // threshold). RewriteCorrelatedScalarSubquery decorrelates it into
+    // one per-partkey aggregate joined back on l_partkey — the aggregate
+    // runs ONCE over lineitem, not once per outer row. l_quantity is
+    // integral-valued double, so the 0.5*AVG threshold is exact under any
+    // partial-aggregation order (no float-drift flakiness in the <).
+    "q_tpch_q17" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("graft_li")
+      t(s, d, "part").createOrReplaceTempView("graft_part")
+      s.sql(
+        """SELECT
+          |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+          |  COUNT(*) AS n
+          |FROM graft_li JOIN graft_part ON p_partkey = l_partkey
+          |WHERE p_brand = 'Brand#1'
+          |  AND l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+          |                    FROM graft_li l2 WHERE l2.l_partkey = p_partkey)""".stripMargin)
+    }),
+
+    // TPC-H Q18 shape: IN-subquery over a HAVING-filtered aggregate
+    // (large-volume orders). Planned as one lineitem aggregate → filter →
+    // LEFT SEMI join into the fact path; customer dim broadcasts.
+    "q_tpch_q18" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("graft_cust")
+      t(s, d, "orders").createOrReplaceTempView("graft_ord")
+      t(s, d, "lineitem").createOrReplaceTempView("graft_li")
+      s.sql(
+        """SELECT c_name, c_custkey, o_orderkey,
+          |  CAST(o_orderdate AS DATE) AS odate,
+          |  CAST(ROUND(o_totalprice*100) AS BIGINT) AS totalprice_c,
+          |  CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c
+          |FROM graft_cust
+          |JOIN graft_ord ON c_custkey = o_custkey
+          |JOIN graft_li ON o_orderkey = l_orderkey
+          |WHERE o_orderkey IN (SELECT l_orderkey FROM graft_li
+          |                     GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+          |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+          |ORDER BY totalprice_c DESC, o_orderkey
+          |LIMIT 100""".stripMargin)
+    }),
+
     // Value-based RANGE window frame: trailing-7-day revenue per customer
     // (frame bounded by the ORDER-BY VALUE, not row counts — the frame
     // kind the rows-based queries don't exercise).
@@ -696,6 +757,39 @@ object AnalyticsQueries {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin,
+
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q_tpch_q17" ->
+      """SELECT
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_c,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#1'
+        |  AND l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+        |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
+
+    "q_tpch_q18" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS odate,
+        |  CAST(ROUND(o_totalprice*100) AS BIGINT) AS totalprice_c,
+        |  CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                     GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY totalprice_c DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
 
     "q_window_range_frame" ->
       """SELECT o_custkey, o_orderkey,
