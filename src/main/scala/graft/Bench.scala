@@ -83,7 +83,26 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // ML lifecycle timing, SEPARATE from the headline total (a model fit
+    // is not a query; VERDICT r2 #9): fixed sf0.01 so rounds compare
+    // regardless of SPARK_GRAFT_SF_DIR.
+    val mlDir = "/root/testdata/sf0.01"
+    val ml = Seq("q_als_map").flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        val t0 = System.nanoTime()
+        val ok = try {
+          fn(spark, mlDir).write.mode("overwrite").format("noop").save(); true
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] ml $name failed: ${e.getMessage}"); false
+        }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+    }
+    val mlJson = ml.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","ml":{"sf":"sf0.01","queries":$mlJson}}""")
     spark.stop()
   }
 }

@@ -234,6 +234,22 @@ object PipelineQueries {
       Eval.standardMapAtK(test, recs, 10)
     }),
 
+    // M1-M3 at the reference's EXACT flagship hyperparameters (als.py:36-46:
+    // rank=100, maxIter=3, regParam=0.15, nonnegative, coldStart=drop) —
+    // the rank=32 variants above exist for bench speed; this query closes
+    // the loop on the published config. Output carries the config columns
+    // so the claim is self-describing. Published MovieLens RMSE was
+    // 0.87–0.90 (Checkpoint_results.md:13, final_report_numbers.md:6);
+    // the synthetic ratings here have different variance, so the value
+    // band is asserted in scalatest, not against the MovieLens number.
+    "q_als_ref_rmse" -> ((s, d) => {
+      val (train, test) = interactionSplit(Tables.ratings(s, d))
+      val model = Recommend.train(train, Recommend.AlsConfig()) // reference defaults
+      Eval.rmse(Recommend.predict(model, test))
+        .select(lit(100).as("rank"), lit(3).as("max_iter"),
+          lit(0.15).as("reg_param"), round(col("rmse"), 6).as("rmse"))
+    }),
+
     // M4: per-user top-5 recommendations, flat rows (als.py:96,120).
     "q_als_recs" -> ((s, d) => {
       val (train, _) = interactionSplit(Tables.ratings(s, d))

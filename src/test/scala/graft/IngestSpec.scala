@@ -156,6 +156,43 @@ class IngestSpec extends SparkTestBase {
     assert(math.abs(a - e) / e < 0.05, s"approx $a exact $e")
   }
 
+  test("declared q_als_ref_rmse runs the reference flagship config end-to-end") {
+    // published MovieLens RMSE at this config was 0.87-0.90
+    // (Checkpoint_results.md:13); the synthetic ratings have different
+    // variance so the assertion is a sanity band around the measured
+    // value, with the config columns checked exactly.
+    val r = SparkEntry.queries("q_als_ref_rmse")(spark, sf).first()
+    assert(r.getInt(0) == 100 && r.getInt(1) == 3 &&
+      math.abs(r.getDouble(2) - 0.15) < 1e-12)
+    // measured 1.59 at sf0.001: the synthetic ratings carry little
+    // user-item signal, so RMSE sits near the rating stddev rather than
+    // the MovieLens 0.87-0.90 — the band guards fit sanity, not parity
+    val rmse = r.getDouble(3)
+    assert(!rmse.isNaN && rmse > 0.1 && rmse < 2.0, s"rmse $rmse")
+  }
+
+  test("reference CV tuning path: 4x4 grid end-to-end, reduced folds (M6)") {
+    // als.py:53-80 runs rank {10,50,100,150} x regParam {.01,.05,.1,.15}
+    // x 5 folds = 80 fits; same grid here with 2 folds at sf0.001 — the
+    // full tuning path exercised, typed best-param readback asserted.
+    val ratings = Tables.ratings(spark, sf)
+      .groupBy(col("userId"), col("movieId")).agg(avg(col("rating")).as("rating"))
+    val cv = Recommend.crossValidate(ratings,
+      ranks = Seq(10, 50, 100, 150),
+      regParams = Seq(0.01, 0.05, 0.1, 0.15),
+      numFolds = 2)
+    assert(cv.avgMetrics.length == 16, s"grid ran ${cv.avgMetrics.length} configs")
+    assert(cv.avgMetrics.forall(m => !m.isNaN && m > 0.0))
+    // typed best-param readback (the py4j reflection als.py:74-79 needed):
+    // RMSE evaluator → CV picks the min avgMetric
+    val als = cv.getEstimator.asInstanceOf[org.apache.spark.ml.recommendation.ALS]
+    val bestMap = cv.getEstimatorParamMaps(cv.avgMetrics.indexOf(cv.avgMetrics.min))
+    val (bestRank, bestReg) = (bestMap(als.rank), bestMap(als.regParam))
+    assert(Seq(10, 50, 100, 150).contains(bestRank))
+    assert(Seq(0.01, 0.05, 0.1, 0.15).contains(bestReg))
+    assert(Recommend.bestAls(cv).rank == bestRank)
+  }
+
   test("cross-validation surfaces the best typed params (M6, mini grid)") {
     val rows = for { u <- 0 until 20; i <- 0 until 15 }
       yield (u, i, if ((u + i) % 2 == 0) 5.0f else 1.0f)
