@@ -209,12 +209,77 @@ object Dedup {
   }
 
   /** From near-dup pairs to a kept set: canonical representative is the
-    * smallest id reachable in ONE hop (greedy star-collapse — the standard
-    * single-pass approximation; run [[dedupKeepSet]] iteratively for full
-    * connected components if chains matter).
+    * smallest id reachable in ONE hop (greedy star-collapse — the fast
+    * single-pass path; over-keeps on CHAINS A~B~C where A≁C directly —
+    * use [[dedupKeepSetClosure]] when transitive duplicates matter).
     */
   def dedupKeepSet(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val demoted = pairs.select(col("id_b").as(idCol)).distinct()
+    docs.select(col(idCol)).join(demoted, Seq(idCol), "left_anti")
+  }
+
+  /** Connected components of the near-dup pair graph: (id, comp) where
+    * `comp` is the smallest id TRANSITIVELY reachable — only for ids that
+    * appear in ≥1 pair (singletons have no row; they trivially keep
+    * themselves).
+    *
+    * Min-label propagation with POINTER JUMPING: each round takes the min
+    * over (a) neighbors' labels and (b) the label's own label
+    * (`comp(comp(v))`). Plain neighbor propagation needs O(diameter)
+    * rounds — a 1000-doc chain would need 1000 shuffles; the jump halves
+    * the remaining depth each round, so convergence is O(log diameter)
+    * and `maxIter = 20` covers components of astronomical diameter.
+    * Each round is two equi-joins + one aggregate over the (id, comp)
+    * relation; the edge list is computed once and persisted, per-round
+    * results are persisted and the previous round unpersisted (at real
+    * scale: checkpoint every few rounds to truncate lineage).
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("id"), col("id_b").as("nbr"))
+      .union(pairs.select(col("id_b").as("id"), col("id_a").as("nbr")))
+      .persist()
+    var labels = edges.groupBy(col("id"))
+      .agg(least(min(col("nbr")), first(col("id"))).as("comp"))
+      .persist()
+    var converged = false
+    var i = 0
+    while (i < maxIter && !converged) {
+      // (a) min over neighbors' current labels
+      val nbrMin = edges
+        .join(labels.select(col("id").as("nbr"), col("comp").as("nc")), Seq("nbr"))
+        .groupBy(col("id")).agg(min(col("nc")).as("nbr_comp"))
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+      // (b) pointer jump: follow my label to ITS label (comp is always a
+      // node id present in `labels`, so the join hits unless comp == id)
+      val next = stepped
+        .join(stepped.select(col("id").as("comp"), col("comp").as("cc")),
+          Seq("comp"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("cc"), col("comp"))).as("comp"))
+        .persist()
+      val changed = next
+        .join(labels.select(col("id"), col("comp").as("prev")), Seq("id"))
+        .filter(col("comp") < col("prev")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** [[dedupKeepSet]] with full transitive closure: in every connected
+    * component of the pair graph only the min id survives. The planted
+    * chain A~B, B~C (A≁C) keeps exactly {A}, where the one-hop form
+    * keeps {A} only if B happened to be listed as an `id_b`.
+    */
+  def dedupKeepSetClosure(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", maxIter: Int = 20): DataFrame = {
+    val demoted = connectedComponents(pairs, maxIter)
+      .filter(col("comp") =!= col("id"))
+      .select(col("id").as(idCol))
     docs.select(col(idCol)).join(demoted, Seq(idCol), "left_anti")
   }
 }

@@ -194,6 +194,24 @@ object TextQueries {
       Dedup.bucketStats(b, maxBucket = 100)
     }),
 
+    // transitive dedup closure on a CHAIN topology — consecutive orders
+    // (by orderkey) of each customer are "near-dups": the full chain must
+    // collapse to the customer's min orderkey, which is exactly the case
+    // one-hop star-collapse gets wrong. Oracle needs no recursion because
+    // the planted topology makes the answer a per-customer window min.
+    "q_dedup_cc" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      val pairs = Tables.orders(s, d).filter(col("o_orderkey") < 5000)
+        .select(col("o_custkey"), col("o_orderkey"))
+        .withColumn("prev", lag(col("o_orderkey"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("prev").as("id_a"), col("o_orderkey").as("id_b"))
+      Dedup.connectedComponents(pairs)
+        .select(col("id"), col("comp"))
+        .orderBy(col("id"))
+    }),
+
     // SimHash signatures (custom codegen'd expression) — rows-only
     "q_dedup_simhash" -> ((s, d) => {
       docs(s, d).select(
@@ -371,6 +389,18 @@ object TextQueries {
         |FROM k a JOIN k c ON a.band = c.band AND a.bucket = c.bucket
         |                  AND a.id < c.id
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_cc" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey FROM orders WHERE o_orderkey < 5000
+        |), c AS (
+        |  SELECT o_orderkey,
+        |    COUNT(*) OVER (PARTITION BY o_custkey) AS n,
+        |    MIN(o_orderkey) OVER (PARTITION BY o_custkey) AS comp
+        |  FROM o
+        |)
+        |SELECT o_orderkey AS id, comp FROM c WHERE n > 1
+        |ORDER BY id""".stripMargin,
 
     "q_bucket_stats" ->
       """WITH b AS (

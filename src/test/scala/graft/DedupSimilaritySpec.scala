@@ -73,6 +73,30 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(kept == Set(1L, 3L, 4L))
   }
 
+  test("dedupKeepSetClosure collapses chains transitively; one-hop over-keeps") {
+    // planted chain: 1~2, 2~3 but 1 !~ 3 — plus an untouched singleton 4
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("doc_id", "text")
+    val chain = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val closure = Dedup.dedupKeepSetClosure(docs, chain).as[Long].collect().toSet
+    assert(closure == Set(1L, 4L), s"closure kept $closure")
+    // adversarial pair orientation for the one-hop form: chain listed as
+    // (2,3),(1,2) still collapses under closure
+    val flipped = Seq((2L, 3L), (1L, 2L)).toDF("id_a", "id_b")
+    assert(Dedup.dedupKeepSetClosure(docs, flipped).as[Long].collect().toSet == Set(1L, 4L))
+  }
+
+  test("connectedComponents: long chain + cycle converge to min labels") {
+    // path 1-2-...-40 (diameter 39 — needs pointer jumping within 20
+    // rounds) and a disjoint cycle 100-101-102-100
+    val path = (1L until 40L).map(i => (i, i + 1))
+    val cycle = Seq((100L, 101L), (101L, 102L), (102L, 100L))
+    val pairs = (path ++ cycle).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 40L).forall(cc(_) == 1L), s"path labels ${cc.filter(_._1 <= 40)}")
+    assert(Seq(100L, 101L, 102L).forall(cc(_) == 100L))
+  }
+
   test("brute-force topK: self excluded, ranks contiguous, cosine sorted") {
     val e = Tables.embeddings(spark, sf)
     val out = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), 3).cache()
