@@ -59,9 +59,18 @@ object Tables {
     * At scale: equi-join on the orderkey; Catalyst/AQE picks sort-merge
     * (both sides large) with the projection pruned to 4+2 columns at scan.
     */
-  def ratings(spark: SparkSession, sfDir: String): DataFrame = {
-    val o = orders(spark, sfDir).select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
-    val l = lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+  def ratings(spark: SparkSession, sfDir: String): DataFrame =
+    ratingsFrom(orders(spark, sfDir), lineitem(spark, sfDir))
+
+  /** The ratings derivation over ARBITRARY orders/lineitem relations —
+    * same code path whether the inputs are flat parquet scans (above) or
+    * orderkey-bucketed tables, where the join plans with ZERO exchanges
+    * (SCALING.md; proven in ScalePostureSpec). At 100 TB the bucketed
+    * layout makes this view shuffle-free to materialize.
+    */
+  def ratingsFrom(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val o = orders.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    val l = lineitem.select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
     o.join(l, o("o_orderkey") === l("l_orderkey"))
       .select(
         col("o_custkey").as("userId"),

@@ -79,6 +79,38 @@ class ScalePostureSpec extends SparkTestBase {
     assert(j.count() > 0)
   }
 
+  test("bucketed ratings view: the actual Tables.ratings join plans with zero exchanges") {
+    // SCALING.md claims pre-bucketing orders/lineitem on orderkey makes
+    // the ratings view shuffle-free; prove it through the REAL derivation
+    // (Tables.ratingsFrom), not a stand-in join.
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      for (t <- Seq("o_rb", "l_rb")) {
+        val d = new java.io.File(s"spark-warehouse/$t")
+        if (d.exists()) {
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) f.listFiles().foreach(rm)
+            f.delete()
+          }
+          rm(d)
+        }
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+      }
+      Tables.orders(spark, sf).write.bucketBy(4, "o_orderkey")
+        .sortBy("o_orderkey").saveAsTable("o_rb")
+      Tables.lineitem(spark, sf).write.bucketBy(4, "l_orderkey")
+        .sortBy("l_orderkey").saveAsTable("l_rb")
+      val r = Tables.ratingsFrom(spark.table("o_rb"), spark.table("l_rb"))
+      val plan = r.queryExecution.executedPlan.toString
+      assert("Exchange hashpartitioning\\((o_orderkey|l_orderkey)".r
+        .findAllIn(plan).isEmpty,
+        s"bucketed ratings view must not shuffle the join keys:\n$plan")
+      assert(r.count() == Tables.ratings(spark, sf).count(),
+        "bucketed view must produce the same rows as the flat-scan view")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
   test("q_tpch_q3 plan: date predicates pushed to parquet, dim side broadcast") {
     val plan = SparkEntry.queries("q_tpch_q3")(spark, sf)
       .queryExecution.executedPlan.toString

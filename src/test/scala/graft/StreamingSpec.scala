@@ -228,6 +228,43 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("transformWithState: kill and resume restores RocksDB state from checkpoint") {
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft_tws").toString
+      val mem = MemoryStream[EventStreams.Ev]
+      def start() = EventStreams.runningUserTotalsV2(mem.toDS())
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt").start()
+      val q1 = start()
+      try {
+        mem.addData(
+          EventStreams.Ev(1, ts(0), 1, "a", 2.0),
+          EventStreams.Ev(2, ts(1), 1, "a", 3.0))
+        q1.processAllAvailable()
+      } finally q1.stop() // kill
+      val q2 = start() // resume from the same checkpoint
+      try {
+        mem.addData(EventStreams.Ev(3, ts(2), 1, "a", 5.0))
+        q2.processAllAvailable()
+      } finally q2.stop()
+      val rows = spark.read.parquet(s"$dir/out")
+        .as[EventStreams.SessionUpdate].collect()
+        .map(u => (u.user_id, u.n_events, u.total_value)).toSet
+      // the restarted query must CONTINUE the per-user state: (1,3,10.0),
+      // not a recount from zero (1,1,5.0)
+      assert(rows == Set((1L, 2L, 5.0), (1L, 3L, 10.0)), rows.toString)
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("file stream source: new parquet files picked up incrementally") {
     val dir = java.nio.file.Files.createTempDirectory("graft_fsrc").toString
     val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
