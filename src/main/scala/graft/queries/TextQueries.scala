@@ -194,6 +194,67 @@ object TextQueries {
       Dedup.bucketStats(b, maxBucket = 100)
     }),
 
+    // TF-IDF top-3 terms per document (smooth idf ln((N+1)/(df+1))):
+    // the classic keyword/feature extraction every corpus study starts
+    // with. Shape at scale: one (doc,term) shuffle for tf, the df
+    // relation reduces to vocabulary size before joining back on term,
+    // the corpus count attaches as a broadcast 1-row aggregate, and the
+    // per-doc top-3 is a WindowGroupLimit-bounded rank. Rank on the
+    // ROUNDED score with a term tiebreak (SURVEY §7.4 determinism rule).
+    "q_tfidf_top3" -> ((s, d) => {
+      val docs0 = docs(s, d)
+      val tok = docs0.select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("term"))
+      val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val total = docs0.agg(count(lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("score_r").desc, col("term"))
+      tf.join(dfreq, Seq("term"))
+        .crossJoin(broadcast(total))
+        .withColumn("score_r", round(col("tf") *
+          log((col("n_docs").cast("double") + 1.0) / (col("df").cast("double") + 1.0)), 6))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("term"), col("score_r"))
+        .orderBy(col("doc_id"), col("rank"))
+    }),
+
+    // benchmark-contamination report: 5-gram shingle overlap between the
+    // training split and a planted "benchmark" slice (doc_id % 10 == 7 —
+    // stands in for an eval set). The decontamination pass every serious
+    // training corpus runs (n-gram collision against held-out evals). At
+    // scale the benchmark gram set is small → broadcast; the corpus side
+    // never self-joins.
+    "q_contamination" -> ((s, d) => {
+      val base = docs(s, d)
+      def grams(df: DataFrame, idAlias: String) =
+        df.select(col("doc_id").as(idAlias),
+          explode(Dedup.shingles(col("text"), 5)).as("g"))
+      val bench = grams(base.filter(pmod(col("doc_id"), lit(10)) === 7), "bench_id")
+      val train = grams(base.filter(pmod(col("doc_id"), lit(10)) =!= 7), "doc_id")
+      train.join(broadcast(bench), Seq("g"))
+        .groupBy(col("doc_id"), col("bench_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("doc_id"), col("bench_id"))
+    }),
+
+    // repetition score: most-frequent-token share per document — the
+    // cheap garbage/spam detector (a doc that is one token over and over
+    // scores 1.0). Two aggregates over one (doc,term) shuffle; the top
+    // term is picked deterministically via max(struct(count, term)).
+    "q_repetition" -> ((s, d) => {
+      docs(s, d)
+        .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(
+          max(struct(col("c"), col("term"))).getField("term").as("top_term"),
+          round(max(col("c")).cast("double") / sum(col("c")).cast("double"), 6)
+            .as("rep_ratio"),
+          sum(col("c")).as("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // transitive dedup closure on a CHAIN topology — consecutive orders
     // (by orderkey) of each customer are "near-dups": the full chain must
     // collapse to the customer's min orderkey, which is exactly the case
@@ -389,6 +450,59 @@ object TextQueries {
         |FROM k a JOIN k c ON a.band = c.band AND a.bucket = c.bucket
         |                  AND a.id < c.id
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_tfidf_top3" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS tk FROM documents),
+         |tok AS (SELECT doc_id, UNNEST(tk) AS term FROM t),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |s AS (
+         |  SELECT doc_id, term,
+         |    ROUND(tf * ln((n_docs + 1.0) / (df + 1.0)), 6) AS score_r
+         |  FROM tf JOIN dfq USING (term), n
+         |),
+         |r AS (
+         |  SELECT doc_id, term, score_r,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id
+         |                       ORDER BY score_r DESC, term) AS rank
+         |  FROM s
+         |)
+         |SELECT doc_id, rank, term, score_r FROM r WHERE rank <= 3
+         |ORDER BY doc_id, rank""".stripMargin,
+
+    "q_contamination" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS tk FROM documents),
+         |sh AS (
+         |  SELECT doc_id, UNNEST(list_distinct(
+         |    CASE WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+         |         WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')]
+         |         ELSE [array_to_string(tk[i:i+4], ' ') FOR i IN range(1, len(tk) - 3)]
+         |    END)) AS g
+         |  FROM t
+         |)
+         |SELECT a.doc_id AS doc_id, b.doc_id AS bench_id, COUNT(*) AS n_shared
+         |FROM sh a JOIN sh b ON a.g = b.g
+         |WHERE a.doc_id % 10 != 7 AND b.doc_id % 10 = 7
+         |GROUP BY 1, 2
+         |ORDER BY a.doc_id, bench_id""".stripMargin,
+
+    "q_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS tk FROM documents),
+         |tok AS (SELECT doc_id, UNNEST(tk) AS term FROM t),
+         |c AS (SELECT doc_id, term, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+         |r AS (
+         |  SELECT doc_id, term, c,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id
+         |                       ORDER BY c DESC, term DESC) AS rn,
+         |    SUM(c) OVER (PARTITION BY doc_id) AS n_tokens,
+         |    MAX(c) OVER (PARTITION BY doc_id) AS mx
+         |  FROM c
+         |)
+         |SELECT doc_id, term AS top_term,
+         |  ROUND(CAST(mx AS DOUBLE) / n_tokens, 6) AS rep_ratio,
+         |  CAST(n_tokens AS BIGINT) AS n_tokens
+         |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "q_dedup_cc" ->
       """WITH o AS (
