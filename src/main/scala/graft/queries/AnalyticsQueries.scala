@@ -391,6 +391,27 @@ object AnalyticsQueries {
           |LIMIT 100""".stripMargin)
     }),
 
+    // TPC-H Q22 shape: NOT EXISTS (anti join) + uncorrelated scalar AVG
+    // subquery — "positive-balance recently-inactive customers above the average". The scalar subquery plans as a 1-row broadcast; NOT
+    // EXISTS becomes a LEFT ANTI join on custkey. Completes the subquery
+    // family alongside Q4 (EXISTS), Q17 (correlated scalar), Q18 (IN).
+    "q_tpch_q22" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("graft_cust")
+      t(s, d, "orders").createOrReplaceTempView("graft_ord")
+      s.sql(
+        """SELECT c_nationkey,
+          |  COUNT(*) AS numcust,
+          |  CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS BIGINT) AS totacctbal_c
+          |FROM graft_cust
+          |WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM graft_cust
+          |                   WHERE c_acctbal > 0.0)
+          |  AND NOT EXISTS (SELECT 1 FROM graft_ord
+          |                  WHERE o_custkey = c_custkey
+          |                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+          |GROUP BY c_nationkey
+          |ORDER BY c_nationkey""".stripMargin)
+    }),
+
     // Value-based RANGE window frame: trailing-7-day revenue per customer
     // (frame bounded by the ORDER-BY VALUE, not row counts — the frame
     // kind the rows-based queries don't exercise).
@@ -776,6 +797,19 @@ object AnalyticsQueries {
         |WHERE p_brand = 'Brand#1'
         |  AND l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
         |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
+
+    "q_tpch_q22" ->
+      """SELECT c_nationkey,
+        |  COUNT(*) AS numcust,
+        |  CAST(SUM(CAST(ROUND(c_acctbal*100) AS BIGINT)) AS BIGINT) AS totacctbal_c
+        |FROM customer
+        |WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer
+        |                   WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY c_nationkey
+        |ORDER BY c_nationkey""".stripMargin,
 
     "q_tpch_q18" ->
       """SELECT c_name, c_custkey, o_orderkey,

@@ -129,6 +129,64 @@ object EventStreams {
         OutputMode.Append())
   }
 
+  case class ClosedSession(user_id: Long, n_events: Long, total_value: Double,
+      last_sec: Long)
+
+  /** Timer-based session close on the v2 API: accumulate per user, keep
+    * ONE event-time timer at `last_ts + gap`, and emit the final session
+    * row from `handleExpiredTimer` when the WATERMARK passes it — the
+    * semantics `session_window` can't express when the output must fire
+    * exactly once per closed session with custom payload. State and the
+    * timer registry are both RocksDB-backed and bounded: one row + one
+    * timer per live user, cleared on close.
+    */
+  class SessionCloseProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, ClosedSession] {
+    @transient private var sess: org.apache.spark.sql.streaming.ValueState[UserSession] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      sess = getHandle.getValueState[UserSession]("sess",
+        org.apache.spark.sql.Encoders.product[UserSession],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(uid: Long, rows: Iterator[Ev],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[ClosedSession] = {
+      val buf = rows.toSeq
+      val prev = if (sess.exists()) sess.get() else UserSession(uid, 0L, 0.0, 0L)
+      val next = UserSession(uid,
+        prev.n_events + buf.size,
+        prev.total_value + buf.map(_.value).sum,
+        math.max(prev.last_ts, buf.map(_.ts.getTime).foldLeft(0L)(math.max)))
+      sess.update(next)
+      // slide the single close timer to the new last-event + gap
+      if (prev.n_events > 0) getHandle.deleteTimer(prev.last_ts + gapMs)
+      getHandle.registerTimer(next.last_ts + gapMs)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(uid: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[ClosedSession] = {
+      val s = sess.get()
+      sess.clear()
+      Iterator(ClosedSession(uid, s.n_events, s.total_value, s.last_ts / 1000L))
+    }
+  }
+
+  /** [[SessionCloseProcessor]] wired through `transformWithState` in
+    * event-time mode (requires a watermark on `ts`).
+    */
+  def sessionCloseV2(events: Dataset[Ev], gapMinutes: Int = 30)
+      : Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 seconds")
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionCloseProcessor(gapMinutes * 60000L),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   /** Custom per-key state machine (the mapGroupsWithState escape hatch for
     * semantics session_window can't express — here: emit an update per
     * batch with running totals).

@@ -228,6 +228,44 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("transformWithState event-time timer closes sessions when the watermark passes") {
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[EventStreams.Ev]
+      val out = EventStreams.sessionCloseV2(mem.toDS(), gapMinutes = 30)
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName("close_out").start()
+      try {
+        // user 1's session: two events 10 min apart
+        mem.addData(
+          EventStreams.Ev(1, ts(0), 1, "a", 2.0),
+          EventStreams.Ev(2, new java.sql.Timestamp(ts(0).getTime + 600000L), 1, "a", 3.0))
+        q.processAllAvailable()
+        assert(spark.table("close_out").count() == 0,
+          "session must not close before the gap elapses")
+        // a much later event (other user) advances the watermark far past
+        // user 1's close timer (last_ts + 30 min)
+        mem.addData(EventStreams.Ev(3, ts(180), 2, "a", 1.0))
+        q.processAllAvailable()
+        mem.addData(EventStreams.Ev(4, ts(240), 2, "a", 1.0))
+        q.processAllAvailable()
+        val closed = spark.table("close_out")
+          .as[EventStreams.ClosedSession].collect()
+          .filter(_.user_id == 1L)
+        assert(closed.length == 1, s"exactly one closed session: ${closed.mkString(",")}")
+        assert(closed.head.n_events == 2 && closed.head.total_value == 5.0)
+        assert(closed.head.last_sec == (ts(0).getTime + 600000L) / 1000L)
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("transformWithState: kill and resume restores RocksDB state from checkpoint") {
     implicit val sc = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
