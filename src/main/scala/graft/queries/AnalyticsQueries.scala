@@ -412,6 +412,25 @@ object AnalyticsQueries {
           |ORDER BY c_nationkey""".stripMargin)
     }),
 
+    // LATERAL correlated subquery with ORDER BY + LIMIT: top-2 orders per
+    // customer, the SQL-text twin of the window top-k. Catalyst
+    // decorrelates the lateral into a ranked join (DecorrelateInnerQuery
+    // handles the correlated LIMIT) — no per-row subquery execution.
+    "q_lateral_topk" -> ((s, d) => {
+      t(s, d, "customer").createOrReplaceTempView("graft_cust")
+      t(s, d, "orders").createOrReplaceTempView("graft_ord")
+      s.sql(
+        """SELECT c.c_custkey, o.o_orderkey, o.price_c
+          |FROM graft_cust c,
+          |LATERAL (SELECT o_orderkey,
+          |                CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_c
+          |         FROM graft_ord
+          |         WHERE o_custkey = c.c_custkey
+          |         ORDER BY price_c DESC, o_orderkey LIMIT 2) o
+          |WHERE c.c_custkey < 200
+          |ORDER BY c_custkey, price_c DESC, o_orderkey""".stripMargin)
+    }),
+
     // Value-based RANGE window frame: trailing-7-day revenue per customer
     // (frame bounded by the ORDER-BY VALUE, not row counts — the frame
     // kind the rows-based queries don't exercise).
@@ -797,6 +816,17 @@ object AnalyticsQueries {
         |WHERE p_brand = 'Brand#1'
         |  AND l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
         |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
+
+    "q_lateral_topk" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.price_c
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey,
+        |                CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_c
+        |         FROM orders
+        |         WHERE o_custkey = c.c_custkey
+        |         ORDER BY price_c DESC, o_orderkey LIMIT 2) o
+        |WHERE c.c_custkey < 200
+        |ORDER BY c_custkey, price_c DESC, o_orderkey""".stripMargin,
 
     "q_tpch_q22" ->
       """SELECT c_nationkey,

@@ -177,6 +177,18 @@ object EventQueries {
         .orderBy(col("event_type"), col("hour_sec"))
     }),
 
+    // Spark 4 VARIANT type: parse_json once → typed variant_get path
+    // extraction — the semi-structured scale path (binary-encoded, no
+    // per-query regexp, shredding-ready), next to the from_json typed
+    // struct and the regexp fallback.
+    "q_events_variant" -> ((s, d) => {
+      Tables.events(s, d)
+        .withColumn("k", variant_get(parse_json(col("props")), "$.k", "long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy(col("event_type"))
+    }),
+
     // JSON prop parsing with an explicit schema (from_json — the typed
     // path next to the regexp fallback in q_events_props)
     "q_events_json" -> ((s, d) => {
@@ -374,6 +386,12 @@ object EventQueries {
         |FROM events
         |WHERE props::JSON->>'$.k' IS NOT NULL
         |ORDER BY event_id""".stripMargin,
+
+    "q_events_variant" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(props::JSON->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_media_resize" ->
       """WITH m AS (

@@ -122,6 +122,17 @@ class ScalePostureSpec extends SparkTestBase {
       "top-10 must be TakeOrdered, not a global sort")
   }
 
+  test("correlated subqueries decorrelate: Q4 plans a semi join, Q17 one aggregate") {
+    val p4 = SparkEntry.queries("q_tpch_q4")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(p4.contains("LeftSemi"),
+      s"EXISTS must become a left-semi join, not per-row subqueries:\n${p4.take(2000)}")
+    val p17 = SparkEntry.queries("q_tpch_q17")(spark, sf)
+      .queryExecution.optimizedPlan.toString
+    assert(!p17.toLowerCase.contains("scalar-subquery"),
+      s"correlated scalar subquery must decorrelate into a join:\n${p17.take(2000)}")
+  }
+
   test("q_corpus_clean plan: one documents aggregation feeds the keeper join") {
     val plan = SparkEntry.queries("q_corpus_clean")(spark, sf)
       .queryExecution.executedPlan.toString
