@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality checks — the expectations gate every
+  * training-data ingest runs before a table is allowed downstream.
+  *
+  * Scale shape: all row-level constraints are evaluated in ONE pass over
+  * the relation (a single aggregate of `sum(when(!p, 1))` columns — never
+  * one scan per check), then unpivoted to the long (check, n_bad) report
+  * form. Referential checks are left-anti joins against the DISTINCT
+  * parent keys (parent side reduces before the join; broadcast when the
+  * key set is small).
+  */
+object DataQuality {
+
+  /** One row per named constraint: (check, n_bad, n_rows). Violations are
+    * rows where the predicate is NOT true (false OR null — a null
+    * comparison is a violation, matching SQL's "constraint not satisfied"
+    * semantics rather than silently passing nulls).
+    */
+  def constraintReport(df: DataFrame, constraints: Seq[(String, Column)]): DataFrame = {
+    val aggs = constraints.map { case (name, p) =>
+      sum(when(coalesce(p, lit(false)), 0L).otherwise(1L)).as(name)
+    } :+ count(lit(1)).as("__n")
+    df.agg(aggs.head, aggs.tail: _*)
+      .unpivot(Array(col("__n")), constraints.map(c => col(c._1)).toArray,
+        "check", "n_bad")
+      .select(col("check"), col("n_bad"), col("__n").as("n_rows"))
+  }
+
+  /** Count of child rows whose key has no parent — the referential-
+    * integrity check as a left-anti join against distinct parent keys.
+    */
+  def referentialViolations(child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String): DataFrame =
+    child.select(col(childKey))
+      .join(parent.select(col(parentKey).as(childKey)).distinct(),
+        Seq(childKey), "left_anti")
+      .agg(count(lit(1)).as("n_bad"))
+
+  /** Referential check in [[constraintReport]]'s row shape
+    * (check, n_bad, n_rows), via ONE pass over the child (left join +
+    * conditional sum rather than an anti join plus a second count scan).
+    */
+  def referentialReport(child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String, name: String): DataFrame =
+    child.select(col(childKey))
+      .join(parent.select(col(parentKey).as(childKey)).distinct()
+        .withColumn("__hit", lit(1)), Seq(childKey), "left")
+      .agg(
+        sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("n_bad"),
+        count(lit(1)).as("n_rows"))
+      .select(lit(name).as("check"), col("n_bad"), col("n_rows"))
+}

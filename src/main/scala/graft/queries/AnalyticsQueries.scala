@@ -412,6 +412,24 @@ object AnalyticsQueries {
           |ORDER BY c_nationkey""".stripMargin)
     }),
 
+    // Data-quality gate: all row-level constraints in ONE lineitem pass
+    // (single aggregate, then unpivot to the long report) + the
+    // orders→customer referential check as a one-pass left join. The
+    // expectations report every ingest runs before a table ships.
+    "q_dq_report" -> ((s, d) => {
+      val rowChecks = graft.operators.DataQuality.constraintReport(
+        t(s, d, "lineitem"), Seq(
+          "discount_range" -> (col("l_discount") >= 0.0 && col("l_discount") <= 0.1),
+          "price_positive" -> (col("l_extendedprice") > 0.0),
+          "quantity_range" -> (col("l_quantity") >= 1.0 && col("l_quantity") <= 60.0),
+          "shipdate_not_null" -> col("l_shipdate").isNotNull,
+          "tax_range" -> (col("l_tax") >= 0.0 && col("l_tax") <= 0.1)))
+      val fk = graft.operators.DataQuality.referentialReport(
+        t(s, d, "orders"), "o_custkey",
+        t(s, d, "customer"), "c_custkey", "orders_custkey_fk")
+      rowChecks.unionByName(fk).orderBy(col("check"))
+    }),
+
     // LATERAL correlated subquery with ORDER BY + LIMIT: top-2 orders per
     // customer, the SQL-text twin of the window top-k. Catalyst
     // decorrelates the lateral into a ranked join (DecorrelateInnerQuery
@@ -816,6 +834,31 @@ object AnalyticsQueries {
         |WHERE p_brand = 'Brand#1'
         |  AND l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
         |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
+
+    "q_dq_report" ->
+      """WITH a AS (
+        |  SELECT COUNT(*) AS n_rows,
+        |    CAST(SUM(CASE WHEN l_discount >= 0.0 AND l_discount <= 0.1 THEN 0 ELSE 1 END) AS BIGINT) AS discount_range,
+        |    CAST(SUM(CASE WHEN l_extendedprice > 0.0 THEN 0 ELSE 1 END) AS BIGINT) AS price_positive,
+        |    CAST(SUM(CASE WHEN l_quantity >= 1.0 AND l_quantity <= 60.0 THEN 0 ELSE 1 END) AS BIGINT) AS quantity_range,
+        |    CAST(SUM(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS shipdate_not_null,
+        |    CAST(SUM(CASE WHEN l_tax >= 0.0 AND l_tax <= 0.1 THEN 0 ELSE 1 END) AS BIGINT) AS tax_range
+        |  FROM lineitem
+        |), fk AS (
+        |  SELECT CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_bad,
+        |         COUNT(*) AS n_rows
+        |  FROM orders o
+        |  LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        |    ON o.o_custkey = c.c_custkey
+        |)
+        |SELECT * FROM (
+        |  SELECT 'discount_range' AS "check", discount_range AS n_bad, n_rows FROM a
+        |  UNION ALL SELECT 'price_positive', price_positive, n_rows FROM a
+        |  UNION ALL SELECT 'quantity_range', quantity_range, n_rows FROM a
+        |  UNION ALL SELECT 'shipdate_not_null', shipdate_not_null, n_rows FROM a
+        |  UNION ALL SELECT 'tax_range', tax_range, n_rows FROM a
+        |  UNION ALL SELECT 'orders_custkey_fk', n_bad, n_rows FROM fk
+        |) ORDER BY "check"""".stripMargin,
 
     "q_lateral_topk" ->
       """SELECT c.c_custkey, o.o_orderkey, o.price_c

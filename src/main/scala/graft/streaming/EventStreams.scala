@@ -83,6 +83,24 @@ object EventStreams {
 
   // ----- custom state: per-user running session via flatMapGroupsWithState
 
+  case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
+
+  /** Streaming corpus intake: exact dedup by content hash within the
+    * watermark horizon, then the SAME quality/language gates as the batch
+    * curation (`q_corpus_clean`) — one definition serves backfill (batch
+    * read) and live ingest (readStream). Dedup state is keyed by md5, so
+    * it is bounded by the watermark, not corpus size; the text gates are
+    * map-only fused expressions (TextStats) and add no state at all.
+    */
+  def curateDocs(docs: DataFrame, watermark: String = "2 hours",
+      minQuality: Double = 0.5): DataFrame =
+    docs
+      .withColumn("content_hash", md5(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+      .filter(graft.operators.TextAnalysis.qualityScore(col("text")) >= minQuality)
+      .filter(graft.operators.TextAnalysis.langId(col("text")) === "en")
+
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class UserSession(user_id: Long, n_events: Long, total_value: Double,

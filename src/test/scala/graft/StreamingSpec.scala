@@ -228,6 +228,30 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("streaming corpus intake: dedup + quality + language gates on a doc stream") {
+    implicit val sc = spark.sqlContext
+    val good = "the quick brown fox jumps over the lazy dog and the cat " +
+      "is in the house with a dog for the day and the night is long"
+    val junk = "!!! ??? ### $$$ %%%"
+    val german = "der hund und die katze sind nicht im haus von dem mann " +
+      "mit den kindern und der frau im garten bei dem wetter"
+    val mem = MemoryStream[EventStreams.Doc]
+    val out = EventStreams.curateDocs(mem.toDF())
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("curate_out").start()
+    try {
+      mem.addData(
+        EventStreams.Doc(1, ts(0), good),
+        EventStreams.Doc(2, ts(1), good), // exact dup of 1 → dropped
+        EventStreams.Doc(3, ts(2), junk), // fails quality gate
+        EventStreams.Doc(4, ts(3), german)) // fails language gate
+      q.processAllAvailable()
+      val kept = spark.table("curate_out").select(col("doc_id"))
+        .as[Long].collect().toSet
+      assert(kept == Set(1L), s"kept $kept")
+    } finally q.stop()
+  }
+
   test("transformWithState event-time timer closes sessions when the watermark passes") {
     implicit val sc = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
