@@ -412,6 +412,36 @@ object AnalyticsQueries {
           |ORDER BY c_nationkey""".stripMargin)
     }),
 
+    // Recursive CTE (Spark 4 WITH RECURSIVE): transitive closure over the
+    // same chain-pair graph as q_dedup_cc — the SQL-text twin of the
+    // iterative connectedComponents operator; identical (id, comp)
+    // output, so the recursive planner and the pointer-jumping DataFrame
+    // loop cross-check each other through the oracle. Edges always point
+    // from higher to lower id (LAG construction), so the recursion is
+    // finite without cycle detection.
+    "q_cc_recursive" -> ((s, d) => {
+      t(s, d, "orders").createOrReplaceTempView("graft_ord")
+      s.sql(
+        """WITH RECURSIVE ch AS (
+          |  SELECT o_custkey, o_orderkey,
+          |    LAG(o_orderkey) OVER (PARTITION BY o_custkey
+          |                          ORDER BY o_orderkey) AS prev
+          |  FROM graft_ord WHERE o_orderkey < 5000
+          |), pairs AS (
+          |  SELECT prev AS id_a, o_orderkey AS id_b FROM ch
+          |  WHERE prev IS NOT NULL
+          |), reach(id, cur) AS (
+          |  SELECT id_b, id_a FROM pairs
+          |  UNION ALL
+          |  SELECT r.id, p.id_a FROM reach r JOIN pairs p ON r.cur = p.id_b
+          |)
+          |SELECT id, MIN(cur) AS comp FROM (
+          |  SELECT id_a AS id, id_a AS cur FROM pairs
+          |  UNION ALL SELECT id_b, id_b FROM pairs
+          |  UNION ALL SELECT id, cur FROM reach
+          |) GROUP BY id ORDER BY id""".stripMargin)
+    }),
+
     // Data-quality gate: all row-level constraints in ONE lineitem pass
     // (single aggregate, then unpivot to the long report) + the
     // orders→customer referential check as a one-pass left join. The
@@ -834,6 +864,26 @@ object AnalyticsQueries {
         |WHERE p_brand = 'Brand#1'
         |  AND l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
         |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
+
+    "q_cc_recursive" ->
+      """WITH RECURSIVE ch AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    LAG(o_orderkey) OVER (PARTITION BY o_custkey
+        |                          ORDER BY o_orderkey) AS prev
+        |  FROM orders WHERE o_orderkey < 5000
+        |), pairs AS (
+        |  SELECT prev AS id_a, o_orderkey AS id_b FROM ch
+        |  WHERE prev IS NOT NULL
+        |), reach(id, cur) AS (
+        |  SELECT id_b, id_a FROM pairs
+        |  UNION ALL
+        |  SELECT r.id, p.id_a FROM reach r JOIN pairs p ON r.cur = p.id_b
+        |)
+        |SELECT id, MIN(cur) AS comp FROM (
+        |  SELECT id_a AS id, id_a AS cur FROM pairs
+        |  UNION ALL SELECT id_b, id_b FROM pairs
+        |  UNION ALL SELECT id, cur FROM reach
+        |) GROUP BY id ORDER BY id""".stripMargin,
 
     "q_dq_report" ->
       """WITH a AS (

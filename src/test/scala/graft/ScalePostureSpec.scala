@@ -217,6 +217,14 @@ class ScalePostureSpec extends SparkTestBase {
       s"expected exactly one (band,bucket) exchange, got $bandExchanges:\n$plan")
   }
 
+  test("recursive CTE support probe") {
+    val r = spark.sql(
+      """WITH RECURSIVE t(n) AS (
+        |  SELECT 1 UNION ALL SELECT n + 1 FROM t WHERE n < 5
+        |) SELECT SUM(n) FROM t""".stripMargin).first().getLong(0)
+    assert(r == 15)
+  }
+
   test("cached relation is reused across actions (InMemoryTableScan)") {
     val agg = Popularity.aggRatings(Tables.ratings(spark, sf)).cache()
     try {
