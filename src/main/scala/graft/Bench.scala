@@ -30,7 +30,13 @@ object Bench {
     // join, stream-shaped interval join, training-data composition
     "q_tpch_q1", "q_tpch_q3", "q_tpch_q5", "q_tpch_q6", "q_stats_agg",
     "q_range_join", "q_events_interval", "q_corpus_clean", "q_data_mix",
-    "q_pack_tokens", "q_window_range_frame")
+    "q_pack_tokens", "q_window_range_frame",
+    // round-3 additions: correlated-subquery shapes, recursive CTE,
+    // lateral, variant, dedup closure, TF-IDF, contamination, DQ gate
+    "q_tpch_q4", "q_tpch_q17", "q_tpch_q18", "q_tpch_q22",
+    "q_cc_recursive", "q_lateral_topk", "q_events_variant",
+    "q_dedup_cc", "q_tfidf_top3", "q_contamination", "q_repetition",
+    "q_dq_report", "q_bucket_stats")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

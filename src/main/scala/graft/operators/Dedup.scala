@@ -241,28 +241,32 @@ object Dedup {
     var labels = edges.groupBy(col("id"))
       .agg(least(min(col("nbr")), first(col("id"))).as("comp"))
       .persist()
+    var cached = labels
     var converged = false
     var i = 0
     while (i < maxIter && !converged) {
-      // (a) min over neighbors' current labels
+      // (a) min over neighbors' current labels; the round's starting comp
+      // rides along as `prev` so convergence detection below is a plain
+      // filter on the SAME relation — one Spark action per round total,
+      // no separate compare join
       val nbrMin = edges
         .join(labels.select(col("id").as("nbr"), col("comp").as("nc")), Seq("nbr"))
         .groupBy(col("id")).agg(min(col("nc")).as("nbr_comp"))
       val stepped = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("comp").as("prev"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
       // (b) pointer jump: follow my label to ITS label (comp is always a
       // node id present in `labels`, so the join hits unless comp == id)
       val next = stepped
-        .join(stepped.select(col("id").as("comp"), col("comp").as("cc")),
+        .join(stepped.select(col("comp").as("cc"), col("id").as("comp")),
           Seq("comp"), "left")
-        .select(col("id"), least(col("comp"), coalesce(col("cc"), col("comp"))).as("comp"))
+        .select(col("id"), col("prev"),
+          least(col("comp"), coalesce(col("cc"), col("comp"))).as("comp"))
         .persist()
-      val changed = next
-        .join(labels.select(col("id"), col("comp").as("prev")), Seq("id"))
-        .filter(col("comp") < col("prev")).count()
-      labels.unpersist()
-      labels = next
+      val changed = next.filter(col("comp") < col("prev")).count()
+      cached.unpersist()
+      cached = next
+      labels = next.select(col("id"), col("comp"))
       converged = changed == 0
       i += 1
     }
