@@ -151,6 +151,101 @@ object Similarity {
       .toSeq.toDF("centroid_id", "__centv")
   }
 
+  /** Product-quantization codebooks: one KMeans per subspace over the
+    * sliced corpus (at 100 TB: fit on a sample — the codebook is a
+    * statistic, not a per-row artifact). Returns, per subspace, the
+    * centroids in centroid-id order.
+    */
+  def pqCodebooks(corpus: DataFrame, dim: Int, m: Int = 4, nCentroids: Int = 16,
+      seed: Long = 42L, vecCol: String = "embedding"): Array[Array[Array[Float]]] = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    (0 until m).toArray.map { s =>
+      val sub = corpus.select(org.apache.spark.ml.functions.array_to_vector(
+        slice(col(vecCol), s * dsub + 1, dsub)).as("features"))
+      val model = new org.apache.spark.ml.clustering.KMeans()
+        .setK(nCentroids).setSeed(seed + s).setMaxIter(10).fit(sub)
+      model.clusterCenters.map(_.toArray.map(_.toFloat))
+    }
+  }
+
+  /** PQ ANN with asymmetric-distance scoring + exact rerank — the
+    * MEMORY-bound 100 TB path: the corpus rides the scoring join as
+    * `m` small integer codes per vector (64 bytes of float32 → 4 codes
+    * here, 64× smaller), queries carry a broadcast per-query lookup
+    * table (m × nCentroids partial dot products), and the approximate
+    * score is m array lookups per pair instead of a d-dimensional dot.
+    * Top `rerank·k` ADC candidates per query then join the TRUE vectors
+    * back (bounded: rerank·k rows per query, not the corpus) for an
+    * exact cosine rerank.
+    *
+    * Encoding and the LUT are pure projections over literal codebook
+    * arrays (same zero-shuffle pattern as [[nearestCells]]).
+    */
+  def pqTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 8, nCentroids: Int = 32, seed: Long = 42L, rerank: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).first().getInt(0)
+    val books = pqCodebooks(corpus, dim, m, nCentroids, seed, vecCol)
+    val dsub = dim / m
+    def subSlice(v: Column, s: Int) = slice(v, s * dsub + 1, dsub)
+    def dotC(a: Column, b: Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    def l2sq(a: Column, b: Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+
+    // encode: per subspace, argmin-L2 centroid id (deterministic tiebreak)
+    val codeCols = (0 until m).map { s =>
+      val cents = array(books(s).zipWithIndex.map { case (cv, cid) =>
+        struct(typedlit(cv).as("cv"), lit(cid).as("cid"))
+      }: _*)
+      element_at(array_sort(transform(cents, c => struct(
+        l2sq(subSlice(col(vecCol), s), c.getField("cv")).as("d"),
+        c.getField("cid").as("cid")))), 1).getField("cid")
+    }
+    // codes + the vector's own norm (4 extra bytes): ADC estimates the
+    // DOT product, but the truth metric is cosine — ranking candidates by
+    // adc/||x|| (||q|| is constant per query) aligns the two; without the
+    // stored norm, unnormalized corpora mis-rank badly (measured recall
+    // 0.36 -> 0.88 on the sf0.001 fixture)
+    val codes = corpus.select(col(idCol).as("neighbor_id"),
+      array(codeCols: _*).as("codes"),
+      graft.functions.VectorFunctions.l2_norm(col(vecCol)).as("xnorm"))
+
+    // per-query LUT: lut[s*nCentroids + cid] = dot(q_sub(s), centroid cid)
+    val lut = flatten(array((0 until m).map { s =>
+      val cents = array(books(s).map(cv => typedlit(cv)): _*)
+      transform(cents, c => dotC(subSlice(col("__qv"), s), c))
+    }: _*))
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__lut", lut))
+
+    val adc = aggregate(
+      transform(col("codes"), (c, i) =>
+        element_at(col("__lut"), i * nCentroids + c + 1)),
+      lit(0.0), (acc, v) => acc + v)
+    val wAdc = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").desc, col("neighbor_id"))
+    val cand = codes.crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("adc", adc / when(col("xnorm") > 0.0, col("xnorm")).otherwise(1.0))
+      .withColumn("__ar", row_number().over(wAdc))
+      .filter(col("__ar") <= k * rerank)
+      .select(col("query_id"), col("neighbor_id"), col("__qv"))
+
+    val wCos = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    cand
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv")),
+        Seq("neighbor_id"))
+      .withColumn("cos", cosine_similarity(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(wCos).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
   /** Nearest-`keep` centroid cells of a vector as a MAP-ONLY projection.
     *
     * The centroid set is ≤ nCentroids rows BY CONSTRUCTION (that is what

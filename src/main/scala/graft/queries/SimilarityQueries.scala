@@ -63,6 +63,18 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // product-quantization ANN (8 subspaces x 32 centroids, ADC + exact
+    // rerank): the memory-bound scale path — corpus rides the scoring
+    // join as 8 codes + a norm instead of 64 floats. Rows-only (KMeans
+    // codebooks); recall floor asserted in DedupSimilaritySpec.
+    "q_cosine_pq" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.pqTopK(e, e.filter(col("vec_id") < 10), k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cos"), 6).as("cos_r"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // IVF-style coarse-quantized ANN — rows-only
     "q_cosine_ivf" -> ((s, d) => {
       val e = emb(s, d)

@@ -141,6 +141,22 @@ class DedupSimilaritySpec extends SparkTestBase {
       s"per-row argmax must not shuffle the corpus on id:\n$plan")
   }
 
+  test("PQ ANN with exact rerank: recall floor vs brute force (sf0.001)") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 20)
+    val truth = Similarity.bruteForceTopK(e, q, 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val pq = Similarity.pqTopK(e, q, 5, m = 8, nCentroids = 32, rerank = 8)
+      .select(col("query_id"), col("neighbor_id"))
+    val hit = truth.join(pq, Seq("query_id", "neighbor_id"), "left_semi").count()
+    val recall = hit.toDouble / truth.count()
+    assert(recall >= 0.5, s"PQ recall $recall")
+    // rank lists are well-formed: exactly k per query, ranks 1..k
+    val perQ = Similarity.pqTopK(e, q, 5).groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n"), max(col("rank")).as("mx")).collect()
+    perQ.foreach(r => assert(r.getLong(1) == 5 && r.getLong(2) == 5))
+  }
+
   test("LSH ANN recall >= 0.6 vs brute force on sf0.001 embeddings") {
     val e = Tables.embeddings(spark, sf)
     val q = e.filter(col("vec_id") < 20)
