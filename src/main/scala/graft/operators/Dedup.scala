@@ -62,6 +62,18 @@ object Dedup {
     * with the exact Jaccard of their shingle sets attached for
     * thresholding. `bands × rowsPerBand = k` hash functions.
     */
+  /** The (band, bucket, id) bucket relation of the MinHash banding —
+    * exposed so [[bucketStats]] can audit the REAL banding's health
+    * (q_minhash_bucket_health), not just a stand-in.
+    */
+  def minhashBuckets(
+      docs: DataFrame, nShingle: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    docs.select(col(idCol).as("id"),
+      posexplode(TextHashFunctions.minhash_band_buckets(
+        shingles(col(textCol), nShingle), bands, rowsPerBand))
+        .as(Seq("band", "bucket")))
+
   def minhashCandidates(
       docs: DataFrame, nShingle: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
@@ -70,10 +82,7 @@ object Dedup {
     // tokenizer inside every lambda (see MinHashBandBuckets scaladoc;
     // observed 128 tokenizations/doc). Bucket rows carry bare ids only:
     // shingle arrays must not ride the ×bands replicated shuffle.
-    val banded = docs.select(col(idCol).as("id"),
-      posexplode(TextHashFunctions.minhash_band_buckets(
-        shingles(col(textCol), nShingle), bands, rowsPerBand))
-        .as(Seq("band", "bucket")))
+    val banded = minhashBuckets(docs, nShingle, bands, rowsPerBand, textCol, idCol)
     val pairs = bucketPairs(banded)
     // aggregate barrier (id is unique, first() is a no-op): without it
     // CollapseProject inlines the shingles() expression ABOVE the pair

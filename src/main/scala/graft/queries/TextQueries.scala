@@ -298,6 +298,15 @@ object TextQueries {
         .orderBy(col("id"))
     }),
 
+    // bucketStats over the REAL minhash banding (the production health
+    // check next to the SQL-mirrored q_bucket_stats): on a sane corpus
+    // with threshold-tuned banding, n_truncated must be 0 — a nonzero
+    // value is the retune-your-banding alarm. Rows-only (xxhash banding
+    // is not SQL-expressible) but fully deterministic.
+    "q_minhash_bucket_health" -> ((s, d) => {
+      Dedup.bucketStats(Dedup.minhashBuckets(docs(s, d)), maxBucket = 256)
+    }),
+
     // SimHash signatures (custom codegen'd expression) — rows-only
     "q_dedup_simhash" -> ((s, d) => {
       docs(s, d).select(

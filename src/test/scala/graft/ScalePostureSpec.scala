@@ -217,6 +217,50 @@ class ScalePostureSpec extends SparkTestBase {
       s"expected exactly one (band,bucket) exchange, got $bandExchanges:\n$plan")
   }
 
+  test("join strategy hints are honored (shuffle_hash / merge / broadcast)") {
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val o = Tables.orders(spark, sf)
+      val l = Tables.lineitem(spark, sf)
+      def planOf(hint: String) =
+        l.join(o.hint(hint), col("l_orderkey") === col("o_orderkey"))
+          .queryExecution.executedPlan.toString
+      assert(planOf("shuffle_hash").contains("ShuffledHashJoin"))
+      assert(planOf("merge").contains("SortMergeJoin"))
+      assert(planOf("broadcast").contains("BroadcastHashJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
+  test("SQL DDL surface: CTAS + INSERT INTO + DESCRIBE") {
+    import spark.implicits._
+    val d = new java.io.File("spark-warehouse/graft_ctas")
+    if (d.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(d)
+    }
+    spark.sql("DROP TABLE IF EXISTS graft_ctas")
+    Tables.orders(spark, sf).createOrReplaceTempView("graft_ord_src")
+    spark.sql(
+      """CREATE TABLE graft_ctas USING parquet AS
+        |SELECT o_orderkey, o_custkey FROM graft_ord_src
+        |WHERE o_orderkey < 100""".stripMargin)
+    val n1 = spark.table("graft_ctas").count()
+    spark.sql(
+      """INSERT INTO graft_ctas
+        |SELECT o_orderkey, o_custkey FROM graft_ord_src
+        |WHERE o_orderkey >= 100 AND o_orderkey < 300""".stripMargin)
+    val n2 = spark.table("graft_ctas").count()
+    assert(n1 > 0 && n2 > n1, s"CTAS $n1 rows, after INSERT $n2")
+    val cols = spark.sql("DESCRIBE TABLE graft_ctas")
+      .select(col("col_name")).as[String].collect()
+    assert(cols.contains("o_orderkey") && cols.contains("o_custkey"))
+    spark.sql("DROP TABLE graft_ctas")
+  }
+
   test("recursive CTE support probe") {
     val r = spark.sql(
       """WITH RECURSIVE t(n) AS (
