@@ -97,6 +97,38 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(Seq(100L, 101L, 102L).forall(cc(_) == 100L))
   }
 
+  test("connectedComponents matches union-find on 30 random graphs (one run)") {
+    // 30 random graphs with disjoint id ranges, composed into ONE edge
+    // relation (components can't cross cases), checked against a plain
+    // union-find — the oracle for arbitrary topologies beyond the
+    // planted chain/cycle cases.
+    val rnd = new scala.util.Random(7)
+    val edges = (0 until 30).flatMap { c =>
+      val base = c * 1000L
+      val n = 2 + rnd.nextInt(12)
+      (0 until (1 + rnd.nextInt(18))).map { _ =>
+        (base + rnd.nextInt(n), base + rnd.nextInt(n))
+      }.filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+    }
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val truth = nodes.map(v => v -> find(v)).toMap
+    val cc = Dedup.connectedComponents(edges.toDF("id_a", "id_b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc.keySet == truth.keySet)
+    nodes.foreach(v => assert(cc(v) == truth(v),
+      s"node $v: cc=${cc(v)} truth=${truth(v)}"))
+  }
+
   test("brute-force topK: self excluded, ranks contiguous, cosine sorted") {
     val e = Tables.embeddings(spark, sf)
     val out = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), 3).cache()
