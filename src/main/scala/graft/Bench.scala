@@ -36,7 +36,8 @@ object Bench {
     "q_tpch_q4", "q_tpch_q17", "q_tpch_q18", "q_tpch_q22",
     "q_cc_recursive", "q_lateral_topk", "q_events_variant",
     "q_dedup_cc", "q_tfidf_top3", "q_contamination", "q_repetition",
-    "q_dq_report", "q_bucket_stats")
+    "q_dq_report", "q_bucket_stats", "q_dedup_passages",
+    "q_minhash_bucket_health")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
