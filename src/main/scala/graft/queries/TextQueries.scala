@@ -255,6 +255,22 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // weighted sampling WITHOUT replacement (Efraimidis-Spirakis): key =
+    // u^(1/w) with u a DETERMINISTIC arithmetic hash of the id (never
+    // rand() — SCALING.md determinism rule) and w = n_chars; top-100 by
+    // key is an exact weighted sample. Map-only + TakeOrdered — the
+    // sampling shape that works at any scale. Rank on the ROUNDED key
+    // with id tiebreak (cross-engine float rule).
+    "q_weighted_sample" -> ((s, d) => {
+      val u = (pmod(col("doc_id") * 2654435761L, lit(1000003L)).cast("double") + 1.0) /
+        1000004.0
+      docs(s, d).filter(col("n_chars") > 0)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          round(pow(u, lit(1.0) / col("n_chars").cast("double")), 6).as("es_key"))
+        .orderBy(col("es_key").desc, col("doc_id"))
+        .limit(100)
+    }),
+
     // passage-level dedup report: 20-token windows deduped corpus-wide by
     // first occurrence, reassembled per doc (hash of the surviving text,
     // not the text itself, keeps the output compact). The sub-document
@@ -537,6 +553,13 @@ object TextQueries {
          |  ROUND(CAST(mx AS DOUBLE) / n_tokens, 6) AS rep_ratio,
          |  CAST(n_tokens AS BIGINT) AS n_tokens
          |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q_weighted_sample" ->
+      """SELECT doc_id, source, n_chars,
+        |  ROUND(POWER(((doc_id * 2654435761) % 1000003 + 1) / 1000004.0,
+        |              1.0 / n_chars), 6) AS es_key
+        |FROM documents WHERE n_chars > 0
+        |ORDER BY es_key DESC, doc_id LIMIT 100""".stripMargin,
 
     "q_dedup_passages" ->
       s"""WITH t AS (SELECT doc_id, $duckToks AS tk FROM documents),

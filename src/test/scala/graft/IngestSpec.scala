@@ -29,6 +29,33 @@ class IngestSpec extends SparkTestBase {
         col("rating"), col("timestamp").cast("int"))).count() == 0)
   }
 
+  test("corrupt-record handling: PERMISSIVE quarantines, FAILFAST raises") {
+    // at 100 TB some rows WILL be malformed; the ingest contract is
+    // explicit: PERMISSIVE null-fills + captures the raw line in
+    // _corrupt_record for quarantine, FAILFAST turns the batch red.
+    val dir = Files.createTempDirectory("graft_corrupt").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/in.csv"),
+      "1,2.5\n2,not_a_double\n3,4.0\n")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("_corrupt_record", org.apache.spark.sql.types.StringType)))
+    val perm = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE").option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(s"$dir/in.csv").cache()
+    try {
+      assert(perm.count() == 3)
+      val bad = perm.filter(col("_corrupt_record").isNotNull)
+      assert(bad.count() == 1 && bad.first().getString(2).contains("not_a_double"))
+      assert(perm.filter(col("_corrupt_record").isNull).count() == 2)
+      val ff = spark.read.schema(
+        org.apache.spark.sql.types.StructType(schema.dropRight(1)))
+        .option("mode", "FAILFAST").csv(s"$dir/in.csv")
+      intercept[org.apache.spark.SparkException](ff.collect())
+    } finally perm.unpersist()
+  }
+
   test("headerless CSV + positional rename (S2/S4)") {
     val dir = Files.createTempDirectory("graft_csv2").toString
     Seq((5, 50, 2.5, 999)).toDF("a", "b", "c", "d")

@@ -217,6 +217,13 @@ class ScalePostureSpec extends SparkTestBase {
       s"expected exactly one (band,bucket) exchange, got $bandExchanges:\n$plan")
   }
 
+  test("per-key top-k pushes the group limit below the exchange (WindowGroupLimit)") {
+    val plan = SparkEntry.queries("q_window_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"),
+      s"rank<=k must prune per-group state before/under the shuffle:\n${plan.take(2000)}")
+  }
+
   test("join strategy hints are honored (shuffle_hash / merge / broadcast)") {
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
