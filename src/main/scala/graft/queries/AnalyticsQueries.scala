@@ -412,6 +412,38 @@ object AnalyticsQueries {
           |ORDER BY c_nationkey""".stripMargin)
     }),
 
+    // Exact distinct count via BITMAP aggregates: bucket the key space,
+    // build one bitmap per (group, bucket) with map-side partial merge,
+    // count bits, sum per group. Unlike countDistinct (which expands
+    // rows and shuffles raw keys), the shuffle carries fixed-size
+    // bitmaps — the mergeable EXACT-distinct pattern that complements
+    // the approximate HLL path (q_approx_distinct). Oracle is the plain
+    // COUNT(DISTINCT) it must equal.
+    "q_bitmap_distinct" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .select(col("l_returnflag"),
+          expr("bitmap_bucket_number(l_partkey)").as("bkt"),
+          expr("bitmap_bit_position(l_partkey)").as("pos"))
+        .groupBy(col("l_returnflag"), col("bkt"))
+        .agg(expr("bitmap_count(bitmap_construct_agg(pos))").as("c"))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("c")).as("n_parts"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Spark 3.4+ regexp surface beyond extract: count and first-match
+    // substring (null-vs-empty semantics normalized to '' on both
+    // engines), over a pushed-down part slice.
+    "q_regexp_funcs" -> ((s, d) => {
+      t(s, d, "part").filter(col("p_partkey") < 200)
+        .select(col("p_partkey"),
+          regexp_count(col("p_name"), lit("[aeiou]")).as("n_vowels"),
+          coalesce(regexp_substr(col("p_name"), lit("[a-z]{5,}")), lit(""))
+            .as("first_long_word"),
+          regexp_count(col("p_type"), lit("ED")).as("n_ed"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // Recursive CTE (Spark 4 WITH RECURSIVE): transitive closure over the
     // same chain-pair graph as q_dedup_cc — the SQL-text twin of the
     // iterative connectedComponents operator; identical (id, comp)
@@ -864,6 +896,20 @@ object AnalyticsQueries {
         |WHERE p_brand = 'Brand#1'
         |  AND l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
         |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
+
+    "q_bitmap_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    "q_regexp_funcs" ->
+      """SELECT p_partkey,
+        |  CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS BIGINT) AS n_vowels,
+        |  regexp_extract(p_name, '[a-z]{5,}') AS first_long_word,
+        |  CAST(len(regexp_extract_all(p_type, 'ED')) AS BIGINT) AS n_ed
+        |FROM part WHERE p_partkey < 200
+        |ORDER BY p_partkey""".stripMargin,
 
     "q_cc_recursive" ->
       """WITH RECURSIVE ch AS (
