@@ -170,9 +170,10 @@ object TextQueries {
 
     // bucketPairs hot-bucket cap on a SQL-expressible synthetic bucketing
     // (band/bucket from arithmetic on orders keys, cap 8): DuckDB mirrors
-    // the row_number pre-filter + in-bucket pair expansion exactly, so the
-    // truncation semantics — keep the 8 smallest ids, expand only those —
-    // are value-oracled, not just bounded-by-assertion.
+    // the row_number pre-filter + in-bucket pair expansion + overflow
+    // star-attach exactly, so the cap semantics — expand only the 8
+    // smallest ids quadratically, pair every overflow id with the bucket
+    // min — are value-oracled, not just bounded-by-assertion.
     "q_bucket_pairs_capped" -> ((s, d) => {
       val b = Tables.orders(s, d).filter(col("o_orderkey") < 2000)
         .select(pmod(col("o_custkey"), lit(3)).as("band"),
@@ -276,23 +277,8 @@ object TextQueries {
     // not the text itself, keeps the output compact). The sub-document
     // pass for boilerplate/syndicated spans.
     "q_dedup_passages" -> ((s, d) => {
-      val k = 20
-      val base = docs(s, d)
-      val kept = Dedup.passageDedup(base, k)
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_kept"),
-          md5(array_join(
-            transform(array_sort(collect_list(struct(col("idx"), col("para")))),
-              x => x.getField("para")), " ")).as("dedup_hash"))
-      val nChunks = base
-        .select(col("doc_id"), Dedup.tokens(col("text")).as("toks"))
-        .filter(size(col("toks")) > 0)
-        .select(col("doc_id"),
-          ceil(size(col("toks")) / lit(k.toDouble)).cast("long").as("n_chunks"))
-      nChunks.join(kept, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("n_chunks"),
-          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-          coalesce(col("dedup_hash"), md5(lit(""))).as("dedup_hash"))
+      Dedup.passageDedupReport(docs(s, d), 20)
+        .select(col("doc_id"), col("n_chunks"), col("n_kept"), col("dedup_hash"))
         .orderBy(col("doc_id"))
     }),
 
@@ -493,13 +479,18 @@ object TextQueries {
         |  FROM orders WHERE o_orderkey < 2000
         |), r AS (
         |  SELECT band, bucket, id,
-        |    ROW_NUMBER() OVER (PARTITION BY band, bucket ORDER BY id) AS rn
+        |    ROW_NUMBER() OVER (PARTITION BY band, bucket ORDER BY id) AS rn,
+        |    MIN(id) OVER (PARTITION BY band, bucket) AS mn
         |  FROM b
-        |), k AS (SELECT band, bucket, id FROM r WHERE rn <= 8)
-        |SELECT DISTINCT a.id AS id_a, c.id AS id_b
-        |FROM k a JOIN k c ON a.band = c.band AND a.bucket = c.bucket
-        |                  AND a.id < c.id
-        |ORDER BY id_a, id_b""".stripMargin,
+        |), k AS (SELECT band, bucket, id FROM r WHERE rn <= 8),
+        |p AS (
+        |  SELECT a.id AS id_a, c.id AS id_b
+        |  FROM k a JOIN k c ON a.band = c.band AND a.bucket = c.bucket
+        |                    AND a.id < c.id
+        |  UNION
+        |  SELECT mn AS id_a, id AS id_b FROM r WHERE rn > 8
+        |)
+        |SELECT DISTINCT id_a, id_b FROM p ORDER BY id_a, id_b""".stripMargin,
 
     "q_tfidf_top3" ->
       s"""WITH t AS (SELECT doc_id, $duckToks AS tk FROM documents),

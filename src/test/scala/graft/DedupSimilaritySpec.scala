@@ -46,18 +46,24 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(pairs.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L))
   }
 
-  test("bucketPairs caps a planted hot bucket and keeps the smallest ids") {
+  test("bucketPairs caps a planted hot bucket and star-attaches the overflow") {
     // one hot bucket with 10k ids + one normal bucket: the cap must bound
-    // the pair explosion to C(cap,2) and keep the cap smallest ids, while
-    // the normal bucket is untouched.
+    // the quadratic expansion to C(cap,2) over the cap smallest ids, and
+    // every id BEYOND the cap must still be demoted via one
+    // (bucket_min, id) star pair — overflow ids as false uniques was the
+    // round-3 ADVICE finding. The normal bucket is untouched.
     val hot = (1L to 10000L).map(i => (0, 7, i))
     val normal = Seq((1, 3, 100001L), (1, 3, 100002L), (1, 3, 100003L))
     val buckets = (hot ++ normal).toDF("band", "bucket", "id")
     val pairs = Dedup.bucketPairs(buckets, maxBucket = 16).cache()
-    val hotPairs = pairs.filter(col("id_b") <= 10000L)
-    assert(hotPairs.count() == 16L * 15 / 2, "hot bucket capped to C(16,2)")
-    assert(hotPairs.agg(max(col("id_b"))).first().getLong(0) == 16L,
-      "cap keeps the smallest ids (min-id winner preserved)")
+    val hotExpanded = pairs.filter(col("id_b") <= 16L)
+    assert(hotExpanded.count() == 16L * 15 / 2,
+      "quadratic expansion capped to C(16,2)")
+    val overflow = pairs.filter(col("id_b") > 16L && col("id_b") <= 10000L)
+    assert(overflow.count() == 10000L - 16,
+      "every overflow id demoted by exactly one pair")
+    assert(overflow.filter(col("id_a") =!= 1L).count() == 0,
+      "overflow pairs attach to the bucket's min id")
     assert(pairs.filter(col("id_a") === 100001L).count() == 2,
       "normal bucket unaffected by the cap")
     val stats = Dedup.bucketStats(buckets, maxBucket = 16).first()
