@@ -75,6 +75,20 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // IVF × PQ composed ANN (the 100 TB path): coarse cells prune the
+    // ADC scan to the query's nProbe cells — equi-join on centroid_id,
+    // no corpus-wide crossJoin (plan-asserted in ScalePostureSpec);
+    // recall floor vs brute force in DedupSimilaritySpec. Rows-only
+    // (KMeans cells + codebooks).
+    "q_cosine_ivfpq" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") < 10), k = 5,
+        nCells = 16, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cos"), 6).as("cos_r"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // IVF-style coarse-quantized ANN — rows-only
     "q_cosine_ivf" -> ((s, d) => {
       val e = emb(s, d)

@@ -195,6 +195,31 @@ class DedupSimilaritySpec extends SparkTestBase {
     perQ.foreach(r => assert(r.getLong(1) == 5 && r.getLong(2) == 5))
   }
 
+  test("IVF-PQ: cell-pruned ADC scan, recall tracks flat PQ (sf0.001)") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 20)
+    val truth = Similarity.bruteForceTopK(e, q, 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val ivfpq = Similarity.ivfPqTopK(e, q, 5, nCells = 16, nProbe = 8,
+      m = 8, nCentroids = 32, rerank = 8)
+    val hit = truth.join(ivfpq.select(col("query_id"), col("neighbor_id")),
+      Seq("query_id", "neighbor_id"), "left_semi").count()
+    val recall = hit.toDouble / truth.count()
+    // same floor as flat PQ: at nProbe=8/16 cells the probed cells hold
+    // the true neighbors and the ADC ranking is identical to flat PQ's
+    assert(recall >= 0.5, s"IVF-PQ recall $recall")
+    // the composition's point: NO corpus-wide crossJoin — the ADC join
+    // is an equi-join on centroid_id (BroadcastHashJoin on the tiny
+    // query side), and cell/code assignment never shuffles the corpus
+    val plan = ivfpq.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"ADC scan must be cell-pruned, not corpus-wide:\n$plan")
+    assert(plan.contains("BroadcastHashJoin [centroid_id") ||
+      "BroadcastHashJoin \\[.*centroid_id".r.findFirstIn(plan).isDefined,
+      s"candidate join must key on centroid_id:\n$plan")
+  }
+
   test("LSH ANN recall >= 0.6 vs brute force on sf0.001 embeddings") {
     val e = Tables.embeddings(spark, sf)
     val q = e.filter(col("vec_id") < 20)
