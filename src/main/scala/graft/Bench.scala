@@ -75,41 +75,49 @@ object Bench {
       catch { case _: Throwable => () }
     }
 
-    val results = headline.flatMap { name =>
-      SparkEntry.queries.get(name).map { fn =>
+    // median-of-N timing (default 3, SPARK_GRAFT_BENCH_RUNS to override):
+    // single-run numbers can't distinguish machine-load noise from plan
+    // regressions (round 3 drifted +7.6% uniformly across unrelated
+    // queries); the per-query median keeps the total = sum-of-medians
+    // comparable round-over-round while shedding outlier runs.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    def timeQuery(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        dir: String, tag: String): Double = {
+      val secs = (1 to runs).flatMap { _ =>
         val t0 = System.nanoTime()
-        val ok = try {
-          fn(spark, sfDir).write.mode("overwrite").format("noop").save()
-          true
+        try {
+          fn(spark, dir).write.mode("overwrite").format("noop").save()
+          Some((System.nanoTime() - t0) / 1e9)
         } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+          System.err.println(s"[bench] $tag$name failed: ${e.getMessage}"); None
         }
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
+      if (secs.isEmpty) -1.0 else secs.sorted.apply(secs.length / 2)
+    }
+
+    val results = headline.flatMap { name =>
+      SparkEntry.queries.get(name).map(fn => name -> timeQuery(name, fn, sfDir, ""))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
 
     // ML lifecycle timing, SEPARATE from the headline total (a model fit
-    // is not a query; VERDICT r2 #9): fixed sf0.01 so rounds compare
-    // regardless of SPARK_GRAFT_SF_DIR.
-    val mlDir = "/root/testdata/sf0.01"
+    // is not a query; VERDICT r2 #9): pinned to the sf0.01 SIBLING of the
+    // bench dir so rounds compare regardless of SPARK_GRAFT_SF_DIR, and
+    // portable to any testdata root (SPARK_GRAFT_ML_DIR overrides).
+    val mlDir = sys.env.getOrElse("SPARK_GRAFT_ML_DIR",
+      new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.01").getPath)
+    if (!new java.io.File(mlDir).isDirectory)
+      System.err.println(s"[bench] ml fixture dir $mlDir missing — " +
+        "ml section will report -1 (set SPARK_GRAFT_ML_DIR)")
     val ml = Seq("q_als_map").flatMap { name =>
-      SparkEntry.queries.get(name).map { fn =>
-        val t0 = System.nanoTime()
-        val ok = try {
-          fn(spark, mlDir).write.mode("overwrite").format("noop").save(); true
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] ml $name failed: ${e.getMessage}"); false
-        }
-        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-      }
+      SparkEntry.queries.get(name).map(fn => name -> timeQuery(name, fn, mlDir, "ml "))
     }
     val mlJson = ml.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
 
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","ml":{"sf":"sf0.01","queries":$mlJson}}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"ml":{"sf":"sf0.01","queries":$mlJson}}""")
     spark.stop()
   }
 }

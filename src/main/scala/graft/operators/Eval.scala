@@ -92,6 +92,45 @@ object Eval {
       .agg(round(avg(col("ap")), 6).as("map_at_k"))
   }
 
+  /** precision@k, per-user form (reference `extension.py:167,174,181` —
+    * LightFM `precision_at_k(model, m, k=100).mean()`; published in
+    * `final_report_numbers.md:24-35`): for each user with ≥1 label, the
+    * fraction of the user's top-k recommended items present in the
+    * labels; the score is the mean over label-holding users (LightFM
+    * excludes users with no positives — users with labels but no recs
+    * count as 0).
+    *
+    * Shuffles: one (user,item) join for hits, one user agg — both on
+    * high-cardinality keys; nothing collects.
+    */
+  def precisionAtKPerUser(labelRows: DataFrame, userRecs: DataFrame, k: Int,
+      userCol: String = "userId", keyCol: String = "movieId"): DataFrame = {
+    val labels = labelRows.select(col(userCol), col(keyCol)).distinct()
+    val labelUsers = labels.select(col(userCol)).distinct()
+    val hits = userRecs.filter(col("rank") <= k)
+      .join(labels, Seq(userCol, keyCol), "left_semi")
+      .groupBy(col(userCol)).agg(count(lit(1)).as("n_hits"))
+    labelUsers.join(hits, Seq(userCol), "left")
+      .select((coalesce(col("n_hits"), lit(0L)).cast("double") / lit(k.toDouble)).as("p"))
+      .agg(round(avg(col("p")), 6).as("precision_user"))
+  }
+
+  /** precision@k, global form (the popularity-model shape, matching
+    * [[hitRatioGlobal]]'s orientation): the fraction of the GLOBAL top-k
+    * list that appears in any label row. Scale shape: broadcast the
+    * k-row list, semi-join PRUNES the label stream to ≤k distinct items
+    * BEFORE the distinct — the dedup shuffle only ever sees hit rows.
+    */
+  def precisionAtKGlobal(labelRows: DataFrame, topK: DataFrame, k: Int,
+      keyCol: String = "movieId"): DataFrame = {
+    val recs = broadcast(topK.filter(col("rank") <= k).select(col(keyCol)))
+    labelRows.select(col(keyCol))
+      .join(recs, Seq(keyCol), "left_semi")
+      .distinct()
+      .agg(round(count(lit(1)).cast("double") / lit(k.toDouble), 6)
+        .as("precision_global"))
+  }
+
   /** M5: RMSE as a plain expression (no evaluator object needed;
     * reference `als.py:49,103`).
     */

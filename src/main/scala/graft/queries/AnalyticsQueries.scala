@@ -457,6 +457,148 @@ object AnalyticsQueries {
         .orderBy(col("custdist").desc, col("c_count").desc)
     }),
 
+    // TPC-H Q8 shape: national market share — two-level conditional-
+    // aggregation ratio per year over a 5-table star. Fact shuffles once
+    // on orderkey for the orders attach and once on custkey for the
+    // customer attach (both large at scale); part/supplier/nation/region
+    // dims broadcast. Money in cents so the ratio is a quotient of exact
+    // integers (deterministic under any partial-agg order).
+    "q_tpch_q8" -> ((s, d) => {
+      val p = t(s, d, "part").filter(col("p_type") === "PROMO")
+        .select(col("p_partkey"))
+      val sup = t(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val n1 = t(s, d, "nation")
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val cust = t(s, d, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val n2 = t(s, d, "nation")
+        .select(col("n_nationkey").as("c_nk"), col("n_regionkey"))
+      val r = t(s, d, "region").filter(col("r_name") === "ASIA")
+        .select(col("r_regionkey"))
+      val o = t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"))
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+      t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("vol_c"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+        .groupBy(col("o_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_3", col("vol_c")).otherwise(0L))
+            .cast("double") / sum(col("vol_c")).cast("double"), 6).as("mkt_share"))
+        .orderBy(col("o_year"))
+    }),
+
+    // TPC-H Q12 shape: late-shipment counts by category with dual
+    // conditional aggregation. The fixture has no l_shipmode /
+    // l_commitdate / l_receiptdate, so returnflag stands in for the mode
+    // and "late" = shipped >60 days after the order date — the shape
+    // (fact-fact equi-join + interval predicate + two CASE counts) is
+    // identical. One orderkey shuffle; no dim tables at all.
+    "q_tpch_q12" -> ((s, d) => {
+      val o = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp"))
+        .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_shipdate"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("o_orderpriority") === "1-URGENT" ||
+            col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L))
+            .as("high_line_count"),
+          sum(when(col("o_orderpriority") =!= "1-URGENT" &&
+            col("o_orderpriority") =!= "2-HIGH", 1L).otherwise(0L))
+            .as("low_line_count"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // TPC-H Q15 shape: top supplier by windowed revenue — an aggregate
+    // VIEW consumed twice (once for the max, once for the equality
+    // probe). The revenue CTE materializes one supplier-keyed aggregate;
+    // the scalar MAX is a 1-row broadcast; revenue ties all surface
+    // (TPC-H semantics), made deterministic by the cents revenue.
+    "q_tpch_q15" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("graft_li")
+      t(s, d, "supplier").createOrReplaceTempView("graft_supp")
+      s.sql(
+        """WITH revenue AS (
+          |  SELECT l_suppkey AS supplier_no,
+          |    CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT)
+          |      AS total_revenue_c
+          |  FROM graft_li
+          |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+          |  GROUP BY l_suppkey
+          |)
+          |SELECT s_suppkey, s_name, total_revenue_c
+          |FROM graft_supp JOIN revenue ON s_suppkey = supplier_no
+          |WHERE total_revenue_c = (SELECT MAX(total_revenue_c) FROM revenue)
+          |ORDER BY s_suppkey""".stripMargin)
+    }),
+
+    // TPC-H Q19 shape: disjunctive multi-column predicates (OR of three
+    // brand/size/quantity conjunct groups) over a part equi-join — the
+    // predicate-pushdown stress shape: the partkey equi-join extracts
+    // cleanly; the residual OR evaluates post-join without a
+    // CartesianProduct. Part filtered to the union of brands before
+    // broadcast.
+    "q_tpch_q19" -> ((s, d) => {
+      val p = t(s, d, "part")
+        .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      t(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"),
+          cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_c"))
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 40) &&
+            col("l_quantity").between(20, 30)))
+        .agg(sum(col("rev_c")).as("revenue_c"), count(lit(1)).as("n"))
+    }),
+
+    // TPC-H Q21 shape: suppliers who were the SOLE problem on multi-
+    // supplier orders — the famous EXISTS + NOT EXISTS pair, planned as
+    // one LEFT SEMI and one LEFT ANTI join against the same lineitem
+    // relation. No l_commitdate/l_receiptdate in the fixture: returnflag
+    // 'R' stands in for "late" (same decorrelation shape). Orders status
+    // filter prunes before the joins.
+    "q_tpch_q21" -> ((s, d) => {
+      t(s, d, "lineitem").createOrReplaceTempView("graft_li")
+      t(s, d, "orders").createOrReplaceTempView("graft_ord")
+      t(s, d, "supplier").createOrReplaceTempView("graft_supp")
+      s.sql(
+        """SELECT s_name, COUNT(*) AS numwait
+          |FROM graft_supp
+          |JOIN graft_li l1 ON s_suppkey = l1.l_suppkey
+          |JOIN graft_ord ON o_orderkey = l1.l_orderkey
+          |WHERE o_orderstatus = 'F'
+          |  AND l1.l_returnflag = 'R'
+          |  AND EXISTS (SELECT 1 FROM graft_li l2
+          |              WHERE l2.l_orderkey = l1.l_orderkey
+          |                AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (SELECT 1 FROM graft_li l3
+          |                  WHERE l3.l_orderkey = l1.l_orderkey
+          |                    AND l3.l_suppkey <> l1.l_suppkey
+          |                    AND l3.l_returnflag = 'R')
+          |GROUP BY s_name
+          |ORDER BY numwait DESC, s_name
+          |LIMIT 100""".stripMargin)
+    }),
+
     // Exact distinct count via BITMAP aggregates: bucket the key space,
     // build one bitmap per (group, bucket) with map-side partial merge,
     // count bits, sum per group. Unlike countDistinct (which expands
@@ -964,6 +1106,84 @@ object AnalyticsQueries {
         |  GROUP BY c_custkey
         |)
         |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q_tpch_q8" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  ROUND(
+        |    CAST(SUM(CASE WHEN n1.n_name = 'NATION_3'
+        |      THEN CAST(ROUND(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)
+        |      ELSE 0 END) AS DOUBLE) /
+        |    CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS DOUBLE),
+        |    6) AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |JOIN region ON n2.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_tpch_q12" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_tpch_q15" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT)
+        |      AS total_revenue_c
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey
+        |)
+        |SELECT s_suppkey, s_name, total_revenue_c
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue_c = (SELECT MAX(total_revenue_c) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q_tpch_q19" ->
+      """SELECT
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_c,
+        |  COUNT(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 40
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q_tpch_q21" ->
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin,
 
     "q_bitmap_distinct" ->
       """SELECT l_returnflag,

@@ -187,6 +187,22 @@ object PipelineQueries {
       Eval.standardMapAtK(v, recs, 10)
     }),
 
+    // precision@k (extension.py:167,174,181 — the one reference-published
+    // metric family previously without an engine twin): per-user form at
+    // k=10 over the deterministic per-user top-10 recs, global form at
+    // k=100 over the popularity top-100 vs the validation slice. One row,
+    // both columns, fully DuckDB-oracled.
+    "q_eval_precision_k" -> ((s, d) => {
+      val (train, v, _) = hashSplit(Tables.ratings(s, d))
+      val dedup = train.groupBy(col("userId"), col("movieId"))
+        .agg(avg(col("rating")).as("r"))
+      val recs = Recommend.topKPerKey(dedup, "userId",
+        Seq(col("r").desc, col("movieId")), 10)
+        .select(col("userId"), col("movieId"), col("rank"))
+      Eval.precisionAtKPerUser(v, recs, 10)
+        .crossJoin(Eval.precisionAtKGlobal(v, rankedTop100(train), K))
+    }),
+
     // U4 quirk replica: reference's swapped-argument mAP (als.py:128-131
     // passes ground truth as top_k) — deterministic sorted-label order.
     "q_eval_map_swapped" -> ((s, d) => {
@@ -317,6 +333,36 @@ object PipelineQueries {
          |  GROUP BY v.userId
          |)
          |SELECT ROUND(AVG(ap), 6) AS map_ref_user FROM per_user""".stripMargin,
+
+    "q_eval_precision_k" ->
+      s"""WITH $splitSql,
+         |$rankedTop100Sql,
+         |dedup AS (
+         |  SELECT userId, movieId, AVG(rating) AS r
+         |  FROM train GROUP BY userId, movieId
+         |),
+         |recs AS (
+         |  SELECT userId, movieId,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY userId
+         |      ORDER BY r DESC, movieId) AS BIGINT) AS rank
+         |  FROM dedup QUALIFY rank <= 10
+         |),
+         |labels AS (SELECT DISTINCT userId, movieId FROM val),
+         |hits AS (
+         |  SELECT r.userId, COUNT(*) AS n_hits
+         |  FROM recs r JOIN labels l ON r.userId = l.userId AND r.movieId = l.movieId
+         |  GROUP BY r.userId
+         |),
+         |pu AS (
+         |  SELECT ROUND(AVG(COALESCE(h.n_hits, 0) / 10.0), 6) AS precision_user
+         |  FROM (SELECT DISTINCT userId FROM labels) u
+         |  LEFT JOIN hits h ON u.userId = h.userId
+         |),
+         |pg AS (
+         |  SELECT ROUND(COUNT(DISTINCT v.movieId) / $K.0, 6) AS precision_global
+         |  FROM val v JOIN top100 t ON v.movieId = t.movieId
+         |)
+         |SELECT precision_user, precision_global FROM pu, pg""".stripMargin,
 
     "q_eval_map_swapped" ->
       s"""WITH $splitSql,

@@ -91,15 +91,21 @@ object EventStreams {
     * read) and live ingest (readStream). Dedup state is keyed by md5, so
     * it is bounded by the watermark, not corpus size; the text gates are
     * map-only fused expressions (TextStats) and add no state at all.
+    *
+    * Gate ORDER matters for state size: both gates are pure functions of
+    * `text`, so duplicates share their outcome and filtering FIRST yields
+    * identical output — but dedup-first would store a state hash for
+    * every junk/foreign doc in the watermark horizon. Filters go before
+    * the stateful op.
     */
   def curateDocs(docs: DataFrame, watermark: String = "2 hours",
       minQuality: Double = 0.5): DataFrame =
     docs
+      .filter(graft.operators.TextAnalysis.qualityScore(col("text")) >= minQuality)
+      .filter(graft.operators.TextAnalysis.langId(col("text")) === "en")
       .withColumn("content_hash", md5(col("text")))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
-      .filter(graft.operators.TextAnalysis.qualityScore(col("text")) >= minQuality)
-      .filter(graft.operators.TextAnalysis.langId(col("text")) === "en")
 
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)

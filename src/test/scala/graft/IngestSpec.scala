@@ -198,6 +198,42 @@ class IngestSpec extends SparkTestBase {
     assert(!rmse.isNaN && rmse > 0.1 && rmse < 2.0, s"rmse $rmse")
   }
 
+  test("flagship ALS MAP@100 band (als.py config; final_report_numbers.md:7)") {
+    // the reference's headline ranking metric: MAP@100 of flagship-config
+    // recs vs held-out interactions (published 1.5651e-5 small run,
+    // final_report_numbers.md:7; 3.13e-5 checkpoint run,
+    // Checkpoint_results.md:14). The synthetic fixture's catalog is 200
+    // items vs MovieLens 27k, so a 100-item rec list covers half the
+    // catalog and MAP lands orders of magnitude higher — the band guards
+    // the fit→recommend→MAP lifecycle at the exact published config, not
+    // MovieLens value parity (same stance as the RMSE band above). The
+    // MAP math itself is DuckDB-oracled via q_eval_map_std.
+    val r = Tables.ratings(spark, sf)
+    val b = pmod(xxhash64(lit(7), col("userId"), col("movieId")), lit(10))
+    val (train, test) = (r.filter(b < 8), r.filter(b >= 8))
+    val model = Recommend.train(train, Recommend.AlsConfig()) // rank=100/iter=3/reg=.15
+    val recs = Recommend.recommendTopK(model, 100)
+      .select(col("userId"), col("movieId"), col("rank"))
+    val map = Eval.standardMapAtK(test, recs, 100).first().getDouble(0)
+    assert(!map.isNaN && map > 1e-5 && map <= 1.0, s"map@100 $map")
+  }
+
+  test("reference 5-fold CV (als.py:58): the folds axis at full depth (M6)") {
+    // the 4x4-grid test below exercises the reference grid at 2 folds for
+    // cost; this one runs the PUBLISHED numFolds=5 on a 2x2 sub-grid
+    // (20 fits) so the fold axis itself is tested at reference depth.
+    val ratings = Tables.ratings(spark, sf)
+      .groupBy(col("userId"), col("movieId")).agg(avg(col("rating")).as("rating"))
+    val cv = Recommend.crossValidate(ratings,
+      ranks = Seq(10, 50), regParams = Seq(0.05, 0.15), numFolds = 5,
+      cfg = Recommend.AlsConfig(maxIter = 2))
+    assert(cv.avgMetrics.length == 4, s"grid ran ${cv.avgMetrics.length} configs")
+    assert(cv.avgMetrics.forall(m => !m.isNaN && m > 0.0))
+    val als = cv.getEstimator.asInstanceOf[org.apache.spark.ml.recommendation.ALS]
+    val bestMap = cv.getEstimatorParamMaps(cv.avgMetrics.indexOf(cv.avgMetrics.min))
+    assert(Recommend.bestAls(cv).rank == bestMap(als.rank))
+  }
+
   test("reference CV tuning path: 4x4 grid end-to-end, reduced folds (M6)") {
     // als.py:53-80 runs rank {10,50,100,150} x regParam {.01,.05,.1,.15}
     // x 5 folds = 80 fits; same grid here with 2 folds at sf0.001 — the

@@ -43,6 +43,18 @@ class RegistrySpec extends SparkTestBase {
       assert((os -- qs).isEmpty, s"$name has orphan oracle keys: ${os -- qs}")
   }
 
+  test("no-oracle queries are EXACTLY the declared exemptions, each with a reason") {
+    // "no_oracle" in CORRECTNESS must stay a design decision, not an
+    // omission: a query ships with an oracle OR an explicit reason.
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val exempt = SparkEntry.oracleExempt.keySet
+    assert((noOracle -- exempt).isEmpty,
+      s"queries without oracle AND without exemption reason: ${noOracle -- exempt}")
+    assert((exempt -- noOracle).isEmpty,
+      s"stale exemptions (query now oracled or gone): ${exempt -- noOracle}")
+    assert(SparkEntry.oracleExempt.values.forall(_.trim.nonEmpty))
+  }
+
   test("asof joins tolerate an empty right side (all-null attach)") {
     val left = Seq((1L, 100L, "p")).toDF("user_id", "us", "name")
     val right = Seq.empty[(Long, Long, Long)].toDF("user_id", "us", "click_id")

@@ -205,16 +205,46 @@ class ScalePostureSpec extends SparkTestBase {
 
   test("bucketPairs: cap window and pair aggregate share one (band,bucket) exchange") {
     // the hot-bucket cap (row_number over (band,bucket)) must ride the
-    // same shuffle the pair aggregate already needs — if it introduced
-    // its own exchange the bound would cost a second pass over the
-    // bucket rows at 100 TB
+    // same shuffle the pair aggregate already needs, and the overflow
+    // star-attach branch must REUSE that shuffle — a second exchange
+    // would cost another full pass over the bucket rows at 100 TB.
+    // AQE defers exchange reuse to runtime, so execute first and assert
+    // on the FINAL adaptive plan (the initial plan always shows both).
     val buckets = Seq((0, 1, 1L), (0, 1, 2L), (0, 2, 3L), (1, 1, 4L))
       .toDF("band", "bucket", "id")
-    val plan = graft.operators.Dedup.bucketPairs(buckets, 16)
-      .queryExecution.executedPlan.toString
-    val bandExchanges = "Exchange hashpartitioning\\(band".r.findAllIn(plan).length
-    assert(bandExchanges == 1,
-      s"expected exactly one (band,bucket) exchange, got $bandExchanges:\n$plan")
+    val df = graft.operators.Dedup.bucketPairs(buckets, 16)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    val reused = "ReusedExchange".r.findAllIn(fin).length
+    val bandExchanges =
+      "Exchange hashpartitioning\\(band".r.findAllIn(fin).length - reused
+    assert(bandExchanges == 1 && reused >= 1,
+      s"expected one (band,bucket) exchange + reuse, got $bandExchanges/$reused:\n$fin")
+  }
+
+  test("(doc,term) family: tf exchange is REUSED by df; corpus tokenizes into one shuffle") {
+    // q_tfidf_top3's df relation derives FROM the tf aggregate — if a
+    // refactor ever makes df re-aggregate the tokenized corpus, the
+    // full-corpus (doc,term) shuffle doubles silently. ReusedExchange in
+    // the plan is the proof the derivation holds.
+    val tfidfDf = SparkEntry.queries("q_tfidf_top3")(spark, sf)
+    tfidfDf.collect()
+    val tfidf = tfidfDf.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    val reused = "ReusedExchange".r.findAllIn(tfidf).length
+    val tfidfEx = "Exchange hashpartitioning\\(doc_id[^,]*, term".r
+      .findAllIn(tfidf).length - reused // the ReusedExchange line repeats the pattern
+    assert(reused >= 1 && tfidfEx == 1,
+      s"df must reuse tf's (doc,term) exchange (reused=$reused ex=$tfidfEx):\n${tfidf.take(3000)}")
+    // q_repetition chains agg→agg: the tokenized corpus must enter
+    // exactly ONE exchange keyed on (doc_id, term) — the doc_id re-agg
+    // shuffles only pre-aggregated rows
+    val repDf = SparkEntry.queries("q_repetition")(spark, sf)
+    repDf.collect()
+    val rep = repDf.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    val docTermEx = "Exchange hashpartitioning\\(doc_id[^,]*, term".r
+      .findAllIn(rep).length
+    assert(docTermEx == 1,
+      s"expected exactly one (doc_id,term) exchange, got $docTermEx:\n${rep.take(3000)}")
   }
 
   test("per-key top-k pushes the group limit below the exchange (WindowGroupLimit)") {
