@@ -132,6 +132,55 @@ object TextHashFunctions {
   def shingle_set(text: Column, n: Int): Column =
     Bridge.column(ShingleSet(Bridge.expression(text), n))
 
+  /** Character trigram TOKENS (with multiplicity — cross-entropy scoring
+    * weighs repeated trigrams) over the normalized text, in one fused
+    * pass. Normalization mirrors the ANSI-SQL form
+    * `regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')` EXACTLY so the
+    * result is DuckDB-oracle-able: lowercase, each maximal run of
+    * characters outside ASCII [a-z0-9] becomes ONE space (ends included,
+    * no trim). Texts shorter than 3 normalized chars yield an empty
+    * array. Fused for the same HOF-re-evaluation reason as [[ShingleSet]]
+    * — the composable `transform(sequence(...), i -> substr(norm, i, 3))`
+    * re-runs the normalizing regex once per trigram INDEX.
+    */
+  case class CharTrigrams(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(a: Any): Any =
+      charTrigramEval(a.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) " +
+          s"graft.functions.TextHashFunctions.charTrigramEval($a);")
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** static entry point for generated code */
+  def charTrigramEval(u: UTF8String): ArrayData = {
+    val s = u.toString
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val lc = Character.toLowerCase(cp)
+      if ((lc >= 'a' && lc <= 'z') || (lc >= '0' && lc <= '9'))
+        sb.appendCodePoint(lc)
+      else if (sb.length == 0 || sb.charAt(sb.length - 1) != ' ')
+        sb.append(' ')
+      i += Character.charCount(cp)
+    }
+    val n = sb.length
+    if (n < 3) return new org.apache.spark.sql.catalyst.util.GenericArrayData(new Array[Any](0))
+    val arr = new Array[Any](n - 2)
+    var p = 0
+    while (p <= n - 3) {
+      arr(p) = UTF8String.fromString(sb.substring(p, p + 3)); p += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  def char_trigrams(text: Column): Column =
+    Bridge.column(CharTrigrams(Bridge.expression(text)))
+
   /** MinHash band-bucket vector in ONE pass: element b of the result is
     * `hash(minhash slice for band b)` over `bands × rowsPerBand` hash
     * functions `h_j(t) = mix(seed ⊕ j ⊕ fnv64(t))`.

@@ -266,6 +266,35 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // character-trigram language-model quality score (perplexity proxy —
+    // the statistical gibberish detector next to the heuristic
+    // q_text_quality): train a corpus trigram distribution in one
+    // alphabet-bounded aggregate, score each doc by its mean trigram
+    // log-probability under it. Docs whose character statistics diverge
+    // from the corpus (mojibake, binary spew, key-mash) score far below
+    // the mode. Scale shape: the LM is bounded by the alphabet (≤37³
+    // trigrams over [a-z0-9 ]) → broadcast; the corpus streams through
+    // two map passes (train, score) and never self-joins; trigram
+    // extraction is one fused codegen'd expression (CharTrigrams —
+    // the composable HOF form re-runs the normalizing regex per trigram).
+    // Fully DuckDB-oracled: normalization mirrors
+    // regexp_replace(lower(text),'[^a-z0-9]+',' ','g') exactly (fixture
+    // is pure ASCII — probed; Unicode edge mappings documented on the
+    // expression).
+    "q_lm_score" -> ((s, d) => {
+      val tris = docs(s, d).select(col("doc_id"),
+        explode(TextHashFunctions.char_trigrams(col("text"))).as("tri"))
+      val lm = tris.groupBy(col("tri")).agg(count(lit(1)).as("c"))
+      val tot = lm.agg(sum(col("c")).as("n"))
+      tris.join(broadcast(lm), Seq("tri"))
+        .crossJoin(broadcast(tot))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_trigrams"),
+          round(avg(log(col("c").cast("double") / col("n").cast("double"))), 6)
+            .as("avg_logp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // weighted sampling WITHOUT replacement (Efraimidis-Spirakis): key =
     // u^(1/w) with u a DETERMINISTIC arithmetic hash of the id (never
     // rand() — SCALING.md determinism rule) and w = n_chars; top-100 by
@@ -501,6 +530,22 @@ object TextQueries {
         |  SELECT mn AS id_a, id AS id_b FROM r WHERE rn > 8
         |)
         |SELECT DISTINCT id_a, id_b FROM p ORDER BY id_a, id_b""".stripMargin,
+
+    "q_lm_score" ->
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |    regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g') AS s
+        |  FROM documents
+        |), tris AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(s) - 1), i -> substr(s, i, 3))) AS tri
+        |  FROM norm WHERE len(s) >= 3
+        |), lm AS (SELECT tri, COUNT(*) AS c FROM tris GROUP BY tri),
+        |tot AS (SELECT SUM(c) AS n FROM lm)
+        |SELECT doc_id, COUNT(*) AS n_trigrams,
+        |  ROUND(AVG(ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS avg_logp
+        |FROM tris JOIN lm USING (tri), tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_tfidf_top3" ->
       s"""WITH t AS (SELECT doc_id, $duckToks AS tk FROM documents),

@@ -131,6 +131,29 @@ class FunctionsSpec extends SparkTestBase {
       s"estimate $est vs exact $exact")
   }
 
+  test("char_trigrams: exact normalization + sliding-window semantics") {
+    import graft.functions.TextHashFunctions.char_trigrams
+    val df = Seq(
+      "abcd",                 // plain: abc, bcd
+      "A  B,,c!",             // runs collapse to one space: "a b c" + trailing " "
+      "ab",                   // too short after norm
+      "!!!",                  // norm = " " only
+      "",                     // empty
+      "Hello").toDF("t")
+    val out = df.select(char_trigrams(col("t")).as("g")).collect()
+      .map(_.getSeq[String](0))
+    assert(out(0) == Seq("abc", "bcd"))
+    // "A  B,,c!" -> "a b c " : trigrams over the 6-char normalized string
+    assert(out(1) == Seq("a b", " b ", "b c", " c "))
+    assert(out(2).isEmpty && out(3).isEmpty && out(4).isEmpty)
+    assert(out(5) == Seq("hel", "ell", "llo"))
+    // multiplicity preserved (cross-entropy weighs repeats): "aaaa" has
+    // trigram "aaa" twice
+    val rep = Seq("aaaa").toDF("t")
+      .select(char_trigrams(col("t")).as("g")).first().getSeq[String](0)
+    assert(rep == Seq("aaa", "aaa"))
+  }
+
   test("shingle_set matches the composed HOF formulation") {
     import graft.operators.Dedup
     val composed = {
