@@ -37,7 +37,11 @@ object Bench {
     "q_cc_recursive", "q_lateral_topk", "q_events_variant",
     "q_dedup_cc", "q_tfidf_top3", "q_contamination", "q_repetition",
     "q_dq_report", "q_bucket_stats", "q_dedup_passages",
-    "q_minhash_bucket_health")
+    "q_minhash_bucket_health",
+    // round-4 additions: remaining expressible TPC-H shapes, precision@k,
+    // trigram-LM quality scoring, composed IVF-PQ ANN
+    "q_tpch_q8", "q_tpch_q12", "q_tpch_q15", "q_tpch_q19", "q_tpch_q21",
+    "q_eval_precision_k", "q_lm_score", "q_cosine_ivfpq")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -123,4 +123,38 @@ object TextAnalysis {
     */
   def rollingFingerprints(text: Column, n: Int = 8, keepMod: Int = 4): Column =
     graft.functions.TextHashFunctions.rolling_fingerprints(text, n, keepMod)
+
+  /** Train a character-trigram LM over a corpus: (trigram → count) plus
+    * the total trigram count. The table is bounded by the ALPHABET
+    * (≤ 37³ trigrams over [a-z0-9 ]), not the corpus — collecting it is
+    * the same bounded-by-construction pattern as IVF centroids; at
+    * 100 TB, train on a sample (the LM is a statistic, not a per-row
+    * artifact).
+    */
+  def trainTrigramLm(docs: DataFrame, textCol: String = "text"): (Map[String, Long], Long) = {
+    val rows = docs
+      .select(explode(graft.functions.TextHashFunctions.char_trigrams(col(textCol))).as("tri"))
+      .groupBy(col("tri")).agg(count(lit(1)).as("c"))
+      .collect()
+    val m = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    (m, m.valuesIterator.sum)
+  }
+
+  /** Mean trigram log-probability of `text` under a trained LM, as ONE
+    * map-only column expression (the LM inlines as a map literal) — the
+    * stateless form of `q_lm_score`'s join shape, usable anywhere a
+    * column is: a parquet scan, a curation filter chain, or a STREAMING
+    * select (no state store, no stream-side aggregation). Unseen
+    * trigrams get an out-of-vocabulary half-count (c=0.5) so foreign /
+    * mojibake text scores low rather than erroring; texts with no
+    * trigrams yield null (gate them upstream).
+    */
+  def lmScore(lm: Map[String, Long], total: Long)(text: Column): Column = {
+    val lut = typedlit(lm)
+    val tris = graft.functions.TextHashFunctions.char_trigrams(text)
+    when(size(tris) > 0,
+      aggregate(tris, lit(0.0), (acc, t) =>
+        acc + log(coalesce(element_at(lut, t).cast("double"), lit(0.5)) /
+          lit(total.toDouble))) / size(tris).cast("double"))
+  }
 }

@@ -154,6 +154,23 @@ class FunctionsSpec extends SparkTestBase {
     assert(rep == Seq("aaa", "aaa"))
   }
 
+  test("map-only lmScore agrees with the join-based q_lm_score") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val (lm, total) = TextAnalysis.trainTrigramLm(docs)
+    val mapSide = docs.select(col("doc_id"),
+      TextAnalysis.lmScore(lm, total)(col("text")).as("s"))
+      .filter(col("s").isNotNull)
+    val joinSide = SparkEntry.queries("q_lm_score")(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("avg_logp").as("s2"))
+    val j = mapSide.join(joinSide, Seq("doc_id")).cache()
+    assert(j.count() == joinSide.count(), "every scored doc matches up")
+    // fold order differs (map-side sequential vs shuffled partial avg) →
+    // tolerance, not bit equality
+    assert(j.filter(abs(col("s") - col("s2")) > 1e-6).count() == 0)
+    j.unpersist()
+  }
+
   test("shingle_set matches the composed HOF formulation") {
     import graft.operators.Dedup
     val composed = {

@@ -252,6 +252,36 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stateless LM scoring on a doc stream: map-only, no state store") {
+    // the trigram LM trains in BATCH (bounded collect, like centroids)
+    // and scores the stream as a pure column expression — no streaming
+    // aggregation, no state; a doc's score is identical to the batch
+    // scorer's because the expression is the same object
+    implicit val sc = spark.sqlContext
+    val corpus = Tables.documents(spark, "/root/testdata/sf0.001")
+    val (lm, total) = graft.operators.TextAnalysis.trainTrigramLm(corpus)
+    val scorer = graft.operators.TextAnalysis.lmScore(lm, total) _
+    val english = "the quick brown fox jumps over the lazy dog in the park"
+    val mash = "qzx jkq vvw zzq xqj wqz kjx qqz zxv jqk"
+    val mem = MemoryStream[EventStreams.Doc]
+    val out = mem.toDF().select(col("doc_id"), scorer(col("text")).as("lp"))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("lm_out").start()
+    try {
+      mem.addData(EventStreams.Doc(1, ts(0), english),
+        EventStreams.Doc(2, ts(1), mash))
+      q.processAllAvailable()
+      val scores = spark.table("lm_out").as[(Long, Double)].collect().toMap
+      assert(scores(1L) > scores(2L) + 1.0,
+        s"english ${scores(1L)} must far outscore key-mash ${scores(2L)}")
+      // batch twin: same expression over a batch frame gives identical values
+      val batch = Seq((1L, english), (2L, mash)).toDF("doc_id", "text")
+        .select(col("doc_id"), scorer(col("text")).as("lp"))
+        .as[(Long, Double)].collect().toMap
+      assert(scores == batch, s"stream $scores vs batch $batch")
+    } finally q.stop()
+  }
+
   test("transformWithState event-time timer closes sessions when the watermark passes") {
     implicit val sc = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
