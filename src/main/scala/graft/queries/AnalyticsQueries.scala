@@ -21,6 +21,11 @@ object AnalyticsQueries {
   private def t(s: SparkSession, d: String, name: String) = Tables.load(s, d, name)
   private def cents(c: Column) = round(c * 100, 0).cast("long")
 
+  // DuckDB mirror of Dedup.tokens over the documents table (same contract
+  // as TextQueries.duckToks — kept in sync with the tokenizer scaladoc)
+  private val duckDocToks =
+    """list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0)"""
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // FULL OUTER join of two pre-aggregated relations (per-nation customer
     // vs supplier counts): both sides reduced before the join, so the
@@ -714,6 +719,103 @@ object AnalyticsQueries {
         .orderBy(col("o_custkey"), col("o_orderkey"))
     }),
 
+    // The full analytic ranking-function family over one partitioned
+    // window: rank / dense_rank / ntile / percent_rank / cume_dist /
+    // lag / lead / first-in-frame — all ride a SINGLE per-customer sort
+    // (one window spec → one WindowExec, plan shares the exchange).
+    // Percent/cume are exact rationals of integer counts → rounded 6dp
+    // identically in DuckDB. Customer slice keeps the output bounded.
+    "q_window_rank_family" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("price_c"), col("o_orderkey"))
+      t(s, d, "orders")
+        .filter(col("o_custkey") < 50)
+        .select(col("o_custkey"), col("o_orderkey"),
+          cents(col("o_totalprice")).as("price_c"))
+        .withColumn("rnk", rank().over(w).cast("long"))
+        .withColumn("drnk", dense_rank().over(w).cast("long"))
+        .withColumn("quartile", ntile(4).over(w).cast("long"))
+        .withColumn("pct_rank", round(percent_rank().over(w), 6))
+        .withColumn("cume", round(cume_dist().over(w), 6))
+        .withColumn("prev_price_c", lag(col("price_c"), 1).over(w))
+        .withColumn("next_price_c", lead(col("price_c"), 1).over(w))
+        .withColumn("min_price_c", first(col("price_c")).over(w))
+        .orderBy(col("o_custkey"), col("rnk"), col("o_orderkey"))
+    }),
+
+    // Vocabulary coverage (Zipf head): top-20 corpus terms with running
+    // cumulative share of ALL token occurrences — the "how much does a
+    // small vocab cover" statistic every tokenizer design starts from.
+    // Shape: one (term) aggregate; TakeOrdered bounds to 20 rows BEFORE
+    // the running-sum window (single-partition window over 20 rows, the
+    // bounded-then-rank pattern); total attaches as a 1-row broadcast.
+    "q_vocab_coverage" -> ((s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(explode(graft.operators.Dedup.tokens(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("c"))
+      val total = tf.agg(sum(col("c")).as("n"))
+      val top = tf.orderBy(col("c").desc, col("term")).limit(20)
+      val w = Window.orderBy(col("c").desc, col("term"))
+      top.withColumn("rank", row_number().over(w).cast("long"))
+        .withColumn("cum_c", sum(col("c")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(total))
+        .select(col("rank"), col("term"), col("c"),
+          round(col("cum_c").cast("double") / col("n").cast("double"), 6)
+            .as("cum_share"))
+        .orderBy(col("rank"))
+    }),
+
+    // Heavy hitters via the datasketches frequent-items aggregate
+    // (approx_top_k): the mergeable one-pass top-k every vocab/label
+    // truncation decision runs at scale. Here maxItemsTracked (10k) far
+    // exceeds the corpus vocabulary, so the sketch is in its EXACT
+    // regime and the counts equal a plain aggregate — which is what the
+    // DuckDB oracle checks; at 100 TB you shrink the budget and accept
+    // approximation on the tail, never the head. The sketch's internal
+    // tie order is unspecified, so the query explodes the result and
+    // re-ranks deterministically (count desc, term) before the top-10
+    // cut.
+    "q_approx_top_k" -> ((s, d) => {
+      val w = Window.orderBy(col("cnt").desc, col("term"))
+      Tables.documents(s, d)
+        .select(explode(graft.operators.Dedup.tokens(col("text"))).as("term"))
+        .agg(expr("approx_top_k(term, 100, 10000)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("term"), col("e.count").as("cnt"))
+        .orderBy(col("cnt").desc, col("term")).limit(10)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .select(col("rank"), col("term"), col("cnt"))
+        .orderBy(col("rank"))
+    }),
+
+    // Theta-sketch SET ALGEBRA over distinct keys: per-flag sketches in
+    // one grouped pass, then union / intersection / difference
+    // ESTIMATES — the mergeable form of COUNT(DISTINCT) set arithmetic
+    // (HLL can union but never intersect; theta can). lgNomEntries=16
+    // (65536) exceeds the key NDV at every test scale, so the sketches
+    // are exact and DuckDB's literal set operations are the oracle; at
+    // real scale the same query degrades gracefully to ±1.6% estimates.
+    // Theta retention keeps the k SMALLEST key hashes — a function of
+    // the SET, not partitioning — so exact-regime results are
+    // deterministic across any parallelism.
+    "q_theta_sets" -> ((s, d) => {
+      val sk = t(s, d, "lineitem")
+        .filter(col("l_returnflag").isin("A", "R"))
+        .groupBy(col("l_returnflag"))
+        .agg(expr("theta_sketch_agg(l_partkey, 16)").as("sk"))
+      val a = sk.filter(col("l_returnflag") === "A").select(col("sk").as("ska"))
+      val r = sk.filter(col("l_returnflag") === "R").select(col("sk").as("skr"))
+      a.crossJoin(r).select(
+        expr("theta_sketch_estimate(ska)").cast("long").as("n_a"),
+        expr("theta_sketch_estimate(skr)").cast("long").as("n_r"),
+        // theta_union has its OWN nominal size (default lgk=12 → 4096 →
+        // estimation mode even over exact inputs — bit us at sf0.1);
+        // size it like the input sketches
+        expr("theta_sketch_estimate(theta_union(ska, skr, 16))").cast("long").as("n_union"),
+        expr("theta_sketch_estimate(theta_intersection(ska, skr))").cast("long").as("n_inter"),
+        expr("theta_sketch_estimate(theta_difference(ska, skr))").cast("long").as("n_diff"))
+    }),
+
     // Non-equi RANGE join: price-band bucketing via a broadcast
     // nested-loop join against a 4-row literal band table — the band side
     // is always broadcast; the fact side never shuffles.
@@ -1288,6 +1390,62 @@ object AnalyticsQueries {
         |    PARTITION BY o_custkey ORDER BY CAST(FLOOR(date_part('epoch', o_orderdate)) AS BIGINT)
         |    RANGE BETWEEN 604800 PRECEDING AND 0 FOLLOWING) AS BIGINT) AS trailing7d_c
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_window_rank_family" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_c
+        |  FROM orders WHERE o_custkey < 50
+        |)
+        |SELECT o_custkey, o_orderkey, price_c,
+        |  CAST(RANK() OVER w AS BIGINT) AS rnk,
+        |  CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+        |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+        |  ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+        |  ROUND(CUME_DIST() OVER w, 6) AS cume,
+        |  LAG(price_c, 1) OVER w AS prev_price_c,
+        |  LEAD(price_c, 1) OVER w AS next_price_c,
+        |  FIRST_VALUE(price_c) OVER w AS min_price_c
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY price_c, o_orderkey)
+        |ORDER BY o_custkey, rnk, o_orderkey""".stripMargin,
+
+    "q_vocab_coverage" ->
+      s"""WITH tok AS (
+        |  SELECT unnest($duckDocToks) AS term FROM documents
+        |), tf AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term),
+        |tot AS (SELECT SUM(c) AS n FROM tf),
+        |top AS (
+        |  SELECT term, c,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY c DESC, term) AS BIGINT) AS rank
+        |  FROM tf QUALIFY rank <= 20
+        |)
+        |SELECT rank, term, c,
+        |  ROUND(CAST(SUM(c) OVER (ORDER BY rank
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / CAST(n AS DOUBLE), 6) AS cum_share
+        |FROM top, tot ORDER BY rank""".stripMargin,
+
+    "q_approx_top_k" ->
+      s"""WITH tok AS (
+        |  SELECT unnest($duckDocToks) AS term FROM documents
+        |), tf AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY term),
+        |top AS (
+        |  SELECT term, cnt,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS BIGINT) AS rank
+        |  FROM tf QUALIFY rank <= 10
+        |)
+        |SELECT rank, term, cnt FROM top ORDER BY rank""".stripMargin,
+
+    "q_theta_sets" ->
+      """WITH a AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'A'),
+        |r AS (SELECT DISTINCT l_partkey FROM lineitem WHERE l_returnflag = 'R')
+        |SELECT
+        |  (SELECT COUNT(*) FROM a) AS n_a,
+        |  (SELECT COUNT(*) FROM r) AS n_r,
+        |  (SELECT COUNT(*) FROM (SELECT * FROM a UNION SELECT * FROM r)) AS n_union,
+        |  (SELECT COUNT(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM r)) AS n_inter,
+        |  (SELECT COUNT(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM r)) AS n_diff""".stripMargin,
 
     "q_range_join" ->
       """WITH bands(band_id, lo, hi) AS (
