@@ -154,6 +154,54 @@ class FunctionsSpec extends SparkTestBase {
     assert(rep == Seq("aaa", "aaa"))
   }
 
+  test("KLL quantile sketch: median/quartiles within rank tolerance of exact") {
+    // the mergeable-percentile scale path (exact percentile() needs a
+    // global sort; KLL merges partial sketches). KLL compaction is
+    // randomized → scalatest tolerance check, NOT a registered query
+    // (would break the bit-identical CPUS sweep).
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select(col("l_extendedprice").as("x"))
+    li.createOrReplaceTempView("kll_in")
+    val sk = spark.sql(
+      """SELECT kll_sketch_get_quantile_double(kll_sketch_agg_double(x), 0.25) AS q1,
+        |       kll_sketch_get_quantile_double(kll_sketch_agg_double(x), 0.5)  AS q2,
+        |       kll_sketch_get_quantile_double(kll_sketch_agg_double(x), 0.75) AS q3
+        |FROM kll_in""".stripMargin).first()
+    val ex = li.agg(
+      expr("percentile(x, 0.25)"), expr("percentile(x, 0.5)"),
+      expr("percentile(x, 0.75)")).first()
+    // KLL default k guarantees ~1.7% rank error; values at those ranks
+    // are within a small value band on this smooth distribution
+    for (i <- 0 until 3) {
+      val (a, e) = (sk.getDouble(i), ex.getDouble(i))
+      assert(math.abs(a - e) / e < 0.05, s"quantile $i: sketch $a exact $e")
+    }
+  }
+
+  test("approx_top_k two-phase API: accumulate partials, combine, estimate") {
+    // the partial-sketch travel pattern: per-partition ACCUMULATE states,
+    // one COMBINE, one ESTIMATE — how heavy-hitters merge across a
+    // 1000-executor fleet without raw-row recombination
+    val df = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(explode(graft.operators.Dedup.tokens(col("text"))).as("term"),
+        pmod(xxhash64(col("term")), lit(4)).as("shard"))
+    df.createOrReplaceTempView("atk_in")
+    val combined = spark.sql(
+      """SELECT approx_top_k_estimate(approx_top_k_combine(st), 5) AS tk FROM (
+        |  SELECT approx_top_k_accumulate(term) AS st
+        |  FROM atk_in GROUP BY shard
+        |)""".stripMargin)
+      .select(explode(col("tk")).as("e"))
+      .select(col("e.item"), col("e.count"))
+      .orderBy(col("count").desc, col("item"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val exact = df.groupBy(col("term")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("term")).limit(5)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(combined.toSeq == exact.toSeq,
+      s"two-phase ${combined.toSeq} vs exact ${exact.toSeq}")
+  }
+
   test("map-only lmScore agrees with the join-based q_lm_score") {
     import graft.operators.TextAnalysis
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
