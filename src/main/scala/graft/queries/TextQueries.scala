@@ -295,6 +295,32 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // BPE tokenizer training, step 1, distributed: the most frequent
+    // adjacent character pair weighted by word frequency — the statistic
+    // every BPE merge round is chosen from. Shape at scale: ONE corpus
+    // pass reduces to the (word, freq) vocabulary (bounded far below
+    // corpus size); pair explosion runs over the VOCABULARY, not the
+    // corpus, so a merge round's cost is O(vocab), corpus-touching work
+    // happens exactly once. Top-20 via TakeOrdered before the bounded
+    // ranking window. Lambda touches only post-aggregate attributes (no
+    // HOF re-evaluation of upstream expressions).
+    "q_bpe_pairs" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("pair_freq").desc, col("pair"))
+      docs(s, d)
+        .select(explode(Dedup.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        .filter(length(col("w")) >= 2)
+        .select(col("freq"), explode(transform(
+          sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("pair_freq"))
+        .orderBy(col("pair_freq").desc, col("pair")).limit(20)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .select(col("rank"), col("pair"), col("pair_freq"))
+        .orderBy(col("rank"))
+    }),
+
     // weighted sampling WITHOUT replacement (Efraimidis-Spirakis): key =
     // u^(1/w) with u a DETERMINISTIC arithmetic hash of the id (never
     // rand() — SCALING.md determinism rule) and w = n_chars; top-100 by
@@ -530,6 +556,25 @@ object TextQueries {
         |  SELECT mn AS id_a, id AS id_b FROM r WHERE rn > 8
         |)
         |SELECT DISTINCT id_a, id_b FROM p ORDER BY id_a, id_b""".stripMargin,
+
+    "q_bpe_pairs" ->
+      s"""WITH words AS (
+        |  SELECT term AS w, COUNT(*) AS freq FROM (
+        |    SELECT unnest($duckToks) AS term FROM documents
+        |  ) GROUP BY term
+        |), pairs AS (
+        |  SELECT unnest(list_transform(range(1, len(w)), i -> substr(w, i, 2))) AS pair,
+        |         freq
+        |  FROM words WHERE len(w) >= 2
+        |), agg AS (
+        |  SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_freq
+        |  FROM pairs GROUP BY pair
+        |), top AS (
+        |  SELECT pair, pair_freq,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY pair_freq DESC, pair) AS BIGINT) AS rank
+        |  FROM agg QUALIFY rank <= 20
+        |)
+        |SELECT rank, pair, pair_freq FROM top ORDER BY rank""".stripMargin,
 
     "q_lm_score" ->
       """WITH norm AS (
