@@ -136,6 +136,13 @@ object TextAnalysis {
       .select(explode(graft.functions.TextHashFunctions.char_trigrams(col(textCol))).as("tri"))
       .groupBy(col("tri")).agg(count(lit(1)).as("c"))
       .collect()
+    // the bound's OWNER is char_trigrams' normalization (lowercase +
+    // [^a-z0-9 ]→space): 37 symbols ⇒ ≤ 37³ = 50 653 distinct trigrams.
+    // If a tokenizer change ever widens the alphabet, fail loudly here
+    // rather than silently unbounding a driver-side collect.
+    require(rows.length <= 50653,
+      s"trigram LM collected ${rows.length} rows > 37^3 — char_trigrams " +
+        "normalization no longer bounds the alphabet")
     val m = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
     (m, m.valuesIterator.sum)
   }

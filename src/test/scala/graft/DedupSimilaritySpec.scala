@@ -231,4 +231,58 @@ class DedupSimilaritySpec extends SparkTestBase {
     val recall = hit.toDouble / truth.count()
     assert(recall >= 0.6, s"recall $recall")
   }
+
+  test("fitInput bounds the codebook-fit sample and is content-deterministic") {
+    val e = Tables.embeddings(spark, sf)
+    val n = e.count()
+    val cap = 100L
+    val sampled = Similarity.fitInput(e, "embedding", cap)
+    val got = sampled.count()
+    // the hash sample targets `cap` rows in expectation; binomial variance
+    // means we assert a band, and the BOUND (never the full corpus) is the
+    // 100 TB property under test
+    assert(got < n && got <= cap * 2 && got >= cap / 2,
+      s"sample $got of $n outside [${cap / 2}, ${cap * 2}]")
+    // single partition: the pinned layout the deterministic fit requires
+    assert(sampled.rdd.getNumPartitions == 1)
+    // membership is a pure function of row CONTENT: a different input
+    // partitioning must select the IDENTICAL vector set
+    val a = sampled.collect().map(_.getSeq[Float](0)).toSeq
+    val b = Similarity.fitInput(e.repartition(13), "embedding", cap)
+      .collect().map(_.getSeq[Float](0)).toSeq
+    assert(a == b, "hash sample must not depend on input partitioning")
+    // under the cap: pass-through (still pinned), no rows dropped
+    assert(Similarity.fitInput(e, "embedding", n + 1).count() == n)
+  }
+
+  test("cellStats makes a planted hot cell visible (IVF health twin of bucketStats)") {
+    // hand-crafted quantizer: cell 1 at [1,0], cell 2 at [0,1]; 80% of the
+    // corpus points toward cell 1 → skew = max/avg must flag it
+    val cents = Array((1, Array(1f, 0f)), (2, Array(0f, 1f)))
+    val corpus = ((1 to 80).map(i => (i.toLong, Seq(1f, i * 0.001f))) ++
+      (81 to 100).map(i => (i.toLong, Seq(i * 0.001f, 1f))))
+      .toDF("vec_id", "embedding")
+    val r = Similarity.cellStats(corpus, cents).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(0) == 2L, "both cells used")
+    assert(row.getLong(1) == 100L, "all vectors counted")
+    assert(row.getLong(3) == 80L, s"hot cell holds 80, got ${row.getLong(3)}")
+    assert(row.getDouble(5) == 1.6, s"skew max/avg 80/50 = 1.6, got ${row.getDouble(5)}")
+    // balanced corpus → skew 1.0 (the healthy baseline the report is read against)
+    val balanced = ((1 to 50).map(i => (i.toLong, Seq(1f, 0f))) ++
+      (51 to 100).map(i => (i.toLong, Seq(0f, 1f)))).toDF("vec_id", "embedding")
+    assert(Similarity.cellStats(balanced, cents).first().getDouble(5) == 1.0)
+  }
+
+  test("q_ivf_cell_health: deterministic single-row report over the serving assignment") {
+    val h1 = graft.queries.SimilarityQueries.queries("q_ivf_cell_health")(spark, sf).collect()
+    val h2 = graft.queries.SimilarityQueries.queries("q_ivf_cell_health")(spark, sf).collect()
+    assert(h1.length == 1 && h1.sameElements(h2))
+    val row = h1.head
+    // every corpus vector lands in exactly one cell
+    assert(row.getLong(1) == Tables.embeddings(spark, sf).count())
+    assert(row.getLong(0) <= 16L, "at most nCells cells")
+    assert(row.getDouble(5) >= 1.0, "skew = max/avg >= 1 by construction")
+  }
 }

@@ -5,6 +5,9 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import java.sql.Timestamp
 
+/** Top-level (encoder-friendly) row type for embedding-stream tests. */
+case class Vec(vec_id: Long, embedding: Seq[Float])
+
 /** Structured Streaming pipelines driven by MemoryStream — verifies the
   * streaming path end-to-end (state, watermark, output modes), matching
   * the batch twins in EventQueries.
@@ -279,6 +282,35 @@ class StreamingSpec extends SparkTestBase {
         .select(col("doc_id"), scorer(col("text")).as("lp"))
         .as[(Long, Double)].collect().toMap
       assert(scores == batch, s"stream $scores vs batch $batch")
+    } finally q.stop()
+  }
+
+  test("streaming IVF cell routing: map-only assignCell, batch ≡ stream") {
+    // the coarse quantizer fits in BATCH (bounded sample, like the LM)
+    // and routes the embedding stream as a pure column — no state store,
+    // no stream-side join: each arriving vector gets its inverted-file
+    // cell (= shard / partition at rest) with zero exchanges
+    implicit val sc = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val cents = graft.queries.SimilarityQueries.ivfpqModel(spark, sf).cents
+    val vecs = Tables.embeddings(spark, sf).filter(col("vec_id") < 20)
+      .select(col("vec_id"), col("embedding").cast("array<float>"))
+      .as[Vec].collect().toSeq
+    val mem = MemoryStream[Vec]
+    val out = mem.toDF().select(col("vec_id"),
+      graft.operators.Similarity.assignCell(cents, col("embedding")).as("cell"))
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("cell_out").start()
+    try {
+      mem.addData(vecs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("cell_out").as[(Long, Int)].collect().toMap
+      val batch = vecs.toDF().select(col("vec_id"),
+        graft.operators.Similarity.assignCell(cents, col("embedding")).as("cell"))
+        .as[(Long, Int)].collect().toMap
+      assert(streamed.size == 20 && streamed == batch,
+        s"stream $streamed vs batch $batch")
+      assert(streamed.values.forall(c => c >= 1 && c <= cents.length))
     } finally q.stop()
   }
 
