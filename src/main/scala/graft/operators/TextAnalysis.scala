@@ -147,6 +147,84 @@ object TextAnalysis {
     (m, m.valuesIterator.sum)
   }
 
+  /** One greedy left-to-right, non-overlapping merge of the adjacent
+    * symbol pair (a, b) within a symbol array — the rewrite step of a BPE
+    * merge round, as a pure Catalyst `aggregate` over the positions (no
+    * UDF): the accumulator carries (rewritten-prefix, skip-next) and each
+    * position either copies its symbol, emits the merged symbol and skips
+    * the partner, or is skipped. `get` (0-based, null past the end) keeps
+    * the lookahead ANSI-safe.
+    */
+  private[graft] def mergePairIn(syms: Column, a: String, b: String): Column =
+    aggregate(
+      sequence(lit(0), size(syms) - 1),
+      struct(array().cast("array<string>").as("out"), lit(false).as("skip")),
+      (acc, i) => {
+        val cur = get(syms, i)
+        val nxt = get(syms, i + 1)
+        when(acc.getField("skip"),
+          struct(acc.getField("out").as("out"), lit(false).as("skip")))
+          .when(cur === lit(a) && nxt.isNotNull && nxt === lit(b),
+            struct(concat(acc.getField("out"), array(lit(a + b))).as("out"),
+              lit(true).as("skip")))
+          .otherwise(
+            struct(concat(acc.getField("out"), array(cur)).as("out"),
+              lit(false).as("skip")))
+      },
+      acc => acc.getField("out"))
+
+  /** Iterative BPE tokenizer training over a `(word, freq)` vocabulary:
+    * `rounds` merge rounds, each picking the most frequent adjacent
+    * symbol pair (weighted by word frequency, deterministic tiebreak
+    * freq desc → left asc → right asc) and greedily merging it in every
+    * word. Returns the merge table `(round, left, right, merged,
+    * pair_freq)` — the artifact a BPE tokenizer IS.
+    *
+    * Scale shape (the canonical "tokenizer training at corpus scale"
+    * loop): the corpus reduces to the bounded (word, freq) vocabulary
+    * ONCE upstream; every round then costs one pair-explode + aggregate
+    * over the VOCABULARY plus a 1-row top-pair action — O(vocab) per
+    * round, corpus-touching work zero. Iteration hygiene mirrors
+    * [[Dedup.connectedComponents]]: each round's rewritten vocabulary is
+    * eagerly `localCheckpoint`ed, so the per-round HOF rewrite never
+    * stacks in lineage (CollapseProject would otherwise inline `rounds`
+    * nested rewrite lambdas into one expression) and no session-lifetime
+    * caches leak.
+    */
+  def bpeMerges(vocab: DataFrame, rounds: Int,
+      wordCol: String = "w", freqCol: String = "freq"): DataFrame = {
+    val spark = vocab.sparkSession
+    import spark.implicits._
+    var syms = vocab
+      .select(split(col(wordCol), "").as("syms"), col(freqCol).cast("long").as("freq"))
+      .filter(size(col("syms")) > 0)
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val top = syms.filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(transform(
+          sequence(lit(0), size(col("syms")) - 2),
+          i => struct(get(col("syms"), i).as("l"), get(col("syms"), i + 1).as("r"))))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("pf"))
+        .orderBy(col("pf").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, pf) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r.toLong, a, b, a + b, pf))
+        syms = syms
+          .select(mergePairIn(col("syms"), a, b).as("syms"), col("freq"))
+          .localCheckpoint(true)
+        r += 1
+      }
+    }
+    merges.toSeq.toDF("round", "left", "right", "merged", "pair_freq")
+  }
+
   /** Mean trigram log-probability of `text` under a trained LM, as ONE
     * map-only column expression (the LM inlines as a map literal) — the
     * stateless form of `q_lm_score`'s join shape, usable anywhere a

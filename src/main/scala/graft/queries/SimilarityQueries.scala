@@ -141,6 +141,27 @@ object SimilarityQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // SEMANTIC corpus curation end-to-end — the embedding-space twin of
+    // the minhash-based q_corpus_clean: cosine near-dup pairs (LSH
+    // candidates, threshold tuned to this corpus's cosine range) →
+    // transitive closure → per-component min-id keep set → surviving
+    // documents' per-source stats (vec_id aligns 1:1 with doc_id in the
+    // fixture). Rows-only (LSH candidate set is Spark-hash-specific);
+    // the planted paraphrase-chain closure is asserted in
+    // DedupSimilaritySpec.
+    "q_corpus_clean_semantic" -> ((s, d) => {
+      val e = emb(s, d)
+      val pairs = Dedup.cosineNearDups(e, threshold = 0.4,
+        bands = 16, bandBits = 4)
+        .select(col("id_a"), col("id_b"))
+      val keep = Dedup.dedupKeepSetClosure(e, pairs, idCol = "vec_id")
+      Tables.documents(s, d)
+        .join(keep.select(col("vec_id").as("doc_id")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_total"))
+        .orderBy(col("source"))
+    }),
+
     // embedding-cosine near-dup candidate pairs (LSH) — top-50 by cosine,
     // rows-only (bucketing is Spark-hash-specific)
     "q_dedup_cosine" -> ((s, d) => {

@@ -321,6 +321,20 @@ object TextQueries {
         .orderBy(col("rank"))
     }),
 
+    // BPE tokenizer TRAINING (the iterative extension of q_bpe_pairs):
+    // 10 merge rounds over the bounded (word, freq) vocabulary — each
+    // round O(vocab), corpus touched exactly once upstream. Rows-only
+    // (iterative argmax-rewrite loops aren't SQL-expressible); the merge
+    // sequence is asserted equal to an independent driver-side BPE
+    // implementation in TextSpec.
+    "q_bpe_vocab" -> ((s, d) => {
+      val vocab = docs(s, d)
+        .select(explode(Dedup.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      TextAnalysis.bpeMerges(vocab, rounds = 10)
+        .orderBy(col("round"))
+    }),
+
     // weighted sampling WITHOUT replacement (Efraimidis-Spirakis): key =
     // u^(1/w) with u a DETERMINISTIC arithmetic hash of the id (never
     // rand() — SCALING.md determinism rule) and w = n_chars; top-100 by

@@ -275,6 +275,44 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(Similarity.cellStats(balanced, cents).first().getDouble(5) == 1.0)
   }
 
+  test("semantic dedup composition: planted paraphrase chain collapses transitively to min id") {
+    // a "paraphrase cluster" in embedding space: 1≈2 and 2≈3 above the
+    // 0.9 threshold, but 1–3 DIRECTLY below it — exactly the chain
+    // topology one-hop star-collapse gets wrong; the closure must demote
+    // both 2 and 3. Vectors live in a 2D subspace of dim 8 at angles
+    // 0 / 20° / 40° (cos 20° ≈ 0.94 ≥ 0.9, cos 40° ≈ 0.77 < 0.9), plus
+    // two unrelated axes.
+    def rot(deg: Double): Seq[Float] = {
+      val t = math.toRadians(deg)
+      Seq(math.cos(t).toFloat, math.sin(t).toFloat, 0f, 0f, 0f, 0f, 0f, 0f)
+    }
+    val emb = Seq(
+      (1L, rot(0)), (2L, rot(20)), (3L, rot(40)),
+      (10L, Seq(0f, 0f, 1f, 0f, 0f, 0f, 0f, 0f)),
+      (11L, Seq(0f, 0f, 0f, 1f, 0f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.cosineNearDups(emb, threshold = 0.9, bands = 16, bandBits = 4)
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((1L, 2L)) && got.contains((2L, 3L)),
+      s"chain links not surfaced: $got")
+    assert(!got.contains((1L, 3L)), "1-3 must be below the threshold (chain premise)")
+    val keep = Dedup.dedupKeepSetClosure(emb, pairs.select(col("id_a"), col("id_b")),
+      idCol = "vec_id").collect().map(_.getLong(0)).toSet
+    assert(keep == Set(1L, 10L, 11L),
+      s"closure must keep only the chain min + singletons, got $keep")
+  }
+
+  test("q_corpus_clean_semantic: deterministic, demotes near-dups, keeps per-source stats") {
+    val q = graft.queries.SimilarityQueries.queries("q_corpus_clean_semantic")
+    val a = q(spark, sf).collect()
+    val b = q(spark, sf).collect()
+    assert(a.nonEmpty && a.sameElements(b))
+    val kept = a.map(_.getLong(1)).sum
+    val total = Tables.documents(spark, sf).count()
+    assert(kept < total, s"semantic dedup must demote something: $kept of $total")
+    assert(kept > total / 2, "but must not demote most of the corpus")
+  }
+
   test("q_ivf_cell_health: deterministic single-row report over the serving assignment") {
     val h1 = graft.queries.SimilarityQueries.queries("q_ivf_cell_health")(spark, sf).collect()
     val h2 = graft.queries.SimilarityQueries.queries("q_ivf_cell_health")(spark, sf).collect()

@@ -1,0 +1,105 @@
+package graft
+
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** BPE tokenizer-training coverage: the distributed merge loop
+  * ([[TextAnalysis.bpeMerges]]) is checked against an INDEPENDENT plain-
+  * Scala BPE implementation (the non-oracle twin for the oracle-exempt
+  * `q_bpe_vocab`) plus hand-computed fixtures for the greedy rewrite.
+  */
+class TextSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Reference BPE on the driver: same contract as bpeMerges — pair
+    * counts weighted by word freq (overlapping adjacents counted, the
+    * classic formulation), argmax with (freq desc, left asc, right asc)
+    * tiebreak, greedy left-to-right non-overlapping merge.
+    */
+  private def refBpe(vocab: Map[String, Long], rounds: Int): Seq[(Long, String, String, String, Long)] = {
+    def mergeGreedy(syms: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.result()
+    }
+    var words = vocab.toSeq.map { case (w, f) => (w.map(_.toString).toVector, f) }
+    val out = Seq.newBuilder[(Long, String, String, String, Long)]
+    var r = 1
+    var done = false
+    while (r <= rounds && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      for ((syms, f) <- words; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) += f
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), f) = counts.toSeq.minBy { case ((l, rr), pf) => (-pf, l, rr) }
+        out += ((r.toLong, a, b, a + b, f))
+        words = words.map { case (syms, wf) => (mergeGreedy(syms, a, b), wf) }
+        r += 1
+      }
+    }
+    out.result()
+  }
+
+  test("mergePairIn: greedy left-to-right, non-overlapping, exact-pair only") {
+    val df = Seq("aaa", "abab", "ba", "xya", "a").toDF("w")
+      .select(split(col("w"), "").as("syms"))
+      .select(TextAnalysis.mergePairIn(col("syms"), "a", "a").as("m1"),
+        TextAnalysis.mergePairIn(col("syms"), "a", "b").as("m2"))
+    val rows = df.collect().map(r => (r.getSeq[String](0), r.getSeq[String](1)))
+    // (a,a) in "aaa": merges positions 0-1, position 2 survives alone
+    assert(rows(0) == ((Seq("aa", "a"), Seq("a", "a", "a"))))
+    // (a,b) in "abab": both occurrences merge (no overlap between them)
+    assert(rows(1) == ((Seq("a", "b", "a", "b"), Seq("ab", "ab"))))
+    // "ba": pair (a,b) is order-sensitive — no merge
+    assert(rows(2) == ((Seq("b", "a"), Seq("b", "a"))))
+    // trailing symbol with no partner stays
+    assert(rows(3) == ((Seq("x", "y", "a"), Seq("x", "y", "a"))))
+    assert(rows(4) == ((Seq("a"), Seq("a"))))
+  }
+
+  test("bpeMerges on a hand-computed fixture") {
+    // vocab: low(5) lower(2) newest(6) widest(3) — the worked example
+    // from the original BPE paper family. Round 1: (e,s) freq 6+3=9
+    // wins; round 2: (es,t) 9; round 3: (l,o) 7; round 4: (lo,w) 7.
+    val vocab = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+      .toDF("w", "freq")
+    val got = TextAnalysis.bpeMerges(vocab, rounds = 4)
+      .orderBy(col("round"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSeq
+    assert(got == Seq(
+      (1L, "e", "s", "es", 9L),
+      (2L, "es", "t", "est", 9L),
+      (3L, "l", "o", "lo", 7L),
+      (4L, "lo", "w", "low", 7L)))
+  }
+
+  test("bpeMerges stops when no pairs remain") {
+    val vocab = Seq(("ab", 3L), ("a", 9L)).toDF("w", "freq")
+    val got = TextAnalysis.bpeMerges(vocab, rounds = 10).collect()
+    // round 1 merges (a,b) -> every word is then a single symbol
+    assert(got.length == 1 && got(0).getString(3) == "ab")
+  }
+
+  test("q_bpe_vocab equals the independent driver-side BPE on sf0.001") {
+    val vocabDf = Tables.documents(spark, sf)
+      .select(explode(Dedup.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+    val vocab = vocabDf.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = refBpe(vocab, rounds = 10)
+    val got = graft.queries.TextQueries.queries("q_bpe_vocab")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSeq
+    assert(got == want, s"distributed merges $got != reference $want")
+    assert(got.length == 10, "fixture corpus supports 10 merge rounds")
+  }
+}
