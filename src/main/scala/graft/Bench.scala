@@ -41,7 +41,11 @@ object Bench {
     // round-4 additions: remaining expressible TPC-H shapes, precision@k,
     // trigram-LM quality scoring, composed IVF-PQ ANN
     "q_tpch_q8", "q_tpch_q12", "q_tpch_q15", "q_tpch_q19", "q_tpch_q21",
-    "q_eval_precision_k", "q_lm_score", "q_cosine_ivfpq")
+    "q_eval_precision_k", "q_lm_score", "q_cosine_ivfpq",
+    // round-5 additions: IVF cell-balance health, iterative BPE vocab
+    // training + trained-merge tokenization, end-to-end semantic dedup
+    "q_ivf_cell_health", "q_bpe_vocab", "q_corpus_clean_semantic",
+    "q_bpe_tokenize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

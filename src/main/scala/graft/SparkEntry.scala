@@ -50,6 +50,7 @@ object SparkEntry {
     "q_dedup_cosine" -> "LSH bucketing Spark-specific; planted near-dup + threshold tests",
     "q_corpus_clean_semantic" -> "LSH candidate set Spark-specific; paraphrase-chain closure test in DedupSimilaritySpec",
     "q_bpe_vocab" -> "iterative merge loop not SQL-expressible; equals independent driver-side BPE in TextSpec",
+    "q_bpe_tokenize" -> "trained-merge encoding not SQL-expressible; equals independent driver-side encoder in TextSpec",
     "q_minhash_bucket_health" -> "derives from Spark-specific banding; determinism + shape tests",
     "q_eval_map_mllib" -> "RDD-based RankingMetrics; asserted EQUAL to oracled q_eval_map_std",
     "q_fingerprint_xx" -> "xxhash64 values are Spark-specific; stability + collision tests",

@@ -312,6 +312,74 @@ object TextHashFunctions {
   def rolling_fingerprints(text: Column, n: Int, keepMod: Int): Column =
     Bridge.column(RollingFingerprints(Bridge.expression(text), n, keepMod))
 
+  /** BPE tokenization of a word-token array under an ORDERED merge list —
+    * the APPLY side of [[graft.operators.TextAnalysis.bpeMerges]] (same
+    * fit/apply split as the IVF-PQ model and the trigram LM: merges are a
+    * build artifact, encoding is a stateless map-only column). Each word
+    * splits into per-code-unit symbols (parity with the trainer's
+    * `split(w, "")`), then every merge applies greedily left-to-right,
+    * non-overlapping, in merge order — the exact rewrite
+    * `TextAnalysis.mergePairIn` does distributively during training.
+    * Output is the concatenated subword stream across the word array.
+    *
+    * Why a fused expression: folding `mergePairIn` per merge would nest
+    * `rounds` aggregate-HOFs, and each level's lambda references its
+    * input once per ELEMENT — Catalyst re-evaluates HOF arguments per
+    * reference, compounding to O(len^rounds) upstream evaluations (the
+    * [[ShingleSet]] trap, one level deeper). Here the whole merge loop is
+    * one per-row pass: O(rounds × word length), inside codegen.
+    */
+  case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    private lazy val mergeArr: Array[Array[String]] =
+      merges.map(m => Array(m._1, m._2)).toArray
+    override def nullSafeEval(a: Any): Any =
+      bpeEncodeEval(a.asInstanceOf[ArrayData], mergeArr)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      // the merge table rides the references array (standard Catalyst
+      // pattern for non-literal config objects in generated code)
+      val ref = ctx.addReferenceObj("bpeMerges", mergeArr, "java.lang.String[][]")
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) " +
+          s"graft.functions.TextHashFunctions.bpeEncodeEval($a, $ref);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** static entry point for generated code */
+  def bpeEncodeEval(toks: ArrayData, merges: Array[Array[String]]): ArrayData = {
+    val out = new java.util.ArrayList[Any]
+    var t = 0
+    while (t < toks.numElements()) {
+      if (!toks.isNullAt(t)) {
+        val w = toks.getUTF8String(t).toString
+        var syms = new java.util.ArrayList[String](w.length)
+        var i = 0
+        while (i < w.length) { syms.add(String.valueOf(w.charAt(i))); i += 1 }
+        var m = 0
+        while (m < merges.length) {
+          val a = merges(m)(0); val b = merges(m)(1)
+          val next = new java.util.ArrayList[String](syms.size)
+          var j = 0
+          while (j < syms.size) {
+            if (j < syms.size - 1 && syms.get(j) == a && syms.get(j + 1) == b) {
+              next.add(a + b); j += 2
+            } else { next.add(syms.get(j)); j += 1 }
+          }
+          syms = next; m += 1
+        }
+        var k = 0
+        while (k < syms.size) { out.add(UTF8String.fromString(syms.get(k))); k += 1 }
+      }
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
+  def bpe_encode(tokens: Column, merges: Seq[(String, String)]): Column =
+    Bridge.column(BpeEncode(Bridge.expression(tokens), merges))
+
   /** Hamming distance between two 64-bit signatures (for simhash near-dup
     * thresholds) — plain bitCount, exposed as a Column helper.
     */

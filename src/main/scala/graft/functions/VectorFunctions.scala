@@ -244,6 +244,114 @@ object VectorFunctions {
   }
 
   // Column-API wrappers
+  /** Fused IVF-PQ corpus-side encoding: ONE pass per vector computing
+    * `struct(cell, codes, xnorm)` — the coarse-cell argmax, the residual
+    * PQ codes, and the L2 norm the serving scan needs.
+    *
+    * Why fused: the composed form (`nearestCells` + `pqEncode(residual)`
+    * + `l2_norm` as three projections) hits the Catalyst HOF
+    * re-evaluation trap in the ANN hot path — `pqEncode`'s per-subspace
+    * `slice(v, ...)` references its argument once per subspace, and that
+    * argument is the whole `residual` expression, which itself re-runs
+    * the `nearestCells` argmax; measured m+1 × the 16×64-dim cosine loop
+    * per corpus row (q_cosine_ivfpq apply: 7.7 s at sf0.1, ~all encode).
+    * Struct-field access of ONE expression is CSE'd, so this evaluates
+    * exactly once per row, allocation-free, inside codegen.
+    *
+    * Float semantics mirror the composed form bit-for-bit (required: the
+    * rows-only q_cosine_ivfpq output must not drift): cosine/norm
+    * accumulate float products into doubles ([[CosineSimilarity]] /
+    * [[L2Norm]]); the residual and the per-element code distances stay
+    * FLOAT before the double accumulation (`zip_with` lambda typing);
+    * ties break toward the lower cell/code id (the struct-sort order).
+    * Parity is asserted field-exact in DedupSimilaritySpec.
+    */
+  case class IvfPqEncode(child: Expression,
+      cents: Array[Array[Float]], books: Array[Array[Array[Float]]])
+      extends UnaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("cell", IntegerType, nullable = false),
+      StructField("codes", ArrayType(IntegerType, containsNull = false), nullable = false),
+      StructField("xnorm", DoubleType, nullable = false)))
+    override def nullSafeEval(a: Any): Any =
+      ivfPqEncodeEval(a.asInstanceOf[ArrayData], cents, books)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val cRef = ctx.addReferenceObj("ivfCents", cents, "float[][]")
+      val bRef = ctx.addReferenceObj("pqBooks", books, "float[][][]")
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) " +
+          s"graft.functions.VectorFunctions.ivfPqEncodeEval($a, $cRef, $bRef);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** static entry point for generated code */
+  def ivfPqEncodeEval(v: ArrayData,
+      cents: Array[Array[Float]],
+      books: Array[Array[Array[Float]]]): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = v.numElements()
+    // xnorm — L2Norm semantics (double sum of float squares)
+    var s = 0.0
+    var i = 0
+    while (i < n) { val x = v.getFloat(i); s += x * x; i += 1 }
+    val xnorm = math.sqrt(s)
+    // cell — CosineSimilarity semantics per centroid, argmax with
+    // lower-cid tiebreak (strict < on negated cos keeps the first)
+    var bestCell = 1
+    var bestNeg = Double.PositiveInfinity
+    var c = 0
+    while (c < cents.length) {
+      val cv = cents(c)
+      val m = math.min(n, cv.length)
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      var j = 0
+      while (j < m) {
+        val xi = v.getFloat(j); val yi = cv(j)
+        dot += xi * yi; nx += xi * xi; ny += yi * yi; j += 1
+      }
+      val neg = -(if (nx == 0.0 || ny == 0.0) 0.0 else dot / math.sqrt(nx * ny))
+      if (neg < bestNeg) { bestNeg = neg; bestCell = c + 1 }
+      c += 1
+    }
+    // residual codes — per subspace, argmin L2² vs the book, float
+    // element math (residual and diff stay Float before the double sum),
+    // lower-code tiebreak
+    val cent = cents(bestCell - 1)
+    val mSub = books.length
+    val codes = new Array[Int](mSub)
+    var sub = 0
+    while (sub < mSub) {
+      val book = books(sub)
+      val dsub = book(0).length
+      var bestK = 0
+      var bestD = Double.PositiveInfinity
+      var k = 0
+      while (k < book.length) {
+        val bk = book(k)
+        var dist = 0.0
+        var j = 0
+        while (j < dsub) {
+          val idx = sub * dsub + j
+          val rv: Float =
+            (if (idx < n) v.getFloat(idx) else 0f) - (if (idx < cent.length) cent(idx) else 0f)
+          val d: Float = rv - bk(j)
+          dist += d * d
+          j += 1
+        }
+        if (dist < bestD) { bestD = dist; bestK = k }
+        k += 1
+      }
+      codes(sub) = bestK
+      sub += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bestCell, ArrayData.toArrayData(codes), xnorm))
+  }
+
+  def ivf_pq_encode(vec: Column, cents: Array[Array[Float]],
+      books: Array[Array[Array[Float]]]): Column =
+    Bridge.column(IvfPqEncode(Bridge.expression(vec), cents, books))
+
   def cosine_similarity(a: Column, b: Column): Column =
     Bridge.column(CosineSimilarity(Bridge.expression(a), Bridge.expression(b)))
   def dot_product(a: Column, b: Column): Column =

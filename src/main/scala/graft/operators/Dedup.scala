@@ -49,6 +49,23 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Incremental exact dedup — the corpus-MAINTENANCE form: a new ingest
+    * batch dedups against (a) itself (min-id winner per content hash, as
+    * [[exactDedup]]) and (b) the historical fingerprint INDEX, without
+    * touching historical text. At 100 TB the index is the compact
+    * artifact that persists between ingests (one hash + keep_id per
+    * surviving doc — store it bucketed by `content_hash` and the
+    * anti-join below is co-located, shuffle-free); each ingest costs one
+    * aggregate over the BATCH plus one anti-join against the index, and
+    * the survivors' hashes append to the index for the next ingest.
+    * Near-dup incrementality composes the same way with a persisted
+    * minhash band-bucket index in place of the hash column.
+    */
+  def incrementalDedup(newDocs: DataFrame, knownHashes: DataFrame,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    exactDedup(newDocs, textCol, idCol)
+      .join(knownHashes.select(col("content_hash")), Seq("content_hash"), "left_anti")
+
   /** MinHash signature as an array of k minima: element j is
     * `min over shingles s of xxhash64(j, s)` — the standard unbiased
     * Jaccard estimator family, expressed entirely with built-in
@@ -346,10 +363,26 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
       checkpointEvery: Int = 5): DataFrame = {
-    val edges = pairs.select(col("id_a").as("id"), col("id_b").as("nbr"))
-      .union(pairs.select(col("id_b").as("id"), col("id_a").as("nbr")))
+    // EAGER localCheckpoint, not persist — twice, each load-bearing:
+    //  - `p` first: the symmetrization union below reads its input TWICE
+    //    (two branches of the same plan, no exchange to reuse), so an
+    //    expensive caller lineage (LSH candidate gen + cosine) would run
+    //    double; checkpointing the pair relation bounds that to ONE
+    //    evaluation (measured: q_corpus_clean_semantic ~2× faster).
+    //  - `edges` second: a persisted relation still PRINTS its full
+    //    child plan (InMemoryRelation includes its child), and every
+    //    round references edges — and, via the pointer jump, the
+    //    previous round — twice, so the plan STRING doubles per round on
+    //    top of the caller's lineage. Over an LSH pair pipeline that
+    //    string goes exponential and the listener's explainString OOMs
+    //    the driver before any task runs (observed at sf0.1: 879 edges,
+    //    8 GB heap dead). Checkpoint leaves make round plans O(round),
+    //    independent of input lineage depth.
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    val edges = p.select(col("id_a").as("id"), col("id_b").as("nbr"))
+      .union(p.select(col("id_b").as("id"), col("id_a").as("nbr")))
       .repartition(col("nbr"))
-      .persist()
+      .localCheckpoint(true)
     var labels = edges.groupBy(col("id"))
       .agg(least(min(col("nbr")), first(col("id"))).as("comp"))
       .persist()
@@ -392,7 +425,8 @@ object Dedup {
     // then release them — callers hold no session-lifetime cache entries
     val result = labels.select(col("id"), col("comp")).localCheckpoint(true)
     cached.foreach(_.unpersist())
-    edges.unpersist()
+    // edges is a localCheckpoint leaf — its blocks free on GC (no
+    // cacheManager entry to unpersist)
     result
   }
 

