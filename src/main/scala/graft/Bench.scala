@@ -121,7 +121,25 @@ object Bench {
     val fitMedian = if (fitSecs.isEmpty) -1.0 else fitSecs.sorted.apply(fitSecs.length / 2)
     try graft.queries.SimilarityQueries.ivfpqModel(spark, sfDir)
     catch { case _: Throwable => () }
-    val fitJson = f"""{"q_ivfpq_fit":$fitMedian%.3f}"""
+    // BPE merge-table fit (same build-artifact reasoning): timed here,
+    // and the memo populate makes q_bpe_tokenize below apply-only
+    val bpeSecs = (1 to runs).flatMap { _ =>
+      val t0 = System.nanoTime()
+      try {
+        val vocab = Tables.load(spark, sfDir, "documents")
+          .select(org.apache.spark.sql.functions.explode(
+            graft.operators.Dedup.tokens(org.apache.spark.sql.functions.col("text"))).as("w"))
+          .groupBy("w").count().withColumnRenamed("count", "freq")
+        graft.operators.TextAnalysis.bpeMerges(vocab, rounds = 10).collect()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] fit q_bpe_fit failed: ${e.getMessage}"); None
+      }
+    }
+    val bpeMedian = if (bpeSecs.isEmpty) -1.0 else bpeSecs.sorted.apply(bpeSecs.length / 2)
+    try graft.queries.TextQueries.bpeModel(spark, sfDir)
+    catch { case _: Throwable => () }
+    val fitJson = f"""{"q_ivfpq_fit":$fitMedian%.3f,"q_bpe_fit":$bpeMedian%.3f}"""
 
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map(fn => name -> timeQuery(name, fn, sfDir, ""))

@@ -519,7 +519,10 @@ object Similarity {
       min(col("n_vecs")).as("min_cell"),
       max(col("n_vecs")).as("max_cell"),
       round(avg(col("n_vecs")), 6).as("avg_cell"),
-      round(max(col("n_vecs")) / avg(col("n_vecs")), 6).as("skew"))
+      round(max(col("n_vecs")) / avg(col("n_vecs")), 6).as("skew"),
+      // exact percentile is fine here: the aggregate runs over ≤ nCells
+      // rows (one per used cell), never the corpus
+      round(percentile(col("n_vecs"), lit(0.99)), 6).as("p99_cell"))
   }
 
   private def ivfWithCentroids(

@@ -107,6 +107,25 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** [[curateDocs]] with INCREMENTAL dedup against a STATIC historical
+    * fingerprint index (the streaming twin of `Dedup.incrementalDedup`):
+    * the stream-static left-anti join drops docs already in the corpus
+    * BEFORE the watermark-bounded in-stream dedup, so the state store
+    * only ever holds hashes of genuinely novel docs. The index side is a
+    * plain batch relation — at scale the compact (content_hash) artifact
+    * each completed ingest appends to; Spark re-reads it per micro-batch,
+    * so appends become visible without restarting the query.
+    */
+  def incrementalIntake(docs: DataFrame, knownHashes: DataFrame,
+      watermark: String = "2 hours", minQuality: Double = 0.5): DataFrame =
+    docs
+      .filter(graft.operators.TextAnalysis.qualityScore(col("text")) >= minQuality)
+      .filter(graft.operators.TextAnalysis.langId(col("text")) === "en")
+      .withColumn("content_hash", md5(col("text")))
+      .join(knownHashes.select(col("content_hash")), Seq("content_hash"), "left_anti")
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class UserSession(user_id: Long, n_events: Long, total_value: Double,

@@ -255,6 +255,30 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming incremental intake: stream-static anti-join vs the fingerprint index") {
+    implicit val sc = spark.sqlContext
+    val known = "the quick brown fox jumps over the lazy dog and the cat " +
+      "is in the house with a dog for the day and the night is long"
+    val novel = "a new document with the words that pass the quality gate " +
+      "and the language gate for the test of the incremental intake path"
+    val index = Seq(known).toDF("text")
+      .select(md5(col("text")).as("content_hash"))
+    val mem = MemoryStream[EventStreams.Doc]
+    val q = EventStreams.incrementalIntake(mem.toDF(), index)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("incr_out").start()
+    try {
+      mem.addData(
+        EventStreams.Doc(1, ts(0), known), // already in the corpus → dropped
+        EventStreams.Doc(2, ts(1), novel), // novel → kept
+        EventStreams.Doc(3, ts(2), novel)) // in-stream dup of 2 → dropped
+      q.processAllAvailable()
+      val kept = spark.table("incr_out").select(col("doc_id"))
+        .as[Long].collect().toSet
+      assert(kept == Set(2L), s"kept $kept")
+    } finally q.stop()
+  }
+
   test("stateless LM scoring on a doc stream: map-only, no state store") {
     // the trigram LM trains in BATCH (bounded collect, like centroids)
     // and scores the stream as a pure column expression — no streaming
