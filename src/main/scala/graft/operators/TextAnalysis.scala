@@ -147,6 +147,39 @@ object TextAnalysis {
     (m, m.valuesIterator.sum)
   }
 
+  /** Overlapping token-window chunking — the retrieval-ingestion shape
+    * (embed-and-index wants fixed-size windows with overlap so no span
+    * straddles a boundary unseen): window `k` tokens, stride
+    * `stride = k − overlap`, last window ragged. Returns one row per
+    * (doc, chunk) with the chunk text and its token count.
+    *
+    * Scale shape: tokenization runs ONCE per doc behind an aggregate
+    * barrier (the chunk `transform` would otherwise re-run the tokenizer
+    * per chunk index — the [[Dedup.passageDedup]] HOF lesson), then
+    * chunking is a pure map-side explode: zero shuffles beyond the
+    * 1-row-per-doc barrier aggregate. `sequence(0, nChunks−1)` is guarded
+    * (greatest 0) against the `sequence(0, −1) == [0, −1]` trap.
+    */
+  def chunkDocs(docs: DataFrame, k: Int = 20, stride: Int = 10,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(stride >= 1 && stride <= k, s"stride $stride must be in [1, $k]")
+    val toksDf = docs
+      .select(col(idCol), Dedup.tokens(col(textCol)).as("toks"))
+      .groupBy(col(idCol)).agg(first(col("toks")).as("toks")) // HOF barrier
+      .filter(size(col("toks")) > 0)
+    val n = size(col("toks"))
+    val nChunks = lit(1) + greatest(lit(0),
+      ceil((n - lit(k)).cast("double") / stride).cast("int"))
+    toksDf
+      .select(col(idCol), col("toks"), n.as("__n"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => array_join(slice(col("toks"), i * stride + 1, lit(k)), " "))))
+      .select(col(idCol),
+        col("pos").cast("long").as("chunk_idx"),
+        col("col").as("chunk_text"),
+        least(lit(k), col("__n") - col("pos") * stride).cast("long").as("n_tokens_chunk"))
+  }
+
   /** One greedy left-to-right, non-overlapping merge of the adjacent
     * symbol pair (a, b) within a symbol array — the rewrite step of a BPE
     * merge round, as a pure Catalyst `aggregate` over the positions (no

@@ -92,6 +92,15 @@ object TextQueries {
         .orderBy(col("content_hash"))
     }),
 
+    // RAG-style overlapping chunking: 20-token windows, stride 10 — one
+    // tokenization per doc behind the aggregate barrier, then a map-side
+    // explode. Fully oracled (tokenizer parity contract + arithmetic
+    // window math reproduce exactly in DuckDB).
+    "q_chunk_docs" -> ((s, d) => {
+      TextAnalysis.chunkDocs(docs(s, d), k = 20, stride = 10)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // INCREMENTAL exact dedup: even-id docs play the historical corpus
     // (only their fingerprint index is touched), odd-id docs the new
     // ingest batch — batch-internal min-id dedup + anti-join against the
@@ -597,6 +606,22 @@ object TextQueries {
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
         |  COUNT(*) AS n_copies
         |FROM documents GROUP BY md5(text) ORDER BY content_hash""".stripMargin,
+
+    "q_chunk_docs" ->
+      s"""WITH t AS (
+        |  SELECT doc_id, $duckToks AS toks FROM documents
+        |),
+        |nz AS (SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0),
+        |c AS (SELECT doc_id, toks, n,
+        |        1 + greatest(0, CAST(ceil((n - 20) / 10.0) AS INT)) AS nchunks
+        |      FROM nz),
+        |x AS (SELECT doc_id, toks, n,
+        |        unnest(generate_series(0, nchunks - 1)) AS i FROM c)
+        |SELECT doc_id,
+        |  CAST(i AS BIGINT) AS chunk_idx,
+        |  array_to_string(toks[(i*10 + 1):(i*10 + 20)], ' ') AS chunk_text,
+        |  CAST(least(20, n - i*10) AS BIGINT) AS n_tokens_chunk
+        |FROM x ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_dedup_incremental" ->
       """WITH idx AS (

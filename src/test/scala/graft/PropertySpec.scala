@@ -113,6 +113,50 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("bpeMerges: distributed merge sequence equals a driver reference on random vocabs") {
+    // adversarial-ish generator: tiny alphabet {a,b,c} maximizes repeated
+    // and overlapping pairs (aaa, abab, merged-symbol interactions) —
+    // exactly where greedy-rewrite and tiebreak bugs live
+    val word: Gen[String] =
+      Gen.chooseNum(1, 6).flatMap(n => Gen.stringOfN(n, Gen.oneOf('a', 'b', 'c')))
+    val vocabGen: Gen[Map[String, Long]] =
+      Gen.chooseNum(1, 8).flatMap(k =>
+        Gen.listOfN(k, Gen.zip(word, Gen.chooseNum(1L, 9L))).map(_.toMap))
+    def refBpe(vocab: Map[String, Long], rounds: Int): Seq[(Long, String, String, String, Long)] = {
+      def mergeGreedy(syms: Vector[String], a: String, b: String): Vector[String] = {
+        val out = Vector.newBuilder[String]; var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) { out += (a + b); i += 2 }
+          else { out += syms(i); i += 1 }
+        }
+        out.result()
+      }
+      var words = vocab.toSeq.map { case (w, f) => (w.map(_.toString).toVector, f) }
+      val out = Seq.newBuilder[(Long, String, String, String, Long)]
+      var r = 1; var done = false
+      while (r <= rounds && !done) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+        for ((syms, f) <- words; i <- 0 until syms.length - 1) counts((syms(i), syms(i + 1))) += f
+        if (counts.isEmpty) done = true
+        else {
+          val ((a, b), f) = counts.toSeq.minBy { case ((l, rr), pf) => (-pf, l, rr) }
+          out += ((r.toLong, a, b, a + b, f))
+          words = words.map { case (syms, wf) => (mergeGreedy(syms, a, b), wf) }
+          r += 1
+        }
+      }
+      out.result()
+    }
+    for (vocab <- cases(vocabGen, 12)) {
+      val df = vocab.toSeq.toDF("w", "freq")
+      val got = graft.operators.TextAnalysis.bpeMerges(df, rounds = 4)
+        .orderBy(col("round")).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+        .toSeq
+      assert(got == refBpe(vocab, 4), s"vocab $vocab: $got != ${refBpe(vocab, 4)}")
+    }
+  }
+
   test("splitV2 multiset-partitions arbitrary inputs (incl. duplicates)") {
     val rowGen = Gen.listOfN(60,
       Gen.zip(Gen.chooseNum(1, 5), Gen.chooseNum(1, 10), Gen.oneOf(1.0, 2.0)))

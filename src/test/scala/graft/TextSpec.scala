@@ -140,6 +140,26 @@ class TextSpec extends SparkTestBase {
     assert(got.values.sum > 0)
   }
 
+  test("chunkDocs: window/stride arithmetic, ragged tail, short docs, empty docs") {
+    val docs = Seq(
+      (1L, (1 to 25).map(i => s"t$i").mkString(" ")), // 25 toks → chunks at 0,10,20
+      (2L, "only three tokens"),                      // 3 toks → 1 ragged chunk
+      (3L, "!!! ??? ..."))                            // 0 toks → no rows
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.chunkDocs(docs, k = 10, stride = 10)
+      .orderBy(col("doc_id"), col("chunk_idx")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(out.map(t => (t._1, t._2, t._4)).toSeq == Seq(
+      (1L, 0L, 10L), (1L, 1L, 10L), (1L, 2L, 5L), (2L, 0L, 3L)))
+    assert(out(2)._3 == (21 to 25).map(i => s"t$i").mkString(" "), "ragged tail content")
+    // overlap: stride < k repeats the boundary tokens in adjacent chunks
+    val ov = graft.operators.TextAnalysis.chunkDocs(docs.filter(col("doc_id") === 1),
+      k = 10, stride = 5).orderBy(col("chunk_idx")).collect()
+    assert(ov.length == 4, "1 + ceil((25-10)/5) = 4 windows")
+    assert(ov(0).getString(2).split(" ").takeRight(5).toSeq ==
+      ov(1).getString(2).split(" ").take(5).toSeq, "5-token overlap between windows")
+  }
+
   test("q_bpe_vocab equals the independent driver-side BPE on sf0.001") {
     val vocabDf = Tables.documents(spark, sf)
       .select(explode(Dedup.tokens(col("text"))).as("w"))
