@@ -45,7 +45,7 @@ object Bench {
     // round-5 additions: IVF cell-balance health, iterative BPE vocab
     // training + trained-merge tokenization, end-to-end semantic dedup
     "q_ivf_cell_health", "q_bpe_vocab", "q_corpus_clean_semantic",
-    "q_bpe_tokenize")
+    "q_bpe_tokenize", "q_dedup_incremental", "q_chunk_docs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

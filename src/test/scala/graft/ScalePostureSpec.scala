@@ -327,6 +327,37 @@ class ScalePostureSpec extends SparkTestBase {
     assert(metrics("n_high").asInstanceOf[Long] <= total)
   }
 
+  test("chunkDocs plan: ONE exchange (the tokenize barrier), map-side explode after") {
+    // the chunk transform must read the tokens ATTRIBUTE (post-aggregate),
+    // never the tokenizer expression — one exchange total; a second one
+    // (or a regex inside the generate/explode stage) means the HOF
+    // barrier regressed and every chunk re-tokenizes its document
+    val df = graft.operators.TextAnalysis.chunkDocs(
+      graft.Tables.documents(spark, sf), k = 20, stride = 10)
+    val plan = df.queryExecution.executedPlan.toString
+    val exchanges = "Exchange ".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected exactly the barrier exchange:\n$plan")
+    // the Generate NODE's own expression must chunk a post-aggregate
+    // attribute (toks#N), not re-run the tokenizer; its child subtree
+    // legitimately contains the one tokenizing Project, so inspect only
+    // the generator line
+    val generateLine = plan.linesIterator.find(_.contains("posexplode")).getOrElse("")
+    assert(generateLine.nonEmpty && !generateLine.contains("regexp_replace"),
+      s"tokenizer must not run inside the explode stage:\n$plan")
+    assert(df.count() > 0)
+  }
+
+  test("incrementalDedup plan: batch aggregates once, index side broadcasts") {
+    val base = graft.Tables.documents(spark, sf)
+    val index = graft.operators.Dedup.exactDedup(base.filter(pmod(col("doc_id"), lit(2)) === 0))
+      .select(col("content_hash"))
+    val out = graft.operators.Dedup.incrementalDedup(base.filter(pmod(col("doc_id"), lit(2)) === 1), index)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"index anti-join should broadcast the compact fingerprint side:\n$plan")
+    assert(out.count() > 0)
+  }
+
   test("reference-user migration path: CSV → split → popularity → eval, public API only") {
     val dir = Files.createTempDirectory("graft_ml").toString
     // a MovieLens-shaped CSV written the way the reference's data arrives
