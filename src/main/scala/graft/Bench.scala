@@ -45,7 +45,12 @@ object Bench {
     // round-5 additions: IVF cell-balance health, iterative BPE vocab
     // training + trained-merge tokenization, end-to-end semantic dedup
     "q_ivf_cell_health", "q_bpe_vocab", "q_corpus_clean_semantic",
-    "q_bpe_tokenize", "q_dedup_incremental", "q_chunk_docs")
+    "q_bpe_tokenize", "q_dedup_incremental", "q_chunk_docs",
+    // round-5 curation analytics: DSIR importance weights, robust
+    // length outliers, cross-source overlap, packing planner, cohort
+    // retention, class centroids
+    "q_dsir_weights", "q_mad_outliers", "q_source_overlap",
+    "q_seq_len_plan", "q_events_retention", "q_embed_centroids")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

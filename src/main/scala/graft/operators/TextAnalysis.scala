@@ -275,4 +275,59 @@ object TextAnalysis {
         acc + log(coalesce(element_at(lut, t).cast("double"), lit(0.5)) /
           lit(total.toDouble))) / size(tris).cast("double"))
   }
+
+  /** DSIR LM pair (Xie et al. 2023): target-domain and full-corpus
+    * trigram counts out of ONE alphabet-bounded aggregate (conditional
+    * count — one shuffle, not two), plus the constants the
+    * Laplace-smoothed log-ratio needs. Same bounded-collect contract as
+    * [[trainTrigramLm]] (the require names the bound's owner). `vocab`
+    * is the CORPUS trigram vocabulary size — the smoothing denominator
+    * both sides of the ratio share.
+    */
+  final case class DsirModel(target: Map[String, Long], nTarget: Long,
+    corpus: Map[String, Long], nCorpus: Long, vocab: Long)
+
+  def trainDsirLms(docs: DataFrame, isTarget: Column,
+      textCol: String = "text"): DsirModel = {
+    val rows = docs
+      .select(isTarget.as("__t"),
+        explode(graft.functions.TextHashFunctions.char_trigrams(col(textCol))).as("tri"))
+      .groupBy(col("tri"))
+      .agg(count(lit(1)).as("c_s"), count(when(col("__t"), 1)).as("c_t"))
+      .collect()
+    require(rows.length <= 50653,
+      s"trigram LM collected ${rows.length} rows > 37^3 — char_trigrams " +
+        "normalization no longer bounds the alphabet")
+    val corpus = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val target = rows.collect {
+      case r if r.getLong(2) > 0 => r.getString(0) -> r.getLong(2)
+    }.toMap
+    DsirModel(target, target.valuesIterator.sum,
+      corpus, corpus.valuesIterator.sum, rows.length.toLong)
+  }
+
+  /** Per-doc DSIR importance log-ratio as ONE map-only column (both LMs
+    * inline as map literals) — the stateless serving form of
+    * `q_dsir_weights`' join shape, usable in a parquet curation chain or
+    * a STREAMING select with no state store. Trigrams unseen at fit time
+    * fall through to the Laplace floor (count 0 → smoothed 1/(n+V)) on
+    * BOTH sides, so novel streamed text degrades gracefully instead of
+    * erroring. Texts with no trigrams yield null (gate upstream).
+    */
+  def dsirWeight(m: DsirModel)(text: Column): Column = {
+    val lutT = typedlit(m.target)
+    val lutS = typedlit(m.corpus)
+    val denT = lit((m.nTarget + m.vocab).toDouble)
+    val denS = lit((m.nCorpus + m.vocab).toDouble)
+    val tris = graft.functions.TextHashFunctions.char_trigrams(text)
+    when(size(tris) > 0,
+      aggregate(tris, lit(0.0), (acc, t) =>
+        // (logT - logS) FIRST, then accumulate — same float addition
+        // order as the join form's avg over per-row differences, so the
+        // two forms agree bit-for-bit, not just to rounding
+        acc + (
+          log((coalesce(element_at(lutT, t).cast("double"), lit(0.0)) + lit(1.0)) / denT) -
+            log((coalesce(element_at(lutS, t).cast("double"), lit(0.0)) + lit(1.0)) / denS))) /
+        size(tris).cast("double"))
+  }
 }

@@ -227,6 +227,26 @@ object EventQueries {
         .select(col("media_id"), col("kind"), col("n_bytes"), col("content_hash"),
           round(element_at(col("feature"), 1), 4).as("f0"))
         .orderBy(col("media_id"))
+    }),
+
+    // cohort retention: users grouped by first-seen day, distinct actives
+    // per (cohort, day-offset) — the classic product-analytics triangle,
+    // and the event-analytics twin of the corpus freshness questions a
+    // training-data pipeline asks ("how much of day-N's data is from
+    // returning producers"). Day keys are FLOOR(epoch)/86400 per the
+    // repo timestamp rule (ns parquet → µs truncation on both engines).
+    // Scale shape: one shuffle to per-user min-day (partial agg
+    // map-side), cohort relation is |users| rows — joined back on
+    // user_id (AQE broadcasts when small); the distinct-count aggregates
+    // on (cohort, offset) with bounded cardinality (days²/2).
+    "q_events_retention" -> ((s, d) => {
+      val e = ev(s, d).select(col("user_id"),
+        floor(unix_timestamp(col("ts")) / 86400).as("day"))
+      val cohorts = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      e.join(cohorts, Seq("user_id"))
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_day"), col("day_offset"))
     })
   )
 
@@ -415,6 +435,17 @@ object EventQueries {
         |)
         |SELECT media_id, n_frames,
         |  UNNEST(generate_series(0, GREATEST(n_frames - 1, 0), 30)) AS frame_idx
-        |FROM m WHERE kind = 'video' ORDER BY media_id, frame_idx""".stripMargin
+        |FROM m WHERE kind = 'video' ORDER BY media_id, frame_idx""".stripMargin,
+
+    "q_events_retention" ->
+      """WITH e AS (
+        |  SELECT user_id, (epoch_us(ts) // 1000000) // 86400 AS day FROM events
+        |), c AS (
+        |  SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id
+        |)
+        |SELECT c.cohort_day, e.day - c.cohort_day AS day_offset,
+        |  COUNT(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

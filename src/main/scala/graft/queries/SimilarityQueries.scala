@@ -178,6 +178,28 @@ object SimilarityQueries {
         .orderBy(col("cos").desc, col("id_a"), col("id_b"))
         .limit(50)
         .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos_r"))
+    }),
+
+    // per-label mean embedding (class centroids) — the building block
+    // for semantic-cluster observability (drift vs a labelled anchor
+    // set, per-domain embedding means). Declarative all-pairs-free
+    // shape: posexplode to (label, dim) cells, ONE partial+final
+    // aggregate (n·d rows shuffle as (label,dim) — no vector-sized
+    // state in any aggregation buffer, unlike a naive array-sum UDAF),
+    // then bounded per-label reassembly via sorted collect (d elements
+    // per group, order pinned by the struct sort, not collect order).
+    // Fully DuckDB-oracled: elementwise avg in double, rounded 6dp.
+    "q_embed_centroids" -> ((s, d) => {
+      val e = emb(s, d).select(col("label").cast("long").as("label"),
+        posexplode(col("embedding").cast("array<double>")))
+      e.groupBy(col("label"), col("pos"))
+        .agg(count(lit(1)).as("n"), round(avg(col("col")), 6).as("cv"))
+        .groupBy(col("label"))
+        .agg(max(col("n")).as("n_vecs"),
+          array_sort(collect_list(struct(col("pos"), col("cv")))).as("pairs"))
+        .select(col("label"), col("n_vecs"),
+          transform(col("pairs"), p => p.getField("cv")).as("centroid"))
+        .orderBy(col("label"))
     })
   )
 
@@ -226,6 +248,19 @@ object SimilarityQueries {
         |  ROUND(AVG(nrm), 6) AS avg_norm,
         |  ROUND(MIN(nrm), 6) AS min_norm,
         |  ROUND(MAX(nrm), 6) AS max_norm
-        |FROM n GROUP BY label ORDER BY label""".stripMargin
+        |FROM n GROUP BY label ORDER BY label""".stripMargin,
+
+    "q_embed_centroids" ->
+      """WITH e AS (
+        |  SELECT CAST(label AS BIGINT) AS label,
+        |    unnest(range(len(embedding))) AS pos,
+        |    unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+        |  FROM embeddings
+        |), c AS (
+        |  SELECT label, pos, COUNT(*) AS n, ROUND(AVG(v), 6) AS cv
+        |  FROM e GROUP BY label, pos
+        |)
+        |SELECT label, MAX(n) AS n_vecs, list(cv ORDER BY pos) AS centroid
+        |FROM c GROUP BY label ORDER BY label""".stripMargin
   )
 }

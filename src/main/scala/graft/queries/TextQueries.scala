@@ -450,6 +450,100 @@ object TextQueries {
         col("doc_id"),
         TextHashFunctions.simhash64(Dedup.tokens(col("text"))).as("simhash"))
         .orderBy(col("doc_id"))
+    }),
+
+    // DSIR-style importance weighting (Xie et al. 2023): score each doc
+    // by the log-ratio of its likelihood under a TARGET-domain trigram
+    // LM (here: source 'src0') vs the full-corpus LM, Laplace-smoothed
+    // over the corpus trigram vocabulary. The published recipe for
+    // "select pretraining data that looks like the domain you care
+    // about" — at 100 TB the ratio is the resampling weight. Scale
+    // shape: BOTH LMs come out of ONE alphabet-bounded aggregate
+    // (conditional count — the q_tfidf_top3 fork lesson: one shuffle,
+    // not two), the joint LM + constants broadcast, and the corpus
+    // streams through one scoring pass. No self-joins, no driver loops.
+    "q_dsir_weights" -> ((s, d) => {
+      val tris = docs(s, d).select(col("doc_id"), col("source"),
+        explode(TextHashFunctions.char_trigrams(col("text"))).as("tri"))
+      val lm = tris.groupBy(col("tri")).agg(
+        count(lit(1)).as("c_s"),
+        count(when(col("source") === "src0", 1)).as("c_t"))
+      val consts = lm.agg(count(lit(1)).as("v"),
+        sum(col("c_s")).as("n_s"), sum(col("c_t")).as("n_t"))
+      tris.join(broadcast(lm), Seq("tri"))
+        .crossJoin(broadcast(consts))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_trigrams"),
+          round(avg(
+            log((col("c_t") + lit(1.0)) / (col("n_t") + col("v")).cast("double")) -
+              log((col("c_s") + lit(1.0)) / (col("n_s") + col("v")).cast("double"))), 6)
+            .as("avg_logratio"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // robust length-outlier gate: median + MAD (median absolute
+    // deviation) robust z-score on doc length — the curation filter
+    // that, unlike mean/stddev, a handful of 100 MB pathological docs
+    // cannot drag. Two grand aggregates (median, then MAD around it)
+    // broadcast as 1-row relations; the corpus streams through one
+    // map-side scoring pass. is_outlier derives from the ROUNDED z so
+    // the flag is bit-identical cross-engine.
+    "q_mad_outliers" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"), col("n_chars"))
+      val med = base.agg(percentile(col("n_chars"), lit(0.5)).as("med"))
+      val mad = base.crossJoin(broadcast(med)).agg(
+        percentile(abs(col("n_chars") - col("med")), lit(0.5)).as("mad"),
+        max(col("med")).as("med"))
+      base.crossJoin(broadcast(mad))
+        .select(col("doc_id"), col("n_chars"),
+          round((col("n_chars") - col("med")) /
+            (lit(1.4826) * greatest(col("mad"), lit(0.5))), 6).as("robust_z"))
+        .withColumn("is_outlier", abs(col("robust_z")) > 3.5)
+        .orderBy(col("doc_id"))
+    }),
+
+    // cross-source contamination matrix: for every source pair, how many
+    // distinct 5-token prefix fingerprints they share — the
+    // curation-observability view that catches one feed syndicating
+    // another's boilerplate (exact-dup overlap is the degenerate case;
+    // the prefix fingerprint catches shared openings). Scale shape: the
+    // corpus reduces to distinct (source, fp) ONCE; the self-join keys
+    // on the fingerprint hash (ids-only rows, never text), and
+    // per-fingerprint fanout is bounded by n_sources.
+    "q_source_overlap" -> ((s, d) => {
+      val h = docs(s, d).select(col("source"),
+        md5(concat_ws(" ", slice(Dedup.tokens(col("text")), 1, 5))).as("fp"))
+        .distinct()
+      h.as("a").join(h.as("b"),
+          col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+        .select(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
+    // sequence-packing planner: bucket docs by token count (power-of-2
+    // thresholds — fixed, not data-driven, so bucket edges are exact
+    // integers cross-engine) and report per-bucket pad waste at
+    // seq_len=64. The answer to "what does padding cost us and which
+    // length band should we pack first" before a packing run
+    // (q_pack_tokens is the packer; this is its planning view). Pure
+    // integer arithmetic, one map pass + one 6-row aggregate.
+    "q_seq_len_plan" -> ((s, d) => {
+      val n = size(Dedup.tokens(col("text"))).cast("long")
+      val bucket = when(n <= 16, "a_le16").when(n <= 32, "b_le32")
+        .when(n <= 64, "c_le64").when(n <= 128, "d_le128")
+        .when(n <= 256, "e_le256").otherwise("f_gt256")
+      val pad = floor((n + lit(63)) / lit(64)).cast("long") * 64 - n
+      docs(s, d)
+        .select(bucket.as("bucket"), n.as("n_tok"), pad.as("pad"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tok"),
+          sum(col("pad")).as("sum_pad"),
+          round(sum(col("n_tok")).cast("double") /
+            (sum(col("n_tok")) + sum(col("pad"))).cast("double"), 6)
+            .as("fill_ratio"))
+        .orderBy(col("bucket"))
     })
   )
 
@@ -830,6 +924,71 @@ object TextQueries {
          |FROM pairs
          |WHERE ROUND(CASE WHEN na + nb - c = 0 THEN 0.0
          |      ELSE CAST(c AS DOUBLE) / (na + nb - c) END, 6) >= 0.5
-         |ORDER BY id_a, id_b""".stripMargin
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dsir_weights" ->
+      """WITH norm AS (
+        |  SELECT doc_id, source,
+        |    regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g') AS s
+        |  FROM documents
+        |), tris AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_transform(range(1, len(s) - 1), i -> substr(s, i, 3))) AS tri
+        |  FROM norm WHERE len(s) >= 3
+        |), lm AS (
+        |  SELECT tri, COUNT(*) AS c_s,
+        |    COUNT(CASE WHEN source = 'src0' THEN 1 END) AS c_t
+        |  FROM tris GROUP BY tri
+        |), consts AS (
+        |  SELECT COUNT(*) AS v, SUM(c_s) AS n_s, SUM(c_t) AS n_t FROM lm
+        |)
+        |SELECT doc_id, COUNT(*) AS n_trigrams,
+        |  ROUND(AVG(ln((c_t + 1.0) / CAST(n_t + v AS DOUBLE)) -
+        |            ln((c_s + 1.0) / CAST(n_s + v AS DOUBLE))), 6) AS avg_logratio
+        |FROM tris JOIN lm USING (tri), consts
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_mad_outliers" ->
+      """WITH base AS (SELECT doc_id, n_chars FROM documents),
+        |med AS (SELECT CAST(quantile_cont(n_chars, 0.5) AS DOUBLE) AS med FROM base),
+        |mad AS (
+        |  SELECT CAST(quantile_cont(abs(n_chars - med), 0.5) AS DOUBLE) AS mad,
+        |         MAX(med) AS med
+        |  FROM base, med
+        |), z AS (
+        |  SELECT doc_id, n_chars,
+        |    ROUND((n_chars - med) / (1.4826 * GREATEST(mad, 0.5)), 6) AS robust_z
+        |  FROM base, mad
+        |)
+        |SELECT doc_id, n_chars, robust_z, abs(robust_z) > 3.5 AS is_outlier
+        |FROM z ORDER BY doc_id""".stripMargin,
+
+    "q_source_overlap" ->
+      s"""WITH h AS (
+         |  SELECT DISTINCT source,
+         |    md5(array_to_string(($duckToks)[1:5], ' ')) AS fp
+         |  FROM documents
+         |)
+         |SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+         |FROM h a JOIN h b ON a.fp = b.fp AND a.source < b.source
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_seq_len_plan" ->
+      s"""WITH t AS (
+         |  SELECT len($duckToks) AS n_tok FROM documents
+         |), b AS (
+         |  SELECT CAST(n_tok AS BIGINT) AS n_tok,
+         |    CASE WHEN n_tok <= 16 THEN 'a_le16' WHEN n_tok <= 32 THEN 'b_le32'
+         |         WHEN n_tok <= 64 THEN 'c_le64' WHEN n_tok <= 128 THEN 'd_le128'
+         |         WHEN n_tok <= 256 THEN 'e_le256' ELSE 'f_gt256' END AS bucket,
+         |    ((n_tok + 63) // 64) * 64 - n_tok AS pad
+         |  FROM t
+         |)
+         |SELECT bucket, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+         |  CAST(SUM(pad) AS BIGINT) AS sum_pad,
+         |  ROUND(CAST(SUM(n_tok) AS DOUBLE) /
+         |        CAST(SUM(n_tok) + SUM(pad) AS DOUBLE), 6) AS fill_ratio
+         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
   )
 }

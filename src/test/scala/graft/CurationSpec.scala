@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Invariant coverage for the round-5 curation-analytics queries
+  * (q_dsir_weights, q_mad_outliers, q_source_overlap, q_seq_len_plan,
+  * q_events_retention, q_embed_centroids). All six are fully
+  * DuckDB-oracled; these tests pin the SEMANTIC claims the value-level
+  * oracle can't express — separation direction, flag thresholds,
+  * conservation laws — plus planted fixtures for the two scoring gates.
+  */
+class CurationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def q(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("q_dsir_weights: target-domain docs score above the rest (separation)") {
+    val docs = graft.Tables.documents(spark, sf).select("doc_id", "source")
+    val scored = q("q_dsir_weights").join(docs, Seq("doc_id"))
+      .groupBy(col("source") === "src0")
+      .agg(avg(col("avg_logratio")).as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    // DSIR's whole premise: under the target-LM/corpus-LM log-ratio, the
+    // target domain's own docs must land strictly above the others.
+    assert(scored(true) > scored(false),
+      s"src0 mean ${scored(true)} not above rest ${scored(false)}")
+    assert(scored(true) > 0 && scored(false) < 0)
+  }
+
+  test("q_mad_outliers: planted extreme length is flagged, bulk is not") {
+    val dir = java.nio.file.Files.createTempDirectory("mad").toString
+    val docs = ((1 to 60).map(i => (i.toLong, "plain text here", "en", "src0",
+      (100 + i % 7).toLong)) :+ (999L, "huge", "en", "src0", 5000000L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("q_mad_outliers")(spark, dir)
+      .select("doc_id", "robust_z", "is_outlier").collect()
+    val flagged = out.filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    assert(flagged == Set(999L), s"expected only planted doc, got $flagged")
+    // flag is a pure function of the ROUNDED z (cross-engine contract)
+    out.foreach(r => assert(r.getBoolean(2) == (math.abs(r.getDouble(1)) > 3.5)))
+  }
+
+  test("q_mad_outliers: sf fixture — z ordering follows |n_chars - median|") {
+    val rows = q("q_mad_outliers").collect()
+    assert(rows.length == 500)
+    val z = rows.map(r => r.getLong(1) -> r.getDouble(2))
+    // robust_z is a strictly monotone map of n_chars (shared med/mad):
+    // sorting by n_chars must sort by z.
+    val byChars = z.sortBy(_._1).map(_._2)
+    assert(byChars.zip(byChars.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("q_source_overlap: pair orientation and lower bound") {
+    val rows = q("q_source_overlap").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "pairs must be src_a < src_b")
+      assert(r.getLong(2) >= 1L)
+    }
+  }
+
+  test("q_seq_len_plan: doc conservation + pad bounds + fill ratio") {
+    val rows = q("q_seq_len_plan").collect()
+    val nDocs = rows.map(_.getLong(1)).sum
+    assert(nDocs == 500L)
+    rows.foreach { r =>
+      val (n, sumTok, sumPad, fill) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+      assert(sumPad >= 0 && sumPad <= 63L * n, "per-doc pad is in [0, 63]")
+      assert(fill > 0.0 && fill <= 1.0)
+      assert(math.abs(fill - sumTok.toDouble / (sumTok + sumPad)) < 1e-6)
+    }
+  }
+
+  test("q_events_retention: offset-0 equals cohort size, retention never exceeds it") {
+    val rows = q("q_events_retention").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val day0 = rows.filter(_._2 == 0L).map(t => t._1 -> t._3).toMap
+    // every cohort has an offset-0 row (its members were active that day)
+    val cohorts = rows.map(_._1).distinct
+    assert(cohorts.forall(day0.contains))
+    rows.foreach { case (c, off, n) =>
+      assert(off >= 0L)
+      assert(n <= day0(c), s"cohort $c offset $off: $n > cohort size ${day0(c)}")
+    }
+    // cohort sizes partition the user base
+    val users = graft.Tables.events(spark, sf)
+      .select(countDistinct(col("user_id"))).first().getLong(0)
+    assert(day0.values.sum == users)
+  }
+
+  test("q_embed_centroids: hand-computed fixture") {
+    val dir = java.nio.file.Files.createTempDirectory("cent").toString
+    Seq((1L, Array(1.0f, 3.0f), 0), (2L, Array(3.0f, 5.0f), 0),
+      (3L, Array(10.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = SparkEntry.queries("q_embed_centroids")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2)))
+    assert(out.toSeq == Seq((0L, 2L, Seq(2.0, 4.0)), (1L, 1L, Seq(10.0, 0.0))))
+  }
+
+  test("dsirWeight column form ≡ q_dsir_weights join form (fit/apply split)") {
+    val docs = graft.Tables.documents(spark, sf)
+    val m = graft.operators.TextAnalysis.trainDsirLms(docs, col("source") === "src0")
+    val colForm = docs.select(col("doc_id"),
+      round(graft.operators.TextAnalysis.dsirWeight(m)(col("text")), 6).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val joinForm = q("q_dsir_weights")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(colForm.keySet == joinForm.keySet)
+    // identical math, different plan shape: the map-literal column must
+    // reproduce the broadcast-join query bit-for-bit at 6dp
+    val diffs = colForm.collect {
+      case (id, w) if w != joinForm(id) => (id, w, joinForm(id))
+    }
+    assert(diffs.isEmpty, s"mismatches: ${diffs.take(5)}")
+  }
+
+  test("q_embed_centroids: sf fixture — dims preserved, vec conservation") {
+    val rows = q("q_embed_centroids").collect()
+    assert(rows.map(_.getLong(1)).sum == 500L)
+    rows.foreach(r => assert(r.getSeq[Double](2).length == 64))
+  }
+}

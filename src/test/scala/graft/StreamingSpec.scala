@@ -309,6 +309,42 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stateless DSIR weighting on a doc stream: map-only, no state store") {
+    // the LM pair trains in BATCH (one bounded aggregate); the
+    // importance ratio applies to the stream as one map-only column —
+    // the shape DSIR resampling takes on a live intake feed
+    implicit val sc = spark.sqlContext
+    val fit = Seq(("data table query join spark", true),
+      ("data table query join spark agg", true),
+      ("zebra yoga violin umbrella xylophone", false),
+      ("violin umbrella zebra xylophone yoga", false))
+      .toDF("text", "is_t")
+    val m = graft.operators.TextAnalysis.trainDsirLms(fit, col("is_t"))
+    val weigh = graft.operators.TextAnalysis.dsirWeight(m) _
+    val mem = MemoryStream[EventStreams.Doc]
+    val q = mem.toDF().select(col("doc_id"), weigh(col("text")).as("w"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dsir_out").start()
+    try {
+      mem.addData(EventStreams.Doc(1, ts(0), "spark query join data"),
+        EventStreams.Doc(2, ts(1), "umbrella violin yoga zebra"),
+        EventStreams.Doc(3, ts(2), "never seen trigrams qqq zzz"))
+      q.processAllAvailable()
+      val w = spark.table("dsir_out").as[(Long, Double)].collect().toMap
+      // target-looking text above off-domain; novel text is finite (the
+      // Laplace floor catches unseen trigrams on both ratio sides)
+      assert(w(1L) > w(2L),
+        s"target-domain ${w(1L)} must outscore off-domain ${w(2L)}")
+      assert(!w(3L).isNaN && !w(3L).isInfinite)
+      val batch = Seq((1L, "spark query join data"),
+        (2L, "umbrella violin yoga zebra"),
+        (3L, "never seen trigrams qqq zzz")).toDF("doc_id", "text")
+        .select(col("doc_id"), weigh(col("text")).as("w"))
+        .as[(Long, Double)].collect().toMap
+      assert(w == batch, s"stream $w vs batch $batch")
+    } finally q.stop()
+  }
+
   test("stateless BPE tokenization on a doc stream: batch ≡ stream") {
     // merges train in BATCH (bounded vocab loop, like the LM and the
     // IVF-PQ model) and the encoder applies to the stream as one fused
