@@ -50,7 +50,8 @@ object Bench {
     // length outliers, cross-source overlap, packing planner, cohort
     // retention, class centroids
     "q_dsir_weights", "q_mad_outliers", "q_source_overlap",
-    "q_seq_len_plan", "q_events_retention", "q_embed_centroids")
+    "q_seq_len_plan", "q_events_retention", "q_embed_centroids",
+    "q_quality_classifier")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -144,7 +145,24 @@ object Bench {
     val bpeMedian = if (bpeSecs.isEmpty) -1.0 else bpeSecs.sorted.apply(bpeSecs.length / 2)
     try graft.queries.TextQueries.bpeModel(spark, sfDir)
     catch { case _: Throwable => () }
-    val fitJson = f"""{"q_ivfpq_fit":$fitMedian%.3f,"q_bpe_fit":$bpeMedian%.3f}"""
+    // quality-gate LR fit (build artifact like the BPE merges): timed
+    // here, and the memo populate makes q_quality_classifier apply-only
+    val qlrSecs = (1 to runs).flatMap { _ =>
+      val t0 = System.nanoTime()
+      try {
+        graft.operators.TextAnalysis.fitQualityLr(
+          Tables.load(spark, sfDir, "documents"),
+          graft.operators.TextAnalysis.qualityScore(
+            org.apache.spark.sql.functions.col("text")) >= 0.77)
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] fit q_qlr_fit failed: ${e.getMessage}"); None
+      }
+    }
+    val qlrMedian = if (qlrSecs.isEmpty) -1.0 else qlrSecs.sorted.apply(qlrSecs.length / 2)
+    try graft.queries.TextQueries.qlrModel(spark, sfDir)
+    catch { case _: Throwable => () }
+    val fitJson = f"""{"q_ivfpq_fit":$fitMedian%.3f,"q_bpe_fit":$bpeMedian%.3f,"q_qlr_fit":$qlrMedian%.3f}"""
 
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map(fn => name -> timeQuery(name, fn, sfDir, ""))

@@ -330,4 +330,77 @@ object TextAnalysis {
             log((coalesce(element_at(lutS, t).cast("double"), lit(0.0)) + lit(1.0)) / denS))) /
         size(tris).cast("double"))
   }
+
+  /** Feature vector the trained quality gate fits AND serves on — one
+    * fixed order, UNROUNDED doubles (rounding belongs to outputs, not to
+    * model inputs): the text-stats ratios (one fused TextStats pass)
+    * plus the per-language stopword hit ratios (one fused lang_hits
+    * pass) — the same cheap lexical signals a fastText-style filter
+    * hashes, linearized.
+    */
+  private[graft] def qualityLrFeatures(text: Column): Seq[Column] = {
+    val f = graft.functions.TextStats.text_stats(text)
+    val nTok = f.getField("n_tokens").cast("double")
+    val nChar = f.getField("n_chars").cast("double")
+    val statCols = Seq(
+      when(nChar === 0, 0.0).otherwise(f.getField("n_punct").cast("double") / nChar),
+      when(nChar === 0, 0.0).otherwise(f.getField("n_upper").cast("double") / nChar),
+      when(nTok === 0, 0.0).otherwise(f.getField("n_stop").cast("double") / nTok),
+      when(nTok === 0, 0.0).otherwise(f.getField("sum_token_len").cast("double") / nTok),
+      log(nChar + lit(1.0)))
+    val hits = graft.functions.TextStats.lang_hits(text)
+    val hitCols = langStopwords.keys.toSeq.sorted.indices.map(i =>
+      when(nTok === 0, 0.0)
+        .otherwise(element_at(hits, i + 1).cast("double") / nTok))
+    statCols ++ hitCols
+  }
+
+  private[graft] val qualityLrDim: Int = 5 + langStopwords.size
+
+  /** Trained quality gate (the fastText-filter pattern every production
+    * corpus pipeline runs: fit a CHEAP linear classifier to mimic an
+    * expensive oracle — human labels, an LLM judge, or a reference
+    * heuristic — then serve it as a per-row score). Model = logistic
+    * regression over [[qualityLrFeatures]]; a few doubles of driver-side
+    * state, exactly like the DSIR and IVF-PQ artifacts.
+    *
+    * Determinism: the fit input is pinned `repartition(1)
+    * .sortWithinPartitions(id)` (the KMeans lesson — LBFGS aggregation
+    * order depends on partition layout), so the model is a pure function
+    * of (data, hyperparams) and survives the CPUS=3/8 sweep.
+    * At 100 TB: fit on a bounded sample (the model is a statistic);
+    * serving is the map-only column below, which never shuffles.
+    */
+  final case class QualityLrModel(intercept: Double, weights: Array[Double])
+
+  def fitQualityLr(docs: DataFrame, label: Column, idCol: String = "doc_id",
+      textCol: String = "text", regParam: Double = 0.01): QualityLrModel = {
+    val names = (0 until qualityLrDim).map(i => s"__f$i")
+    val feats = docs.select(
+      Seq(col(idCol), label.cast("double").as("__y")) ++
+        qualityLrFeatures(col(textCol)).zip(names).map { case (c, n) => c.as(n) }: _*)
+      .repartition(1).sortWithinPartitions(col(idCol))
+    val assembled = new org.apache.spark.ml.feature.VectorAssembler()
+      .setInputCols(names.toArray).setOutputCol("__x")
+      .transform(feats)
+    val m = new org.apache.spark.ml.classification.LogisticRegression()
+      .setLabelCol("__y").setFeaturesCol("__x")
+      .setMaxIter(50).setRegParam(regParam).setStandardization(true)
+      .fit(assembled)
+    QualityLrModel(m.intercept, m.coefficients.toArray)
+  }
+
+  /** Serve the trained gate as ONE map-only column: `sigmoid(b + w·x)`
+    * over the same feature expressions the fit used. Stateless —
+    * pipelines into a parquet curation chain or a STREAMING select with
+    * no state store (the DSIR/LM serving shape).
+    */
+  def qualityLrScore(m: QualityLrModel)(text: Column): Column = {
+    require(m.weights.length == qualityLrDim,
+      s"expected $qualityLrDim weights, got ${m.weights.length}")
+    val z = qualityLrFeatures(text).zip(m.weights)
+      .map { case (c, w) => c * lit(w) }
+      .foldLeft(lit(m.intercept): Column)(_ + _)
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
 }

@@ -39,6 +39,22 @@ object TextQueries {
         .collect().map(r => (r.getString(1), r.getString(2))).toSeq
     })
 
+  /** Trained quality-gate model memoized per scale dir (same build-
+    * artifact pattern as [[bpeModel]]): LR fit once on the corpus, with
+    * the reference heuristic gate (`qualityScore >= 0.77`, the corpus
+    * median) as the oracle label it distills — the fastText-filter
+    * recipe with a deterministic teacher. (The fixture's `lang` COLUMN
+    * is random metadata uncorrelated with the text — q_lang_id derives
+    * language from content instead — so the teacher must be a function
+    * of the text.)
+    */
+  private val qlrModels =
+    scala.collection.concurrent.TrieMap.empty[String, TextAnalysis.QualityLrModel]
+  private[graft] def qlrModel(s: SparkSession, d: String): TextAnalysis.QualityLrModel =
+    qlrModels.getOrElseUpdate(d,
+      TextAnalysis.fitQualityLr(docs(s, d),
+        TextAnalysis.qualityScore(col("text")) >= 0.77))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // token counting: whitespace + BPE-ish pre-tokenizer regex
     "q_token_count" -> ((s, d) => {
@@ -520,6 +536,20 @@ object TextQueries {
         .groupBy(col("src_a"), col("src_b"))
         .agg(count(lit(1)).as("n_shared"))
         .orderBy(col("src_a"), col("src_b"))
+    }),
+
+    // trained quality gate, serving path: LR over the fused text-stats +
+    // lang-hits features (fit memoized per dir — a build artifact like
+    // the BPE merges), scored as one map-only sigmoid column. Rows-only:
+    // the LBFGS fit is not SQL-expressible; CurationSpec pins teacher
+    // agreement (accuracy floor vs the heuristic gate), fit determinism,
+    // and the planted clean-vs-soup separation.
+    "q_quality_classifier" -> ((s, d) => {
+      val m = qlrModel(s, d)
+      docs(s, d).select(col("doc_id"),
+        round(TextAnalysis.qualityLrScore(m)(col("text")), 6).as("score_r"))
+        .withColumn("pred_keep", col("score_r") >= 0.5)
+        .orderBy(col("doc_id"))
     }),
 
     // sequence-packing planner: bucket docs by token count (power-of-2

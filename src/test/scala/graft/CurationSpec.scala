@@ -123,4 +123,35 @@ class CurationSpec extends SparkTestBase {
     assert(rows.map(_.getLong(1)).sum == 500L)
     rows.foreach(r => assert(r.getSeq[Double](2).length == 64))
   }
+
+  test("q_quality_classifier: agrees with the heuristic teacher it distills") {
+    val teacher = graft.Tables.documents(spark, sf).select(col("doc_id"),
+      (graft.operators.TextAnalysis.qualityScore(col("text")) >= 0.77).as("t"))
+    val rows = q("q_quality_classifier").join(teacher, Seq("doc_id"))
+      .select(col("t"), col("pred_keep")).collect()
+    val acc = rows.count(r => r.getBoolean(0) == r.getBoolean(1))
+      .toDouble / rows.length
+    // the student is a smooth linear gate over the same lexical signals
+    // the teacher thresholds — agreement well above the ~0.5 base rate
+    assert(acc >= 0.85, s"teacher agreement $acc below floor")
+  }
+
+  test("fitQualityLr: deterministic (pinned fit input) and gates planted soup") {
+    val docs = graft.Tables.documents(spark, sf)
+    val isEn = graft.operators.TextAnalysis.qualityScore(col("text")) >= 0.77
+    val m1 = graft.operators.TextAnalysis.fitQualityLr(docs, isEn)
+    val m2 = graft.operators.TextAnalysis.fitQualityLr(docs, isEn)
+    assert(m1.intercept == m2.intercept &&
+      m1.weights.sameElements(m2.weights), "refit must be bit-identical")
+    // planted gate: clean English-looking text vs punctuation soup
+    val score = graft.operators.TextAnalysis.qualityLrScore(m1) _
+    val out = Seq(
+      ("the data and the table in the batch is a key for the scan", "clean"),
+      ("$$% ##@ !!++ ^^&& ;;:: ??// ||\\\\ @@!! %%$$ &&^^", "soup"))
+      .toDF("text", "kind")
+      .select(col("kind"), score(col("text")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("clean") > out("soup"),
+      s"clean ${out("clean")} must outscore soup ${out("soup")}")
+  }
 }
