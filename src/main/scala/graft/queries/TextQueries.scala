@@ -451,6 +451,28 @@ object TextQueries {
         .orderBy(col("id"))
     }),
 
+    // dedup observability: the cluster-SIZE distribution after transitive
+    // closure — the report that tells you whether near-dup mass sits in a
+    // few mega-clusters (boilerplate, syndication) or a long tail of
+    // pairs, and the first thing to look at before choosing a keep
+    // policy. Same planted chain topology as q_dedup_cc, so the oracle
+    // needs no recursion: component sizes are per-customer order counts
+    // (chains of consecutive orders), clusters = customers with >= 2
+    // orders in range. Two bounded aggregates after the CC loop.
+    "q_dedup_cluster_sizes" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      val pairs = Tables.orders(s, d).filter(col("o_orderkey") < 5000)
+        .select(col("o_custkey"), col("o_orderkey"))
+        .withColumn("prev", lag(col("o_orderkey"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("prev").as("id_a"), col("o_orderkey").as("id_b"))
+      Dedup.connectedComponents(pairs)
+        .groupBy(col("comp")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("sz"))
+    }),
+
     // bucketStats over the REAL minhash banding (the production health
     // check next to the SQL-mirrored q_bucket_stats): on a sane corpus
     // with threshold-tuned banding, n_truncated must be 0 — a nonzero
@@ -955,6 +977,15 @@ object TextQueries {
          |WHERE ROUND(CASE WHEN na + nb - c = 0 THEN 0.0
          |      ELSE CAST(c AS DOUBLE) / (na + nb - c) END, 6) >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_cluster_sizes" ->
+      """WITH o AS (
+        |  SELECT o_custkey, COUNT(*) AS sz
+        |  FROM orders WHERE o_orderkey < 5000
+        |  GROUP BY o_custkey HAVING COUNT(*) >= 2
+        |)
+        |SELECT CAST(sz AS BIGINT) AS sz, COUNT(*) AS n_clusters
+        |FROM o GROUP BY sz ORDER BY sz""".stripMargin,
 
     "q_dsir_weights" ->
       """WITH norm AS (

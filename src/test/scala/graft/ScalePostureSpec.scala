@@ -247,6 +247,49 @@ class ScalePostureSpec extends SparkTestBase {
       s"expected exactly one (doc_id,term) exchange, got $docTermEx:\n${rep.take(3000)}")
   }
 
+  test("curation-analytics plans: broadcast stats, single shuffles, shuffle-free serving") {
+    // q_dsir_weights: the LM + constants must reach the scoring pass as
+    // broadcasts (never a sort-merge on `tri`), and the conditional-count
+    // design means exactly ONE exchange keyed on tri in the whole plan —
+    // a second one would be the forked-aggregate trap coming back
+    val dsirDf = SparkEntry.queries("q_dsir_weights")(spark, sf)
+    dsirDf.collect()
+    val dsir = dsirDf.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    assert(!dsir.contains("SortMergeJoin"), s"LM join must broadcast:\n${dsir.take(2000)}")
+    val triEx = "Exchange hashpartitioning\\(tri".r.findAllIn(dsir).length -
+      "ReusedExchange".r.findAllIn(dsir).length
+    assert(triEx <= 1, s"corpus must shuffle on tri at most once, got $triEx")
+
+    // q_mad_outliers: both grand aggregates ride broadcast nested-loop
+    // crossJoins of 1-row relations; the corpus side never shuffles for
+    // a join
+    val madDf = SparkEntry.queries("q_mad_outliers")(spark, sf)
+    madDf.collect()
+    val mad = madDf.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    assert(!mad.contains("SortMergeJoin") && !mad.contains("ShuffledHashJoin"),
+      s"1-row stats must broadcast:\n${mad.take(2000)}")
+
+    // q_embed_centroids: exactly two hash exchanges — (label,pos) cells,
+    // then label reassembly; a third would mean the explode leaked a
+    // redundant shuffle
+    val centDf = SparkEntry.queries("q_embed_centroids")(spark, sf)
+    centDf.collect()
+    val cent = centDf.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    val centEx = "Exchange hashpartitioning".r.findAllIn(cent).length
+    assert(centEx == 2, s"expected 2 hash exchanges, got $centEx:\n${cent.take(2000)}")
+
+    // q_quality_classifier: trained-model SERVING must be join-free and
+    // aggregation-free — the model inlines as literals, so the only
+    // exchange is the output sort's range partitioning
+    val qlrDf = SparkEntry.queries("q_quality_classifier")(spark, sf)
+    qlrDf.collect()
+    val qlr = qlrDf.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    assert(!qlr.contains("Join") && !qlr.contains("HashAggregate"),
+      s"serving plan must be map-only + sort:\n${qlr.take(2000)}")
+    assert("Exchange hashpartitioning".r.findAllIn(qlr).isEmpty,
+      s"serving plan must not hash-shuffle:\n${qlr.take(2000)}")
+  }
+
   test("per-key top-k pushes the group limit below the exchange (WindowGroupLimit)") {
     val plan = SparkEntry.queries("q_window_topk")(spark, sf)
       .queryExecution.executedPlan.toString
