@@ -83,4 +83,42 @@ object Mix {
           floor((col("__cum") - col(tokenCol)) / lit(budget)).cast("long"))
       .drop("__worker", "__ord", "__cum")
   }
+
+  /** Export a curated corpus as `nShards` hash-balanced parquet shard
+    * directories plus a MANIFEST — the handoff artifact a training run
+    * consumes (shard → row/token counts + an order-insensitive content
+    * checksum, so the consumer can verify integrity without re-reading
+    * the corpus). Returns the manifest DataFrame (also written under
+    * `outDir/_manifest`).
+    *
+    * Scale shape: shard assignment is a content hash (deterministic,
+    * append-stable — re-exporting the same corpus reproduces shard
+    * membership exactly); ONE shuffle clusters rows by shard for the
+    * writer (`repartition(shard)` → `partitionBy` emits one file set per
+    * shard directory, no tiny-files explosion); the manifest derives
+    * from the same sharded relation in one aggregate. Nothing collects;
+    * bytes shuffle once.
+    */
+  def writeShards(df: DataFrame, outDir: String, nShards: Int,
+      idCol: String, tokenCol: Column): DataFrame = {
+    require(nShards > 0, s"nShards $nShards")
+    val sharded = df
+      .withColumn("shard", pmod(xxhash64(col(idCol)), lit(nShards.toLong)))
+      .withColumn("__tok", tokenCol.cast("long"))
+    sharded
+      .repartition(nShards, col("shard"))
+      .write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$outDir/shards")
+    val manifest = sharded
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("__tok")).as("n_tokens"),
+        // XOR of per-row hashes: order-insensitive, exact, mergeable,
+        // and overflow-free under ANSI (sum of hashes would throw) —
+        // the same checksum the consumer can recompute shard-local
+        call_function("bit_xor", xxhash64(col(idCol), col("__tok")))
+          .as("checksum"))
+      .orderBy(col("shard"))
+    manifest.coalesce(1).write.mode("overwrite").parquet(s"$outDir/_manifest")
+    manifest
+  }
 }

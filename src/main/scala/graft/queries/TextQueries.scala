@@ -519,6 +519,35 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // DSIR selection, end to end: weights → deterministic top-k cut →
+    // per-source report of what survives. The composition answers the
+    // question the weights exist for ("which domains does target-
+    // matching actually promote") and pins the cut to the ROUNDED weight
+    // with a doc_id tiebreak so the selection boundary is bit-identical
+    // cross-engine. TakeOrdered bounds the cut (no global ranking
+    // window); everything upstream is the q_dsir_weights plan.
+    "q_dsir_select" -> ((s, d) => {
+      val tris = docs(s, d).select(col("doc_id"), col("source"),
+        explode(TextHashFunctions.char_trigrams(col("text"))).as("tri"))
+      val lm = tris.groupBy(col("tri")).agg(
+        count(lit(1)).as("c_s"),
+        count(when(col("source") === "src0", 1)).as("c_t"))
+      val consts = lm.agg(count(lit(1)).as("v"),
+        sum(col("c_s")).as("n_s"), sum(col("c_t")).as("n_t"))
+      tris.join(broadcast(lm), Seq("tri"))
+        .crossJoin(broadcast(consts))
+        .groupBy(col("doc_id"))
+        .agg(max(col("source")).as("source"),
+          round(avg(
+            log((col("c_t") + lit(1.0)) / (col("n_t") + col("v")).cast("double")) -
+              log((col("c_s") + lit(1.0)) / (col("n_s") + col("v")).cast("double"))), 6)
+            .as("w"))
+        .orderBy(col("w").desc, col("doc_id")).limit(125)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), round(avg(col("w")), 6).as("mean_w"))
+        .orderBy(col("source"))
+    }),
+
     // robust length-outlier gate: median + MAD (median absolute
     // deviation) robust z-score on doc length — the curation filter
     // that, unlike mean/stddev, a handful of 100 MB pathological docs
@@ -1008,6 +1037,35 @@ object TextQueries {
         |            ln((c_s + 1.0) / CAST(n_s + v AS DOUBLE))), 6) AS avg_logratio
         |FROM tris JOIN lm USING (tri), consts
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_dsir_select" ->
+      """WITH norm AS (
+        |  SELECT doc_id, source,
+        |    regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g') AS s
+        |  FROM documents
+        |), tris AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_transform(range(1, len(s) - 1), i -> substr(s, i, 3))) AS tri
+        |  FROM norm WHERE len(s) >= 3
+        |), lm AS (
+        |  SELECT tri, COUNT(*) AS c_s,
+        |    COUNT(CASE WHEN source = 'src0' THEN 1 END) AS c_t
+        |  FROM tris GROUP BY tri
+        |), consts AS (
+        |  SELECT COUNT(*) AS v, SUM(c_s) AS n_s, SUM(c_t) AS n_t FROM lm
+        |), wts AS (
+        |  SELECT doc_id, MAX(source) AS source,
+        |    ROUND(AVG(ln((c_t + 1.0) / CAST(n_t + v AS DOUBLE)) -
+        |              ln((c_s + 1.0) / CAST(n_s + v AS DOUBLE))), 6) AS w
+        |  FROM tris JOIN lm USING (tri), consts
+        |  GROUP BY doc_id
+        |), cut AS (
+        |  SELECT source, w,
+        |    ROW_NUMBER() OVER (ORDER BY w DESC, doc_id) AS rk
+        |  FROM wts QUALIFY rk <= 125
+        |)
+        |SELECT source, COUNT(*) AS n_kept, ROUND(AVG(w), 6) AS mean_w
+        |FROM cut GROUP BY source ORDER BY source""".stripMargin,
 
     "q_mad_outliers" ->
       """WITH base AS (SELECT doc_id, n_chars FROM documents),

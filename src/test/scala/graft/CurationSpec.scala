@@ -27,6 +27,20 @@ class CurationSpec extends SparkTestBase {
     assert(scored(true) > 0 && scored(false) < 0)
   }
 
+  test("q_dsir_select: the target domain is enriched by the cut") {
+    val kept = q("q_dsir_select").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = kept.values.sum
+    // global cut keeps 125/500 = 25%; src0 has 25 docs — its survival
+    // rate must far exceed the base rate (that's what the weights are FOR)
+    val src0Rate = kept.getOrElse("src0", 0L).toDouble / 25.0
+    val baseRate = total.toDouble / 500.0
+    assert(src0Rate >= 2 * baseRate,
+      s"src0 survival $src0Rate not enriched over base $baseRate")
+    assert(kept.getOrElse("src0", 0L) == kept.values.max,
+      "src0 must keep the most docs of any source")
+  }
+
   test("q_mad_outliers: planted extreme length is flagged, bulk is not") {
     val dir = java.nio.file.Files.createTempDirectory("mad").toString
     val docs = ((1 to 60).map(i => (i.toLong, "plain text here", "en", "src0",

@@ -21,6 +21,31 @@ class MixSpec extends SparkTestBase {
       .filter(col("count") > 1).count() == 0, "epoch disambiguates copies")
   }
 
+  test("writeShards: round-trips, manifest conserves counts, balance, determinism") {
+    val dir = java.nio.file.Files.createTempDirectory("shards").toString
+    val docs = Tables.documents(spark, sf)
+    val m1 = Mix.writeShards(docs, dir, 8, "doc_id", col("n_chars")).collect()
+    // manifest conservation: rows and tokens sum to the corpus totals
+    assert(m1.map(_.getLong(1)).sum == docs.count())
+    assert(m1.map(_.getLong(2)).sum ==
+      docs.agg(sum(col("n_chars"))).first().getLong(0))
+    assert(m1.length == 8, "every shard directory gets a manifest row")
+    // hash balance: no shard more than 2x the ideal share of 500 docs
+    assert(m1.map(_.getLong(1)).max <= 2 * 500 / 8)
+    // the written shards read back to exactly the input corpus
+    val back = spark.read.parquet(s"$dir/shards")
+    assert(back.count() == docs.count())
+    assert(back.select(col("doc_id")).exceptAll(docs.select(col("doc_id"))).count() == 0)
+    // shard column in files matches the content-hash assignment
+    val misplaced = back.filter(
+      col("shard") =!= pmod(xxhash64(col("doc_id")), lit(8L))).count()
+    assert(misplaced == 0, s"$misplaced rows in the wrong shard file")
+    // re-export reproduces the manifest bit-for-bit (checksums included)
+    val dir2 = java.nio.file.Files.createTempDirectory("shards2").toString
+    val m2 = Mix.writeShards(docs, dir2, 8, "doc_id", col("n_chars")).collect()
+    assert(m1.map(_.toString).toSeq == m2.map(_.toString).toSeq)
+  }
+
   test("packByTokenBudget: shards bounded by budget + max doc; deterministic") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val packed = Mix.packByTokenBudget(docs, "doc_id", "n_chars", 5000L, 8)
