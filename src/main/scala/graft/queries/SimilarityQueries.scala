@@ -200,6 +200,40 @@ object SimilarityQueries {
         .select(col("label"), col("n_vecs"),
           transform(col("pairs"), p => p.getField("cv")).as("centroid"))
         .orderBy(col("label"))
+    }),
+
+    // cluster cohesion: per-label mean/min cosine of members to their
+    // class centroid — the "are these labels semantically tight" check
+    // that tunes the semantic-dedup threshold and flags mislabeled
+    // slices. Cross-engine contract: the centroid is the ROUNDED one
+    // from q_embed_centroids' pipeline (identical doubles both engines),
+    // so the cosine arithmetic starts from bit-equal inputs; the member
+    // side casts to double before any math. Centroids broadcast (one
+    // row per label); members stream through one map pass + one agg.
+    "q_embed_dispersion" -> ((s, d) => {
+      val e = emb(s, d).select(col("label").cast("long").as("label"),
+        posexplode(col("embedding").cast("array<double>")))
+      val cents = e.groupBy(col("label"), col("pos"))
+        .agg(round(avg(col("col")), 6).as("cv"))
+        .groupBy(col("label"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pairs"))
+        .select(col("label"),
+          transform(col("pairs"), p => p.getField("cv")).as("c"))
+      val m = emb(s, d).select(col("label").cast("long").as("label"),
+        col("embedding").cast("array<double>").as("v"))
+        .join(broadcast(cents), Seq("label"))
+      val dot = aggregate(zip_with(col("v"), col("c"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x)
+      val nv = aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)
+      val nc = aggregate(col("c"), lit(0.0), (acc, x) => acc + x * x)
+      m.select(col("label"),
+          when(nv === 0.0 || nc === 0.0, 0.0)
+            .otherwise(dot / sqrt(nv * nc)).as("cos"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          round(avg(col("cos")), 6).as("mean_cos"),
+          round(min(col("cos")), 6).as("min_cos"))
+        .orderBy(col("label"))
     })
   )
 
@@ -261,6 +295,33 @@ object SimilarityQueries {
         |  FROM e GROUP BY label, pos
         |)
         |SELECT label, MAX(n) AS n_vecs, list(cv ORDER BY pos) AS centroid
-        |FROM c GROUP BY label ORDER BY label""".stripMargin
+        |FROM c GROUP BY label ORDER BY label""".stripMargin,
+
+    "q_embed_dispersion" ->
+      """WITH e AS (
+        |  SELECT CAST(label AS BIGINT) AS label,
+        |    unnest(range(len(embedding))) AS pos,
+        |    unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+        |  FROM embeddings
+        |), cents AS (
+        |  SELECT label, list(cv ORDER BY pos) AS c FROM (
+        |    SELECT label, pos, ROUND(AVG(v), 6) AS cv
+        |    FROM e GROUP BY label, pos
+        |  ) GROUP BY label
+        |), m AS (
+        |  SELECT CAST(emb.label AS BIGINT) AS label,
+        |    list_transform(emb.embedding, x -> CAST(x AS DOUBLE)) AS v, c
+        |  FROM embeddings emb JOIN cents ON CAST(emb.label AS BIGINT) = cents.label
+        |), scored AS (
+        |  SELECT label,
+        |    CASE WHEN list_dot_product(v, v) = 0 OR list_dot_product(c, c) = 0
+        |         THEN 0.0
+        |         ELSE list_dot_product(v, c) /
+        |              sqrt(list_dot_product(v, v) * list_dot_product(c, c)) END AS cos
+        |  FROM m
+        |)
+        |SELECT label, COUNT(*) AS n_vecs,
+        |  ROUND(AVG(cos), 6) AS mean_cos, ROUND(MIN(cos), 6) AS min_cos
+        |FROM scored GROUP BY label ORDER BY label""".stripMargin
   )
 }

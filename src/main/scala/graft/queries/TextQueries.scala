@@ -305,6 +305,27 @@ object TextQueries {
         .orderBy(col("doc_id"), col("bench_id"))
     }),
 
+    // decontamination, end to end: REMOVE every train doc sharing a
+    // 5-gram with the bench split and report what survives per source —
+    // the action q_contamination's report exists to justify (pretraining
+    // hygiene: eval n-gram overlap must be cut, not just measured).
+    // Scale shape: bench reduces to DISTINCT grams and broadcasts; the
+    // contaminated id set is ids-only; removal is one left-anti join.
+    "q_decontaminate" -> ((s, d) => {
+      val base = docs(s, d)
+      val benchGrams = base.filter(pmod(col("doc_id"), lit(10)) === 7)
+        .select(explode(Dedup.shingles(col("text"), 5)).as("g")).distinct()
+      val train = base.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+      val contaminated = train
+        .select(col("doc_id"), explode(Dedup.shingles(col("text"), 5)).as("g"))
+        .join(broadcast(benchGrams), Seq("g"))
+        .select(col("doc_id")).distinct()
+      train.join(contaminated, Seq("doc_id"), "left_anti")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("n_chars_kept"))
+        .orderBy(col("source"))
+    }),
+
     // repetition score: most-frequent-token share per document — the
     // cheap garbage/spam detector (a doc that is one token over and over
     // scores 1.0). Two aggregates over one (doc,term) shuffle; the top
@@ -1006,6 +1027,28 @@ object TextQueries {
          |WHERE ROUND(CASE WHEN na + nb - c = 0 THEN 0.0
          |      ELSE CAST(c AS DOUBLE) / (na + nb - c) END, 6) >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, source, n_chars, $duckToks AS tk FROM documents),
+         |sh AS (
+         |  SELECT doc_id, UNNEST(list_distinct(
+         |    CASE WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+         |         WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')]
+         |         ELSE [array_to_string(tk[i:i+4], ' ') FOR i IN range(1, len(tk) - 3)]
+         |    END)) AS g
+         |  FROM t
+         |),
+         |contaminated AS (
+         |  SELECT DISTINCT a.doc_id
+         |  FROM sh a JOIN (SELECT DISTINCT g FROM sh WHERE doc_id % 10 = 7) b
+         |    ON a.g = b.g
+         |  WHERE a.doc_id % 10 != 7
+         |)
+         |SELECT source, COUNT(*) AS n_kept,
+         |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_kept
+         |FROM t
+         |WHERE doc_id % 10 != 7 AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |GROUP BY source ORDER BY source""".stripMargin,
 
     "q_dedup_cluster_sizes" ->
       """WITH o AS (

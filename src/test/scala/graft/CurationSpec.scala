@@ -138,6 +138,32 @@ class CurationSpec extends SparkTestBase {
     rows.foreach(r => assert(r.getSeq[Double](2).length == 64))
   }
 
+  test("q_decontaminate: removes contaminated train docs, keeps the rest") {
+    val kept = q("q_decontaminate").collect().map(_.getLong(1)).sum
+    val train = graft.Tables.documents(spark, sf)
+      .filter(pmod(col("doc_id"), lit(10)) =!= 7).count()
+    // q_contamination's report is non-empty on this fixture, so the
+    // removal must actually drop docs — but never a majority
+    assert(kept < train, s"no docs removed ($kept of $train)")
+    assert(kept > train / 2, s"removed a majority ($kept of $train)")
+    // removed ids are exactly the distinct doc_ids q_contamination flags
+    val flagged = q("q_contamination").select(col("doc_id")).distinct().count()
+    assert(train - kept == flagged,
+      s"removed ${train - kept} != flagged $flagged")
+  }
+
+  test("q_embed_dispersion: cohesion bounded, centroid pull positive") {
+    val rows = q("q_embed_dispersion").collect()
+    assert(rows.map(_.getLong(1)).sum == 500L)
+    rows.foreach { r =>
+      val (mean, min) = (r.getDouble(2), r.getDouble(3))
+      // members lean toward their own centroid on average (mean > 0),
+      // even when the worst member points away (min can be negative)
+      assert(mean > 0.0 && mean <= 1.0, s"mean_cos $mean out of range")
+      assert(min <= mean)
+    }
+  }
+
   test("q_quality_classifier: agrees with the heuristic teacher it distills") {
     val teacher = graft.Tables.documents(spark, sf).select(col("doc_id"),
       (graft.operators.TextAnalysis.qualityScore(col("text")) >= 0.77).as("t"))
