@@ -239,6 +239,30 @@ object EventQueries {
     // map-side), cohort relation is |users| rows — joined back on
     // user_id (AQE broadcasts when small); the distinct-count aggregates
     // on (cohort, offset) with bounded cardinality (days²/2).
+    // event-volume anomaly detection: hourly counts scored against a
+    // trailing 24-hour window (mean + sample stddev) — the intake-
+    // monitoring alarm ("did a feed die / double overnight"). The
+    // global-order window runs over the AGGREGATED hourly series (720
+    // rows per month regardless of event volume — bounded by TIME, not
+    // data), so the single-partition WindowExec is safe at any scale;
+    // the corpus itself sees one groupBy. Flag derives from the ROUNDED
+    // z; warmup hours (fewer than 2 trailing points or zero variance)
+    // are excluded identically on both engines.
+    "q_events_anomaly" -> ((s, d) => {
+      val hourly = ev(s, d)
+        .groupBy(floor(unix_timestamp(col("ts")) / 3600).as("hr"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.orderBy(col("hr")).rowsBetween(-24, -1)
+      hourly
+        .withColumn("mu", avg(col("n")).over(w))
+        .withColumn("sd", stddev_samp(col("n")).over(w))
+        .filter(col("sd").isNotNull && col("sd") > 0)
+        .select(col("hr"), col("n"),
+          round((col("n") - col("mu")) / col("sd"), 6).as("z"))
+        .withColumn("is_anomaly", abs(col("z")) > 3.0)
+        .orderBy(col("hr"))
+    }),
+
     "q_events_retention" -> ((s, d) => {
       val e = ev(s, d).select(col("user_id"),
         floor(unix_timestamp(col("ts")) / 86400).as("day"))
@@ -436,6 +460,22 @@ object EventQueries {
         |SELECT media_id, n_frames,
         |  UNNEST(generate_series(0, GREATEST(n_frames - 1, 0), 30)) AS frame_idx
         |FROM m WHERE kind = 'video' ORDER BY media_id, frame_idx""".stripMargin,
+
+    "q_events_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT (epoch_us(ts) // 1000000) // 3600 AS hr, COUNT(*) AS n
+        |  FROM events GROUP BY 1
+        |), win AS (
+        |  SELECT hr, n,
+        |    AVG(n) OVER (ORDER BY hr ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS mu,
+        |    STDDEV_SAMP(n) OVER (ORDER BY hr ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS sd
+        |  FROM hourly
+        |), z AS (
+        |  SELECT hr, n, ROUND((n - mu) / sd, 6) AS z
+        |  FROM win WHERE sd IS NOT NULL AND sd > 0
+        |)
+        |SELECT hr, n, z, abs(z) > 3.0 AS is_anomaly
+        |FROM z ORDER BY hr""".stripMargin,
 
     "q_events_retention" ->
       """WITH e AS (

@@ -138,6 +138,19 @@ class CurationSpec extends SparkTestBase {
     rows.foreach(r => assert(r.getSeq[Double](2).length == 64))
   }
 
+  test("q_events_anomaly: warmup excluded, flag is a pure function of rounded z") {
+    val rows = q("q_events_anomaly").collect()
+    assert(rows.length > 24, "a month of hours minus warmup must remain")
+    rows.foreach { r =>
+      val z = r.getDouble(2)
+      assert(!z.isNaN && !z.isInfinite)
+      assert(r.getBoolean(3) == (math.abs(z) > 3.0))
+    }
+    // hours are strictly increasing (one row per aggregated hour)
+    val hrs = rows.map(_.getLong(0))
+    assert(hrs.zip(hrs.tail).forall { case (a, b) => a < b })
+  }
+
   test("q_decontaminate: removes contaminated train docs, keeps the rest") {
     val kept = q("q_decontaminate").collect().map(_.getLong(1)).sum
     val train = graft.Tables.documents(spark, sf)
