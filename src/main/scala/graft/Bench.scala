@@ -51,7 +51,11 @@ object Bench {
     // retention, class centroids
     "q_dsir_weights", "q_mad_outliers", "q_source_overlap",
     "q_seq_len_plan", "q_events_retention", "q_embed_centroids",
-    "q_quality_classifier")
+    "q_quality_classifier",
+    // round-5 compositions: DSIR selection, decontamination, cluster
+    // observability (sizes + cohesion), intake anomaly alarm
+    "q_dsir_select", "q_decontaminate", "q_dedup_cluster_sizes",
+    "q_embed_dispersion", "q_events_anomaly")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
