@@ -102,15 +102,20 @@ object Mix {
   def writeShards(df: DataFrame, outDir: String, nShards: Int,
       idCol: String, tokenCol: Column): DataFrame = {
     require(nShards > 0, s"nShards $nShards")
-    val sharded = df
-      .withColumn("shard", pmod(xxhash64(col(idCol)), lit(nShards.toLong)))
-      .withColumn("__tok", tokenCol.cast("long"))
-    sharded
+    require(!df.columns.contains("shard"),
+      "input already has a 'shard' column — writeShards owns that name")
+    val spark = df.sparkSession
+    df.withColumn("shard", pmod(xxhash64(col(idCol)), lit(nShards.toLong)))
       .repartition(nShards, col("shard"))
       .write.mode("overwrite").partitionBy("shard")
       .parquet(s"$outDir/shards")
-    val manifest = sharded
-      .groupBy(col("shard"))
+    // manifest derives from the FILES JUST WRITTEN, not from the input
+    // plan: one upstream evaluation total (an expensive curation lineage
+    // would otherwise run twice), and the checksums provably describe
+    // what landed on disk rather than a recomputation of it
+    val manifest = spark.read.parquet(s"$outDir/shards")
+      .withColumn("__tok", tokenCol.cast("long"))
+      .groupBy(col("shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("n_rows"), sum(col("__tok")).as("n_tokens"),
         // XOR of per-row hashes: order-insensitive, exact, mergeable,
         // and overflow-free under ANSI (sum of hashes would throw) —

@@ -349,13 +349,15 @@ object TextAnalysis {
       when(nTok === 0, 0.0).otherwise(f.getField("sum_token_len").cast("double") / nTok),
       log(nChar + lit(1.0)))
     val hits = graft.functions.TextStats.lang_hits(text)
-    val hitCols = langStopwords.keys.toSeq.sorted.indices.map(i =>
+    // the hit array's element order is owned by TextStats.langs —
+    // iterate ITS indices, not a re-derived sort of the stopword keys
+    val hitCols = graft.functions.TextStats.langs.indices.map(i =>
       when(nTok === 0, 0.0)
         .otherwise(element_at(hits, i + 1).cast("double") / nTok))
     statCols ++ hitCols
   }
 
-  private[graft] val qualityLrDim: Int = 5 + langStopwords.size
+  private[graft] val qualityLrDim: Int = 5 + graft.functions.TextStats.langs.length
 
   /** Trained quality gate (the fastText-filter pattern every production
     * corpus pipeline runs: fit a CHEAP linear classifier to mimic an
@@ -376,9 +378,13 @@ object TextAnalysis {
   def fitQualityLr(docs: DataFrame, label: Column, idCol: String = "doc_id",
       textCol: String = "text", regParam: Double = 0.01): QualityLrModel = {
     val names = (0 until qualityLrDim).map(i => s"__f$i")
-    val feats = docs.select(
-      Seq(col(idCol), label.cast("double").as("__y")) ++
-        qualityLrFeatures(col(textCol)).zip(names).map { case (c, n) => c.as(n) }: _*)
+    // null text ⇒ null features ⇒ VectorAssembler (handleInvalid=error)
+    // throws mid-fit — gate here so a real corpus with absent texts
+    // fits on its non-null rows instead of crashing
+    val feats = docs.filter(col(textCol).isNotNull && label.isNotNull)
+      .select(
+        Seq(col(idCol), label.cast("double").as("__y")) ++
+          qualityLrFeatures(col(textCol)).zip(names).map { case (c, n) => c.as(n) }: _*)
       .repartition(1).sortWithinPartitions(col(idCol))
     val assembled = new org.apache.spark.ml.feature.VectorAssembler()
       .setInputCols(names.toArray).setOutputCol("__x")

@@ -242,18 +242,25 @@ object EventQueries {
     // event-volume anomaly detection: hourly counts scored against a
     // trailing 24-hour window (mean + sample stddev) — the intake-
     // monitoring alarm ("did a feed die / double overnight"). The
-    // global-order window runs over the AGGREGATED hourly series (720
-    // rows per month regardless of event volume — bounded by TIME, not
-    // data), so the single-partition WindowExec is safe at any scale;
-    // the corpus itself sees one groupBy. Flag derives from the ROUNDED
-    // z; warmup hours (fewer than 2 trailing points or zero variance)
-    // are excluded identically on both engines.
+    // hourly series is GAP-FILLED with zero-count hours first (a dead
+    // feed produces NO rows — without the fill, the exact failure the
+    // alarm exists for is invisible, and the row-frame 'trailing 24'
+    // would silently span an outage). The global-order window runs over
+    // that series (720 rows per month regardless of event volume —
+    // bounded by TIME, not data), so the single-partition WindowExec is
+    // safe at any scale; the corpus itself sees one groupBy. Flag
+    // derives from the ROUNDED z; warmup hours (fewer than 2 trailing
+    // points or zero variance) are excluded identically on both engines.
     "q_events_anomaly" -> ((s, d) => {
       val hourly = ev(s, d)
         .groupBy(floor(unix_timestamp(col("ts")) / 3600).as("hr"))
         .agg(count(lit(1)).as("n"))
+      val spine = hourly.agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("hr"))
+      val filled = spine.join(hourly, Seq("hr"), "left")
+        .select(col("hr"), coalesce(col("n"), lit(0L)).as("n"))
       val w = Window.orderBy(col("hr")).rowsBetween(-24, -1)
-      hourly
+      filled
         .withColumn("mu", avg(col("n")).over(w))
         .withColumn("sd", stddev_samp(col("n")).over(w))
         .filter(col("sd").isNotNull && col("sd") > 0)
@@ -465,16 +472,21 @@ object EventQueries {
       """WITH hourly AS (
         |  SELECT (epoch_us(ts) // 1000000) // 3600 AS hr, COUNT(*) AS n
         |  FROM events GROUP BY 1
+        |), spine AS (
+        |  SELECT unnest(range(MIN(hr), MAX(hr) + 1)) AS hr FROM hourly
+        |), filled AS (
+        |  SELECT s.hr, COALESCE(h.n, 0) AS n
+        |  FROM spine s LEFT JOIN hourly h ON s.hr = h.hr
         |), win AS (
         |  SELECT hr, n,
         |    AVG(n) OVER (ORDER BY hr ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS mu,
         |    STDDEV_SAMP(n) OVER (ORDER BY hr ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS sd
-        |  FROM hourly
+        |  FROM filled
         |), z AS (
         |  SELECT hr, n, ROUND((n - mu) / sd, 6) AS z
         |  FROM win WHERE sd IS NOT NULL AND sd > 0
         |)
-        |SELECT hr, n, z, abs(z) > 3.0 AS is_anomaly
+        |SELECT hr, CAST(n AS BIGINT) AS n, z, abs(z) > 3.0 AS is_anomaly
         |FROM z ORDER BY hr""".stripMargin,
 
     "q_events_retention" ->

@@ -33,6 +33,41 @@ object SimilarityQueries {
     ivfpqModels.getOrElseUpdate(d,
       Similarity.fitIvfPq(emb(s, d), nCells = 16, m = 8, nCentroids = 32))
 
+  /** Shared per-label centroid relation — `(label, n_vecs, centroid)`
+    * with centroid elements avg'd in double and ROUNDED to 6dp (that
+    * rounding is the cross-engine bit-equality contract every consumer
+    * leans on). Both q_embed_centroids and q_embed_dispersion consume
+    * THIS (oracle side shares [[embCellCtes]]) — one definition owns
+    * the pipeline. Scale shape: posexplode to (label,dim) cells keeps
+    * aggregation buffers scalar; reassembly is a bounded sorted-struct
+    * collect (d elements per group, order pinned by the sort).
+    */
+  private def centroidsDf(s: SparkSession, d: String): DataFrame = {
+    val e = emb(s, d).select(col("label").cast("long").as("label"),
+      posexplode(col("embedding").cast("array<double>")))
+    e.groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n"), round(avg(col("col")), 6).as("cv"))
+      .groupBy(col("label"))
+      .agg(max(col("n")).as("n_vecs"),
+        array_sort(collect_list(struct(col("pos"), col("cv")))).as("pairs"))
+      .select(col("label"), col("n_vecs"),
+        transform(col("pairs"), p => p.getField("cv")).as("centroid"))
+  }
+
+  /** DuckDB twin of [[centroidsDf]]'s cell aggregate: CTE chain ending
+    * at `c(label, pos, n, cv)`. Append the per-query reassembly.
+    */
+  private val embCellCtes =
+    """WITH e AS (
+      |  SELECT CAST(label AS BIGINT) AS label,
+      |    unnest(range(len(embedding))) AS pos,
+      |    unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+      |  FROM embeddings
+      |), c AS (
+      |  SELECT label, pos, COUNT(*) AS n, ROUND(AVG(v), 6) AS cv
+      |  FROM e GROUP BY label, pos
+      |)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // exact cosine top-5 neighbors for the first 10 vectors (custom
     // codegen'd CosineSimilarity expression in the inner loop)
@@ -190,35 +225,19 @@ object SimilarityQueries {
     // per group, order pinned by the struct sort, not collect order).
     // Fully DuckDB-oracled: elementwise avg in double, rounded 6dp.
     "q_embed_centroids" -> ((s, d) => {
-      val e = emb(s, d).select(col("label").cast("long").as("label"),
-        posexplode(col("embedding").cast("array<double>")))
-      e.groupBy(col("label"), col("pos"))
-        .agg(count(lit(1)).as("n"), round(avg(col("col")), 6).as("cv"))
-        .groupBy(col("label"))
-        .agg(max(col("n")).as("n_vecs"),
-          array_sort(collect_list(struct(col("pos"), col("cv")))).as("pairs"))
-        .select(col("label"), col("n_vecs"),
-          transform(col("pairs"), p => p.getField("cv")).as("centroid"))
-        .orderBy(col("label"))
+      centroidsDf(s, d).orderBy(col("label"))
     }),
 
     // cluster cohesion: per-label mean/min cosine of members to their
     // class centroid — the "are these labels semantically tight" check
     // that tunes the semantic-dedup threshold and flags mislabeled
-    // slices. Cross-engine contract: the centroid is the ROUNDED one
-    // from q_embed_centroids' pipeline (identical doubles both engines),
-    // so the cosine arithmetic starts from bit-equal inputs; the member
-    // side casts to double before any math. Centroids broadcast (one
-    // row per label); members stream through one map pass + one agg.
+    // slices. Cross-engine contract: the centroid IS [[centroidsDf]]'s
+    // (structurally, not by copy), so the cosine arithmetic starts from
+    // bit-equal 6dp-rounded inputs; the member side casts to double
+    // before any math. Centroids broadcast (one row per label); members
+    // stream through one map pass + one agg.
     "q_embed_dispersion" -> ((s, d) => {
-      val e = emb(s, d).select(col("label").cast("long").as("label"),
-        posexplode(col("embedding").cast("array<double>")))
-      val cents = e.groupBy(col("label"), col("pos"))
-        .agg(round(avg(col("col")), 6).as("cv"))
-        .groupBy(col("label"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("cv")))).as("pairs"))
-        .select(col("label"),
-          transform(col("pairs"), p => p.getField("cv")).as("c"))
+      val cents = centroidsDf(s, d).select(col("label"), col("centroid").as("c"))
       val m = emb(s, d).select(col("label").cast("long").as("label"),
         col("embedding").cast("array<double>").as("v"))
         .join(broadcast(cents), Seq("label"))
@@ -285,29 +304,14 @@ object SimilarityQueries {
         |FROM n GROUP BY label ORDER BY label""".stripMargin,
 
     "q_embed_centroids" ->
-      """WITH e AS (
-        |  SELECT CAST(label AS BIGINT) AS label,
-        |    unnest(range(len(embedding))) AS pos,
-        |    unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
-        |  FROM embeddings
-        |), c AS (
-        |  SELECT label, pos, COUNT(*) AS n, ROUND(AVG(v), 6) AS cv
-        |  FROM e GROUP BY label, pos
-        |)
-        |SELECT label, MAX(n) AS n_vecs, list(cv ORDER BY pos) AS centroid
-        |FROM c GROUP BY label ORDER BY label""".stripMargin,
+      s"""$embCellCtes
+         |SELECT label, MAX(n) AS n_vecs, list(cv ORDER BY pos) AS centroid
+         |FROM c GROUP BY label ORDER BY label""".stripMargin,
 
     "q_embed_dispersion" ->
-      """WITH e AS (
-        |  SELECT CAST(label AS BIGINT) AS label,
-        |    unnest(range(len(embedding))) AS pos,
-        |    unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
-        |  FROM embeddings
-        |), cents AS (
-        |  SELECT label, list(cv ORDER BY pos) AS c FROM (
-        |    SELECT label, pos, ROUND(AVG(v), 6) AS cv
-        |    FROM e GROUP BY label, pos
-        |  ) GROUP BY label
+      s"""$embCellCtes, cents AS (
+        |  SELECT label, list(cv ORDER BY pos) AS c
+        |  FROM c GROUP BY label
         |), m AS (
         |  SELECT CAST(emb.label AS BIGINT) AS label,
         |    list_transform(emb.embedding, x -> CAST(x AS DOUBLE)) AS v, c

@@ -55,6 +55,60 @@ object TextQueries {
       TextAnalysis.fitQualityLr(docs(s, d),
         TextAnalysis.qualityScore(col("text")) >= 0.77))
 
+  /** Shared DSIR weights relation — `(doc_id, source, n_trigrams, w)`
+    * with `w` the 6dp-rounded Laplace-smoothed target/corpus log-ratio.
+    * Both q_dsir_weights and q_dsir_select consume THIS (and the oracle
+    * side shares [[dsirCtes]]), so smoothing/target changes happen in
+    * exactly one place per engine. Scale shape: both LMs out of ONE
+    * alphabet-bounded conditional-count aggregate (the q_tfidf_top3
+    * fork lesson), LM + constants broadcast, corpus streams through one
+    * scoring pass — no self-joins, no driver loops.
+    */
+  private def dsirWeightsDf(s: SparkSession, d: String): DataFrame = {
+    val tris = docs(s, d).select(col("doc_id"), col("source"),
+      explode(TextHashFunctions.char_trigrams(col("text"))).as("tri"))
+    val lm = tris.groupBy(col("tri")).agg(
+      count(lit(1)).as("c_s"),
+      count(when(col("source") === "src0", 1)).as("c_t"))
+    val consts = lm.agg(count(lit(1)).as("v"),
+      sum(col("c_s")).as("n_s"), sum(col("c_t")).as("n_t"))
+    tris.join(broadcast(lm), Seq("tri"))
+      .crossJoin(broadcast(consts))
+      .groupBy(col("doc_id"))
+      .agg(max(col("source")).as("source"), count(lit(1)).as("n_trigrams"),
+        round(avg(
+          log((col("c_t") + lit(1.0)) / (col("n_t") + col("v")).cast("double")) -
+            log((col("c_s") + lit(1.0)) / (col("n_s") + col("v")).cast("double"))), 6)
+          .as("w"))
+  }
+
+  /** DuckDB twin of [[dsirWeightsDf]]: the shared CTE chain ending at
+    * `wts(doc_id, source, n_trigrams, w)`. Append `SELECT ...` or
+    * `, more AS (...) SELECT ...` to build a full oracle.
+    */
+  private val dsirCtes =
+    """WITH norm AS (
+      |  SELECT doc_id, source,
+      |    regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g') AS s
+      |  FROM documents
+      |), tris AS (
+      |  SELECT doc_id, source,
+      |    unnest(list_transform(range(1, len(s) - 1), i -> substr(s, i, 3))) AS tri
+      |  FROM norm WHERE len(s) >= 3
+      |), lm AS (
+      |  SELECT tri, COUNT(*) AS c_s,
+      |    COUNT(CASE WHEN source = 'src0' THEN 1 END) AS c_t
+      |  FROM tris GROUP BY tri
+      |), consts AS (
+      |  SELECT COUNT(*) AS v, SUM(c_s) AS n_s, SUM(c_t) AS n_t FROM lm
+      |), wts AS (
+      |  SELECT doc_id, MAX(source) AS source, COUNT(*) AS n_trigrams,
+      |    ROUND(AVG(ln((c_t + 1.0) / CAST(n_t + v AS DOUBLE)) -
+      |              ln((c_s + 1.0) / CAST(n_s + v AS DOUBLE))), 6) AS w
+      |  FROM tris JOIN lm USING (tri), consts
+      |  GROUP BY doc_id
+      |)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // token counting: whitespace + BPE-ish pre-tokenizer regex
     "q_token_count" -> ((s, d) => {
@@ -517,26 +571,11 @@ object TextQueries {
     // over the corpus trigram vocabulary. The published recipe for
     // "select pretraining data that looks like the domain you care
     // about" — at 100 TB the ratio is the resampling weight. Scale
-    // shape: BOTH LMs come out of ONE alphabet-bounded aggregate
-    // (conditional count — the q_tfidf_top3 fork lesson: one shuffle,
-    // not two), the joint LM + constants broadcast, and the corpus
-    // streams through one scoring pass. No self-joins, no driver loops.
+    // shape: see [[dsirWeightsDf]] (shared with q_dsir_select — one
+    // definition owns the math).
     "q_dsir_weights" -> ((s, d) => {
-      val tris = docs(s, d).select(col("doc_id"), col("source"),
-        explode(TextHashFunctions.char_trigrams(col("text"))).as("tri"))
-      val lm = tris.groupBy(col("tri")).agg(
-        count(lit(1)).as("c_s"),
-        count(when(col("source") === "src0", 1)).as("c_t"))
-      val consts = lm.agg(count(lit(1)).as("v"),
-        sum(col("c_s")).as("n_s"), sum(col("c_t")).as("n_t"))
-      tris.join(broadcast(lm), Seq("tri"))
-        .crossJoin(broadcast(consts))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_trigrams"),
-          round(avg(
-            log((col("c_t") + lit(1.0)) / (col("n_t") + col("v")).cast("double")) -
-              log((col("c_s") + lit(1.0)) / (col("n_s") + col("v")).cast("double"))), 6)
-            .as("avg_logratio"))
+      dsirWeightsDf(s, d)
+        .select(col("doc_id"), col("n_trigrams"), col("w").as("avg_logratio"))
         .orderBy(col("doc_id"))
     }),
 
@@ -546,23 +585,10 @@ object TextQueries {
     // matching actually promote") and pins the cut to the ROUNDED weight
     // with a doc_id tiebreak so the selection boundary is bit-identical
     // cross-engine. TakeOrdered bounds the cut (no global ranking
-    // window); everything upstream is the q_dsir_weights plan.
+    // window); everything upstream IS [[dsirWeightsDf]] — structurally,
+    // not by textual copy.
     "q_dsir_select" -> ((s, d) => {
-      val tris = docs(s, d).select(col("doc_id"), col("source"),
-        explode(TextHashFunctions.char_trigrams(col("text"))).as("tri"))
-      val lm = tris.groupBy(col("tri")).agg(
-        count(lit(1)).as("c_s"),
-        count(when(col("source") === "src0", 1)).as("c_t"))
-      val consts = lm.agg(count(lit(1)).as("v"),
-        sum(col("c_s")).as("n_s"), sum(col("c_t")).as("n_t"))
-      tris.join(broadcast(lm), Seq("tri"))
-        .crossJoin(broadcast(consts))
-        .groupBy(col("doc_id"))
-        .agg(max(col("source")).as("source"),
-          round(avg(
-            log((col("c_t") + lit(1.0)) / (col("n_t") + col("v")).cast("double")) -
-              log((col("c_s") + lit(1.0)) / (col("n_s") + col("v")).cast("double"))), 6)
-            .as("w"))
+      dsirWeightsDf(s, d)
         .orderBy(col("w").desc, col("doc_id")).limit(125)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_kept"), round(avg(col("w")), 6).as("mean_w"))
@@ -1060,55 +1086,18 @@ object TextQueries {
         |FROM o GROUP BY sz ORDER BY sz""".stripMargin,
 
     "q_dsir_weights" ->
-      """WITH norm AS (
-        |  SELECT doc_id, source,
-        |    regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g') AS s
-        |  FROM documents
-        |), tris AS (
-        |  SELECT doc_id, source,
-        |    unnest(list_transform(range(1, len(s) - 1), i -> substr(s, i, 3))) AS tri
-        |  FROM norm WHERE len(s) >= 3
-        |), lm AS (
-        |  SELECT tri, COUNT(*) AS c_s,
-        |    COUNT(CASE WHEN source = 'src0' THEN 1 END) AS c_t
-        |  FROM tris GROUP BY tri
-        |), consts AS (
-        |  SELECT COUNT(*) AS v, SUM(c_s) AS n_s, SUM(c_t) AS n_t FROM lm
-        |)
-        |SELECT doc_id, COUNT(*) AS n_trigrams,
-        |  ROUND(AVG(ln((c_t + 1.0) / CAST(n_t + v AS DOUBLE)) -
-        |            ln((c_s + 1.0) / CAST(n_s + v AS DOUBLE))), 6) AS avg_logratio
-        |FROM tris JOIN lm USING (tri), consts
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""$dsirCtes
+         |SELECT doc_id, n_trigrams, w AS avg_logratio
+         |FROM wts ORDER BY doc_id""".stripMargin,
 
     "q_dsir_select" ->
-      """WITH norm AS (
-        |  SELECT doc_id, source,
-        |    regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g') AS s
-        |  FROM documents
-        |), tris AS (
-        |  SELECT doc_id, source,
-        |    unnest(list_transform(range(1, len(s) - 1), i -> substr(s, i, 3))) AS tri
-        |  FROM norm WHERE len(s) >= 3
-        |), lm AS (
-        |  SELECT tri, COUNT(*) AS c_s,
-        |    COUNT(CASE WHEN source = 'src0' THEN 1 END) AS c_t
-        |  FROM tris GROUP BY tri
-        |), consts AS (
-        |  SELECT COUNT(*) AS v, SUM(c_s) AS n_s, SUM(c_t) AS n_t FROM lm
-        |), wts AS (
-        |  SELECT doc_id, MAX(source) AS source,
-        |    ROUND(AVG(ln((c_t + 1.0) / CAST(n_t + v AS DOUBLE)) -
-        |              ln((c_s + 1.0) / CAST(n_s + v AS DOUBLE))), 6) AS w
-        |  FROM tris JOIN lm USING (tri), consts
-        |  GROUP BY doc_id
-        |), cut AS (
-        |  SELECT source, w,
-        |    ROW_NUMBER() OVER (ORDER BY w DESC, doc_id) AS rk
-        |  FROM wts QUALIFY rk <= 125
-        |)
-        |SELECT source, COUNT(*) AS n_kept, ROUND(AVG(w), 6) AS mean_w
-        |FROM cut GROUP BY source ORDER BY source""".stripMargin,
+      s"""$dsirCtes, cut AS (
+         |  SELECT source, w,
+         |    ROW_NUMBER() OVER (ORDER BY w DESC, doc_id) AS rk
+         |  FROM wts QUALIFY rk <= 125
+         |)
+         |SELECT source, COUNT(*) AS n_kept, ROUND(AVG(w), 6) AS mean_w
+         |FROM cut GROUP BY source ORDER BY source""".stripMargin,
 
     "q_mad_outliers" ->
       """WITH base AS (SELECT doc_id, n_chars FROM documents),

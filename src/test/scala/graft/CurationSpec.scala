@@ -138,6 +138,40 @@ class CurationSpec extends SparkTestBase {
     rows.foreach(r => assert(r.getSeq[Double](2).length == 64))
   }
 
+  test("q_events_anomaly: a dead feed (planted gap) is gap-filled and flagged") {
+    val dir = java.nio.file.Files.createTempDirectory("anomaly").toString
+    // 40 hours of alternating volume (so the trailing stddev is nonzero),
+    // with hours 30-32 completely absent — the dead-feed case
+    val rows = (0 until 40).filterNot(h => h >= 30 && h <= 32).flatMap { h =>
+      val n = if (h % 2 == 0) 90 else 110
+      (0 until n).map(i => (h.toLong * 1000 + i,
+        (h.toLong * 3600L + i) * 1000000000L, // ns epoch like the fixture
+        (i % 7).toLong, "click", 1.0, "{}"))
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("q_events_anomaly")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    // the gap hours EXIST in the output (gap-fill) with n=0 and are flagged
+    (30L to 32L).foreach { h =>
+      assert(out.contains(h), s"hour $h missing — dead feed invisible")
+      assert(out(h)._1 == 0L && out(h)._2, s"hour $h must flag as anomaly: ${out(h)}")
+    }
+    // normal alternation is NOT flagged
+    assert(!out(20L)._2 && !out(21L)._2)
+  }
+
+  test("fitQualityLr: null texts are gated, not a crash") {
+    val docs = Seq((1L, "the data and the table in the batch", "en", "s", 35L),
+      (2L, null.asInstanceOf[String], "en", "s", 0L),
+      (3L, "$$% ##@ !!++ ^^&&", "en", "s", 17L),
+      (4L, "a key for the scan and the sort", "en", "s", 31L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val m = graft.operators.TextAnalysis.fitQualityLr(docs,
+      graft.operators.TextAnalysis.qualityScore(col("text")) >= 0.5)
+    assert(m.weights.length == graft.operators.TextAnalysis.qualityLrDim)
+  }
+
   test("q_events_anomaly: warmup excluded, flag is a pure function of rounded z") {
     val rows = q("q_events_anomaly").collect()
     assert(rows.length > 24, "a month of hours minus warmup must remain")

@@ -32,8 +32,12 @@ class MixSpec extends SparkTestBase {
     assert(m1.length == 8, "every shard directory gets a manifest row")
     // hash balance: no shard more than 2x the ideal share of 500 docs
     assert(m1.map(_.getLong(1)).max <= 2 * 500 / 8)
-    // the written shards read back to exactly the input corpus
+    // the written shards read back to exactly the input corpus, with the
+    // input schema + shard and NOTHING else (no helper-column leakage
+    // into the handoff artifact)
     val back = spark.read.parquet(s"$dir/shards")
+    assert(back.columns.sorted.toSeq == (docs.columns :+ "shard").sorted.toSeq,
+      s"exported schema polluted: ${back.columns.mkString(",")}")
     assert(back.count() == docs.count())
     assert(back.select(col("doc_id")).exceptAll(docs.select(col("doc_id"))).count() == 0)
     // shard column in files matches the content-hash assignment
@@ -44,6 +48,11 @@ class MixSpec extends SparkTestBase {
     val dir2 = java.nio.file.Files.createTempDirectory("shards2").toString
     val m2 = Mix.writeShards(docs, dir2, 8, "doc_id", col("n_chars")).collect()
     assert(m1.map(_.toString).toSeq == m2.map(_.toString).toSeq)
+    // writeShards owns the 'shard' name — a clashing input must be refused
+    intercept[IllegalArgumentException] {
+      Mix.writeShards(docs.withColumn("shard", lit(1)), dir2, 8, "doc_id",
+        col("n_chars"))
+    }
   }
 
   test("packByTokenBudget: shards bounded by budget + max doc; deterministic") {

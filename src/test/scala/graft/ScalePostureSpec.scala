@@ -256,8 +256,12 @@ class ScalePostureSpec extends SparkTestBase {
     dsirDf.collect()
     val dsir = dsirDf.queryExecution.executedPlan.toString.split("Initial Plan")(0)
     assert(!dsir.contains("SortMergeJoin"), s"LM join must broadcast:\n${dsir.take(2000)}")
-    val triEx = "Exchange hashpartitioning\\(tri".r.findAllIn(dsir).length -
-      "ReusedExchange".r.findAllIn(dsir).length
+    // count tri exchanges only on NON-reused lines — subtracting the
+    // global ReusedExchange count would let an unrelated reuse mask a
+    // forked tri aggregate (the exact regression this guards against)
+    val triEx = dsir.linesIterator
+      .filterNot(_.contains("ReusedExchange"))
+      .count(_.contains("Exchange hashpartitioning(tri"))
     assert(triEx <= 1, s"corpus must shuffle on tri at most once, got $triEx")
 
     // q_mad_outliers: both grand aggregates ride broadcast nested-loop
