@@ -55,7 +55,7 @@ object Bench {
     // round-5 compositions: DSIR selection, decontamination, cluster
     // observability (sizes + cohesion), intake anomaly alarm
     "q_dsir_select", "q_decontaminate", "q_dedup_cluster_sizes",
-    "q_embed_dispersion", "q_events_anomaly")
+    "q_embed_dispersion", "q_events_anomaly", "q_corpus_pipeline")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -21,6 +21,25 @@ object TextQueries {
   private val duckToks =
     """list_filter(string_split_regex(lower(regexp_replace(text, '[^\p{L}\p{N}\s]', ' ', 'g')), '\s+'), x -> len(x) > 0)"""
 
+  /** DuckDB mirrors of the quality-metric expressions, factored so the
+    * q_text_quality oracle and every composition that gates on quality
+    * (q_corpus_pipeline) share ONE definition. All assume a CTE exposing
+    * `text`, `toks` (= [[duckToks]]) and `nchar` (= length(text) as
+    * DOUBLE).
+    */
+  private val duckStopRatio =
+    """(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
+      |    CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this'], x))) AS DOUBLE) / len(toks) END)""".stripMargin
+  private val duckPunctRatio =
+    """(CASE WHEN nchar = 0 THEN 0.0 ELSE
+      |    len(regexp_extract_all(text, '[[:punct:]]')) / nchar END)""".stripMargin
+  private val duckQuality =
+    s"""ROUND(
+       |    LEAST(len(toks) / 20.0, 1.0) * 0.4 +
+       |    LEAST($duckStopRatio * 4.0, 1.0) * 0.3 +
+       |    GREATEST(1.0 - $duckPunctRatio * 5.0, 0.0) * 0.3,
+       |  6)""".stripMargin
+
   /** BPE merge table memoized per scale dir — the tokenizer is a BUILD
     * artifact exactly like the IVF-PQ model: trained once (10 distributed
     * merge rounds over the bounded vocab), then applied as a stateless
@@ -357,6 +376,41 @@ object TextQueries {
         .groupBy(col("doc_id"), col("bench_id"))
         .agg(count(lit(1)).as("n_shared"))
         .orderBy(col("doc_id"), col("bench_id"))
+    }),
+
+    // THE flagship curation composition, fully oracled end to end:
+    // quality gate → exact dedup (min-id per content fingerprint) →
+    // bench decontamination → per-source survival report. Every stage is
+    // individually SQL-expressible, so DuckDB verifies the ENTIRE
+    // pipeline — the strongest correctness statement in the repo: a user
+    // can run the whole curation in one call and the composition (not
+    // just the parts) is value-checked. Gate compares on the ROUNDED
+    // quality so the cut is bit-identical cross-engine. Scale shape:
+    // gate is map-only; dedup is one fingerprint shuffle (ids-only keep
+    // set); decontamination broadcasts bench DISTINCT grams; one final
+    // bounded aggregate.
+    "q_corpus_pipeline" -> ((s, d) => {
+      val base = docs(s, d)
+      val train = base.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+        .withColumn("q", round(TextAnalysis.qualityScore(col("text")), 6))
+        .filter(col("q") >= 0.75)
+      val keep = train
+        .select(col("doc_id"),
+          md5(concat_ws(" ", Dedup.tokens(col("text")))).as("fp"))
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val deduped = train.join(keep, Seq("doc_id"), "left_semi")
+      val benchGrams = base.filter(pmod(col("doc_id"), lit(10)) === 7)
+        .select(explode(Dedup.shingles(col("text"), 5)).as("g")).distinct()
+      val contaminated = deduped
+        .select(col("doc_id"), explode(Dedup.shingles(col("text"), 5)).as("g"))
+        .join(broadcast(benchGrams), Seq("g"))
+        .select(col("doc_id")).distinct()
+      deduped.join(contaminated, Seq("doc_id"), "left_anti")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("n_chars_kept"),
+          round(avg(col("q")), 6).as("mean_quality"))
+        .orderBy(col("source"))
     }),
 
     // decontamination, end to end: REMOVE every train doc sharing a
@@ -696,17 +750,10 @@ object TextQueries {
          |    len(regexp_extract_all(text, '[[:punct:]]')) / nchar END, 6) AS punct_ratio,
          |  ROUND(CASE WHEN nchar = 0 THEN 0.0 ELSE
          |    len(regexp_extract_all(text, '[A-Z]')) / nchar END, 6) AS upper_ratio,
-         |  ROUND(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
-         |    CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this'], x))) AS DOUBLE) / len(toks) END, 6) AS stopword_ratio,
+         |  ROUND($duckStopRatio, 6) AS stopword_ratio,
          |  ROUND(CASE WHEN len(toks) = 0 THEN 0.0 ELSE
          |    CAST(list_aggregate(list_transform(toks, x -> CAST(len(x) AS BIGINT)), 'sum') AS DOUBLE) / len(toks) END, 6) AS mean_token_len,
-         |  ROUND(
-         |    LEAST(len(toks) / 20.0, 1.0) * 0.4 +
-         |    LEAST((CASE WHEN len(toks) = 0 THEN 0.0 ELSE
-         |      CAST(len(list_filter(toks, x -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','at','by','be','this'], x))) AS DOUBLE) / len(toks) END) * 4.0, 1.0) * 0.3 +
-         |    GREATEST(1.0 - (CASE WHEN nchar = 0 THEN 0.0 ELSE
-         |      len(regexp_extract_all(text, '[[:punct:]]')) / nchar END) * 5.0, 0.0) * 0.3,
-         |  6) AS quality
+         |  $duckQuality AS quality
          |FROM t ORDER BY doc_id""".stripMargin,
 
     "q_lang_id" ->
@@ -1053,6 +1100,44 @@ object TextQueries {
          |WHERE ROUND(CASE WHEN na + nb - c = 0 THEN 0.0
          |      ELSE CAST(c AS DOUBLE) / (na + nb - c) END, 6) >= 0.5
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_corpus_pipeline" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, n_chars, text, $duckToks AS toks,
+         |    CAST(length(text) AS DOUBLE) AS nchar
+         |  FROM documents
+         |), train AS (
+         |  SELECT doc_id, source, n_chars, toks, $duckQuality AS q
+         |  FROM t WHERE doc_id % 10 != 7 AND $duckQuality >= 0.75
+         |), keep AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM (
+         |    SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp FROM train
+         |  ) GROUP BY fp
+         |), dd AS (
+         |  SELECT train.* FROM train JOIN keep USING (doc_id)
+         |), grams AS (
+         |  SELECT doc_id, UNNEST(
+         |    CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+         |         WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+         |         ELSE [array_to_string(toks[i:i+4], ' ') FOR i IN range(1, len(toks) - 3)]
+         |    END) AS g
+         |  FROM dd
+         |), bench_g AS (
+         |  SELECT DISTINCT UNNEST(
+         |    CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+         |         WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+         |         ELSE [array_to_string(toks[i:i+4], ' ') FOR i IN range(1, len(toks) - 3)]
+         |    END) AS g
+         |  FROM t WHERE doc_id % 10 = 7
+         |), contaminated AS (
+         |  SELECT DISTINCT doc_id FROM grams JOIN bench_g USING (g)
+         |)
+         |SELECT source, COUNT(*) AS n_kept,
+         |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_kept,
+         |  ROUND(AVG(q), 6) AS mean_quality
+         |FROM dd
+         |WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |GROUP BY source ORDER BY source""".stripMargin,
 
     "q_decontaminate" ->
       s"""WITH t AS (SELECT doc_id, source, n_chars, $duckToks AS tk FROM documents),

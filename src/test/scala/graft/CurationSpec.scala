@@ -185,6 +185,17 @@ class CurationSpec extends SparkTestBase {
     assert(hrs.zip(hrs.tail).forall { case (a, b) => a < b })
   }
 
+  test("q_corpus_pipeline: every surviving doc passed every gate") {
+    val rows = q("q_corpus_pipeline").collect()
+    val kept = rows.map(_.getLong(1)).sum
+    val train = graft.Tables.documents(spark, sf)
+      .filter(pmod(col("doc_id"), lit(10)) =!= 7).count()
+    assert(kept > 0 && kept < train, s"pipeline must cut something: $kept of $train")
+    // per-source mean quality can't be below the gate threshold
+    rows.foreach(r => assert(r.getDouble(3) >= 0.75,
+      s"source ${r.getString(0)} mean_quality ${r.getDouble(3)} below the gate"))
+  }
+
   test("q_decontaminate: removes contaminated train docs, keeps the rest") {
     val kept = q("q_decontaminate").collect().map(_.getLong(1)).sum
     val train = graft.Tables.documents(spark, sf)
