@@ -66,6 +66,69 @@ object Dedup {
     exactDedup(newDocs, textCol, idCol)
       .join(knownHashes.select(col("content_hash")), Seq("content_hash"), "left_anti")
 
+  /** Persistable MinHash index of a corpus, as TWO relations — the shape
+    * that survives 100 TB:
+    *  - `buckets(band, bucket, id)`: ids-only rows (×bands per doc),
+    *    capped at `maxBucket` ids per (band, bucket) (same hot-bucket
+    *    bound as [[bucketPairs]]: an adversarial bucket must not make
+    *    every future batch pay O(bucket) candidates);
+    *  - `content(id, sh)`: ONE shingle set per doc.
+    * Folding `sh` into the bucket rows would store it ×bands and drag
+    * arrays through every replicated (band, bucket) join — the exact
+    * anti-pattern [[minhashCandidates]]' scaladoc documents. Built ONCE,
+    * persisted as parquet; every incoming batch joins against it — the
+    * near-dup twin of the exact-hash index [[incrementalDedup]] uses.
+    */
+  final case class MinhashIndex(buckets: DataFrame, content: DataFrame)
+
+  def minhashIndex(corpus: DataFrame, nShingle: Int = 3, bands: Int = 8,
+      rowsPerBand: Int = 4, maxBucket: Int = 256,
+      textCol: String = "text", idCol: String = "doc_id"): MinhashIndex = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bucket")).orderBy(col("id"))
+    val buckets = minhashBuckets(corpus, nShingle, bands, rowsPerBand, textCol, idCol)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxBucket).drop("__rn")
+    val content = corpus
+      .select(col(idCol).as("id"), shingles(col(textCol), nShingle).as("sh"))
+      .groupBy(col("id")).agg(first(col("sh")).as("sh"))
+    MinhashIndex(buckets, content)
+  }
+
+  /** Near-dups of a NEW batch against an existing [[minhashIndex]] —
+    * corpus maintenance without re-banding the corpus: the batch's
+    * bucket rows (map-only, small — broadcastable) hash-join the index
+    * buckets on (band, bucket) with IDS ONLY riding the replicated
+    * join, candidates dedupe to (new_id, corpus_id), and the exact
+    * Jaccard verify fetches each side's shingles by id — corpus
+    * shingles shuffle only for MATCHED ids, never the whole index.
+    * Returns pairs at `threshold`+ with their jaccard. Same banding ⇒
+    * same collisions as a full-corpus run restricted to (new × corpus)
+    * — asserted in DedupSimilaritySpec.
+    */
+  def incrementalNearDup(newDocs: DataFrame, index: MinhashIndex,
+      threshold: Double, nShingle: Int = 3, bands: Int = 8,
+      rowsPerBand: Int = 4, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val batchBuckets =
+      minhashBuckets(newDocs, nShingle, bands, rowsPerBand, textCol, idCol)
+        .select(col("band"), col("bucket"), col("id").as("new_id"))
+    val batchContent = newDocs
+      .select(col(idCol).as("new_id"), shingles(col(textCol), nShingle).as("sh_n"))
+      .groupBy(col("new_id")).agg(first(col("sh_n")).as("sh_n"))
+    val cands = batchBuckets
+      .join(index.buckets.select(col("band"), col("bucket"),
+        col("id").as("corpus_id")), Seq("band", "bucket"))
+      .select(col("new_id"), col("corpus_id")).distinct()
+    cands
+      .join(index.content.select(col("id").as("corpus_id"), col("sh").as("sh_c")),
+        Seq("corpus_id"))
+      .join(batchContent, Seq("new_id"))
+      .withColumn("jaccard", jaccard(col("sh_n"), col("sh_c")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("new_id"), col("corpus_id"), col("jaccard"))
+  }
+
   /** MinHash signature as an array of k minima: element j is
     * `min over shingles s of xxhash64(j, s)` — the standard unbiased
     * Jaccard estimator family, expressed entirely with built-in

@@ -602,6 +602,20 @@ object TextQueries {
         .orderBy(col("sz"))
     }),
 
+    // incremental NEAR-dup maintenance: docs with doc_id%10==3 play the
+    // incoming batch, the rest the indexed corpus — batch bucket rows
+    // join the persisted ids-only index, Jaccard verify fetches shingles
+    // by matched id. Rows-only (banding is Spark-hash-specific);
+    // planted-pair + full-batch-equivalence tests in DedupSimilaritySpec.
+    "q_dedup_incremental_near" -> ((s, d) => {
+      val base = docs(s, d)
+      val batch = base.filter(pmod(col("doc_id"), lit(10)) === 3)
+      val corpus = base.filter(pmod(col("doc_id"), lit(10)) =!= 3)
+      Dedup.incrementalNearDup(batch, Dedup.minhashIndex(corpus), threshold = 0.5)
+        .select(col("new_id"), col("corpus_id"), round(col("jaccard"), 6).as("j_r"))
+        .orderBy(col("new_id"), col("corpus_id"))
+    }),
+
     // bucketStats over the REAL minhash banding (the production health
     // check next to the SQL-mirrored q_bucket_stats): on a sane corpus
     // with threshold-tuned banding, n_truncated must be 0 — a nonzero

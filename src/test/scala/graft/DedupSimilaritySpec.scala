@@ -38,6 +38,44 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(!pairs.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
   }
 
+  test("incrementalNearDup: batch vs corpus index — planted dup found, novel passes") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "spark engines shuffle data between executors during wide transformations"),
+      (3L, "completely different text about gardening tulips and spring weather"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.minhashIndex(corpus)
+    val batch = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog near the river bank now"),
+      (102L, "spark engines shuffle data between executors during wide transformations"),
+      (103L, "a totally novel document with no overlap whatsoever in any shingle"))
+      .toDF("doc_id", "text")
+    val hits = Dedup.incrementalNearDup(batch, idx, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hits.contains((101L, 1L)), s"near-dup of doc 1 missed: $hits")
+    assert(hits.contains((102L, 2L)), s"exact dup of doc 2 missed: $hits")
+    assert(!hits.exists(_._1 == 103L), s"novel doc flagged: $hits")
+  }
+
+  test("incrementalNearDup ≡ full-corpus banding restricted to (new × corpus)") {
+    val corpus = (1L to 30L).map(i =>
+      (i, s"shared prefix tokens run along here with suffix variant number $i extra")).toDF("doc_id", "text")
+    val batch = Seq(
+      (101L, "shared prefix tokens run along here with suffix variant number 7 extra"),
+      (102L, "unrelated content entirely about something else altogether different"))
+      .toDF("doc_id", "text")
+    val thr = 0.6
+    val inc = Dedup.incrementalNearDup(batch, Dedup.minhashIndex(corpus), thr)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // same banding over the union, restricted to cross pairs, must agree
+    val full = Dedup.minhashCandidates(corpus.unionByName(batch))
+      .filter(col("jaccard") >= thr)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .collect { case (a, b) if (a > 100) != (b > 100) =>
+        if (a > 100) (a, b) else (b, a) }.toSet
+    assert(inc == full, s"incremental $inc != full-restricted $full")
+  }
+
   test("simhash near-dups: single-token edit stays within hamming 3") {
     val base = (1 to 80).map(i => s"w$i").mkString(" ")
     val edited = base.replace("w40", "zzz")
