@@ -157,6 +157,24 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("writeShards: conservation + cover-exactness for random shard counts") {
+    // shard assignment must partition the corpus for ANY nShards: every
+    // doc lands in exactly one shard dir, manifests conserve rows and
+    // tokens, and every manifest shard id is in [0, nShards)
+    val docs = Tables.documents(spark, sf)
+    val total = docs.count()
+    val totalTok = docs.agg(sum(col("n_chars"))).first().getLong(0)
+    for (nShards <- cases(Gen.chooseNum(1, 16), 4).distinct) {
+      val dir = java.nio.file.Files.createTempDirectory(s"psh$nShards").toString
+      val m = graft.operators.Mix.writeShards(docs, dir, nShards, "doc_id",
+        col("n_chars")).collect()
+      assert(m.map(_.getLong(1)).sum == total, s"nShards=$nShards rows")
+      assert(m.map(_.getLong(2)).sum == totalTok, s"nShards=$nShards tokens")
+      assert(m.forall(r => r.getLong(0) >= 0 && r.getLong(0) < nShards))
+      assert(spark.read.parquet(s"$dir/shards").count() == total)
+    }
+  }
+
   test("splitV2 multiset-partitions arbitrary inputs (incl. duplicates)") {
     val rowGen = Gen.listOfN(60,
       Gen.zip(Gen.chooseNum(1, 5), Gen.chooseNum(1, 10), Gen.oneOf(1.0, 2.0)))

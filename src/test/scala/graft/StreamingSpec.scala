@@ -345,6 +345,32 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("trained quality gate on a doc stream: map-only, batch ≡ stream") {
+    // fourth member of the fit/apply serving family (LM, DSIR, BPE, and
+    // now the LR gate): the model fits in batch, inlines as literals,
+    // and scores a stream with no state store
+    implicit val sc = spark.sqlContext
+    val m = graft.queries.TextQueries.qlrModel(spark, "/root/testdata/sf0.001")
+    val score = graft.operators.TextAnalysis.qualityLrScore(m) _
+    val mem = MemoryStream[EventStreams.Doc]
+    val q = mem.toDF().select(col("doc_id"), score(col("text")).as("s"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("qlr_out").start()
+    try {
+      val clean = "the data and the table in the batch is a key for the scan"
+      val soup = "$$% ##@ !!++ ^^&& ;;:: ??//"
+      mem.addData(EventStreams.Doc(1, ts(0), clean),
+        EventStreams.Doc(2, ts(1), soup))
+      q.processAllAvailable()
+      val w = spark.table("qlr_out").as[(Long, Double)].collect().toMap
+      assert(w(1L) > w(2L), s"clean ${w(1L)} must outscore soup ${w(2L)}")
+      val batch = Seq((1L, clean), (2L, soup)).toDF("doc_id", "text")
+        .select(col("doc_id"), score(col("text")).as("s"))
+        .as[(Long, Double)].collect().toMap
+      assert(w == batch, s"stream $w vs batch $batch")
+    } finally q.stop()
+  }
+
   test("stateless BPE tokenization on a doc stream: batch ≡ stream") {
     // merges train in BATCH (bounded vocab loop, like the LM and the
     // IVF-PQ model) and the encoder applies to the stream as one fused
