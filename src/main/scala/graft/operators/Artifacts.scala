@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Save/load for the engine's BUILD artifacts — the pieces an incremental
+  * pipeline persists between runs so a restart never re-fits or re-bands
+  * the historical corpus:
+  *
+  *  - [[Dedup.MinhashIndex]] (two parquet relations, the near-dup index);
+  *  - the exact-dedup fingerprint index (one parquet relation);
+  *  - [[Similarity.IvfPqModel]] (a few KB of centroids + codebooks);
+  *  - BPE merge tables (a few string pairs);
+  *  - [[TextAnalysis.QualityLrModel]] (intercept + weights).
+  *
+  * The in-process memo TrieMaps (queries.TextQueries / SimilarityQueries)
+  * die with the session — this module is the cross-process form the
+  * incremental operators' scaladocs promise ("built ONCE, persisted as
+  * parquet"; Dedup.scala). All persistence is plain parquet written with
+  * the session's writer, so the artifacts live next to the data they
+  * describe on any Hadoop-compatible filesystem; the driver-side models
+  * round-trip through 1-to-few-row DataFrames rather than a JSON library
+  * (no new dependency, identical float bits via parquet's IEEE doubles).
+  *
+  * Determinism contract: save→load is BIT-identical for every artifact
+  * (asserted in DedupSimilaritySpec / CurationSpec), so a consumer of a
+  * reloaded model produces the same plans and the same results as the
+  * fitting process did.
+  */
+object Artifacts {
+
+  // ---- MinhashIndex (near-dup corpus index) ----
+
+  /** Persist a [[Dedup.MinhashIndex]] as `dir/buckets` + `dir/content`.
+    * Bucket rows are repartitioned on the (band, bucket) probe key so
+    * files cluster by lookup key — at 100 TB a reader that also
+    * pre-shuffles on (band, bucket) gets co-located joins without
+    * re-exchanging the index.
+    */
+  def saveMinhashIndex(index: Dedup.MinhashIndex, dir: String): Unit = {
+    index.buckets.repartition(col("band"), col("bucket"))
+      .write.mode("overwrite").parquet(s"$dir/buckets")
+    index.content.write.mode("overwrite").parquet(s"$dir/content")
+  }
+
+  def loadMinhashIndex(spark: SparkSession, dir: String): Dedup.MinhashIndex =
+    Dedup.MinhashIndex(
+      spark.read.parquet(s"$dir/buckets"),
+      spark.read.parquet(s"$dir/content"))
+
+  // ---- exact-dedup fingerprint index ----
+
+  /** Persist the exact-dedup fingerprint index (`content_hash` plus any
+    * carried columns, e.g. keep_id). Pairs with [[Dedup.incrementalDedup]]:
+    * each completed ingest appends its survivors' hashes (mode=append)
+    * and the next batch anti-joins the union.
+    */
+  def saveFingerprintIndex(index: DataFrame, dir: String,
+      mode: String = "overwrite"): Unit =
+    index.write.mode(mode).parquet(dir)
+
+  def loadFingerprintIndex(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+
+  // ---- IvfPqModel (ANN build artifact) ----
+
+  /** Persist an [[Similarity.IvfPqModel]] as one tiny parquet relation of
+    * (kind, subspace, cid, vec) rows: kind='cent' rows carry the coarse
+    * centroids (subspace = -1), kind='book' rows one codebook centroid
+    * per (subspace, cid). Float32 vectors round-trip exactly.
+    */
+  def saveIvfPqModel(spark: SparkSession, model: Similarity.IvfPqModel,
+      dir: String): Unit = {
+    import spark.implicits._
+    val centRows = model.cents.toSeq.map { case (cid, cv) =>
+      ("cent", -1, cid, cv.toSeq)
+    }
+    val bookRows = for {
+      (book, s) <- model.books.toSeq.zipWithIndex
+      (cv, cid) <- book.toSeq.zipWithIndex
+    } yield ("book", s, cid, cv.toSeq)
+    (centRows ++ bookRows).toDF("kind", "subspace", "cid", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  def loadIvfPqModel(spark: SparkSession, dir: String): Similarity.IvfPqModel = {
+    val rows = spark.read.parquet(dir).collect()
+    val cents = rows.filter(_.getString(0) == "cent")
+      .map(r => (r.getInt(2), r.getSeq[Float](3).toArray))
+      .sortBy(_._1)
+    val books = rows.filter(_.getString(0) == "book")
+      .groupBy(_.getInt(1)).toArray.sortBy(_._1)
+      .map { case (_, rs) =>
+        rs.sortBy(_.getInt(2)).map(_.getSeq[Float](3).toArray)
+      }
+    require(cents.nonEmpty && books.nonEmpty, s"no IVF-PQ model rows under $dir")
+    Similarity.IvfPqModel(cents, books)
+  }
+
+  // ---- BPE merge table (tokenizer artifact) ----
+
+  /** Persist an ordered BPE merge list as (round, left, right) rows —
+    * the artifact a BPE tokenizer IS. Order is the merge ROUND, restored
+    * on load (parquet row order is not a contract).
+    */
+  def saveBpeMerges(spark: SparkSession, merges: Seq[(String, String)],
+      dir: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((l, r), i) => (i + 1, l, r) }
+      .toDF("round", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  def loadBpeMerges(spark: SparkSession, dir: String): Seq[(String, String)] =
+    spark.read.parquet(dir).orderBy(col("round")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+
+  // ---- QualityLrModel (trained quality gate) ----
+
+  /** Persist a [[TextAnalysis.QualityLrModel]] as one (intercept, weights)
+    * row. IEEE doubles round-trip exactly through parquet, so the served
+    * sigmoid scores are bit-identical across the save/load boundary.
+    */
+  def saveQualityLr(spark: SparkSession, model: TextAnalysis.QualityLrModel,
+      dir: String): Unit = {
+    import spark.implicits._
+    Seq((model.intercept, model.weights.toSeq))
+      .toDF("intercept", "weights")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  def loadQualityLr(spark: SparkSession, dir: String): TextAnalysis.QualityLrModel = {
+    val r = spark.read.parquet(dir).head()
+    TextAnalysis.QualityLrModel(r.getDouble(0), r.getSeq[Double](1).toArray)
+  }
+}

@@ -113,14 +113,21 @@ object Mix {
     // plan: one upstream evaluation total (an expensive curation lineage
     // would otherwise run twice), and the checksums provably describe
     // what landed on disk rather than a recomputation of it
-    val manifest = spark.read.parquet(s"$outDir/shards")
+    val onDisk = spark.read.parquet(s"$outDir/shards")
+    // checksum covers EVERY exported column (name-sorted for a stable
+    // order), not just (id, token_count) — a substitution that preserves
+    // id and token count must still fail verification (ADVICE r5). The
+    // shard column is excluded: it's derived from id, and keeping it out
+    // makes the per-row term shard-layout-independent.
+    val contentCols = onDisk.columns.filterNot(_ == "shard").sorted.map(col)
+    val manifest = onDisk
       .withColumn("__tok", tokenCol.cast("long"))
       .groupBy(col("shard").cast("long").as("shard"))
       .agg(count(lit(1)).as("n_rows"), sum(col("__tok")).as("n_tokens"),
         // XOR of per-row hashes: order-insensitive, exact, mergeable,
         // and overflow-free under ANSI (sum of hashes would throw) —
         // the same checksum the consumer can recompute shard-local
-        call_function("bit_xor", xxhash64(col(idCol), col("__tok")))
+        call_function("bit_xor", xxhash64(contentCols: _*))
           .as("checksum"))
       .orderBy(col("shard"))
     manifest.coalesce(1).write.mode("overwrite").parquet(s"$outDir/_manifest")

@@ -9,11 +9,12 @@ import org.apache.spark.sql.types._
   * frame-sample stages.
   *
   * The Spark-side plumbing — schema, partitioning, batch iteration shape —
-  * is real and tested. The actual codec work is STUBBED with a
-  * deterministic fake (`StubCodec`): this container has no image/audio
-  * libraries, and the contract asks for the pipeline shape, not pixels.
-  * Swap `StubCodec` for a JNI/javacv decoder at deployment; nothing else
-  * changes.
+  * is real and tested. IMAGES have a REAL codec ([[ImageCodec]]:
+  * javax.imageio, JDK built-in — PNG encode/decode over genuine pixel
+  * rasters, exercised by [[imageFeatures]]/q_media_decode). Audio/video
+  * decode remains STUBBED with a deterministic fake (`StubCodec`): this
+  * container has no audio/video libraries. Swap `StubCodec` for a
+  * JNI/javacv decoder at deployment; nothing else changes.
   *
   * Scale notes: media bytes are the widest column by orders of magnitude —
   * every transform here keeps them OUT of shuffles (feature extraction is
@@ -63,6 +64,104 @@ object Multimodal {
         (math.max(1, (w * s).toInt), math.max(1, (h * s).toInt))
       }
     }
+  }
+
+  // ------------------------------------------------------------------
+  // REAL IMAGE CODEC — javax.imageio (JDK built-in, zero new deps).
+  // ------------------------------------------------------------------
+  object ImageCodec {
+    /** Deterministic PNG: a w×h RGB raster whose pixel (x, y) is a
+      * splitmix64 of (seed, x, y). PNG is LOSSLESS, so the decoded
+      * raster — and every statistic of it — is a pure function of
+      * (w, h, seed): the determinism the specs assert is a property of
+      * the format, not of luck.
+      */
+    def encodePng(width: Int, height: Int, seed: Long): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          var z = seed + x * 0x9E3779B97F4A7C15L + y * 0xC2B2AE3D27D4EB4FL
+          z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+          z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+          img.setRGB(x, y, ((z ^ (z >>> 31)) & 0xFFFFFF).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    final case class Decoded(width: Int, height: Int, nChannels: Int,
+      meanR: Double, meanG: Double, meanB: Double)
+
+    /** REAL decode + per-channel mean: ImageIO parses the container,
+      * inflates the raster, and the stats are computed from actual
+      * pixels. Untagged sRGB PNGs take no color-management path, so the
+      * decoded values are bit-identical across JVMs.
+      */
+    def decodeStats(bytes: Array[Byte]): Decoded = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "undecodable image bytes")
+      val w = img.getWidth
+      val h = img.getHeight
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          sr += (p >>> 16) & 0xFF; sg += (p >>> 8) & 0xFF; sb += p & 0xFF
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w.toLong * h).toDouble
+      Decoded(w, h, img.getColorModel.getNumComponents,
+        sr / n, sg / n, sb / n)
+    }
+  }
+
+  /** Per-image REAL-decode stats row. */
+  case class ImageStats(media_id: Long, img_width: Int, img_height: Int,
+      n_channels: Int, mean_r: Double, mean_g: Double, mean_b: Double,
+      n_bytes: Long)
+
+  /** Media table with GENUINE PNG bytes (encoded per-row from a
+    * deterministic raster; dims derived from the id). Generation is
+    * map-only inside `mapPartitions` — bytes are born on executors and,
+    * chained into [[imageFeatures]], die there without ever shuffling.
+    */
+  def syntheticImageTable(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val w = (id % 31 + 2).toInt
+        val h = (id % 23 + 2).toInt
+        (id, "image", ImageCodec.encodePng(w, h, id), w, h)
+      }
+    }.toDF("media_id", "kind", "bytes", "width", "height")
+  }
+
+  /** REAL image feature extraction: decode PNG bytes with javax.imageio
+    * at the `mapPartitions` codec boundary (the same boundary the stub
+    * path proves) and emit width/height/channels + per-channel means
+    * computed from genuine pixel data. Map-only; bytes never shuffle.
+    */
+  def imageFeatures(media: DataFrame): Dataset[ImageStats] = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("bytes")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val s = ImageCodec.decodeStats(bytes)
+          ImageStats(id, s.width, s.height, s.nChannels,
+            s.meanR, s.meanG, s.meanB, bytes.length.toLong)
+        }
+      }
   }
 
   /** Synthesize a media table from the documents table (deterministic fake

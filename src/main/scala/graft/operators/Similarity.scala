@@ -395,24 +395,89 @@ object Similarity {
   def ivfPqApply(
       corpus: DataFrame, queries: DataFrame, k: Int, model: IvfPqModel,
       nProbe: Int = 4, rerank: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    ivfPqServe(ivfPqEncodedCorpus(corpus, model, idCol, vecCol),
+      corpus, queries, k, model, nProbe, rerank, idCol, vecCol)
+
+  /** The corpus-side IVF-PQ encode relation: (centroid_id, neighbor_id,
+    * codes, xnorm) — ONE fused expression for the whole encode (cell +
+    * residual codes + norm): the composed HOF form re-evaluated the
+    * residual — and through it the nearestCells argmax — once per
+    * subspace slice (Catalyst HOF argument re-evaluation; measured
+    * ~all of q_cosine_ivfpq's 7.7 s apply at sf0.1). Struct-field
+    * access of one expression is CSE'd: exactly one pass per row.
+    */
+  private def ivfPqEncodedCorpus(corpus: DataFrame, model: IvfPqModel,
+      idCol: String, vecCol: String): DataFrame = {
+    val enc = graft.functions.VectorFunctions.ivf_pq_encode(col(vecCol),
+      model.cents.sortBy(_._1).map(_._2), model.books)
+    corpus
+      .select(col(idCol).as("neighbor_id"), enc.as("__e"))
+      .select(col("__e.cell").as("centroid_id"), col("neighbor_id"),
+        col("__e.codes").as("codes"), col("__e.xnorm").as("xnorm"))
+  }
+
+  /** Materialize the encoded corpus AT REST in the classic inverted-file
+    * layout: `(neighbor_id, codes, xnorm)` parquet PARTITIONED BY
+    * `centroid_id` — one directory per coarse cell, codes instead of
+    * vectors (m ints + a norm ≈ 64× smaller than float32 rows at m=8,
+    * d=64). This is the artifact [[ivfPqApplyFromDisk]] serves from with
+    * PARTITION PRUNING: a query batch probing `p` distinct cells scans
+    * only those p directories — the per-query encode cost of the
+    * in-memory path (re-encoding the corpus on every serving query, the
+    * next bottleneck after the fit at 100 TB) goes to zero, and the scan
+    * cost drops to nProbe/nCells of the index. Encode runs ONCE here,
+    * at index-build time, exactly like the fit.
+    *
+    * One shuffle clusters rows by cell before the write so each cell
+    * directory gets one file set (no tiny-files explosion) — the same
+    * writer discipline as [[Mix.writeShards]].
+    */
+  def writeIvfPqIndex(corpus: DataFrame, model: IvfPqModel, dir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    ivfPqEncodedCorpus(corpus, model, idCol, vecCol)
+      .repartition(col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(dir)
+
+  /** IVF-PQ serving from the AT-REST index written by [[writeIvfPqIndex]]:
+    * the scan carries a static `centroid_id IN (probe cells)` partition
+    * filter — the union of the query batch's nProbe nearest cells,
+    * collected driver-side first (bounded: ≤ min(nQueries·nProbe, nCells)
+    * ints, the same bounded-collect contract as [[nearestCells]]' centroid
+    * inline). Only the probed cell directories are listed/read
+    * (`selectedPartitions < nCells`, plan-asserted in ScalePostureSpec);
+    * results are identical to [[ivfPqApply]] because the equi-join on
+    * `centroid_id` never touched non-probed cells anyway. `corpus` is
+    * still needed for the exact-cosine rerank — at rest that side is the
+    * primary store fetched by id (bounded: rerank·k rows per query).
+    */
+  def ivfPqApplyFromDisk(
+      indexDir: String, corpus: DataFrame, queries: DataFrame, k: Int,
+      model: IvfPqModel, nProbe: Int = 4, rerank: Int = 8,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val probeCells = queries
+      .select(explode(nearestCells(model.cents, col(vecCol), nProbe)).as("__c"))
+      .select(col("__c.cid")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val codes = spark.read.parquet(indexDir)
+      .filter(col("centroid_id").isin(probeCells.map(Int.box): _*))
+    ivfPqServe(codes, corpus, queries, k, model, nProbe, rerank, idCol, vecCol)
+  }
+
+  /** Shared IVF-PQ serving join over any (centroid_id, neighbor_id,
+    * codes, xnorm) relation — in-memory encode and at-rest scan funnel
+    * through this one implementation, so the pruned path cannot drift
+    * from the reference semantics.
+    */
+  private def ivfPqServe(
+      codes: DataFrame, corpus: DataFrame, queries: DataFrame, k: Int,
+      model: IvfPqModel, nProbe: Int, rerank: Int,
+      idCol: String, vecCol: String): DataFrame = {
     val cents = model.cents
     val books = model.books
     val nCentroids = model.nCentroids
     val centArr = array(cents.sortBy(_._1).map { case (_, cv) => typedlit(cv) }: _*)
-
-    // ONE fused expression for the whole corpus-side encode (cell +
-    // residual codes + norm): the composed HOF form re-evaluated the
-    // residual — and through it the nearestCells argmax — once per
-    // subspace slice (Catalyst HOF argument re-evaluation; measured
-    // ~all of q_cosine_ivfpq's 7.7 s apply at sf0.1). Struct-field
-    // access of one expression is CSE'd: exactly one pass per row.
-    val enc = graft.functions.VectorFunctions.ivf_pq_encode(col(vecCol),
-      cents.sortBy(_._1).map(_._2), books)
-    val codes = corpus
-      .select(col(idCol).as("neighbor_id"), enc.as("__e"))
-      .select(col("__e.cell").as("centroid_id"), col("neighbor_id"),
-        col("__e.codes").as("codes"), col("__e.xnorm").as("xnorm"))
 
     val q = broadcast(queries
       .select(col(idCol).as("query_id"), col(vecCol).as("__qv"))

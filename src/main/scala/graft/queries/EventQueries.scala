@@ -229,6 +229,25 @@ object EventQueries {
         .orderBy(col("media_id"))
     }),
 
+    // multimodal: REAL image decode (javax.imageio) — genuine PNG bytes
+    // generated per row, decoded at the mapPartitions codec boundary,
+    // stats from actual pixels. PNG is lossless → fully deterministic;
+    // rows-only (a native decoder is not SQL-expressible). Width/height
+    // parity with the generator is asserted in RecommendSpec.
+    "q_media_decode" -> ((s, d) => {
+      Multimodal.imageFeatures(
+        Multimodal.syntheticImageTable(Tables.documents(s, d)))
+        .toDF()
+        .select(col("media_id"),
+          col("img_width").cast("long").as("img_width"),
+          col("img_height").cast("long").as("img_height"),
+          col("n_channels").cast("long").as("n_channels"),
+          round(col("mean_r"), 4).as("mean_r"),
+          round(col("mean_g"), 4).as("mean_g"),
+          round(col("mean_b"), 4).as("mean_b"))
+        .orderBy(col("media_id"))
+    }),
+
     // cohort retention: users grouped by first-seen day, distinct actives
     // per (cohort, day-offset) — the classic product-analytics triangle,
     // and the event-analytics twin of the corpus freshness questions a

@@ -224,8 +224,20 @@ object SimilarityQueries {
     // then bounded per-label reassembly via sorted collect (d elements
     // per group, order pinned by the struct sort, not collect order).
     // Fully DuckDB-oracled: elementwise avg in double, rounded 6dp.
+    // Output contract: the centroid is SERIALIZED to a comma-joined
+    // string (the q_collect_list / q_embed_quantize convention) — the
+    // driver's pandas compare cannot sort/hash a raw array column.
+    // The element format is pinned to DECIMAL(20,6) on BOTH engines —
+    // raw double→string casts diverge at scientific-notation
+    // boundaries (Spark "1.0E-5" vs DuckDB "1e-05"); decimal gives
+    // "0.000010" on both.
     "q_embed_centroids" -> ((s, d) => {
-      centroidsDf(s, d).orderBy(col("label"))
+      centroidsDf(s, d)
+        .select(col("label"), col("n_vecs"),
+          array_join(
+            transform(col("centroid"), c => c.cast("decimal(20,6)"))
+              .cast("array<string>"), ",").as("centroid_str"))
+        .orderBy(col("label"))
     }),
 
     // cluster cohesion: per-label mean/min cosine of members to their
@@ -305,7 +317,9 @@ object SimilarityQueries {
 
     "q_embed_centroids" ->
       s"""$embCellCtes
-         |SELECT label, MAX(n) AS n_vecs, list(cv ORDER BY pos) AS centroid
+         |SELECT label, MAX(n) AS n_vecs,
+         |  array_to_string(list(CAST(CAST(cv AS DECIMAL(20,6)) AS VARCHAR)
+         |    ORDER BY pos), ',') AS centroid_str
          |FROM c GROUP BY label ORDER BY label""".stripMargin,
 
     "q_embed_dispersion" ->

@@ -400,12 +400,11 @@ object TextQueries {
         .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"))
       val deduped = train.join(keep, Seq("doc_id"), "left_semi")
-      val benchGrams = base.filter(pmod(col("doc_id"), lit(10)) === 7)
-        .select(explode(Dedup.shingles(col("text"), 5)).as("g")).distinct()
-      val contaminated = deduped
-        .select(col("doc_id"), explode(Dedup.shingles(col("text"), 5)).as("g"))
-        .join(broadcast(benchGrams), Seq("g"))
-        .select(col("doc_id")).distinct()
+      val bench = base.filter(pmod(col("doc_id"), lit(10)) === 7)
+      // guarded gram join (broadcast under the threshold, shuffle past
+      // it — TextAnalysis.contaminationPlan owns the choice + logging)
+      val contaminated =
+        TextAnalysis.contaminationPlan(deduped, bench).contaminatedIds
       deduped.join(contaminated, Seq("doc_id"), "left_anti")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("n_chars_kept"),
@@ -419,16 +418,15 @@ object TextQueries {
     // hygiene: eval n-gram overlap must be cut, not just measured).
     // Scale shape: bench reduces to DISTINCT grams and broadcasts; the
     // contaminated id set is ids-only; removal is one left-anti join.
+    // The bench-gram join goes through TextAnalysis.contaminationPlan —
+    // the guarded form that measures the gram count and falls back to a
+    // shuffle join past the broadcast threshold (never silently; both
+    // paths value-equal, CurationSpec).
     "q_decontaminate" -> ((s, d) => {
       val base = docs(s, d)
-      val benchGrams = base.filter(pmod(col("doc_id"), lit(10)) === 7)
-        .select(explode(Dedup.shingles(col("text"), 5)).as("g")).distinct()
+      val bench = base.filter(pmod(col("doc_id"), lit(10)) === 7)
       val train = base.filter(pmod(col("doc_id"), lit(10)) =!= 7)
-      val contaminated = train
-        .select(col("doc_id"), explode(Dedup.shingles(col("text"), 5)).as("g"))
-        .join(broadcast(benchGrams), Seq("g"))
-        .select(col("doc_id")).distinct()
-      train.join(contaminated, Seq("doc_id"), "left_anti")
+      TextAnalysis.decontaminate(train, bench)
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("n_chars_kept"))
         .orderBy(col("source"))
@@ -693,8 +691,14 @@ object TextQueries {
     // on the fingerprint hash (ids-only rows, never text), and
     // per-fingerprint fanout is bounded by n_sources.
     "q_source_overlap" -> ((s, d) => {
-      val h = docs(s, d).select(col("source"),
-        md5(concat_ws(" ", slice(Dedup.tokens(col("text")), 1, 5))).as("fp"))
+      // null-text gate on BOTH engines: Spark's concat_ws over a null
+      // token array yields "" (→ md5("") fp, phantom cross-source
+      // pairs) while DuckDB yields NULL and drops the row — filter
+      // identically so the engines can't diverge on a corpus with
+      // absent texts (ADVICE r5)
+      val h = docs(s, d).filter(col("text").isNotNull)
+        .select(col("source"),
+          md5(concat_ws(" ", slice(Dedup.tokens(col("text")), 1, 5))).as("fp"))
         .distinct()
       h.as("a").join(h.as("b"),
           col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
@@ -1217,7 +1221,7 @@ object TextQueries {
       s"""WITH h AS (
          |  SELECT DISTINCT source,
          |    md5(array_to_string(($duckToks)[1:5], ' ')) AS fp
-         |  FROM documents
+         |  FROM documents WHERE text IS NOT NULL
          |)
          |SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
          |FROM h a JOIN h b ON a.fp = b.fp AND a.source < b.source

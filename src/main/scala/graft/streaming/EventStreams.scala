@@ -126,6 +126,92 @@ object EventStreams {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("content_hash")
 
+  /** [[curateDocs]] with INCREMENTAL NEAR-dup dedup against a persisted
+    * [[graft.operators.Dedup.MinhashIndex]] — the minhash twin of
+    * [[incrementalIntake]] (which composes the EXACT-hash index; the
+    * Dedup.scala scaladoc promises this composition). Three stages, all
+    * streaming-safe:
+    *
+    *  1. gates first (map-only — same state-size argument as
+    *     [[curateDocs]]);
+    *  2. index gate: per band, one stream-static LEFT ANTI equi-join of
+    *     the doc's band bucket (`element_at(sig, band+1)`, a map-only
+    *     column off ONE fused signature pass) against the persisted
+    *     bucket relation — a doc survives iff NO band collides with the
+    *     index. This is the LSH candidate test served as a lookup: the
+    *     batch twin ([[graft.operators.Dedup.incrementalNearDup]])
+    *     verifies exact Jaccard on candidates; the streaming gate treats
+    *     any band collision as a duplicate — deliberately CONSERVATIVE
+    *     for intake (a false collision drops a good doc; tuned banding
+    *     makes that rare, and [[nearDupMatches]] is the verified
+    *     observability stream). Index side stays ids-only parquet —
+    *     re-read per micro-batch, so index appends become visible
+    *     without a restart, exactly like [[incrementalIntake]];
+    *  3. in-stream near-dup: `dropDuplicatesWithinWatermark` keyed on
+    *     the FULL band signature — two docs with identical minhash
+    *     signatures are near-certain near-dups, and signature state is
+    *     one short string per novel doc within the watermark horizon
+    *     (full in-stream Jaccard would need stream-stream pairing state;
+    *     the batch path owns that).
+    */
+  def incrementalNearIntake(docs: DataFrame,
+      index: graft.operators.Dedup.MinhashIndex,
+      nShingle: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      watermark: String = "2 hours", minQuality: Double = 0.5): DataFrame = {
+    val gated = docs
+      .filter(graft.operators.TextAnalysis.qualityScore(col("text")) >= minQuality)
+      .filter(graft.operators.TextAnalysis.langId(col("text")) === "en")
+      .withColumn("__sig", graft.functions.TextHashFunctions.minhash_band_buckets(
+        graft.operators.Dedup.shingles(col("text"), nShingle), bands, rowsPerBand))
+    val novel = (0 until bands).foldLeft(gated) { (df, b) =>
+      df.join(
+        index.buckets.filter(col("band") === b).select(col("bucket").as("__bkt")),
+        element_at(col("__sig"), b + 1) === col("__bkt"), "left_anti")
+    }
+    novel
+      .withColumn("__sig_key", concat_ws(",", col("__sig").cast("array<string>")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("__sig_key")
+      .drop("__sig", "__sig_key")
+  }
+
+  /** Streaming near-dup MATCH stream — the verified observability twin of
+    * [[incrementalNearIntake]]'s gate: for each incoming doc, the
+    * `(new_id, corpus_id, jaccard)` pairs against the persisted index at
+    * `threshold`+, mirroring the batch
+    * [[graft.operators.Dedup.incrementalNearDup]] row-for-row (asserted
+    * in StreamingSpec). Shape: ONE fused signature pass → posexplode to
+    * band rows → stream-static equi-join vs the ids-only index buckets →
+    * shingle fetch BY MATCHED corpus id only → exact Jaccard verify.
+    * The batch side's shingle set rides its ×bands explode — bounded by
+    * the MICRO-BATCH (that is what a micro-batch is), while the
+    * corpus-sized index side stays ids-only: the asymmetry that matters
+    * at 100 TB. Multi-band collisions of the same pair dedupe via
+    * `dropDuplicatesWithinWatermark` (jaccard is a pure function of the
+    * pair, so which collision survives is immaterial).
+    */
+  def nearDupMatches(docs: DataFrame,
+      index: graft.operators.Dedup.MinhashIndex, threshold: Double,
+      nShingle: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      watermark: String = "2 hours"): DataFrame = {
+    val withSig = docs.select(col("doc_id").as("new_id"), col("ts"),
+      graft.operators.Dedup.shingles(col("text"), nShingle).as("__sh"))
+      .withColumn("__sig", graft.functions.TextHashFunctions.minhash_band_buckets(
+        col("__sh"), bands, rowsPerBand))
+    val banded = withSig.select(col("new_id"), col("ts"), col("__sh"),
+      posexplode(col("__sig")).as(Seq("band", "bucket")))
+    banded
+      .join(index.buckets.select(col("band"), col("bucket"),
+        col("id").as("corpus_id")), Seq("band", "bucket"))
+      .join(index.content.select(col("id").as("corpus_id"), col("sh").as("__shc")),
+        Seq("corpus_id"))
+      .withColumn("jaccard", graft.operators.Dedup.jaccard(col("__sh"), col("__shc")))
+      .filter(col("jaccard") >= threshold)
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("new_id", "corpus_id")
+      .select(col("new_id"), col("corpus_id"), col("jaccard"))
+  }
+
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   case class UserSession(user_id: Long, n_events: Long, total_value: Double,

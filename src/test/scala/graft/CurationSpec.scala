@@ -111,8 +111,11 @@ class CurationSpec extends SparkTestBase {
       .toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     val out = SparkEntry.queries("q_embed_centroids")(spark, dir)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Double](2)))
-    assert(out.toSeq == Seq((0L, 2L, Seq(2.0, 4.0)), (1L, 1L, Seq(10.0, 0.0))))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // centroid serialized as comma-joined DECIMAL(20,6) — the harness
+    // sortability contract (raw arrays broke the r5 oracle run)
+    assert(out.toSeq == Seq(
+      (0L, 2L, "2.000000,4.000000"), (1L, 1L, "10.000000,0.000000")))
   }
 
   test("dsirWeight column form ≡ q_dsir_weights join form (fit/apply split)") {
@@ -135,7 +138,7 @@ class CurationSpec extends SparkTestBase {
   test("q_embed_centroids: sf fixture — dims preserved, vec conservation") {
     val rows = q("q_embed_centroids").collect()
     assert(rows.map(_.getLong(1)).sum == 500L)
-    rows.foreach(r => assert(r.getSeq[Double](2).length == 64))
+    rows.foreach(r => assert(r.getString(2).split(",").length == 64))
   }
 
   test("q_events_anomaly: a dead feed (planted gap) is gap-filled and flagged") {
@@ -251,5 +254,74 @@ class CurationSpec extends SparkTestBase {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(out("clean") > out("soup"),
       s"clean ${out("clean")} must outscore soup ${out("soup")}")
+  }
+
+  test("fitQualityLr: fit input is bounded — capped fit stays deterministic") {
+    // past the cap the content-hash sample must (a) actually bound the
+    // fit input and (b) stay a pure function of content: two fits at the
+    // same cap are bit-identical, and a cap below n changes the model
+    // (proof the sample path engaged, not a silent full fit)
+    val docs = graft.Tables.documents(spark, sf)
+    val teacher = graft.operators.TextAnalysis.qualityScore(col("text")) >= 0.77
+    val full = graft.operators.TextAnalysis.fitQualityLr(docs, teacher)
+    val capped1 = graft.operators.TextAnalysis.fitQualityLr(docs, teacher, fitCap = 100L)
+    val capped2 = graft.operators.TextAnalysis.fitQualityLr(docs, teacher, fitCap = 100L)
+    assert(capped1.intercept == capped2.intercept &&
+      capped1.weights.sameElements(capped2.weights),
+      "capped fit must be deterministic")
+    assert(capped1.intercept != full.intercept ||
+      !capped1.weights.sameElements(full.weights),
+      "cap of 100 on a 500-doc corpus must change the fit input")
+  }
+
+  test("contaminationPlan: broadcast and shuffle paths are value-equal, choice visible") {
+    val base = graft.Tables.documents(spark, sf)
+    val bench = base.filter(pmod(col("doc_id"), lit(10)) === 7)
+    val train = base.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+    val bPlan = graft.operators.TextAnalysis.contaminationPlan(train, bench)
+    val sPlan = graft.operators.TextAnalysis.contaminationPlan(train, bench,
+      maxBroadcastGrams = 0L) // force the fallback
+    assert(bPlan.broadcastUsed && !sPlan.broadcastUsed, "guard decision exposed")
+    assert(bPlan.nBenchGrams == sPlan.nBenchGrams && bPlan.nBenchGrams > 0)
+    val a = bPlan.contaminatedIds.collect().map(_.getLong(0)).toSet
+    val b = sPlan.contaminatedIds.collect().map(_.getLong(0)).toSet
+    assert(a == b && a.nonEmpty, "both join strategies must find the same ids")
+  }
+
+  test("QualityLrModel save/load: bit-identical weights and served scores") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_qlr").toString
+    val docs = graft.Tables.documents(spark, sf)
+    val m = graft.operators.TextAnalysis.fitQualityLr(docs,
+      graft.operators.TextAnalysis.qualityScore(col("text")) >= 0.77)
+    graft.operators.Artifacts.saveQualityLr(spark, m, dir)
+    val re = graft.operators.Artifacts.loadQualityLr(spark, dir)
+    assert(re.intercept == m.intercept && re.weights.sameElements(m.weights))
+    val scored = docs.limit(50).select(
+      graft.operators.TextAnalysis.qualityLrScore(m)(col("text")).as("a"),
+      graft.operators.TextAnalysis.qualityLrScore(re)(col("text")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(scored == 0, "reloaded model must serve bit-identical scores")
+  }
+
+  test("q_source_overlap: null texts produce no phantom cross-source pairs") {
+    // Spark's concat_ws over a null token array yields "" — without the
+    // null gate two null-text docs from different sources would share
+    // the md5("") fingerprint (the ADVICE r5 divergence); the DuckDB
+    // twin drops nulls, so the engines would disagree
+    val docs = Seq(
+      (1L, "srcA", null.asInstanceOf[String]),
+      (2L, "srcB", null.asInstanceOf[String]),
+      (3L, "srcA", "shared opening tokens run along here plus tail one"),
+      (4L, "srcB", "shared opening tokens run along here plus tail two"))
+      .toDF("doc_id", "source", "text")
+      .withColumn("n_chars", length(coalesce(col("text"), lit(""))).cast("long"))
+    val h = docs.filter(col("text").isNotNull)
+      .select(col("source"),
+        md5(concat_ws(" ", slice(graft.operators.Dedup.tokens(col("text")), 1, 5))).as("fp"))
+      .distinct()
+    val pairs = h.as("a").join(h.as("b"),
+        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .collect()
+    assert(pairs.length == 1, s"exactly the real shared prefix, got ${pairs.length}")
   }
 }

@@ -388,6 +388,105 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(kept > total / 2, "but must not demote most of the corpus")
   }
 
+  test("MinhashIndex save/load: reloaded index gives bit-identical incrementalNearDup") {
+    import graft.operators.Artifacts
+    val dir = java.nio.file.Files.createTempDirectory("graft_mhidx").toString
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "spark engines shuffle data between executors during wide transformations"),
+      (3L, "completely different text about gardening tulips and spring weather"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog near the river bank now"),
+      (102L, "a totally novel document with no overlap whatsoever in any shingle"))
+      .toDF("doc_id", "text")
+    val idx = Dedup.minhashIndex(corpus)
+    Artifacts.saveMinhashIndex(idx, dir)
+    val reloaded = Artifacts.loadMinhashIndex(spark, dir)
+    // the persisted relations are value-equal to the in-memory ones...
+    assert(reloaded.buckets.collect().toSet == idx.buckets.collect().toSet)
+    assert(reloaded.content.collect().map(r =>
+        (r.getLong(0), r.getSeq[String](1).toSet)).toSet ==
+      idx.content.collect().map(r => (r.getLong(0), r.getSeq[String](1).toSet)).toSet)
+    // ...and a consumer of the RELOADED index (a fresh process, in spirit)
+    // reproduces the fitting process's output bit-for-bit
+    def run(i: Dedup.MinhashIndex) =
+      Dedup.incrementalNearDup(batch, i, threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(run(reloaded) == run(idx) && run(reloaded).exists(_._1 == 101L))
+  }
+
+  test("fingerprint-index save/load: reloaded index gives identical incrementalDedup") {
+    import graft.operators.Artifacts
+    val dir = java.nio.file.Files.createTempDirectory("graft_fpidx").toString
+    val hist = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, "alpha beta gamma"), (11L, "novel content here"))
+      .toDF("doc_id", "text")
+    val index = Dedup.exactDedup(hist).select(col("content_hash"))
+    Artifacts.saveFingerprintIndex(index, dir)
+    val reloaded = Artifacts.loadFingerprintIndex(spark, dir)
+    def run(i: org.apache.spark.sql.DataFrame) =
+      Dedup.incrementalDedup(batch, i)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run(reloaded) == run(index))
+    assert(run(reloaded).map(_._2) == Set(11L), "known doc 10 dropped, novel 11 kept")
+  }
+
+  test("IvfPqModel save/load: bit-identical model, identical serving output") {
+    import graft.operators.Artifacts
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    val emb = Tables.embeddings(spark, sf)
+    val model = Similarity.fitIvfPq(emb, nCells = 8, m = 8, nCentroids = 16)
+    Artifacts.saveIvfPqModel(spark, model, dir)
+    val re = Artifacts.loadIvfPqModel(spark, dir)
+    assert(re.cents.map(_._1).sameElements(model.cents.map(_._1)))
+    assert(re.cents.zip(model.cents).forall { case ((_, a), (_, b)) => a.sameElements(b) })
+    assert(re.books.length == model.books.length)
+    assert(re.books.zip(model.books).forall { case (ba, bb) =>
+      ba.zip(bb).forall { case (a, b) => a.sameElements(b) } })
+    val q = emb.filter(col("vec_id") < 5)
+    val a = Similarity.ivfPqApply(emb, q, k = 5, model).collect().toSeq
+    val b = Similarity.ivfPqApply(emb, q, k = 5, re).collect().toSeq
+    assert(a == b)
+  }
+
+  test("ivfPqApplyFromDisk: partition-pruned scan, results identical to in-memory apply") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfrest").toString
+    val emb = Tables.embeddings(spark, sf)
+    val nCells = 16
+    val model = Similarity.fitIvfPq(emb, nCells = nCells, m = 8, nCentroids = 16)
+    Similarity.writeIvfPqIndex(emb, model, s"$dir/idx")
+    val q = emb.filter(col("vec_id") < 10)
+    val nProbe = 2
+    val fromDisk = Similarity.ivfPqApplyFromDisk(s"$dir/idx", emb, q, k = 5,
+      model, nProbe = nProbe)
+    val inMem = Similarity.ivfPqApply(emb, q, k = 5, model, nProbe = nProbe)
+    assert(fromDisk.collect().toSeq == inMem.collect().toSeq,
+      "pruned at-rest serving must equal the in-memory reference")
+    // the scan must carry a centroid_id partition filter and touch fewer
+    // directories than the index has cells (nProbe=2 per query; the
+    // union over 10 queries stays below nCells on this fixture).
+    // AQE hides scans inside materialized query stages — recurse through
+    // AdaptiveSparkPlanExec/QueryStageExec (their sub-plans are not
+    // `children`, so a flat collectLeaves sees none of them)
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(s.plan)
+    }.flatten
+    val scan = scans(fromDisk.queryExecution.executedPlan).find(
+      _.relation.partitionSchema.fieldNames.contains("centroid_id")).get
+    assert(scan.partitionFilters.nonEmpty, "no partition filter on the IVF scan")
+    val total = spark.read.parquet(s"$dir/idx")
+      .select(col("centroid_id")).distinct().count()
+    assert(scan.selectedPartitions.partitionCount < total,
+      s"scanned ${scan.selectedPartitions.partitionCount} of $total cells — no pruning")
+  }
+
   test("q_ivf_cell_health: deterministic single-row report over the serving assignment") {
     val h1 = graft.queries.SimilarityQueries.queries("q_ivf_cell_health")(spark, sf).collect()
     val h2 = graft.queries.SimilarityQueries.queries("q_ivf_cell_health")(spark, sf).collect()

@@ -55,6 +55,24 @@ class MixSpec extends SparkTestBase {
     }
   }
 
+  test("writeShards checksum is a CONTENT checksum: same id+tokens, different text → different checksum") {
+    // the r5 ADVICE hole: a substitution preserving (id, token_count)
+    // passed the old (id, tokens)-only checksum; it must fail now
+    import spark.implicits._
+    val a = Seq((1L, "original text", 10L), (2L, "second doc", 10L))
+      .toDF("doc_id", "text", "n_tok")
+    val b = Seq((1L, "SUBSTITUTED text", 10L), (2L, "second doc", 10L))
+      .toDF("doc_id", "text", "n_tok")
+    val da = java.nio.file.Files.createTempDirectory("ck_a").toString
+    val db = java.nio.file.Files.createTempDirectory("ck_b").toString
+    val ma = Mix.writeShards(a, da, 1, "doc_id", col("n_tok"))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val mb = Mix.writeShards(b, db, 1, "doc_id", col("n_tok"))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(ma.keySet == mb.keySet)
+    assert(ma != mb, "content substitution must change the checksum")
+  }
+
   test("packByTokenBudget: shards bounded by budget + max doc; deterministic") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     val packed = Mix.packByTokenBudget(docs, "doc_id", "n_chars", 5000L, 8)

@@ -85,4 +85,37 @@ class RecommendSpec extends SparkTestBase {
     assert(f1 == f2, "batch size must not affect results")
     assert(f1.size == 500)
   }
+
+  test("real image codec: decoded stats match the generator (lossless PNG round-trip)") {
+    // genuine javax.imageio decode of genuine PNG bytes: decoded
+    // dimensions must equal the generator's, channels = 3 (RGB), and
+    // means must be real pixel statistics — strictly inside (0, 255)
+    // for the splitmix raster, and bit-identical across partitionings
+    val docs = Tables.documents(spark, sf).limit(60)
+    val media = Multimodal.syntheticImageTable(docs)
+    val stats = Multimodal.imageFeatures(media).collect()
+    assert(stats.length == 60)
+    stats.foreach { s =>
+      assert(s.img_width == (s.media_id % 31 + 2).toInt &&
+        s.img_height == (s.media_id % 23 + 2).toInt,
+        s"decoded dims diverge from generator for ${s.media_id}")
+      assert(s.n_channels == 3)
+      assert(s.mean_r > 0.0 && s.mean_r < 255.0 &&
+        s.mean_g > 0.0 && s.mean_g < 255.0 &&
+        s.mean_b > 0.0 && s.mean_b < 255.0, "means must be genuine pixel stats")
+      assert(s.n_bytes > 50L, "real PNG container overhead present")
+    }
+    val again = Multimodal.imageFeatures(
+      Multimodal.syntheticImageTable(docs.repartition(7))).collect()
+    assert(stats.map(s => s.media_id -> (s.mean_r, s.mean_g, s.mean_b)).toMap ==
+      again.map(s => s.media_id -> (s.mean_r, s.mean_g, s.mean_b)).toMap,
+      "decode must be deterministic under repartitioning")
+  }
+
+  test("q_media_decode: deterministic rows from genuine pixel data") {
+    val q = SparkEntry.queries("q_media_decode")
+    val a = q(spark, sf).collect()
+    val b = q(spark, sf).collect()
+    assert(a.length == 500 && a.sameElements(b))
+  }
 }

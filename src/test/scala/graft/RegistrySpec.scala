@@ -55,6 +55,25 @@ class RegistrySpec extends SparkTestBase {
     assert(SparkEntry.oracleExempt.values.forall(_.trim.nonEmpty))
   }
 
+  test("every declared query's output is harness-sortable (no array/map/struct columns)") {
+    // the driver's oracle harness sorts+hashes outputs via pandas, which
+    // cannot sort container values — the r5 q_embed_centroids red row.
+    // The repo convention is to SERIALIZE containers (concat_ws /
+    // array_to_string); this asserts no future query ships a raw one.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        fn(spark, sf).schema.fields.collect {
+          case f if f.dataType.isInstanceOf[ArrayType] ||
+              f.dataType.isInstanceOf[MapType] ||
+              f.dataType.isInstanceOf[StructType] =>
+            s"$name.${f.name}: ${f.dataType.simpleString}"
+        }
+    }
+    assert(offenders.isEmpty,
+      s"queries emitting unsortable container columns: ${offenders.mkString("; ")}")
+  }
+
   test("asof joins tolerate an empty right side (all-null attach)") {
     val left = Seq((1L, 100L, "p")).toDF("user_id", "us", "name")
     val right = Seq.empty[(Long, Long, Long)].toDF("user_id", "us", "click_id")

@@ -279,6 +279,61 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("streaming NEAR-dup intake: index near-dup dropped, novel kept, in-stream dup dropped") {
+    implicit val sc = spark.sqlContext
+    val corpusDoc = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val corpus = Seq((1L, corpusDoc)).toDF("doc_id", "text")
+    val index = graft.operators.Dedup.minhashIndex(corpus)
+    val nearDupOfIndexed = // one-token edit of the indexed doc
+      "the quick brown fox jumps over the lazy dog near the river bank now"
+    val novel = "a new document with the words that pass the quality gate " +
+      "and the language gate for the test of the incremental intake path"
+    val mem = MemoryStream[EventStreams.Doc]
+    val q = EventStreams.incrementalNearIntake(mem.toDF(), index)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("near_intake_out").start()
+    try {
+      mem.addData(
+        EventStreams.Doc(11, ts(0), nearDupOfIndexed), // band-collides with index → dropped
+        EventStreams.Doc(12, ts(1), novel),            // novel → kept
+        EventStreams.Doc(13, ts(2), novel))            // in-stream signature dup of 12 → dropped
+      q.processAllAvailable()
+      val kept = spark.table("near_intake_out").select(col("doc_id"))
+        .as[Long].collect().toSet
+      assert(kept == Set(12L), s"kept $kept")
+    } finally q.stop()
+  }
+
+  test("streaming nearDupMatches mirrors batch incrementalNearDup pair-for-pair") {
+    implicit val sc = spark.sqlContext
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "spark engines shuffle data between executors during wide transformations"),
+      (3L, "completely different text about gardening tulips and spring weather"))
+      .toDF("doc_id", "text")
+    val index = graft.operators.Dedup.minhashIndex(corpus)
+    val batchDocs = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog near the river bank now"),
+      (102L, "spark engines shuffle data between executors during wide transformations"),
+      (103L, "a totally novel document with no overlap whatsoever in any shingle"))
+    val expected = graft.operators.Dedup.incrementalNearDup(
+      batchDocs.toDF("doc_id", "text"), index, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val mem = MemoryStream[EventStreams.Doc]
+    val q = EventStreams.nearDupMatches(mem.toDF(), index, threshold = 0.5)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("near_match_out").start()
+    try {
+      mem.addData(batchDocs.zipWithIndex.map { case ((id, text), i) =>
+        EventStreams.Doc(id, ts(i), text) }: _*)
+      q.processAllAvailable()
+      val got = spark.table("near_match_out")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == expected, s"stream $got != batch $expected")
+      assert(got.map(p => (p._1, p._2)) == Set((101L, 1L), (102L, 2L)))
+    } finally q.stop()
+  }
+
   test("stateless LM scoring on a doc stream: map-only, no state store") {
     // the trigram LM trains in BATCH (bounded collect, like centroids)
     // and scores the stream as a pure column expression — no streaming

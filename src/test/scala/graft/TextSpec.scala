@@ -124,6 +124,20 @@ class TextSpec extends SparkTestBase {
     assert(r2 == Seq("b", "es", "t"), "first merge sees no 'es' symbol yet")
   }
 
+  test("BPE merge table save/load: order preserved, served encoding identical") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe").toString
+    val merges = Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"))
+    graft.operators.Artifacts.saveBpeMerges(spark, merges, dir)
+    val re = graft.operators.Artifacts.loadBpeMerges(spark, dir)
+    assert(re == merges, "merge ORDER is the artifact — must survive parquet")
+    val df = Seq(Seq("newest", "lowest")).toDF("toks")
+    val a = df.select(graft.functions.TextHashFunctions.bpe_encode(col("toks"), merges))
+      .first().getSeq[String](0)
+    val b = df.select(graft.functions.TextHashFunctions.bpe_encode(col("toks"), re))
+      .first().getSeq[String](0)
+    assert(a == b)
+  }
+
   test("q_bpe_tokenize equals the independent driver-side encoder on sf0.001") {
     val merges = graft.queries.TextQueries.bpeModel(spark, sf)
     assert(merges.length == 10)
