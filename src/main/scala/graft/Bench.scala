@@ -55,7 +55,10 @@ object Bench {
     // round-5 compositions: DSIR selection, decontamination, cluster
     // observability (sizes + cohesion), intake anomaly alarm
     "q_dsir_select", "q_decontaminate", "q_dedup_cluster_sizes",
-    "q_embed_dispersion", "q_events_anomaly", "q_corpus_pipeline")
+    "q_embed_dispersion", "q_events_anomaly", "q_corpus_pipeline",
+    // round-6 additions: at-rest IVF-PQ serving (partition-pruned scan,
+    // encode paid at index-build time) and the real image-decode path
+    "q_cosine_ivfpq_disk", "q_media_decode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -131,6 +134,26 @@ object Bench {
     val fitMedian = if (fitSecs.isEmpty) -1.0 else fitSecs.sorted.apply(fitSecs.length / 2)
     try graft.queries.SimilarityQueries.ivfpqModel(spark, sfDir)
     catch { case _: Throwable => () }
+    // at-rest IVF index BUILD (one corpus encode + partitioned write) —
+    // a build artifact like the fit; timing it here also populates the
+    // per-dir index memo so the headline q_cosine_ivfpq_disk line below
+    // measures the pruned-scan SERVING path only
+    val ivfWriteSecs = (1 to runs).flatMap { _ =>
+      val t0 = System.nanoTime()
+      try {
+        val dir = java.nio.file.Files.createTempDirectory("bench_ivf").toString
+        graft.operators.Similarity.writeIvfPqIndex(
+          Tables.load(spark, sfDir, "embeddings"),
+          graft.queries.SimilarityQueries.ivfpqModel(spark, sfDir), s"$dir/idx")
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] fit q_ivfpq_write failed: ${e.getMessage}"); None
+      }
+    }
+    val ivfWriteMedian =
+      if (ivfWriteSecs.isEmpty) -1.0 else ivfWriteSecs.sorted.apply(ivfWriteSecs.length / 2)
+    try graft.queries.SimilarityQueries.ivfIndexDir(spark, sfDir)
+    catch { case _: Throwable => () }
     // BPE merge-table fit (same build-artifact reasoning): timed here,
     // and the memo populate makes q_bpe_tokenize below apply-only
     val bpeSecs = (1 to runs).flatMap { _ =>
@@ -166,7 +189,7 @@ object Bench {
     val qlrMedian = if (qlrSecs.isEmpty) -1.0 else qlrSecs.sorted.apply(qlrSecs.length / 2)
     try graft.queries.TextQueries.qlrModel(spark, sfDir)
     catch { case _: Throwable => () }
-    val fitJson = f"""{"q_ivfpq_fit":$fitMedian%.3f,"q_bpe_fit":$bpeMedian%.3f,"q_qlr_fit":$qlrMedian%.3f}"""
+    val fitJson = f"""{"q_ivfpq_fit":$fitMedian%.3f,"q_ivfpq_write":$ivfWriteMedian%.3f,"q_bpe_fit":$bpeMedian%.3f,"q_qlr_fit":$qlrMedian%.3f}"""
 
     val results = headline.flatMap { name =>
       SparkEntry.queries.get(name).map(fn => name -> timeQuery(name, fn, sfDir, ""))

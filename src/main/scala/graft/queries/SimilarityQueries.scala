@@ -33,6 +33,23 @@ object SimilarityQueries {
     ivfpqModels.getOrElseUpdate(d,
       Similarity.fitIvfPq(emb(s, d), nCells = 16, m = 8, nCentroids = 32))
 
+  /** At-rest IVF-PQ index location per scale dir — built ONCE (encode at
+    * index-build time, like the fit) via [[Similarity.writeIvfPqIndex]];
+    * `q_cosine_ivfpq_disk` then serves from it with partition pruning.
+    * The index derives deterministically from (data, model), so values
+    * are identical to the in-memory path (operator-level equality is
+    * asserted in DedupSimilaritySpec).
+    */
+  private val ivfIndexDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private[graft] def ivfIndexDir(s: SparkSession, d: String): String =
+    ivfIndexDirs.getOrElseUpdate(d, {
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivf_rest")
+        .toString + "/idx"
+      Similarity.writeIvfPqIndex(emb(s, d), ivfpqModel(s, d), dir)
+      dir
+    })
+
   /** Shared per-label centroid relation — `(label, n_vecs, centroid)`
     * with centroid elements avg'd in double and ROUNDED to 6dp (that
     * rounding is the cross-engine bit-equality contract every consumer
@@ -132,6 +149,22 @@ object SimilarityQueries {
       val e = emb(s, d)
       Similarity.ivfPqApply(e, e.filter(col("vec_id") < 10), k = 5,
         ivfpqModel(s, d), nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cos"), 6).as("cos_r"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // IVF-PQ served from the AT-REST inverted-file layout: parquet
+    // partitioned by centroid_id, scanned with a static probe-cell
+    // partition filter (selectedPartitions < nCells — plan-asserted in
+    // DedupSimilaritySpec) — the 100 TB serving shape where the encode
+    // happened once at index-build time and a query batch reads only
+    // its nProbe cells. Values identical to q_cosine_ivfpq (same
+    // serving join, same model). Rows-only (KMeans artifacts).
+    "q_cosine_ivfpq_disk" -> ((s, d) => {
+      val e = emb(s, d)
+      Similarity.ivfPqApplyFromDisk(ivfIndexDir(s, d), e,
+        e.filter(col("vec_id") < 10), k = 5, ivfpqModel(s, d), nProbe = 4)
         .select(col("query_id"), col("neighbor_id"), col("rank"),
           round(col("cos"), 6).as("cos_r"))
         .orderBy(col("query_id"), col("rank"))

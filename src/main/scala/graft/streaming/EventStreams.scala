@@ -175,6 +175,72 @@ object EventStreams {
       .drop("__sig", "__sig_key")
   }
 
+  /** CLOSED-LOOP exact-dedup intake: [[incrementalIntake]] gating against
+    * the PERSISTED fingerprint index at `indexDir`, with a `foreachBatch`
+    * sink that (a) appends survivors to `sinkDir` and (b) appends their
+    * content hashes back to the index — so the NEXT ingest cycle (or the
+    * next process after a restart) anti-joins an index that already
+    * contains this cycle's docs. This is the maintenance loop the
+    * incremental story needs across RESTARTS: the index is durable
+    * parquet, not session memos (StreamingSpec drives two cycles with a
+    * stop between them and asserts cycle-2 drops cycle-1's docs).
+    * Returns the wired writer — callers `.start()` it (adding a
+    * checkpointLocation for exactly-once across crashes).
+    *
+    * Scale notes: per micro-batch the appended hash set is batch-sized
+    * (ids-only); `foreachBatch` persists the micro-batch so the two
+    * writes share one evaluation (the [[Mix.writeShards]] discipline).
+    */
+  def maintainedIntake(docs: DataFrame, indexDir: String, sinkDir: String,
+      watermark: String = "2 hours", minQuality: Double = 0.5)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val spark = docs.sparkSession
+    val curated = incrementalIntake(docs,
+      graft.operators.Artifacts.loadFingerprintIndex(spark, indexDir),
+      watermark, minQuality)
+    curated.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.persist()
+        b.write.mode("append").parquet(sinkDir)
+        b.select(col("content_hash")).distinct()
+          .write.mode("append").parquet(indexDir)
+        b.unpersist()
+        ()
+      }
+  }
+
+  /** [[maintainedIntake]]'s NEAR-dup twin: [[incrementalNearIntake]]
+    * gating against the persisted [[graft.operators.Dedup.MinhashIndex]]
+    * under `indexDir` (the [[graft.operators.Artifacts]] layout), with
+    * survivors' band-bucket rows and shingle sets appended back — the
+    * next cycle's gate sees this cycle's docs. The per-(band,bucket) cap
+    * is enforced at full index REBUILDS, not on appends (appends are
+    * batch-sized; a periodic compaction re-runs
+    * [[graft.operators.Dedup.minhashIndex]] — documented, not silent).
+    */
+  def maintainedNearIntake(docs: DataFrame, indexDir: String, sinkDir: String,
+      nShingle: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      watermark: String = "2 hours", minQuality: Double = 0.5)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val spark = docs.sparkSession
+    val idx = graft.operators.Artifacts.loadMinhashIndex(spark, indexDir)
+    val curated = incrementalNearIntake(docs, idx, nShingle, bands,
+      rowsPerBand, watermark, minQuality)
+    curated.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.persist()
+        b.write.mode("append").parquet(sinkDir)
+        graft.operators.Dedup
+          .minhashBuckets(b, nShingle, bands, rowsPerBand)
+          .write.mode("append").parquet(s"$indexDir/buckets")
+        b.select(col("doc_id").as("id"),
+            graft.operators.Dedup.shingles(col("text"), nShingle).as("sh"))
+          .write.mode("append").parquet(s"$indexDir/content")
+        b.unpersist()
+        ()
+      }
+  }
+
   /** Streaming near-dup MATCH stream — the verified observability twin of
     * [[incrementalNearIntake]]'s gate: for each incoming doc, the
     * `(new_id, corpus_id, jaccard)` pairs against the persisted index at

@@ -334,6 +334,82 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("maintainedIntake: closed loop across a RESTART — cycle 2 drops cycle 1's docs") {
+    implicit val sc = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_loop").toString
+    val indexDir = s"$tmp/index"; val sinkDir = s"$tmp/sink"
+    val seeded = "the quick brown fox jumps over the lazy dog and the cat " +
+      "is in the house with a dog for the day and the night is long"
+    val novel1 = "a new document with the words that pass the quality gate " +
+      "and the language gate for the test of the incremental intake path"
+    val novel2 = "another fresh document where the tokens clear the gates " +
+      "and the content is not in the index for this second cycle test"
+    // seed the durable index with one known hash
+    Seq(seeded).toDF("text").select(md5(col("text")).as("content_hash"))
+      .write.parquet(indexDir)
+    // cycle 1
+    val mem1 = MemoryStream[EventStreams.Doc]
+    val q1 = EventStreams.maintainedIntake(mem1.toDF(), indexDir, sinkDir).start()
+    try {
+      mem1.addData(
+        EventStreams.Doc(1, ts(0), seeded),  // in index → dropped
+        EventStreams.Doc(2, ts(1), novel1))  // kept + hash appended
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val afterC1 = spark.read.parquet(sinkDir).select(col("doc_id"))
+      .as[Long].collect().toSet
+    assert(afterC1 == Set(2L), s"cycle 1 kept $afterC1")
+    // cycle 2: a FRESH query (process restart, in spirit) — novel1 must
+    // now be dropped because its hash lives in the durable index, not in
+    // any session memo or state store
+    val mem2 = MemoryStream[EventStreams.Doc]
+    val q2 = EventStreams.maintainedIntake(mem2.toDF(), indexDir, sinkDir).start()
+    try {
+      mem2.addData(
+        EventStreams.Doc(3, ts(10), novel1), // cycle-1 survivor → dropped
+        EventStreams.Doc(4, ts(11), novel2)) // genuinely new → kept
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val afterC2 = spark.read.parquet(sinkDir).select(col("doc_id"))
+      .as[Long].collect().toSet
+    assert(afterC2 == Set(2L, 4L), s"cycle 2 state $afterC2")
+    // and the index now carries all three content hashes
+    assert(spark.read.parquet(indexDir).distinct().count() == 3L)
+  }
+
+  test("maintainedNearIntake: near-dup of a cycle-1 survivor is dropped in cycle 2") {
+    implicit val sc = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_nearloop").toString
+    val indexDir = s"$tmp/index"; val sinkDir = s"$tmp/sink"
+    val corpusDoc = "the quick brown fox jumps over the lazy dog near the river bank today"
+    graft.operators.Artifacts.saveMinhashIndex(
+      graft.operators.Dedup.minhashIndex(Seq((1L, corpusDoc)).toDF("doc_id", "text")),
+      indexDir)
+    val novel = "a new document with the words that pass the quality gate " +
+      "and the language gate for the test of the incremental intake path"
+    val nearDupOfNovel = "a new document with the words that pass the quality gate " +
+      "and the language gate for the test of the incremental intake step"
+    // cycle 1: novel survives, its bucket rows + shingles append
+    val mem1 = MemoryStream[EventStreams.Doc]
+    val q1 = EventStreams.maintainedNearIntake(mem1.toDF(), indexDir, sinkDir).start()
+    try {
+      mem1.addData(EventStreams.Doc(11, ts(0), novel))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(spark.read.parquet(sinkDir).select(col("doc_id"))
+      .as[Long].collect().toSet == Set(11L))
+    // cycle 2 (fresh query): a near-dup of the cycle-1 survivor must
+    // band-collide with the UPDATED durable index and be dropped
+    val mem2 = MemoryStream[EventStreams.Doc]
+    val q2 = EventStreams.maintainedNearIntake(mem2.toDF(), indexDir, sinkDir).start()
+    try {
+      mem2.addData(EventStreams.Doc(12, ts(10), nearDupOfNovel))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(spark.read.parquet(sinkDir).select(col("doc_id"))
+      .as[Long].collect().toSet == Set(11L), "near-dup of survivor not dropped")
+  }
+
   test("stateless LM scoring on a doc stream: map-only, no state store") {
     // the trigram LM trains in BATCH (bounded collect, like centroids)
     // and scores the stream as a pure column expression — no streaming
