@@ -48,6 +48,31 @@ object Artifacts {
       spark.read.parquet(s"$dir/buckets"),
       spark.read.parquet(s"$dir/content"))
 
+  /** Periodic COMPACTION of a persisted [[Dedup.MinhashIndex]] that has
+    * taken streaming appends
+    * ([[graft.streaming.EventStreams.maintainedNearIntake]] appends
+    * batch-sized row sets without re-enforcing the per-(band, bucket)
+    * cap): re-caps every bucket at `maxBucket` ids (smallest-id-first,
+    * the same deterministic rule as [[Dedup.minhashIndex]]) and dedups
+    * content rows per id. Materializes via eager localCheckpoint BEFORE
+    * overwriting — the read and the overwrite of the same path must not
+    * overlap. Run on the maintenance cadence, not per batch.
+    */
+  def compactMinhashIndex(spark: SparkSession, dir: String,
+      maxBucket: Int = 256): Unit = {
+    val idx = loadMinhashIndex(spark, dir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bucket")).orderBy(col("id"))
+    val buckets = idx.buckets.dropDuplicates("band", "bucket", "id")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxBucket).drop("__rn")
+      .localCheckpoint(true)
+    val content = idx.content
+      .groupBy(col("id")).agg(first(col("sh")).as("sh"))
+      .localCheckpoint(true)
+    saveMinhashIndex(Dedup.MinhashIndex(buckets, content), dir)
+  }
+
   // ---- exact-dedup fingerprint index ----
 
   /** Persist the exact-dedup fingerprint index (`content_hash` plus any

@@ -439,6 +439,21 @@ object Similarity {
       .repartition(col("centroid_id"))
       .write.mode("overwrite").partitionBy("centroid_id").parquet(dir)
 
+  /** INCREMENTAL maintenance of the at-rest index: encode a new vector
+    * batch under the SAME model and append its rows to the existing
+    * cell directories — the ANN twin of the dedup index appends
+    * ([[graft.streaming.EventStreams.maintainedIntake]]). Serving needs
+    * no restart or rebuild; the next scan lists the appended files.
+    * The model is NOT refit (codebooks are statistics — they drift only
+    * when the distribution does; re-fit + full rewrite is the periodic
+    * compaction, exactly like the minhash-index cap re-enforcement).
+    */
+  def appendToIvfPqIndex(newVecs: DataFrame, model: IvfPqModel, dir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    ivfPqEncodedCorpus(newVecs, model, idCol, vecCol)
+      .repartition(col("centroid_id"))
+      .write.mode("append").partitionBy("centroid_id").parquet(dir)
+
   /** IVF-PQ serving from the AT-REST index written by [[writeIvfPqIndex]]:
     * the scan carries a static `centroid_id IN (probe cells)` partition
     * filter — the union of the query batch's nProbe nearest cells,

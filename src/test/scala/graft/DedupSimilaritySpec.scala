@@ -487,6 +487,55 @@ class DedupSimilaritySpec extends SparkTestBase {
       s"scanned ${scan.selectedPartitions.partitionCount} of $total cells — no pruning")
   }
 
+  test("appendToIvfPqIndex: incremental at-rest index ≡ full rebuild, serving unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfapp").toString
+    val emb = Tables.embeddings(spark, sf)
+    val model = Similarity.fitIvfPq(emb, nCells = 16, m = 8, nCentroids = 16)
+    // build from the first half, append the second half under the SAME model
+    Similarity.writeIvfPqIndex(emb.filter(col("vec_id") % 2 === 0), model, s"$dir/idx")
+    Similarity.appendToIvfPqIndex(emb.filter(col("vec_id") % 2 === 1), model, s"$dir/idx")
+    val q = emb.filter(col("vec_id") < 10)
+    val incremental = Similarity.ivfPqApplyFromDisk(s"$dir/idx", emb, q, k = 5, model)
+      .collect().toSeq
+    val reference = Similarity.ivfPqApply(emb, q, k = 5, model).collect().toSeq
+    assert(incremental == reference,
+      "appended index must serve identically to a full-corpus encode")
+  }
+
+  test("compactMinhashIndex: re-caps hot buckets and dedups content after appends") {
+    import graft.operators.Artifacts
+    val dir = java.nio.file.Files.createTempDirectory("graft_mhcompact").toString
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "spark engines shuffle data between executors during wide transformations"))
+      .toDF("doc_id", "text")
+    Artifacts.saveMinhashIndex(Dedup.minhashIndex(corpus), dir)
+    // simulate streaming appends: duplicate bucket rows + a planted hot
+    // bucket + a duplicated content row
+    (3L to 40L).map(i => (0, 999L, i)).toDF("band", "bucket", "id")
+      .write.mode("append").parquet(s"$dir/buckets")
+    corpus.filter(col("doc_id") === 1)
+      .select(col("doc_id").as("id"), Dedup.shingles(col("text"), 3).as("sh"))
+      .write.mode("append").parquet(s"$dir/content")
+    Artifacts.compactMinhashIndex(spark, dir, maxBucket = 16)
+    val after = Artifacts.loadMinhashIndex(spark, dir)
+    val maxPerBucket = after.buckets.groupBy(col("band"), col("bucket"))
+      .count().agg(max(col("count"))).first().getLong(0)
+    assert(maxPerBucket <= 16L, s"bucket cap not re-enforced: $maxPerBucket")
+    // hot bucket keeps the SMALLEST ids (the deterministic demotion rule)
+    val hot = after.buckets.filter(col("band") === 0 && col("bucket") === 999)
+      .select(col("id")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(hot == (3L to 18L).toSeq, s"hot bucket kept $hot")
+    assert(after.content.groupBy(col("id")).count()
+      .filter(col("count") > 1).count() == 0, "content rows must be unique per id")
+    // the compacted index still finds a planted near-dup
+    val hit = Dedup.incrementalNearDup(
+      Seq((101L, "the quick brown fox jumps over the lazy dog near the river bank now"))
+        .toDF("doc_id", "text"), after, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hit.contains((101L, 1L)), s"post-compaction near-dup missed: $hit")
+  }
+
   test("q_ivf_cell_health: deterministic single-row report over the serving assignment") {
     val h1 = graft.queries.SimilarityQueries.queries("q_ivf_cell_health")(spark, sf).collect()
     val h2 = graft.queries.SimilarityQueries.queries("q_ivf_cell_health")(spark, sf).collect()
