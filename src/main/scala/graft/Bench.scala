@@ -57,8 +57,10 @@ object Bench {
     "q_dsir_select", "q_decontaminate", "q_dedup_cluster_sizes",
     "q_embed_dispersion", "q_events_anomaly", "q_corpus_pipeline",
     // round-6 additions: at-rest IVF-PQ serving (partition-pruned scan,
-    // encode paid at index-build time) and the real image-decode path
-    "q_cosine_ivfpq_disk", "q_media_decode")
+    // encode paid at index-build time), the real image-decode path, the
+    // deflate redundancy gate, and per-source lexical diversity
+    "q_cosine_ivfpq_disk", "q_media_decode",
+    "q_compress_ratio", "q_lexical_diversity")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -60,5 +60,6 @@ object SparkEntry {
     "q_split_v1_report" -> "seeded sampleBy never value-matches cross-engine; partition invariant",
     "q_split_v2_report" -> "seeded per-user sample; disjointness invariants (1 row, zeros)",
     "q_quality_classifier" -> "LBFGS LR fit not SQL-expressible; accuracy floor + fit determinism + planted-gate tests in CurationSpec",
+    "q_compress_ratio" -> "zlib deflate not SQL-expressible; monotonicity (repetitive < prose < mash) + determinism tests in TextSpec",
     "q_dedup_incremental_near" -> "minhash banding Spark-hash-specific; planted-pair + full-batch-equivalence tests in DedupSimilaritySpec")
 }

@@ -449,6 +449,41 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // compression-ratio quality gate: deflated/raw byte ratio per doc —
+    // the classic redundancy detector (templated spam and boilerplate
+    // compress far below natural prose; q_repetition sees only
+    // token-level repeats, deflate sees phrase/structure redundancy).
+    // One fused codegen'd expression (CompressRatioExpr), map-only.
+    // Rows-only: zlib deflate is not SQL-expressible; monotonicity
+    // (repetitive ≪ prose ≪ mash) + determinism asserted in TextSpec.
+    "q_compress_ratio" -> ((s, d) => {
+      docs(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          round(graft.functions.CompressStats.compress_ratio(col("text")), 6)
+            .as("ratio_r"))
+        .withColumn("is_redundant", col("ratio_r") < 0.35)
+        .orderBy(col("doc_id"))
+    }),
+
+    // lexical diversity per source: type-token ratio + hapax share out
+    // of ONE (source, term) aggregate — the vocabulary-richness
+    // observability that catches templated/bot feeds (low TTR, low
+    // hapax) before they dominate a mix. Fully oracled. Scale shape:
+    // one (source, term) shuffle with map-side partial counts, then a
+    // bounded per-source rollup — no self-joins, no collects.
+    "q_lexical_diversity" -> ((s, d) => {
+      docs(s, d)
+        .select(col("source"), explode(Dedup.tokens(col("text"))).as("t"))
+        .groupBy(col("source"), col("t")).agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          round(count(lit(1)).cast("double") / sum(col("c")), 6).as("ttr_r"),
+          round(count(when(col("c") === 1, 1)).cast("double") / count(lit(1)), 6)
+            .as("hapax_r"))
+        .orderBy(col("source"))
+    }),
+
     // character-trigram language-model quality score (perplexity proxy —
     // the statistical gibberish detector next to the heuristic
     // q_text_quality): train a corpus trigram distribution in one
@@ -909,6 +944,19 @@ object TextQueries {
         |  array_to_string(toks[(i*10 + 1):(i*10 + 20)], ' ') AS chunk_text,
         |  CAST(least(20, n - i*10) AS BIGINT) AS n_tokens_chunk
         |FROM x ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q_lexical_diversity" ->
+      s"""WITH toks AS (
+         |  SELECT source, unnest($duckToks) AS t FROM documents
+         |), tc AS (
+         |  SELECT source, t, COUNT(*) AS c FROM toks GROUP BY source, t
+         |)
+         |SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |  COUNT(*) AS n_types,
+         |  ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS ttr_r,
+         |  ROUND(CAST(COUNT(CASE WHEN c = 1 THEN 1 END) AS DOUBLE) / COUNT(*), 6)
+         |    AS hapax_r
+         |FROM tc GROUP BY source ORDER BY source""".stripMargin,
 
     "q_dedup_incremental" ->
       """WITH idx AS (

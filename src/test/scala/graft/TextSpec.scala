@@ -124,6 +124,26 @@ class TextSpec extends SparkTestBase {
     assert(r2 == Seq("b", "es", "t"), "first merge sees no 'es' symbol yet")
   }
 
+  test("compress_ratio: repetitive << prose << mash, deterministic, empty neutral") {
+    val rep = ("spam ham " * 200).trim                  // structure-level redundancy
+    val prose = "the quick brown fox jumps over the lazy dog while the " +
+      "gardener plants tulips near the river bank and the weather turns " +
+      "colder as autumn arrives with rain and wind across the valley " * 3
+    val mash = (1 to 400).map(i => (i * 2654435761L).toHexString).mkString(" ")
+    val df = Seq(("rep", rep), ("prose", prose), ("mash", mash), ("empty", ""))
+      .toDF("kind", "text")
+      .select(col("kind"),
+        graft.functions.CompressStats.compress_ratio(col("text")).as("r"))
+    val m = df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("rep") < m("prose") && m("prose") < m("mash"),
+      s"monotonicity violated: $m")
+    assert(m("rep") < 0.2, s"repetitive text must compress hard: ${m("rep")}")
+    assert(m("empty") == 1.0, "empty text is neutral, not a crash")
+    // deterministic across partitionings (fixed deflate level + impl)
+    val q = graft.queries.TextQueries.queries("q_compress_ratio")
+    assert(q(spark, sf).collect().sameElements(q(spark, sf).collect()))
+  }
+
   test("BPE merge table save/load: order preserved, served encoding identical") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bpe").toString
     val merges = Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"))
