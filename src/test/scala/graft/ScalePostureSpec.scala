@@ -433,4 +433,45 @@ class ScalePostureSpec extends SparkTestBase {
     assert(hr >= 0.0 && hr <= 1.0)
     assert(map >= 0.0 && map <= 1.0)
   }
+
+  test("compress_ratio is map-only: zero exchanges before the output sort") {
+    val plan = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        graft.functions.CompressStats.compress_ratio(col("text")).as("r"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"deflate gate must not shuffle:\n$plan")
+    // "*(n)" is the compact-string WholeStageCodegen marker — the
+    // projection carrying the deflate expression must sit inside a
+    // codegen stage, not fall back to interpreted eval
+    assert(plan.linesIterator.next().trim.startsWith("*("),
+      s"expression must stay in codegen:\n$plan")
+  }
+
+  test("q_lexical_diversity: map-side partial aggregation on the (source, term) shuffle") {
+    val df = SparkEntry.queries("q_lexical_diversity")(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    // partial counts must ride the map side of the term shuffle — the
+    // explode output shrinks to distinct (source, term) BEFORE exchanging
+    assert(plan.contains("partial_count") || plan.contains("partial count"),
+      s"no map-side partial aggregation:\n$plan")
+  }
+
+  test("compactMinhashIndex is idempotent: second compaction is a no-op") {
+    import graft.operators.{Artifacts, Dedup}
+    val dir = java.nio.file.Files.createTempDirectory("graft_mhidem").toString
+    val corpus = (1L to 20L).map(i =>
+      (i, s"document number $i with a shared prefix of tokens and suffix $i"))
+      .toDF("doc_id", "text")
+    Artifacts.saveMinhashIndex(Dedup.minhashIndex(corpus), dir)
+    Artifacts.compactMinhashIndex(spark, dir, maxBucket = 16)
+    val once = (Artifacts.loadMinhashIndex(spark, dir).buckets.collect().toSet,
+      Artifacts.loadMinhashIndex(spark, dir).content.collect()
+        .map(r => (r.getLong(0), r.getSeq[String](1).toSet)).toSet)
+    Artifacts.compactMinhashIndex(spark, dir, maxBucket = 16)
+    val twice = (Artifacts.loadMinhashIndex(spark, dir).buckets.collect().toSet,
+      Artifacts.loadMinhashIndex(spark, dir).content.collect()
+        .map(r => (r.getLong(0), r.getSeq[String](1).toSet)).toSet)
+    assert(once == twice, "re-compaction of a compacted index must change nothing")
+  }
 }
