@@ -59,7 +59,7 @@ object Bench {
     // round-6 additions: at-rest IVF-PQ serving (partition-pruned scan,
     // encode paid at index-build time), the real image-decode path, the
     // deflate redundancy gate, and per-source lexical diversity
-    "q_cosine_ivfpq_disk", "q_media_decode",
+    "q_cosine_ivfpq_disk", "q_media_decode", "q_audio_decode",
     "q_compress_ratio", "q_lexical_diversity")
 
   def main(args: Array[String]): Unit = {

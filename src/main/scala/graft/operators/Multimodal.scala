@@ -11,10 +11,13 @@ import org.apache.spark.sql.types._
   * The Spark-side plumbing — schema, partitioning, batch iteration shape —
   * is real and tested. IMAGES have a REAL codec ([[ImageCodec]]:
   * javax.imageio, JDK built-in — PNG encode/decode over genuine pixel
-  * rasters, exercised by [[imageFeatures]]/q_media_decode). Audio/video
-  * decode remains STUBBED with a deterministic fake (`StubCodec`): this
-  * container has no audio/video libraries. Swap `StubCodec` for a
-  * JNI/javacv decoder at deployment; nothing else changes.
+  * rasters, exercised by [[imageFeatures]]/q_media_decode) and so does
+  * AUDIO ([[AudioCodec]]: javax.sound.sampled — 16-bit PCM WAV
+  * encode/decode with RMS + zero-crossing stats from actual samples,
+  * [[audioFeatures]]/q_audio_decode). Only VIDEO decode remains STUBBED
+  * with a deterministic fake (`StubCodec`): the JDK ships no video
+  * codec. Swap `StubCodec` for a JNI/javacv decoder at deployment;
+  * nothing else changes.
   *
   * Scale notes: media bytes are the widest column by orders of magnitude —
   * every transform here keeps them OUT of shuffles (feature extraction is
@@ -124,6 +127,107 @@ object Multimodal {
       Decoded(w, h, img.getColorModel.getNumComponents,
         sr / n, sg / n, sb / n)
     }
+  }
+
+  // ------------------------------------------------------------------
+  // REAL AUDIO CODEC — javax.sound.sampled (JDK built-in, zero deps):
+  // 16-bit mono PCM WAV encode + container-parsed decode.
+  // ------------------------------------------------------------------
+  object AudioCodec {
+    /** Deterministic WAV: `nSamples` of a 16-bit mono sine whose
+      * frequency and amplitude derive from the seed. PCM is lossless, so
+      * decoded sample statistics are a pure function of
+      * (nSamples, sampleRate, seed).
+      */
+    def encodeWav(nSamples: Int, sampleRate: Int, seed: Long): Array[Byte] = {
+      val dataLen = nSamples * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1) // PCM, mono
+        .putInt(sampleRate).putInt(sampleRate * 2).putShort(2).putShort(16)
+        .put("data".getBytes("US-ASCII")).putInt(dataLen)
+      val freq = 200.0 + (math.abs(seed) % 800)
+      val amp = 0.2 + (math.abs(seed) % 7) * 0.1
+      var i = 0
+      while (i < nSamples) {
+        val v = math.sin(2.0 * math.Pi * freq * i / sampleRate) * amp
+        bb.putShort((v * 32767.0).toShort)
+        i += 1
+      }
+      bb.array()
+    }
+
+    final case class Decoded(sampleRate: Int, nSamples: Long,
+      rms: Double, zeroCrossings: Long)
+
+    /** REAL decode: AudioSystem parses the RIFF/WAVE container and frame
+      * format; RMS + zero-crossing stats come from the actual PCM
+      * samples — the standard cheap audio-quality signals (silence /
+      * clipping / dead channels show up immediately in RMS and ZCR).
+      */
+    def decodeStats(bytes: Array[Byte]): Decoded = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+          s"expected 16-bit mono PCM, got $fmt")
+        val raw = ais.readAllBytes()
+        var sumSq = 0.0
+        var zc = 0L
+        var prevPos = true
+        var n = 0L
+        var i = 0
+        while (i + 1 < raw.length) {
+          val s = ((raw(i) & 0xFF) | (raw(i + 1) << 8)).toShort
+          sumSq += s.toDouble * s
+          val pos = s >= 0
+          if (n > 0 && pos != prevPos) zc += 1
+          prevPos = pos
+          n += 1
+          i += 2
+        }
+        Decoded(fmt.getSampleRate.toInt, n,
+          if (n == 0) 0.0 else math.sqrt(sumSq / n) / 32768.0, zc)
+      } finally ais.close()
+    }
+  }
+
+  /** Per-clip REAL-decode stats row. */
+  case class AudioStats(media_id: Long, sample_rate: Int, n_samples: Long,
+      rms: Double, zero_crossings: Long, n_bytes: Long)
+
+  /** Media table with GENUINE WAV bytes (deterministic sine PCM; length
+    * and tone derive from the id). Map-only generation, like
+    * [[syntheticImageTable]].
+    */
+  def syntheticAudioTable(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val n = (id % 400 + 100).toInt
+        (id, "audio", AudioCodec.encodeWav(n, 16000, id), 16000, n)
+      }
+    }.toDF("media_id", "kind", "bytes", "sample_rate", "n_samples_meta")
+  }
+
+  /** REAL audio feature extraction at the mapPartitions codec boundary:
+    * container-parsed sample rate + PCM-derived RMS / zero-crossing
+    * stats. Map-only; bytes never shuffle.
+    */
+  def audioFeatures(media: DataFrame): Dataset[AudioStats] = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("bytes")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val s = AudioCodec.decodeStats(bytes)
+          AudioStats(id, s.sampleRate, s.nSamples, s.rms, s.zeroCrossings,
+            bytes.length.toLong)
+        }
+      }
   }
 
   /** Per-image REAL-decode stats row. */

@@ -18,6 +18,33 @@ import org.apache.spark.sql.functions._
 object EventQueries {
 
   private def ev(s: SparkSession, d: String) = Tables.events(s, d)
+
+  /** Materialized media tables (genuine PNG / WAV bytes) per scale dir —
+    * the `binaryFile`-scan stand-in. Built once so the decode queries
+    * measure DECODING of stored bytes, not the synthetic generator (the
+    * build/serve split the ANN index and BPE model follow). Bytes are
+    * generated and written on executors; the decode reads them back
+    * through a plain parquet scan and they die at the mapPartitions
+    * codec boundary without shuffling.
+    */
+  private val mediaDirs =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private def imageDir(s: SparkSession, d: String): String =
+    mediaDirs.getOrElseUpdate(("png", d), {
+      val dir = java.nio.file.Files.createTempDirectory("graft_media_png")
+        .toString + "/media"
+      Multimodal.syntheticImageTable(Tables.documents(s, d))
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
+  private def audioDir(s: SparkSession, d: String): String =
+    mediaDirs.getOrElseUpdate(("wav", d), {
+      val dir = java.nio.file.Files.createTempDirectory("graft_media_wav")
+        .toString + "/media"
+      Multimodal.syntheticAudioTable(Tables.documents(s, d))
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
   private def cents(c: org.apache.spark.sql.Column) = round(c * 100, 0).cast("long")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -230,13 +257,15 @@ object EventQueries {
     }),
 
     // multimodal: REAL image decode (javax.imageio) — genuine PNG bytes
-    // generated per row, decoded at the mapPartitions codec boundary,
-    // stats from actual pixels. PNG is lossless → fully deterministic;
+    // decoded at the mapPartitions codec boundary, stats from actual
+    // pixels. The PNG table is MATERIALIZED once per dir (binary-column
+    // parquet, the binaryFile-scan stand-in) so this line measures the
+    // DECODE, not the synthetic generator — the same build/serve split
+    // as the ANN index. PNG is lossless → fully deterministic;
     // rows-only (a native decoder is not SQL-expressible). Width/height
     // parity with the generator is asserted in RecommendSpec.
     "q_media_decode" -> ((s, d) => {
-      Multimodal.imageFeatures(
-        Multimodal.syntheticImageTable(Tables.documents(s, d)))
+      Multimodal.imageFeatures(s.read.parquet(imageDir(s, d)))
         .toDF()
         .select(col("media_id"),
           col("img_width").cast("long").as("img_width"),
@@ -245,6 +274,22 @@ object EventQueries {
           round(col("mean_r"), 4).as("mean_r"),
           round(col("mean_g"), 4).as("mean_g"),
           round(col("mean_b"), 4).as("mean_b"))
+        .orderBy(col("media_id"))
+    }),
+
+    // multimodal: REAL audio decode (javax.sound.sampled) — genuine
+    // 16-bit PCM WAV bytes (materialized once per dir), container-parsed
+    // format + RMS / zero-crossing stats from the actual samples. PCM is
+    // lossless → deterministic; rows-only. Generator parity asserted in
+    // RecommendSpec.
+    "q_audio_decode" -> ((s, d) => {
+      Multimodal.audioFeatures(s.read.parquet(audioDir(s, d)))
+        .toDF()
+        .select(col("media_id"),
+          col("sample_rate").cast("long").as("sample_rate"),
+          col("n_samples"),
+          round(col("rms"), 6).as("rms_r"),
+          col("zero_crossings"))
         .orderBy(col("media_id"))
     }),
 

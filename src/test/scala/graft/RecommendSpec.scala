@@ -118,4 +118,31 @@ class RecommendSpec extends SparkTestBase {
     val b = q(spark, sf).collect()
     assert(a.length == 500 && a.sameElements(b))
   }
+
+  test("real audio codec: decoded WAV stats match the generator (lossless PCM)") {
+    val docs = Tables.documents(spark, sf).limit(40)
+    val media = Multimodal.syntheticAudioTable(docs)
+    val stats = Multimodal.audioFeatures(media).collect()
+    assert(stats.length == 40)
+    stats.foreach { s =>
+      // container parse must recover the generator's format exactly
+      assert(s.sample_rate == 16000, s"rate ${s.sample_rate}")
+      assert(s.n_samples == s.media_id % 400 + 100,
+        s"decoded sample count diverges for ${s.media_id}")
+      // a sine's RMS is amp/sqrt(2); amp ∈ [0.2, 0.8] → rms ∈ (0.1, 0.6)
+      assert(s.rms > 0.1 && s.rms < 0.6, s"non-physical RMS ${s.rms}")
+      assert(s.zero_crossings > 0, "a sine crosses zero")
+    }
+    val again = Multimodal.audioFeatures(
+      Multimodal.syntheticAudioTable(docs.repartition(5))).collect()
+    assert(stats.map(s => s.media_id -> (s.rms, s.zero_crossings)).toMap ==
+      again.map(s => s.media_id -> (s.rms, s.zero_crossings)).toMap,
+      "decode must be deterministic under repartitioning")
+  }
+
+  test("q_audio_decode: deterministic rows from genuine PCM samples") {
+    val q = SparkEntry.queries("q_audio_decode")
+    val a = q(spark, sf).collect()
+    assert(a.length == 500 && a.sameElements(q(spark, sf).collect()))
+  }
 }
