@@ -60,7 +60,7 @@ object Bench {
     // encode paid at index-build time), the real image-decode path, the
     // deflate redundancy gate, and per-source lexical diversity
     "q_cosine_ivfpq_disk", "q_media_decode", "q_audio_decode",
-    "q_compress_ratio", "q_lexical_diversity")
+    "q_compress_ratio", "q_lexical_diversity", "q_dedup_keep_best")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -505,4 +505,37 @@ object Dedup {
       .select(col("id").as(idCol))
     docs.select(col(idCol)).join(demoted, Seq(idCol), "left_anti")
   }
+
+  /** QUALITY-priority transitive dedup: per connected component keep the
+    * member MAXIMIZING `score` (ties → smallest id), not the smallest id
+    * — what a production pipeline actually wants from a near-dup cluster
+    * (min-id keeps whichever copy was crawled first; keep-best keeps the
+    * cleanest copy). Singletons (ids in `docs` but in no pair) keep
+    * themselves. Returns the surviving ids.
+    *
+    * Determinism contract: pass a score that is bit-identical
+    * cross-engine where that matters (e.g. `round(qualityScore, 6)` —
+    * the q_corpus_pipeline convention), since the winner flips on score
+    * ties broken only by the rounded comparison.
+    *
+    * Scale shape: one CC over the PAIR graph (pairs, not corpus), one
+    * left join of the corpus's (id, score) projection to attach
+    * components, one `row_number` window per component — per-group
+    * state is bounded (components are near-dup clusters, and the CC
+    * input is the capped [[bucketPairs]] output, so no component
+    * exceeds what the banding admits).
+    */
+  def dedupKeepSetBest(docs: DataFrame, pairs: DataFrame, score: Column,
+      idCol: String = "doc_id", maxIter: Int = 20): DataFrame = {
+    val cc = connectedComponents(pairs, maxIter)
+      .withColumnRenamed("id", idCol)
+    val w = Window.partitionBy(col("__comp"))
+      .orderBy(col("__s").desc, col(idCol))
+    docs.select(col(idCol), score.as("__s"))
+      .join(cc, Seq(idCol), "left")
+      .withColumn("__comp", coalesce(col("comp"), col(idCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol))
+  }
 }

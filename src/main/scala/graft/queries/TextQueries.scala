@@ -613,6 +613,32 @@ object TextQueries {
         .orderBy(col("id"))
     }),
 
+    // QUALITY-priority transitive dedup: per near-dup component keep the
+    // BEST-quality member (ties → min id), not the min id — what a
+    // production pipeline wants from a dup cluster (min-id keeps
+    // whichever copy was crawled first; keep-best keeps the cleanest).
+    // Fully ORACLED via the q_dedup_cc chain construction: pairs chain
+    // docs within floor(doc_id/5) groups, so components are those groups
+    // by construction and DuckDB verifies the keep-best cut with a plain
+    // window — the CC machinery is exercised, the SEMANTICS are
+    // value-checked. Quality compares on the 6dp-rounded score
+    // (bit-identical cross-engine), the q_corpus_pipeline convention.
+    "q_dedup_keep_best" -> ((s, d) => {
+      val base = docs(s, d)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(floor(col("doc_id") / 5)).orderBy(col("doc_id"))
+      val pairs = base.select(col("doc_id"))
+        .withColumn("prev", lag(col("doc_id"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("prev").as("id_a"), col("doc_id").as("id_b"))
+      val kept = Dedup.dedupKeepSetBest(base, pairs,
+        TextAnalysis.qualityScore(col("text")))
+      base.join(kept, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"),
+          TextAnalysis.qualityScore(col("text")).as("q_r"))
+        .orderBy(col("doc_id"))
+    }),
+
     // dedup observability: the cluster-SIZE distribution after transitive
     // closure — the report that tells you whether near-dup mass sits in a
     // few mega-clusters (boilerplate, syndication) or a long tail of
@@ -1126,6 +1152,20 @@ object TextQueries {
         |)
         |SELECT o_orderkey AS id, comp FROM c WHERE n > 1
         |ORDER BY id""".stripMargin,
+
+    "q_dedup_keep_best" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text, $duckToks AS toks,
+         |    CAST(length(text) AS DOUBLE) AS nchar
+         |  FROM documents
+         |), sc AS (
+         |  SELECT doc_id, $duckQuality AS q, doc_id // 5 AS g FROM t
+         |), r AS (
+         |  SELECT doc_id, q,
+         |    ROW_NUMBER() OVER (PARTITION BY g ORDER BY q DESC, doc_id) AS rn
+         |  FROM sc
+         |)
+         |SELECT doc_id, q AS q_r FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
     "q_bucket_stats" ->
       """WITH b AS (

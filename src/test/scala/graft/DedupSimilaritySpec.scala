@@ -388,6 +388,24 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(kept > total / 2, "but must not demote most of the corpus")
   }
 
+  test("dedupKeepSetBest: per component the BEST score survives, singletons keep themselves") {
+    // chain 1~2~3 (component {1,2,3}) + pair 10~11 + singleton 20:
+    // keep-best must keep the max-score member of each component (2 and
+    // 11) and the singleton — where min-id closure would keep 1 and 10
+    val docs = Seq((1L, 0.3), (2L, 0.9), (3L, 0.5),
+      (10L, 0.2), (11L, 0.8), (20L, 0.1)).toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val kept = Dedup.dedupKeepSetBest(docs, pairs, col("score"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 11L, 20L), s"kept $kept")
+    // score ties break to the smallest id (deterministic winner)
+    val tied = Seq((1L, 0.5), (2L, 0.5)).toDF("doc_id", "score")
+    val keptTied = Dedup.dedupKeepSetBest(tied,
+      Seq((1L, 2L)).toDF("id_a", "id_b"), col("score"))
+      .collect().map(_.getLong(0)).toSet
+    assert(keptTied == Set(1L))
+  }
+
   test("MinhashIndex save/load: reloaded index gives bit-identical incrementalNearDup") {
     import graft.operators.Artifacts
     val dir = java.nio.file.Files.createTempDirectory("graft_mhidx").toString
