@@ -334,6 +334,44 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("static-side parquet appends are visible to a RUNNING stream-static join") {
+    // incrementalIntake's scaladoc leans on this: "Spark re-reads [the
+    // index] per micro-batch, so appends become visible without
+    // restarting the query". That is an ENGINE behavior claim (a cached
+    // file listing would silently break in-query index appends), so pin
+    // it: append a hash to the static index while the query runs and
+    // assert the next micro-batch's anti-join sees it. If a Spark
+    // upgrade starts caching the listing, this fails loudly and the
+    // intake docs + maintainedIntake cadence need revisiting.
+    implicit val sc = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_static_vis")
+      .toString + "/idx"
+    val doc = "the quick brown fox jumps over the lazy dog and the cat " +
+      "is in the house with a dog for the day and the night is long"
+    val other = "a new document with the words that pass the quality gate " +
+      "and the language gate for the test of the incremental intake path"
+    Seq("seed-placeholder").toDF("text")
+      .select(md5(col("text")).as("content_hash")).write.parquet(dir)
+    val mem = MemoryStream[EventStreams.Doc]
+    val q = EventStreams.incrementalIntake(mem.toDF(), spark.read.parquet(dir))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("static_vis_out").start()
+    try {
+      mem.addData(EventStreams.Doc(1, ts(0), doc))
+      q.processAllAvailable()
+      // append doc's hash WHILE the query runs
+      Seq(doc).toDF("text").select(md5(col("text")).as("content_hash"))
+        .write.mode("append").parquet(dir)
+      mem.addData(EventStreams.Doc(2, ts(30), other),
+        EventStreams.Doc(3, ts(31), doc)) // now in the index → dropped
+      q.processAllAvailable()
+      val kept = spark.table("static_vis_out").select(col("doc_id"))
+        .as[Long].collect().toSet
+      assert(kept == Set(1L, 2L),
+        s"kept $kept — doc 3 surviving means the static file listing was cached")
+    } finally q.stop()
+  }
+
   test("maintainedIntake: closed loop across a RESTART — cycle 2 drops cycle 1's docs") {
     implicit val sc = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("graft_loop").toString
