@@ -173,6 +173,39 @@ class DedupSimilaritySpec extends SparkTestBase {
       s"node $v: cc=${cc(v)} truth=${truth(v)}"))
   }
 
+  test("dedupKeepSetBest matches the union-find argmax oracle on 20 random graphs") {
+    // random topologies + random scores, keep-best checked against a
+    // driver-side union-find: exactly one survivor per component (the
+    // score argmax, ties → min id) plus every singleton
+    val rnd = new scala.util.Random(11)
+    val edges = (0 until 20).flatMap { c =>
+      val base = c * 1000L
+      val n = 2 + rnd.nextInt(10)
+      (0 until (1 + rnd.nextInt(14))).map { _ =>
+        (base + rnd.nextInt(n), base + rnd.nextInt(n))
+      }.filter { case (a, b) => a != b }
+    }
+    val nodes = (edges.flatMap(e => Seq(e._1, e._2)) ++
+      (0 until 20).map(c => c * 1000L + 500L)).distinct // planted singletons
+    val scores = nodes.map(v => v -> rnd.nextInt(5).toDouble / 4.0).toMap
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val truth = nodes.groupBy(find).values.map(comp =>
+      comp.minBy(v => (-scores(v), v))).toSet
+    val docs = nodes.map(v => (v, scores(v))).toDF("doc_id", "score")
+    val kept = Dedup.dedupKeepSetBest(docs, edges.toDF("id_a", "id_b"), col("score"))
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == truth,
+      s"extra=${kept -- truth} missing=${truth -- kept}")
+  }
+
   test("brute-force topK: self excluded, ranks contiguous, cosine sorted") {
     val e = Tables.embeddings(spark, sf)
     val out = Similarity.bruteForceTopK(e, e.filter(col("vec_id") < 5), 3).cache()

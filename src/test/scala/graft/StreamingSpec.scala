@@ -448,6 +448,31 @@ class StreamingSpec extends SparkTestBase {
       .as[Long].collect().toSet == Set(11L), "near-dup of survivor not dropped")
   }
 
+  test("compress-ratio gate on a doc stream: map-only codegen'd deflate, batch ≡ stream") {
+    implicit val sc = spark.sqlContext
+    val docs = Seq(
+      EventStreams.Doc(1, ts(0), ("spam ham " * 100).trim),
+      EventStreams.Doc(2, ts(1), "the quick brown fox jumps over the lazy " +
+        "dog while the gardener plants tulips near the river bank today"))
+    val batch = docs.toDF()
+      .select(col("doc_id"),
+        graft.functions.CompressStats.compress_ratio(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val mem = MemoryStream[EventStreams.Doc]
+    val q = mem.toDF()
+      .select(col("doc_id"),
+        graft.functions.CompressStats.compress_ratio(col("text")).as("r"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("gz_out").start()
+    try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      val stream = spark.table("gz_out").as[(Long, Double)].collect().toMap
+      assert(stream == batch, "the same expression must score identically in a stream")
+      assert(stream(1L) < stream(2L), "repetitive doc compresses harder")
+    } finally q.stop()
+  }
+
   test("stateless LM scoring on a doc stream: map-only, no state store") {
     // the trigram LM trains in BATCH (bounded collect, like centroids)
     // and scores the stream as a pure column expression — no streaming
