@@ -32,20 +32,34 @@ object Artifacts {
   // ---- MinhashIndex (near-dup corpus index) ----
 
   /** Persist a [[Dedup.MinhashIndex]] as `dir/buckets` + `dir/content`.
-    * Bucket rows are repartitioned on the (band, bucket) probe key so
-    * files cluster by lookup key — at 100 TB a reader that also
-    * pre-shuffles on (band, bucket) gets co-located joins without
-    * re-exchanging the index.
+    * Bucket rows land PARTITIONED BY `band` (one directory per band,
+    * rows clustered on the (band, bucket) probe key within it): the
+    * streaming gate's per-band anti-joins
+    * ([[graft.streaming.EventStreams.incrementalNearIntake]] runs one
+    * per band) each prune to 1/bands of the files instead of scanning
+    * the whole index `bands` times — the same at-rest pruning story as
+    * the IVF-PQ cell layout. Appends from
+    * [[graft.streaming.EventStreams.maintainedNearIntake]] use the SAME
+    * `partitionBy("band")` layout (a mixed layout would break partition
+    * discovery); the next [[compactMinhashIndex]] re-clusters within
+    * bands and re-enforces the cap.
     */
   def saveMinhashIndex(index: Dedup.MinhashIndex, dir: String): Unit = {
-    index.buckets.repartition(col("band"), col("bucket"))
-      .write.mode("overwrite").parquet(s"$dir/buckets")
+    index.buckets.select(col("id"), col("band"), col("bucket"))
+      .repartition(col("band"), col("bucket"))
+      .write.mode("overwrite").partitionBy("band").parquet(s"$dir/buckets")
     index.content.write.mode("overwrite").parquet(s"$dir/content")
   }
 
+  /** Load pair of [[saveMinhashIndex]]. Column order and the partition
+    * column's type are NORMALIZED back to the in-memory contract
+    * (id, band int, bucket) — partitioned reads append the partition
+    * column last, and appended un-partitioned files must union cleanly.
+    */
   def loadMinhashIndex(spark: SparkSession, dir: String): Dedup.MinhashIndex =
     Dedup.MinhashIndex(
-      spark.read.parquet(s"$dir/buckets"),
+      spark.read.parquet(s"$dir/buckets")
+        .select(col("id"), col("band").cast("int").as("band"), col("bucket")),
       spark.read.parquet(s"$dir/content"))
 
   /** Periodic COMPACTION of a persisted [[Dedup.MinhashIndex]] that has

@@ -232,7 +232,8 @@ object EventStreams {
         b.write.mode("append").parquet(sinkDir)
         graft.operators.Dedup
           .minhashBuckets(b, nShingle, bands, rowsPerBand)
-          .write.mode("append").parquet(s"$indexDir/buckets")
+          .write.mode("append").partitionBy("band")
+          .parquet(s"$indexDir/buckets")
         b.select(col("doc_id").as("id"),
             graft.operators.Dedup.shingles(col("text"), nShingle).as("sh"))
           .write.mode("append").parquet(s"$indexDir/content")

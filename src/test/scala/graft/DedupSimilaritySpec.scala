@@ -564,7 +564,7 @@ class DedupSimilaritySpec extends SparkTestBase {
     // simulate streaming appends: duplicate bucket rows + a planted hot
     // bucket + a duplicated content row
     (3L to 40L).map(i => (0, 999L, i)).toDF("band", "bucket", "id")
-      .write.mode("append").parquet(s"$dir/buckets")
+      .write.mode("append").partitionBy("band").parquet(s"$dir/buckets")
     corpus.filter(col("doc_id") === 1)
       .select(col("doc_id").as("id"), Dedup.shingles(col("text"), 3).as("sh"))
       .write.mode("append").parquet(s"$dir/content")
