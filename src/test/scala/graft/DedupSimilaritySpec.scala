@@ -553,6 +553,27 @@ class DedupSimilaritySpec extends SparkTestBase {
       "appended index must serve identically to a full-corpus encode")
   }
 
+  test("band-partitioned bucket index: a per-band filter prunes the at-rest scan") {
+    // the streaming gate's per-band anti-joins rely on this pruning —
+    // and the load-time type normalization (cast on the partition
+    // column) must not defeat it (SimplifyCasts removes the no-op cast)
+    import graft.operators.Artifacts
+    val dir = java.nio.file.Files.createTempDirectory("graft_mhprune").toString
+    val corpus = (1L to 30L).map(i =>
+      (i, s"document number $i with plenty of shared tokens plus suffix $i"))
+      .toDF("doc_id", "text")
+    Artifacts.saveMinhashIndex(Dedup.minhashIndex(corpus), dir)
+    val one = Artifacts.loadMinhashIndex(spark, dir).buckets
+      .filter(col("band") === 2)
+    one.collect()
+    val scan = one.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.partitionFilters.nonEmpty, "no partition filter on band")
+    val scanned = scan.selectedPartitions.partitionCount
+    assert(scanned == 1, s"scanned $scanned band directories, wanted 1 of 8")
+  }
+
   test("compactMinhashIndex: re-caps hot buckets and dedups content after appends") {
     import graft.operators.Artifacts
     val dir = java.nio.file.Files.createTempDirectory("graft_mhcompact").toString
