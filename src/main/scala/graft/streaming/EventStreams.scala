@@ -242,6 +242,62 @@ object EventStreams {
       }
   }
 
+  /** [[maintainedNearIntake]] with FULL Jaccard verification — exact
+    * batch-equivalent semantics per micro-batch, where the streaming-
+    * native gate drops on ANY band collision (conservative: a chance
+    * collision below the threshold costs a good doc). Here each
+    * micro-batch runs the real batch operators inside `foreachBatch`
+    * (the standard Structured Streaming escape hatch for per-batch
+    * relational work): verified index hits via
+    * [[graft.operators.Dedup.incrementalNearDup]] (candidates at
+    * `threshold`+ only), in-batch near-dups collapsed transitively via
+    * [[graft.operators.Dedup.dedupKeepSetClosure]], survivors + their
+    * index rows appended. A doc whose signature collides but whose
+    * Jaccard is below the threshold SURVIVES — asserted against the
+    * conservative gate's behavior in StreamingSpec.
+    *
+    * Cost vs the native gate: per batch, one banded join against the
+    * index (ids-only) plus shingle fetches for MATCHED candidates —
+    * the incrementalNearDup shape, batch-sized. Choose this when false
+    * drops are expensive; the native gate when intake volume dominates.
+    */
+  def maintainedNearIntakeVerified(docs: DataFrame, indexDir: String,
+      sinkDir: String, threshold: Double = 0.7, nShingle: Int = 3,
+      bands: Int = 8, rowsPerBand: Int = 4, minQuality: Double = 0.5)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val spark = docs.sparkSession
+    val gated = docs
+      .filter(graft.operators.TextAnalysis.qualityScore(col("text")) >= minQuality)
+      .filter(graft.operators.TextAnalysis.langId(col("text")) === "en")
+    gated.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.persist()
+        val idx = graft.operators.Artifacts.loadMinhashIndex(spark, indexDir)
+        val indexHits = graft.operators.Dedup
+          .incrementalNearDup(b, idx, threshold, nShingle, bands, rowsPerBand)
+          .select(col("new_id").as("doc_id")).distinct()
+        val inBatchPairs = graft.operators.Dedup
+          .minhashNearDups(b, threshold, nShingle, bands, rowsPerBand)
+          .select(col("id_a"), col("id_b"))
+        val keep = graft.operators.Dedup.dedupKeepSetClosure(b, inBatchPairs)
+        val survivors = b
+          .join(keep, Seq("doc_id"), "left_semi")
+          .join(indexHits, Seq("doc_id"), "left_anti")
+          .persist()
+        survivors.write.mode("append").parquet(sinkDir)
+        graft.operators.Dedup
+          .minhashBuckets(survivors, nShingle, bands, rowsPerBand)
+          .write.mode("append").partitionBy("band")
+          .parquet(s"$indexDir/buckets")
+        survivors.select(col("doc_id").as("id"),
+            graft.operators.Dedup.shingles(col("text"), nShingle).as("sh"))
+          .write.mode("append").parquet(s"$indexDir/content")
+        survivors.unpersist()
+        b.unpersist()
+        ()
+      }
+  }
+
   /** Streaming near-dup MATCH stream — the verified observability twin of
     * [[incrementalNearIntake]]'s gate: for each incoming doc, the
     * `(new_id, corpus_id, jaccard)` pairs against the persisted index at

@@ -448,6 +448,49 @@ class StreamingSpec extends SparkTestBase {
       .as[Long].collect().toSet == Set(11L), "near-dup of survivor not dropped")
   }
 
+  test("maintainedNearIntakeVerified: below-threshold doc survives, dup dropped, in-batch closure") {
+    implicit val sc = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_vloop").toString
+    val indexDir = s"$tmp/index"; val sinkDir = s"$tmp/sink"
+    val corpusDoc = "the quick brown fox jumps over the lazy dog near the " +
+      "river bank today while the sun is high and the water is clear"
+    graft.operators.Artifacts.saveMinhashIndex(
+      graft.operators.Dedup.minhashIndex(
+        Seq((1L, corpusDoc)).toDF("doc_id", "text")), indexDir)
+    // heavy dup of the corpus doc (jaccard >> 0.7) → verified hit, dropped
+    val heavyDup = "the quick brown fox jumps over the lazy dog near the " +
+      "river bank today while the sun is high and the water is warm"
+    // light overlap (well below 0.7) → must SURVIVE the verified gate
+    // even if some band happens to collide
+    val lightOverlap = "the quick brown fox is a common test phrase and " +
+      "this document then talks about the gardens and the tulip fields there"
+    val novel = "a new document with the words that pass the quality gate " +
+      "and the language gate for the test of the incremental intake path"
+    val mem = MemoryStream[EventStreams.Doc]
+    val q = EventStreams.maintainedNearIntakeVerified(
+      mem.toDF(), indexDir, sinkDir, threshold = 0.7).start()
+    try {
+      mem.addData(
+        EventStreams.Doc(11, ts(0), heavyDup),
+        EventStreams.Doc(12, ts(1), lightOverlap),
+        EventStreams.Doc(13, ts(2), novel),
+        EventStreams.Doc(14, ts(3), novel)) // in-batch dup of 13 → closure keeps 13
+      q.processAllAvailable()
+      val kept = spark.read.parquet(sinkDir).select(col("doc_id"))
+        .as[Long].collect().toSet
+      assert(kept == Set(12L, 13L), s"kept $kept")
+    } finally q.stop()
+    // verify the jaccard premises the test leans on
+    val j = Seq((1L, corpusDoc)).toDF("doc_id", "text")
+      .crossJoin(Seq((2L, heavyDup), (3L, lightOverlap)).toDF("id2", "t2"))
+      .select(col("id2"), graft.operators.Dedup.jaccard(
+        graft.operators.Dedup.shingles(col("text"), 3),
+        graft.operators.Dedup.shingles(col("t2"), 3)).as("j"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(j(2L) >= 0.7, s"premise: heavyDup jaccard ${j(2L)} >= 0.7")
+    assert(j(3L) < 0.7, s"premise: lightOverlap jaccard ${j(3L)} < 0.7")
+  }
+
   test("compress-ratio gate on a doc stream: map-only codegen'd deflate, batch ≡ stream") {
     implicit val sc = spark.sqlContext
     val docs = Seq(
