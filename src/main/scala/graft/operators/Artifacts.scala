@@ -154,6 +154,41 @@ object Artifacts {
     spark.read.parquet(dir).orderBy(col("round")).collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
 
+  // ---- load-or-fit compositions ----
+
+  /** Hadoop-FS existence probe (portable across local/HDFS/object
+    * stores — a java.io check would only see the local filesystem).
+    */
+  private def exists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
+  }
+
+  /** The call a production pipeline makes: reuse the persisted artifact
+    * if present, else run `fit` once and persist it. The by-name `fit`
+    * is only forced on a miss, so a warm restart costs one FS probe +
+    * one tiny read — never a re-fit (spec-asserted via a fit counter).
+    */
+  def loadOrFitIvfPq(spark: SparkSession, dir: String)
+      (fit: => Similarity.IvfPqModel): Similarity.IvfPqModel =
+    if (exists(spark, dir)) loadIvfPqModel(spark, dir)
+    else { val m = fit; saveIvfPqModel(spark, m, dir); m }
+
+  def loadOrFitBpeMerges(spark: SparkSession, dir: String)
+      (fit: => Seq[(String, String)]): Seq[(String, String)] =
+    if (exists(spark, dir)) loadBpeMerges(spark, dir)
+    else { val m = fit; saveBpeMerges(spark, m, dir); m }
+
+  def loadOrFitQualityLr(spark: SparkSession, dir: String)
+      (fit: => TextAnalysis.QualityLrModel): TextAnalysis.QualityLrModel =
+    if (exists(spark, dir)) loadQualityLr(spark, dir)
+    else { val m = fit; saveQualityLr(spark, m, dir); m }
+
+  def loadOrBuildMinhashIndex(spark: SparkSession, dir: String)
+      (build: => Dedup.MinhashIndex): Dedup.MinhashIndex =
+    if (exists(spark, dir)) loadMinhashIndex(spark, dir)
+    else { val idx = build; saveMinhashIndex(idx, dir); loadMinhashIndex(spark, dir) }
+
   // ---- QualityLrModel (trained quality gate) ----
 
   /** Persist a [[TextAnalysis.QualityLrModel]] as one (intercept, weights)

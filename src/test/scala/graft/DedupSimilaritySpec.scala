@@ -553,6 +553,20 @@ class DedupSimilaritySpec extends SparkTestBase {
       "appended index must serve identically to a full-corpus encode")
   }
 
+  test("loadOrFit: cold call fits once + persists; warm call loads without refitting") {
+    import graft.operators.Artifacts
+    val dir = java.nio.file.Files.createTempDirectory("graft_lof").toString + "/ivfpq"
+    val emb = Tables.embeddings(spark, sf)
+    var fits = 0
+    def fit() = { fits += 1; Similarity.fitIvfPq(emb, nCells = 4, m = 8, nCentroids = 8) }
+    val cold = Artifacts.loadOrFitIvfPq(spark, dir)(fit())
+    assert(fits == 1, "cold call must fit exactly once")
+    val warm = Artifacts.loadOrFitIvfPq(spark, dir)(fit())
+    assert(fits == 1, "warm call must NOT refit")
+    assert(warm.cents.zip(cold.cents).forall { case ((i, a), (j, b)) =>
+      i == j && a.sameElements(b) }, "warm load must equal the fitted model")
+  }
+
   test("band-partitioned bucket index: a per-band filter prunes the at-rest scan") {
     // the streaming gate's per-band anti-joins rely on this pruning —
     // and the load-time type normalization (cast on the partition
