@@ -58,6 +58,29 @@ object Split {
     df.filter(pmod(mixed, lit(10000L)) < lit((fraction * 10000).toLong))
   }
 
+  /** EXACT-N deterministic sample: the `n` rows with the smallest content
+    * hash (md5 of the key columns, ties broken by the serialized key) —
+    * "hold out exactly 10k docs" for a fixed eval set, where
+    * [[hashSample]] only controls the EXPECTED size. Plan shape is
+    * `TakeOrderedAndProject` (per-partition heaps + a driver merge of
+    * n·p rows, never a global sort — plan-asserted in SplitSpec), so it
+    * scales like any top-k. md5 (not xxhash64) keys the order so the cut
+    * is reproducible in ANSI SQL — the sampled SET is oracle-checkable.
+    *
+    * Deliberate trade-off vs [[hashSample]]: exact size is NOT
+    * append-stable (new rows can displace old ones at the boundary —
+    * inherent to any exact-N rule); pin the eval set by persisting it,
+    * or use the fraction sampler where append-stability matters.
+    */
+  def exactNSample(df: DataFrame, n: Int, keys: Seq[Column]): DataFrame = {
+    require(n >= 0, s"n $n")
+    val keyStr = concat_ws("", keys.map(_.cast("string")): _*)
+    df.withColumn("__ord", md5(keyStr))
+      .orderBy(col("__ord"))
+      .limit(n)
+      .drop("__ord")
+  }
+
   /** Deterministic modulo-hash split — the scale-safe, oracle-reproducible
     * replacement for driver-built id lists: label is a pure function of the
     * key, needs no shuffle, no driver state, and is identical in ANSI SQL.

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Dedup, Split, TextAnalysis}
 import graft.functions.TextHashFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -613,6 +613,17 @@ object TextQueries {
         .orderBy(col("id"))
     }),
 
+    // EXACT-N deterministic holdout: the 50 docs with the smallest
+    // md5(doc_id) — "hold out exactly N docs" where the hash-fraction
+    // sampler only controls the expected size. TakeOrdered plan
+    // (per-partition heaps, no global sort — SplitSpec-asserted); md5
+    // keys the order so the sampled SET is DuckDB-oracled exactly.
+    "q_sample_exact_n" -> ((s, d) => {
+      Split.exactNSample(docs(s, d).select(col("doc_id"), col("source")),
+        50, Seq(col("doc_id")))
+        .orderBy(col("doc_id"))
+    }),
+
     // QUALITY-priority transitive dedup: per near-dup component keep the
     // BEST-quality member (ties → min id), not the min id — what a
     // production pipeline wants from a dup cluster (min-id keeps
@@ -1152,6 +1163,12 @@ object TextQueries {
         |)
         |SELECT o_orderkey AS id, comp FROM c WHERE n > 1
         |ORDER BY id""".stripMargin,
+
+    "q_sample_exact_n" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source FROM documents
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 50
+        |) ORDER BY doc_id""".stripMargin,
 
     "q_dedup_keep_best" ->
       s"""WITH t AS (

@@ -66,4 +66,20 @@ class SplitSpec extends SparkTestBase {
     val rest = Split.antiJoin(ratings, sample, Seq("userId", "movieId"))
     assert(sample.count() + rest.count() == ratings.count())
   }
+
+  test("exactNSample: exact size, deterministic, TakeOrdered plan (no global sort)") {
+    val docs = graft.Tables.documents(spark, sf).select(col("doc_id"), col("source"))
+    val s1 = Split.exactNSample(docs, 37, Seq(col("doc_id")))
+    assert(s1.count() == 37L, "exact N, not expected N")
+    val ids1 = s1.collect().map(_.getLong(0)).toSet
+    val ids2 = Split.exactNSample(docs.repartition(7), 37, Seq(col("doc_id")))
+      .collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2, "sampled set is a pure function of content")
+    // plan: per-partition heaps + driver merge, never a full sort
+    val plan = Split.exactNSample(docs, 37, Seq(col("doc_id")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"wanted TakeOrdered:\n$plan")
+    // n > |df| degrades to the full relation
+    assert(Split.exactNSample(docs, 100000, Seq(col("doc_id"))).count() == docs.count())
+  }
 }
