@@ -154,6 +154,57 @@ object Artifacts {
     spark.read.parquet(dir).orderBy(col("round")).collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
 
+  // ---- versioned publication (crash-safe maintenance) ----
+
+  /** In-place `overwrite` (what [[saveMinhashIndex]]/[[compactMinhashIndex]]
+    * do) is NOT atomic: a crash mid-write leaves a broken directory. For
+    * maintenance jobs that must never corrupt the live artifact, publish
+    * VERSIONS instead: each call writes into a fresh `root/v=<n+1>`
+    * directory and only then flips the 1-line `root/_LATEST` pointer
+    * file (the poor-man's transaction log — the pointer write is a
+    * single small file create+rename, and a crash before it leaves the
+    * pointer at the last COMPLETE version). Readers resolve the pointer
+    * via [[latestVersion]]; old versions stay until a retention sweep
+    * deletes them.
+    */
+  def publishVersion(spark: SparkSession, root: String)
+      (write: String => Unit): String = {
+    val conf = spark.sessionState.newHadoopConf()
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    val next = 1 + (latestVersion(spark, root) match {
+      case Some(dir) => dir.substring(dir.lastIndexOf("v=") + 2).toLong
+      case None => 0L
+    })
+    val target = s"$root/v=$next"
+    write(target)
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/._LATEST.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"v=$next".getBytes("UTF-8")) finally out.close()
+    val ptr = new org.apache.hadoop.fs.Path(s"$root/_LATEST")
+    if (fs.exists(ptr)) fs.delete(ptr, false)
+    fs.rename(tmp, ptr)
+    target
+  }
+
+  /** The directory `root/_LATEST` points at, if any complete version has
+    * been published.
+    */
+  def latestVersion(spark: SparkSession, root: String): Option[String] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val ptr = new org.apache.hadoop.fs.Path(s"$root/_LATEST")
+    val fs = ptr.getFileSystem(conf)
+    if (!fs.exists(ptr)) None
+    else {
+      val in = fs.open(ptr)
+      try {
+        val v = new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+        if (v.isEmpty) None else Some(s"$root/$v")
+      } finally in.close()
+    }
+  }
+
   // ---- load-or-fit compositions ----
 
   /** Hadoop-FS existence probe (portable across local/HDFS/object

@@ -553,6 +553,34 @@ class DedupSimilaritySpec extends SparkTestBase {
       "appended index must serve identically to a full-corpus encode")
   }
 
+  test("publishVersion: readers follow _LATEST; a crashed write never corrupts the live artifact") {
+    import graft.operators.Artifacts
+    val root = java.nio.file.Files.createTempDirectory("graft_ver").toString + "/idx"
+    val corpus = Seq((1L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    assert(Artifacts.latestVersion(spark, root).isEmpty)
+    val v1 = Artifacts.publishVersion(spark, root)(dir =>
+      Artifacts.saveMinhashIndex(graft.operators.Dedup.minhashIndex(corpus), dir))
+    assert(Artifacts.latestVersion(spark, root).contains(v1) && v1.endsWith("v=1"))
+    val v2 = Artifacts.publishVersion(spark, root)(dir =>
+      Artifacts.saveMinhashIndex(graft.operators.Dedup.minhashIndex(corpus), dir))
+    assert(Artifacts.latestVersion(spark, root).contains(v2) && v2.endsWith("v=2"))
+    // simulate a crash MID-WRITE of v3: the write throws before the
+    // pointer flip — readers must still resolve the complete v2
+    intercept[RuntimeException] {
+      Artifacts.publishVersion(spark, root) { dir =>
+        new java.io.File(dir).mkdirs() // partial garbage on disk
+        throw new RuntimeException("simulated crash mid-write")
+      }
+    }
+    assert(Artifacts.latestVersion(spark, root).contains(v2),
+      "pointer must still name the last COMPLETE version")
+    // and the resolved artifact is fully loadable
+    val idx = Artifacts.loadMinhashIndex(spark,
+      Artifacts.latestVersion(spark, root).get)
+    assert(idx.content.count() == 1L)
+  }
+
   test("loadOrFit: cold call fits once + persists; warm call loads without refitting") {
     import graft.operators.Artifacts
     val dir = java.nio.file.Files.createTempDirectory("graft_lof").toString + "/ivfpq"
