@@ -205,6 +205,28 @@ object Artifacts {
     }
   }
 
+  /** Retention sweep for [[publishVersion]] roots: delete all but the
+    * newest `keep` version directories, NEVER touching the one `_LATEST`
+    * points at (even if an operator passes keep=0 while a stale pointer
+    * names an old version). Run on the maintenance cadence after a
+    * publish.
+    */
+  def pruneVersions(spark: SparkSession, root: String, keep: Int = 2): Unit = {
+    require(keep >= 1, s"keep $keep — must retain at least the live version")
+    val conf = spark.sessionState.newHadoopConf()
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    if (!fs.exists(rootPath)) return
+    val live = latestVersion(spark, root).map(_.split('/').last)
+    val versions = fs.listStatus(rootPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .map(_.getPath.getName)
+      .sortBy(n => n.substring(2).toLong)
+    versions.dropRight(keep)
+      .filterNot(live.contains)
+      .foreach(n => fs.delete(new org.apache.hadoop.fs.Path(s"$root/$n"), true))
+  }
+
   // ---- load-or-fit compositions ----
 
   /** Hadoop-FS existence probe (portable across local/HDFS/object

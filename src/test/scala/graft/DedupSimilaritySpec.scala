@@ -581,6 +581,33 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(idx.content.count() == 1L)
   }
 
+  test("pruneVersions: old versions deleted, the live pointer target always survives") {
+    import graft.operators.Artifacts
+    val root = java.nio.file.Files.createTempDirectory("graft_prune").toString + "/idx"
+    val corpus = Seq((1L, "the quick brown fox jumps over the lazy dog today"))
+      .toDF("doc_id", "text")
+    (1 to 4).foreach { _ =>
+      Artifacts.publishVersion(spark, root)(dir =>
+        Artifacts.saveMinhashIndex(graft.operators.Dedup.minhashIndex(corpus), dir))
+    }
+    Artifacts.pruneVersions(spark, root, keep = 2)
+    val left = new java.io.File(root).list().filter(_.startsWith("v=")).sorted.toSeq
+    assert(left == Seq("v=3", "v=4"), s"left $left")
+    assert(Artifacts.latestVersion(spark, root).exists(_.endsWith("v=4")))
+    // a stale pointer's target survives even an aggressive sweep
+    // (rewrite the pointer through the Hadoop FS — a raw java.nio write
+    // would desync the local FS's .crc sidecar)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val ptr = new org.apache.hadoop.fs.Path(s"$root/_LATEST")
+    fs.delete(ptr, false)
+    val out = fs.create(ptr, true)
+    try out.write("v=3".getBytes("UTF-8")) finally out.close()
+    Artifacts.pruneVersions(spark, root, keep = 1)
+    val left2 = new java.io.File(root).list().filter(_.startsWith("v=")).sorted.toSeq
+    assert(left2.contains("v=3"), s"live version deleted: $left2")
+  }
+
   test("loadOrFit: cold call fits once + persists; warm call loads without refitting") {
     import graft.operators.Artifacts
     val dir = java.nio.file.Files.createTempDirectory("graft_lof").toString + "/ivfpq"
