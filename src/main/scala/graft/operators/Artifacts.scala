@@ -51,16 +51,21 @@ object Artifacts {
     index.content.write.mode("overwrite").parquet(s"$dir/content")
   }
 
-  /** Load pair of [[saveMinhashIndex]]. Column order and the partition
-    * column's type are NORMALIZED back to the in-memory contract
-    * (id, band int, bucket) — partitioned reads append the partition
-    * column last, and appended un-partitioned files must union cleanly.
+  /** Load pair of [[saveMinhashIndex]]. Resolves the crash-safe `_LATEST`
+    * pointer first ([[resolveLive]]) so a dir that has been through a
+    * versioned [[compactMinhashIndex]] and a legacy flat dir load through
+    * the same call. Column order and the partition column's type are
+    * NORMALIZED back to the in-memory contract (id, band int, bucket) —
+    * partitioned reads append the partition column last, and appended
+    * un-partitioned files must union cleanly.
     */
-  def loadMinhashIndex(spark: SparkSession, dir: String): Dedup.MinhashIndex =
+  def loadMinhashIndex(spark: SparkSession, dir: String): Dedup.MinhashIndex = {
+    val live = resolveLive(spark, dir)
     Dedup.MinhashIndex(
-      spark.read.parquet(s"$dir/buckets")
+      spark.read.parquet(s"$live/buckets")
         .select(col("id"), col("band").cast("int").as("band"), col("bucket")),
-      spark.read.parquet(s"$dir/content"))
+      spark.read.parquet(s"$live/content"))
+  }
 
   /** Periodic COMPACTION of a persisted [[Dedup.MinhashIndex]] that has
     * taken streaming appends
@@ -68,23 +73,45 @@ object Artifacts {
     * batch-sized row sets without re-enforcing the per-(band, bucket)
     * cap): re-caps every bucket at `maxBucket` ids (smallest-id-first,
     * the same deterministic rule as [[Dedup.minhashIndex]]) and dedups
-    * content rows per id. Materializes via eager localCheckpoint BEFORE
-    * overwriting — the read and the overwrite of the same path must not
-    * overlap. Run on the maintenance cadence, not per batch.
+    * content rows per id — `min(sh)` (array comparison is a total order),
+    * so if the same id was ever appended with different text, which
+    * shingle set survives is deterministic, not first-arrival.
+    *
+    * CRASH-SAFE: the compacted index is published as a fresh
+    * `dir/v=<n+1>` via [[publishVersion]] — never an in-place overwrite —
+    * and readers ([[loadMinhashIndex]] through [[resolveLive]]) follow
+    * the `_LATEST` pointer, so a crash at ANY point of the compaction
+    * leaves the last complete version live (a partial `v=<n+1>` is inert
+    * garbage the next compaction ignores: version numbers come from the
+    * directory listing, so it is never re-used). After a successful
+    * publish the legacy flat layout (if this was the first versioned
+    * compaction) is deleted and a [[pruneVersions]] sweep bounds the
+    * version history. Run on the maintenance cadence, not per batch, and
+    * on a QUIESCED index — appends racing the compaction's read would be
+    * absent from the new version.
     */
   def compactMinhashIndex(spark: SparkSession, dir: String,
-      maxBucket: Int = 256): Unit = {
+      maxBucket: Int = 256, keepVersions: Int = 2): Unit = {
     val idx = loadMinhashIndex(spark, dir)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("bucket")).orderBy(col("id"))
     val buckets = idx.buckets.dropDuplicates("band", "bucket", "id")
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= maxBucket).drop("__rn")
-      .localCheckpoint(true)
     val content = idx.content
-      .groupBy(col("id")).agg(first(col("sh")).as("sh"))
-      .localCheckpoint(true)
-    saveMinhashIndex(Dedup.MinhashIndex(buckets, content), dir)
+      .groupBy(col("id")).agg(min(col("sh")).as("sh"))
+    publishVersion(spark, dir)(target =>
+      saveMinhashIndex(Dedup.MinhashIndex(buckets, content), target))
+    // first versioned compaction of a legacy flat dir: drop the flat
+    // relations AFTER the pointer names the new version (a crash between
+    // publish and these deletes leaves harmless orphans, re-swept next time)
+    val conf = spark.sessionState.newHadoopConf()
+    Seq(s"$dir/buckets", s"$dir/content").foreach { legacy =>
+      val p = new org.apache.hadoop.fs.Path(legacy)
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    pruneVersions(spark, dir, keepVersions)
   }
 
   // ---- exact-dedup fingerprint index ----
@@ -92,14 +119,19 @@ object Artifacts {
   /** Persist the exact-dedup fingerprint index (`content_hash` plus any
     * carried columns, e.g. keep_id). Pairs with [[Dedup.incrementalDedup]]:
     * each completed ingest appends its survivors' hashes (mode=append)
-    * and the next batch anti-joins the union.
+    * and the next batch anti-joins the union. Appends against a VERSIONED
+    * root must target [[resolveLive]] (what the maintained intake loops
+    * do), not the root itself.
     */
   def saveFingerprintIndex(index: DataFrame, dir: String,
       mode: String = "overwrite"): Unit =
     index.write.mode(mode).parquet(dir)
 
+  /** Load pair of [[saveFingerprintIndex]], resolving the `_LATEST`
+    * pointer first so versioned and flat layouts load identically.
+    */
   def loadFingerprintIndex(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(dir)
+    spark.read.parquet(resolveLive(spark, dir))
 
   // ---- IvfPqModel (ANN build artifact) ----
 
@@ -156,36 +188,58 @@ object Artifacts {
 
   // ---- versioned publication (crash-safe maintenance) ----
 
-  /** In-place `overwrite` (what [[saveMinhashIndex]]/[[compactMinhashIndex]]
-    * do) is NOT atomic: a crash mid-write leaves a broken directory. For
+  /** In-place `overwrite` (what [[saveMinhashIndex]] does on a flat dir)
+    * is NOT atomic: a crash mid-write leaves a broken directory. For
     * maintenance jobs that must never corrupt the live artifact, publish
     * VERSIONS instead: each call writes into a fresh `root/v=<n+1>`
     * directory and only then flips the 1-line `root/_LATEST` pointer
-    * file (the poor-man's transaction log — the pointer write is a
-    * single small file create+rename, and a crash before it leaves the
-    * pointer at the last COMPLETE version). Readers resolve the pointer
-    * via [[latestVersion]]; old versions stay until a retention sweep
-    * deletes them.
+    * file (the poor-man's transaction log). Two details carry the
+    * crash-safety contract:
+    *
+    *  - the pointer flip is ONE overwriting rename
+    *    (`FileContext.rename(..., Options.Rename.OVERWRITE)`), not
+    *    delete-then-rename — there is no window where no pointer exists;
+    *  - the next version number derives from the `v=*` DIRECTORY LISTING
+    *    (max + 1), not from the pointer — so even a lost or stale
+    *    pointer can never cause a publish to re-use (and overwrite) an
+    *    existing version directory, and a partial `v=<n>` left by a
+    *    crashed write is simply skipped past, never written into again.
+    *
+    * Readers resolve the pointer via [[latestVersion]]/[[resolveLive]];
+    * old versions stay until a [[pruneVersions]] sweep deletes them.
     */
   def publishVersion(spark: SparkSession, root: String)
       (write: String => Unit): String = {
     val conf = spark.sessionState.newHadoopConf()
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(conf)
-    val next = 1 + (latestVersion(spark, root) match {
-      case Some(dir) => dir.substring(dir.lastIndexOf("v=") + 2).toLong
-      case None => 0L
-    })
+    val next = 1 + listVersions(fs, rootPath).lastOption
+      .map(_.substring(2).toLong).getOrElse(0L)
     val target = s"$root/v=$next"
     write(target)
     val tmp = new org.apache.hadoop.fs.Path(s"$root/._LATEST.tmp")
     val out = fs.create(tmp, true)
     try out.write(s"v=$next".getBytes("UTF-8")) finally out.close()
     val ptr = new org.apache.hadoop.fs.Path(s"$root/_LATEST")
-    if (fs.exists(ptr)) fs.delete(ptr, false)
-    fs.rename(tmp, ptr)
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(rootPath.toUri, conf)
+    fc.rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     target
   }
+
+  /** The live artifact directory: the `_LATEST` target when `dir` is a
+    * versioned [[publishVersion]] root, else `dir` itself (flat layout).
+    */
+  def resolveLive(spark: SparkSession, dir: String): String =
+    latestVersion(spark, dir).getOrElse(dir)
+
+  /** `v=<n>` child directory names of `root`, sorted by version number. */
+  private def listVersions(fs: org.apache.hadoop.fs.FileSystem,
+      rootPath: org.apache.hadoop.fs.Path): Seq[String] =
+    if (!fs.exists(rootPath)) Nil
+    else fs.listStatus(rootPath).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .map(_.getPath.getName)
+      .sortBy(_.substring(2).toLong)
 
   /** The directory `root/_LATEST` points at, if any complete version has
     * been published.
@@ -205,26 +259,51 @@ object Artifacts {
     }
   }
 
-  /** Retention sweep for [[publishVersion]] roots: delete all but the
-    * newest `keep` version directories, NEVER touching the one `_LATEST`
-    * points at (even if an operator passes keep=0 while a stale pointer
-    * names an old version). Run on the maintenance cadence after a
-    * publish.
+  /** Retention sweep for [[publishVersion]] roots: delete old version
+    * directories, NEVER touching the one `_LATEST` points at — keep=0 is
+    * legal and means "only the live version survives" (the live-version
+    * guard, not the keep count, is what protects the pointer target).
+    *
+    * Race-safe against a CONCURRENT publish: only versions STRICTLY
+    * OLDER than the pointer target are deletion candidates, and the
+    * pointer is read AFTER the directory listing. A publish that lands
+    * anywhere in between either (a) is newer than everything listed —
+    * its directory is not a candidate — or (b) has already flipped the
+    * pointer when we read it, so candidates are older than IT. Either
+    * way the interleaving cannot delete a complete live version
+    * (property-driven in DedupSimilaritySpec via the injection seam).
     */
-  def pruneVersions(spark: SparkSession, root: String, keep: Int = 2): Unit = {
-    require(keep >= 1, s"keep $keep — must retain at least the live version")
+  def pruneVersions(spark: SparkSession, root: String, keep: Int = 2): Unit =
+    pruneVersionsImpl(spark, root, keep, () => ())
+
+  /** [[pruneVersions]] with a test seam: `betweenListAndPointerRead` runs
+    * between the directory listing and the pointer read — the window a
+    * concurrent publish races into.
+    */
+  private[graft] def pruneVersionsImpl(spark: SparkSession, root: String,
+      keep: Int, betweenListAndPointerRead: () => Unit): Unit = {
+    require(keep >= 0, s"keep $keep — must be non-negative")
     val conf = spark.sessionState.newHadoopConf()
     val rootPath = new org.apache.hadoop.fs.Path(root)
     val fs = rootPath.getFileSystem(conf)
     if (!fs.exists(rootPath)) return
-    val live = latestVersion(spark, root).map(_.split('/').last)
-    val versions = fs.listStatus(rootPath).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
-      .map(_.getPath.getName)
-      .sortBy(n => n.substring(2).toLong)
-    versions.dropRight(keep)
-      .filterNot(live.contains)
-      .foreach(n => fs.delete(new org.apache.hadoop.fs.Path(s"$root/$n"), true))
+    val versions = listVersions(fs, rootPath)
+    betweenListAndPointerRead()
+    val liveN = latestVersion(spark, root)
+      .map(_.split('/').last.substring(2).toLong)
+    val toDelete = liveN match {
+      case Some(n) =>
+        // strictly-older-than-live candidates; live + anything newer
+        // (an in-flight publish) always survive
+        versions.filter(_.substring(2).toLong < n)
+          .dropRight(math.max(keep - 1, 0))
+      case None =>
+        // no pointer (legacy root): best-effort — keep the newest
+        // max(keep, 1) since completeness is unknowable without a pointer
+        versions.dropRight(math.max(keep, 1))
+    }
+    toDelete.foreach(n =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/$n"), true))
   }
 
   // ---- load-or-fit compositions ----

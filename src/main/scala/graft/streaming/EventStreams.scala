@@ -113,8 +113,13 @@ object EventStreams {
     * BEFORE the watermark-bounded in-stream dedup, so the state store
     * only ever holds hashes of genuinely novel docs. The index side is a
     * plain batch relation — at scale the compact (content_hash) artifact
-    * each completed ingest appends to; Spark re-reads it per micro-batch,
-    * so appends become visible without restarting the query.
+    * each completed ingest appends to. Its FILE LISTING is resolved once
+    * at query start (pinned by the StreamingSpec static-visibility test:
+    * mid-run appends are NOT seen), so index appends become visible on
+    * the RESTART cadence — the Trigger.AvailableNow periodic-ingest
+    * pattern and [[maintainedIntake]]'s two-cycle loop; within a run the
+    * watermark-bounded dedup state covers re-arrivals of anything the
+    * run itself admitted.
     */
   def incrementalIntake(docs: DataFrame, knownHashes: DataFrame,
       watermark: String = "2 hours", minQuality: Double = 0.5): DataFrame =
@@ -144,9 +149,9 @@ object EventStreams {
     *     any band collision as a duplicate — deliberately CONSERVATIVE
     *     for intake (a false collision drops a good doc; tuned banding
     *     makes that rare, and [[nearDupMatches]] is the verified
-    *     observability stream). Index side stays ids-only parquet —
-    *     re-read per micro-batch, so index appends become visible
-    *     without a restart, exactly like [[incrementalIntake]];
+    *     observability stream). Index side stays ids-only parquet,
+    *     listing pinned at query start — appends surface on the restart
+    *     cadence, exactly like [[incrementalIntake]];
     *  3. in-stream near-dup: `dropDuplicatesWithinWatermark` keyed on
     *     the FULL band signature — two docs with identical minhash
     *     signatures are near-certain near-dups, and signature state is
@@ -190,20 +195,33 @@ object EventStreams {
     * Scale notes: per micro-batch the appended hash set is batch-sized
     * (ids-only); `foreachBatch` persists the micro-batch so the two
     * writes share one evaluation (the [[Mix.writeShards]] discipline).
+    *
+    * Versioned-index story: if `indexDir` is a crash-safe
+    * [[graft.operators.Artifacts.publishVersion]] root, BOTH the gate's
+    * static side and the appends resolve the `_LATEST` pointer ONCE at
+    * wiring time — one consistent version per run (the gate's file
+    * listing is pinned at start anyway; appends surface at the next
+    * cycle). A compaction that publishes a
+    * new version must run on the maintenance cadence BETWEEN intake runs
+    * (quiesced index — the same constraint compaction itself documents);
+    * the restarted query then pins the fresh version. A torn append
+    * (crash mid-batch) leaves partial parquet files inside the live
+    * version; the next compaction re-publishes a clean version, so torn
+    * files never outlive one maintenance cycle.
     */
   def maintainedIntake(docs: DataFrame, indexDir: String, sinkDir: String,
       watermark: String = "2 hours", minQuality: Double = 0.5)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val spark = docs.sparkSession
+    val liveDir = graft.operators.Artifacts.resolveLive(spark, indexDir)
     val curated = incrementalIntake(docs,
-      graft.operators.Artifacts.loadFingerprintIndex(spark, indexDir),
-      watermark, minQuality)
+      spark.read.parquet(liveDir), watermark, minQuality)
     curated.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val b = batch.persist()
         b.write.mode("append").parquet(sinkDir)
         b.select(col("content_hash")).distinct()
-          .write.mode("append").parquet(indexDir)
+          .write.mode("append").parquet(liveDir)
         b.unpersist()
         ()
       }
@@ -214,16 +232,23 @@ object EventStreams {
     * under `indexDir` (the [[graft.operators.Artifacts]] layout), with
     * survivors' band-bucket rows and shingle sets appended back — the
     * next cycle's gate sees this cycle's docs. The per-(band,bucket) cap
-    * is enforced at full index REBUILDS, not on appends (appends are
-    * batch-sized; a periodic compaction re-runs
-    * [[graft.operators.Dedup.minhashIndex]] — documented, not silent).
+    * is enforced by the periodic
+    * [[graft.operators.Artifacts.compactMinhashIndex]], not on appends
+    * (appends are batch-sized — documented, not silent).
+    *
+    * Versioned-index story: the `_LATEST` pointer of a crash-safe
+    * [[graft.operators.Artifacts.publishVersion]] root is resolved ONCE
+    * at wiring time and pins BOTH the gate's static side and the appends
+    * to one version for the whole run ([[maintainedIntake]]'s contract,
+    * same torn-append/compaction-cadence story).
     */
   def maintainedNearIntake(docs: DataFrame, indexDir: String, sinkDir: String,
       nShingle: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
       watermark: String = "2 hours", minQuality: Double = 0.5)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     val spark = docs.sparkSession
-    val idx = graft.operators.Artifacts.loadMinhashIndex(spark, indexDir)
+    val liveDir = graft.operators.Artifacts.resolveLive(spark, indexDir)
+    val idx = graft.operators.Artifacts.loadMinhashIndex(spark, liveDir)
     val curated = incrementalNearIntake(docs, idx, nShingle, bands,
       rowsPerBand, watermark, minQuality)
     curated.writeStream.outputMode("append")
@@ -233,10 +258,10 @@ object EventStreams {
         graft.operators.Dedup
           .minhashBuckets(b, nShingle, bands, rowsPerBand)
           .write.mode("append").partitionBy("band")
-          .parquet(s"$indexDir/buckets")
+          .parquet(s"$liveDir/buckets")
         b.select(col("doc_id").as("id"),
             graft.operators.Dedup.shingles(col("text"), nShingle).as("sh"))
-          .write.mode("append").parquet(s"$indexDir/content")
+          .write.mode("append").parquet(s"$liveDir/content")
         b.unpersist()
         ()
       }
@@ -272,7 +297,10 @@ object EventStreams {
     gated.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val b = batch.persist()
-        val idx = graft.operators.Artifacts.loadMinhashIndex(spark, indexDir)
+        // per-batch pointer resolution: the verified gate re-loads the
+        // index each batch anyway, so load + appends stay on one version
+        val liveDir = graft.operators.Artifacts.resolveLive(spark, indexDir)
+        val idx = graft.operators.Artifacts.loadMinhashIndex(spark, liveDir)
         val indexHits = graft.operators.Dedup
           .incrementalNearDup(b, idx, threshold, nShingle, bands, rowsPerBand)
           .select(col("new_id").as("doc_id")).distinct()
@@ -288,10 +316,10 @@ object EventStreams {
         graft.operators.Dedup
           .minhashBuckets(survivors, nShingle, bands, rowsPerBand)
           .write.mode("append").partitionBy("band")
-          .parquet(s"$indexDir/buckets")
+          .parquet(s"$liveDir/buckets")
         survivors.select(col("doc_id").as("id"),
             graft.operators.Dedup.shingles(col("text"), nShingle).as("sh"))
-          .write.mode("append").parquet(s"$indexDir/content")
+          .write.mode("append").parquet(s"$liveDir/content")
         survivors.unpersist()
         b.unpersist()
         ()

