@@ -209,10 +209,32 @@ object Bench {
     if (!new java.io.File(mlDir).isDirectory)
       System.err.println(s"[bench] ml fixture dir $mlDir missing — " +
         "ml section will report -1 (set SPARK_GRAFT_ML_DIR)")
+    // ALS fit priced SEPARATELY (the reference's flagship ~30-min build
+    // artifact, als.py:87): timed as a raw fit on exactly the q_als_*
+    // train input, then the persisted-artifact memo is populated so the
+    // q_als_map line below measures the post-fit lifecycle
+    // (recommend + distributed eval) — the same fit/serve split as the
+    // IVF-PQ and BPE sections.
+    val cfg32 = graft.operators.Recommend.AlsConfig(
+      rank = 32, maxIter = 3, regParam = 0.15)
+    val alsSecs = (1 to runs).flatMap { _ =>
+      val t0 = System.nanoTime()
+      try {
+        graft.operators.Recommend.train(
+          graft.queries.PipelineQueries.alsTrainInput(spark, mlDir), cfg32)
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] ml q_als_fit failed: ${e.getMessage}"); None
+      }
+    }
+    val alsMedian = if (alsSecs.isEmpty) -1.0 else alsSecs.sorted.apply(alsSecs.length / 2)
+    try graft.queries.PipelineQueries.alsModel(spark, mlDir, cfg32)
+    catch { case _: Throwable => () }
     val ml = Seq("q_als_map").flatMap { name =>
       SparkEntry.queries.get(name).map(fn => name -> timeQuery(name, fn, mlDir, "ml "))
     }
-    val mlJson = ml.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val mlJson = (ml.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" } :+
+      f""""q_als_fit":$alsMedian%.3f""")
       .mkString("{", ",", "}")
 
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"ml":{"sf":"sf0.01","queries":$mlJson},"fit":{"sf":"$sfDir","queries":$fitJson}}""")

@@ -341,6 +341,23 @@ object Artifacts {
     if (exists(spark, dir)) loadMinhashIndex(spark, dir)
     else { val idx = build; saveMinhashIndex(idx, dir); loadMinhashIndex(spark, dir) }
 
+  /** The fitted ALS factor model — the reference's FLAGSHIP artifact (the
+    * ~30-minute cluster fit of `als.py:87` that the reference recomputes
+    * every run; `FinalReport.pdf p.3 §4`). MLlib's own `ALSModel.save`
+    * persists the user/item factor matrices as parquet plus params
+    * metadata, so this is a thin load-or-fit composition in the
+    * [[loadOrFitIvfPq]] mold: a warm restart costs one FS probe + a
+    * factor-matrix read — never the fit. Factors round-trip exactly
+    * (parquet IEEE floats), so recommendations from a reloaded model are
+    * bit-identical to the fitting process's (spec-asserted in
+    * RecommendSpec).
+    */
+  def loadOrFitAls(spark: SparkSession, dir: String)
+      (fit: => org.apache.spark.ml.recommendation.ALSModel)
+      : org.apache.spark.ml.recommendation.ALSModel =
+    if (exists(spark, dir)) org.apache.spark.ml.recommendation.ALSModel.load(dir)
+    else { val m = fit; m.write.overwrite().save(dir); m }
+
   // ---- QualityLrModel (trained quality gate) ----
 
   /** Persist a [[TextAnalysis.QualityLrModel]] as one (intercept, weights)

@@ -74,11 +74,54 @@ object Split {
     */
   def exactNSample(df: DataFrame, n: Int, keys: Seq[Column]): DataFrame = {
     require(n >= 0, s"n $n")
-    val keyStr = concat_ws("", keys.map(_.cast("string")): _*)
-    df.withColumn("__ord", md5(keyStr))
-      .orderBy(col("__ord"))
+    df.withColumn("__key", serializeKey(keys))
+      .withColumn("__ord", md5(col("__key")))
+      .orderBy(col("__ord"), col("__key"))
       .limit(n)
-      .drop("__ord")
+      .drop("__ord", "__key")
+  }
+
+  /** Injective serialization of a multi-column key: each part is
+    * length-prefixed (`len:value`) before joining, so distinct keys can
+    * never concatenate to the same string — ("ab","c") → "2:ab|1:c" vs
+    * ("a","bc") → "1:a|2:bc" (a separator alone still collides when a
+    * value CONTAINS the separator). The serialized key doubles as the
+    * deterministic tiebreak column: rows with equal md5 (duplicate keys)
+    * sort on the key itself, so which row crosses a limit-n boundary is a
+    * pure function of content, never of execution order. Plain string
+    * arithmetic — identical in ANSI SQL, so sampled sets stay
+    * oracle-checkable.
+    */
+  private def serializeKey(keys: Seq[Column]): Column =
+    concat_ws("|", keys.map { k =>
+      val p = k.cast("string")
+      concat(length(p).cast("string"), lit(":"), p)
+    }: _*)
+
+  /** STRATIFIED exact-N: exactly `n` rows PER GROUP (fewer iff the group
+    * is smaller) — "hold out exactly N docs per source", the form
+    * eval-set builders need when sources are imbalanced and a global cut
+    * ([[exactNSample]]) would under-sample small sources. Same
+    * deterministic order as [[exactNSample]] (md5 of the injectively
+    * serialized key, ties broken by the key itself), same
+    * oracle-reproducibility.
+    *
+    * Plan shape: ONE shuffle on the group key with the rank cut applied
+    * as WindowGroupLimit on BOTH sides of the exchange (per-partition
+    * bounded top-n heaps before the shuffle, final cut after — the
+    * grouped analogue of [[exactNSample]]'s TakeOrdered; plan-asserted
+    * in SplitSpec). No global sort, no corpus-wide single-partition
+    * window.
+    */
+  def exactNPerGroup(df: DataFrame, n: Int, groupCol: Column,
+      keys: Seq[Column]): DataFrame = {
+    require(n >= 0, s"n $n")
+    val w = Window.partitionBy(groupCol).orderBy(col("__ord"), col("__key"))
+    df.withColumn("__key", serializeKey(keys))
+      .withColumn("__ord", md5(col("__key")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn", "__ord", "__key")
   }
 
   /** Deterministic modulo-hash split — the scale-safe, oracle-reproducible

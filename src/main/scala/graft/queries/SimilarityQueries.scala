@@ -170,6 +170,27 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // AT-REST ≡ IN-MEMORY serving equality as a DRIVER-VISIBLE row: the
+    // symmetric-difference count of the two IVF-PQ serving paths over
+    // the full (query_id, neighbor_id, rank, cos) result relation. Both
+    // paths funnel through the same ivfPqServe join and the same model,
+    // so the count is the CONSTANT 0 — trivially SQL-expressible, which
+    // promotes the scalatest-only operator equality into a green ORACLED
+    // row in every round's CORRECTNESS file (the at-rest path's
+    // correctness is witnessed by the driver, not just the test suite).
+    "q_cosine_ivfpq_paths_agree" -> ((s, d) => {
+      val e = emb(s, d)
+      def served(df: DataFrame) = df
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          round(col("cos"), 6).as("cos_r"))
+      val mem = served(Similarity.ivfPqApply(e, e.filter(col("vec_id") < 10),
+        k = 5, ivfpqModel(s, d), nProbe = 4))
+      val disk = served(Similarity.ivfPqApplyFromDisk(ivfIndexDir(s, d), e,
+        e.filter(col("vec_id") < 10), k = 5, ivfpqModel(s, d), nProbe = 4))
+      mem.exceptAll(disk).unionAll(disk.exceptAll(mem))
+        .agg(count(lit(1)).as("n_diff"))
+    }),
+
     // IVF cell-balance health (the coarse-quantizer twin of
     // q_minhash_bucket_health): one deterministic row over the same
     // map-only assignment projection the serving path uses. Rows-only
@@ -302,6 +323,11 @@ object SimilarityQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the two serving paths share one join implementation and one model,
+    // so their symmetric difference is the constant 0 — the oracle pins
+    // exactly that
+    "q_cosine_ivfpq_paths_agree" -> "SELECT CAST(0 AS BIGINT) AS n_diff",
+
     "q_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv
         |           FROM embeddings WHERE vec_id < 10),

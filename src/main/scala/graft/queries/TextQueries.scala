@@ -624,6 +624,19 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // STRATIFIED exact-N holdout: exactly 5 docs PER SOURCE (the
+    // imbalance-proof eval-set cut — a global exact-N under-samples
+    // small sources). Deterministic md5-of-serialized-key order, ties
+    // broken by the key itself; one shuffle on source with the rank cut
+    // pushed to both sides of the exchange as WindowGroupLimit
+    // (per-partition heaps, no global sort — SplitSpec-asserted).
+    // Fully DuckDB-oracled like q_sample_exact_n.
+    "q_sample_stratified" -> ((s, d) => {
+      Split.exactNPerGroup(docs(s, d).select(col("doc_id"), col("source")),
+        5, col("source"), Seq(col("doc_id")))
+        .orderBy(col("doc_id"))
+    }),
+
     // QUALITY-priority transitive dedup: per near-dup component keep the
     // BEST-quality member (ties → min id), not the min id — what a
     // production pipeline wants from a dup cluster (min-id keeps
@@ -1165,10 +1178,29 @@ object TextQueries {
         |ORDER BY id""".stripMargin,
 
     "q_sample_exact_n" ->
-      """SELECT doc_id, source FROM (
-        |  SELECT doc_id, source FROM documents
-        |  ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 50
+      """WITH k AS (
+        |  SELECT doc_id, source,
+        |    CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR)
+        |      || ':' || CAST(doc_id AS VARCHAR) AS ks
+        |  FROM documents
+        |)
+        |SELECT doc_id, source FROM (
+        |  SELECT doc_id, source FROM k
+        |  ORDER BY md5(ks), ks LIMIT 50
         |) ORDER BY doc_id""".stripMargin,
+
+    "q_sample_stratified" ->
+      """WITH k AS (
+        |  SELECT doc_id, source,
+        |    CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR)
+        |      || ':' || CAST(doc_id AS VARCHAR) AS ks
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(ks), ks) AS rn
+        |  FROM k
+        |)
+        |SELECT doc_id, source FROM r WHERE rn <= 5 ORDER BY doc_id""".stripMargin,
 
     "q_dedup_keep_best" ->
       s"""WITH t AS (

@@ -38,6 +38,27 @@ class RecommendSpec extends SparkTestBase {
     assert(rmse < 1.0, s"rmse $rmse")
   }
 
+  test("loadOrFitAls: cold call fits once + persists; warm call loads without refit, recs bit-identical") {
+    import graft.operators.Artifacts
+    val dir = java.nio.file.Files.createTempDirectory("graft_als_lof")
+      .toString + "/als"
+    val cfg = Recommend.AlsConfig(rank = 8, maxIter = 5, regParam = 0.1, seed = 7L)
+    var fits = 0
+    def fit() = { fits += 1; Recommend.train(fixture, cfg) }
+    val cold = Artifacts.loadOrFitAls(spark, dir)(fit())
+    assert(fits == 1, "cold call must fit exactly once")
+    val warm = Artifacts.loadOrFitAls(spark, dir)(fit())
+    assert(fits == 1, "warm call must NOT refit")
+    // factors round-trip exactly through parquet, so the served
+    // recommendations are bit-identical across the save/load boundary
+    def recs(m: org.apache.spark.ml.recommendation.ALSModel) =
+      Recommend.recommendTopK(m, 5)
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
+          r.getFloat(3))).sortBy(t => (t._1, t._3))
+    assert(recs(cold).sameElements(recs(warm)),
+      "reloaded model must serve identical recommendations")
+  }
+
   test("recommendTopK surfaces the preferred parity block") {
     val recs = Recommend.recommendTopK(model, 5)
     // for even users, top-5 recommended items should be mostly even

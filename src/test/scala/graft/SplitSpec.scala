@@ -82,4 +82,43 @@ class SplitSpec extends SparkTestBase {
     // n > |df| degrades to the full relation
     assert(Split.exactNSample(docs, 100000, Seq(col("doc_id"))).count() == docs.count())
   }
+
+  test("exactNSample: concat-ambiguous multi-column keys cut deterministically (length-prefixed serialization)") {
+    import spark.implicits._
+    // under plain concatenation both keys serialize to "abc" → identical
+    // md5 → arbitrary winner; the length-prefixed form keeps them apart
+    val df = Seq(("ab", "c", 1L), ("a", "bc", 2L)).toDF("k1", "k2", "v")
+    def hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected =
+      if (Ordering.Tuple2[String, String].lt(
+        (hex("2:ab|1:c"), "2:ab|1:c"), (hex("1:a|2:bc"), "1:a|2:bc"))) 1L
+      else 2L
+    (0 until 3).foreach { i =>
+      val got = Split.exactNSample(df.repartition(i + 1), 1,
+        Seq(col("k1"), col("k2"))).collect()
+      assert(got.length == 1 && got(0).getLong(2) == expected,
+        s"partitioning $i picked ${got.toSeq}, wanted v=$expected")
+    }
+  }
+
+  test("exactNPerGroup: exactly n per group, deterministic, WindowGroupLimit plan (no global sort)") {
+    val docs = graft.Tables.documents(spark, sf).select(col("doc_id"), col("source"))
+    val s1 = Split.exactNPerGroup(docs, 3, col("source"), Seq(col("doc_id")))
+    val perGroup = s1.groupBy(col("source")).count().collect()
+    val nSources = docs.select(col("source")).distinct().count()
+    assert(perGroup.length == nSources, "every source represented")
+    assert(perGroup.forall(_.getLong(1) == 3L),
+      s"per-group sizes ${perGroup.map(_.getLong(1)).toSeq}")
+    val ids1 = s1.collect().map(_.getLong(0)).toSet
+    val ids2 = Split.exactNPerGroup(docs.repartition(7), 3, col("source"),
+      Seq(col("doc_id"))).collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2, "sampled set is a pure function of content")
+    // plan: rank cut as per-partition WindowGroupLimit heaps around ONE
+    // hash exchange on the group key — never a global (range) sort
+    val plan = Split.exactNPerGroup(docs, 3, col("source"), Seq(col("doc_id")))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"wanted WindowGroupLimit:\n$plan")
+    assert(!plan.contains("rangepartitioning"), s"global sort leaked:\n$plan")
+  }
 }
