@@ -145,45 +145,105 @@ object EventStreams {
     *
     *  1. gates first (map-only — same state-size argument as
     *     [[curateDocs]]);
-    *  2. index gate: per band, one stream-static LEFT ANTI equi-join of
-    *     the doc's band bucket (`element_at(sig, band+1)`, a map-only
-    *     column off ONE fused signature pass) against the persisted
-    *     bucket relation — a doc survives iff NO band collides with the
-    *     index. This is the LSH candidate test served as a lookup: the
-    *     batch twin ([[graft.operators.Dedup.incrementalNearDup]])
-    *     verifies exact Jaccard on candidates; the streaming gate treats
-    *     any band collision as a duplicate — deliberately CONSERVATIVE
-    *     for intake (a false collision drops a good doc; tuned banding
-    *     makes that rare, and [[nearDupMatches]] is the verified
-    *     observability stream). Index side stays ids-only parquet,
-    *     listing pinned at query start — appends surface on the restart
-    *     cadence, exactly like [[incrementalIntake]];
-    *  3. in-stream near-dup: `dropDuplicatesWithinWatermark` keyed on
-    *     the FULL band signature — two docs with identical minhash
-    *     signatures are near-certain near-dups, and signature state is
-    *     one short string per novel doc within the watermark horizon
-    *     (full in-stream Jaccard would need stream-stream pairing state;
-    *     the batch path owns that).
+    *  2. index gate: posexplode the doc's band signature (ONE fused
+    *     signature pass) to `bands` (band, bucket) rows and run ONE
+    *     two-key stream-static LEFT ANTI equi-join against the persisted
+    *     bucket relation — a band row survives iff its (band, bucket) is
+    *     absent from the index, and the doc survives iff ALL `bands` of
+    *     its rows survive (no band collides; the forall lands in stage
+    *     3's group step). One join probes every band in one pass — the
+    *     r6 form ran `bands` sequential anti-joins, `bands` join stages
+    *     of micro-batch latency for the same rows. Band partition
+    *     pruning still applies (the join key leads with `band`). This is
+    *     the LSH candidate test served as a lookup: the batch twin
+    *     ([[graft.operators.Dedup.incrementalNearDup]]) verifies exact
+    *     Jaccard on candidates; this gate treats any band collision as a
+    *     duplicate — deliberately CONSERVATIVE for intake (a false
+    *     collision drops a good doc; tuned banding makes that rare, and
+    *     [[nearDupMatches]] is the verified observability stream). Index
+    *     side stays ids-only parquet, listing pinned at query start —
+    *     appends surface on the restart cadence, exactly like
+    *     [[incrementalIntake]];
+    *  3. in-stream near-dup + the stage-2 forall in ONE stateful
+    *     operator: `flatMapGroupsWithState` keyed on the FULL band
+    *     signature. All band rows of all same-signature docs share a
+    *     group, so the group emits its FIRST doc (min (ts, doc_id) — a
+    *     deterministic pick where `dropDuplicatesWithinWatermark` kept
+    *     an arbitrary first arrival) iff that doc kept all `bands` rows,
+    *     and stores one boolean per ADMITTED signature with an
+    *     event-time timeout at ts + the watermark delay — the same
+    *     bounded horizon `dropDuplicatesWithinWatermark` kept, one short
+    *     key per novel doc. Arbitrary-state ops cannot share a query
+    *     with other stateful operators, which is exactly why the dedup
+    *     and the forall must be ONE operator: the alternative per-doc
+    *     `groupBy` count would be a second stateful op (and, windowed
+    *     for append mode, would delay emission by the watermark).
+    *
+    * The SAME code runs on a batch `docs` frame (flatMapGroupsWithState
+    * executes per-group with empty state in batch; the watermark and
+    * timeout degrade to no-ops), so batch ≡ stream equivalence is
+    * asserted directly in StreamingSpec rather than via a twin.
     */
   def incrementalNearIntake(docs: DataFrame,
       index: graft.operators.Dedup.MinhashIndex,
       nShingle: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
       watermark: String = "2 hours", minQuality: Double = 0.5): DataFrame = {
+    val streaming = docs.isStreaming
+    val delayMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(watermark))
+    val delayMillis =
+      org.apache.spark.sql.catalyst.util.IntervalUtils.getDuration(
+        delayMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    val outSchema = docs.schema
+    val nOut = outSchema.length
     val gated = docs
       .filter(graft.operators.TextAnalysis.qualityScore(col("text")) >= minQuality)
       .filter(graft.operators.TextAnalysis.langId(col("text")) === "en")
       .withColumn("__sig", graft.functions.TextHashFunctions.minhash_band_buckets(
         graft.operators.Dedup.shingles(col("text"), nShingle), bands, rowsPerBand))
-    val novel = (0 until bands).foldLeft(gated) { (df, b) =>
-      df.join(
-        index.buckets.filter(col("band") === b).select(col("bucket").as("__bkt")),
-        element_at(col("__sig"), b + 1) === col("__bkt"), "left_anti")
-    }
-    novel
-      .withColumn("__sig_key", concat_ws(",", col("__sig").cast("array<string>")))
       .withWatermark("ts", watermark)
-      .dropDuplicatesWithinWatermark("__sig_key")
-      .drop("__sig", "__sig_key")
+    val exploded = gated
+      .select((docs.columns.map(col) :+
+        concat_ws(",", col("__sig").cast("array<string>")).as("__sig_key") :+
+        posexplode(col("__sig")).as(Seq("band", "bucket"))): _*)
+    val survivors = exploded.join(
+      index.buckets.select(col("band").cast("int").as("band"), col("bucket")),
+      Seq("band", "bucket"), "left_anti")
+      // canonical order (the using-columns join may reorder): the band
+      // values themselves are spent — only row MULTIPLICITY (how many of
+      // the doc's bands survived) feeds the forall below
+      .select((docs.columns.map(col) :+ col("__sig_key")): _*)
+    val tsIdx = outSchema.fieldIndex("ts")
+    val idIdx = outSchema.fieldIndex("doc_id")
+    val keyIdx = nOut // __sig_key right after the doc columns
+    implicit val rowEnc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.Encoders.row(outSchema)
+    implicit val boolEnc: org.apache.spark.sql.Encoder[Boolean] =
+      org.apache.spark.sql.Encoders.scalaBoolean
+    survivors
+      .groupByKey(_.getString(keyIdx))(org.apache.spark.sql.Encoders.STRING)
+      .flatMapGroupsWithState[Boolean, org.apache.spark.sql.Row](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (_: String, rows: Iterator[org.apache.spark.sql.Row],
+         state: GroupState[Boolean]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            // all rows here share one signature → one index-gate outcome;
+            // a doc is novel iff ALL its band rows survived the anti-join
+            val byDoc = rows.toSeq.groupBy(_.getLong(idIdx))
+            val full = byDoc.filter(_._2.size == bands)
+            if (state.exists || full.isEmpty) Iterator.empty
+            else {
+              val first = full.values.map(_.head).minBy(r =>
+                (r.getTimestamp(tsIdx).getTime, r.getLong(idIdx)))
+              state.update(true)
+              if (streaming) state.setTimeoutTimestamp(
+                first.getTimestamp(tsIdx).getTime + delayMillis)
+              Iterator.single(org.apache.spark.sql.Row.fromSeq(
+                first.toSeq.take(nOut)))
+            }
+          }
+      }
   }
 
   /** CLOSED-LOOP exact-dedup intake: [[incrementalIntake]] gating against

@@ -304,6 +304,50 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("incrementalNearIntake: ONE stream-static join probes all bands; batch ≡ stream bit-exact") {
+    implicit val sc = spark.sqlContext
+    val corpusDoc = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val index = graft.operators.Dedup.minhashIndex(
+      Seq((1L, corpusDoc)).toDF("doc_id", "text"))
+    // plan: the r6 form ran `bands` (8) sequential anti-joins — the
+    // posexplode rewrite probes every band through ONE two-key join
+    val mem0 = MemoryStream[EventStreams.Doc]
+    val joins = EventStreams.incrementalNearIntake(mem0.toDF(), index)
+      .queryExecution.analyzed.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+    assert(joins.size == 1, s"wanted exactly one join, got ${joins.size}")
+    // batch ≡ stream: the SAME function on a batch frame (fMGWS runs
+    // per-group with empty state; watermark/timeout are no-ops) must
+    // produce bit-identical survivors to the streamed run
+    val docs = Seq(
+      EventStreams.Doc(11, ts(0), // band-collides with index → dropped
+        "the quick brown fox jumps over the lazy dog near the river bank now"),
+      EventStreams.Doc(12, ts(1), // novel → kept
+        "a new document with the words that pass the quality gate " +
+          "and the language gate for the test of the incremental intake path"),
+      EventStreams.Doc(13, ts(2), // in-stream signature dup of 12 → dropped
+        "a new document with the words that pass the quality gate " +
+          "and the language gate for the test of the incremental intake path"))
+    val batchOut = EventStreams.incrementalNearIntake(docs.toDF(), index)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getString(2)))
+      .sortBy(_._1)
+    val mem = MemoryStream[EventStreams.Doc]
+    val q = EventStreams.incrementalNearIntake(mem.toDF(), index)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("near_equiv_out").start()
+    val streamOut = try {
+      mem.addData(docs: _*)
+      q.processAllAvailable()
+      spark.table("near_equiv_out")
+        .collect().map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getString(2)))
+        .sortBy(_._1)
+    } finally q.stop()
+    assert(batchOut.sameElements(streamOut),
+      s"batch ${batchOut.toSeq} != stream ${streamOut.toSeq}")
+    assert(batchOut.map(_._1).toSeq == Seq(12L), s"gate wrong: ${batchOut.toSeq}")
+  }
+
   test("streaming nearDupMatches mirrors batch incrementalNearDup pair-for-pair") {
     implicit val sc = spark.sqlContext
     val corpus = Seq(
