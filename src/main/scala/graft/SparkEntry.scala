@@ -58,6 +58,7 @@ object SparkEntry {
     "q_media_features" -> "stub codec features; determinism + batch-shape tests in RecommendSpec",
     "q_media_decode" -> "real javax.imageio PNG decode not SQL-expressible; generator-parity + determinism tests in RecommendSpec",
     "q_audio_decode" -> "real javax.sound.sampled WAV decode not SQL-expressible; generator-parity + determinism tests in RecommendSpec",
+    "q_video_decode" -> "real MJPEG-in-AVI container walk + per-frame JPEG decode not SQL-expressible; generator-parity + determinism tests in RecommendSpec",
     "q_split_v1_report" -> "seeded sampleBy never value-matches cross-engine; partition invariant",
     "q_split_v2_report" -> "seeded per-user sample; disjointness invariants (1 row, zeros)",
     "q_quality_classifier" -> "LBFGS LR fit not SQL-expressible; accuracy floor + fit determinism + planted-gate tests in CurationSpec",

@@ -45,6 +45,15 @@ object EventQueries {
         .write.mode("overwrite").parquet(dir)
       dir
     })
+  private def videoDir(s: SparkSession, d: String): String =
+    mediaDirs.getOrElseUpdate(("avi", d), {
+      val dir = java.nio.file.Files.createTempDirectory("graft_media_avi")
+        .toString + "/media"
+      Multimodal.syntheticVideoTable(Tables.documents(s, d))
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
+
   private def cents(c: org.apache.spark.sql.Column) = round(c * 100, 0).cast("long")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -237,12 +246,40 @@ object EventQueries {
         .orderBy(col("media_id"))
     }),
 
-    // multimodal: video frame sampling (explode pattern, no byte fan-out)
+    // multimodal: video frame sampling over CONTAINER-PARSED metadata —
+    // frame counts and durations come from walking the real AVI bytes
+    // (VideoCodec.parseMeta reads the avih header), not a metadata
+    // column, then the explode pattern fans each clip into sampled
+    // frame indices with no byte fan-out (bytes dropped pre-explode).
+    // Still fully ORACLED: the generator derives clip shape from
+    // media_id, so DuckDB predicts what a correct parse must yield —
+    // the same generator-parity convention as q_media_resize.
     "q_media_frames" -> ((s, d) => {
-      Multimodal.sampleFrames(Multimodal.syntheticMediaTable(Tables.documents(s, d)), 30)
+      Multimodal.sampleFrames(
+        Multimodal.videoMeta(s.read.parquet(videoDir(s, d))).toDF()
+          .withColumn("kind", lit("video")), 3)
         .select(col("media_id"), col("n_frames").cast("long").as("n_frames"),
-          col("frame_idx").cast("long").as("frame_idx"))
+          col("duration_ms"), col("frame_idx").cast("long").as("frame_idx"))
         .orderBy(col("media_id"), col("frame_idx"))
+    }),
+
+    // multimodal: REAL video decode (MJPEG-in-AVI) — the RIFF container
+    // walked byte-for-byte (frame count cross-checked container header
+    // vs counted 00dc chunks) and every JPEG frame decoded through
+    // javax.imageio, per-clip Rec.601 luma from actual pixels.
+    // Rows-only (a JPEG decoder is not SQL-expressible); generator
+    // parity + determinism asserted in RecommendSpec.
+    "q_video_decode" -> ((s, d) => {
+      Multimodal.videoFeatures(s.read.parquet(videoDir(s, d)))
+        .toDF()
+        .select(col("media_id"),
+          col("vid_width").cast("long").as("vid_width"),
+          col("vid_height").cast("long").as("vid_height"),
+          col("n_frames").cast("long").as("n_frames"),
+          col("n_frames_decoded").cast("long").as("n_frames_decoded"),
+          col("duration_ms"),
+          round(col("mean_luma"), 4).as("mean_luma_r"))
+        .orderBy(col("media_id"))
     }),
 
     // multimodal: batched feature extraction through the stub codec
@@ -521,16 +558,24 @@ object EventQueries {
         |  CAST(GREATEST(FLOOR(height * LEAST(512.0 / GREATEST(width, height), 1.0)), 1) AS BIGINT) AS resized_height
         |FROM m ORDER BY media_id""".stripMargin,
 
+    // generator parity: the AVI generator derives clip shape from
+    // media_id (nf = id%12+2, fps = (id%4+1)*5, µs/frame = 1000000//fps
+    // in integer division), so the oracle predicts what a correct
+    // container parse must read back out of the avih header
     "q_media_frames" ->
       """WITH m AS (
         |  SELECT doc_id AS media_id,
-        |    ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
-        |    CAST(doc_id % 240 + 1 AS BIGINT) AS n_frames
+        |    CAST(doc_id % 12 + 2 AS BIGINT) AS n_frames,
+        |    (doc_id % 4 + 1) * 5 AS fps
         |  FROM documents
+        |), v AS (
+        |  SELECT media_id, n_frames,
+        |    CAST(n_frames * (1000000 // fps) // 1000 AS BIGINT) AS duration_ms
+        |  FROM m
         |)
-        |SELECT media_id, n_frames,
-        |  UNNEST(generate_series(0, GREATEST(n_frames - 1, 0), 30)) AS frame_idx
-        |FROM m WHERE kind = 'video' ORDER BY media_id, frame_idx""".stripMargin,
+        |SELECT media_id, n_frames, duration_ms,
+        |  UNNEST(generate_series(0, GREATEST(n_frames - 1, 0), 3)) AS frame_idx
+        |FROM v ORDER BY media_id, frame_idx""".stripMargin,
 
     "q_events_anomaly" ->
       """WITH hourly AS (

@@ -166,4 +166,44 @@ class RecommendSpec extends SparkTestBase {
     val a = q(spark, sf).collect()
     assert(a.length == 500 && a.sameElements(q(spark, sf).collect()))
   }
+
+  test("real video codec: parsed AVI container + decoded frames match the generator") {
+    val docs = Tables.documents(spark, sf).limit(40)
+    val media = Multimodal.syntheticVideoTable(docs)
+    val stats = Multimodal.videoFeatures(media).collect()
+    assert(stats.length == 40)
+    stats.foreach { s =>
+      val id = s.media_id
+      // container walk must recover the generator's clip shape exactly
+      assert(s.vid_width == (id % 9 + 2).toInt * 2, s"width for $id")
+      assert(s.vid_height == (id % 7 + 2).toInt * 2, s"height for $id")
+      assert(s.n_frames == (id % 12 + 2).toInt, s"avih frame count for $id")
+      // header-declared count must agree with the counted 00dc chunks
+      assert(s.n_frames_decoded == s.n_frames,
+        s"movi chunk count ${s.n_frames_decoded} != avih ${s.n_frames} for $id")
+      val fps = (id % 4 + 1).toInt * 5
+      assert(s.duration_ms == s.n_frames.toLong * (1000000 / fps) / 1000L,
+        s"duration for $id")
+      // splitmix rasters are ~uniform noise → decoded luma mid-range;
+      // a broken walk (garbage offsets) dies in ImageIO.read long before
+      assert(s.mean_luma > 64 && s.mean_luma < 192,
+        s"non-physical luma ${s.mean_luma} for $id")
+    }
+    val again = Multimodal.videoFeatures(
+      Multimodal.syntheticVideoTable(docs.repartition(5))).collect()
+    assert(stats.map(s => s.media_id -> (s.n_frames, s.mean_luma)).toMap ==
+      again.map(s => s.media_id -> (s.n_frames, s.mean_luma)).toMap,
+      "decode must be deterministic under repartitioning")
+    // the cheap metadata path reads the same container truth, no pixels
+    val meta = Multimodal.videoMeta(media).collect()
+      .map(m => m.media_id -> (m.n_frames, m.duration_ms)).toMap
+    assert(stats.forall(s => meta(s.media_id) == ((s.n_frames, s.duration_ms))),
+      "parseMeta and decodeFrames must agree on the container")
+  }
+
+  test("q_video_decode: deterministic rows from genuine container bytes") {
+    val q = SparkEntry.queries("q_video_decode")
+    val a = q(spark, sf).collect()
+    assert(a.length == 500 && a.sameElements(q(spark, sf).collect()))
+  }
 }
