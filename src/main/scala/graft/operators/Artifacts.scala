@@ -348,9 +348,11 @@ object Artifacts {
     * metadata, so this is a thin load-or-fit composition in the
     * [[loadOrFitIvfPq]] mold: a warm restart costs one FS probe + a
     * factor-matrix read — never the fit. Factors round-trip exactly
-    * (parquet IEEE floats), so recommendations from a reloaded model are
-    * bit-identical to the fitting process's (spec-asserted in
-    * RecommendSpec).
+    * (parquet IEEE floats), so per-(user, item) predictions from a
+    * reloaded model are bit-identical to the fitting process's
+    * (spec-asserted in RecommendSpec; top-k recommendation TIE-breaks
+    * follow partition order and may differ, exactly as they may between
+    * two runs of the fitting process itself).
     */
   def loadOrFitAls(spark: SparkSession, dir: String)
       (fit: => org.apache.spark.ml.recommendation.ALSModel)

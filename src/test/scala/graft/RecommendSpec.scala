@@ -49,14 +49,17 @@ class RecommendSpec extends SparkTestBase {
     assert(fits == 1, "cold call must fit exactly once")
     val warm = Artifacts.loadOrFitAls(spark, dir)(fit())
     assert(fits == 1, "warm call must NOT refit")
-    // factors round-trip exactly through parquet, so the served
-    // recommendations are bit-identical across the save/load boundary
-    def recs(m: org.apache.spark.ml.recommendation.ALSModel) =
-      Recommend.recommendTopK(m, 5)
-        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2),
-          r.getFloat(3))).sortBy(t => (t._1, t._3))
-    assert(recs(cold).sameElements(recs(warm)),
-      "reloaded model must serve identical recommendations")
+    // factors round-trip exactly through parquet, so per-(user, item)
+    // PREDICTIONS are bit-identical across the save/load boundary.
+    // (Deliberately not asserted on recommendTopK: the block fixture
+    // produces exact score TIES, and top-k tie-breaks follow partition
+    // order, which legitimately differs between an in-memory and a
+    // parquet-loaded factor matrix.)
+    def preds(m: org.apache.spark.ml.recommendation.ALSModel) =
+      Recommend.predict(m, holdout)
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getFloat(3)).toMap
+    val (p1, p2) = (preds(cold), preds(warm))
+    assert(p1 == p2, "reloaded factors must serve bit-identical predictions")
   }
 
   test("recommendTopK surfaces the preferred parity block") {
