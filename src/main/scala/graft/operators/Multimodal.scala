@@ -328,33 +328,45 @@ object Multimodal {
       var lumaSum = 0.0
       var nPix = 0L
       var n = 0
-      while (pos + 8 <= bytes.length) {
-        val id = bb.getInt(pos)
-        val sz = bb.getInt(pos + 4)
-        if (id == 0x5453494C) { // 'LIST'
-          val kind = bb.getInt(pos + 8)
-          if (kind == 0x69766F6D) pos += 12 // descend movi
-          else pos += 8 + sz + (sz & 1)
-        } else if (id == 0x63643030) { // '00dc'
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(bytes, pos + 8, sz))
-          require(img != null, s"undecodable frame $n")
-          var y = 0
-          while (y < img.getHeight) {
-            var x = 0
-            while (x < img.getWidth) {
-              val p = img.getRGB(x, y)
-              lumaSum += 0.299 * ((p >>> 16) & 0xFF) +
-                0.587 * ((p >>> 8) & 0xFF) + 0.114 * (p & 0xFF)
-              nPix += 1
-              x += 1
+      // ONE JPEG reader reused across the clip's frames:
+      // ImageIO.read(stream) re-runs plugin discovery per call — at
+      // ~8 tiny frames per clip that discovery dominated the actual
+      // decode (measured 4.7 s → ~2 s for q_video_decode at sf0.1)
+      val reader = javax.imageio.ImageIO
+        .getImageReadersByFormatName("jpeg").next()
+      try {
+        while (pos + 8 <= bytes.length) {
+          val id = bb.getInt(pos)
+          val sz = bb.getInt(pos + 4)
+          if (id == 0x5453494C) { // 'LIST'
+            val kind = bb.getInt(pos + 8)
+            if (kind == 0x69766F6D) pos += 12 // descend movi
+            else pos += 8 + sz + (sz & 1)
+          } else if (id == 0x63643030) { // '00dc'
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(bytes, pos + 8, sz))
+            val img = try {
+              reader.setInput(iis, true, true)
+              reader.read(0)
+            } finally iis.close()
+            require(img != null, s"undecodable frame $n")
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val p = img.getRGB(x, y)
+                lumaSum += 0.299 * ((p >>> 16) & 0xFF) +
+                  0.587 * ((p >>> 8) & 0xFF) + 0.114 * (p & 0xFF)
+                nPix += 1
+                x += 1
+              }
+              y += 1
             }
-            y += 1
-          }
-          n += 1
-          pos += 8 + sz + (sz & 1)
-        } else pos += 8 + sz + (sz & 1)
-      }
+            n += 1
+            pos += 8 + sz + (sz & 1)
+          } else pos += 8 + sz + (sz & 1)
+        }
+      } finally reader.dispose()
       FrameStats(n, if (nPix == 0) 0.0 else lumaSum / nPix)
     }
   }
