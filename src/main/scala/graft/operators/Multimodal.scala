@@ -329,9 +329,9 @@ object Multimodal {
       var nPix = 0L
       var n = 0
       // ONE JPEG reader reused across the clip's frames:
-      // ImageIO.read(stream) re-runs plugin discovery per call — at
-      // ~8 tiny frames per clip that discovery dominated the actual
-      // decode (measured 4.7 s → ~2 s for q_video_decode at sf0.1)
+      // ImageIO.read(stream) re-runs plugin discovery per call — for
+      // tiny MJPEG frames that overhead is material (measured 4.73 s
+      // → 3.62 s for q_video_decode at sf0.1, −23%)
       val reader = javax.imageio.ImageIO
         .getImageReadersByFormatName("jpeg").next()
       try {
