@@ -114,6 +114,47 @@ object Artifacts {
     pruneVersions(spark, dir, keepVersions)
   }
 
+  /** Crash-safe COMPACTION of the at-rest IVF-PQ index — the ANN twin of
+    * [[compactMinhashIndex]], closing the same operational hole:
+    * [[Similarity.writeIvfPqIndex]]'s in-place overwrite is not atomic,
+    * and streaming appends ([[graft.streaming.EventStreams.maintainedIvfIntake]])
+    * accumulate one small file set per batch per touched cell. This
+    * sweep reads the live codes, re-clusters them by cell (collapsing
+    * the append-born small files), and publishes the result as a fresh
+    * `root/v=<n+1>` via [[publishVersion]] — readers
+    * ([[Similarity.ivfPqApplyFromDisk]]) and appenders
+    * ([[Similarity.appendToIvfPqIndex]]) resolve `_LATEST`, so a crash
+    * at ANY point leaves the last complete version live and a torn
+    * `v=<n>` is inert garbage (version numbers come from the directory
+    * listing, never re-used). After a successful publish the legacy
+    * flat cell directories (first versioned compaction) are deleted and
+    * [[pruneVersions]] bounds the history. Run on the maintenance
+    * cadence on a QUIESCED index, exactly like the minhash compaction.
+    * Codes are re-clustered, NOT re-encoded — a model refit + full
+    * re-encode is a bigger maintenance tier that also lands through
+    * [[publishVersion]] (write a fresh version with
+    * `Similarity.writeIvfPqIndex` inside the `write` callback).
+    */
+  def compactIvfPqIndex(spark: SparkSession, root: String,
+      keepVersions: Int = 2): Unit = {
+    val codes = spark.read.parquet(resolveLive(spark, root))
+    publishVersion(spark, root)(target =>
+      codes.repartition(col("centroid_id"))
+        .write.mode("overwrite").partitionBy("centroid_id").parquet(target))
+    // first versioned compaction of a legacy flat layout: drop the flat
+    // cell directories AFTER the pointer names the new version (a crash
+    // between publish and these deletes leaves harmless orphans)
+    val conf = spark.sessionState.newHadoopConf()
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    if (fs.exists(rootPath))
+      fs.listStatus(rootPath).toSeq
+        .filter(s => s.getPath.getName.startsWith("centroid_id=") ||
+          s.getPath.getName == "_SUCCESS")
+        .foreach(s => fs.delete(s.getPath, true))
+    pruneVersions(spark, root, keepVersions)
+  }
+
   // ---- exact-dedup fingerprint index ----
 
   /** Persist the exact-dedup fingerprint index (`content_hash` plus any

@@ -447,12 +447,21 @@ object Similarity {
     * The model is NOT refit (codebooks are statistics — they drift only
     * when the distribution does; re-fit + full rewrite is the periodic
     * compaction, exactly like the minhash-index cap re-enforcement).
+    *
+    * Versioned-root story: the `_LATEST` pointer of a crash-safe
+    * [[Artifacts.publishVersion]] root is resolved PER CALL, so appends
+    * always land in the live version — after a
+    * [[Artifacts.compactIvfPqIndex]] publishes a fresh version between
+    * batches, the next append follows it. A compaction must run on a
+    * QUIESCED index (appends racing its read would miss the new
+    * version), the same cadence contract as the minhash compaction.
     */
   def appendToIvfPqIndex(newVecs: DataFrame, model: IvfPqModel, dir: String,
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
     ivfPqEncodedCorpus(newVecs, model, idCol, vecCol)
       .repartition(col("centroid_id"))
-      .write.mode("append").partitionBy("centroid_id").parquet(dir)
+      .write.mode("append").partitionBy("centroid_id")
+      .parquet(Artifacts.resolveLive(newVecs.sparkSession, dir))
 
   /** IVF-PQ serving from the AT-REST index written by [[writeIvfPqIndex]]:
     * the scan carries a static `centroid_id IN (probe cells)` partition
@@ -475,7 +484,9 @@ object Similarity {
       .select(explode(nearestCells(model.cents, col(vecCol), nProbe)).as("__c"))
       .select(col("__c.cid")).distinct()
       .collect().map(_.getInt(0)).sorted
-    val codes = spark.read.parquet(indexDir)
+    // resolve the crash-safe `_LATEST` pointer first (Artifacts layout);
+    // a flat index dir resolves to itself, so both layouts serve here
+    val codes = spark.read.parquet(Artifacts.resolveLive(spark, indexDir))
       .filter(col("centroid_id").isin(probeCells.map(Int.box): _*))
     ivfPqServe(codes, corpus, queries, k, model, nProbe, rerank, idCol, vecCol)
   }

@@ -553,6 +553,51 @@ class DedupSimilaritySpec extends SparkTestBase {
       "appended index must serve identically to a full-corpus encode")
   }
 
+  test("compactIvfPqIndex: versioned publication — serving identical, appends follow the live version, crash-safe") {
+    import graft.operators.Artifacts
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfver")
+      .toString + "/idx"
+    val emb = Tables.embeddings(spark, sf)
+    val model = Similarity.fitIvfPq(emb, nCells = 8, m = 8, nCentroids = 8)
+    val q = emb.filter(col("vec_id") < 10)
+    def serve() = Similarity.ivfPqApplyFromDisk(root, emb, q, k = 5, model)
+      .collect().toSeq
+    // flat build + baseline serving
+    Similarity.writeIvfPqIndex(emb.filter(col("vec_id") % 2 === 0), model, root)
+    val baseline = serve()
+    // compaction: flat → v=1, pointer flipped, legacy cell dirs gone,
+    // serving (same root handle) identical
+    Artifacts.compactIvfPqIndex(spark, root)
+    assert(Artifacts.latestVersion(spark, root).exists(_.endsWith("v=1")))
+    assert(!new java.io.File(root).list().exists(_.startsWith("centroid_id=")),
+      "legacy flat cell dirs must be swept after the pointer flip")
+    assert(serve() == baseline, "compaction must not change served results")
+    // appends resolve the pointer: new vectors land INSIDE v=1 and serve
+    Similarity.appendToIvfPqIndex(emb.filter(col("vec_id") % 2 === 1), model, root)
+    assert(spark.read.parquet(s"$root/v=1").count() == emb.count(),
+      "append must land in the live version")
+    val afterAppend = serve()
+    val reference = Similarity.ivfPqApply(emb, q, k = 5, model).collect().toSeq
+    assert(afterAppend == reference,
+      "appended versioned index must serve identically to a full encode")
+    // crash mid-compaction: a torn write without a pointer flip leaves
+    // the last complete version live; recovery publishes PAST the torn
+    // directory (version numbers from the listing, never re-used)
+    intercept[RuntimeException] {
+      Artifacts.publishVersion(spark, root) { dir =>
+        new java.io.File(dir).mkdirs()
+        throw new RuntimeException("simulated crash mid-compaction")
+      }
+    }
+    assert(Artifacts.latestVersion(spark, root).exists(_.endsWith("v=1")),
+      "pointer must still name the last COMPLETE version")
+    assert(serve() == afterAppend, "torn compaction must not affect serving")
+    Artifacts.compactIvfPqIndex(spark, root)
+    assert(Artifacts.latestVersion(spark, root).exists(_.endsWith("v=3")),
+      "recovery must skip the torn v=2")
+    assert(serve() == afterAppend, "recovered compaction serves the same rows")
+  }
+
   test("publishVersion: readers follow _LATEST; a crashed write never corrupts the live artifact") {
     import graft.operators.Artifacts
     val root = java.nio.file.Files.createTempDirectory("graft_ver").toString + "/idx"

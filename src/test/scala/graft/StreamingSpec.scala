@@ -585,8 +585,13 @@ class StreamingSpec extends SparkTestBase {
       mem1.addData(EventStreams.Vec(100L, vNew))
       q1.processAllAvailable()
     } finally q1.stop()
+    // maintenance cadence between cycles: crash-safe versioned
+    // compaction (flat → v=1) — cycle 2's appends must follow _LATEST
+    graft.operators.Artifacts.compactIvfPqIndex(spark, indexDir)
+    assert(graft.operators.Artifacts.latestVersion(spark, indexDir)
+      .exists(_.endsWith("v=1")))
     // cycle 2 (fresh query): append vec 101 — proves the loop restarts
-    // against the same durable index
+    // against the same durable index AND lands inside the live version
     val mem2 = MemoryStream[EventStreams.Vec]
     val q2 = EventStreams.maintainedIvfIntake(mem2.toDF(), model,
       indexDir, sinkDir).start()
@@ -594,8 +599,9 @@ class StreamingSpec extends SparkTestBase {
       mem2.addData(EventStreams.Vec(101L, vNew.map(x => x * 0.5f)))
       q2.processAllAvailable()
     } finally q2.stop()
-    // both appends landed as encoded rows in cell directories
-    val codes = spark.read.parquet(indexDir)
+    // both appends landed as encoded rows in the LIVE version's cells
+    val codes = spark.read.parquet(
+      graft.operators.Artifacts.resolveLive(spark, indexDir))
     assert(codes.filter(col("neighbor_id").isin(100L, 101L)).count() == 2L,
       "appended vectors missing from the at-rest index")
     // at-rest serving (primary store = seed corpus + sink appends) finds
