@@ -62,8 +62,10 @@ object Bench {
     "q_cosine_ivfpq_disk", "q_media_decode", "q_audio_decode",
     "q_compress_ratio", "q_lexical_diversity", "q_dedup_keep_best",
     // round-7 additions: real MJPEG-in-AVI video decode, stratified
-    // exact-N holdout, at-rest/in-memory ANN serving agreement
-    "q_video_decode", "q_sample_stratified", "q_cosine_ivfpq_paths_agree")
+    // exact-N holdout, at-rest/in-memory ANN serving agreement,
+    // temperature-scaled mixing weights, semantic-balanced sampling
+    "q_video_decode", "q_sample_stratified", "q_cosine_ivfpq_paths_agree",
+    "q_mix_temperature", "q_sample_balanced_cells")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -39,6 +39,37 @@ object Mix {
   def weightedMix(sources: Seq[(DataFrame, Double)], keys: Seq[Column]): DataFrame =
     sources.map { case (df, w) => weighted(df, w, keys) }.reduce(_ unionByName _)
 
+  /** TEMPERATURE-scaled source weights — the standard multilingual /
+    * multi-source mixing rule `w_s ∝ n_s^α`: α = 1 reproduces natural
+    * proportions, α → 0 flattens toward uniform, the usual α ≈ 0.3–0.7
+    * band up-samples small sources without letting any source dominate.
+    * Returns one row per group: `(group, n, w_r, target)` where `w_r`
+    * is the normalized weight ROUNDED to 6dp (the cross-engine
+    * bit-equality contract) and `target = floor(w_r · budget)` computed
+    * in DECIMAL so the cut is exact on any engine.
+    *
+    * Scale shape: one partial+final aggregate to per-group sizes
+    * (|groups| rows), then the grand total attaches via a 1-row
+    * broadcast crossJoin (the [[Popularity]] stats pattern) — the
+    * normalization never shuffles the corpus, only the group relation.
+    * Feed `target` into [[weighted]] (weight = target/n) or a
+    * per-group [[Split.exactNSample]] cut to materialize the mix.
+    */
+  def temperatureWeights(df: DataFrame, groupCol: Column, alpha: Double,
+      budget: Long, sizeCol: Column = lit(1L)): DataFrame = {
+    require(alpha >= 0.0, s"alpha $alpha")
+    require(budget >= 0L, s"budget $budget")
+    val sized = df.groupBy(groupCol.as("group"))
+      .agg(sum(sizeCol).as("n"))
+      .withColumn("__w", pow(col("n").cast("double"), lit(alpha)))
+    val total = sized.agg(sum(col("__w")).as("__tw"))
+    sized.crossJoin(broadcast(total))
+      .withColumn("w_r", round(col("__w") / col("__tw"), 6))
+      .withColumn("target",
+        floor(col("w_r").cast("decimal(18,6)") * lit(budget)).cast("long"))
+      .select(col("group"), col("n"), col("w_r"), col("target"))
+  }
+
   /** Token-budget packing: assign documents to training shards so each
     * shard holds ~`budget` tokens. Exact bin packing is sequential; the
     * distributed form salts documents into `nWorkers` independent streams

@@ -198,6 +198,23 @@ object SimilarityQueries {
     "q_ivf_cell_health" -> ((s, d) =>
       Similarity.cellStats(emb(s, d), ivfpqModel(s, d).cents)),
 
+    // SEMANTIC-BALANCED sampling: exactly 5 vectors per IVF cell — the
+    // cluster-proportional eval/anchor-set cut a curation pipeline uses
+    // to avoid over-representing dense regions of embedding space.
+    // Composition of the map-only cell routing (assignCell — zero
+    // joins) with the stratified exact-N cut (exactNPerGroup —
+    // WindowGroupLimit heaps, one shuffle on the cell id). Rows-only
+    // (KMeans cells); per-cell-count + determinism spec in
+    // DedupSimilaritySpec; the CPUS=3 vs 8 sweep pins the values.
+    "q_sample_balanced_cells" -> ((s, d) => {
+      val cells = emb(s, d).select(col("vec_id"),
+        Similarity.assignCell(ivfpqModel(s, d).cents, col("embedding"))
+          .as("centroid_id"))
+      graft.operators.Split.exactNPerGroup(cells, 5,
+        col("centroid_id"), Seq(col("vec_id")))
+        .orderBy(col("vec_id"))
+    }),
+
     // IVF-style coarse-quantized ANN — rows-only
     "q_cosine_ivf" -> ((s, d) => {
       val e = emb(s, d)

@@ -284,6 +284,19 @@ object TextQueries {
         .orderBy(col("epoch"))
     }),
 
+    // temperature-scaled mixing weights (Mix.temperatureWeights): the
+    // multilingual w_s ∝ n_s^α rule at α=0.5 over per-source char
+    // masses, with floor(w_r·budget) targets computed in DECIMAL so the
+    // cut is exact cross-engine. One group aggregate + a 1-row
+    // broadcast normalizer — the corpus never reshuffles. Fully
+    // ORACLED (POWER/SUM/ROUND are ANSI; w_r pinned at 6dp).
+    "q_mix_temperature" -> ((s, d) => {
+      graft.operators.Mix.temperatureWeights(docs(s, d), col("source"),
+        alpha = 0.5, budget = 100000L, sizeCol = col("n_chars"))
+        .withColumnRenamed("group", "source")
+        .orderBy(col("source"))
+    }),
+
     // token-budget shard packing (Mix.packByTokenBudget with arithmetic
     // hashes so the manifest reproduces in ANSI SQL): ~5000 chars per
     // shard across 8 salted streams; per-shard stats oracled exactly.
@@ -957,6 +970,17 @@ object TextQueries {
         |SELECT CAST(epoch AS INT) AS epoch, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
         |FROM mixed GROUP BY epoch ORDER BY epoch""".stripMargin,
+
+    "q_mix_temperature" ->
+      """WITH g AS (
+        |  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS n,
+        |    POWER(CAST(SUM(n_chars) AS DOUBLE), 0.5) AS w
+        |  FROM documents GROUP BY source
+        |), t AS (SELECT SUM(w) AS tw FROM g)
+        |SELECT source, n, ROUND(w / tw, 6) AS w_r,
+        |  CAST(FLOOR(CAST(ROUND(w / tw, 6) AS DECIMAL(18,6)) * 100000)
+        |    AS BIGINT) AS target
+        |FROM g, t ORDER BY source""".stripMargin,
 
     "q_pack_tokens" ->
       """WITH t AS (

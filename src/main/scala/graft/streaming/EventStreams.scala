@@ -153,8 +153,11 @@ object EventStreams {
     *     its rows survive (no band collides; the forall lands in stage
     *     3's group step). One join probes every band in one pass — the
     *     r6 form ran `bands` sequential anti-joins, `bands` join stages
-    *     of micro-batch latency for the same rows. Band partition
-    *     pruning still applies (the join key leads with `band`). This is
+    *     of micro-batch latency for the same rows. The static side is
+    *     read as ONE scan of the full bucket relation instead of
+    *     `bands` scans of one band-partition each — identical total
+    *     bytes (every band is probed either way), one listing and one
+    *     join stage instead of eight. This is
     *     the LSH candidate test served as a lookup: the batch twin
     *     ([[graft.operators.Dedup.incrementalNearDup]]) verifies exact
     *     Jaccard on candidates; this gate treats any band collision as a

@@ -553,6 +553,27 @@ class DedupSimilaritySpec extends SparkTestBase {
       "appended index must serve identically to a full-corpus encode")
   }
 
+  test("q_sample_balanced_cells: exactly min(5, cell size) per cell, deterministic") {
+    val q = SparkEntry.queries("q_sample_balanced_cells")
+    val got = q(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    // expected per-cell sizes from the same model's full assignment
+    val model = graft.queries.SimilarityQueries.ivfpqModel(spark, sf)
+    val full = Tables.embeddings(spark, sf)
+      .select(Similarity.assignCell(model.cents, col("embedding")).as("c"))
+      .groupBy(col("c")).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val perCell = got.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(perCell.keySet == full.keySet, "every non-empty cell represented")
+    perCell.foreach { case (c, n) =>
+      assert(n == math.min(5L, full(c)),
+        s"cell $c sampled $n of ${full(c)}")
+    }
+    assert(got.toSeq == q(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSeq,
+      "balanced sample must be deterministic")
+  }
+
   test("compactIvfPqIndex: versioned publication — serving identical, appends follow the live version, crash-safe") {
     import graft.operators.Artifacts
     val root = java.nio.file.Files.createTempDirectory("graft_ivfver")
