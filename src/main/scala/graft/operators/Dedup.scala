@@ -498,6 +498,56 @@ object Dedup {
     * chain A~B, B~C (A≁C) keeps exactly {A}, where the one-hop form
     * keeps {A} only if B happened to be listed as an `id_b`.
     */
+  /** INCREMENTAL connected components — merge a NEW batch of edges into
+    * an existing label relation WITHOUT recomputing the closure over the
+    * historical graph. The at-scale form of graph maintenance for the
+    * dedup cluster map: per ingest the corpus-sized work is two joins
+    * (label remap + new-node anti-join); the iterative CC loop runs only
+    * over the CONTRACTED graph — each new edge's endpoints replaced by
+    * their existing component labels — which is batch-sized, not
+    * corpus-sized.
+    *
+    * Correctness rides the min-id label convention: an existing label is
+    * the MIN id of its component, so the contracted CC's roots (min over
+    * merged labels and new ids) are exactly the full recompute's labels.
+    * Asserted two ways: set-equality with a from-scratch
+    * [[connectedComponents]] over the union graph (DedupSpec, random
+    * splits), and the DuckDB-oracled q_dedup_cc_incremental (same oracle
+    * as q_dedup_cc — the planted topology makes incremental ≡ full
+    * visible to the driver's correctness gate).
+    *
+    * `labels` is (id, comp) as produced by [[connectedComponents]] (or a
+    * previous call of this); `newPairs` is (id_a, id_b). Output covers
+    * every previously-labeled node plus every node of `newPairs`.
+    */
+  def incrementalCC(labels: DataFrame, newPairs: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    // checkpoint: `labels` feeds three plan branches below (two endpoint
+    // contractions + the remap/anti) — bound any caller lineage to one
+    // evaluation, the connectedComponents discipline
+    val l = labels.select(col("id"), col("comp")).localCheckpoint(true)
+    val contracted = newPairs
+      .select(col("id_a"), col("id_b"))
+      .join(l.select(col("id").as("id_a"), col("comp").as("__ca")),
+        Seq("id_a"), "left")
+      .join(l.select(col("id").as("id_b"), col("comp").as("__cb")),
+        Seq("id_b"), "left")
+      .select(coalesce(col("__ca"), col("id_a")).as("id_a"),
+        coalesce(col("__cb"), col("id_b")).as("id_b"))
+    // batch-sized closure: nodes are touched components + new ids only
+    val roots = connectedComponents(contracted, maxIter)
+    // corpus-sized work ends here: one remap join on the OLD comp label
+    // (roots' ids that are old labels re-point their whole component)...
+    val remapped = l
+      .join(roots.select(col("id").as("comp"), col("comp").as("__nc")),
+        Seq("comp"), "left")
+      .select(col("id"), coalesce(col("__nc"), col("comp")).as("comp"))
+    // ...plus the genuinely new nodes (a new id can never equal an old
+    // comp label — labels are ids of already-labeled nodes)
+    val newNodes = roots.join(l.select(col("id")), Seq("id"), "left_anti")
+    remapped.unionByName(newNodes.select(col("id"), col("comp")))
+  }
+
   def dedupKeepSetClosure(docs: DataFrame, pairs: DataFrame,
       idCol: String = "doc_id", maxIter: Int = 20): DataFrame = {
     val demoted = connectedComponents(pairs, maxIter)

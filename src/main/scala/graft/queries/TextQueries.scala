@@ -650,6 +650,29 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // INCREMENTAL transitive closure: the q_dedup_cc graph split into a
+    // historical batch (chain edges arriving at orderkey < 4000) and a
+    // new ingest (the rest); labels come from a full CC over the old
+    // batch, then incrementalCC merges the new edges — the CC loop runs
+    // only over the CONTRACTED batch-sized graph, the corpus pays two
+    // joins. The planted chain topology makes incremental ≡ full, so
+    // this shares q_dedup_cc's EXACT oracle: the driver witnesses that
+    // the maintained label map equals a from-scratch recompute.
+    "q_dedup_cc_incremental" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      val pairs = Tables.orders(s, d).filter(col("o_orderkey") < 5000)
+        .select(col("o_custkey"), col("o_orderkey"))
+        .withColumn("prev", lag(col("o_orderkey"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("prev").as("id_a"), col("o_orderkey").as("id_b"))
+      val old = pairs.filter(col("id_b") < 4000)
+      val fresh = pairs.filter(col("id_b") >= 4000)
+      Dedup.incrementalCC(Dedup.connectedComponents(old), fresh)
+        .select(col("id"), col("comp"))
+        .orderBy(col("id"))
+    }),
+
     // QUALITY-priority transitive dedup: per near-dup component keep the
     // BEST-quality member (ties → min id), not the min id — what a
     // production pipeline wants from a dup cluster (min-id keeps
@@ -1190,6 +1213,20 @@ object TextQueries {
          |ORDER BY doc_id""".stripMargin,
 
     "q_dedup_cc" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey FROM orders WHERE o_orderkey < 5000
+        |), c AS (
+        |  SELECT o_orderkey,
+        |    COUNT(*) OVER (PARTITION BY o_custkey) AS n,
+        |    MIN(o_orderkey) OVER (PARTITION BY o_custkey) AS comp
+        |  FROM o
+        |)
+        |SELECT o_orderkey AS id, comp FROM c WHERE n > 1
+        |ORDER BY id""".stripMargin,
+
+    // identical to q_dedup_cc by construction: incremental maintenance
+    // over the split edge stream must reproduce the full closure
+    "q_dedup_cc_incremental" ->
       """WITH o AS (
         |  SELECT o_custkey, o_orderkey FROM orders WHERE o_orderkey < 5000
         |), c AS (

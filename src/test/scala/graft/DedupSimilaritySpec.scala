@@ -173,6 +173,31 @@ class DedupSimilaritySpec extends SparkTestBase {
       s"node $v: cc=${cc(v)} truth=${truth(v)}"))
   }
 
+  test("incrementalCC over random edge splits equals a from-scratch recompute") {
+    // 12 random graphs; edges split arbitrarily into an OLD batch (full
+    // CC) and a NEW batch merged via incrementalCC — labels must equal
+    // connectedComponents over the union graph, for any split (incl.
+    // merges of previously disjoint components and brand-new nodes)
+    val rnd = new scala.util.Random(23)
+    (0 until 12).foreach { c =>
+      val n = 4 + rnd.nextInt(14)
+      val edges = (0 until (2 + rnd.nextInt(20))).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter { case (a, b) => a != b }
+      if (edges.nonEmpty) {
+        val cut = rnd.nextInt(edges.length)
+        val (old, fresh) = edges.splitAt(math.max(cut, 1))
+        val incr = Dedup.incrementalCC(
+          Dedup.connectedComponents(old.toDF("id_a", "id_b")),
+          fresh.toDF("id_a", "id_b")).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val full = Dedup.connectedComponents(edges.toDF("id_a", "id_b"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(incr == full, s"graph $c: incremental $incr != full $full")
+      }
+    }
+  }
+
   test("dedupKeepSetBest matches the union-find argmax oracle on 20 random graphs") {
     // random topologies + random scores, keep-best checked against a
     // driver-side union-find: exactly one survivor per component (the
