@@ -174,6 +174,71 @@ object Artifacts {
   def loadFingerprintIndex(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(resolveLive(spark, dir))
 
+  // ---- dedup cluster label map (append-only delta log) ----
+
+  /** The ONLINE-maintained component label map for the dedup graph:
+    * rather than rewriting a corpus-sized (id, comp) relation per ingest
+    * (a full-table write per micro-batch — not incremental in I/O terms),
+    * each merge appends only its CHANGED rows as a (id, comp, seq) delta
+    * and readers resolve the latest label per id. [[compactLabels]]
+    * squashes the log on the maintenance cadence through the crash-safe
+    * [[publishVersion]] machinery, which also bounds the per-read
+    * resolve cost. Single-writer by contract (the intake loop); `seq`
+    * strictly increases per append, so the per-id resolve has no ties.
+    */
+  def appendLabelDeltas(delta: DataFrame, dir: String, seq: Long): Unit =
+    delta.select(col("id"), col("comp"), lit(seq).as("seq"))
+      .write.mode("append").parquet(resolveLive(delta.sparkSession, dir))
+
+  /** Latest label per id across the delta log (empty relation if the log
+    * does not exist yet). `max_by(comp, seq)` is deterministic here: one
+    * row per id per seq by construction.
+    */
+  def currentLabels(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val live = resolveLive(spark, dir)
+    if (!exists(spark, live)) Seq.empty[(Long, Long)].toDF("id", "comp")
+    else spark.read.parquet(live)
+      .groupBy(col("id"))
+      .agg(max_by(col("comp"), col("seq")).as("comp"))
+  }
+
+  /** Next delta sequence number: one aggregate over the log (bounded by
+    * the compaction cadence — a squashed log is one seq deep).
+    */
+  def nextLabelSeq(spark: SparkSession, dir: String): Long = {
+    val live = resolveLive(spark, dir)
+    if (!exists(spark, live)) 1L
+    else spark.read.parquet(live).agg(max(col("seq"))).head() match {
+      case r if r.isNullAt(0) => 1L
+      case r => r.getLong(0) + 1L
+    }
+  }
+
+  /** Squash the label delta log to its resolved state at seq=1 — a fresh
+    * crash-safe version via [[publishVersion]] ([[compactMinhashIndex]]'s
+    * contract: torn versions inert, run quiesced, legacy flat files
+    * swept after the pointer flip, history pruned).
+    */
+  def compactLabels(spark: SparkSession, root: String,
+      keepVersions: Int = 2): Unit = {
+    val resolved = currentLabels(spark, root)
+    publishVersion(spark, root)(target =>
+      resolved.select(col("id"), col("comp"), lit(1L).as("seq"))
+        .write.mode("overwrite").parquet(target))
+    val conf = spark.sessionState.newHadoopConf()
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(conf)
+    if (fs.exists(rootPath))
+      fs.listStatus(rootPath).toSeq
+        .filter { s =>
+          val n = s.getPath.getName
+          !n.startsWith("v=") && n != "_LATEST" && !n.startsWith("._LATEST")
+        }
+        .foreach(s => fs.delete(s.getPath, true))
+    pruneVersions(spark, root, keepVersions)
+  }
+
   // ---- IvfPqModel (ANN build artifact) ----
 
   /** Persist an [[Similarity.IvfPqModel]] as one tiny parquet relation of

@@ -431,6 +431,76 @@ object EventStreams {
       }
   }
 
+  /** [[maintainedNearIntakeVerified]] that ALSO maintains the dedup
+    * CLUSTER LABEL MAP online — the full incremental dedup story in one
+    * loop: per micro-batch, the verified near-dup edges (exact-Jaccard
+    * index hits + in-batch pairs) merge into the persisted label map via
+    * [[graft.operators.Dedup.incrementalCC]], and only the CHANGED rows
+    * append to the label delta log
+    * ([[graft.operators.Artifacts.appendLabelDeltas]]). The corpus-sized
+    * label relation is never rewritten per batch: the CC loop runs over
+    * the batch-sized contracted graph, the delta is changed-components
+    * sized, and readers resolve latest-label-per-id
+    * ([[graft.operators.Artifacts.currentLabels]]);
+    * [[graft.operators.Artifacts.compactLabels]] squashes the log on the
+    * maintenance cadence, crash-safely. Restart-safe like the other
+    * maintained loops: labels live in durable parquet, not state stores
+    * (StreamingSpec drives two cycles across a restart and asserts the
+    * map equals the full closure of every edge ever seen).
+    */
+  def maintainedClusterIntake(docs: DataFrame, indexDir: String,
+      sinkDir: String, labelsDir: String, threshold: Double = 0.7,
+      nShingle: Int = 3, bands: Int = 8, rowsPerBand: Int = 4,
+      minQuality: Double = 0.5)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val spark = docs.sparkSession
+    val gated = docs
+      .filter(graft.operators.TextAnalysis.qualityScore(col("text")) >= minQuality)
+      .filter(graft.operators.TextAnalysis.langId(col("text")) === "en")
+    gated.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.persist()
+        val liveDir = graft.operators.Artifacts.resolveLive(spark, indexDir)
+        val idx = graft.operators.Artifacts.loadMinhashIndex(spark, liveDir)
+        val hitPairs = graft.operators.Dedup
+          .incrementalNearDup(b, idx, threshold, nShingle, bands, rowsPerBand)
+          .select(col("new_id"), col("corpus_id"))
+        val inBatchPairs = graft.operators.Dedup
+          .minhashNearDups(b, threshold, nShingle, bands, rowsPerBand)
+          .select(col("id_a"), col("id_b"))
+        // label maintenance FIRST (dup docs must still receive labels —
+        // that is what a cluster map is for): merge every verified edge,
+        // append only the changed rows
+        val edges = hitPairs
+          .select(col("new_id").as("id_a"), col("corpus_id").as("id_b"))
+          .unionByName(inBatchPairs)
+        val existing = graft.operators.Artifacts.currentLabels(spark, labelsDir)
+        val delta = graft.operators.Dedup.incrementalCC(existing, edges)
+          .exceptAll(existing)
+        if (!delta.isEmpty)
+          graft.operators.Artifacts.appendLabelDeltas(delta, labelsDir,
+            graft.operators.Artifacts.nextLabelSeq(spark, labelsDir))
+        // intake: the maintainedNearIntakeVerified keep semantics
+        val keep = graft.operators.Dedup.dedupKeepSetClosure(b, inBatchPairs)
+        val indexHits = hitPairs.select(col("new_id").as("doc_id")).distinct()
+        val survivors = b
+          .join(keep, Seq("doc_id"), "left_semi")
+          .join(indexHits, Seq("doc_id"), "left_anti")
+          .persist()
+        survivors.write.mode("append").parquet(sinkDir)
+        graft.operators.Dedup
+          .minhashBuckets(survivors, nShingle, bands, rowsPerBand)
+          .write.mode("append").partitionBy("band")
+          .parquet(s"$liveDir/buckets")
+        survivors.select(col("doc_id").as("id"),
+            graft.operators.Dedup.shingles(col("text"), nShingle).as("sh"))
+          .write.mode("append").parquet(s"$liveDir/content")
+        survivors.unpersist()
+        b.unpersist()
+        ()
+      }
+  }
+
   /** Streaming near-dup MATCH stream — the verified observability twin of
     * [[incrementalNearIntake]]'s gate: for each incoming doc, the
     * `(new_id, corpus_id, jaccard)` pairs against the persisted index at

@@ -618,6 +618,62 @@ class StreamingSpec extends SparkTestBase {
     assert(got.contains(101L), s"cycle-2 append not served: $got")
   }
 
+  test("maintainedClusterIntake: label map maintained across a RESTART equals the full closure; compaction preserves it") {
+    implicit val sc = spark.sqlContext
+    import graft.operators.{Artifacts, Dedup}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_clusterloop").toString
+    val indexDir = s"$tmp/index"; val sinkDir = s"$tmp/sink"
+    val labelsDir = s"$tmp/labels"
+    val corpusDoc = "the quick brown fox jumps over the lazy dog near the " +
+      "river bank today while the sun is high and the water is clear"
+    Artifacts.saveMinhashIndex(
+      Dedup.minhashIndex(Seq((1L, corpusDoc)).toDF("doc_id", "text")), indexDir)
+    val nearCorpus = "the quick brown fox jumps over the lazy dog near the " +
+      "river bank today while the sun is high and the water is cold"
+    val novel = "a new document with the words that pass the quality gate " +
+      "and the language gate for the test of the incremental intake path"
+    val nearNovel = "a new document with the words that pass the quality gate " +
+      "and the language gate for the test of the incremental intake step"
+    // cycle 1: 11 verified-hits corpus doc 1; 12 novel; 13 in-batch
+    // near-dup of 12 → edges (11,1) and (12,13)
+    val mem1 = MemoryStream[EventStreams.Doc]
+    val q1 = EventStreams.maintainedClusterIntake(mem1.toDF(), indexDir,
+      sinkDir, labelsDir, threshold = 0.5).start()
+    try {
+      mem1.addData(EventStreams.Doc(11, ts(0), nearCorpus),
+        EventStreams.Doc(12, ts(1), novel),
+        EventStreams.Doc(13, ts(2), nearNovel))
+      q1.processAllAvailable()
+    } finally q1.stop()
+    def labels() = Artifacts.currentLabels(spark, labelsDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels() == Map(1L -> 1L, 11L -> 1L, 12L -> 12L, 13L -> 12L),
+      s"cycle-1 labels ${labels()}")
+    // cycle 2 (fresh query, restart in spirit): 14 verified-hits the
+    // cycle-1 survivor 12 (whose buckets the loop appended) → 14 joins
+    // 12's component; the delta appended is exactly the one changed row
+    val mem2 = MemoryStream[EventStreams.Doc]
+    val q2 = EventStreams.maintainedClusterIntake(mem2.toDF(), indexDir,
+      sinkDir, labelsDir, threshold = 0.5).start()
+    try {
+      mem2.addData(EventStreams.Doc(14, ts(10), nearNovel))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val expected = Map(1L -> 1L, 11L -> 1L, 12L -> 12L, 13L -> 12L, 14L -> 12L)
+    assert(labels() == expected, s"cycle-2 labels ${labels()}")
+    // the map equals a from-scratch closure over every edge ever seen
+    val full = Dedup.connectedComponents(
+      Seq((11L, 1L), (12L, 13L), (14L, 12L)).toDF("id_a", "id_b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels() == full, "maintained map must equal the full closure")
+    // crash-safe squash: one seq, same resolved map, pointer live
+    Artifacts.compactLabels(spark, labelsDir)
+    assert(Artifacts.latestVersion(spark, labelsDir).exists(_.endsWith("v=1")))
+    assert(labels() == expected, s"post-compaction labels ${labels()}")
+    assert(Artifacts.nextLabelSeq(spark, labelsDir) == 2L,
+      "squashed log must be one seq deep")
+  }
+
   test("maintainedNearIntakeVerified: below-threshold doc survives, dup dropped, in-batch closure") {
     implicit val sc = spark.sqlContext
     val tmp = java.nio.file.Files.createTempDirectory("graft_vloop").toString
