@@ -65,7 +65,8 @@ object Bench {
     // exact-N holdout, at-rest/in-memory ANN serving agreement,
     // temperature-scaled mixing weights, semantic-balanced sampling
     "q_video_decode", "q_sample_stratified", "q_cosine_ivfpq_paths_agree",
-    "q_mix_temperature", "q_sample_balanced_cells", "q_dedup_cc_incremental")
+    "q_mix_temperature", "q_sample_balanced_cells", "q_dedup_cc_incremental",
+    "q_mix_select")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -124,6 +124,31 @@ object Split {
       .drop("__rn", "__ord", "__key")
   }
 
+  /** BUDGETED per-group sample: cut each group at its OWN target count
+    * from a small `targets` relation — the materialization step of a
+    * computed mix ([[Mix.temperatureWeights]] produces `(group, target)`;
+    * this selects exactly that many rows per group, deterministically by
+    * the same md5-of-serialized-key order as [[exactNPerGroup]]).
+    *
+    * Plan note vs [[exactNPerGroup]]: a DATA-DEPENDENT limit (`rn <=
+    * target` against a joined column) cannot use WindowGroupLimit's
+    * pre-shuffle heaps — the plan is one shuffle on the group key + an
+    * in-group sort + a broadcast join of the |groups|-row targets. Still
+    * no global sort and no corpus-wide window; pay the heap optimization
+    * only when the limit is a literal.
+    */
+  def budgetedSample(df: DataFrame, targets: DataFrame, groupCol: Column,
+      keys: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(col("__ord"), col("__key"))
+    df.withColumn("__key", serializeKey(keys))
+      .withColumn("__ord", md5(col("__key")))
+      .withColumn("__rn", row_number().over(w))
+      .join(broadcast(targets.select(groupCol.as("__g"), col("target").as("__t"))),
+        groupCol === col("__g"))
+      .filter(col("__rn") <= col("__t"))
+      .drop("__rn", "__ord", "__key", "__g", "__t")
+  }
+
   /** Deterministic modulo-hash split — the scale-safe, oracle-reproducible
     * replacement for driver-built id lists: label is a pure function of the
     * key, needs no shuffle, no driver state, and is identical in ANSI SQL.

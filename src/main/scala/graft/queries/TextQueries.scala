@@ -297,6 +297,20 @@ object TextQueries {
         .orderBy(col("source"))
     }),
 
+    // the MATERIALIZATION of a computed mix: temperature targets
+    // (α=0.5 over per-source doc counts, 200-doc budget) feed
+    // Split.budgetedSample, which cuts each source at its OWN target by
+    // the deterministic md5-of-serialized-key order — weights → actual
+    // selected corpus, end to end, fully ORACLED.
+    "q_mix_select" -> ((s, d) => {
+      val targets = graft.operators.Mix.temperatureWeights(docs(s, d),
+        col("source"), alpha = 0.5, budget = 200L)
+        .select(col("group").as("source"), col("target"))
+      Split.budgetedSample(docs(s, d).select(col("doc_id"), col("source")),
+        targets, col("source"), Seq(col("doc_id")))
+        .orderBy(col("doc_id"))
+    }),
+
     // token-budget shard packing (Mix.packByTokenBudget with arithmetic
     // hashes so the manifest reproduces in ANSI SQL): ~5000 chars per
     // shard across 8 salted streams; per-shard stats oracled exactly.
@@ -993,6 +1007,29 @@ object TextQueries {
         |SELECT CAST(epoch AS INT) AS epoch, COUNT(*) AS n_docs,
         |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
         |FROM mixed GROUP BY epoch ORDER BY epoch""".stripMargin,
+
+    "q_mix_select" ->
+      """WITH g AS (
+        |  SELECT source, POWER(CAST(COUNT(*) AS DOUBLE), 0.5) AS w
+        |  FROM documents GROUP BY source
+        |), t AS (SELECT SUM(w) AS tw FROM g),
+        |tg AS (
+        |  SELECT source,
+        |    CAST(FLOOR(CAST(ROUND(w / tw, 6) AS DECIMAL(18,6)) * 200)
+        |      AS BIGINT) AS target
+        |  FROM g, t
+        |), k AS (
+        |  SELECT doc_id, source,
+        |    CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR)
+        |      || ':' || CAST(doc_id AS VARCHAR) AS ks
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(ks), ks) AS rn
+        |  FROM k
+        |)
+        |SELECT r.doc_id, r.source FROM r JOIN tg ON r.source = tg.source
+        |WHERE r.rn <= tg.target ORDER BY doc_id""".stripMargin,
 
     "q_mix_temperature" ->
       """WITH g AS (

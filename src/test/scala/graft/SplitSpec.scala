@@ -102,6 +102,31 @@ class SplitSpec extends SparkTestBase {
     }
   }
 
+  test("budgetedSample: each group cut at its OWN target, oversized targets degrade to the group") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf).select(col("doc_id"), col("source"))
+    val sources = docs.select(col("source")).distinct()
+      .collect().map(_.getString(0)).sorted
+    // varying targets per source: 1, 2, 3, ... plus one absurdly large
+    val targets = sources.zipWithIndex.map { case (src, i) =>
+      (src, if (i == 0) 100000L else i.toLong)
+    }.toSeq.toDF("source", "target")
+    val got = Split.budgetedSample(docs, targets, col("source"), Seq(col("doc_id")))
+    val perGroup = got.groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val groupSizes = docs.groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    sources.zipWithIndex.foreach { case (src, i) =>
+      val want = if (i == 0) groupSizes(src) else math.min(i.toLong, groupSizes(src))
+      assert(perGroup.getOrElse(src, 0L) == want,
+        s"$src got ${perGroup.getOrElse(src, 0L)}, want $want")
+    }
+    val ids1 = got.collect().map(_.getLong(0)).toSet
+    val ids2 = Split.budgetedSample(docs.repartition(7), targets,
+      col("source"), Seq(col("doc_id"))).collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2, "budgeted sample is a pure function of content")
+  }
+
   test("exactNPerGroup: exactly n per group, deterministic, WindowGroupLimit plan (no global sort)") {
     val docs = graft.Tables.documents(spark, sf).select(col("doc_id"), col("source"))
     val s1 = Split.exactNPerGroup(docs, 3, col("source"), Seq(col("doc_id")))
