@@ -53,4 +53,30 @@ object DataQuality {
         sum(when(col("__hit").isNull, 1L).otherwise(0L)).as("n_bad"),
         count(lit(1)).as("n_rows"))
       .select(lit(name).as("check"), col("n_bad"), col("n_rows"))
+
+  /** Snapshot diff — the dataset-version comparison a curation run does
+    * before publishing: classify every key as `added` / `removed` /
+    * `changed` / `unchanged` between two corpus snapshots by comparing a
+    * caller-chosen fingerprint expression (pass `md5(col("text"))`, not
+    * the payload itself, so the wide column never ships through the
+    * join). Output: (key, status).
+    *
+    * Scale shape: ONE full-outer shuffle join on the key, ids +
+    * fingerprints only — both sides are corpus-sized, so neither
+    * broadcasts; with both snapshots bucketed by the key the join plans
+    * exchange-free. This is the table-format snapshot diff (what
+    * iceberg/delta changelogs give you) computed as a co-partitioned
+    * join when no row-level log exists.
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame, key: String,
+      fingerprint: Column): DataFrame = {
+    val o = oldDf.select(col(key), fingerprint.as("__fp_old"))
+    val n = newDf.select(col(key), fingerprint.as("__fp_new"))
+    o.join(n, Seq(key), "full_outer")
+      .select(col(key),
+        when(col("__fp_old").isNull, lit("added"))
+          .when(col("__fp_new").isNull, lit("removed"))
+          .when(col("__fp_old") === col("__fp_new"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
 }

@@ -311,6 +311,66 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // snapshot diff: classify every doc as added/removed/changed/
+    // unchanged between two corpus versions (old = the corpus minus one
+    // residue class, new = minus another, with a third class's text
+    // edited) — the dataset-version report every curation run publishes
+    // alongside a release. One ids+fingerprints full-outer join
+    // (DataQuality.snapshotDiff); the wide text column never ships.
+    "q_snapshot_diff" -> ((s, d) => {
+      val base = docs(s, d)
+      val old = base.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+      val nw = base.filter(pmod(col("doc_id"), lit(20)) =!= 1)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(20)) === 2,
+            concat(col("text"), lit(" rev2"))).otherwise(col("text")))
+      graft.operators.DataQuality
+        .snapshotDiff(old, nw, "doc_id", md5(col("text")))
+        .groupBy(col("status")).agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("status"))
+    }),
+
+    // quality curriculum: rank the corpus by the rounded quality score
+    // (ties by doc_id — a total order, so phase assignment is exact
+    // cross-engine) and cut it into 4 equal phases, reporting per-phase
+    // volume and quality band. The ordering plan every curriculum-
+    // trained run needs before it writes phase manifests. One global
+    // sort (range partitioner at scale) + a 4-row aggregate.
+    "q_curriculum" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val scored = docs(s, d).select(col("doc_id"), col("n_chars"),
+        round(graft.operators.TextAnalysis.qualityScore(col("text")), 6).as("q"))
+      val w = Window.orderBy(col("q").desc, col("doc_id"))
+      scored.withColumn("phase", ntile(4).over(w))
+        .groupBy(col("phase"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars_total"),
+          round(min(col("q")), 6).as("q_min"),
+          round(max(col("q")), 6).as("q_max"))
+        .orderBy(col("phase"))
+    }),
+
+    // cross-source duplication: per source, how many docs have a content
+    // twin anywhere in the corpus, and how many have a twin in a
+    // DIFFERENT source — the provenance-leakage number that decides
+    // whether per-source mix weights are even meaningful (a source whose
+    // docs all also live elsewhere contributes nothing unique). One
+    // fingerprint shuffle for the per-fp stats, rejoined on the same key
+    // (exchange-reusable); ids+fps only, never the text.
+    "q_cross_source_dups" -> ((s, d) => {
+      val fps = docs(s, d).select(col("doc_id"), col("source"),
+        md5(concat_ws(" ", Dedup.tokens(col("text")))).as("fp"))
+      val stats = fps.groupBy(col("fp")).agg(
+        count(lit(1)).as("n_fp"),
+        count_distinct(col("source")).as("n_src"))
+      fps.join(stats, Seq("fp"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_fp") > 1, 1L).otherwise(0L)).as("n_dup"),
+          sum(when(col("n_src") > 1, 1L).otherwise(0L)).as("n_cross_src"))
+        .orderBy(col("source"))
+    }),
+
     // token-budget shard packing (Mix.packByTokenBudget with arithmetic
     // hashes so the manifest reproduces in ANSI SQL): ~5000 chars per
     // shard across 8 salted streams; per-shard stats oracled exactly.
