@@ -79,4 +79,26 @@ object DataQuality {
           .when(col("__fp_old") === col("__fp_new"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
   }
+
+  /** Cross-source duplication report — per source: total docs, docs with
+    * a content twin ANYWHERE in the corpus (`n_dup`), and docs with a
+    * twin in a DIFFERENT source (`n_cross_src`). The provenance-leakage
+    * number that decides whether per-source mix weights are meaningful.
+    *
+    * Scale shape: one fingerprint shuffle for the per-fp stats, rejoined
+    * on the same key (exchange-reusable — both sides hash-partition on
+    * the fingerprint); ids + fingerprints only, never the payload.
+    */
+  def crossSourceDups(df: DataFrame, source: Column,
+      fingerprint: Column): DataFrame = {
+    val fps = df.select(source.as("source"), fingerprint.as("__fp"))
+    val stats = fps.groupBy(col("__fp")).agg(
+      count(lit(1)).as("__n_fp"),
+      count_distinct(col("source")).as("__n_src"))
+    fps.join(stats, Seq("__fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__n_fp") > 1, 1L).otherwise(0L)).as("n_dup"),
+        sum(when(col("__n_src") > 1, 1L).otherwise(0L)).as("n_cross_src"))
+  }
 }

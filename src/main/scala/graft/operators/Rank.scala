@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+
+/** Exact global ranking over a total order WITHOUT a single-partition
+  * window.
+  *
+  * `Window.orderBy(...)` with no `partitionBy` executes as ONE task
+  * holding the whole relation (Spark's "No Partition Defined for Window
+  * operation" path) — a non-starter at corpus scale. The scale-safe
+  * equivalent implemented here is the classic range-sort + offset plan:
+  *
+  *   1. `orderBy(order)` — a range-partitioned global sort: every
+  *      partition holds a contiguous, balanced slice of the total order.
+  *   2. ONE bounded job collects per-partition row counts (nPartitions
+  *      longs — driver state is O(partitions), never O(rows)).
+  *   3. A second pass attaches `rank = offset(partition) + local index`
+  *      per partition. Both jobs run over the SAME materialized RDD, so
+  *      the shuffle (and its sampled range boundaries) is computed once
+  *      and reused — ranks cannot disagree between the passes.
+  *
+  * This is the `zipWithIndex` idiom with the per-partition counts kept,
+  * so the caller also gets the exact total row count without an extra
+  * scan. Genuine per-partition imperative logic — one of the few places
+  * the RDD API is the right tool.
+  */
+object Rank {
+
+  /** `df` + a 1-based dense global rank column over the total order
+    * `order` (make it total — include a unique tiebreak key — or the
+    * rank of tied rows is decided by sort stability, not content).
+    * Returns the ranked frame and the exact total row count.
+    */
+  def withGlobalRank(df: DataFrame, rankCol: String,
+      order: Column*): (DataFrame, Long) = {
+    val sorted = df.orderBy(order: _*)
+    val schema = StructType(sorted.schema.fields :+
+      StructField(rankCol, LongType, nullable = false))
+    // Pin the lineage: both jobs below run over this one RDD, so the
+    // range-sort shuffle is written once and the second job's stage is
+    // skipped — identical partition boundaries by construction.
+    val rdd = sorted.rdd
+    val counts = rdd
+      .mapPartitionsWithIndex((pid, it) => Iterator((pid, it.size.toLong)))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _) // offsets(p) = rows before p
+    val total = if (counts.isEmpty) 0L else offsets.last
+    val bc = df.sparkSession.sparkContext.broadcast(offsets)
+    val indexed = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var i = bc.value(pid)
+      it.map { r => i += 1; Row.fromSeq(r.toSeq :+ i) }
+    }
+    (df.sparkSession.createDataFrame(indexed, schema), total)
+  }
+
+  /** Exact `ntile(k)` over a total order, scale-safe: global rank via
+    * [[withGlobalRank]], then SQL-standard ntile arithmetic (each tile
+    * gets floor(n/k) rows; the first n mod k tiles get one extra) as a
+    * plain column expression from the broadcast total. Output column is
+    * BIGINT (cross-engine stable; Spark's own `ntile` yields INT).
+    */
+  def exactNtile(df: DataFrame, k: Int, tileCol: String,
+      order: Column*): DataFrame = {
+    require(k >= 1, s"k $k")
+    val (ranked, total) = withGlobalRank(df, "__rank", order: _*)
+    val base = total / k
+    val rem = total % k
+    val r = col("__rank")
+    // base == 0 (fewer rows than tiles): every row is its own tile.
+    val tile =
+      if (base == 0L) r
+      else when(r <= lit(rem * (base + 1L)), (r - 1L) / lit(base + 1L) + 1L)
+        .otherwise(lit(rem) + (r - lit(rem * (base + 1L)) - 1L) / lit(base) + 1L)
+    ranked.withColumn(tileCol, tile.cast(LongType)).drop("__rank")
+  }
+}

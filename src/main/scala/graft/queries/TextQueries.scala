@@ -334,14 +334,16 @@ object TextQueries {
     // (ties by doc_id — a total order, so phase assignment is exact
     // cross-engine) and cut it into 4 equal phases, reporting per-phase
     // volume and quality band. The ordering plan every curriculum-
-    // trained run needs before it writes phase manifests. One global
-    // sort (range partitioner at scale) + a 4-row aggregate.
+    // trained run needs before it writes phase manifests. NOT a
+    // partitionless ntile window (single-partition at scale):
+    // Rank.exactNtile = range-partitioned global sort + per-partition
+    // offsets + ntile arithmetic from the broadcast total — same answer,
+    // no corpus-through-one-task stage (asserted in ScalePostureSpec).
     "q_curriculum" -> ((s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val scored = docs(s, d).select(col("doc_id"), col("n_chars"),
         round(graft.operators.TextAnalysis.qualityScore(col("text")), 6).as("q"))
-      val w = Window.orderBy(col("q").desc, col("doc_id"))
-      scored.withColumn("phase", ntile(4).over(w))
+      graft.operators.Rank
+        .exactNtile(scored, 4, "phase", col("q").desc, col("doc_id"))
         .groupBy(col("phase"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("n_chars_total"),
@@ -357,19 +359,10 @@ object TextQueries {
     // docs all also live elsewhere contributes nothing unique). One
     // fingerprint shuffle for the per-fp stats, rejoined on the same key
     // (exchange-reusable); ids+fps only, never the text.
-    "q_cross_source_dups" -> ((s, d) => {
-      val fps = docs(s, d).select(col("doc_id"), col("source"),
-        md5(concat_ws(" ", Dedup.tokens(col("text")))).as("fp"))
-      val stats = fps.groupBy(col("fp")).agg(
-        count(lit(1)).as("n_fp"),
-        count_distinct(col("source")).as("n_src"))
-      fps.join(stats, Seq("fp"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(when(col("n_fp") > 1, 1L).otherwise(0L)).as("n_dup"),
-          sum(when(col("n_src") > 1, 1L).otherwise(0L)).as("n_cross_src"))
-        .orderBy(col("source"))
-    }),
+    "q_cross_source_dups" -> ((s, d) =>
+      graft.operators.DataQuality.crossSourceDups(docs(s, d), col("source"),
+        md5(concat_ws(" ", Dedup.tokens(col("text")))))
+        .orderBy(col("source"))),
 
     // token-budget shard packing (Mix.packByTokenBudget with arithmetic
     // hashes so the manifest reproduces in ANSI SQL): ~5000 chars per
@@ -1117,6 +1110,54 @@ object TextQueries {
         |SELECT wk * 4294967296 + CAST(FLOOR((cum - n_chars) / 5000.0) AS BIGINT) AS shard,
         |  COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS n_chars_total
         |FROM c GROUP BY 1 ORDER BY shard""".stripMargin,
+
+    "q_snapshot_diff" ->
+      """WITH old AS (
+        |  SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 20 <> 0
+        |), nw AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 20 = 2 THEN text || ' rev2' ELSE text END) AS fp
+        |  FROM documents WHERE doc_id % 20 <> 1
+        |), d AS (
+        |  SELECT CASE WHEN old.fp IS NULL THEN 'added'
+        |              WHEN nw.fp IS NULL THEN 'removed'
+        |              WHEN old.fp = nw.fp THEN 'unchanged'
+        |              ELSE 'changed' END AS status
+        |  FROM old FULL OUTER JOIN nw ON old.doc_id = nw.doc_id
+        |)
+        |SELECT status, COUNT(*) AS n_docs FROM d
+        |GROUP BY status ORDER BY status""".stripMargin,
+
+    "q_curriculum" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, n_chars, text, $duckToks AS toks,
+         |    CAST(length(text) AS DOUBLE) AS nchar
+         |  FROM documents
+         |), s AS (
+         |  SELECT doc_id, n_chars, $duckQuality AS q FROM t
+         |), r AS (
+         |  SELECT n_chars, q,
+         |    CAST(ntile(4) OVER (ORDER BY q DESC, doc_id) AS BIGINT) AS phase
+         |  FROM s
+         |)
+         |SELECT phase, COUNT(*) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+         |  ROUND(MIN(q), 6) AS q_min, ROUND(MAX(q), 6) AS q_max
+         |FROM r GROUP BY phase ORDER BY phase""".stripMargin,
+
+    "q_cross_source_dups" ->
+      s"""WITH fps AS (
+         |  SELECT source, md5(array_to_string($duckToks, ' ')) AS fp
+         |  FROM documents
+         |), stats AS (
+         |  SELECT fp, COUNT(*) AS n_fp, COUNT(DISTINCT source) AS n_src
+         |  FROM fps GROUP BY fp
+         |)
+         |SELECT f.source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN s.n_fp > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+         |  CAST(SUM(CASE WHEN s.n_src > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_src
+         |FROM fps f JOIN stats s USING (fp)
+         |GROUP BY f.source ORDER BY f.source""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,

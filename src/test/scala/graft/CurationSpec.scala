@@ -324,4 +324,31 @@ class CurationSpec extends SparkTestBase {
       .collect()
     assert(pairs.length == 1, s"exactly the real shared prefix, got ${pairs.length}")
   }
+
+  test("snapshotDiff: planted added/removed/changed/unchanged all classified") {
+    import spark.implicits._
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
+    val nw = Seq((2L, "b"), (3L, "c-edited"), (4L, "d")).toDF("doc_id", "text")
+    val out = graft.operators.DataQuality
+      .snapshotDiff(old, nw, "doc_id", md5(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
+  test("crossSourceDups: in-source and cross-source twins counted apart") {
+    import spark.implicits._
+    // s1: x (cross-source twin with s2), y+y (in-source twin pair);
+    // s2: x (the cross twin), z (unique)
+    val docs = Seq(
+      (1L, "s1", "x"), (2L, "s1", "y"), (5L, "s1", "y"),
+      (3L, "s2", "x"), (4L, "s2", "z")).toDF("doc_id", "source", "text")
+    val out = graft.operators.DataQuality
+      .crossSourceDups(docs, col("source"), md5(col("text")))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out("s1") == ((3L, 3L, 1L)), s"s1: ${out("s1")}") // x,y,y dup; x cross
+    assert(out("s2") == ((2L, 1L, 1L)), s"s2: ${out("s2")}") // x dup+cross; z unique
+  }
 }

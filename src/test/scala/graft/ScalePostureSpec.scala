@@ -474,4 +474,16 @@ class ScalePostureSpec extends SparkTestBase {
         .map(r => (r.getLong(0), r.getSeq[String](1).toSet)).toSet)
     assert(once == twice, "re-compaction of a compacted index must change nothing")
   }
+
+  test("q_curriculum plan: no partitionless Window — exact ntile via range sort + offsets") {
+    // Window.orderBy with no partitionBy executes the whole relation in
+    // ONE task (the r7 scale-killer); Rank.exactNtile replaces it with a
+    // range-partitioned sort + per-partition offset ranks, so the final
+    // plan must contain no Window node at all.
+    val df = SparkEntry.queries("q_curriculum")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"Window node leaked back in:\n$plan")
+    assert(df.collect().map(_.getLong(1)).sum == 500L,
+      "phases partition the sf0.001 corpus exactly")
+  }
 }

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.Split
+import graft.operators.{Rank, Split}
 import org.apache.spark.sql.functions._
 
 /** Split invariants (mirrors the reference's only asserts,
@@ -145,5 +145,38 @@ class SplitSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), s"wanted WindowGroupLimit:\n$plan")
     assert(!plan.contains("rangepartitioning"), s"global sort leaked:\n$plan")
+  }
+
+  test("Rank.exactNtile ≡ Spark's ntile window across boundary shapes") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // n mod k ∈ {0,1,2,3}, n < k, n == 1, plus grp ties (broken by id):
+    // exact agreement with the engine's own ntile on every row
+    for (n <- Seq(1, 3, 4, 7, 10, 13)) {
+      val df = (1 to n).map(i => (i.toLong, (i % 3).toLong)).toDF("id", "grp")
+      val expected = df.withColumn("phase",
+          ntile(4).over(Window.orderBy(col("grp").desc, col("id"))).cast("long"))
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val got = Rank.exactNtile(df, 4, "phase", col("grp").desc, col("id"))
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      assert(got == expected, s"n=$n: $got vs $expected")
+    }
+  }
+
+  test("Rank.withGlobalRank: dense 1..n, repartition-invariant, empty-safe") {
+    import spark.implicits._
+    val df = (1 to 100).map(i => ((i * 37) % 101).toLong).toDF("v")
+    val (ranked, total) = Rank.withGlobalRank(df, "rnk", col("v"))
+    assert(total == 100L)
+    val rows = ranked.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.map(_._2).sorted.toSeq == (1L to 100L), "dense 1..n")
+    assert(rows.sortBy(_._2).map(_._1).toSeq == rows.map(_._1).sorted.toSeq,
+      "rank order follows the sort order")
+    val (r2, t2) = Rank.withGlobalRank(df.repartition(7), "rnk", col("v"))
+    assert(t2 == 100L)
+    assert(r2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      rows.toSet, "rank is a pure function of content, not layout")
+    val (re, te) = Rank.withGlobalRank(df.limit(0), "rnk", col("v"))
+    assert(te == 0L && re.count() == 0L)
   }
 }
