@@ -245,6 +245,11 @@ object Artifacts {
     * (kind, subspace, cid, vec) rows: kind='cent' rows carry the coarse
     * centroids (subspace = -1), kind='book' rows one codebook centroid
     * per (subspace, cid). Float32 vectors round-trip exactly.
+    *
+    * CRASH-SAFE like the maintained indexes: the relation lands as a
+    * fresh `dir/v=<n+1>` through [[publishVersion]] — a crash mid-save
+    * leaves no pointer (or the previous one), never a torn dir that a
+    * later [[loadOrFitIvfPq]] would mistake for a live model.
     */
   def saveIvfPqModel(spark: SparkSession, model: Similarity.IvfPqModel,
       dir: String): Unit = {
@@ -256,12 +261,13 @@ object Artifacts {
       (book, s) <- model.books.toSeq.zipWithIndex
       (cv, cid) <- book.toSeq.zipWithIndex
     } yield ("book", s, cid, cv.toSeq)
-    (centRows ++ bookRows).toDF("kind", "subspace", "cid", "vec")
-      .coalesce(1).write.mode("overwrite").parquet(dir)
+    publishVersion(spark, dir)(target =>
+      (centRows ++ bookRows).toDF("kind", "subspace", "cid", "vec")
+        .coalesce(1).write.mode("overwrite").parquet(target))
   }
 
   def loadIvfPqModel(spark: SparkSession, dir: String): Similarity.IvfPqModel = {
-    val rows = spark.read.parquet(dir).collect()
+    val rows = spark.read.parquet(resolveLive(spark, dir)).collect()
     val cents = rows.filter(_.getString(0) == "cent")
       .map(r => (r.getInt(2), r.getSeq[Float](3).toArray))
       .sortBy(_._1)
@@ -278,18 +284,21 @@ object Artifacts {
 
   /** Persist an ordered BPE merge list as (round, left, right) rows —
     * the artifact a BPE tokenizer IS. Order is the merge ROUND, restored
-    * on load (parquet row order is not a contract).
+    * on load (parquet row order is not a contract). Published as a
+    * [[publishVersion]] version like every other one-shot artifact: a
+    * crash mid-save can never leave a torn dir that reads as live.
     */
   def saveBpeMerges(spark: SparkSession, merges: Seq[(String, String)],
       dir: String): Unit = {
     import spark.implicits._
-    merges.zipWithIndex.map { case ((l, r), i) => (i + 1, l, r) }
-      .toDF("round", "left", "right")
-      .coalesce(1).write.mode("overwrite").parquet(dir)
+    publishVersion(spark, dir)(target =>
+      merges.zipWithIndex.map { case ((l, r), i) => (i + 1, l, r) }
+        .toDF("round", "left", "right")
+        .coalesce(1).write.mode("overwrite").parquet(target))
   }
 
   def loadBpeMerges(spark: SparkSession, dir: String): Seq[(String, String)] =
-    spark.read.parquet(dir).orderBy(col("round")).collect()
+    spark.read.parquet(resolveLive(spark, dir)).orderBy(col("round")).collect()
       .map(r => (r.getString(1), r.getString(2))).toSeq
 
   // ---- versioned publication (crash-safe maintenance) ----
@@ -422,29 +431,52 @@ object Artifacts {
     p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p)
   }
 
+  /** Does a COMPLETE artifact live under `dir`? True iff the `_LATEST`
+    * pointer names a published version (a version is complete by the
+    * [[publishVersion]] contract: the pointer flips only after the write
+    * returns), or the dir holds a legacy pre-versioning flat payload.
+    * A torn `v=<n>` left by a crashed save has no pointer and is NOT
+    * payload — it reads as absent, so load-or-fit refits instead of
+    * crashing on a partial parquet dir. (A torn LEGACY flat write is
+    * indistinguishable from a complete one without a pointer; every
+    * save in this module now publishes versions, so that window only
+    * covers dirs written before versioning existed.)
+    */
+  private[graft] def artifactExists(spark: SparkSession, dir: String): Boolean =
+    latestVersion(spark, dir).isDefined || {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.exists(p) && fs.listStatus(p).exists { s =>
+        val n = s.getPath.getName
+        !n.startsWith("v=") && n != "_LATEST" && !n.startsWith("._LATEST")
+      }
+    }
+
   /** The call a production pipeline makes: reuse the persisted artifact
     * if present, else run `fit` once and persist it. The by-name `fit`
     * is only forced on a miss, so a warm restart costs one FS probe +
     * one tiny read — never a re-fit (spec-asserted via a fit counter).
+    * "Present" means [[artifactExists]] — a complete published version
+    * (or legacy flat payload), never a torn crash remnant.
     */
   def loadOrFitIvfPq(spark: SparkSession, dir: String)
       (fit: => Similarity.IvfPqModel): Similarity.IvfPqModel =
-    if (exists(spark, dir)) loadIvfPqModel(spark, dir)
+    if (artifactExists(spark, dir)) loadIvfPqModel(spark, dir)
     else { val m = fit; saveIvfPqModel(spark, m, dir); m }
 
   def loadOrFitBpeMerges(spark: SparkSession, dir: String)
       (fit: => Seq[(String, String)]): Seq[(String, String)] =
-    if (exists(spark, dir)) loadBpeMerges(spark, dir)
+    if (artifactExists(spark, dir)) loadBpeMerges(spark, dir)
     else { val m = fit; saveBpeMerges(spark, m, dir); m }
 
   def loadOrFitQualityLr(spark: SparkSession, dir: String)
       (fit: => TextAnalysis.QualityLrModel): TextAnalysis.QualityLrModel =
-    if (exists(spark, dir)) loadQualityLr(spark, dir)
+    if (artifactExists(spark, dir)) loadQualityLr(spark, dir)
     else { val m = fit; saveQualityLr(spark, m, dir); m }
 
   def loadOrBuildMinhashIndex(spark: SparkSession, dir: String)
       (build: => Dedup.MinhashIndex): Dedup.MinhashIndex =
-    if (exists(spark, dir)) loadMinhashIndex(spark, dir)
+    if (artifactExists(spark, dir)) loadMinhashIndex(spark, dir)
     else { val idx = build; saveMinhashIndex(idx, dir); loadMinhashIndex(spark, dir) }
 
   /** The fitted ALS factor model — the reference's FLAGSHIP artifact (the
@@ -459,29 +491,45 @@ object Artifacts {
     * (spec-asserted in RecommendSpec; top-k recommendation TIE-breaks
     * follow partition order and may differ, exactly as they may between
     * two runs of the fitting process itself).
+    *
+    * Save goes through [[publishVersion]] like every one-shot artifact:
+    * `ALSModel.save` writes three sub-relations (metadata + two factor
+    * matrices) with no atomicity across them, so an in-place overwrite
+    * interrupted between them leaves a dir that `exists()` would serve
+    * as a live model. A versioned save flips the pointer only after all
+    * three land; [[artifactExists]] treats a torn pointerless `v=<n>`
+    * as absent → refit, not crash.
     */
   def loadOrFitAls(spark: SparkSession, dir: String)
       (fit: => org.apache.spark.ml.recommendation.ALSModel)
       : org.apache.spark.ml.recommendation.ALSModel =
-    if (exists(spark, dir)) org.apache.spark.ml.recommendation.ALSModel.load(dir)
-    else { val m = fit; m.write.overwrite().save(dir); m }
+    if (artifactExists(spark, dir))
+      org.apache.spark.ml.recommendation.ALSModel.load(resolveLive(spark, dir))
+    else {
+      val m = fit
+      publishVersion(spark, dir)(target => m.write.save(target))
+      m
+    }
 
   // ---- QualityLrModel (trained quality gate) ----
 
   /** Persist a [[TextAnalysis.QualityLrModel]] as one (intercept, weights)
     * row. IEEE doubles round-trip exactly through parquet, so the served
     * sigmoid scores are bit-identical across the save/load boundary.
+    * Published via [[publishVersion]] — crash mid-save leaves the
+    * previous version (or nothing) live, never a torn dir.
     */
   def saveQualityLr(spark: SparkSession, model: TextAnalysis.QualityLrModel,
       dir: String): Unit = {
     import spark.implicits._
-    Seq((model.intercept, model.weights.toSeq))
-      .toDF("intercept", "weights")
-      .coalesce(1).write.mode("overwrite").parquet(dir)
+    publishVersion(spark, dir)(target =>
+      Seq((model.intercept, model.weights.toSeq))
+        .toDF("intercept", "weights")
+        .coalesce(1).write.mode("overwrite").parquet(target))
   }
 
   def loadQualityLr(spark: SparkSession, dir: String): TextAnalysis.QualityLrModel = {
-    val r = spark.read.parquet(dir).head()
+    val r = spark.read.parquet(resolveLive(spark, dir)).head()
     TextAnalysis.QualityLrModel(r.getDouble(0), r.getSeq[Double](1).toArray)
   }
 }

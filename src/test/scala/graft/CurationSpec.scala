@@ -325,6 +325,25 @@ class CurationSpec extends SparkTestBase {
     assert(pairs.length == 1, s"exactly the real shared prefix, got ${pairs.length}")
   }
 
+  test("torn QualityLr save (pointerless partial v= dir) → refit + versioned publish") {
+    import graft.operators.{Artifacts, TextAnalysis}
+    val dir = java.nio.file.Files.createTempDirectory("graft_qlr_torn")
+      .toString + "/qlr"
+    new java.io.File(s"$dir/v=1").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/v=1/part-00000.parquet"),
+      Array[Byte](80, 65, 82, 49))
+    val model = TextAnalysis.QualityLrModel(0.25, Array(1.0, -2.0, 0.5))
+    var fits = 0
+    val got = Artifacts.loadOrFitQualityLr(spark, dir) { fits += 1; model }
+    assert(fits == 1, "torn version reads as absent → exactly one fit")
+    assert(Artifacts.latestVersion(spark, dir).exists(_.endsWith("v=2")))
+    val warm = Artifacts.loadOrFitQualityLr(spark, dir) { fits += 1; model }
+    assert(fits == 1, "no refit after the publish")
+    assert(warm.intercept == got.intercept &&
+      warm.weights.sameElements(got.weights), "bit-identical round-trip")
+  }
+
   test("snapshotDiff: planted added/removed/changed/unchanged all classified") {
     import spark.implicits._
     val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")

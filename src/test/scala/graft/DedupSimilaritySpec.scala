@@ -713,6 +713,29 @@ class DedupSimilaritySpec extends SparkTestBase {
       i == j && a.sameElements(b) }, "warm load must equal the fitted model")
   }
 
+  test("torn IvfPq save (pointerless partial v= dir) reads as absent → refit, not crash") {
+    import graft.operators.Artifacts
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpq_torn")
+      .toString + "/m"
+    // remnant of a save that crashed mid-write: a partial v=1 payload,
+    // no _LATEST pointer (publishVersion flips it only after the write)
+    new java.io.File(s"$dir/v=1").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/v=1/part-00000.parquet"),
+      Array[Byte](80, 65, 82, 49)) // bare "PAR1" magic — unreadable
+    val emb = Tables.embeddings(spark, sf)
+    var fits = 0
+    def fit() = { fits += 1; Similarity.fitIvfPq(emb, nCells = 4, m = 8, nCentroids = 8) }
+    val m1 = Artifacts.loadOrFitIvfPq(spark, dir)(fit())
+    assert(fits == 1, "torn version must read as absent → exactly one fit")
+    assert(Artifacts.latestVersion(spark, dir).exists(_.endsWith("v=2")),
+      "publish must skip PAST the torn v=1, never write into it")
+    val m2 = Artifacts.loadOrFitIvfPq(spark, dir)(fit())
+    assert(fits == 1, "published version serves the warm call — no refit")
+    assert(m2.cents.zip(m1.cents).forall { case ((i, a), (j, b)) =>
+      i == j && a.sameElements(b) }, "reloaded model equals the fitted one")
+  }
+
   test("band-partitioned bucket index: a per-band filter prunes the at-rest scan") {
     // the streaming gate's per-band anti-joins rely on this pruning —
     // and the load-time type normalization (cast on the partition

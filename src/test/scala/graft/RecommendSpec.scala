@@ -62,6 +62,28 @@ class RecommendSpec extends SparkTestBase {
     assert(p1 == p2, "reloaded factors must serve bit-identical predictions")
   }
 
+  test("torn ALS save (pointerless partial v= dir) reads as absent → refit, not crash") {
+    // ALSModel.save writes metadata + two factor matrices with no
+    // atomicity across them; a versioned publish makes the crash window
+    // invisible to loaders — a torn v=1 with no pointer is just garbage
+    import graft.operators.Artifacts
+    val dir = java.nio.file.Files.createTempDirectory("graft_als_torn")
+      .toString + "/als"
+    new java.io.File(s"$dir/v=1/metadata").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/v=1/metadata/part-00000"),
+      "{\"class\":\"org.apache.spark.ml.recommendation.ALSModel\"".getBytes)
+    val cfg = Recommend.AlsConfig(rank = 4, maxIter = 2, regParam = 0.1, seed = 7L)
+    var fits = 0
+    def fit() = { fits += 1; Recommend.train(fixture, cfg) }
+    Artifacts.loadOrFitAls(spark, dir)(fit())
+    assert(fits == 1, "torn version must read as absent → exactly one fit")
+    assert(Artifacts.latestVersion(spark, dir).exists(_.endsWith("v=2")),
+      "publish skips past the torn v=1")
+    Artifacts.loadOrFitAls(spark, dir)(fit())
+    assert(fits == 1, "warm call serves the published version — no refit")
+  }
+
   test("recommendTopK surfaces the preferred parity block") {
     val recs = Recommend.recommendTopK(model, 5)
     // for even users, top-5 recommended items should be mostly even

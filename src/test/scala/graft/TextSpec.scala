@@ -144,6 +144,34 @@ class TextSpec extends SparkTestBase {
     assert(q(spark, sf).collect().sameElements(q(spark, sf).collect()))
   }
 
+  test("torn BPE save reads as absent → refit; legacy flat dir still loads without one") {
+    import graft.operators.Artifacts
+    val merges = Seq(("e", "s"), ("es", "t"))
+    // torn versioned save: partial v=1, no pointer → refit exactly once
+    val torn = java.nio.file.Files.createTempDirectory("graft_bpe_torn")
+      .toString + "/bpe"
+    new java.io.File(s"$torn/v=1").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$torn/v=1/part-00000.parquet"),
+      Array[Byte](80, 65, 82, 49))
+    var fits = 0
+    val got = Artifacts.loadOrFitBpeMerges(spark, torn) { fits += 1; merges }
+    assert(fits == 1 && got == merges)
+    assert(Artifacts.latestVersion(spark, torn).exists(_.endsWith("v=2")))
+    // legacy pre-versioning flat layout: loads as-is, no refit
+    import spark.implicits._
+    val flat = java.nio.file.Files.createTempDirectory("graft_bpe_flat")
+      .toString + "/bpe"
+    merges.zipWithIndex.map { case ((l, r), i) => (i + 1, l, r) }
+      .toDF("round", "left", "right").write.parquet(flat)
+    var flatFits = 0
+    val fromFlat = Artifacts.loadOrFitBpeMerges(spark, flat) {
+      flatFits += 1; Seq(("x", "y"))
+    }
+    assert(flatFits == 0 && fromFlat == merges,
+      "flat payload is a live artifact — versioning must not orphan it")
+  }
+
   test("BPE merge table save/load: order preserved, served encoding identical") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bpe").toString
     val merges = Seq(("e", "s"), ("es", "t"), ("l", "o"), ("lo", "w"))
