@@ -190,17 +190,25 @@ object Artifacts {
     delta.select(col("id"), col("comp"), lit(seq).as("seq"))
       .write.mode("append").parquet(resolveLive(delta.sparkSession, dir))
 
-  /** Latest label per id across the delta log (empty relation if the log
-    * does not exist yet). `max_by(comp, seq)` is deterministic here: one
-    * row per id per seq by construction.
+  /** Latest label per id over an (id, comp, seq) delta-log RELATION —
+    * the resolve the label map serves through; factored out of
+    * [[currentLabels]] so the serving view is a queryable operator
+    * (q_dedup_labels_resolved oracle-checks it against DuckDB's
+    * `max_by`). `max_by(comp, seq)` is deterministic given the log
+    * contract: one row per id per seq.
+    */
+  def resolveLabels(log: DataFrame): DataFrame =
+    log.groupBy(col("id"))
+      .agg(max_by(col("comp"), col("seq")).as("comp"))
+
+  /** Latest label per id across the persisted delta log (empty relation
+    * if the log does not exist yet).
     */
   def currentLabels(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val live = resolveLive(spark, dir)
     if (!exists(spark, live)) Seq.empty[(Long, Long)].toDF("id", "comp")
-    else spark.read.parquet(live)
-      .groupBy(col("id"))
-      .agg(max_by(col("comp"), col("seq")).as("comp"))
+    else resolveLabels(spark.read.parquet(live))
   }
 
   /** Next delta sequence number: one aggregate over the log (bounded by

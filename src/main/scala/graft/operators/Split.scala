@@ -85,17 +85,23 @@ object Split {
     * length-prefixed (`len:value`) before joining, so distinct keys can
     * never concatenate to the same string — ("ab","c") → "2:ab|1:c" vs
     * ("a","bc") → "1:a|2:bc" (a separator alone still collides when a
-    * value CONTAINS the separator). The serialized key doubles as the
+    * value CONTAINS the separator). A NULL part encodes as the fixed
+    * marker `-:` — `-` can never be a length prefix, so (null,"a") and
+    * ("a",null) stay distinct (bare `concat_ws` SKIPS null segments and
+    * would collide them into the same order key, making the winner at a
+    * limit boundary nondeterministic). The serialized key doubles as the
     * deterministic tiebreak column: rows with equal md5 (duplicate keys)
     * sort on the key itself, so which row crosses a limit-n boundary is a
     * pure function of content, never of execution order. Plain string
     * arithmetic — identical in ANSI SQL, so sampled sets stay
-    * oracle-checkable.
+    * oracle-checkable (the DuckDB mirrors serialize non-null keys, whose
+    * encoding is unchanged; mirror the `-:` marker there iff a sampled
+    * key column is nullable).
     */
-  private def serializeKey(keys: Seq[Column]): Column =
+  private[graft] def serializeKey(keys: Seq[Column]): Column =
     concat_ws("|", keys.map { k =>
       val p = k.cast("string")
-      concat(length(p).cast("string"), lit(":"), p)
+      coalesce(concat(length(p).cast("string"), lit(":"), p), lit("-:"))
     }: _*)
 
   /** STRATIFIED exact-N: exactly `n` rows PER GROUP (fewer iff the group

@@ -740,6 +740,25 @@ object TextQueries {
         .orderBy(col("id"))
     }),
 
+    // the ONLINE label map's serving view (Artifacts.resolveLabels —
+    // exactly what maintainedClusterIntake reads between compactions):
+    // latest label per id over an (id, comp, seq) delta log. The log is
+    // planted from arithmetic on doc ids — three generations, each
+    // re-labeling a subset — so the latest-seq-wins resolve is fully
+    // ORACLED (DuckDB max_by), witnessing the streaming map's read path.
+    "q_dedup_labels_resolved" -> ((s, d) => {
+      val ids = docs(s, d).select(col("doc_id").as("id"))
+      val g1 = ids.select(col("id"),
+        pmod(col("id"), lit(50L)).as("comp"), lit(1L).as("seq"))
+      val g2 = ids.filter(pmod(col("id"), lit(2)) === 0).select(col("id"),
+        pmod(col("id"), lit(25L)).as("comp"), lit(2L).as("seq"))
+      val g3 = ids.filter(pmod(col("id"), lit(10)) === 0).select(col("id"),
+        lit(7L).as("comp"), lit(3L).as("seq"))
+      graft.operators.Artifacts
+        .resolveLabels(g1.unionByName(g2).unionByName(g3))
+        .orderBy(col("id"))
+    }),
+
     // QUALITY-priority transitive dedup: per near-dup component keep the
     // BEST-quality member (ties → min id), not the min id — what a
     // production pipeline wants from a dup cluster (min-id keeps
@@ -1144,6 +1163,17 @@ object TextQueries {
          |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
          |  ROUND(MIN(q), 6) AS q_min, ROUND(MAX(q), 6) AS q_max
          |FROM r GROUP BY phase ORDER BY phase""".stripMargin,
+
+    "q_dedup_labels_resolved" ->
+      """WITH log AS (
+        |  SELECT doc_id AS id, doc_id % 50 AS comp, 1 AS seq FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, doc_id % 25, 2 FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id, CAST(7 AS BIGINT), 3 FROM documents WHERE doc_id % 10 = 0
+        |)
+        |SELECT id, max_by(comp, seq) AS comp FROM log
+        |GROUP BY id ORDER BY id""".stripMargin,
 
     "q_cross_source_dups" ->
       s"""WITH fps AS (

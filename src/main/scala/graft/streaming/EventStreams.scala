@@ -475,8 +475,12 @@ object EventStreams {
           .select(col("new_id").as("id_a"), col("corpus_id").as("id_b"))
           .unionByName(inBatchPairs)
         val existing = graft.operators.Artifacts.currentLabels(spark, labelsDir)
+        // materialize the delta ONCE (eager localCheckpoint): the
+        // emptiness probe and the append below would otherwise each
+        // re-run the label-log scan + CC contraction
         val delta = graft.operators.Dedup.incrementalCC(existing, edges)
           .exceptAll(existing)
+          .localCheckpoint(true)
         if (!delta.isEmpty)
           graft.operators.Artifacts.appendLabelDeltas(delta, labelsDir,
             graft.operators.Artifacts.nextLabelSeq(spark, labelsDir))

@@ -147,6 +147,18 @@ class SplitSpec extends SparkTestBase {
     assert(!plan.contains("rangepartitioning"), s"global sort leaked:\n$plan")
   }
 
+  test("serializeKey: null parts keep multi-column keys injective") {
+    import spark.implicits._
+    // concat_ws SKIPS null segments, so without the "-:" marker
+    // (null,"a") and ("a",null) would serialize identically — same md5
+    // order key, nondeterministic winner at a limit boundary
+    val df = Seq((Option("a"), Option.empty[String]),
+      (Option.empty[String], Option("a"))).toDF("k1", "k2")
+    val keys = df.select(Split.serializeKey(Seq(col("k1"), col("k2"))).as("ks"))
+      .collect().map(_.getString(0))
+    assert(keys.toSet == Set("1:a|-:", "-:|1:a"), s"got ${keys.toSeq}")
+  }
+
   test("Rank.exactNtile ≡ Spark's ntile window across boundary shapes") {
     import org.apache.spark.sql.expressions.Window
     import spark.implicits._
