@@ -9,6 +9,12 @@ import org.apache.spark.sql.SparkSession
   * lets Catalyst collapse the plan to a count aggregate and skip column
   * reads, noop materializes every output row/column, i.e. measures the
   * real operator work.
+  *
+  * Bench-order independence contract: every build artifact a timed line
+  * depends on — ANN models/indexes, BPE merges, the quality LR, AND the
+  * memoized media tables at the timed sf — is materialized in the
+  * untimed warmup/fit sections first, so timed lines measure serving /
+  * decode only and do not change when the headline order changes.
   */
 object Bench {
 
@@ -103,6 +109,15 @@ object Bench {
         .write.mode("overwrite").format("noop").save()
       catch { case _: Throwable => () }
     }
+    // bench-order independence: materialize ALL memoized media tables at
+    // the TIMED sf inside the untimed warmup. Otherwise whichever
+    // q_media_*/q_audio_*/q_video_* line first touches a kind pays the
+    // one-time table generation (and the large AVI write can evict
+    // neighboring queries' page cache mid-bench — the suspected r7
+    // q_audio_decode anomaly). The timed media lines measure DECODE only.
+    try graft.queries.EventQueries.materializeMediaDirs(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] media warmup failed: ${e.getMessage}") }
 
     // median-of-N timing (default 3, SPARK_GRAFT_BENCH_RUNS to override):
     // single-run numbers can't distinguish machine-load noise from plan
