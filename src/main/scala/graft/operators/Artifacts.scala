@@ -155,6 +155,73 @@ object Artifacts {
     pruneVersions(spark, root, keepVersions)
   }
 
+  /** At-rest LAYOUT health of the live IVF-PQ index version: parquet
+    * file counts per cell directory. This is the degradation that
+    * [[compactIvfPqIndex]] actually repairs — streaming appends
+    * ([[graft.streaming.EventStreams.maintainedIvfIntake]]) add one
+    * small file set per micro-batch per TOUCHED cell, so a hot cell
+    * accumulates files far faster than the rest (scan cost per probe of
+    * that cell grows with its file count, not its row count). Distinct
+    * from [[Similarity.cellStats]], which measures ROW skew — a
+    * quantizer-quality signal only a model refit can change; compaction
+    * cannot and should not trigger on it. Metadata-only: one directory
+    * listing of the live version, the same driver-side footprint as
+    * [[pruneVersions]] — no data is read.
+    */
+  final case class IvfLayoutStats(nCells: Int, nFiles: Long,
+      maxFilesPerCell: Int, avgFilesPerCell: Double, p99FilesPerCell: Double) {
+    /** Hot-cell file skew: p99 over mean. ~1.0 for a freshly compacted
+      * layout (one file set per cell), grows as appends concentrate.
+      */
+    def skew: Double =
+      if (avgFilesPerCell <= 0) 1.0 else p99FilesPerCell / avgFilesPerCell
+  }
+
+  def ivfLayoutStats(spark: SparkSession, root: String): IvfLayoutStats = {
+    val live = new org.apache.hadoop.fs.Path(resolveLive(spark, root))
+    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+    val perCell =
+      if (!fs.exists(live)) Array.empty[Int]
+      else fs.listStatus(live).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("centroid_id="))
+        .map(c => fs.listStatus(c.getPath)
+          .count(f => f.isFile && f.getPath.getName.endsWith(".parquet")))
+        .toArray
+    if (perCell.isEmpty) IvfLayoutStats(0, 0L, 0, 0.0, 0.0)
+    else {
+      val sorted = perCell.sorted
+      val p99 = sorted(math.min(sorted.length - 1,
+        math.ceil(0.99 * sorted.length).toInt - 1).max(0))
+      IvfLayoutStats(perCell.length, perCell.map(_.toLong).sum,
+        sorted.last, perCell.map(_.toDouble).sum / perCell.length, p99.toDouble)
+    }
+  }
+
+  /** MAINTENANCE TRIGGER connecting the layout health probe to the
+    * compaction — the cadence driver [[compactMinhashIndex]]'s scaladoc
+    * promises but leaves to the operator. Compacts the at-rest IVF-PQ
+    * index iff the live layout is degraded: hot-cell file skew
+    * (`p99/mean > maxSkew`, appends concentrating on few cells) OR
+    * uniform small-file proliferation (`mean > maxAvgFiles`, every cell
+    * fragmented by many batches — skew stays ~1 but every probe pays the
+    * per-file open cost). Below both bounds it is a metadata-only no-op,
+    * so calling it on every maintenance tick is safe and cheap; serving
+    * is identical either way because [[compactIvfPqIndex]] only
+    * re-clusters rows and publishes through [[publishVersion]]. Same
+    * quiesced-index contract as the compaction itself.
+    *
+    * @return true iff a compaction was triggered and published
+    */
+  def maintainIvfPqIndex(spark: SparkSession, root: String,
+      maxSkew: Double = 3.0, maxAvgFiles: Double = 4.0,
+      keepVersions: Int = 2): Boolean = {
+    val st = ivfLayoutStats(spark, root)
+    val degraded = st.nCells > 0 &&
+      (st.skew > maxSkew || st.avgFilesPerCell > maxAvgFiles)
+    if (degraded) compactIvfPqIndex(spark, root, keepVersions)
+    degraded
+  }
+
   // ---- exact-dedup fingerprint index ----
 
   /** Persist the exact-dedup fingerprint index (`content_hash` plus any

@@ -644,6 +644,60 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(serve() == afterAppend, "recovered compaction serves the same rows")
   }
 
+  test("maintainIvfPqIndex: skewed appends trigger compaction, balanced layout, serving identical throughout") {
+    import graft.operators.Artifacts
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfmaint")
+      .toString + "/idx"
+    val emb = Tables.embeddings(spark, sf)
+    val model = Similarity.fitIvfPq(emb, nCells = 8, m = 8, nCentroids = 8)
+    val q = emb.filter(col("vec_id") < 10)
+    def serve() = Similarity.ivfPqApplyFromDisk(root, emb, q, k = 5, model)
+      .collect().toSeq
+    // fresh build: one file set per cell, healthy layout → no-op
+    Similarity.writeIvfPqIndex(emb.filter(col("vec_id") < 200), model, root)
+    val fresh = Artifacts.ivfLayoutStats(spark, root)
+    assert(fresh.nCells > 0 && fresh.skew <= 3.0 && fresh.avgFilesPerCell <= 4.0,
+      s"fresh build should be healthy, got $fresh")
+    assert(!Artifacts.maintainIvfPqIndex(spark, root),
+      "healthy layout must not trigger compaction")
+    assert(Artifacts.latestVersion(spark, root).isEmpty,
+      "a no-op maintenance tick must not publish a version")
+    // plant SKEWED appends: many tiny batches that ALL land in the same
+    // cell (vectors chosen by their coarse assignment) — file count
+    // piles up on one hot cell while the rest keep their single set
+    val before = serve()
+    val assigned = emb.filter(col("vec_id") >= 200 && col("vec_id") < 400)
+      .select(col("vec_id"),
+        Similarity.assignCell(model.cents, col("embedding")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    val hotIds = assigned.groupBy(_._2).values.maxBy(_.length)
+      .map(_._1).take(12).toSeq
+    assert(hotIds.length == 12, "fixture must have a 12-vector hot cell")
+    hotIds.foreach { id =>
+      Similarity.appendToIvfPqIndex(
+        emb.filter(col("vec_id") === id), model, root)
+    }
+    val skewed = Artifacts.ivfLayoutStats(spark, root)
+    assert(skewed.skew > 3.0 || skewed.avgFilesPerCell > 4.0,
+      s"planted appends should degrade the layout, got $skewed")
+    val afterAppends = serve()
+    // maintenance tick: compacts, layout re-balanced, serving unchanged
+    assert(Artifacts.maintainIvfPqIndex(spark, root),
+      "degraded layout must trigger compaction")
+    val healed = Artifacts.ivfLayoutStats(spark, root)
+    assert(healed.skew <= 3.0 && healed.avgFilesPerCell <= 4.0,
+      s"compaction must re-balance the layout, got $healed")
+    assert(Artifacts.latestVersion(spark, root).exists(_.endsWith("v=1")),
+      "trigger must publish through the versioned compaction")
+    assert(serve() == afterAppends,
+      "maintenance must not change served results")
+    assert(!Artifacts.maintainIvfPqIndex(spark, root),
+      "healed layout must not re-trigger")
+    // rows all survived the round-trip
+    assert(spark.read.parquet(s"$root/v=1").count() == 200 + 12)
+    assert(before.nonEmpty && afterAppends.nonEmpty)
+  }
+
   test("publishVersion: readers follow _LATEST; a crashed write never corrupts the live artifact") {
     import graft.operators.Artifacts
     val root = java.nio.file.Files.createTempDirectory("graft_ver").toString + "/idx"
