@@ -70,6 +70,28 @@ object Mix {
       .select(col("group"), col("n"), col("w_r"), col("target"))
   }
 
+  /** ARRIVAL-ORDER budgeted admission — the batch twin of the streaming
+    * per-source gate
+    * ([[graft.streaming.EventStreams.budgetedMixIntake]]): admit the
+    * FIRST `target` rows of each group in `orderCols` order, reject the
+    * rest. Differs from [[Split.budgetedSample]] only in the order rule:
+    * budgetedSample cuts by content-hash order (a deterministic SAMPLE
+    * of the whole group), this cuts by a caller-supplied total order
+    * (event time — what an online gate that sees rows arrive can
+    * actually enforce). Same plan shape: one shuffle on the group key,
+    * in-group sort, broadcast join of the |groups|-row targets.
+    */
+  def admitByBudget(df: DataFrame, targets: DataFrame, groupCol: Column,
+      orderCols: Seq[Column]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy(orderCols: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .join(broadcast(targets.select(groupCol.as("__g"), col("target").as("__t"))),
+        groupCol === col("__g"))
+      .filter(col("__rn") <= col("__t"))
+      .drop("__rn", "__g", "__t")
+  }
+
   /** Token-budget packing: assign documents to training shards so each
     * shard holds ~`budget` tokens. Exact bin packing is sequential; the
     * distributed form salts documents into `nWorkers` independent streams

@@ -588,6 +588,67 @@ object EventStreams {
         OutputMode.Append())
   }
 
+  case class SourcedDoc(doc_id: Long, ts: java.sql.Timestamp, source: String,
+      text: String)
+  case class AdmittedDoc(doc_id: Long, source: String)
+
+  /** ONLINE per-source admission gate against a target mix — the
+    * streaming twin of [[graft.operators.Mix.temperatureWeights]] +
+    * [[graft.operators.Mix.admitByBudget]]: each source admits incoming
+    * docs FIRST-COME in (ts, doc_id) order until its running admitted
+    * count reaches the target, then rejects. State is ONE long per
+    * source (|sources|-bounded, RocksDB-backed); the target map rides
+    * the processor closure (|sources| entries — computed by
+    * `temperatureWeights` on a bounded stats relation and collected
+    * once, the same bounded-collect contract as the IVF centroid
+    * inline). Output is ids-only — the admitted set joins back to the
+    * corpus by id, bytes never pass through state.
+    *
+    * Within a micro-batch the admission order is (ts, doc_id) — NOT
+    * iterator arrival — so a batch's admitted subset is deterministic.
+    * Batch ≡ stream contract: equal to `admitByBudget(df, targets,
+    * source, Seq(ts, doc_id))` whenever micro-batch boundaries respect
+    * event-time order (later batches carry later timestamps — the
+    * monotone-intake deployment this gate is for). Under out-of-order
+    * arrival ACROSS batches the gate still admits exactly `target` per
+    * source, but first-come wins; re-ordering admission under lateness
+    * would need per-doc state (unbounded), the wrong trade for an
+    * intake throttle.
+    */
+  class MixBudgetProcessor(targets: Map[String, Long])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, SourcedDoc, AdmittedDoc] {
+    @transient private var admitted: org.apache.spark.sql.streaming.ValueState[Long] = _
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      admitted = getHandle.getValueState[Long]("admitted",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(source: String, rows: Iterator[SourcedDoc],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[AdmittedDoc] = {
+      val buf = rows.toSeq.sortBy(d => (d.ts.getTime, d.doc_id))
+      val prev = if (admitted.exists()) admitted.get() else 0L
+      val room = math.max(0L, targets.getOrElse(source, 0L) - prev)
+      val take = buf.take(math.min(room, buf.size.toLong).toInt)
+      admitted.update(prev + take.size)
+      take.iterator.map(d => AdmittedDoc(d.doc_id, source))
+    }
+  }
+
+  /** [[MixBudgetProcessor]] wired through `transformWithState` (needs the
+    * RocksDB state store provider, like [[runningUserTotalsV2]]).
+    */
+  def budgetedMixIntake(docs: Dataset[SourcedDoc],
+      targets: Map[String, Long]): Dataset[AdmittedDoc] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.source)
+      .transformWithState(new MixBudgetProcessor(targets),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append())
+  }
+
   case class ClosedSession(user_id: Long, n_events: Long, total_value: Double,
       last_sec: Long)
 

@@ -231,6 +231,63 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("budgetedMixIntake: per-source admission ≈ temperature targets, batch ≡ stream") {
+    implicit val sc = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // planted SKEWED source mix: 12 web / 4 books / 2 code docs
+      val docs = (0 until 12).map(i =>
+        EventStreams.SourcedDoc(100 + i, ts(i), "web", s"web doc $i")) ++
+        (0 until 4).map(i =>
+          EventStreams.SourcedDoc(200 + i, ts(i), "books", s"book doc $i")) ++
+        (0 until 2).map(i =>
+          EventStreams.SourcedDoc(300 + i, ts(i), "code", s"code doc $i"))
+      val docsDf = docs.toDF()
+      // α=0.5 temperature targets over a 12-doc budget: n^0.5 flattens
+      // the skew → web 6, books 3, code 2 (code capped by availability)
+      val weights = graft.operators.Mix.temperatureWeights(
+        docsDf, col("source"), alpha = 0.5, budget = 12)
+      val targets = weights.select(col("group"), col("target")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(targets == Map("web" -> 6L, "books" -> 3L, "code" -> 2L), targets)
+      // stream in TWO monotone micro-batches (event-time order across
+      // batches — the gate's batch ≡ stream precondition)
+      val mem = MemoryStream[EventStreams.SourcedDoc]
+      val q = EventStreams.budgetedMixIntake(mem.toDS(), targets)
+        .writeStream.outputMode("append")
+        .format("memory").queryName("mix_gate_out").start()
+      try {
+        val (early, late) = docs.sortBy(d => (d.ts.getTime, d.doc_id)).splitAt(9)
+        mem.addData(early: _*)
+        q.processAllAvailable()
+        mem.addData(late: _*)
+        q.processAllAvailable()
+        val admitted = spark.table("mix_gate_out")
+          .as[EventStreams.AdmittedDoc].collect()
+        val perSource = admitted.groupBy(_.source).view.mapValues(_.length.toLong).toMap
+        // admits == min(target, available) per source; counts RESUME
+        // across the micro-batch boundary (state, not per-batch reset)
+        assert(perSource == Map("web" -> 6L, "books" -> 3L, "code" -> 2L),
+          s"admitted $perSource")
+        // batch twin on the same input admits the SAME docs
+        val batch = graft.operators.Mix.admitByBudget(
+          docsDf, weights.select(col("group").as("source"), col("target")),
+          col("source"), Seq(col("ts"), col("doc_id")))
+          .select(col("doc_id")).as[Long].collect().toSet
+        assert(admitted.map(_.doc_id).toSet == batch,
+          "stream gate must admit exactly the batch twin's rows")
+        // over-budget rejects: nothing beyond the target ever passes
+        assert(admitted.length == 11)
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("streaming corpus intake: dedup + quality + language gates on a doc stream") {
     implicit val sc = spark.sqlContext
     val good = "the quick brown fox jumps over the lazy dog and the cat " +
