@@ -72,7 +72,12 @@ object Bench {
     // temperature-scaled mixing weights, semantic-balanced sampling
     "q_video_decode", "q_sample_stratified", "q_cosine_ivfpq_paths_agree",
     "q_mix_temperature", "q_sample_balanced_cells", "q_dedup_cc_incremental",
-    "q_mix_select")
+    "q_mix_select",
+    // round-8 additions: snapshot diff, scale-safe exact-ntile
+    // curriculum, cross-source dup report, the resolved online label
+    // map, and arrival-order budgeted admission
+    "q_snapshot_diff", "q_curriculum", "q_cross_source_dups",
+    "q_dedup_labels_resolved", "q_mix_admit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -311,6 +311,23 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ARRIVAL-ORDER budgeted admission (Mix.admitByBudget) — the batch
+    // twin of the streaming per-source gate
+    // (EventStreams.budgetedMixIntake), driver-witnessed: each source
+    // admits its FIRST target docs in ingest (doc_id) order, unlike
+    // q_mix_select's content-hash sample. Same one-shuffle +
+    // broadcast-targets plan; fully ORACLED (row_number over a total
+    // order is ANSI).
+    "q_mix_admit" -> ((s, d) => {
+      val targets = graft.operators.Mix.temperatureWeights(docs(s, d),
+        col("source"), alpha = 0.5, budget = 200L)
+        .select(col("group").as("source"), col("target"))
+      graft.operators.Mix.admitByBudget(
+        docs(s, d).select(col("doc_id"), col("source")),
+        targets, col("source"), Seq(col("doc_id")))
+        .orderBy(col("doc_id"))
+    }),
+
     // snapshot diff: classify every doc as added/removed/changed/
     // unchanged between two corpus versions (old = the corpus minus one
     // residue class, new = minus another, with a third class's text
@@ -1099,6 +1116,24 @@ object TextQueries {
         |  SELECT doc_id, source,
         |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(ks), ks) AS rn
         |  FROM k
+        |)
+        |SELECT r.doc_id, r.source FROM r JOIN tg ON r.source = tg.source
+        |WHERE r.rn <= tg.target ORDER BY doc_id""".stripMargin,
+
+    "q_mix_admit" ->
+      """WITH g AS (
+        |  SELECT source, POWER(CAST(COUNT(*) AS DOUBLE), 0.5) AS w
+        |  FROM documents GROUP BY source
+        |), t AS (SELECT SUM(w) AS tw FROM g),
+        |tg AS (
+        |  SELECT source,
+        |    CAST(FLOOR(CAST(ROUND(w / tw, 6) AS DECIMAL(18,6)) * 200)
+        |      AS BIGINT) AS target
+        |  FROM g, t
+        |), r AS (
+        |  SELECT doc_id, source,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents
         |)
         |SELECT r.doc_id, r.source FROM r JOIN tg ON r.source = tg.source
         |WHERE r.rn <= tg.target ORDER BY doc_id""".stripMargin,

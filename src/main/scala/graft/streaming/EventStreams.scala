@@ -360,15 +360,25 @@ object EventStreams {
   def maintainedIvfIntake(vecs: DataFrame,
       model: graft.operators.Similarity.IvfPqModel,
       indexDir: String, sinkDir: String,
-      idCol: String = "vec_id", vecCol: String = "embedding")
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maintainEvery: Int = 0)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     vecs.writeStream.outputMode("append")
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val b = batch.persist()
         b.write.mode("append").parquet(sinkDir)
         graft.operators.Similarity.appendToIvfPqIndex(b, model, indexDir,
           idCol, vecCol)
         b.unpersist()
+        // maintenance cadence (maintainEvery > 0): run the layout-health
+        // tick every N batches. foreachBatch serializes, and this loop is
+        // the index's only appender, so the compaction's quiesced-index
+        // precondition holds BY CONSTRUCTION here — the one place the
+        // trigger can run with no external coordination. A healthy
+        // layout makes the tick a metadata-only no-op.
+        if (maintainEvery > 0 && (batchId + 1) % maintainEvery == 0)
+          graft.operators.Artifacts.maintainIvfPqIndex(
+            b.sparkSession, indexDir)
         ()
       }
 

@@ -675,6 +675,53 @@ class StreamingSpec extends SparkTestBase {
     assert(got.contains(101L), s"cycle-2 append not served: $got")
   }
 
+  test("maintainedIvfIntake with maintainEvery: in-loop cadence compacts a degraded layout, serving stays correct") {
+    // the trigger (Artifacts.maintainIvfPqIndex) run INSIDE the intake
+    // loop: foreachBatch serializes and the loop is the only appender,
+    // so the quiesced-index precondition holds by construction. Eight
+    // one-vector batches all landing in one hot cell degrade the file
+    // layout; the every-2-batches tick compacts when the bound trips,
+    // and serving retrieves every appended vector afterwards.
+    implicit val sc = spark.sqlContext
+    import graft.operators.{Artifacts, Similarity}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfcad").toString
+    val indexDir = s"$tmp/index"; val sinkDir = s"$tmp/sink"
+    def vec(seed: Long): Array[Float] =
+      Array.tabulate(8)(i => (((seed * 31 + i * 17) % 13) - 6).toFloat)
+    val corpus = (0L until 20L).map(id => (id, vec(id)))
+      .toDF("vec_id", "embedding")
+    val model = Similarity.fitIvfPq(corpus, nCells = 2, m = 2, nCentroids = 4)
+    Similarity.writeIvfPqIndex(corpus, model, indexDir)
+    val hot = Array.tabulate(8)(i => if (i % 2 == 0) 9f else -9f)
+    val mem = MemoryStream[EventStreams.Vec]
+    val q = EventStreams.maintainedIvfIntake(mem.toDF(), model,
+      indexDir, sinkDir, maintainEvery = 2).start()
+    try {
+      (0 until 8).foreach { i =>
+        mem.addData(EventStreams.Vec(100L + i, hot.map(x => x + i * 0.01f)))
+        q.processAllAvailable() // one micro-batch per vector
+      }
+    } finally q.stop()
+    // the cadence fired: a compacted version is live and the layout is
+    // healthy again (one file set per cell, skew gone)
+    assert(Artifacts.latestVersion(spark, indexDir).nonEmpty,
+      "in-loop maintenance never compacted a degraded layout")
+    val healed = Artifacts.ivfLayoutStats(spark, indexDir)
+    assert(healed.skew <= 3.0 && healed.avgFilesPerCell <= 4.0,
+      s"layout still degraded after in-loop maintenance: $healed")
+    // nothing lost: all 8 appends present in the live version and served
+    val codes = spark.read.parquet(Artifacts.resolveLive(spark, indexDir))
+    assert(codes.filter(col("neighbor_id") >= 100L).count() == 8L,
+      "appended vectors missing after in-loop compaction")
+    val primary = corpus.unionByName(spark.read.parquet(sinkDir))
+    val query = Seq((999L, hot)).toDF("vec_id", "embedding")
+    val got = Similarity.ivfPqApplyFromDisk(indexDir, primary, query,
+      k = 3, model, nProbe = 2)
+      .select(col("neighbor_id")).as[Long].collect().toSet
+    assert(got.nonEmpty && got.forall(_ >= 100L),
+      s"hot-direction query must be served by the appended vectors: $got")
+  }
+
   test("maintainedClusterIntake: label map maintained across a RESTART equals the full closure; compaction preserves it") {
     implicit val sc = spark.sqlContext
     import graft.operators.{Artifacts, Dedup}
