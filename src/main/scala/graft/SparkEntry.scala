@@ -46,6 +46,7 @@ object SparkEntry {
     "q_cosine_ivfpq" -> "KMeans cells+codebooks; recall floor + cell-pruned plan assertion",
     "q_cosine_ivfpq_disk" -> "at-rest IVF layout; equals in-memory apply + partition-pruned plan assertion in DedupSimilaritySpec",
     "q_ivf_cell_health" -> "cells are KMeans fit artifacts; planted-skew + shape tests in DedupSimilaritySpec",
+    "q_ivf_layout_health" -> "FS-metadata file counts of the at-rest index, not expressible over the parquet tables; fresh-build shape + planted-skew trigger tests in DedupSimilaritySpec",
     "q_sample_balanced_cells" -> "KMeans cell assignment not SQL-expressible; per-cell-count + determinism spec in DedupSimilaritySpec",
     "q_dedup_minhash" -> "minhash perm hashes are Spark-specific; planted-pair recall tests",
     "q_dedup_simhash" -> "simhash bit mix is Spark-specific; Hamming-distance tests",

@@ -353,13 +353,24 @@ object TextAnalysis {
 
   private lazy val logger = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  def contaminationPlan(train: DataFrame, bench: DataFrame, n: Int = 5,
-      maxBroadcastGrams: Long = 5000000L,
-      textCol: String = "text", idCol: String = "doc_id"): DecontaminationPlan = {
+  /** The distinct bench-side `n`-gram relation, eagerly materialized
+    * (localCheckpoint) so the count and every downstream join share one
+    * evaluation — factored out so long-lived consumers (the streaming
+    * decontamination intake) can pay the bench scan ONCE instead of per
+    * micro-batch.
+    */
+  def benchGramSet(bench: DataFrame, n: Int = 5,
+      textCol: String = "text"): (DataFrame, Long) = {
     val grams = bench
       .select(explode(Dedup.shingles(col(textCol), n)).as("g"))
       .distinct().localCheckpoint(true)
-    val nG = grams.count()
+    (grams, grams.count())
+  }
+
+  def contaminationPlan(train: DataFrame, bench: DataFrame, n: Int = 5,
+      maxBroadcastGrams: Long = 5000000L,
+      textCol: String = "text", idCol: String = "doc_id"): DecontaminationPlan = {
+    val (grams, nG) = benchGramSet(bench, n, textCol)
     val useBroadcast = nG <= maxBroadcastGrams
     logger.info(s"decontamination: $nG distinct bench $n-grams -> " +
       (if (useBroadcast) "broadcast" else

@@ -198,6 +198,24 @@ object SimilarityQueries {
     "q_ivf_cell_health" -> ((s, d) =>
       Similarity.cellStats(emb(s, d), ivfpqModel(s, d).cents)),
 
+    // At-rest index LAYOUT health (Artifacts.ivfLayoutStats) — the
+    // file-skew metric the maintenance trigger (maintainIvfPqIndex)
+    // fires on, as a driver-visible row: per-cell parquet file counts
+    // from ONE metadata listing of the live version. Distinct from
+    // q_ivf_cell_health's ROW skew (a quantizer signal only a refit
+    // changes). On a freshly built index every cell holds one file set
+    // (hash-clustered write), so skew pins at 1.0. Rows-only:
+    // FS-metadata derived, not expressible over the parquet tables.
+    "q_ivf_layout_health" -> ((s, d) => {
+      import s.implicits._
+      val st = graft.operators.Artifacts.ivfLayoutStats(s, ivfIndexDir(s, d))
+      def r6(x: Double) = math.rint(x * 1e6) / 1e6
+      Seq((st.nCells, st.nFiles, st.maxFilesPerCell,
+        r6(st.avgFilesPerCell), r6(st.p99FilesPerCell), r6(st.skew)))
+        .toDF("n_cells", "n_files", "max_files_per_cell",
+          "avg_files_per_cell", "p99_files_per_cell", "skew")
+    }),
+
     // SEMANTIC-BALANCED sampling: exactly 5 vectors per IVF cell — the
     // cluster-proportional eval/anchor-set cut a curation pipeline uses
     // to avoid over-representing dense regions of embedding space.

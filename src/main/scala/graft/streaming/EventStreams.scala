@@ -598,6 +598,40 @@ object EventStreams {
         OutputMode.Append())
   }
 
+  /** ONLINE benchmark decontamination — the streaming twin of
+    * [[graft.operators.TextAnalysis.decontaminate]]: every micro-batch
+    * drops docs sharing an `n`-gram with the (static) benchmark suite
+    * before they reach the corpus, so eval leakage is stopped at intake
+    * instead of by a later corpus-wide sweep. The bench gram relation
+    * is computed ONCE outside the loop ([[graft.operators.TextAnalysis
+    * .benchGramSet]] — eagerly checkpointed), with the same measured
+    * broadcast-vs-shuffle degrade as the batch op (broadcast only under
+    * `maxBroadcastGrams`; the choice is a corpus property, measured,
+    * never assumed). Per batch: one gram-probe join + one left-anti —
+    * batch-sized work, ids-only on the replicated side, exact per-doc
+    * decision (stateless across batches, so batch ≡ stream holds with
+    * no ordering precondition at all).
+    */
+  def decontamIntake(docs: DataFrame, bench: DataFrame, sinkDir: String,
+      n: Int = 5, maxBroadcastGrams: Long = 5000000L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.{Dedup, TextAnalysis}
+    val (grams, nG) = TextAnalysis.benchGramSet(bench, n)
+    val benchSide = if (nG <= maxBroadcastGrams) broadcast(grams) else grams
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.persist()
+        val contaminated = b
+          .select(col("doc_id"), explode(Dedup.shingles(col("text"), n)).as("g"))
+          .join(benchSide, Seq("g"))
+          .select(col("doc_id")).distinct()
+        b.join(contaminated, Seq("doc_id"), "left_anti")
+          .write.mode("append").parquet(sinkDir)
+        b.unpersist()
+        ()
+      }
+  }
+
   case class SourcedDoc(doc_id: Long, ts: java.sql.Timestamp, source: String,
       text: String)
   case class AdmittedDoc(doc_id: Long, source: String)

@@ -644,6 +644,21 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(serve() == afterAppend, "recovered compaction serves the same rows")
   }
 
+  test("q_ivf_layout_health: one row, fresh-build layout pins skew at 1, deterministic") {
+    val q = SparkEntry.queries("q_ivf_layout_health")
+    val rows = q(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    val (nCells, nFiles) = (r.getInt(0), r.getLong(1))
+    assert(nCells > 0 && nFiles >= nCells,
+      s"layout must list every cell: $r")
+    // the memoized index is a fresh hash-clustered build: one file set
+    // per cell → per-cell counts uniform → p99/mean skew exactly 1
+    assert(r.getDouble(5) == 1.0, s"fresh-build skew must be 1.0: $r")
+    assert(q(spark, sf).collect().toSeq == rows.toSeq,
+      "layout health must be deterministic")
+  }
+
   test("maintainIvfPqIndex: skewed appends trigger compaction, balanced layout, serving identical throughout") {
     import graft.operators.Artifacts
     val root = java.nio.file.Files.createTempDirectory("graft_ivfmaint")

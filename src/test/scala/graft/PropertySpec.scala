@@ -175,6 +175,53 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("exactNtile equals Spark's own ntile for random (n, k)") {
+    // the scale-safe range-sort + offset form must reproduce the
+    // SQL-standard tile assignment bit-for-bit — checked against the
+    // single-partition window ntile (fine at test size) over a TOTAL
+    // order, for sizes around and below k, including n = 0
+    import org.apache.spark.sql.expressions.Window
+    for ((n, k) <- cases(Gen.zip(Gen.chooseNum(0, 40), Gen.chooseNum(1, 7)), 6)) {
+      val df = (0 until n).map(i => ((i * 37) % 100, i.toLong))
+        .toDF("v", "id")
+      val got = graft.operators.Rank
+        .exactNtile(df, k, "tile", col("v").desc, col("id"))
+        .select(col("id"), col("tile")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val want = df.withColumn("tile",
+        ntile(k).over(Window.orderBy(col("v").desc, col("id"))).cast("long"))
+        .select(col("id"), col("tile")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got == want, s"n=$n k=$k")
+    }
+  }
+
+  test("admitByBudget: per-group admits = min(target, size), first rows in order") {
+    for (rows <- cases(Gen.listOfN(50,
+        Gen.zip(Gen.chooseNum(1, 4), Gen.chooseNum(0, 1000))), 3)) {
+      val df = rows.zipWithIndex
+        .map { case ((g, ord), i) => (g, ord.toLong * 100 + i, i.toLong) }
+        .toDF("g", "ord", "id")
+      val targets = Seq((1, 3L), (2, 0L), (3, 7L), (4, 100L)).toDF("g", "target")
+      val got = graft.operators.Mix.admitByBudget(df, targets, col("g"),
+        Seq(col("ord"), col("id"))).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      val byG = got.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+      val sizes = rows.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+      val tgt = Map(1 -> 3L, 2 -> 0L, 3 -> 7L, 4 -> 100L)
+      sizes.keys.foreach { g =>
+        assert(byG.getOrElse(g, 0L) == math.min(tgt(g), sizes(g)), s"g=$g")
+      }
+      // admitted rows are exactly the first-by-(ord, id) of each group
+      val expect = got.map(_._1).distinct.flatMap { g =>
+        df.filter(col("g") === g).orderBy(col("ord"), col("id"))
+          .limit(tgt(g).toInt).collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      }.toSet
+      assert(got.toSet == expect, "admission must be the per-group prefix")
+    }
+  }
+
   test("splitV2 multiset-partitions arbitrary inputs (incl. duplicates)") {
     val rowGen = Gen.listOfN(60,
       Gen.zip(Gen.chooseNum(1, 5), Gen.chooseNum(1, 10), Gen.oneOf(1.0, 2.0)))

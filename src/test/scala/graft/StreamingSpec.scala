@@ -231,6 +231,40 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("decontamIntake: benchmark-contaminated docs dropped at intake, batch ≡ stream") {
+    implicit val sc = spark.sqlContext
+    val benchText = "what is the capital city of france and which river flows through it"
+    val bench = Seq((9001L, benchText)).toDF("doc_id", "text")
+    // shares the 5-gram "what is the capital city" with the bench doc
+    val leaked = "some pretraining page asking what is the capital city " +
+      "of france among other trivia questions collected from the web"
+    val clean1 = "a completely unrelated document about cooking pasta " +
+      "with tomatoes and basil in a large pot of salted water"
+    val clean2 = "another unrelated document describing a bicycle repair " +
+      "procedure for a flat tire on a rainy day in the city"
+    val sinkDir = java.nio.file.Files
+      .createTempDirectory("graft_decontam").toString + "/sink"
+    val mem = MemoryStream[EventStreams.Doc]
+    val q = EventStreams.decontamIntake(mem.toDF(), bench, sinkDir).start()
+    try {
+      mem.addData(EventStreams.Doc(1, ts(0), leaked),
+        EventStreams.Doc(2, ts(1), clean1))
+      q.processAllAvailable()
+      mem.addData(EventStreams.Doc(3, ts(2), clean2))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.read.parquet(sinkDir).select(col("doc_id"))
+      .as[Long].collect().toSet
+    assert(kept == Set(2L, 3L), s"kept $kept")
+    // batch ≡ stream: the batch operator on the same input keeps the
+    // same docs (per-doc decision is stateless — exact equivalence)
+    val all = Seq((1L, leaked), (2L, clean1), (3L, clean2))
+      .toDF("doc_id", "text")
+    val batchKept = graft.operators.TextAnalysis.decontaminate(all, bench)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(batchKept == kept, "stream gate must equal batch decontaminate")
+  }
+
   test("budgetedMixIntake: per-source admission ≈ temperature targets, batch ≡ stream") {
     implicit val sc = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
