@@ -381,6 +381,71 @@ object TextQueries {
         md5(concat_ws(" ", Dedup.tokens(col("text")))))
         .orderBy(col("source"))),
 
+    // per-source data card: the one-row-per-source corpus report a
+    // curation run publishes with every snapshot — volume (docs, tokens,
+    // chars), mean heuristic quality, English fraction, exact-dup rate
+    // (1 − distinct fingerprints / docs), and the median token count.
+    // ONE pass over the corpus (map-side metric columns, nothing wide
+    // survives the projection) into one |sources|-bounded group-by; at
+    // 100 TB this is a single shuffle of a few doubles per doc.
+    "q_data_card" -> ((s, d) => {
+      val base = docs(s, d).select(
+        col("source"),
+        TextAnalysis.tokenCountWs(col("text")).as("n_toks"),
+        length(col("text")).cast("long").as("nchar"),
+        TextAnalysis.qualityScore(col("text")).as("q"),
+        when(TextAnalysis.langId(col("text")) === "en", 1L).otherwise(0L)
+          .as("is_en"),
+        md5(col("text")).as("fp"))
+      base.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("total_tokens"),
+        sum(col("nchar")).as("total_chars"),
+        round(avg(col("q")), 6).as("mean_quality"),
+        round(avg(col("is_en")), 6).as("en_frac"),
+        round(lit(1.0) - countDistinct(col("fp")) / count(lit(1)), 6)
+          .as("dup_rate"),
+        round(expr("percentile(n_toks, 0.5)"), 6).as("p50_tokens"))
+        .orderBy(col("source"))
+    }),
+
+    // per-source distribution drift: Jensen-Shannon divergence (nats)
+    // between each source's token-count histogram and the corpus-wide
+    // one — the mix-health number that says WHICH source's length
+    // profile is skewing the blend (0 = indistinguishable from the
+    // corpus). Histogram buckets are integer arithmetic (width 8,
+    // capped at 20) so the binning is exact cross-engine; the JSD sums
+    // run over the bounded (|sources| × ≤21) expansion of two tiny
+    // aggregates — the corpus itself is touched once for the counts.
+    "q_source_drift" -> ((s, d) => {
+      val toks = docs(s, d).select(
+        col("source"),
+        least(floor(TextAnalysis.tokenCountWs(col("text")) / 8), lit(20L))
+          .cast("long").as("bucket"))
+      val srcTotals = toks.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_src"))
+      val srcBuckets = toks.groupBy(col("source"), col("bucket"))
+        .agg(count(lit(1)).as("c_sb"))
+      val corpusBuckets = toks.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("c_b"))
+      val total = toks.agg(count(lit(1)).as("n_all"))
+      // bounded expansion: |sources| × ≤21 corpus buckets × 1-row total
+      val grid = srcTotals.crossJoin(broadcast(corpusBuckets))
+        .crossJoin(broadcast(total))
+        .join(srcBuckets, Seq("source", "bucket"), "left")
+        .na.fill(0L, Seq("c_sb"))
+      val p = col("c_sb") / col("n_src")
+      val q = col("c_b") / col("n_all")
+      val m = (p + q) / 2
+      val term =
+        when(col("c_sb") > 0, p * log(p / m)).otherwise(lit(0.0)) * 0.5 +
+          q * log(q / m) * 0.5
+      grid.groupBy(col("source"))
+        .agg(max(col("n_src")).as("n_docs"),
+          round(sum(term), 6).as("jsd_nats"))
+        .orderBy(col("source"))
+    }),
+
     // token-budget shard packing (Mix.packByTokenBudget with arithmetic
     // hashes so the manifest reproduces in ANSI SQL): ~5000 chars per
     // shard across 8 salted streams; per-shard stats oracled exactly.
@@ -1223,6 +1288,62 @@ object TextQueries {
          |  CAST(SUM(CASE WHEN s.n_src > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_src
          |FROM fps f JOIN stats s USING (fp)
          |GROUP BY f.source ORDER BY f.source""".stripMargin,
+
+    "q_data_card" ->
+      s"""WITH t AS (
+         |  SELECT source, text, $duckToks AS toks,
+         |    CAST(length(text) AS DOUBLE) AS nchar
+         |  FROM documents
+         |), m AS (
+         |  SELECT source,
+         |    CAST(len(toks) AS BIGINT) AS n_toks,
+         |    CAST(nchar AS BIGINT) AS nchar_b,
+         |    $duckQuality AS q,
+         |    CAST(len(list_filter(toks, x -> list_contains(['the','and','of','to','is','in','that','it','for','with'], x))) AS BIGINT) AS hits_en,
+         |    CAST(len(list_filter(toks, x -> list_contains(['der','die','und','das','nicht','ist','von','mit','den','im'], x))) AS BIGINT) AS hits_de,
+         |    CAST(len(list_filter(toks, x -> list_contains(['el','la','de','que','y','en','los','del','las','por'], x))) AS BIGINT) AS hits_es,
+         |    CAST(len(list_filter(toks, x -> list_contains(['le','la','et','les','des','est','dans','que','pour','une'], x))) AS BIGINT) AS hits_fr,
+         |    md5(text) AS fp
+         |  FROM t
+         |)
+         |SELECT source,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+         |  CAST(SUM(nchar_b) AS BIGINT) AS total_chars,
+         |  ROUND(AVG(q), 6) AS mean_quality,
+         |  ROUND(AVG(CASE WHEN hits_en >= 1 AND hits_en > hits_de
+         |                  AND hits_en >= hits_es AND hits_en >= hits_fr
+         |             THEN 1.0 ELSE 0.0 END), 6) AS en_frac,
+         |  ROUND(1.0 - COUNT(DISTINCT fp) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate,
+         |  ROUND(CAST(quantile_cont(n_toks, 0.5) AS DOUBLE), 6) AS p50_tokens
+         |FROM m GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_source_drift" ->
+      s"""WITH t AS (
+         |  SELECT source,
+         |    LEAST(CAST(FLOOR(CAST(len($duckToks) AS BIGINT) / 8.0) AS BIGINT), 20) AS bucket
+         |  FROM documents
+         |), st AS (SELECT source, COUNT(*) AS n_src FROM t GROUP BY source),
+         |sb AS (SELECT source, bucket, COUNT(*) AS c_sb FROM t GROUP BY source, bucket),
+         |cb AS (SELECT bucket, COUNT(*) AS c_b FROM t GROUP BY bucket),
+         |tot AS (SELECT COUNT(*) AS n_all FROM t),
+         |grid AS (
+         |  SELECT st.source, st.n_src, cb.bucket, cb.c_b, tot.n_all,
+         |    COALESCE(sb.c_sb, 0) AS c_sb
+         |  FROM st CROSS JOIN cb CROSS JOIN tot
+         |  LEFT JOIN sb ON sb.source = st.source AND sb.bucket = cb.bucket
+         |), terms AS (
+         |  SELECT source, n_src,
+         |    c_sb / CAST(n_src AS DOUBLE) AS p,
+         |    c_b / CAST(n_all AS DOUBLE) AS q,
+         |    c_sb
+         |  FROM grid
+         |)
+         |SELECT source, MAX(n_src) AS n_docs,
+         |  ROUND(SUM(
+         |    (CASE WHEN c_sb > 0 THEN p * ln(p / ((p + q) / 2)) ELSE 0.0 END) * 0.5
+         |    + q * ln(q / ((p + q) / 2)) * 0.5), 6) AS jsd_nats
+         |FROM terms GROUP BY source ORDER BY source""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,

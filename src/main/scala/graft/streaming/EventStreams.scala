@@ -632,6 +632,33 @@ object EventStreams {
       }
   }
 
+  /** ONLINE trained-quality gate — the streaming twin of the
+    * `q_quality_classifier` serving path: every incoming doc is scored
+    * with the PERSISTED logistic-regression quality model
+    * ([[graft.operators.TextAnalysis.qualityLrScore]]) and admitted iff
+    * sigmoid(w·f + b) >= `tau`. The model is a few doubles riding the
+    * closure (fit once on a bounded labeled sample, loaded via
+    * [[graft.operators.Artifacts.loadOrFitQualityLr]] — never refit in
+    * the loop), and the score is a pure codegen'd column, so the gate
+    * lives INSIDE the streaming plan: stateless per doc, zero state
+    * store, batch ≡ stream exactly with no ordering precondition.
+    * Composes ahead of the dedup intakes — score is map-only and
+    * cheaper than any join, so it runs first and shrinks what the
+    * fingerprint gates shuffle.
+    */
+  def trainedGateIntake(docs: DataFrame,
+      model: graft.operators.TextAnalysis.QualityLrModel, sinkDir: String,
+      tau: Double = 0.5)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs
+      .filter(graft.operators.TextAnalysis
+        .qualityLrScore(model)(col("text")) >= tau)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("append").parquet(sinkDir)
+        ()
+      }
+
   case class SourcedDoc(doc_id: Long, ts: java.sql.Timestamp, source: String,
       text: String)
   case class AdmittedDoc(doc_id: Long, source: String)
