@@ -77,7 +77,10 @@ object Bench {
     // curriculum, cross-source dup report, the resolved online label
     // map, and arrival-order budgeted admission
     "q_snapshot_diff", "q_curriculum", "q_cross_source_dups",
-    "q_dedup_labels_resolved", "q_mix_admit")
+    "q_dedup_labels_resolved", "q_mix_admit",
+    // round-9 additions: bloom-pre-filtered decontamination (the
+    // map-side-pruned 100 TB variant of q_decontaminate)
+    "q_decontaminate_bloom")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -120,9 +123,17 @@ object Bench {
     // one-time table generation (and the large AVI write can evict
     // neighboring queries' page cache mid-bench — the suspected r7
     // q_audio_decode anomaly). The timed media lines measure DECODE only.
-    try graft.queries.EventQueries.materializeMediaDirs(spark, sfDir)
-    catch { case e: Throwable =>
-      System.err.println(s"[bench] media warmup failed: ${e.getMessage}") }
+    // mediaJson: decode-workload provenance (rows/bytes/frames/samples per
+    // media kind) emitted with the timings, so a cross-session cost
+    // disagreement on q_*_decode lines is adjudicable from the artifacts.
+    val mediaJson =
+      try {
+        graft.queries.EventQueries.materializeMediaDirs(spark, sfDir)
+        graft.queries.EventQueries.mediaProvenance(spark, sfDir)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] media warmup failed: ${e.getMessage}")
+        """{"err":"media warmup failed"}"""
+      }
 
     // median-of-N timing (default 3, SPARK_GRAFT_BENCH_RUNS to override):
     // single-run numbers can't distinguish machine-load noise from plan
@@ -263,7 +274,7 @@ object Bench {
       f""""q_als_fit":$alsMedian%.3f""")
       .mkString("{", ",", "}")
 
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"ml":{"sf":"sf0.01","queries":$mlJson},"fit":{"sf":"$sfDir","queries":$fitJson}}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"ml":{"sf":"sf0.01","queries":$mlJson},"fit":{"sf":"$sfDir","queries":$fitJson},"media":$mediaJson}""")
     spark.stop()
   }
 }

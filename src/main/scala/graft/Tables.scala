@@ -33,16 +33,30 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame = load(spark, d, "part")
   def orders(spark: SparkSession, d: String): DataFrame = load(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame = load(spark, d, "lineitem")
-  /** `events.ts` is NANOSECOND-precision parquet, which Spark's vectorized
-    * reader rejects outright ([PARQUET_TYPE_ILLEGAL]). Read it as raw
-    * nanos (`nanosAsLong`) and rebuild a µs timestamp — the truncation
-    * matches what any µs-based engine observes, and all oracle-facing
-    * outputs floor to whole epoch seconds anyway (see EventQueries).
+  /** `events.ts` has shipped in two fixture generations: NANOSECOND
+    * parquet (which Spark's vectorized reader rejects outright,
+    * [PARQUET_TYPE_ILLEGAL] — so we keep `nanosAsLong` on and it scans as
+    * raw Long nanos) and plain µs TIMESTAMP (pandas-written, no UTC
+    * adjustment → Spark reads TIMESTAMP_NTZ). The loader branches on the
+    * SCANNED schema instead of asserting a precision, so both
+    * generations — and a future tz-adjusted µs one — load through the
+    * same contract: `ts` is always session-zoned TimestampType at µs
+    * precision on the way out. All entrypoints pin the session to UTC,
+    * so the NTZ→LTZ cast is epoch-preserving and matches what DuckDB's
+    * `date_part('epoch', ts)` sees on the same file.
     */
   def events(spark: SparkSession, d: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = load(spark, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // ns fixture scanned as raw nanos
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => // µs fixture, no tz flag
+        raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _: TimestampType => raw
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported parquet physical type $other")
+    }
   }
   def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")

@@ -390,6 +390,83 @@ object TextHashFunctions {
 
   def simhash64(tokens: Column): Column = Bridge.column(SimHash64(Bridge.expression(tokens)))
 
+  /** TRUE iff any word `n`-gram of `child`'s text MIGHT be in the bloom
+    * filter (serialized `org.apache.spark.util.sketch.BloomFilter`
+    * bytes). Gram construction is byte-identical to [[ShingleSet]] (same
+    * tokenizer, same `m < n` whole-doc fallback), so a bloom built over
+    * `explode(shingle_set(bench))` has NO false negatives against this
+    * predicate — `false` here proves the document shares no gram with
+    * the bench set.
+    *
+    * This is the 100 TB decontamination pre-filter: evaluated inside the
+    * scan (whole-stage codegen, early-exit on first hit), it prunes the
+    * overwhelmingly-clean corpus BEFORE the explode→join path, so the
+    * per-gram shuffle row count scales with the CONTAMINATION RATE
+    * (plus the bloom fpp), not the corpus size. The filter itself is a
+    * few MB of task-shipped reference state — the same posture as a
+    * broadcast join's hash relation, minus the relation.
+    */
+  case class BloomGramHit(child: Expression, bloomBytes: Array[Byte], n: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = BooleanType
+    // parsed once per deserialized expression (per executor-core), not
+    // per row; the case-class field stays the compact byte form
+    @transient private lazy val bloom =
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bloomBytes))
+    override def nullSafeEval(a: Any): Any =
+      bloomGramHitEval(a.asInstanceOf[UTF8String], bloom, n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bloomGram", bloom,
+        "org.apache.spark.util.sketch.BloomFilter")
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.TextHashFunctions.bloomGramHitEval($a, $ref, $n);")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  /** static entry point for generated code — tokenize exactly like
+    * [[shingleEval]], but test each gram against the bloom and
+    * early-exit on the first possible hit (no gram array is built).
+    */
+  def bloomGramHitEval(u: UTF8String,
+      bloom: org.apache.spark.util.sketch.BloomFilter, n: Int): Boolean = {
+    val s = u.toString
+    val toks = new java.util.ArrayList[String]
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (Character.isLetter(cp) || Character.isDigit(cp))
+        sb.appendCodePoint(Character.toLowerCase(cp))
+      else if (sb.length > 0) { toks.add(sb.toString); sb.setLength(0) }
+      i += Character.charCount(cp)
+    }
+    if (sb.length > 0) toks.add(sb.toString)
+    val m = toks.size
+    if (m == 0) return false
+    if (m < n) return bloom.mightContainString(String.join(" ", toks))
+    var start = 0
+    while (start <= m - n) {
+      val g = new java.lang.StringBuilder
+      var j = 0
+      while (j < n) {
+        if (j > 0) g.append(' ')
+        g.append(toks.get(start + j)); j += 1
+      }
+      if (bloom.mightContainString(g.toString)) return true
+      start += 1
+    }
+    false
+  }
+
+  def bloom_gram_hit(text: Column,
+      bloom: org.apache.spark.util.sketch.BloomFilter, n: Int): Column = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    Bridge.column(BloomGramHit(Bridge.expression(text), bos.toByteArray, n))
+  }
+
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     import VectorFunctions.litInt
     Bridge.registerFunction(spark, "simhash64", es => SimHash64(es.head))

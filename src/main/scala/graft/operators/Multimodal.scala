@@ -99,7 +99,10 @@ object Multimodal {
         y += 1
       }
       val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, "png", bos)
+      // memory-cached output stream — see the JPEG encode note (no temp
+      // file per image; identical bytes)
+      val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+      try javax.imageio.ImageIO.write(img, "png", ios) finally ios.close()
       bos.toByteArray
     }
 
@@ -112,20 +115,27 @@ object Multimodal {
       * decoded values are bit-identical across JVMs.
       */
     def decodeStats(bytes: Array[Byte]): Decoded = {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      // NOT ImageIO.read(InputStream): that wraps the stream in a
+      // FileCacheImageInputStream (ImageIO cache default) — a TEMP FILE
+      // per decoded image. The bytes are already in memory; decode
+      // through a memory-cached stream instead.
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      // no finally-close: ImageIO.read(ImageInputStream) closes the
+      // stream itself (javadoc); a second close throws "closed"
+      val img = javax.imageio.ImageIO.read(iis)
       require(img != null, "undecodable image bytes")
       val w = img.getWidth
       val h = img.getHeight
       var sr = 0L; var sg = 0L; var sb = 0L
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val p = img.getRGB(x, y)
-          sr += (p >>> 16) & 0xFF; sg += (p >>> 8) & 0xFF; sb += p & 0xFF
-          x += 1
-        }
-        y += 1
+      // bulk row-major pixel fetch — same per-pixel values and the same
+      // (integer) accumulation order as a per-(x,y) getRGB loop
+      val px = img.getRGB(0, 0, w, h, null, 0, w)
+      var k = 0
+      while (k < px.length) {
+        val p = px(k)
+        sr += (p >>> 16) & 0xFF; sg += (p >>> 8) & 0xFF; sb += p & 0xFF
+        k += 1
       }
       val n = (w.toLong * h).toDouble
       Decoded(w, h, img.getColorModel.getNumComponents,
@@ -237,7 +247,12 @@ object Multimodal {
           y += 1
         }
         val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "jpg", bos)
+        // memory-cached output stream: ImageIO.write(_, _, OutputStream)
+        // would otherwise spill through a temp FILE per frame
+        // (FileCacheImageOutputStream, the ImageIO cache default).
+        // Identical bytes — the stream type is buffering only.
+        val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+        try javax.imageio.ImageIO.write(img, "jpg", ios) finally ios.close()
         bos.toByteArray
       }
       def fourcc(s: String) = s.getBytes("US-ASCII")
@@ -343,25 +358,30 @@ object Multimodal {
             if (kind == 0x69766F6D) pos += 12 // descend movi
             else pos += 8 + sz + (sz & 1)
           } else if (id == 0x63643030) { // '00dc'
-            val iis = javax.imageio.ImageIO.createImageInputStream(
+            // MemoryCacheImageInputStream, NOT createImageInputStream:
+            // the latter returns a FileCacheImageInputStream under the
+            // ImageIO cache default — a temp FILE per frame, i.e.
+            // hundreds of thousands of file create/deletes per bench
+            // run for tiny in-memory MJPEG frames
+            val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
               new java.io.ByteArrayInputStream(bytes, pos + 8, sz))
             val img = try {
               reader.setInput(iis, true, true)
               reader.read(0)
             } finally iis.close()
             require(img != null, s"undecodable frame $n")
-            var y = 0
-            while (y < img.getHeight) {
-              var x = 0
-              while (x < img.getWidth) {
-                val p = img.getRGB(x, y)
-                lumaSum += 0.299 * ((p >>> 16) & 0xFF) +
-                  0.587 * ((p >>> 8) & 0xFF) + 0.114 * (p & 0xFF)
-                nPix += 1
-                x += 1
-              }
-              y += 1
+            // bulk row-major fetch; double accumulation order is
+            // identical to the per-(x,y) loop → bit-identical mean
+            val fw = img.getWidth
+            val px = img.getRGB(0, 0, fw, img.getHeight, null, 0, fw)
+            var k = 0
+            while (k < px.length) {
+              val p = px(k)
+              lumaSum += 0.299 * ((p >>> 16) & 0xFF) +
+                0.587 * ((p >>> 8) & 0xFF) + 0.114 * (p & 0xFF)
+              k += 1
             }
+            nPix += px.length
             n += 1
             pos += 8 + sz + (sz & 1)
           } else pos += 8 + sz + (sz & 1)

@@ -395,6 +395,33 @@ object TextAnalysis {
         .contaminatedIds,
       Seq(idCol), "left_anti")
 
+  /** [[decontaminate]] with a BLOOM pre-filter — bit-identical output,
+    * 100 TB cost profile. The exact path explodes EVERY train doc into
+    * its n-grams before the bench join; here a bloom of the bench grams
+    * (built by one distributed aggregate, a few MB at the typical
+    * ≤5M-gram bench scale) is tested INSIDE the scan via the codegen'd
+    * [[graft.functions.TextHashFunctions.BloomGramHit]] predicate —
+    * early-exit per doc, no gram array allocated — and only the docs
+    * that MIGHT overlap (true contamination + fpp of the rest) pay the
+    * explode→join. Bloom filters have no false negatives and gram
+    * construction is byte-identical to `shingle_set`, so candidates ⊇
+    * contaminated exactly, and the final anti-join result equals the
+    * exact path's — same oracle SQL verifies both.
+    */
+  def decontaminateBloom(train: DataFrame, bench: DataFrame, n: Int = 5,
+      fpp: Double = 0.01,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val (grams, nG) = benchGramSet(bench, n, textCol)
+    val bloom = grams.stat.bloomFilter("g", math.max(nG, 1L), fpp)
+    val candidates = train.filter(
+      graft.functions.TextHashFunctions.bloom_gram_hit(col(textCol), bloom, n))
+    val contaminatedIds = candidates
+      .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("g"))
+      .join(broadcast(grams), Seq("g"))
+      .select(col(idCol)).distinct()
+    train.join(contaminatedIds, Seq(idCol), "left_anti")
+  }
+
   /** Feature vector the trained quality gate fits AND serves on — one
     * fixed order, UNROUNDED doubles (rounding belongs to outputs, not to
     * model inputs): the text-stats ratios (one fused TextStats pass)
@@ -421,7 +448,11 @@ object TextAnalysis {
     statCols ++ hitCols
   }
 
-  private[graft] val qualityLrDim: Int = 5 + graft.functions.TextStats.langs.length
+  // A `def`, not a `val`: TextStats's own initializer reads
+  // TextAnalysis.enStopwords, so an object-level val here that reads
+  // TextStats.langs back creates a clinit cycle (NPE when TextStats
+  // happens to initialize first — seen when IngestSpec runs standalone).
+  private[graft] def qualityLrDim: Int = 5 + graft.functions.TextStats.langs.length
 
   /** Trained quality gate (the fastText-filter pattern every production
     * corpus pipeline runs: fit a CHEAP linear classifier to mimic an

@@ -65,6 +65,29 @@ object EventQueries {
     imageDir(s, d); audioDir(s, d); videoDir(s, d)
   }
 
+  /** One-line JSON provenance for the memoized media tables: row count,
+    * total binary bytes, and the meta-declared decode workload (frames /
+    * samples). The tables are DETERMINISTIC functions of `documents.
+    * doc_id`, but they are regenerated per session into temp dirs — so
+    * the bench records what was actually decoded alongside the timings,
+    * letting a cross-session cost disagreement be adjudicated from the
+    * artifacts alone (VERDICT r8 Missing #3 / Wrong #3).
+    */
+  def mediaProvenance(s: SparkSession, d: String): String = {
+    def stats(dir: String, workCol: Option[String]): String = {
+      val agg = Seq(count(lit(1)).as("rows"),
+        sum(length(col("bytes"))).as("bytes")) ++
+        workCol.map(c => sum(col(c)).cast("long").as("work"))
+      val r = s.read.parquet(dir).agg(agg.head, agg.tail: _*).head()
+      val work = workCol.map(_ => s""","work":${r.getAs[Long]("work")}""").getOrElse("")
+      s"""{"rows":${r.getAs[Long]("rows")},"bytes":${r.getAs[Long]("bytes")}$work}"""
+    }
+    val png = stats(imageDir(s, d), None)
+    val wav = stats(audioDir(s, d), Some("n_samples_meta"))
+    val avi = stats(videoDir(s, d), Some("n_frames_meta"))
+    s"""{"png":$png,"wav":$wav,"avi":$avi}"""
+  }
+
   private def cents(c: org.apache.spark.sql.Column) = round(c * 100, 0).cast("long")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

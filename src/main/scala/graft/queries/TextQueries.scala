@@ -594,6 +594,22 @@ object TextQueries {
         .orderBy(col("source"))
     }),
 
+    // bloom-pre-filtered decontamination — BIT-IDENTICAL result to
+    // q_decontaminate (no false negatives; same gram construction), so
+    // the SAME DuckDB oracle verifies it. The plan difference is the
+    // point: the corpus-sized explode→join runs only over the docs the
+    // in-scan bloom predicate couldn't clear (contamination rate + fpp
+    // of the corpus, not all of it) — the 100 TB-shaped variant.
+    "q_decontaminate_bloom" -> ((s, d) => {
+      val base = docs(s, d)
+      val bench = base.filter(pmod(col("doc_id"), lit(10)) === 7)
+      val train = base.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+      TextAnalysis.decontaminateBloom(train, bench)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("n_chars_kept"))
+        .orderBy(col("source"))
+    }),
+
     // repetition score: most-frequent-token share per document — the
     // cheap garbage/spam detector (a doc that is one token over and over
     // scores 1.0). Two aggregates over one (doc,term) shuffle; the top
@@ -1680,6 +1696,30 @@ object TextQueries {
          |GROUP BY source ORDER BY source""".stripMargin,
 
     "q_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, source, n_chars, $duckToks AS tk FROM documents),
+         |sh AS (
+         |  SELECT doc_id, UNNEST(list_distinct(
+         |    CASE WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+         |         WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')]
+         |         ELSE [array_to_string(tk[i:i+4], ' ') FOR i IN range(1, len(tk) - 3)]
+         |    END)) AS g
+         |  FROM t
+         |),
+         |contaminated AS (
+         |  SELECT DISTINCT a.doc_id
+         |  FROM sh a JOIN (SELECT DISTINCT g FROM sh WHERE doc_id % 10 = 7) b
+         |    ON a.g = b.g
+         |  WHERE a.doc_id % 10 != 7
+         |)
+         |SELECT source, COUNT(*) AS n_kept,
+         |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_kept
+         |FROM t
+         |WHERE doc_id % 10 != 7 AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // the bloom variant is exact (no false negatives + exact verify
+    // join), so it shares q_decontaminate's oracle verbatim
+    "q_decontaminate_bloom" ->
       s"""WITH t AS (SELECT doc_id, source, n_chars, $duckToks AS tk FROM documents),
          |sh AS (
          |  SELECT doc_id, UNNEST(list_distinct(

@@ -213,6 +213,44 @@ class CurationSpec extends SparkTestBase {
       s"removed ${train - kept} != flagged $flagged")
   }
 
+  test("decontaminateBloom ≡ decontaminate (bit-identical survivors), bloom filter in-plan") {
+    val base = graft.Tables.documents(spark, sf)
+    val bench = base.filter(pmod(col("doc_id"), lit(10)) === 7)
+    val train = base.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+    val exact = graft.operators.TextAnalysis.decontaminate(train, bench)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val bloomed = graft.operators.TextAnalysis.decontaminateBloom(train, bench)
+    val got = bloomed.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    // no false negatives (bloom) + exact verify join ⇒ identical survivors
+    assert(got == exact,
+      s"bloom path diverged: ${(got -- exact).take(5)} extra, ${(exact -- got).take(5)} missing")
+    // the pre-filter must actually be IN the plan (in-scan predicate,
+    // before any explode/join) — that's the whole 100 TB point
+    val plan = bloomed.queryExecution.executedPlan.toString
+    assert(plan.contains("bloomgramhit") || plan.contains("BloomGramHit"),
+      s"bloom predicate missing from physical plan")
+  }
+
+  test("BloomGramHit semantics: no false negatives, early-exit edge cases") {
+    import spark.implicits._
+    val bench = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "tiny doc")).toDF("doc_id", "text") // doc 2: m<n whole-doc gram
+    val (grams, nG) = graft.operators.TextAnalysis.benchGramSet(bench, 5)
+    val bloom = grams.stat.bloomFilter("g", math.max(nG, 1L), 0.01)
+    val pred = graft.functions.TextHashFunctions.bloom_gram_hit(col("text"), bloom, 5)
+    val probe = Seq(
+      (1L, "alpha beta gamma delta epsilon"),      // exact 5-gram overlap → true
+      (2L, "TINY, doc!"),                           // normalizes to the m<n gram → true
+      (3L, "completely unrelated words here now"),  // overlap impossible → (almost surely) false
+      (4L, ""),                                     // no tokens → false, guaranteed
+      (5L, "beta gamma delta epsilon zeta")         // the other 5-gram → true
+    ).toDF("doc_id", "text")
+    val hits = probe.select(col("doc_id"), pred.as("hit")).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(hits(1L) && hits(2L) && hits(5L), s"false negative: $hits")
+    assert(!hits(4L), "token-less text must never hit")
+  }
+
   test("q_embed_dispersion: cohesion bounded, centroid pull positive") {
     val rows = q("q_embed_dispersion").collect()
     assert(rows.map(_.getLong(1)).sum == 500L)

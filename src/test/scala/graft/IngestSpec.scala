@@ -14,6 +14,68 @@ class IngestSpec extends SparkTestBase {
 
   import spark.implicits._
 
+  test("fixture-drift canary: all 10 real tables load via Tables.* with contract types") {
+    // Loads the REAL /root/testdata fixture (not synthetic frames) so a
+    // driver-side regeneration that changes physical types turns into a
+    // named red test here instead of a mid-harness surprise (round-8
+    // verdict: the events ns→µs regen broke 14 queries silently).
+    def typesOf(df: org.apache.spark.sql.DataFrame): Map[String, DataType] =
+      df.schema.fields.map(f => f.name -> f.dataType).toMap
+    def isTs(t: DataType): Boolean =
+      t == TimestampType || t == TimestampNTZType
+
+    val checks: Seq[(String, org.apache.spark.sql.DataFrame, Map[String, DataType => Boolean])] = Seq(
+      ("region", Tables.region(spark, sf), Map(
+        "r_regionkey" -> (_ == IntegerType), "r_name" -> (_ == StringType))),
+      ("nation", Tables.nation(spark, sf), Map(
+        "n_nationkey" -> (_ == IntegerType), "n_name" -> (_ == StringType),
+        "n_regionkey" -> (_ == IntegerType))),
+      ("customer", Tables.customer(spark, sf), Map(
+        "c_custkey" -> (_ == LongType), "c_nationkey" -> (_ == IntegerType),
+        "c_acctbal" -> (_ == DoubleType), "c_mktsegment" -> (_ == StringType))),
+      ("supplier", Tables.supplier(spark, sf), Map(
+        "s_suppkey" -> (_ == LongType), "s_acctbal" -> (_ == DoubleType))),
+      ("part", Tables.part(spark, sf), Map(
+        "p_partkey" -> (_ == LongType), "p_size" -> (_ == IntegerType),
+        "p_retailprice" -> (_ == DoubleType))),
+      ("orders", Tables.orders(spark, sf), Map(
+        "o_orderkey" -> (_ == LongType), "o_custkey" -> (_ == LongType),
+        "o_totalprice" -> (_ == DoubleType), "o_orderdate" -> isTs _)),
+      ("lineitem", Tables.lineitem(spark, sf), Map(
+        "l_orderkey" -> (_ == LongType), "l_partkey" -> (_ == LongType),
+        "l_quantity" -> (_ == DoubleType), "l_shipdate" -> isTs _)),
+      // events.ts is the LOADER's contract, not the fixture's: whatever
+      // precision the fixture ships (ns-as-long or µs, tz'd or not), the
+      // loader must emit session-zoned TimestampType.
+      ("events", Tables.events(spark, sf), Map(
+        "event_id" -> (_ == LongType), "ts" -> (_ == TimestampType),
+        "user_id" -> (_ == LongType), "event_type" -> (_ == StringType),
+        "value" -> (_ == DoubleType), "props" -> (_ == StringType))),
+      ("documents", Tables.documents(spark, sf), Map(
+        "doc_id" -> (_ == LongType), "text" -> (_ == StringType),
+        "lang" -> (_ == StringType), "source" -> (_ == StringType),
+        "n_chars" -> (_ == LongType))),
+      ("embeddings", Tables.embeddings(spark, sf), Map(
+        "vec_id" -> (_ == LongType),
+        "embedding" -> (t => t == ArrayType(FloatType) || t == ArrayType(FloatType, containsNull = true)),
+        "label" -> (_ == IntegerType))))
+
+    checks.foreach { case (name, df, expect) =>
+      val actual = typesOf(df)
+      expect.foreach { case (colName, ok) =>
+        assert(actual.contains(colName), s"$name: missing column $colName (has ${actual.keys.toSeq.sorted})")
+        assert(ok(actual(colName)), s"$name.$colName: unexpected type ${actual(colName)}")
+      }
+      // A real read, not just a schema probe — catches value-level decode errors.
+      assert(df.limit(1).count() == 1L, s"$name: empty or unreadable at sf0.001")
+    }
+
+    // The derived ratings view must still produce its published shape.
+    val r = typesOf(Tables.ratings(spark, sf))
+    assert(r("userId") == LongType && r("movieId") == LongType && r("rating") == DoubleType)
+    assert(isTs(r("ts")))
+  }
+
   test("CSV round-trip: headered write → schema-at-scan read (S1/S5)") {
     val dir = Files.createTempDirectory("graft_csv").toString
     val src = Seq((1, 10, 4.5, 111), (2, 20, 3.0, 222))
