@@ -79,8 +79,9 @@ object Bench {
     "q_snapshot_diff", "q_curriculum", "q_cross_source_dups",
     "q_dedup_labels_resolved", "q_mix_admit",
     // round-9 additions: bloom-pre-filtered decontamination (the
-    // map-side-pruned 100 TB variant of q_decontaminate)
-    "q_decontaminate_bloom")
+    // map-side-pruned 100 TB variant of q_decontaminate) and BM25
+    // query-relevance ranking
+    "q_decontaminate_bloom", "q_bm25_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -230,7 +231,12 @@ object Bench {
     catch { case _: Throwable => () }
     val fitJson = f"""{"q_ivfpq_fit":$fitMedian%.3f,"q_ivfpq_write":$ivfWriteMedian%.3f,"q_bpe_fit":$bpeMedian%.3f,"q_qlr_fit":$qlrMedian%.3f}"""
 
-    val results = headline.flatMap { name =>
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c — iteration aid: restrict the timed
+    // headline to the named queries (fits/warmup unchanged). The driver
+    // never sets it, so round artifacts always carry the full set.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val results = headline.filter(n => only.forall(_.contains(n))).flatMap { name =>
       SparkEntry.queries.get(name).map(fn => name -> timeQuery(name, fn, sfDir, ""))
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

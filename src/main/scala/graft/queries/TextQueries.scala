@@ -521,6 +521,38 @@ object TextQueries {
         .orderBy(col("doc_id"), col("rank"))
     }),
 
+    // BM25 relevance scoring (Robertson/Lucene form) against a fixed
+    // query term set — the retrieval scorer query-targeted curation
+    // pipelines rank corpus documents with. One (doc,term) shuffle
+    // produces tf; dl (doc token length) and df both derive from tf
+    // (exchange-reusable, the q_tfidf_top3 discipline); N/avgdl are
+    // 1-row broadcast scalar attaches; the cut is orderBy+limit
+    // (TakeOrdered — no partitionless window). idf = ln(1 + (N-df+.5)/
+    // (df+.5)), k1=1.2, b=0.75; per-doc sum has ≤|query| terms so the
+    // 6dp round is orders of magnitude above float noise.
+    "q_bm25_topk" -> ((s, d) => {
+      val qTerms = Seq("query", "stream", "vector", "hash")
+      val k1 = 1.2; val b = 0.75
+      val docs0 = docs(s, d)
+      val tok = docs0.select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("term"))
+      val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      val st = dl.agg(sum(col("dl")).cast("double").as("sum_dl"),
+        count(lit(1)).cast("double").as("n_dl"))
+      val total = docs0.agg(count(lit(1)).cast("double").as("n_docs"))
+      val qtf = tf.filter(col("term").isin(qTerms: _*))
+      val dfreq = qtf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      qtf.join(dfreq, Seq("term"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(total)).crossJoin(broadcast(st))
+        .withColumn("contrib",
+          log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
+            (col("tf") * (k1 + 1.0)) /
+            (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / (col("sum_dl") / col("n_dl")))))
+        .groupBy(col("doc_id")).agg(round(sum(col("contrib")), 6).as("score_r"))
+        .orderBy(col("score_r").desc, col("doc_id")).limit(100)
+    }),
+
     // benchmark-contamination report: 5-gram shingle overlap between the
     // training split and a planted "benchmark" slice (doc_id % 10 == 7 —
     // stands in for an eval set). The decontamination pass every serious
@@ -1483,6 +1515,28 @@ object TextQueries {
          |)
          |SELECT doc_id, rank, term, score_r FROM r WHERE rank <= 3
          |ORDER BY doc_id, rank""".stripMargin,
+
+    "q_bm25_topk" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS tk FROM documents),
+         |tok AS (SELECT doc_id, UNNEST(tk) AS term FROM t),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+         |st AS (SELECT CAST(SUM(dl) AS DOUBLE) AS sum_dl,
+         |              CAST(COUNT(*) AS DOUBLE) AS n_dl FROM dl),
+         |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+         |q AS (SELECT * FROM (VALUES ('query'), ('stream'), ('vector'), ('hash')) AS q(term)),
+         |qtf AS (SELECT tf.* FROM tf JOIN q USING (term)),
+         |dfq AS (SELECT term, COUNT(*) AS df FROM qtf GROUP BY 1),
+         |sc AS (
+         |  SELECT doc_id,
+         |    SUM(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) *
+         |        (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / (sum_dl / n_dl))))
+         |      AS score
+         |  FROM qtf JOIN dfq USING (term) JOIN dl USING (doc_id), st, n
+         |  GROUP BY doc_id
+         |)
+         |SELECT doc_id, ROUND(score, 6) AS score_r FROM sc
+         |ORDER BY score_r DESC, doc_id LIMIT 100""".stripMargin,
 
     "q_contamination" ->
       s"""WITH t AS (SELECT doc_id, $duckToks AS tk FROM documents),

@@ -618,10 +618,20 @@ object EventStreams {
     import graft.operators.{Dedup, TextAnalysis}
     val (grams, nG) = TextAnalysis.benchGramSet(bench, n)
     val benchSide = if (nG <= maxBroadcastGrams) broadcast(grams) else grams
+    // bloom of the bench grams, built ONCE outside the loop (like the
+    // gram relation): each batch is pre-filtered by the in-scan
+    // codegen'd BloomGramHit predicate, so the explode→join only sees
+    // docs that MIGHT overlap — per-batch cost scales with the
+    // contamination rate (+fpp), not the batch size. No false
+    // negatives, so the admitted set is exactly the un-bloomed gate's
+    // (StreamingSpec asserts stream ≡ batch decontaminate).
+    val bloom = grams.stat.bloomFilter("g", math.max(nG, 1L), 0.01)
     docs.writeStream.outputMode("append")
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
         val b = batch.persist()
         val contaminated = b
+          .filter(graft.functions.TextHashFunctions
+            .bloom_gram_hit(col("text"), bloom, n))
           .select(col("doc_id"), explode(Dedup.shingles(col("text"), n)).as("g"))
           .join(benchSide, Seq("g"))
           .select(col("doc_id")).distinct()

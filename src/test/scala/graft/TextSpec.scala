@@ -235,4 +235,47 @@ class TextSpec extends SparkTestBase {
     assert(got == want, s"distributed merges $got != reference $want")
     assert(got.length == 10, "fixture corpus supports 10 merge rounds")
   }
+
+  test("q_bm25_topk: BM25 ranking properties on the real fixture") {
+    val rows = graft.queries.TextQueries.queries("q_bm25_topk")(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    // scores strictly positive (idf of ln(1+x), x>0) and sorted
+    // (score desc, doc_id asc tiebreak) — the TakeOrdered contract
+    val scores = rows.map(r => (r.getDouble(1), r.getLong(0)))
+    assert(scores.forall(_._1 > 0.0))
+    val resorted = scores.sortBy { case (s, id) => (-s, id) }.toSeq
+    assert(scores.toSeq == resorted, "output not in (score desc, id) order")
+    // every returned doc really contains >=1 query term; every absent
+    // doc with a query term only missed by the top-100 cut
+    val qTerms = Set("query", "stream", "vector", "hash")
+    val returned = rows.map(_.getLong(0)).toSet
+    val withTerm = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("t"))
+      .filter(col("t").isin(qTerms.toSeq: _*))
+      .select(col("doc_id")).distinct().collect().map(_.getLong(0)).toSet
+    assert(returned.subsetOf(withTerm), "scored doc without any query term")
+    assert(rows.length == math.min(100, withTerm.size),
+      "top-k cut must fill up to 100 from docs containing query terms")
+  }
+
+  test("BM25 semantics: tf saturation and length normalization on a planted frame") {
+    // same query terms as the declared query; planted docs isolate the
+    // two BM25 behaviors that distinguish it from raw tf-idf
+    val frame = Seq(
+      (1L, "query stream filler filler"),            // 2 distinct terms
+      (2L, "query query query query filler filler"), // saturating tf, 1 term
+      (3L, "query stream" + " pad" * 40),            // same terms as 1, longer doc
+      (4L, "filler words only here")                 // no query terms
+    ).toDF("doc_id", "text")
+    // run the same pipeline via a temp dir parquet (queries take a dir)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25").toString
+    frame.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.TextQueries.queries("q_bm25_topk")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(!out.contains(4L), "doc without query terms must not score")
+    assert(out(1L) > out(3L), "longer doc with same tf must score lower (length norm)")
+    // tf saturation: 4 repeats of one term < 1+1 of two distinct terms
+    // (two idf contributions beat one saturated tf curve here)
+    assert(out(1L) > out(2L), s"distinct-term doc must beat repeated-term doc: $out")
+  }
 }
