@@ -81,7 +81,7 @@ object Bench {
     // round-9 additions: bloom-pre-filtered decontamination (the
     // map-side-pruned 100 TB variant of q_decontaminate) and BM25
     // query-relevance ranking
-    "q_decontaminate_bloom", "q_bm25_topk")
+    "q_decontaminate_bloom", "q_bm25_topk", "q_bm25_serve")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -229,7 +229,24 @@ object Bench {
     val qlrMedian = if (qlrSecs.isEmpty) -1.0 else qlrSecs.sorted.apply(qlrSecs.length / 2)
     try graft.queries.TextQueries.qlrModel(spark, sfDir)
     catch { case _: Throwable => () }
-    val fitJson = f"""{"q_ivfpq_fit":$fitMedian%.3f,"q_ivfpq_write":$ivfWriteMedian%.3f,"q_bpe_fit":$bpeMedian%.3f,"q_qlr_fit":$qlrMedian%.3f}"""
+    // BM25 corpus-stats fit (build artifact like the quality LR): timed
+    // here, memo populated so the q_bm25_serve headline line is
+    // serve-only
+    val bm25Secs = (1 to runs).flatMap { _ =>
+      val t0 = System.nanoTime()
+      try {
+        graft.operators.TextAnalysis.fitBm25(
+          Tables.load(spark, sfDir, "documents"),
+          graft.queries.TextQueries.bm25Terms)
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] fit q_bm25_fit failed: ${e.getMessage}"); None
+      }
+    }
+    val bm25Median = if (bm25Secs.isEmpty) -1.0 else bm25Secs.sorted.apply(bm25Secs.length / 2)
+    try graft.queries.TextQueries.bm25Model(spark, sfDir)
+    catch { case _: Throwable => () }
+    val fitJson = f"""{"q_ivfpq_fit":$fitMedian%.3f,"q_ivfpq_write":$ivfWriteMedian%.3f,"q_bpe_fit":$bpeMedian%.3f,"q_qlr_fit":$qlrMedian%.3f,"q_bm25_fit":$bm25Median%.3f}"""
 
     // SPARK_GRAFT_BENCH_ONLY=a,b,c — iteration aid: restrict the timed
     // headline to the named queries (fits/warmup unchanged). The driver

@@ -511,6 +511,74 @@ object TextAnalysis {
     * pipelines into a parquet curation chain or a STREAMING select with
     * no state store (the DSIR/LM serving shape).
     */
+  /** BM25 serving model — the fit/serve split for query-relevance
+    * gating: corpus statistics (per-query-term idf, average doc length)
+    * are a BUILD artifact computed once by [[fitBm25]] (|qTerms| doubles
+    * + 2 scalars of driver state), and [[bm25Score]] serves them as a
+    * stateless per-row column — streaming-safe, no join, no state store.
+    */
+  case class Bm25Model(k1: Double, b: Double, avgdl: Double,
+      idf: Map[String, Double])
+
+  /** One (doc,term) aggregate over the corpus → dl/df/N → the bounded
+    * [[Bm25Model]]. Same statistics definitions as the oracled
+    * `q_bm25_topk` pipeline (dl from token counts; N over ALL docs;
+    * avgdl over docs with ≥1 token; Lucene idf = ln(1+(N-df+.5)/(df+.5))).
+    */
+  def fitBm25(docs: DataFrame, qTerms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75,
+      textCol: String = "text", idCol: String = "doc_id"): Bm25Model = {
+    require(qTerms.nonEmpty && qTerms.size <= 64,
+      s"qTerms must be 1..64 terms (driver state is O(|qTerms|)), got ${qTerms.size}")
+    val tf = docs
+      .select(col(idCol), explode(Dedup.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    val Array(sumDl, nDl) = dl
+      .agg(sum(col("dl")).cast("double"), count(lit(1)).cast("double"))
+      .head().toSeq.map(_.asInstanceOf[Double]).toArray
+    val nDocs = docs.count().toDouble
+    val dfMap = tf.filter(col("term").isin(qTerms: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val idf = qTerms.map { t =>
+      val df = dfMap.getOrElse(t, 0.0)
+      t -> math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5))
+    }.toMap
+    Bm25Model(k1, b, if (nDl == 0) 1.0 else sumDl / nDl, idf)
+  }
+
+  /** Stateless BM25 score column. ONE tokenization per doc: term counts
+    * AND doc length accumulate in a single `aggregate` HOF pass over the
+    * tokens array (referencing the tokens column twice — size() +
+    * aggregate() — would re-tokenize after CollapseProject inlining, the
+    * round-3 HOF trap), and the score falls out of the finish lambda with
+    * the model constants inlined as literals. tf=0 terms contribute
+    * exactly 0 (numerator zero, denominator positive).
+    */
+  def bm25Score(m: Bm25Model)(text: Column): Column = {
+    val terms = m.idf.keys.toSeq.sorted
+    val zero = struct(
+      array(terms.map(_ => lit(0L)): _*).as("c"), lit(0L).as("n"))
+    aggregate(
+      Dedup.tokens(text),
+      zero,
+      (acc, t) => struct(
+        array(terms.zipWithIndex.map { case (q, i) =>
+          get(acc.getField("c"), lit(i)) +
+            when(t === lit(q), lit(1L)).otherwise(lit(0L))
+        }: _*).as("c"),
+        (acc.getField("n") + lit(1L)).as("n")),
+      acc => {
+        val dl = acc.getField("n").cast("double")
+        terms.zipWithIndex.map { case (q, i) =>
+          val tf = get(acc.getField("c"), lit(i)).cast("double")
+          lit(m.idf(q)) * (tf * (m.k1 + 1.0)) /
+            (tf + lit(m.k1) * (lit(1.0 - m.b) + lit(m.b) * dl / m.avgdl))
+        }.reduce(_ + _)
+      })
+  }
+
   def qualityLrScore(m: QualityLrModel)(text: Column): Column = {
     require(m.weights.length == qualityLrDim,
       s"expected $qualityLrDim weights, got ${m.weights.length}")

@@ -74,6 +74,14 @@ object TextQueries {
       TextAnalysis.fitQualityLr(docs(s, d),
         TextAnalysis.qualityScore(col("text")) >= 0.77))
 
+  /** The fixed query-term set shared by q_bm25_topk, q_bm25_serve and
+    * the fit — ONE definition so Spark and the oracle can never drift. */
+  private[graft] val bm25Terms = Seq("query", "stream", "vector", "hash")
+  private val bm25Models =
+    scala.collection.concurrent.TrieMap.empty[String, TextAnalysis.Bm25Model]
+  private[graft] def bm25Model(s: SparkSession, d: String): TextAnalysis.Bm25Model =
+    bm25Models.getOrElseUpdate(d, TextAnalysis.fitBm25(docs(s, d), bm25Terms))
+
   /** Shared DSIR weights relation — `(doc_id, source, n_trigrams, w)`
     * with `w` the 6dp-rounded Laplace-smoothed target/corpus log-ratio.
     * Both q_dsir_weights and q_dsir_select consume THIS (and the oracle
@@ -531,7 +539,7 @@ object TextQueries {
     // (df+.5)), k1=1.2, b=0.75; per-doc sum has ≤|query| terms so the
     // 6dp round is orders of magnitude above float noise.
     "q_bm25_topk" -> ((s, d) => {
-      val qTerms = Seq("query", "stream", "vector", "hash")
+      val qTerms = bm25Terms
       val k1 = 1.2; val b = 0.75
       val docs0 = docs(s, d)
       val tok = docs0.select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("term"))
@@ -551,6 +559,24 @@ object TextQueries {
             (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / (col("sum_dl") / col("n_dl")))))
         .groupBy(col("doc_id")).agg(round(sum(col("contrib")), 6).as("score_r"))
         .orderBy(col("score_r").desc, col("doc_id")).limit(100)
+    }),
+
+    // BM25 SERVING-path twin: every doc scored by the stateless
+    // bm25Score column (one aggregate-HOF pass per doc, model constants
+    // as literals — the form the streaming gate evaluates), with the
+    // fit memoized per dir (fitBm25 = the build artifact). The oracle
+    // recomputes the same statistics in SQL, so the driver's compare
+    // witnesses fit AND serve math end-to-end — the q_quality_classifier
+    // discipline applied to relevance.
+    "q_bm25_serve" -> ((s, d) => {
+      val m = bm25Model(s, d)
+      // coalesce: null text → null tokens → null score; serve 0 like
+      // the oracle's LEFT JOIN + COALESCE (and like a token-less doc)
+      docs(s, d)
+        .select(col("doc_id"),
+          coalesce(round(TextAnalysis.bm25Score(m)(col("text")), 6), lit(0.0))
+            .as("score_r"))
+        .orderBy(col("doc_id"))
     }),
 
     // benchmark-contamination report: 5-gram shingle overlap between the
@@ -1537,6 +1563,31 @@ object TextQueries {
          |)
          |SELECT doc_id, ROUND(score, 6) AS score_r FROM sc
          |ORDER BY score_r DESC, doc_id LIMIT 100""".stripMargin,
+
+    // all-docs serving twin: LEFT JOIN + COALESCE(0) — a doc with no
+    // query term (or no tokens) serves exactly 0
+    "q_bm25_serve" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS tk FROM documents),
+         |tok AS (SELECT doc_id, UNNEST(tk) AS term FROM t),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+         |st AS (SELECT CAST(SUM(dl) AS DOUBLE) AS sum_dl,
+         |              CAST(COUNT(*) AS DOUBLE) AS n_dl FROM dl),
+         |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+         |q AS (SELECT * FROM (VALUES ('query'), ('stream'), ('vector'), ('hash')) AS q(term)),
+         |qtf AS (SELECT tf.* FROM tf JOIN q USING (term)),
+         |dfq AS (SELECT term, COUNT(*) AS df FROM qtf GROUP BY 1),
+         |sc AS (
+         |  SELECT doc_id,
+         |    SUM(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) *
+         |        (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / (sum_dl / n_dl))))
+         |      AS score
+         |  FROM qtf JOIN dfq USING (term) JOIN dl USING (doc_id), st, n
+         |  GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, ROUND(COALESCE(sc.score, 0), 6) AS score_r
+         |FROM documents d LEFT JOIN sc USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q_contamination" ->
       s"""WITH t AS (SELECT doc_id, $duckToks AS tk FROM documents),

@@ -669,6 +669,29 @@ object EventStreams {
         ()
       }
 
+  /** ONLINE query-relevance gate — the BM25 twin of
+    * [[trainedGateIntake]]: every incoming doc is scored against a fixed
+    * query-term set with the PRE-FIT corpus statistics
+    * ([[graft.operators.TextAnalysis.Bm25Model]] — |qTerms| idf doubles
+    * + avgdl riding the closure, fit once by `fitBm25`, never refit in
+    * the loop) and admitted iff score >= `tau`. The score is one
+    * `aggregate`-HOF pass per doc (single tokenization, no join, no
+    * state store), so the gate is stateless per doc and batch ≡ stream
+    * holds exactly with no ordering precondition — the relevance member
+    * of the intake-gate family (quality, decontamination, dedup, mix).
+    */
+  def bm25GateIntake(docs: DataFrame,
+      model: graft.operators.TextAnalysis.Bm25Model, sinkDir: String,
+      tau: Double)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs
+      .filter(graft.operators.TextAnalysis.bm25Score(model)(col("text")) >= tau)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("append").parquet(sinkDir)
+        ()
+      }
+
   case class SourcedDoc(doc_id: Long, ts: java.sql.Timestamp, source: String,
       text: String)
   case class AdmittedDoc(doc_id: Long, source: String)

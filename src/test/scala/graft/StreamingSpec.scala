@@ -972,6 +972,38 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("BM25 relevance gate on a doc stream: map-only, batch ≡ stream") {
+    // relevance member of the intake-gate family: corpus stats fit in
+    // batch (fitBm25), score serves as one aggregate-HOF pass — no
+    // state store, no stream-side join
+    implicit val sc = spark.sqlContext
+    import graft.queries.TextQueries
+    val m = TextQueries.bm25Model(spark, "/root/testdata/sf0.001")
+    val score = graft.operators.TextAnalysis.bm25Score(m) _
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft_bm25_gate").toString
+    val mem = MemoryStream[EventStreams.Doc]
+    // tau between the relevant and irrelevant docs' scores
+    val relevant = "query stream hash vector query table scan"
+    val offTopic = "the filler words carry no relevance at all"
+    val q = EventStreams.bm25GateIntake(mem.toDF(), m, sinkDir, tau = 0.1).start()
+    try {
+      mem.addData(EventStreams.Doc(1, ts(0), relevant),
+        EventStreams.Doc(2, ts(1), offTopic))
+      q.processAllAvailable()
+      mem.addData(EventStreams.Doc(3, ts(2), "vector hash padding words"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.read.parquet(sinkDir).select(col("doc_id"))
+      .as[Long].collect().toSet
+    assert(kept == Set(1L, 3L), s"kept $kept")
+    // batch ≡ stream on the same rows
+    val batchKept = Seq((1L, relevant), (2L, offTopic),
+      (3L, "vector hash padding words")).toDF("doc_id", "text")
+      .filter(score(col("text")) >= 0.1)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(batchKept == kept, "stream gate must equal batch filter")
+  }
+
   test("stateless BPE tokenization on a doc stream: batch ≡ stream") {
     // merges train in BATCH (bounded vocab loop, like the LM and the
     // IVF-PQ model) and the encoder applies to the stream as one fused

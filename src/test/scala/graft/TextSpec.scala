@@ -258,6 +258,23 @@ class TextSpec extends SparkTestBase {
       "top-k cut must fill up to 100 from docs containing query terms")
   }
 
+  test("bm25Score serving ≡ q_bm25_topk batch pipeline on the real fixture") {
+    val serve = graft.queries.TextQueries.queries("q_bm25_serve")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val topk = graft.queries.TextQueries.queries("q_bm25_topk")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1))
+    assert(topk.nonEmpty)
+    topk.foreach { case (id, s) =>
+      assert(serve(id) == s,
+        s"doc $id: serve ${serve(id)} != batch $s (fit/serve drift)")
+    }
+    // docs outside the top-k either score 0 or below the top-k floor
+    val floor = topk.map(_._2).min
+    val outside = serve.view.filterKeys(id => !topk.exists(_._1 == id))
+    assert(outside.forall { case (_, s) => s <= floor },
+      "a non-returned doc outscores the top-k floor")
+  }
+
   test("BM25 semantics: tf saturation and length normalization on a planted frame") {
     // same query terms as the declared query; planted docs isolate the
     // two BM25 behaviors that distinguish it from raw tf-idf
