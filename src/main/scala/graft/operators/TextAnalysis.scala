@@ -511,6 +511,56 @@ object TextAnalysis {
     * pipelines into a parquet curation chain or a STREAMING select with
     * no state store (the DSIR/LM serving shape).
     */
+  /** Token-length-bucket reference distribution — the drift-detection
+    * build artifact: ≤ `nBuckets`+1 doubles of driver state, fit once
+    * over a trusted corpus snapshot and compared against every incoming
+    * micro-batch by [[jsdVsRef]]. Bucket definition shared with the
+    * oracled `q_source_drift` (floor(ws-tokens/8) capped at 20).
+    */
+  case class LenHistogram(probs: Array[Double]) {
+    require(probs.nonEmpty && math.abs(probs.sum - 1.0) < 1e-9,
+      "reference histogram must be a distribution")
+  }
+
+  def lenBucket(text: Column, nBuckets: Int = 20): Column =
+    least(floor(tokenCountWs(text) / 8), lit(nBuckets.toLong)).cast("long")
+
+  /** Fit the reference histogram: one bounded aggregate (≤ nBuckets+1
+    * rows collected). Laplace-smoothed so JSD against it is finite for
+    * any batch (empty reference cells get pseudo-count 1).
+    */
+  def fitLenHistogram(docs: DataFrame, nBuckets: Int = 20,
+      textCol: String = "text"): LenHistogram = {
+    val counts = docs
+      .select(lenBucket(col(textCol), nBuckets).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val raw = Array.tabulate(nBuckets + 1)(i => counts.getOrElse(i, 0L) + 1.0)
+    val z = raw.sum
+    LenHistogram(raw.map(_ / z))
+  }
+
+  /** Jensen-Shannon divergence (nats) of a bucket-count histogram
+    * against the reference — plain driver math over ≤ nBuckets+1 cells.
+    * Same JSD form as the oracled q_source_drift (0-count batch cells
+    * contribute only the reference half).
+    */
+  def jsdVsRef(counts: Map[Int, Long], ref: LenHistogram): Double = {
+    val n = counts.values.sum.toDouble
+    if (n == 0) return 0.0
+    var jsd = 0.0
+    var i = 0
+    while (i < ref.probs.length) {
+      val p = counts.getOrElse(i, 0L) / n
+      val q = ref.probs(i)
+      val m = (p + q) / 2
+      if (p > 0) jsd += 0.5 * p * math.log(p / m)
+      if (q > 0) jsd += 0.5 * q * math.log(q / m)
+      i += 1
+    }
+    jsd
+  }
+
   /** BM25 serving model — the fit/serve split for query-relevance
     * gating: corpus statistics (per-query-term idf, average doc length)
     * are a BUILD artifact computed once by [[fitBm25]] (|qTerms| doubles

@@ -10,10 +10,14 @@ import org.apache.spark.sql.functions._
   * `graft.streaming.EventStreams` — same groupBy(window)/sessionization
   * semantics, verifiable against DuckDB) + multimodal plumbing queries.
   *
-  * Timestamp rule: `events.ts` is nanosecond-precision parquet. Spark
-  * truncates to µs, DuckDB keeps ns, and DuckDB's `CAST(double AS BIGINT)`
-  * ROUNDS while Spark's `unix_timestamp` floors — so every timestamp that
-  * reaches output is `FLOOR(epoch)` on both sides.
+  * Timestamp rule: `events.ts` has shipped as BOTH ns-precision parquet
+  * (legacy fixture — Spark truncates to µs, DuckDB keeps ns) and plain
+  * µs TIMESTAMP (current fixture — both engines see identical values);
+  * `Tables.events` normalizes either to µs TimestampType. The output
+  * convention is unchanged and safe under both generations: DuckDB's
+  * `CAST(double AS BIGINT)` ROUNDS while Spark's `unix_timestamp`
+  * floors, so every timestamp that reaches output is `FLOOR(epoch)` on
+  * both sides (exactly portable at µs; ns-truncation-compatible too).
   */
 object EventQueries {
 

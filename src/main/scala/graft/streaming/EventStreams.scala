@@ -669,6 +669,39 @@ object EventStreams {
         ()
       }
 
+  /** ONLINE distribution-drift alarm — the streaming twin of the
+    * oracled `q_source_drift` JSD math: every micro-batch's
+    * token-length-bucket histogram (one bounded aggregate, ≤ 21 cells
+    * collected) is compared against the PRE-FIT reference distribution
+    * ([[graft.operators.TextAnalysis.LenHistogram]] — ≤ 21 doubles
+    * riding the closure, fit once on a trusted snapshot) and one
+    * `(batch_id, n_docs, jsd_r, alarm)` row appends to the sink.
+    * Stateless across batches; the alarm is a pure function of the
+    * batch's rows, so batch ≡ stream needs no ordering precondition.
+    * This is the intake observability a 100 TB feed needs: a supplier
+    * silently switching content profile trips the alarm at ingest,
+    * not at the next corpus-wide report.
+    */
+  def driftAlarmIntake(docs: DataFrame,
+      ref: graft.operators.TextAnalysis.LenHistogram, sinkDir: String,
+      tau: Double)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val counts = batch
+          .select(graft.operators.TextAnalysis.lenBucket(col("text")).as("bucket"))
+          .groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+          .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+        val n = counts.values.sum
+        val jsd = graft.operators.TextAnalysis.jsdVsRef(counts, ref)
+        val spark = batch.sparkSession
+        import spark.implicits._
+        Seq((batchId, n, math.rint(jsd * 1e6) / 1e6, jsd > tau))
+          .toDF("batch_id", "n_docs", "jsd_r", "alarm")
+          .write.mode("append").parquet(sinkDir)
+        ()
+      }
+
   /** ONLINE query-relevance gate — the BM25 twin of
     * [[trainedGateIntake]]: every incoming doc is scored against a fixed
     * query-term set with the PRE-FIT corpus statistics

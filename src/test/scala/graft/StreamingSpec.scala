@@ -972,6 +972,41 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("drift alarm on a doc stream: planted profile shift trips, in-profile batch doesn't") {
+    implicit val sc = spark.sqlContext
+    import graft.operators.TextAnalysis
+    // reference: short docs (1-2 tokens → bucket 0)
+    val refDocs = (0 until 50).map(i => (i.toLong, s"tok$i word")).toDF("doc_id", "text")
+    val ref = TextAnalysis.fitLenHistogram(refDocs)
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft_drift").toString
+    val mem = MemoryStream[EventStreams.Doc]
+    val q = EventStreams.driftAlarmIntake(mem.toDF(), ref, sinkDir, tau = 0.2).start()
+    try {
+      // batch 0: same profile as the reference → low JSD
+      mem.addData((0 until 10).map(i =>
+        EventStreams.Doc(i.toLong, ts(i), s"tok$i word")): _*)
+      q.processAllAvailable()
+      // batch 1: long docs (bucket ≥ 5) → planted drift
+      mem.addData((0 until 10).map(i =>
+        EventStreams.Doc(100 + i.toLong, ts(i), ("pad " * 60) + i)): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.read.parquet(sinkDir)
+      .select(col("batch_id"), col("n_docs"), col("jsd_r"), col("alarm"))
+      .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1)
+    assert(rows.length == 2 && rows.forall(_._2 == 10L), s"rows: ${rows.toSeq}")
+    assert(!rows(0)._4 && rows(0)._3 < 0.2, s"in-profile batch alarmed: ${rows(0)}")
+    assert(rows(1)._4 && rows(1)._3 > 0.2, s"drifted batch silent: ${rows(1)}")
+    // stream ≡ batch: recompute the drifted batch's JSD statically
+    val staticCounts = (0 until 10).map(i => (100 + i.toLong, ("pad " * 60) + i))
+      .toDF("doc_id", "text")
+      .select(TextAnalysis.lenBucket(col("text")).as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val want = math.rint(TextAnalysis.jsdVsRef(staticCounts, ref) * 1e6) / 1e6
+    assert(rows(1)._3 == want, s"stream jsd ${rows(1)._3} != batch $want")
+  }
+
   test("BM25 relevance gate on a doc stream: map-only, batch ≡ stream") {
     // relevance member of the intake-gate family: corpus stats fit in
     // batch (fitBm25), score serves as one aggregate-HOF pass — no
