@@ -632,6 +632,37 @@ object TextQueries {
         .orderBy(col("source"))
     }),
 
+    // flagship pipeline, round-9 composition: the SAME gate chain as
+    // q_corpus_pipeline but decontamination runs the bloom-pre-filtered
+    // path (bit-identical survivors — the bloom is exact) and the
+    // survival report adds the mean BM25 relevance of what was kept —
+    // quality, hygiene AND query-relevance of the admitted corpus in one
+    // DuckDB-verified composition. Scale shape: every stage inherits its
+    // operator's posture (in-scan bloom prune, broadcast bench grams,
+    // one content-hash shuffle, broadcast BM25 constants).
+    "q_corpus_pipeline_v2" -> ((s, d) => {
+      val base = docs(s, d)
+      val m = bm25Model(s, d)
+      val train = base.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+        .withColumn("q", round(TextAnalysis.qualityScore(col("text")), 6))
+        .filter(col("q") >= 0.75)
+      val keep = train
+        .select(col("doc_id"),
+          md5(concat_ws(" ", Dedup.tokens(col("text")))).as("fp"))
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val deduped = train.join(keep, Seq("doc_id"), "left_semi")
+      val bench = base.filter(pmod(col("doc_id"), lit(10)) === 7)
+      TextAnalysis.decontaminateBloom(deduped, bench)
+        .withColumn("rel_r",
+          coalesce(round(TextAnalysis.bm25Score(m)(col("text")), 6), lit(0.0)))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("n_chars_kept"),
+          round(avg(col("q")), 6).as("mean_quality"),
+          round(avg(col("rel_r")), 6).as("mean_relevance"))
+        .orderBy(col("source"))
+    }),
+
     // decontamination, end to end: REMOVE every train doc sharing a
     // 5-gram with the bench split and report what survives per source —
     // the action q_contamination's report exists to justify (pretraining
@@ -1798,6 +1829,68 @@ object TextQueries {
          |  ROUND(AVG(q), 6) AS mean_quality
          |FROM dd
          |WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |GROUP BY source ORDER BY source""".stripMargin,
+
+    // v2 = v1's survivor set verbatim (bloom decontamination is exact)
+    // + the BM25 relevance of what survived; the bm25 CTEs (b*) mirror
+    // q_bm25_serve over the FULL documents table, matching fitBm25
+    "q_corpus_pipeline_v2" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, n_chars, text, $duckToks AS toks,
+         |    CAST(length(text) AS DOUBLE) AS nchar
+         |  FROM documents
+         |), train AS (
+         |  SELECT doc_id, source, n_chars, toks, $duckQuality AS q
+         |  FROM t WHERE doc_id % 10 != 7 AND $duckQuality >= 0.75
+         |), keep AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM (
+         |    SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp FROM train
+         |  ) GROUP BY fp
+         |), dd AS (
+         |  SELECT train.* FROM train JOIN keep USING (doc_id)
+         |), grams AS (
+         |  SELECT doc_id, UNNEST(
+         |    CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+         |         WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+         |         ELSE [array_to_string(toks[i:i+4], ' ') FOR i IN range(1, len(toks) - 3)]
+         |    END) AS g
+         |  FROM dd
+         |), bench_g AS (
+         |  SELECT DISTINCT UNNEST(
+         |    CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+         |         WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+         |         ELSE [array_to_string(toks[i:i+4], ' ') FOR i IN range(1, len(toks) - 3)]
+         |    END) AS g
+         |  FROM t WHERE doc_id % 10 = 7
+         |), contaminated AS (
+         |  SELECT DISTINCT doc_id FROM grams JOIN bench_g USING (g)
+         |), btok AS (
+         |  SELECT doc_id, UNNEST(toks) AS term FROM t
+         |), btf AS (SELECT doc_id, term, COUNT(*) AS tf FROM btok GROUP BY 1, 2),
+         |bdl AS (SELECT doc_id, SUM(tf) AS dl FROM btf GROUP BY 1),
+         |bst AS (SELECT CAST(SUM(dl) AS DOUBLE) AS sum_dl,
+         |               CAST(COUNT(*) AS DOUBLE) AS n_dl FROM bdl),
+         |bn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+         |bq AS (SELECT * FROM (VALUES ('query'), ('stream'), ('vector'), ('hash')) AS q(term)),
+         |bqtf AS (SELECT btf.* FROM btf JOIN bq USING (term)),
+         |bdfq AS (SELECT term, COUNT(*) AS df FROM bqtf GROUP BY 1),
+         |bsc AS (
+         |  SELECT doc_id,
+         |    SUM(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) *
+         |        (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / (sum_dl / n_dl))))
+         |      AS score
+         |  FROM bqtf JOIN bdfq USING (term) JOIN bdl USING (doc_id), bst, bn
+         |  GROUP BY doc_id
+         |), survivors AS (
+         |  SELECT dd.*, ROUND(COALESCE(bsc.score, 0), 6) AS rel_r
+         |  FROM dd LEFT JOIN bsc USING (doc_id)
+         |  WHERE dd.doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |)
+         |SELECT source, COUNT(*) AS n_kept,
+         |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_kept,
+         |  ROUND(AVG(q), 6) AS mean_quality,
+         |  ROUND(AVG(rel_r), 6) AS mean_relevance
+         |FROM survivors
          |GROUP BY source ORDER BY source""".stripMargin,
 
     "q_decontaminate" ->

@@ -231,6 +231,22 @@ class CurationSpec extends SparkTestBase {
       s"bloom predicate missing from physical plan")
   }
 
+  test("q_corpus_pipeline_v2: v1 survivors + relevance column, bloom-exact composition") {
+    val v1 = q("q_corpus_pipeline").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val v2full = q("q_corpus_pipeline_v2").collect()
+    val v2 = v2full
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    // bloom decontamination is exact → per-source survivor counts, char
+    // totals and mean quality are IDENTICAL to the v1 pipeline
+    assert(v2 == v1, s"v2 diverged from v1:\n$v2\nvs\n$v1")
+    // the added relevance column is a bounded mean of nonneg scores
+    v2full.foreach { r =>
+      val rel = r.getDouble(4)
+      assert(rel >= 0.0 && rel < 50.0, s"source ${r.getString(0)} mean_relevance $rel")
+    }
+  }
+
   test("BloomGramHit semantics: no false negatives, early-exit edge cases") {
     import spark.implicits._
     val bench = Seq((1L, "alpha beta gamma delta epsilon zeta"),
