@@ -234,4 +234,29 @@ class PropertySpec extends SparkTestBase {
         "train ⊎ val ⊎ test must equal the input as a multiset")
     }
   }
+
+  test("decontaminateBloom ≡ decontaminate on random corpora (bloom exactness)") {
+    // random docs over a tiny token alphabet (high collision rate: the
+    // adversarial regime for a membership filter), random bench split —
+    // the bloom path must keep EXACTLY the exact path's survivors
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    val doc = Gen.chooseNum(0, 9).flatMap(k => Gen.listOfN(k, word))
+      .map(_.mkString(" "))
+    for (round <- 0 until 3) {
+      val texts = cases(doc, 60).zipWithIndex
+        .map { case (t, i) => (i.toLong + round * 1000, t) }
+      val df = texts.toDF("doc_id", "text")
+        .withColumn("source", lit("s")).withColumn("n_chars", length(col("text")))
+      val bench = df.filter(pmod(col("doc_id"), lit(7)) === round)
+      val train = df.filter(pmod(col("doc_id"), lit(7)) =!= round)
+      val exact = graft.operators.TextAnalysis.decontaminate(train, bench, n = 3)
+        .select(col("doc_id")).as[Long].collect().toSet
+      val bloomed = graft.operators.TextAnalysis
+        .decontaminateBloom(train, bench, n = 3)
+        .select(col("doc_id")).as[Long].collect().toSet
+      assert(bloomed == exact,
+        s"round $round: bloom ${bloomed.size} vs exact ${exact.size}; " +
+          s"extra=${(bloomed -- exact).take(5)} missing=${(exact -- bloomed).take(5)}")
+    }
+  }
 }
