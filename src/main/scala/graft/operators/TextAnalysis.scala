@@ -580,19 +580,27 @@ object TextAnalysis {
       textCol: String = "text", idCol: String = "doc_id"): Bm25Model = {
     require(qTerms.nonEmpty && qTerms.size <= 64,
       s"qTerms must be 1..64 terms (driver state is O(|qTerms|)), got ${qTerms.size}")
-    val tf = docs
+    // ONE corpus tokenization: per-term tf and dl fold into a single
+    // fixed-width groupBy(doc) aggregate (map-side combine → one row
+    // per doc in the shuffle), then sum_dl/n_dl/df collapse in one
+    // 1-row grand aggregate — two actions total (plus the N count,
+    // which never tokenizes). The naive tf→{dl,df} derivation forked
+    // into three tokenize+shuffle subtrees under column pruning.
+    val terms = qTerms.distinct.sorted
+    val perDoc = docs
       .select(col(idCol), explode(Dedup.tokens(col(textCol))).as("term"))
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
-    val Array(sumDl, nDl) = dl
-      .agg(sum(col("dl")).cast("double"), count(lit(1)).cast("double"))
-      .head().toSeq.map(_.asInstanceOf[Double]).toArray
+      .groupBy(col(idCol)).agg(
+        count(lit(1)).as("dl"),
+        terms.map(t => sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf_$t")): _*)
+    val statCols =
+      count(lit(1)).cast("double").as("n_dl") +:
+        terms.map(t => count(when(col(s"tf_$t") > 0, 1)).cast("double").as(s"df_$t"))
+    val row = perDoc.agg(sum(col("dl")).cast("double").as("sum_dl"), statCols: _*).head()
+    val sumDl = Option(row.getAs[java.lang.Double]("sum_dl")).fold(0.0)(_.toDouble)
+    val nDl = row.getAs[Double]("n_dl")
     val nDocs = docs.count().toDouble
-    val dfMap = tf.filter(col("term").isin(qTerms: _*))
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
-    val idf = qTerms.map { t =>
-      val df = dfMap.getOrElse(t, 0.0)
+    val idf = terms.map { t =>
+      val df = row.getAs[Double](s"df_$t")
       t -> math.log(1.0 + (nDocs - df + 0.5) / (df + 0.5))
     }.toMap
     Bm25Model(k1, b, if (nDl == 0) 1.0 else sumDl / nDl, idf)

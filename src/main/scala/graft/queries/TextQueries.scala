@@ -531,33 +531,43 @@ object TextQueries {
 
     // BM25 relevance scoring (Robertson/Lucene form) against a fixed
     // query term set — the retrieval scorer query-targeted curation
-    // pipelines rank corpus documents with. One (doc,term) shuffle
-    // produces tf; dl (doc token length) and df both derive from tf
-    // (exchange-reusable, the q_tfidf_top3 discipline); N/avgdl are
-    // 1-row broadcast scalar attaches; the cut is orderBy+limit
-    // (TakeOrdered — no partitionless window). idf = ln(1 + (N-df+.5)/
-    // (df+.5)), k1=1.2, b=0.75; per-doc sum has ≤|query| terms so the
-    // 6dp round is orders of magnitude above float noise.
+    // pipelines rank corpus documents with. Plan shape (round-9 audit:
+    // the naive tf→{dl,df,qtf} derivation FORKED into four corpus
+    // tokenize+shuffle subtrees under column pruning — the q_tfidf_top3
+    // trap at larger fan-out): per-term tf AND doc length fold into ONE
+    // groupBy(doc_id) aggregate with a FIXED-WIDTH buffer (|qTerms|+1
+    // longs), so the corpus tokenizes once and map-side combine reduces
+    // the shuffle to one row per doc; df/avgdl derive from that relation
+    // as a 1-row broadcast grand aggregate; score is a map-only
+    // projection (NO joins), cut via orderBy+limit (TakeOrdered — no
+    // partitionless window). idf = ln(1 + (N-df+.5)/(df+.5)), k1=1.2,
+    // b=0.75; the per-doc sum runs in sorted-term order (same as
+    // bm25Score serving) and the ≤|query|-term 6dp round is orders of
+    // magnitude above float noise.
     "q_bm25_topk" -> ((s, d) => {
-      val qTerms = bm25Terms
+      val qTerms = bm25Terms.sorted
       val k1 = 1.2; val b = 0.75
       val docs0 = docs(s, d)
       val tok = docs0.select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("term"))
-      val tf = tok.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-      val st = dl.agg(sum(col("dl")).cast("double").as("sum_dl"),
-        count(lit(1)).cast("double").as("n_dl"))
+      val perDoc = tok.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("dl"),
+        qTerms.map(t => sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf_$t")): _*)
+      val statCols =
+        count(lit(1)).cast("double").as("n_dl") +:
+          qTerms.map(t => count(when(col(s"tf_$t") > 0, 1)).cast("double").as(s"df_$t"))
+      val stats = perDoc.agg(sum(col("dl")).cast("double").as("sum_dl"), statCols: _*)
       val total = docs0.agg(count(lit(1)).cast("double").as("n_docs"))
-      val qtf = tf.filter(col("term").isin(qTerms: _*))
-      val dfreq = qtf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      qtf.join(dfreq, Seq("term"))
-        .join(dl, Seq("doc_id"))
-        .crossJoin(broadcast(total)).crossJoin(broadcast(st))
-        .withColumn("contrib",
-          log(lit(1.0) + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)) *
-            (col("tf") * (k1 + 1.0)) /
-            (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / (col("sum_dl") / col("n_dl")))))
-        .groupBy(col("doc_id")).agg(round(sum(col("contrib")), 6).as("score_r"))
+      val contrib = qTerms.map { t =>
+        val tf = col(s"tf_$t").cast("double")
+        val idf = log(lit(1.0) +
+          (col("n_docs") - col(s"df_$t") + 0.5) / (col(s"df_$t") + 0.5))
+        idf * (tf * (k1 + 1.0)) /
+          (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / (col("sum_dl") / col("n_dl"))))
+      }.reduce(_ + _)
+      perDoc
+        .filter(qTerms.map(t => col(s"tf_$t")).reduce(_ + _) > 0)
+        .crossJoin(broadcast(stats)).crossJoin(broadcast(total))
+        .select(col("doc_id"), round(contrib, 6).as("score_r"))
         .orderBy(col("score_r").desc, col("doc_id")).limit(100)
     }),
 

@@ -247,6 +247,22 @@ class ScalePostureSpec extends SparkTestBase {
       s"expected exactly one (doc_id,term) exchange, got $docTermEx:\n${rep.take(3000)}")
   }
 
+  test("q_bm25_topk: ONE corpus tokenize+shuffle at runtime (stats branch reuses perDoc)") {
+    // round-9 audit lesson: the naive tf→{dl,df,qtf} derivation forked
+    // into FOUR tokenize+shuffle subtrees. The fused per-doc aggregate
+    // leaves two static subtrees (scoring + grand stats) whose perDoc
+    // shuffles are canonically identical — AQE must merge them into one
+    // computed Exchange + a ReusedExchange. Post-execution plan per the
+    // round-4 AQE rule.
+    val df = SparkEntry.queries("q_bm25_topk")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    val reused = "ReusedExchange".r.findAllIn(p).length
+    val docEx = "Exchange hashpartitioning\\(doc_id".r.findAllIn(p).length - reused
+    assert(reused >= 1 && docEx == 1,
+      s"stats branch must reuse the perDoc exchange (reused=$reused, computed=$docEx):\n${p.take(3000)}")
+  }
+
   test("curation-analytics plans: broadcast stats, single shuffles, shuffle-free serving") {
     // q_dsir_weights: the LM + constants must reach the scoring pass as
     // broadcasts (never a sort-merge on `tri`), and the conditional-count
