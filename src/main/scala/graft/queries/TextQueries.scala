@@ -571,6 +571,57 @@ object TextQueries {
         .orderBy(col("score_r").desc, col("doc_id")).limit(100)
     }),
 
+    // multi-query BM25 retrieval: top-3 docs for EACH of a fixed query
+    // set — the batch retrieval shape (one ranked result list per
+    // query) on top of the same single-shuffle perDoc relation as
+    // q_bm25_topk (per-term tf over the UNION of all query vocabularies,
+    // still fixed-width). Scores for all queries materialize as one
+    // posexplode (map-only), and the per-query cut is a row_number
+    // window over |queries| groups — WindowGroupLimit pushes the top-3
+    // below the exchange (plan-asserted for this pattern in
+    // ScalePostureSpec), so the shuffle carries ≤ 3·partitions rows per
+    // query, never the corpus.
+    "q_bm25_multi" -> ((s, d) => {
+      val queries = Seq(
+        1L -> Seq("query", "stream"),
+        2L -> Seq("vector", "hash"),
+        3L -> Seq("merge", "sort", "join"))
+      val k1 = 1.2; val b = 0.75
+      val allTerms = queries.flatMap(_._2).distinct.sorted
+      val docs0 = docs(s, d)
+      val tok = docs0.select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("term"))
+      val perDoc = tok.groupBy(col("doc_id")).agg(
+        count(lit(1)).as("dl"),
+        allTerms.map(t => sum(when(col("term") === t, 1L).otherwise(0L)).as(s"tf_$t")): _*)
+      val statCols =
+        count(lit(1)).cast("double").as("n_dl") +:
+          allTerms.map(t => count(when(col(s"tf_$t") > 0, 1)).cast("double").as(s"df_$t"))
+      val stats = perDoc.agg(sum(col("dl")).cast("double").as("sum_dl"), statCols: _*)
+      val total = docs0.agg(count(lit(1)).cast("double").as("n_docs"))
+      def contribOf(t: String) = {
+        val tf = col(s"tf_$t").cast("double")
+        val idf = log(lit(1.0) +
+          (col("n_docs") - col(s"df_$t") + 0.5) / (col(s"df_$t") + 0.5))
+        idf * (tf * (k1 + 1.0)) /
+          (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / (col("sum_dl") / col("n_dl"))))
+      }
+      val scoreStructs = queries.map { case (qid, terms) =>
+        struct(lit(qid).as("query_id"),
+          round(terms.sorted.map(contribOf).reduce(_ + _), 6).as("score_r"),
+          (terms.sorted.map(t => col(s"tf_$t")).reduce(_ + _) > 0).as("matched"))
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("score_r").desc, col("doc_id"))
+      perDoc.crossJoin(broadcast(stats)).crossJoin(broadcast(total))
+        .select(col("doc_id"), explode(array(scoreStructs: _*)).as("qs"))
+        .select(col("doc_id"), col("qs.query_id"), col("qs.score_r"), col("qs.matched"))
+        .filter(col("matched"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank"), col("doc_id"), col("score_r"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // BM25 SERVING-path twin: every doc scored by the stateless
     // bm25Score column (one aggregate-HOF pass per doc, model constants
     // as literals — the form the streaming gate evaluates), with the
@@ -1604,6 +1655,43 @@ object TextQueries {
          |)
          |SELECT doc_id, ROUND(score, 6) AS score_r FROM sc
          |ORDER BY score_r DESC, doc_id LIMIT 100""".stripMargin,
+
+    // per-(query,doc) sums over the query-term join; ranks on the
+    // ROUNDED score with doc_id tiebreak, exactly like the Spark side
+    "q_bm25_multi" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS tk FROM documents),
+         |tok AS (SELECT doc_id, UNNEST(tk) AS term FROM t),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY 1),
+         |st AS (SELECT CAST(SUM(dl) AS DOUBLE) AS sum_dl,
+         |              CAST(COUNT(*) AS DOUBLE) AS n_dl FROM dl),
+         |n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+         |q AS (SELECT * FROM (VALUES
+         |  (1, 'query'), (1, 'stream'),
+         |  (2, 'vector'), (2, 'hash'),
+         |  (3, 'merge'), (3, 'sort'), (3, 'join')) AS q(query_id, term)),
+         |dfq AS (
+         |  SELECT term, COUNT(*) AS df FROM tf
+         |  WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1
+         |),
+         |sc AS (
+         |  SELECT q.query_id, tf.doc_id,
+         |    ROUND(SUM(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) *
+         |        (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / (sum_dl / n_dl)))), 6)
+         |      AS score_r
+         |  FROM q JOIN tf USING (term) JOIN dfq USING (term)
+         |       JOIN dl ON tf.doc_id = dl.doc_id, st, n
+         |  GROUP BY q.query_id, tf.doc_id
+         |),
+         |r AS (
+         |  SELECT query_id, doc_id, score_r,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |                       ORDER BY score_r DESC, doc_id) AS rank
+         |  FROM sc
+         |)
+         |SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id, score_r
+         |FROM r WHERE rank <= 3
+         |ORDER BY query_id, rank""".stripMargin,
 
     // all-docs serving twin: LEFT JOIN + COALESCE(0) — a doc with no
     // query term (or no tokens) serves exactly 0

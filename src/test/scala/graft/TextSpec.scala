@@ -275,6 +275,34 @@ class TextSpec extends SparkTestBase {
       "a non-returned doc outscores the top-k floor")
   }
 
+  test("q_bm25_multi: per-query ranked lists, each doc matches its query's terms") {
+    val rows = graft.queries.TextQueries.queries("q_bm25_multi")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byQuery = rows.groupBy(_._1)
+    assert(byQuery.keySet == Set(1L, 2L, 3L), s"queries: ${byQuery.keySet}")
+    val queryTerms = Map(
+      1L -> Set("query", "stream"), 2L -> Set("vector", "hash"),
+      3L -> Set("merge", "sort", "join"))
+    val docTerms = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("t"))
+      .collect().groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getString(1)).toSet }
+    byQuery.foreach { case (qid, qr) =>
+      val sorted = qr.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1L to sorted.length).toSeq, s"q$qid ranks: ${sorted.toSeq}")
+      assert(sorted.length <= 3)
+      // scores non-increasing in rank; every hit shares a term with the query
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._4 >= b._4
+        case _ => true
+      }, s"q$qid scores not sorted")
+      sorted.foreach { case (_, _, docId, _) =>
+        assert(docTerms(docId).intersect(queryTerms(qid)).nonEmpty,
+          s"q$qid returned doc $docId with no query term")
+      }
+    }
+  }
+
   test("BM25 semantics: tf saturation and length normalization on a planted frame") {
     // same query terms as the declared query; planted docs isolate the
     // two BM25 behaviors that distinguish it from raw tf-idf
