@@ -622,6 +622,32 @@ object TextQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // reciprocal-rank fusion (k=60): the hybrid-retrieval combiner —
+    // fuse the BM25 relevance ranking with the heuristic quality
+    // ranking and keep the top 20. Both global ranks go through
+    // Rank.withGlobalRank (range-sort + broadcast offsets — NO
+    // single-partition window), and because rrf derives from IDENTICAL
+    // integer ranks with the same operation order, the fused scores are
+    // bit-equal cross-engine before the 6dp round even applies.
+    "q_rank_fusion" -> ((s, d) => {
+      val m = bm25Model(s, d)
+      val scored = docs(s, d).select(
+        col("doc_id"),
+        coalesce(round(TextAnalysis.bm25Score(m)(col("text")), 6), lit(0.0))
+          .as("s_rel"),
+        coalesce(round(TextAnalysis.qualityScore(col("text")), 6), lit(0.0))
+          .as("s_q"))
+      val (r1, _) = graft.operators.Rank.withGlobalRank(
+        scored, "r_bm25", col("s_rel").desc, col("doc_id"))
+      val (r2, _) = graft.operators.Rank.withGlobalRank(
+        r1, "r_quality", col("s_q").desc, col("doc_id"))
+      r2.withColumn("rrf_r",
+          round(lit(1.0) / (col("r_bm25") + lit(60L)) +
+            lit(1.0) / (col("r_quality") + lit(60L)), 6))
+        .select(col("doc_id"), col("r_bm25"), col("r_quality"), col("rrf_r"))
+        .orderBy(col("rrf_r").desc, col("doc_id")).limit(20)
+    }),
+
     // BM25 SERVING-path twin: every doc scored by the stateless
     // bm25Score column (one aggregate-HOF pass per doc, model constants
     // as literals — the form the streaming gate evaluates), with the
@@ -1655,6 +1681,45 @@ object TextQueries {
          |)
          |SELECT doc_id, ROUND(score, 6) AS score_r FROM sc
          |ORDER BY score_r DESC, doc_id LIMIT 100""".stripMargin,
+
+    // rrf from identical integer ranks, same op order → bit-equal
+    // doubles both engines; COALESCE(…, 0) handles null-text docs in
+    // both scores
+    "q_rank_fusion" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text, $duckToks AS toks,
+         |    CAST(length(text) AS DOUBLE) AS nchar
+         |  FROM documents
+         |), btok AS (
+         |  SELECT doc_id, UNNEST(toks) AS term FROM t
+         |), btf AS (SELECT doc_id, term, COUNT(*) AS tf FROM btok GROUP BY 1, 2),
+         |bdl AS (SELECT doc_id, SUM(tf) AS dl FROM btf GROUP BY 1),
+         |bst AS (SELECT CAST(SUM(dl) AS DOUBLE) AS sum_dl,
+         |               CAST(COUNT(*) AS DOUBLE) AS n_dl FROM bdl),
+         |bn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+         |bq AS (SELECT * FROM (VALUES ('query'), ('stream'), ('vector'), ('hash')) AS q(term)),
+         |bqtf AS (SELECT btf.* FROM btf JOIN bq USING (term)),
+         |bdfq AS (SELECT term, COUNT(*) AS df FROM bqtf GROUP BY 1),
+         |bsc AS (
+         |  SELECT doc_id,
+         |    SUM(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) *
+         |        (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / (sum_dl / n_dl))))
+         |      AS score
+         |  FROM bqtf JOIN bdfq USING (term) JOIN bdl USING (doc_id), bst, bn
+         |  GROUP BY doc_id
+         |), scored AS (
+         |  SELECT t.doc_id, ROUND(COALESCE(bsc.score, 0), 6) AS s_rel,
+         |    ROUND(COALESCE($duckQuality, 0), 6) AS s_q
+         |  FROM t LEFT JOIN bsc USING (doc_id)
+         |), ranked AS (
+         |  SELECT doc_id,
+         |    ROW_NUMBER() OVER (ORDER BY s_rel DESC, doc_id) AS r_bm25,
+         |    ROW_NUMBER() OVER (ORDER BY s_q DESC, doc_id) AS r_quality
+         |  FROM scored
+         |)
+         |SELECT doc_id, r_bm25, r_quality,
+         |  ROUND(1.0 / (r_bm25 + 60) + 1.0 / (r_quality + 60), 6) AS rrf_r
+         |FROM ranked ORDER BY rrf_r DESC, doc_id LIMIT 20""".stripMargin,
 
     // per-(query,doc) sums over the query-term join; ranks on the
     // ROUNDED score with doc_id tiebreak, exactly like the Spark side

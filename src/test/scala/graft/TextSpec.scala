@@ -303,6 +303,21 @@ class TextSpec extends SparkTestBase {
     }
   }
 
+  test("q_rank_fusion: rrf arithmetic consistent with the emitted ranks, top-20 sorted") {
+    val rows = graft.queries.TextQueries.queries("q_rank_fusion")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length == 20)
+    rows.foreach { case (id, r1, r2, rrf) =>
+      val want = math.rint((1.0 / (r1 + 60) + 1.0 / (r2 + 60)) * 1e6) / 1e6
+      assert(rrf == want, s"doc $id: rrf $rrf != 1/(${r1}+60)+1/(${r2}+60) = $want")
+      assert(r1 >= 1 && r2 >= 1)
+    }
+    assert(rows.sliding(2).forall {
+      case Array(a, b) => a._4 > b._4 || (a._4 == b._4 && a._1 < b._1)
+      case _ => true
+    }, "not in (rrf desc, doc_id) order")
+  }
+
   test("BM25 semantics: tf saturation and length normalization on a planted frame") {
     // same query terms as the declared query; planted docs isolate the
     // two BM25 behaviors that distinguish it from raw tf-idf
