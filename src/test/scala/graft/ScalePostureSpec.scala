@@ -254,13 +254,15 @@ class ScalePostureSpec extends SparkTestBase {
     // shuffles are canonically identical — AQE must merge them into one
     // computed Exchange + a ReusedExchange. Post-execution plan per the
     // round-4 AQE rule.
-    val df = SparkEntry.queries("q_bm25_topk")(spark, sf)
-    df.collect()
-    val p = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
-    val reused = "ReusedExchange".r.findAllIn(p).length
-    val docEx = "Exchange hashpartitioning\\(doc_id".r.findAllIn(p).length - reused
-    assert(reused >= 1 && docEx == 1,
-      s"stats branch must reuse the perDoc exchange (reused=$reused, computed=$docEx):\n${p.take(3000)}")
+    for (q <- Seq("q_bm25_topk", "q_bm25_multi")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+      val reused = "ReusedExchange".r.findAllIn(p).length
+      val docEx = "Exchange hashpartitioning\\(doc_id".r.findAllIn(p).length - reused
+      assert(reused >= 1 && docEx == 1,
+        s"$q: stats branch must reuse the perDoc exchange (reused=$reused, computed=$docEx):\n${p.take(3000)}")
+    }
   }
 
   test("curation-analytics plans: broadcast stats, single shuffles, shuffle-free serving") {
