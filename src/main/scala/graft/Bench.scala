@@ -82,7 +82,8 @@ object Bench {
     // map-side-pruned 100 TB variant of q_decontaminate) and BM25
     // query-relevance ranking
     "q_decontaminate_bloom", "q_bm25_topk", "q_bm25_serve",
-    "q_corpus_pipeline_v2", "q_bm25_multi", "q_rank_fusion")
+    "q_corpus_pipeline_v2", "q_bm25_multi", "q_rank_fusion",
+    "q_events_hopping")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

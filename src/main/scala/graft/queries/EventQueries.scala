@@ -106,6 +106,22 @@ object EventQueries {
         .orderBy(col("window_start"), col("event_type"))
     }),
 
+    // HOPPING (sliding) 1h windows every 15 min — the third window kind
+    // next to tumbling (q_events_hourly) and session
+    // (q_events_session_window): each event lands in exactly 4
+    // overlapping windows (Spark aligns hop starts to epoch 0, so the
+    // oracle reproduces membership as slot−k for k∈0..3). Same epoch-
+    // second output convention; same streaming operator class as
+    // tumblingCounts (window() with a slide).
+    "q_events_hopping" -> ((s, d) => {
+      ev(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(cents(col("value"))).as("value_c"))
+        .select(unix_timestamp(col("window.start")).as("start_sec"),
+          col("event_type"), col("n"), col("value_c"))
+        .orderBy(col("start_sec"), col("event_type"))
+    }),
+
     // gap-based sessionization (30 min), batch gaps-and-islands form of
     // EventStreams.sessionize
     "q_events_sessions" -> ((s, d) => {
@@ -426,6 +442,21 @@ object EventQueries {
         |  event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_c
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    // hop membership: an event at epoch-second slot s=floor(epoch/900)
+    // belongs to windows starting at (s-k)*900, k=0..3 (1h window /
+    // 15min slide, epoch-aligned like Spark's window())
+    "q_events_hopping" ->
+      """WITH k AS (SELECT * FROM (VALUES (0), (1), (2), (3)) k(k)),
+        |e AS (
+        |  SELECT (CAST(FLOOR(date_part('epoch', ts)) AS BIGINT) // 900) AS slot,
+        |    event_type, value
+        |  FROM events
+        |)
+        |SELECT (slot - k.k) * 900 AS start_sec, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_c
+        |FROM e CROSS JOIN k
+        |GROUP BY 1, 2 ORDER BY start_sec, event_type""".stripMargin,
 
     "q_events_sessions" ->
       """WITH base AS (
