@@ -70,6 +70,39 @@ object Mix {
       .select(col("group"), col("n"), col("w_r"), col("target"))
   }
 
+  /** EXACT largest-remainder (Hamilton) apportionment of an integer
+    * budget across groups, proportional to group counts — the
+    * allocation rule a mixing planner needs when targets must sum to
+    * EXACTLY the budget (temperatureWeights' per-group floor leaves a
+    * remainder unassigned). All-integer arithmetic: quota floor =
+    * (n·B) div N, remainder = (n·B) mod N, and the `B − Σfloor`
+    * leftover units go to the largest remainders (group-name
+    * tiebreak) — exactly portable to ANSI SQL, no float anywhere.
+    * The ranking window is partitionless but runs over the
+    * |groups|-row aggregate, never the corpus (the bounded-global-
+    * window pattern; Spark's WARN is expected and harmless).
+    */
+  def apportionLargestRemainder(df: DataFrame, groupCol: Column,
+      budget: Long): DataFrame = {
+    require(budget >= 0L, s"budget $budget")
+    val counts = df.groupBy(groupCol.as("group")).agg(count(lit(1)).as("n"))
+    // NOT "N": Spark resolution is case-insensitive by default, so a
+    // total column named N is ambiguous against the per-group n
+    val total = counts.agg(sum(col("n")).as("grand_n"))
+    val base = counts.crossJoin(broadcast(total))
+      .withColumn("floor_alloc", expr(s"(n * ${budget}L) div grand_n"))
+      .withColumn("rem", expr(s"(n * ${budget}L) % grand_n"))
+    val allocated = base.agg(sum(col("floor_alloc")).as("allocated"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("rem").desc, col("group"))
+    base.withColumn("rk", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(allocated))
+      .withColumn("alloc",
+        col("floor_alloc") +
+          when(col("rk") <= lit(budget) - col("allocated"), 1L).otherwise(0L))
+      .select(col("group"), col("n"), col("alloc"))
+  }
+
   /** ARRIVAL-ORDER budgeted admission — the batch twin of the streaming
     * per-source gate
     * ([[graft.streaming.EventStreams.budgetedMixIntake]]): admit the

@@ -305,6 +305,19 @@ object TextQueries {
         .orderBy(col("source"))
     }),
 
+    // exact integer apportionment of a mixing budget (Hamilton /
+    // largest-remainder): per-source allocations that sum to EXACTLY
+    // the budget, from all-integer quota arithmetic — the piece
+    // q_mix_temperature's floor targets leave on the table. Bounded
+    // |sources| relation end to end; fully ORACLED.
+    "q_mix_apportion" -> ((s, d) => {
+      graft.operators.Mix.apportionLargestRemainder(
+          docs(s, d), col("source"), budget = 10007L)
+        .withColumnRenamed("group", "source")
+        .withColumnRenamed("n", "n_docs")
+        .orderBy(col("source"))
+    }),
+
     // the MATERIALIZATION of a computed mix: temperature targets
     // (α=0.5 over per-source doc counts, 200-doc budget) feed
     // Split.budgetedSample, which cuts each source at its OWN target by
@@ -1405,6 +1418,25 @@ object TextQueries {
         |  CAST(FLOOR(CAST(ROUND(w / tw, 6) AS DECIMAL(18,6)) * 100000)
         |    AS BIGINT) AS target
         |FROM g, t ORDER BY source""".stripMargin,
+
+    // all-integer Hamilton apportionment — exactly portable
+    "q_mix_apportion" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+        |t AS (SELECT SUM(n) AS grand_n FROM c),
+        |b AS (
+        |  SELECT source, n, (n * 10007) // grand_n AS floor_alloc,
+        |    (n * 10007) % grand_n AS rem
+        |  FROM c, t
+        |), a AS (SELECT SUM(floor_alloc) AS allocated FROM b),
+        |r AS (
+        |  SELECT b.*, ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+        |  FROM b
+        |)
+        |SELECT source, CAST(n AS BIGINT) AS n_docs,
+        |  CAST(floor_alloc +
+        |    CASE WHEN rk <= 10007 - allocated THEN 1 ELSE 0 END AS BIGINT)
+        |    AS alloc
+        |FROM r, a ORDER BY source""".stripMargin,
 
     "q_pack_tokens" ->
       """WITH t AS (

@@ -87,4 +87,24 @@ class MixSpec extends SparkTestBase {
     assert(packed.select(col("doc_id"), col("shard"))
       .exceptAll(again.select(col("doc_id"), col("shard"))).isEmpty)
   }
+
+  test("apportionLargestRemainder: sums to budget exactly, within 1 of the exact quota") {
+    val df = graft.Tables.documents(spark, sf)
+    val budget = 997L // prime: guarantees nonzero remainders on this fixture
+    val rows = graft.operators.Mix
+      .apportionLargestRemainder(df, col("source"), budget)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val totalN = rows.map(_._2).sum
+    assert(rows.map(_._3).sum == budget, s"allocations must sum to $budget: ${rows.toSeq}")
+    rows.foreach { case (src, n, alloc) =>
+      val quota = n.toDouble * budget / totalN
+      assert(math.abs(alloc - quota) < 1.0,
+        s"$src: alloc $alloc vs exact quota $quota (quota-rule violation)")
+    }
+    // degenerate budgets
+    val zero = graft.operators.Mix
+      .apportionLargestRemainder(df, col("source"), 0L)
+      .collect().map(_.getLong(2))
+    assert(zero.forall(_ == 0L))
+  }
 }
