@@ -786,6 +786,167 @@ object EventStreams {
         OutputMode.Append())
   }
 
+  /** THE composed ONLINE intake — every serving gate this file proves
+    * individually, chained in ONE maintained loop the way
+    * `q_corpus_pipeline_v2` chains the batch stages. A production corpus
+    * runs one intake, not six; this is where gate ORDER and state-store
+    * interactions are decided once:
+    *
+    *  1. trained quality gate (map-only column — the cheapest probe
+    *     runs first and shrinks everything downstream);
+    *  2. BM25 relevance gate (one aggregate-HOF pass, still map-only);
+    *  3. bloom decontamination PROBE (in-scan codegen'd predicate —
+    *     docs with no possible bench overlap are marked clean here and
+    *     never pay the verify join);
+    *  4. index dedup (stream-static left-anti against the persisted
+    *     fingerprint index, listing pinned at wiring — stateless);
+    *  5. in-stream dedup (`dropDuplicatesWithinWatermark` — the ONLY
+    *     stateful operator in the plan, and every gate above it is a
+    *     pure filter, so the state store holds hashes of docs that
+    *     passed quality+relevance+index, never junk: the
+    *     [[curateDocs]] state-size argument, compounded);
+    *  then per micro-batch (`foreachBatch`, serialized):
+    *  6. decontamination VERIFY join on the bloom-flagged candidates
+    *     only (exact — bloom has no false negatives, so unflagged docs
+    *     are PROVEN clean; cost scales with contamination rate + fpp);
+    *  7. per-source budget admission in deterministic (ts, doc_id)
+    *     order ([[graft.operators.Mix.admitByBudget]] per batch with
+    *     the REMAINING room as targets; sources absent from `targets`
+    *     admit nothing). The running per-source ledger is |sources|
+    *     driver longs REDERIVED FROM THE DURABLE SINK at wiring time —
+    *     a restarted intake resumes the budget where the output
+    *     actually stands, not where process memory claims;
+    *  8. closed-loop maintenance: survivors append to `sinkDir`, their
+    *     content hashes append back to the live index version (pinned
+    *     `_LATEST` — the [[maintainedIntake]] contract), and one
+    *     observability row appends to `ledgerDir`: the per-gate funnel
+    *     (n_batch → n_clean → n_admitted) plus the drift alarm.
+    *
+    * The drift alarm here reads the CORPUS-CANDIDATE profile (post-gate,
+    * pre-budget): `ref` must be fit on the same composed gate's output
+    * over a trusted window, and the alarm then means "what is entering
+    * the corpus changed" — the actionable signal for a curation loop.
+    * Raw-FEED drift (supplier watch, pre-gate) stays the standalone
+    * [[driftAlarmIntake]], which can run on the source stream
+    * unmodified.
+    *
+    * Every model parameter is fit-once reference state riding the
+    * closure (load via [[graft.operators.Artifacts]] — quality LR, BM25
+    * stats, and the histogram all have versioned load-or-fit entries);
+    * the bench gram relation + bloom are built once at wiring with the
+    * guarded broadcast degrade. Batch ≡ stream: the admitted set equals
+    * the proven batch operators composed in the same order
+    * (StreamingSpec asserts against filter→filter→anti-join→
+    * dropDuplicates→decontaminate→admitByBudget), under the same
+    * monotone-intake precondition as [[budgetedMixIntake]] (budget is
+    * first-come across batches).
+    *
+    * 100 TB posture: one stateful operator with quality-bounded state,
+    * one stream-static anti-join against an ids-only index, map-side
+    * bloom pruning before the only expensive join, |sources|-bounded
+    * driver state, batch-sized appends, zero unbounded collects.
+    */
+  def curationIntake(
+      docs: DataFrame,
+      quality: graft.operators.TextAnalysis.QualityLrModel,
+      tauQuality: Double,
+      relevance: graft.operators.TextAnalysis.Bm25Model,
+      tauRelevance: Double,
+      bench: DataFrame,
+      ref: graft.operators.TextAnalysis.LenHistogram,
+      tauDrift: Double,
+      targets: Option[Map[String, Long]],
+      indexDir: String, sinkDir: String, ledgerDir: String,
+      n: Int = 5, watermark: String = "2 hours",
+      maxBroadcastGrams: Long = 5000000L)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.operators.{Artifacts, Dedup, Mix, TextAnalysis}
+    require(targets.isEmpty || docs.columns.contains("source"),
+      "budget admission needs a `source` column")
+    val spark = docs.sparkSession
+    // fit-once reference state, resolved at WIRING time (never per batch)
+    val (grams, nG) = TextAnalysis.benchGramSet(bench, n)
+    val benchSide = if (nG <= maxBroadcastGrams) broadcast(grams) else grams
+    val bloom = grams.stat.bloomFilter("g", math.max(nG, 1L), 0.01)
+    val liveIndex = Artifacts.resolveLive(spark, indexDir)
+    val knownHashes = spark.read.parquet(liveIndex)
+    val srcCols = docs.columns.toSeq
+    // budget ledger: |sources| driver longs, REDERIVED from the sink so a
+    // restart resumes where the durable output stands
+    val admittedSoFar = scala.collection.mutable.Map.empty[String, Long]
+    if (targets.isDefined) {
+      val p = new org.apache.hadoop.fs.Path(sinkDir)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (fs.exists(p))
+        spark.read.parquet(sinkDir).groupBy(col("source")).count().collect()
+          .foreach(r => admittedSoFar(r.getString(0)) = r.getLong(1))
+    }
+    val gated = docs
+      .filter(TextAnalysis.qualityLrScore(quality)(col("text")) >= tauQuality)
+      .filter(TextAnalysis.bm25Score(relevance)(col("text")) >= tauRelevance)
+      .withColumn("content_hash", md5(col("text")))
+      .withColumn("__maybe_contam", graft.functions.TextHashFunctions
+        .bloom_gram_hit(col("text"), bloom, n))
+      .join(knownHashes.select(col("content_hash")), Seq("content_hash"), "left_anti")
+      // canonical order: a using-columns anti-join moves the join key first
+      .select((srcCols.map(col) :+ col("content_hash") :+ col("__maybe_contam")): _*)
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("content_hash")
+    gated.writeStream.outputMode("append")
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        import spark.implicits._
+        val b = batch.persist()
+        val nBatch = b.count()
+        // empty micro-batches (watermark-advance ticks) produce no
+        // writes and no ledger row
+        if (nBatch > 0) {
+          // gate 6: verify ONLY the bloom-flagged candidates
+          val contaminated = b.filter(col("__maybe_contam"))
+            .select(col("doc_id"), explode(Dedup.shingles(col("text"), n)).as("g"))
+            .join(benchSide, Seq("g"))
+            .select(col("doc_id")).distinct()
+          val clean = b.join(contaminated, Seq("doc_id"), "left_anti")
+            .select((srcCols.map(col) :+ col("content_hash")): _*)
+            .persist()
+          val nClean = clean.count()
+          // drift alarm on the corpus-candidate profile (one bounded agg)
+          val counts = clean
+            .select(TextAnalysis.lenBucket(col("text")).as("bucket"))
+            .groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+            .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+          val jsd = TextAnalysis.jsdVsRef(counts, ref)
+          // gate 7: per-source budget on the REMAINING room
+          val admitted = targets match {
+            case None => clean
+            case Some(t) =>
+              val room = t.toSeq.map { case (s0, tgt) =>
+                (s0, math.max(0L, tgt - admittedSoFar.getOrElse(s0, 0L)))
+              }.toDF("source", "target")
+              Mix.admitByBudget(clean, room, col("source"),
+                Seq(col("ts"), col("doc_id")))
+          }
+          val a = admitted.persist()
+          val nAdmitted = a.count()
+          if (targets.isDefined)
+            a.groupBy(col("source")).count().collect().foreach(r =>
+              admittedSoFar(r.getString(0)) =
+                admittedSoFar.getOrElse(r.getString(0), 0L) + r.getLong(1))
+          // gate 8: sink + index append-back + funnel/alarm ledger
+          a.write.mode("append").parquet(sinkDir)
+          a.select(col("content_hash")).distinct()
+            .write.mode("append").parquet(liveIndex)
+          Seq((batchId, nBatch, nClean, nAdmitted,
+            math.rint(jsd * 1e6) / 1e6, jsd > tauDrift))
+            .toDF("batch_id", "n_batch", "n_clean", "n_admitted",
+              "jsd_r", "alarm")
+            .write.mode("append").parquet(ledgerDir)
+          a.unpersist(); clean.unpersist()
+        }
+        b.unpersist()
+        ()
+      }
+  }
+
   case class ClosedSession(user_id: Long, n_events: Long, total_value: Double,
       last_sec: Long)
 

@@ -1237,4 +1237,104 @@ class StreamingSpec extends SparkTestBase {
       assert(rows == Set((1L, 2L, 5.0), (2L, 1L, 7.0)))
     } finally q.stop()
   }
+
+  test("curationIntake: ONE composed loop — full gate funnel, closed index " +
+      "loop, budget resumption across a restart, batch ≡ stream") {
+    implicit val sc = spark.sqlContext
+    import graft.operators.{Mix, TextAnalysis}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_curation").toString
+    val indexDir = s"$tmp/index"; val sinkDir = s"$tmp/sink"
+    val ledgerDir = s"$tmp/ledger"
+    // every admissible doc carries the BM25 query term "data"
+    val soup = "$$% ##@ !!++ ^^&& ;;:: ??//"
+    val offTopic = "the filler words carry no relevance to the fixed terms"
+    val benchDoc = "the secret benchmark answer key for the eval suite tonight"
+    val contaminated = "data point where the secret benchmark answer key appears"
+    val knownDoc = "data already in the corpus index from an earlier full ingest"
+    val novelA = "data document one with clean english words for the intake test"
+    val novelB = "data document two with clean english words for the intake test"
+    val novelC = "data document three with clean english words for the intake test"
+    val novelD = "data document four with clean english words for the intake test"
+    // synthetic LR gate with KNOWN weights (−10 on the punct-ratio
+    // feature): punctuation soup → sigmoid(1−10·~0.8) ≈ 0, plain
+    // English → sigmoid(1) ≈ 0.73 — a deterministic decision served
+    // through the real qualityLrScore path
+    val quality = TextAnalysis.QualityLrModel(1.0,
+      Array.tabulate(TextAnalysis.qualityLrDim)(i => if (i == 0) -10.0 else 0.0))
+    val tauQ = 0.5
+    val bm25 = TextAnalysis.Bm25Model(1.2, 0.75, 9.0, Map("data" -> 1.5))
+    val ref = TextAnalysis.fitLenHistogram(
+      Seq(novelA, novelB, novelC, novelD).toDF("text"))
+    val bench = Seq((100L, benchDoc)).toDF("doc_id", "text")
+    val targets = Some(Map("s1" -> 2L, "s2" -> 1L))
+    Seq(knownDoc).toDF("text").select(md5(col("text")).as("content_hash"))
+      .write.parquet(indexDir)
+    def wire(mem: MemoryStream[EventStreams.SourcedDoc]) =
+      EventStreams.curationIntake(mem.toDF(), quality, tauQ, bm25, 0.01,
+        bench, ref, 0.6, targets, indexDir, sinkDir, ledgerDir)
+    // ---- cycle 1: one micro-batch exercising every gate ----
+    val c1 = Seq(
+      EventStreams.SourcedDoc(1, ts(0), "s1", soup),         // quality gate
+      EventStreams.SourcedDoc(2, ts(1), "s1", offTopic),     // relevance gate
+      EventStreams.SourcedDoc(3, ts(2), "s1", contaminated), // decontam verify
+      EventStreams.SourcedDoc(4, ts(3), "s1", knownDoc),     // index gate
+      EventStreams.SourcedDoc(5, ts(4), "s1", novelA),       // admitted
+      EventStreams.SourcedDoc(6, ts(5), "s1", novelA),       // in-stream dup
+      EventStreams.SourcedDoc(7, ts(6), "s1", novelB),       // admitted
+      EventStreams.SourcedDoc(8, ts(7), "s1", novelC),       // s1 budget full
+      EventStreams.SourcedDoc(9, ts(8), "s2", novelD))       // admitted (s2)
+    val mem1 = MemoryStream[EventStreams.SourcedDoc]
+    val q1 = wire(mem1).start()
+    try { mem1.addData(c1: _*); q1.processAllAvailable() } finally q1.stop()
+    val afterC1 = spark.read.parquet(sinkDir).select(col("text"))
+      .as[String].collect().toSet
+    assert(afterC1 == Set(novelA, novelB, novelD), s"cycle 1 admitted $afterC1")
+    // funnel ledger: 9 in → 5 past the plan gates (soup, offTopic,
+    // knownDoc, one dup dropped) → 4 clean → 3 admitted; no drift alarm
+    val led1 = spark.read.parquet(ledgerDir)
+      .select(col("n_batch"), col("n_clean"), col("n_admitted"), col("alarm"))
+      .as[(Long, Long, Long, Boolean)].collect()
+    assert(led1.toSeq == Seq((5L, 4L, 3L, false)), s"ledger ${led1.toSeq}")
+    // batch ≡ stream: the proven batch operators composed in the same
+    // order admit the same TEXT set (doc_id of a dup pair is arbitrary
+    // in both domains) against the pre-cycle index state
+    val batchIn = c1.toDF()
+    val batchAdmitted = Mix.admitByBudget(
+      TextAnalysis.decontaminate(
+        batchIn
+          .filter(TextAnalysis.qualityLrScore(quality)(col("text")) >= tauQ)
+          .filter(TextAnalysis.bm25Score(bm25)(col("text")) >= 0.01)
+          .withColumn("content_hash", md5(col("text")))
+          .join(Seq(knownDoc).toDF("t")
+            .select(md5(col("t")).as("content_hash")),
+            Seq("content_hash"), "left_anti")
+          .dropDuplicates("content_hash"),
+        bench, 5),
+      Seq(("s1", 2L), ("s2", 1L)).toDF("source", "target"),
+      col("source"), Seq(col("ts"), col("doc_id")))
+      .select(col("text")).as[String].collect().toSet
+    assert(batchAdmitted == afterC1,
+      s"batch composition $batchAdmitted != stream $afterC1")
+    // ---- cycle 2: FRESH query (restart) — index gate sees cycle 1's
+    // appends; the budget ledger rederives from the sink (s1 full at
+    // 2/2, s2 has 0/1 room... s2 admitted one, so full too; re-offer
+    // novelC on s1 → budget-rejected, novelA twin → index-rejected ----
+    val c2 = Seq(
+      EventStreams.SourcedDoc(20, ts(20), "s1", novelA), // in index now
+      EventStreams.SourcedDoc(21, ts(21), "s1", novelC)) // s1 budget spent
+    val mem2 = MemoryStream[EventStreams.SourcedDoc]
+    val q2 = wire(mem2).start()
+    try { mem2.addData(c2: _*); q2.processAllAvailable() } finally q2.stop()
+    val afterC2 = spark.read.parquet(sinkDir).select(col("text"))
+      .as[String].collect().toSet
+    assert(afterC2 == afterC1,
+      s"cycle 2 must admit nothing: index catches the re-offer, the " +
+        s"rederived budget catches novelC — got ${afterC2 -- afterC1}")
+    val led2 = spark.read.parquet(ledgerDir).orderBy(col("n_batch"))
+      .select(col("n_batch"), col("n_clean"), col("n_admitted"))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(led2 == Seq((1L, 1L, 0L), (5L, 4L, 3L)), s"ledgers $led2")
+    // closed loop: index = seeded hash + the three admitted hashes
+    assert(spark.read.parquet(indexDir).distinct().count() == 4L)
+  }
 }
