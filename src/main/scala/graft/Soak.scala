@@ -1,0 +1,152 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale soak: measure the HEAVY operator families on synthetic N×
+  * blow-ups of the sf0.1 fixture and report the time-vs-data curve —
+  * the evidence layer between "plan-asserted scale posture" and an
+  * actual cluster run. Families with near-linear ratios (time ratio ≈
+  * data ratio) have no super-linear term hiding under the test scale;
+  * anything quadratic would show as ratio ≈ N².
+  *
+  * The N× corpus is a union of N re-keyed copies of `documents`
+  * (ids offset per copy; copies 1..N-1 get a 2-token suffix so content
+  * hashes differ but shingle sets overlap ~fully — every doc gains
+  * N-1 NEAR-duplicates, the adversarial regime for LSH banding and CC:
+  * clusters of size N, maximal bucket pressure). `embeddings` blows up
+  * as exact re-keyed copies (each vector gains N-1 cosine-1.0
+  * neighbors — worst case for top-k tie handling and cell crowding).
+  * The ANN query batch and the decontamination bench suite are FIXED
+  * across scales (a production workload's query side doesn't grow with
+  * the corpus), so those families measure pure corpus-side scaling.
+  *
+  * Each scale's tables are materialized to parquet first (one-time
+  * build, untimed) so every family reads a real on-disk table with
+  * natural scan parallelism. One untimed warmup pass (scale 1) absorbs
+  * JIT/codegen compilation before any timed pass, mirroring Bench.
+  *
+  * Prints ONE JSON line:
+  * `{"soak":{"scales":[...],"rows":{...},"families":{name:{"x1":s,
+  * "x10":s,"ratio":r},...}}}` — ratio = t(maxScale)/t(1).
+  */
+object Soak {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val scales = sys.env.getOrElse("SPARK_GRAFT_SOAK_SCALES", "1,3,10")
+      .split(",").map(_.trim.toInt).toSeq
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import graft.operators.{Dedup, Similarity, TextAnalysis}
+
+    val docs0 = Tables.documents(spark, sfDir)
+    val emb0 = Tables.load(spark, sfDir, "embeddings")
+    // fixed across scales: the query batch and the bench suite
+    val queries = emb0.orderBy(col("vec_id")).limit(32).persist()
+    val bench = docs0.orderBy(col("doc_id")).limit(50)
+      .select(col("doc_id"), col("text")).persist()
+    queries.count(); bench.count()
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft_soak").toString
+    def materialize(name: String, scale: Int): (DataFrame, DataFrame) = {
+      val d = s"$tmp/${name}_x$scale"
+      (0 until scale).map { i =>
+        docs0.select(
+          (col("doc_id") + lit(i.toLong * 100000000L)).as("doc_id"),
+          (if (i == 0) col("text")
+           else concat(col("text"), lit(s" copy $i"))).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionByName _).write.mode("overwrite").parquet(s"$d/docs")
+      (0 until scale).map { i =>
+        emb0.select((col("vec_id") + lit(i.toLong * 100000000L)).as("vec_id"),
+          col("embedding"), col("label"))
+      }.reduce(_ unionByName _).write.mode("overwrite").parquet(s"$d/emb")
+      (spark.read.parquet(s"$d/docs"), spark.read.parquet(s"$d/emb"))
+    }
+
+    def noop(df: DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
+
+    // fit-once per scaled corpus (the apply line measures SERVING)
+    val ivfCache = scala.collection.mutable.Map.empty[Long, Similarity.IvfPqModel]
+    def ivfModels(emb: DataFrame): Similarity.IvfPqModel = {
+      val key = System.identityHashCode(emb).toLong
+      ivfCache.getOrElseUpdate(key, Similarity.fitIvfPq(emb))
+    }
+
+    // the soaked families — each a closure over the SCALED tables
+    def families(docs: DataFrame, emb: DataFrame): Seq[(String, () => Unit)] = Seq(
+      "exact_dedup" -> (() => noop(Dedup.exactDedup(docs))),
+      "minhash_pairs" -> (() => noop(
+        Dedup.bucketPairs(Dedup.minhashBuckets(docs)))),
+      "dedup_cc" -> (() => noop(Dedup.connectedComponents(
+        Dedup.bucketPairs(Dedup.minhashBuckets(docs))))),
+      "decontam_bloom" -> (() => noop(
+        TextAnalysis.decontaminateBloom(docs, bench))),
+      "corpus_pipeline" -> (() => {
+        val qd = docs.filter(TextAnalysis.qualityScore(col("text")) >= 0.4)
+        val deduped = qd.join(
+          Dedup.exactDedup(qd).select(col("keep_id").as("doc_id")),
+          Seq("doc_id"), "left_semi")
+        noop(TextAnalysis.decontaminateBloom(deduped, bench))
+      }),
+      "bm25_fit" -> (() => {
+        TextAnalysis.fitBm25(docs, Seq("query", "stream", "vector", "hash"))
+        ()
+      }),
+      "ann_brute" -> (() => noop(
+        Similarity.bruteForceTopK(emb, queries, 10))),
+      "ann_ivfpq_fit" -> (() => { ivfModels(emb); () }),
+      "ann_ivfpq_apply" -> (() => noop(Similarity.ivfPqApply(
+        emb, queries, 10, ivfModels(emb)))))
+
+    // untimed warmup at scale 1: JIT + codegen compilation
+    val (wd, we) = materialize("warm", 1)
+    families(wd, we).foreach { case (n, f) =>
+      try f() catch { case e: Throwable =>
+        System.err.println(s"[soak] warmup $n failed: ${e.getMessage}") }
+    }
+
+    val results = scala.collection.mutable.LinkedHashMap
+      .empty[String, scala.collection.mutable.LinkedHashMap[Int, Double]]
+    val rowCounts = scala.collection.mutable.LinkedHashMap.empty[Int, (Long, Long)]
+    scales.foreach { n =>
+      val (d, e) = materialize("soak", n)
+      rowCounts(n) = (d.count(), e.count())
+      families(d, e).foreach { case (name, f) =>
+        val t0 = System.nanoTime()
+        val ok = try { f(); true } catch { case ex: Throwable =>
+          System.err.println(s"[soak] x$n $name failed: ${ex.getMessage}"); false }
+        val secs = (System.nanoTime() - t0) / 1e9
+        results.getOrElseUpdate(name,
+          scala.collection.mutable.LinkedHashMap.empty)(n) =
+          if (ok) math.rint(secs * 1000) / 1000 else -1.0
+        System.err.println(f"[soak] x$n $name%-16s ${if (ok) secs else -1.0}%.2f s")
+      }
+    }
+
+    val maxN = scales.max
+    val fams = results.map { case (name, m) =>
+      val ratio =
+        if (m.getOrElse(1, -1.0) > 0 && m.getOrElse(maxN, -1.0) > 0)
+          math.rint(m(maxN) / m(1) * 100) / 100
+        else -1.0
+      val per = m.map { case (n, s) => s""""x$n":$s""" }.mkString(",")
+      s""""$name":{$per,"ratio":$ratio}"""
+    }.mkString(",")
+    val rows = rowCounts.map { case (n, (d, e)) =>
+      s""""x$n":{"docs":$d,"emb":$e}""" }.mkString(",")
+    println(s"""{"soak":{"sf":"$sfDir","scales":[${scales.mkString(",")}],""" +
+      s""""data_ratio":$maxN,"rows":{$rows},"families":{$fams}}}""")
+    spark.stop()
+  }
+}
