@@ -782,6 +782,45 @@ object TextQueries {
         .orderBy(col("source"))
     }),
 
+    // the FULL intake funnel, round-10 composition — the batch twin of
+    // the composed online loop (EventStreams.curationIntake), ROW-LEVEL
+    // oracled: quality gate → exact dedup → bloom decontamination →
+    // BM25 relevance gate (rel_r > 0: the doc must actually match the
+    // query set) → per-source BUDGET ADMISSION, highest-relevance-first
+    // (admitByBudget ordered by (rel_r desc, doc_id) — the "take the
+    // best under budget" cut a data-mix plan executes). Targets derive
+    // from the candidates themselves (ceil(60%) per source) so the
+    // budget BINDS at every scale factor and DuckDB recomputes the same
+    // targets — the admitted ROWS, not a summary, are value-checked,
+    // boundary ties broken by doc_id on identical 6dp-rounded scores.
+    // Scale shape: gate stages inherit their operators' posture; the
+    // admission window partitions by source (never partitionless) and
+    // the targets relation is |sources| rows, broadcast.
+    "q_corpus_pipeline_v3" -> ((s, d) => {
+      val base = docs(s, d)
+      val m = bm25Model(s, d)
+      val train = base.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+        .withColumn("q", round(TextAnalysis.qualityScore(col("text")), 6))
+        .filter(col("q") >= 0.75)
+      val keep = train
+        .select(col("doc_id"),
+          md5(concat_ws(" ", Dedup.tokens(col("text")))).as("fp"))
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+        .select(col("doc_id"))
+      val deduped = train.join(keep, Seq("doc_id"), "left_semi")
+      val bench = base.filter(pmod(col("doc_id"), lit(10)) === 7)
+      val candidates = TextAnalysis.decontaminateBloom(deduped, bench)
+        .withColumn("rel_r",
+          coalesce(round(TextAnalysis.bm25Score(m)(col("text")), 6), lit(0.0)))
+        .filter(col("rel_r") > 0)
+      val targets = candidates.groupBy(col("source"))
+        .agg(ceil(count(lit(1)) * lit(0.6)).cast("long").as("target"))
+      graft.operators.Mix.admitByBudget(candidates, targets, col("source"),
+          Seq(col("rel_r").desc, col("doc_id")))
+        .select(col("source"), col("doc_id"), col("q"), col("rel_r"))
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
     // decontamination, end to end: REMOVE every train doc sharing a
     // 5-gram with the bench split and report what survives per source —
     // the action q_contamination's report exists to justify (pretraining
@@ -2106,6 +2145,72 @@ object TextQueries {
          |  ROUND(AVG(rel_r), 6) AS mean_relevance
          |FROM survivors
          |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_corpus_pipeline_v3" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, n_chars, text, $duckToks AS toks,
+         |    CAST(length(text) AS DOUBLE) AS nchar
+         |  FROM documents
+         |), train AS (
+         |  SELECT doc_id, source, n_chars, toks, $duckQuality AS q
+         |  FROM t WHERE doc_id % 10 != 7 AND $duckQuality >= 0.75
+         |), keep AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM (
+         |    SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp FROM train
+         |  ) GROUP BY fp
+         |), dd AS (
+         |  SELECT train.* FROM train JOIN keep USING (doc_id)
+         |), grams AS (
+         |  SELECT doc_id, UNNEST(
+         |    CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+         |         WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+         |         ELSE [array_to_string(toks[i:i+4], ' ') FOR i IN range(1, len(toks) - 3)]
+         |    END) AS g
+         |  FROM dd
+         |), bench_g AS (
+         |  SELECT DISTINCT UNNEST(
+         |    CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+         |         WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+         |         ELSE [array_to_string(toks[i:i+4], ' ') FOR i IN range(1, len(toks) - 3)]
+         |    END) AS g
+         |  FROM t WHERE doc_id % 10 = 7
+         |), contaminated AS (
+         |  SELECT DISTINCT doc_id FROM grams JOIN bench_g USING (g)
+         |), btok AS (
+         |  SELECT doc_id, UNNEST(toks) AS term FROM t
+         |), btf AS (SELECT doc_id, term, COUNT(*) AS tf FROM btok GROUP BY 1, 2),
+         |bdl AS (SELECT doc_id, SUM(tf) AS dl FROM btf GROUP BY 1),
+         |bst AS (SELECT CAST(SUM(dl) AS DOUBLE) AS sum_dl,
+         |               CAST(COUNT(*) AS DOUBLE) AS n_dl FROM bdl),
+         |bn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+         |bq AS (SELECT * FROM (VALUES ('query'), ('stream'), ('vector'), ('hash')) AS q(term)),
+         |bqtf AS (SELECT btf.* FROM btf JOIN bq USING (term)),
+         |bdfq AS (SELECT term, COUNT(*) AS df FROM bqtf GROUP BY 1),
+         |bsc AS (
+         |  SELECT doc_id,
+         |    SUM(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) *
+         |        (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / (sum_dl / n_dl))))
+         |      AS score
+         |  FROM bqtf JOIN bdfq USING (term) JOIN bdl USING (doc_id), bst, bn
+         |  GROUP BY doc_id
+         |), candidates AS (
+         |  SELECT dd.source, dd.doc_id, dd.q,
+         |    ROUND(COALESCE(bsc.score, 0), 6) AS rel_r
+         |  FROM dd LEFT JOIN bsc USING (doc_id)
+         |  WHERE dd.doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |    AND ROUND(COALESCE(bsc.score, 0), 6) > 0
+         |), tgt AS (
+         |  SELECT source, CAST(CEIL(0.6 * COUNT(*)) AS BIGINT) AS target
+         |  FROM candidates GROUP BY source
+         |), rn AS (
+         |  SELECT candidates.*, ROW_NUMBER() OVER (
+         |    PARTITION BY source ORDER BY rel_r DESC, doc_id) AS rk
+         |  FROM candidates
+         |)
+         |SELECT source, doc_id, q, rel_r
+         |FROM rn JOIN tgt USING (source)
+         |WHERE rk <= target
+         |ORDER BY source, doc_id""".stripMargin,
 
     "q_decontaminate" ->
       s"""WITH t AS (SELECT doc_id, source, n_chars, $duckToks AS tk FROM documents),
