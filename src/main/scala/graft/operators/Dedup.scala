@@ -425,7 +425,7 @@ object Dedup {
     *    persist per call).
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
-      checkpointEvery: Int = 5): DataFrame = {
+      checkpointEvery: Int = 5, localThreshold: Long = 200000L): DataFrame = {
     // EAGER localCheckpoint, not persist — twice, each load-bearing:
     //  - `p` first: the symmetrization union below reads its input TWICE
     //    (two branches of the same plan, no exchange to reuse), so an
@@ -442,6 +442,28 @@ object Dedup {
     //    8 GB heap dead). Checkpoint leaves make round plans O(round),
     //    independent of input lineage depth.
     val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
+    // SMALL-GRAPH FAST PATH: below `localThreshold` edges the pair graph
+    // fits trivially on the driver, and the distributed loop's cost is
+    // pure JOB-SCHEDULING FLOOR — O(log d) rounds × (2 joins + 1 agg +
+    // 1 count action) of launch latency on near-empty partitions (~2.6 s
+    // idle at sf0.1 for q_dedup_cc_incremental, whose CONTRACTED graph is
+    // batch-sized by construction). Union-find-by-min on the collected
+    // edge list computes the IDENTICAL (id, min-reachable-id) labeling in
+    // one collect + one parallelize — the collect is bounded to
+    // `localThreshold` rows by the count guard (p is an eager checkpoint,
+    // so the count reads materialized blocks, not the caller's lineage).
+    // At real scale the guard fails and the pointer-jumping loop below
+    // runs unchanged — the 100 TB path is untouched; DedupSimilaritySpec
+    // asserts both paths equal driver union-find on the same graphs.
+    val idT = p.schema.fields(0).dataType
+    val integralIds = (idT == p.schema.fields(1).dataType) &&
+      (idT match {
+        case org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.ShortType => true
+        case _ => false
+      })
+    if (integralIds && p.count() <= localThreshold) return localCC(p, idT)
     val edges = p.select(col("id_a").as("id"), col("id_b").as("nbr"))
       .union(p.select(col("id_b").as("id"), col("id_a").as("nbr")))
       .repartition(col("nbr"))
@@ -491,6 +513,41 @@ object Dedup {
     // edges is a localCheckpoint leaf — its blocks free on GC (no
     // cacheManager entry to unpersist)
     result
+  }
+
+  /** Driver-local CC twin of the distributed loop: union-find with
+    * union-BY-MIN-root + path compression, so every root IS the min id of
+    * its component — exactly the distributed loop's fixpoint label. Input
+    * is bounded (≤ `localThreshold` edge rows — the caller's count guard),
+    * output preserves the caller's integral id type.
+    */
+  private def localCC(p: DataFrame,
+      idT: org.apache.spark.sql.types.DataType): DataFrame = {
+    val spark = p.sparkSession
+    import spark.implicits._
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (parent.get(c) != c) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    p.collect().foreach { row =>
+      if (!row.isNullAt(0) && !row.isNullAt(1)) {
+        val a = row.get(0).asInstanceOf[Number].longValue
+        val b = row.get(1).asInstanceOf[Number].longValue
+        parent.putIfAbsent(a, a)
+        parent.putIfAbsent(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra < rb) parent.put(rb, ra)
+        else if (rb < ra) parent.put(ra, rb)
+      }
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](parent.size)
+    parent.keySet.forEach(id => out += ((id, find(id))))
+    spark.createDataset(out.toSeq).toDF("id", "comp")
+      .select(col("id").cast(idT).as("id"), col("comp").cast(idT).as("comp"))
   }
 
   /** [[dedupKeepSet]] with full transitive closure: in every connected

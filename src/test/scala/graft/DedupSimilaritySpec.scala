@@ -135,10 +135,16 @@ class DedupSimilaritySpec extends SparkTestBase {
     val path = (1L until 40L).map(i => (i, i + 1))
     val cycle = Seq((100L, 101L), (101L, 102L), (102L, 100L))
     val pairs = (path ++ cycle).toDF("id_a", "id_b")
-    val cc = Dedup.connectedComponents(pairs).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert((1L to 40L).forall(cc(_) == 1L), s"path labels ${cc.filter(_._1 <= 40)}")
-    assert(Seq(100L, 101L, 102L).forall(cc(_) == 100L))
+    // both paths: the default hits the small-graph union-find fast path;
+    // localThreshold = 0 forces the distributed pointer-jumping loop
+    // (which this topology's diameter-39 chain specifically exercises)
+    for (thr <- Seq(200000L, 0L)) {
+      val cc = Dedup.connectedComponents(pairs, localThreshold = thr).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert((1L to 40L).forall(cc(_) == 1L),
+        s"thr=$thr path labels ${cc.filter(_._1 <= 40)}")
+      assert(Seq(100L, 101L, 102L).forall(cc(_) == 100L))
+    }
   }
 
   test("connectedComponents matches union-find on 30 random graphs (one run)") {
@@ -166,11 +172,16 @@ class DedupSimilaritySpec extends SparkTestBase {
     }
     val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
     val truth = nodes.map(v => v -> find(v)).toMap
-    val cc = Dedup.connectedComponents(edges.toDF("id_a", "id_b")).collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(cc.keySet == truth.keySet)
-    nodes.foreach(v => assert(cc(v) == truth(v),
-      s"node $v: cc=${cc(v)} truth=${truth(v)}"))
+    // default threshold = the driver union-find fast path; 0 = forced
+    // distributed pointer jumping — both must equal the oracle
+    for (thr <- Seq(200000L, 0L)) {
+      val cc = Dedup.connectedComponents(edges.toDF("id_a", "id_b"),
+        localThreshold = thr).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(cc.keySet == truth.keySet, s"thr=$thr")
+      nodes.foreach(v => assert(cc(v) == truth(v),
+        s"thr=$thr node $v: cc=${cc(v)} truth=${truth(v)}"))
+    }
   }
 
   test("incrementalCC over random edge splits equals a from-scratch recompute") {
