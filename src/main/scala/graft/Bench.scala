@@ -84,9 +84,10 @@ object Bench {
     "q_decontaminate_bloom", "q_bm25_topk", "q_bm25_serve",
     "q_corpus_pipeline_v2", "q_bm25_multi", "q_rank_fusion",
     "q_events_hopping", "q_mix_apportion",
-    // round-10 addition: the full intake funnel with budget admission
-    // (batch twin of the composed curationIntake loop)
-    "q_corpus_pipeline_v3")
+    // round-10 additions: the full intake funnel with budget admission
+    // (batch twin of the composed curationIntake loop) and the oracled
+    // drift-alarm batch twin
+    "q_corpus_pipeline_v3", "q_drift_alarm")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

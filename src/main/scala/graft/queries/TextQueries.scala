@@ -486,6 +486,44 @@ object TextQueries {
         .orderBy(col("source"))
     }),
 
+    // planted-batch twin of the streaming drift alarm (EventStreams.
+    // driftAlarmIntake), run through the REAL alarm building blocks:
+    // the reference histogram is fitLenHistogram over the trusted split
+    // (doc_id%4 != 0 — Laplace-smoothed, the persisted-artifact math)
+    // and each probe batch's (n_docs, jsd, alarm) row is jsdVsRef driver
+    // math over one bounded ≤21-cell aggregate, exactly what the intake
+    // computes per micro-batch. Planted batches: batch 0 (doc_id%8 == 4)
+    // is an in-profile sample (jsd 0.004-0.05 across fixture scales);
+    // batch 1 (doc_id%8 == 0 AND n_chars >= 400) is a long-docs-only
+    // supplier switch (jsd ~0.34) — tau = 0.15 sits mid-gap at every
+    // scale, so the alarm row is far from the threshold seam. alarm
+    // serialized as BIGINT 0/1 (sortability contract — no cross-engine
+    // bool hashing); jsd_r via the Spark round() convention all oracled
+    // floats use. Batch ≡ stream asserted in StreamingSpec against
+    // driftAlarmIntake over the same planted batches.
+    "q_drift_alarm" -> ((s, d) => {
+      val all = docs(s, d)
+      val ref = TextAnalysis.fitLenHistogram(
+        all.filter(pmod(col("doc_id"), lit(4)) =!= 0))
+      val batches = Seq(
+        0L -> all.filter(pmod(col("doc_id"), lit(8)) === 4),
+        1L -> all.filter(pmod(col("doc_id"), lit(8)) === 0 &&
+          col("n_chars") >= 400))
+      val rows = batches.map { case (bid, b) =>
+        val counts = b
+          .select(TextAnalysis.lenBucket(col("text")).as("bucket"))
+          .groupBy(col("bucket")).agg(count(lit(1)).as("c"))
+          .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+        val jsd = TextAnalysis.jsdVsRef(counts, ref)
+        (bid, counts.values.sum, jsd, if (jsd > 0.15) 1L else 0L)
+      }
+      import s.implicits._
+      rows.toDF("batch_id", "n_docs", "jsd", "alarm")
+        .select(col("batch_id"), col("n_docs"),
+          round(col("jsd"), 6).as("jsd_r"), col("alarm"))
+        .orderBy(col("batch_id"))
+    }),
+
     // token-budget shard packing (Mix.packByTokenBudget with arithmetic
     // hashes so the manifest reproduces in ANSI SQL): ~5000 chars per
     // shard across 8 salted streams; per-shard stats oracled exactly.
@@ -1626,6 +1664,43 @@ object TextQueries {
          |    (CASE WHEN c_sb > 0 THEN p * ln(p / ((p + q) / 2)) ELSE 0.0 END) * 0.5
          |    + q * ln(q / ((p + q) / 2)) * 0.5), 6) AS jsd_nats
          |FROM terms GROUP BY source ORDER BY source""".stripMargin,
+
+    // mirrors q_drift_alarm's driver math: Laplace-smoothed 21-cell
+    // reference over the trusted split, per-planted-batch JSD, alarm at
+    // tau = 0.15 (mid-gap at every fixture scale — see the query's
+    // calibration comment)
+    "q_drift_alarm" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, n_chars,
+         |    LEAST(CAST(FLOOR(CAST(len($duckToks) AS BIGINT) / 8.0) AS BIGINT), 20) AS bucket
+         |  FROM documents
+         |), ref AS (
+         |  SELECT bucket, COUNT(*) AS c FROM t WHERE doc_id % 4 <> 0 GROUP BY bucket
+         |), cells AS (SELECT unnest(range(21)) AS bucket),
+         |rq AS (
+         |  SELECT cells.bucket, (COALESCE(ref.c, 0) + 1.0) AS rc
+         |  FROM cells LEFT JOIN ref USING (bucket)
+         |), rz AS (SELECT SUM(rc) AS z FROM rq),
+         |b AS (
+         |  SELECT CASE WHEN doc_id % 8 = 4 THEN 0 ELSE 1 END AS batch_id, bucket
+         |  FROM t WHERE doc_id % 8 = 4 OR (doc_id % 8 = 0 AND n_chars >= 400)
+         |), bc AS (SELECT batch_id, bucket, COUNT(*) AS c FROM b GROUP BY 1, 2),
+         |bn AS (SELECT batch_id, COUNT(*) AS n FROM b GROUP BY 1),
+         |grid AS (
+         |  SELECT bn.batch_id, bn.n, rq.bucket, rq.rc / rz.z AS q,
+         |    COALESCE(bc.c, 0) / CAST(bn.n AS DOUBLE) AS p
+         |  FROM bn CROSS JOIN rq CROSS JOIN rz
+         |  LEFT JOIN bc ON bc.batch_id = bn.batch_id AND bc.bucket = rq.bucket
+         |), j AS (
+         |  SELECT batch_id, MAX(n) AS n_docs,
+         |    SUM((CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2)) ELSE 0.0 END) * 0.5
+         |      + q * ln(q / ((p + q) / 2)) * 0.5) AS jsd
+         |  FROM grid GROUP BY batch_id
+         |)
+         |SELECT CAST(batch_id AS BIGINT) AS batch_id, n_docs,
+         |  ROUND(jsd, 6) AS jsd_r,
+         |  CAST(CASE WHEN jsd > 0.15 THEN 1 ELSE 0 END AS BIGINT) AS alarm
+         |FROM j ORDER BY batch_id""".stripMargin,
 
     "q_dedup_exact" ->
       """SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,

@@ -1007,6 +1007,49 @@ class StreamingSpec extends SparkTestBase {
     assert(rows(1)._3 == want, s"stream jsd ${rows(1)._3} != batch $want")
   }
 
+  test("q_drift_alarm batch twin ≡ driftAlarmIntake over the same planted batches") {
+    // the oracled batch twin and the streaming loop must agree row for
+    // row when the intake is fed exactly the twin's planted batches:
+    // batch 0 = in-profile sample (doc_id%8 == 4), batch 1 = long-docs
+    // supplier switch (doc_id%8 == 0 AND n_chars >= 400), reference fit
+    // on the trusted split (doc_id%4 != 0) — all over the real fixture
+    implicit val sc = spark.sqlContext
+    import graft.operators.TextAnalysis
+    val d = "/root/testdata/sf0.001"
+    val all = graft.Tables.documents(spark, d)
+    val ref = TextAnalysis.fitLenHistogram(
+      all.filter(pmod(col("doc_id"), lit(4)) =!= 0))
+    def planted(bid: Long) = all
+      .filter(if (bid == 0L) pmod(col("doc_id"), lit(8)) === 4
+        else pmod(col("doc_id"), lit(8)) === 0 && col("n_chars") >= 400)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => EventStreams.Doc(r.getLong(0), ts(r.getLong(0).toInt % 60),
+        r.getString(1)))
+    val sinkDir = java.nio.file.Files.createTempDirectory("graft_drift_twin").toString
+    val mem = MemoryStream[EventStreams.Doc]
+    val q = EventStreams.driftAlarmIntake(mem.toDF(), ref, sinkDir, tau = 0.15).start()
+    try {
+      mem.addData(planted(0L): _*)
+      q.processAllAvailable()
+      mem.addData(planted(1L): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val stream = spark.read.parquet(sinkDir)
+      .select(col("batch_id"), col("n_docs"), col("jsd_r"), col("alarm"))
+      .as[(Long, Long, Double, Boolean)].collect().sortBy(_._1)
+    val twin = graft.SparkEntry.queries("q_drift_alarm")(spark, d)
+      .as[(Long, Long, Double, Long)].collect().sortBy(_._1)
+    assert(stream.length == 2 && twin.length == 2)
+    stream.zip(twin).foreach { case ((sb, sn, sj, sa), (tb, tn, tj, ta)) =>
+      assert(sb == tb && sn == tn, s"batch/count: stream ($sb,$sn) twin ($tb,$tn)")
+      // intake rounds via math.rint, the twin via Spark round() — equal
+      // except at exact 6dp half boundaries, so compare at the seam width
+      assert(math.abs(sj - tj) <= 1e-6, s"jsd: stream $sj twin $tj")
+      assert(sa == (ta == 1L), s"alarm: stream $sa twin $ta")
+    }
+    assert(twin(0)._4 == 0L && twin(1)._4 == 1L, s"planted alarms: ${twin.toSeq}")
+  }
+
   test("BM25 relevance gate on a doc stream: map-only, batch ≡ stream") {
     // relevance member of the intake-gate family: corpus stats fit in
     // batch (fitBm25), score serves as one aggregate-HOF pass — no
