@@ -87,7 +87,7 @@ object Bench {
     // round-10 additions: the full intake funnel with budget admission
     // (batch twin of the composed curationIntake loop) and the oracled
     // drift-alarm batch twin
-    "q_corpus_pipeline_v3", "q_drift_alarm")
+    "q_corpus_pipeline_v3", "q_drift_alarm", "q_bm25_table")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

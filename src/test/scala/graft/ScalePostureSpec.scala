@@ -265,6 +265,28 @@ class ScalePostureSpec extends SparkTestBase {
     }
   }
 
+  test("q_bm25_table: one full-corpus (doc,term) exchange, all query-side joins broadcast") {
+    // serving path: exactly ONE computed (doc_id, term) exchange — the
+    // corpus tokenizes once; dfq (and the stats dl-fork) must read it
+    // via ReusedExchange. The query-table fit reads its own bounded 10%
+    // sample (the fit discipline), and every join of the matched subset
+    // against query-side relations (qv, dfq, stats, total) must
+    // broadcast: a SortMergeJoin here would mean the corpus shuffles
+    // for a |queries|-sized relation.
+    val df = SparkEntry.queries("q_bm25_table")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    assert(!p.contains("SortMergeJoin"),
+      s"query-side joins must broadcast:\n${p.take(3000)}")
+    val reused = "ReusedExchange".r.findAllIn(p).length
+    val t1Ex = p.linesIterator
+      .filterNot(_.contains("ReusedExchange"))
+      .count(l => l.contains("Exchange hashpartitioning(doc_id#") &&
+        l.contains(", term#"))
+    assert(reused >= 1 && t1Ex == 1,
+      s"corpus must shuffle on (doc,term) exactly once (reused=$reused, computed=$t1Ex):\n${p.take(3000)}")
+  }
+
   test("curation-analytics plans: broadcast stats, single shuffles, shuffle-free serving") {
     // q_dsir_weights: the LM + constants must reach the scoring pass as
     // broadcasts (never a sort-merge on `tri`), and the conditional-count
