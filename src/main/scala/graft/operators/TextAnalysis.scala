@@ -225,13 +225,27 @@ object TextAnalysis {
     * caches leak.
     */
   def bpeMerges(vocab: DataFrame, rounds: Int,
-      wordCol: String = "w", freqCol: String = "freq"): DataFrame = {
+      wordCol: String = "w", freqCol: String = "freq",
+      localThreshold: Long = 200000L): DataFrame = {
     val spark = vocab.sparkSession
     import spark.implicits._
     var syms = vocab
       .select(split(col(wordCol), "").as("syms"), col(freqCol).cast("long").as("freq"))
       .filter(size(col("syms")) > 0)
       .localCheckpoint(true)
+    // SMALL-VOCAB FAST PATH (the connectedComponents discipline): below
+    // `localThreshold` words, `rounds` × (pair-explode + agg + top-1
+    // action + checkpoint rewrite) is pure job-scheduling floor — the
+    // driver loop computes the IDENTICAL merge table from the collected
+    // vocabulary (bounded by the count guard; the count reads the eager
+    // checkpoint). The symbols collected are the SAME Spark-split
+    // arrays, and the top-pair tiebreak compares by unsigned UTF-8
+    // bytes — exactly Spark's string sort order — so the paths can't
+    // diverge on split semantics or non-ASCII ordering (TextSpec
+    // asserts both paths equal the independent reference BPE). Above
+    // the guard the distributed rounds run unchanged: at real scale the
+    // vocabulary is the bounded-but-large relation the loop exists for.
+    if (syms.count() <= localThreshold) return localBpe(syms, rounds)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
     var r = 1
     var exhausted = false
@@ -256,6 +270,68 @@ object TextAnalysis {
       }
     }
     merges.toSeq.toDF("round", "left", "right", "merged", "pair_freq")
+  }
+
+  /** Driver-local BPE twin of the distributed merge rounds, fed the
+    * SAME Spark-split symbol arrays (bounded ≤ `localThreshold` rows by
+    * the caller's count guard). Pair counts weighted by word freq,
+    * argmax tiebreak (freq desc, left asc, right asc) compared by
+    * UNSIGNED UTF-8 BYTES — Spark's binary string order — and greedy
+    * left-to-right non-overlapping merge ([[mergePairIn]] semantics).
+    */
+  private def localBpe(syms: DataFrame, rounds: Int): DataFrame = {
+    val spark = syms.sparkSession
+    import spark.implicits._
+    // Spark string sort order = unsigned UTF-8 byte order; using Java's
+    // UTF-16 compareTo here could flip a non-ASCII tiebreak vs the
+    // distributed path
+    def bytesLt(x: String, y: String): Boolean = {
+      val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      while (i < a.length && i < b.length) {
+        val d = (a(i) & 0xff) - (b(i) & 0xff)
+        if (d != 0) return d < 0
+        i += 1
+      }
+      a.length < b.length
+    }
+    def mergeGreedy(w: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < w.length) {
+        if (i < w.length - 1 && w(i) == a && w(i + 1) == b) {
+          out += (a + b); i += 2
+        } else { out += w(i); i += 1 }
+      }
+      out.result()
+    }
+    var words = syms.collect()
+      .map(r => (r.getSeq[String](0).toVector, r.getLong(1)))
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        .withDefaultValue(0L)
+      for ((w, f) <- words; i <- 0 until w.length - 1)
+        counts((w(i), w(i + 1))) += f
+      if (counts.isEmpty) exhausted = true
+      else {
+        var best: ((String, String), Long) = null
+        counts.foreach { c =>
+          if (best == null || c._2 > best._2 ||
+            (c._2 == best._2 && (bytesLt(c._1._1, best._1._1) ||
+              (c._1._1 == best._1._1 && bytesLt(c._1._2, best._1._2)))))
+            best = c
+        }
+        val ((a, b), pf) = best
+        merges += ((r.toLong, a, b, a + b, pf))
+        words = words.map { case (w, f) => (mergeGreedy(w, a, b), f) }
+        r += 1
+      }
+    }
+    merges.result().toDF("round", "left", "right", "merged", "pair_freq")
   }
 
   /** Mean trigram log-probability of `text` under a trained LM, as ONE

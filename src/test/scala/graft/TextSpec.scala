@@ -70,16 +70,20 @@ class TextSpec extends SparkTestBase {
     // wins; round 2: (es,t) 9; round 3: (l,o) 7; round 4: (lo,w) 7.
     val vocab = Seq(("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
       .toDF("w", "freq")
-    val got = TextAnalysis.bpeMerges(vocab, rounds = 4)
-      .orderBy(col("round"))
-      .collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
-      .toSeq
-    assert(got == Seq(
-      (1L, "e", "s", "es", 9L),
-      (2L, "es", "t", "est", 9L),
-      (3L, "l", "o", "lo", 7L),
-      (4L, "lo", "w", "low", 7L)))
+    // both paths: default threshold = driver fast path, 0 = forced
+    // distributed merge rounds
+    for (thr <- Seq(200000L, 0L)) {
+      val got = TextAnalysis.bpeMerges(vocab, rounds = 4, localThreshold = thr)
+        .orderBy(col("round"))
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+        .toSeq
+      assert(got == Seq(
+        (1L, "e", "s", "es", 9L),
+        (2L, "es", "t", "est", 9L),
+        (3L, "l", "o", "lo", 7L),
+        (4L, "lo", "w", "low", 7L)), s"thr=$thr")
+    }
   }
 
   test("bpeMerges stops when no pairs remain") {
@@ -232,8 +236,15 @@ class TextSpec extends SparkTestBase {
       .collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
       .toSeq
-    assert(got == want, s"distributed merges $got != reference $want")
+    assert(got == want, s"bpeMerges (fast path at this vocab size) $got != reference $want")
     assert(got.length == 10, "fixture corpus supports 10 merge rounds")
+    // forced-distributed leg: the merge rounds must produce the same
+    // table as the driver fast path and the independent reference
+    val dist = TextAnalysis.bpeMerges(vocabDf, rounds = 10, localThreshold = 0L)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+      .toSeq
+    assert(dist == want, s"distributed merges $dist != reference $want")
   }
 
   test("q_bm25_topk: BM25 ranking properties on the real fixture") {
