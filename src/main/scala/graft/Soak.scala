@@ -88,8 +88,14 @@ object Soak {
       "exact_dedup" -> (() => noop(Dedup.exactDedup(docs))),
       "minhash_pairs" -> (() => noop(
         Dedup.bucketPairs(Dedup.minhashBuckets(docs)))),
+      // default guard: local union-find below 200k edges (x1/x3 here),
+      // distributed pointer jumping above (x10 crosses the guard)
       "dedup_cc" -> (() => noop(Dedup.connectedComponents(
         Dedup.bucketPairs(Dedup.minhashBuckets(docs))))),
+      // forced-distributed twin: the apples-to-apples time-vs-scale
+      // curve of the 100 TB path, unmixed with the guard crossover
+      "dedup_cc_dist" -> (() => noop(Dedup.connectedComponents(
+        Dedup.bucketPairs(Dedup.minhashBuckets(docs)), localThreshold = 0L))),
       "decontam_bloom" -> (() => noop(
         TextAnalysis.decontaminateBloom(docs, bench))),
       "corpus_pipeline" -> (() => {
@@ -105,7 +111,12 @@ object Soak {
       }),
       "ann_brute" -> (() => noop(
         Similarity.bruteForceTopK(emb, queries, 10))),
-      "ann_ivfpq_fit" -> (() => { ivfModels(emb); () }),
+      // the fit line REFITS every timing run (a memo hit would time ~0
+      // under median-of-N) and refreshes the cache the apply line serves
+      "ann_ivfpq_fit" -> (() => {
+        ivfCache(System.identityHashCode(emb).toLong) = Similarity.fitIvfPq(emb)
+        ()
+      }),
       "ann_ivfpq_apply" -> (() => noop(Similarity.ivfPqApply(
         emb, queries, 10, ivfModels(emb)))))
 
@@ -115,7 +126,19 @@ object Soak {
       try f() catch { case e: Throwable =>
         System.err.println(s"[soak] warmup $n failed: ${e.getMessage}") }
     }
+    // warm the DISTRIBUTED CC path too: at scale 1 (and 3) the pair
+    // graph sits under connectedComponents' local union-find guard, so
+    // without this the first distributed pointer-jumping run — and its
+    // whole-stage-codegen compilation — would land inside the x10 timing
+    try noop(Dedup.connectedComponents(
+      Dedup.bucketPairs(Dedup.minhashBuckets(wd)), localThreshold = 0L))
+    catch { case e: Throwable =>
+      System.err.println(s"[soak] warmup dedup_cc_dist failed: ${e.getMessage}") }
 
+    // per-family median-of-N (the Bench discipline — single-run soak
+    // numbers at x10 swung up to 5× with machine noise; the median is
+    // the comparable unit). SPARK_GRAFT_SOAK_RUNS overrides (default 3).
+    val runs = sys.env.getOrElse("SPARK_GRAFT_SOAK_RUNS", "3").toInt
     val results = scala.collection.mutable.LinkedHashMap
       .empty[String, scala.collection.mutable.LinkedHashMap[Int, Double]]
     val rowCounts = scala.collection.mutable.LinkedHashMap.empty[Int, (Long, Long)]
@@ -123,14 +146,17 @@ object Soak {
       val (d, e) = materialize("soak", n)
       rowCounts(n) = (d.count(), e.count())
       families(d, e).foreach { case (name, f) =>
-        val t0 = System.nanoTime()
-        val ok = try { f(); true } catch { case ex: Throwable =>
-          System.err.println(s"[soak] x$n $name failed: ${ex.getMessage}"); false }
-        val secs = (System.nanoTime() - t0) / 1e9
+        val secs = (1 to runs).flatMap { _ =>
+          val t0 = System.nanoTime()
+          try { f(); Some((System.nanoTime() - t0) / 1e9) }
+          catch { case ex: Throwable =>
+            System.err.println(s"[soak] x$n $name failed: ${ex.getMessage}"); None }
+        }
+        val med = if (secs.isEmpty) -1.0 else secs.sorted.apply(secs.length / 2)
         results.getOrElseUpdate(name,
           scala.collection.mutable.LinkedHashMap.empty)(n) =
-          if (ok) math.rint(secs * 1000) / 1000 else -1.0
-        System.err.println(f"[soak] x$n $name%-16s ${if (ok) secs else -1.0}%.2f s")
+          if (med >= 0) math.rint(med * 1000) / 1000 else -1.0
+        System.err.println(f"[soak] x$n $name%-16s $med%.2f s (median of ${secs.length})")
       }
     }
 
