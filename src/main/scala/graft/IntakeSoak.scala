@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming-intake soak: per-batch wall time of the COMPOSED
+  * [[graft.streaming.EventStreams.curationIntake]] loop as the admitted
+  * corpus (sink + exact-dedup index) grows — the measured twin of the
+  * batch-family scale soak in [[Soak]]. The 100 TB streaming claim is
+  * that per-batch cost tracks the BATCH, not the cumulative corpus:
+  * the quality/relevance/bloom gates are stateless per row, the dedup
+  * state is watermark-bounded, the index anti-join is ids-only, and
+  * the budget ledger is |sources| driver longs. A per-batch time curve
+  * that stays flat while the index multiplies is that claim, measured.
+  *
+  * Feed: `batches` re-keyed copies of the full sf documents table
+  * (copy i suffixed " copy i", so every batch is novel content — all
+  * hashes distinct, state grows by ~the admitted batch each tick);
+  * timestamps advance one hour per batch so the 2-hour watermark keeps
+  * the in-stream dedup state bounded by design, exactly the deployment
+  * contract. Budget targets are set far above the feed so the budget
+  * PATH (per-source ledger update) is exercised every batch without
+  * capping admissions.
+  *
+  * Prints ONE JSON line:
+  * `{"intake":{"sf":...,"batch_docs":N,"batches":K,
+  *   "per_batch_s":[...],"admitted":[...],"index_rows_final":M}}`
+  */
+object IntakeSoak {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nBatches = sys.env.getOrElse("SPARK_GRAFT_INTAKE_BATCHES", "10").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.TextAnalysis
+    import graft.streaming.EventStreams
+
+    val docs0 = Tables.documents(spark, sfDir)
+    // fit-once reference state (the wiring contract: models ride the
+    // closure, never refit in the loop)
+    val quality = TextAnalysis.fitQualityLr(docs0,
+      TextAnalysis.qualityScore(col("text")) >= 0.77)
+    val bm25 = TextAnalysis.fitBm25(docs0, Seq("query", "stream", "vector", "hash"))
+    val ref = TextAnalysis.fitLenHistogram(docs0)
+    val bench = docs0.orderBy(col("doc_id")).limit(50)
+      .select(col("doc_id"), col("text"))
+
+    // the feed: one bounded collect of the fixture (sf0.1 = 5000 rows),
+    // re-keyed + suffixed per batch so every batch is novel content
+    val base = docs0.select(col("doc_id"), col("source"), col("text"))
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def batchDocs(i: Int): Seq[EventStreams.SourcedDoc] = base.toSeq.map {
+      case (id, src, text) =>
+        EventStreams.SourcedDoc(id + i.toLong * 100000000L,
+          java.sql.Timestamp.valueOf(f"2024-01-01 ${i}%02d:00:00"),
+          src, if (i == 0) text else s"$text copy $i")
+    }
+    val sources = base.map(_._2).distinct
+    val targets = Some(sources.map(s => s -> 100000000L).toMap)
+
+    val tmp = java.nio.file.Files.createTempDirectory("graft_intake_soak").toString
+    val indexDir = s"$tmp/index"; val sinkDir = s"$tmp/sink"
+    val ledgerDir = s"$tmp/ledger"
+    // seed the index (resolveLive's flat-dir contract)
+    Seq("__seed__").toDF("text").select(md5(col("text")).as("content_hash"))
+      .write.parquet(indexDir)
+
+    // untimed warmup: one full wire + batch cycle on copy-of-batch-0
+    // content into a THROWAWAY sink/index absorbs JIT/codegen before the
+    // timed loop (the Bench/Soak discipline)
+    locally {
+      val wtmp = java.nio.file.Files.createTempDirectory("graft_intake_warm").toString
+      Seq("__seed__").toDF("text").select(md5(col("text")).as("content_hash"))
+        .write.parquet(s"$wtmp/index")
+      val mem = MemoryStream[EventStreams.SourcedDoc]
+      val q = EventStreams.curationIntake(mem.toDF(), quality, 0.2, bm25, 0.0,
+        bench, ref, 0.5, targets, s"$wtmp/index", s"$wtmp/sink",
+        s"$wtmp/ledger").start()
+      try { mem.addData(batchDocs(0): _*); q.processAllAvailable() }
+      finally q.stop()
+    }
+
+    val mem = MemoryStream[EventStreams.SourcedDoc]
+    val q = EventStreams.curationIntake(mem.toDF(), quality, 0.2, bm25, 0.0,
+      bench, ref, 0.5, targets, indexDir, sinkDir, ledgerDir).start()
+    val perBatch = new scala.collection.mutable.ArrayBuffer[Double]
+    try {
+      (0 until nBatches).foreach { i =>
+        val t0 = System.nanoTime()
+        mem.addData(batchDocs(i): _*)
+        q.processAllAvailable()
+        val secs = (System.nanoTime() - t0) / 1e9
+        perBatch += math.rint(secs * 1000) / 1000
+        System.err.println(f"[intake] batch $i%2d  $secs%.2f s")
+      }
+    } finally q.stop()
+
+    val admitted = spark.read.parquet(ledgerDir)
+      .orderBy(col("batch_id")).select(col("n_admitted"))
+      .collect().map(_.getLong(0))
+    val indexRows = spark.read.parquet(indexDir).count()
+    println(s"""{"intake":{"sf":"$sfDir","batch_docs":${base.length},""" +
+      s""""batches":$nBatches,"per_batch_s":[${perBatch.mkString(",")}],""" +
+      s""""admitted":[${admitted.mkString(",")}],"index_rows_final":$indexRows}}""")
+    spark.stop()
+  }
+}
