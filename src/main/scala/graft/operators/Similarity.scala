@@ -207,11 +207,26 @@ object Similarity {
     val dsub = dim / m
     val pinned = fitInput(corpus, vecCol).persist()
     try {
-      (0 until m).toArray.map { s =>
+      parSubspaceFits(m, s =>
         fitKmeans(pinned.select(slice(col("__v"), s * dsub + 1, dsub).as("__v")),
-          nCentroids, seed + s)
-      }
+          nCentroids, seed + s))
     } finally pinned.unpersist()
+  }
+
+  /** Run the `m` independent per-subspace KMeans fits CONCURRENTLY:
+    * each fit is a pure function of (its slice of the pinned sample,
+    * its seed), so scheduling order cannot change the codebooks —
+    * concurrency only overlaps the per-fit Spark job-submission floor
+    * (9 sequential MLlib fits cost ~8 s of mostly scheduling at the
+    * bounded sample size; overlapped they share it).
+    */
+  private def parSubspaceFits(m: Int,
+      fit: Int => Array[Array[Float]]): Array[Array[Array[Float]]] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(
+      Future.sequence((0 until m).toList.map(s => Future(fit(s)))),
+      scala.concurrent.duration.Duration.Inf).toArray
   }
 
   // ---- PQ building blocks (shared by pqTopK and ivfPqTopK) ----
@@ -355,10 +370,9 @@ object Similarity {
       // residuals of the pinned sample: map-only projection, order
       // preserved — the subspace fits stay deterministic
       val resid = pinned.select(residual(cents, col("__v")).as("__v"))
-      val books = (0 until m).toArray.map { s =>
+      val books = parSubspaceFits(m, s =>
         fitKmeans(resid.select(slice(col("__v"), s * dsub + 1, dsub).as("__v")),
-          nCentroids, seed + 1 + s)
-      }
+          nCentroids, seed + 1 + s))
       IvfPqModel(cents, books)
     } finally pinned.unpersist()
   }
