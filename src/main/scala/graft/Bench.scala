@@ -87,7 +87,11 @@ object Bench {
     // round-10 additions: the full intake funnel with budget admission
     // (batch twin of the composed curationIntake loop) and the oracled
     // drift-alarm batch twin
-    "q_corpus_pipeline_v3", "q_drift_alarm", "q_bm25_table")
+    "q_corpus_pipeline_v3", "q_drift_alarm", "q_bm25_table",
+    // round-10 late additions: iterative PageRank, Z-order layout
+    // clustering, SCD2 interval build, and the salted/bucketed join twins
+    "q_pagerank", "q_zorder_cluster", "q_scd2_intervals",
+    "q_join_salted", "q_join_bucketed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

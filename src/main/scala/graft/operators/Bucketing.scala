@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed-table co-location — the storage-level shuffle eliminator.
+  *
+  * A fact⋈fact equi-join (lineitem⋈orders on orderkey) can never
+  * broadcast at 100 TB; the default plan shuffles BOTH sides on the key,
+  * every time any query joins them. Writing each side ONCE as a bucketed
+  * table (`bucketBy(n, key).sortBy(key)`) pre-hashes rows into n
+  * key-colocated buckets at rest, so every subsequent join or aggregate
+  * on that key reads both sides already co-partitioned: the scan itself
+  * reports `HashPartitioning(key, n)` and the sort-merge join planner
+  * drops the Exchange on both sides. Amortized over a query fleet this
+  * is the single biggest shuffle saver a warehouse layout offers
+  * (bucket counts must MATCH across tables meant to join; pick n as a
+  * divisor-friendly multiple of the cluster's parallelism).
+  *
+  * Tables are external (explicit `path`), so the parquet outlives the
+  * session catalog; re-registration after a restart is one idempotent
+  * [[ensureBucketedTable]] call per table.
+  */
+object Bucketing {
+
+  /** Idempotently create bucketed table `table` at `path` from `df`
+    * (no-op when the session catalog already has it). Returns `table`.
+    */
+  def ensureBucketedTable(s: SparkSession, df: => DataFrame, table: String,
+                          path: String, key: String,
+                          buckets: Int = 8): String = {
+    if (!s.catalog.tableExists(table)) {
+      df.write.mode("overwrite").format("parquet")
+        .bucketBy(buckets, key).sortBy(key)
+        .option("path", path).saveAsTable(table)
+    }
+    table
+  }
+}

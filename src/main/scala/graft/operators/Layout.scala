@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data-layout clustering (Z-order / Morton curves).
+  *
+  * At 100 TB, min/max file statistics only prune scans when the data is
+  * CLUSTERED on the filter columns; a single-column sort clusters one
+  * dimension and destroys the other. Interleaving the bits of two
+  * bounded dimensions into one sort key (the Delta/Iceberg `OPTIMIZE
+  * ZORDER BY` idea) keeps every written file's (x, y) bounding box
+  * small, so a predicate on EITHER column skips most files.
+  *
+  * Everything here is pure codegen'd column arithmetic (shift/and/or) —
+  * no UDFs — so the z-value computes inside the scan's whole-stage
+  * codegen and the layout write is one `repartitionByRange` on it.
+  */
+object Layout {
+
+  /** Morton interleave of the low `bits` bits of two non-negative
+    * integer columns: bit i of `x` lands at position 2i, bit i of `y`
+    * at 2i+1. Callers bound the inputs (e.g. `pmod(col, 1 << bits)`);
+    * 2·bits must stay < 63.
+    */
+  def zvalue(x: Column, y: Column, bits: Int): Column = {
+    require(bits > 0 && 2 * bits < 63, s"bits out of range: $bits")
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+  }
+
+  /** The DuckDB-SQL twin of [[zvalue]] over column expressions `x`/`y` —
+    * generated, not hand-kept, so the two engines can't drift.
+    */
+  def zvalueSql(x: String, y: String, bits: Int): String =
+    (0 until bits).flatMap(i => Seq(
+      s"((($x >> $i) & 1) << ${2 * i})",
+      s"((($y >> $i) & 1) << ${2 * i + 1})")).mkString(" | ")
+
+  /** Write `df` clustered on the z-value of `(xCol, yCol)`: range
+    * partitioning on the z-key gives each output file a tight (x, y)
+    * bounding box, which is exactly what parquet min/max pruning needs.
+    */
+  def zorderWrite(df: DataFrame, xCol: String, yCol: String, bits: Int,
+                  nFiles: Int, outDir: String): Unit =
+    df.withColumn("__z", zvalue(col(xCol), col(yCol), bits))
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(outDir)
+}

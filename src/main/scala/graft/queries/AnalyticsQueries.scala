@@ -953,6 +953,48 @@ object AnalyticsQueries {
       t(s, d, "lineitem").agg(
         hll_sketch_estimate(hll_sketch_agg(col("l_partkey"))).as("est_parts"),
         hll_sketch_estimate(hll_sketch_agg(col("l_suppkey"))).as("est_supps"))
+    }),
+
+    // PageRank (5 fixed power-iteration rounds, damping 0.85) over the
+    // symmetric customer↔supplier trade graph mined from orders⋈lineitem.
+    // Each round is one |edges|-shuffle + one map-side-combined groupBy —
+    // the canonical iterative-analytics workload (Graph.pageRank). The
+    // oracle is the SAME recurrence unrolled into 5 generated SQL CTEs,
+    // so the iteration math is witnessed end-to-end; final ranks rounded
+    // 6dp (double-sum addition-order seam, SCALING.md contract).
+    "q_pagerank" -> ((s, d) => {
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("c"),
+          concat(lit("s"), col("l_suppkey")).as("s"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+        .union(pairs.select(col("s").as("src"), col("c").as("dst")))
+      graft.operators.Graph.pageRank(edges, iterations = 5, damping = 0.85)
+        .select(col("node"), round(col("rank"), 6).as("rank_r"))
+        .orderBy(col("node"))
+    }),
+
+    // Z-order layout clustering: Morton-interleave (l_partkey, l_suppkey)
+    // mod 1024 into one sort key and report each of the 64 coarse
+    // z-ranges' (x, y) bounding box — the per-file min/max stats a
+    // z-clustered write (Layout.zorderWrite) would give parquet pruning
+    // on EITHER dimension. Pure codegen'd bit arithmetic; the oracle's
+    // interleave expression is GENERATED from the same spec
+    // (Layout.zvalueSql), so the bit layout can't drift between engines.
+    "q_zorder_cluster" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(
+        pmod(col("l_partkey"), lit(1024L)).cast("long").as("x"),
+        pmod(col("l_suppkey"), lit(1024L)).cast("long").as("y"))
+      li.withColumn("zbucket",
+          shiftright(graft.operators.Layout.zvalue(col("x"), col("y"), 10), 14)
+            .cast("long"))
+        .groupBy(col("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).as("x_min"), max(col("x")).as("x_max"),
+          min(col("y")).as("y_min"), max(col("y")).as("y_max"))
+        .orderBy(col("zbucket"))
     })
   )
 
@@ -1518,6 +1560,56 @@ object AnalyticsQueries {
       s"""WITH ${Tables.ratingsSql}
          |SELECT userId, COUNT(*) AS n,
          |  ROUND(SUM(rating)/COUNT(*), 6) AS avg_rating
-         |FROM ratings GROUP BY userId ORDER BY userId""".stripMargin
+         |FROM ratings GROUP BY userId ORDER BY userId""".stripMargin,
+
+    "q_pagerank" -> pagerankOracle,
+
+    "q_zorder_cluster" ->
+      s"""WITH b AS (
+         |  SELECT l_partkey % 1024 AS x, l_suppkey % 1024 AS y FROM lineitem
+         |), z AS (
+         |  SELECT x, y, ${graft.operators.Layout.zvalueSql("x", "y", 10)} AS zv FROM b
+         |)
+         |SELECT CAST(zv >> 14 AS BIGINT) AS zbucket, COUNT(*) AS n,
+         |  MIN(x) AS x_min, MAX(x) AS x_max, MIN(y) AS y_min, MAX(y) AS y_max
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
   )
+
+  /** The [[graft.operators.Graph.pageRank]] recurrence unrolled into
+    * generated CTEs (r1..r5), one per iteration — generated from the same
+    * (iterations, damping) spec as the Spark side so the two can't drift.
+    * Literals are CAST AS DOUBLE and the teleport term is computed as
+    * `(1 - damping)` IN DOUBLE on both engines (the Scala side computes
+    * `(1.0 - 0.85) / n`, and `1 - 0.85` differs from a literal `0.15` by
+    * one ulp — mirroring the arithmetic, not the decimal text, is what
+    * keeps the 6dp rounding seam safe).
+    */
+  private def pagerankOracle: String = {
+    val iters = 5
+    val n = "(SELECT n FROM nn)"
+    val damp = "CAST(0.85 AS DOUBLE)"
+    val body = (1 to iters).map { k =>
+      s""", r$k AS (
+         |  SELECT nd.node,
+         |    (CAST(1 AS DOUBLE) - $damp)/$n + $damp*COALESCE(sm.in_sum, CAST(0 AS DOUBLE)) AS rank
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.dst AS node, SUM(p.rank / dg.out_deg) AS in_sum
+         |    FROM edges e JOIN r${k - 1} p ON e.src = p.node
+         |    JOIN deg dg ON e.src = dg.src
+         |    GROUP BY e.dst) sm ON nd.node = sm.node)""".stripMargin
+    }.mkString
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+       |                  's' || CAST(l_suppkey AS VARCHAR) AS s
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |), edges AS (
+       |  SELECT c AS src, s AS dst FROM pairs
+       |  UNION ALL SELECT s AS src, c AS dst FROM pairs
+       |), nodes AS (SELECT DISTINCT src AS node FROM edges
+       |), nn AS (SELECT COUNT(*) AS n FROM nodes
+       |), deg AS (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src
+       |), r0 AS (SELECT node, CAST(1 AS DOUBLE)/$n AS rank FROM nodes)""".stripMargin +
+      body +
+      s"\nSELECT node, ROUND(rank, 6) AS rank_r FROM r$iters ORDER BY node"
+  }
 }

@@ -1,0 +1,154 @@
+package graft
+
+import graft.operators.{Graph, Layout}
+import org.apache.spark.sql.functions._
+
+/** Round-10 operator families: power-iteration PageRank, Z-order layout
+  * clustering, the SCD2 interval build, and the salted/bucketed join
+  * twins — invariants the DuckDB oracles can't express (probability mass
+  * conservation, Morton tile geometry, file-layout disjointness).
+  */
+class GraphLayoutSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  // ---- PageRank ----
+
+  private def ranksOf(edges: Seq[(String, String)]): Map[String, Double] = {
+    val sym = edges ++ edges.map { case (a, b) => (b, a) }
+    Graph.pageRank(sym.toDF("src", "dst"), iterations = 20)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+  }
+
+  test("pageRank: symmetric pair splits mass evenly; total mass conserved") {
+    val r = ranksOf(Seq(("a", "b")))
+    assert(math.abs(r("a") - 0.5) < 1e-12 && math.abs(r("b") - 0.5) < 1e-12)
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+  }
+
+  test("pageRank: 4-cycle is uniform; star center outranks leaves") {
+    val cyc = ranksOf(Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")))
+    cyc.values.foreach(v => assert(math.abs(v - 0.25) < 1e-12))
+    val star = ranksOf(Seq(("hub", "l1"), ("hub", "l2"), ("hub", "l3")))
+    assert(star("hub") > star("l1") * 2,
+      s"hub should dominate: $star")
+    Seq("l1", "l2", "l3").combinations(2).foreach { case Seq(x, y) =>
+      assert(math.abs(star(x) - star(y)) < 1e-12) // leaf symmetry
+    }
+    assert(math.abs(star.values.sum - 1.0) < 1e-9)
+  }
+
+  test("q_pagerank: mass sums to 1 and both node namespaces surface") {
+    val out = SparkEntry.queries("q_pagerank")(spark, sf).collect()
+    val mass = out.map(_.getDouble(1)).sum
+    assert(math.abs(mass - 1.0) < 1e-3, s"mass=$mass") // 6dp-rounded ranks
+    val kinds = out.map(_.getString(0).take(1)).toSet
+    assert(kinds == Set("c", "s"))
+  }
+
+  // ---- Z-order ----
+
+  test("zvalue matches a driver-side reference interleave") {
+    def ref(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L) { (acc, i) =>
+        acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }
+    val rnd = new scala.util.Random(42)
+    val pts = Seq.fill(200)((rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong))
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"), Layout.zvalue(col("x"), col("y"), 10).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    pts.foreach { case (x, y) => assert(got((x, y)) == ref(x, y, 10)) }
+  }
+
+  test("q_zorder_cluster: every coarse z-range is a 128x128 Morton tile") {
+    // a contiguous 2^14 z-range over 10+10 interleaved bits is an ALIGNED
+    // 2^7 x 2^7 tile — the bbox bound that makes min/max pruning work on
+    // either dimension
+    SparkEntry.queries("q_zorder_cluster")(spark, sf).collect().foreach { r =>
+      assert(r.getLong(3) - r.getLong(2) <= 127, r.toString) // x span
+      assert(r.getLong(5) - r.getLong(4) <= 127, r.toString) // y span
+      assert(r.getLong(2) / 128 == r.getLong(3) / 128) // tile-aligned
+      assert(r.getLong(4) / 128 == r.getLong(5) / 128)
+    }
+  }
+
+  test("zorderWrite: files carry disjoint z-ranges and all rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zw").toString
+    val src = Tables.load(spark, sf, "lineitem")
+      .select(pmod(col("l_partkey"), lit(1024L)).cast("long").as("x"),
+        pmod(col("l_suppkey"), lit(1024L)).cast("long").as("y"))
+    Layout.zorderWrite(src, "x", "y", bits = 10, nFiles = 8, s"$dir/z")
+    val back = spark.read.parquet(s"$dir/z")
+    assert(back.count() == src.count())
+    val ranges = back
+      .withColumn("z", Layout.zvalue(col("x"), col("y"), 10))
+      .withColumn("f", input_file_name())
+      .groupBy(col("f")).agg(min(col("z")).as("lo"), max(col("z")).as("hi"))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2,
+        s"overlapping file z-ranges: $hi1 > $lo2")
+      case _ => ()
+    }
+  }
+
+  // ---- SCD2 intervals ----
+
+  test("q_scd2_intervals: versions tile each customer's history exactly") {
+    val rows = SparkEntry.queries("q_scd2_intervals")(spark, sf).collect()
+    val orders = Tables.load(spark, sf, "orders")
+    assert(rows.map(_.getLong(5)).sum == orders.count()) // n_orders partitions
+    rows.groupBy(_.getLong(0)).foreach { case (_, vs) =>
+      val sorted = vs.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length).toSeq)
+      // exactly one open interval, and it is the last version
+      assert(sorted.map(_.getLong(6)).sum == 1L && sorted.last.getLong(6) == 1L)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getString(2) != b.getString(2)) // adjacent statuses differ
+          assert(a.getDate(4) == b.getDate(3)) // valid_to chains to next from
+        case _ => ()
+      }
+    }
+  }
+
+  // ---- salted / bucketed join twins ----
+
+  test("q_join_salted equals the unsalted plain join") {
+    val salted = SparkEntry.queries("q_join_salted")(spark, sf)
+    val plain = Tables.load(spark, sf, "lineitem")
+      .join(Tables.load(spark, sf, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey").cast("long").as("s_nationkey"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(round(col("l_extendedprice") * 100, 0).cast("long")).as("revenue_c"))
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("q_join_bucketed equals the raw-parquet join and plans exchange-free") {
+    val bucketed = SparkEntry.queries("q_join_bucketed")(spark, sf)
+    val plain = Tables.load(spark, sf, "lineitem")
+      .join(Tables.load(spark, sf, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100, 0)
+          .cast("long")).as("revenue_c"))
+    assert(bucketed.exceptAll(plain).isEmpty && plain.exceptAll(bucketed).isEmpty)
+
+    // the plan story needs broadcast off — at test scale Catalyst would
+    // broadcast the small side instead of exercising the bucketed SMJ
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (lt, ot) = graft.queries.RelationalQueries.bucketedTradeTables(spark, sf)
+      val l = spark.table(lt)
+      val o = spark.table(ot)
+      val j = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(!plan.contains("Exchange"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
