@@ -1043,4 +1043,73 @@ object EventStreams {
           }
       }
   }
+
+  /** One status observation for [[scd2Intake]] — `(key, obs_date,
+    * obs_id, status)`; `obs_id` is the per-date total-order tiebreak
+    * (the q_scd2_intervals orderkey).
+    */
+  case class StatusObs(key: Long, obs_date: java.sql.Date, obs_id: Long,
+      status: String)
+  /** Open-interval state per key: current version + its status, start,
+    * and observation count — a few dozen bytes per key, the bounded
+    * |keys|-proportional state every dimension-maintenance job carries.
+    */
+  case class Scd2State(version: Long, status: String,
+      valid_from: java.sql.Date, n_obs: Long)
+  /** One emitted SCD2 dimension row; `valid_to` null ⇔ `is_current=1`. */
+  case class Scd2Row(key: Long, version: Long, status: String,
+      valid_from: java.sql.Date, valid_to: java.sql.Date, n_orders: Long,
+      is_current: Long)
+
+  /** ONLINE SCD2 dimension maintenance — the streaming twin of the
+    * `q_scd2_intervals` gaps-and-islands batch build: each key's state
+    * is its OPEN interval; a status change closes it (a final,
+    * append-only `is_current=0` row) and opens the next version. The
+    * open interval is re-emitted as an `is_current=1` row whenever its
+    * key sees new observations — consumers keep, per `(key, version)`,
+    * the closed row if one exists, else the LATEST open row (exactly
+    * the upsert a MERGE INTO a dimension table performs; the spec's
+    * foreachBatch sink materializes that reduction and asserts
+    * batch ≡ stream against q_scd2_intervals).
+    *
+    * Ordering contract (same as budgetedMixIntake's admission order):
+    * exact equivalence needs per-key arrival in `(obs_date, obs_id)`
+    * order across batches — the natural order of a replayed log/CDC
+    * feed. WITHIN a batch no precondition: the iterator is re-sorted
+    * explicitly (micro-batch shuffle order is arbitrary).
+    *
+    * Scale shape: one shuffle per batch on `key` (high cardinality),
+    * state = one open interval per key, output append-safe for closed
+    * rows. NoTimeout: dimension keys don't expire (a TTL'd variant
+    * would close-and-flush on timeout like SessionCloseProcessor).
+    */
+  def scd2Intake(obs: Dataset[StatusObs]): Dataset[Scd2Row] = {
+    import obs.sparkSession.implicits._
+    obs.groupByKey(_.key)
+      .flatMapGroupsWithState[Scd2State, Scd2Row](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[StatusObs], state: GroupState[Scd2State]) =>
+          val sorted = rows.toSeq.sortBy(r => (r.obs_date.getTime, r.obs_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Row]
+          var cur = state.getOption
+          sorted.foreach { r =>
+            cur match {
+              case Some(s) if s.status == r.status =>
+                cur = Some(s.copy(n_obs = s.n_obs + 1))
+              case Some(s) =>
+                out += Scd2Row(key, s.version, s.status, s.valid_from,
+                  r.obs_date, s.n_obs, 0L)
+                cur = Some(Scd2State(s.version + 1, r.status, r.obs_date, 1L))
+              case None =>
+                cur = Some(Scd2State(1L, r.status, r.obs_date, 1L))
+            }
+          }
+          cur.foreach { s =>
+            state.update(s)
+            out += Scd2Row(key, s.version, s.status, s.valid_from, null,
+              s.n_obs, 1L)
+          }
+          out.iterator
+      }
+  }
 }
