@@ -965,12 +965,19 @@ object AnalyticsQueries {
     "q_pagerank" -> ((s, d) => {
       val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
       val l = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      // dedup on the LONG key pair, stringify the node ids after — the
+      // distinct is the edge-mining shuffle and 16-byte rows beat
+      // variable-length strings through it
       val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey"), col("l_suppkey")).distinct()
         .select(concat(lit("c"), col("o_custkey")).as("c"),
           concat(lit("s"), col("l_suppkey")).as("s"))
-        .distinct()
-      val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
-        .union(pairs.select(col("s").as("src"), col("c").as("dst")))
+      // symmetrize with ONE pass (explode of a 2-struct array) — a
+      // self-union would evaluate the join+distinct subtree twice
+      val edges = pairs.select(explode(array(
+          struct(col("c").as("src"), col("s").as("dst")),
+          struct(col("s").as("src"), col("c").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
       graft.operators.Graph.pageRank(edges, iterations = 5, damping = 0.85)
         .select(col("node"), round(col("rank"), 6).as("rank_r"))
         .orderBy(col("node"))

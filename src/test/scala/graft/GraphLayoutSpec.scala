@@ -38,6 +38,20 @@ class GraphLayoutSpec extends SparkTestBase {
     assert(math.abs(star.values.sum - 1.0) < 1e-9)
   }
 
+  test("pageRank: driver fast path ≡ forced distributed loop") {
+    val rnd = new scala.util.Random(7)
+    val es = Seq.fill(500)((s"n${rnd.nextInt(50)}", s"n${rnd.nextInt(50)}"))
+    val sym = (es ++ es.map(_.swap)).toDF("src", "dst")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val fast = toMap(Graph.pageRank(sym, iterations = 5))
+    val dist = toMap(Graph.pageRank(sym, iterations = 5, localThreshold = 0L))
+    assert(fast.keySet == dist.keySet)
+    fast.foreach { case (k, v) =>
+      assert(math.abs(v - dist(k)) < 1e-12, s"$k: $v vs ${dist(k)}")
+    }
+  }
+
   test("q_pagerank: mass sums to 1 and both node namespaces surface") {
     val out = SparkEntry.queries("q_pagerank")(spark, sf).collect()
     val mass = out.map(_.getDouble(1)).sum
