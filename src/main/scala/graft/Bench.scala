@@ -91,7 +91,7 @@ object Bench {
     // round-10 late additions: iterative PageRank, Z-order layout
     // clustering, SCD2 interval build, and the salted/bucketed join twins
     "q_pagerank", "q_zorder_cluster", "q_scd2_intervals",
-    "q_join_salted", "q_join_bucketed")
+    "q_join_salted", "q_join_bucketed", "q_item_neighbors")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -256,7 +256,24 @@ object Bench {
     val bm25Median = if (bm25Secs.isEmpty) -1.0 else bm25Secs.sorted.apply(bm25Secs.length / 2)
     try graft.queries.TextQueries.bm25Model(spark, sfDir)
     catch { case _: Throwable => () }
-    val fitJson = f"""{"q_ivfpq_fit":$fitMedian%.3f,"q_ivfpq_write":$ivfWriteMedian%.3f,"q_bpe_fit":$bpeMedian%.3f,"q_qlr_fit":$qlrMedian%.3f,"q_bm25_fit":$bm25Median%.3f}"""
+    // item-neighbor co-occurrence index BUILD (the related-items fit):
+    // each run recounts the capped pair expansion; the memo populate
+    // below makes the headline q_item_neighbors line serving-only
+    val itemFitSecs = (1 to runs).flatMap { _ =>
+      val t0 = System.nanoTime()
+      try {
+        graft.operators.Recommend.itemNeighbors(Tables.ratings(spark, sfDir))
+          .write.mode("overwrite").format("noop").save()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] fit q_item_fit failed: ${e.getMessage}"); None
+      }
+    }
+    val itemFitMedian =
+      if (itemFitSecs.isEmpty) -1.0 else itemFitSecs.sorted.apply(itemFitSecs.length / 2)
+    try graft.queries.PipelineQueries.itemIndexDir(spark, sfDir)
+    catch { case _: Throwable => () }
+    val fitJson = f"""{"q_ivfpq_fit":$fitMedian%.3f,"q_ivfpq_write":$ivfWriteMedian%.3f,"q_bpe_fit":$bpeMedian%.3f,"q_qlr_fit":$qlrMedian%.3f,"q_bm25_fit":$bm25Median%.3f,"q_item_fit":$itemFitMedian%.3f}"""
 
     // SPARK_GRAFT_BENCH_ONLY=a,b,c — iteration aid: restrict the timed
     // headline to the named queries (fits/warmup unchanged). The driver

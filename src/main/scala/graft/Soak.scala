@@ -120,9 +120,68 @@ object Soak {
       "ann_ivfpq_apply" -> (() => noop(Similarity.ivfPqApply(
         emb, queries, 10, ivfModels(emb)))))
 
+    // Trade-table families (round-10 additions): N disjoint re-keyed
+    // copies of orders/lineitem written in the Tables layout, so the
+    // REGISTERED query closures run unchanged against each scale dir —
+    // the soak times exactly what Verify/Bench run.
+    //  - pagerank crosses its 2M-edge local guard between x1 (1.2M
+    //    edges, driver loop) and x3/x10 (distributed rounds);
+    //    pagerank_dist is the forced-distributed twin (the CC pattern);
+    //  - join_bucketed's FIRST run per scale pays the one-time bucketed
+    //    layout build; the median-of-3 prices the amortized co-located
+    //    join, which is the bucketing contract (pay the layout once).
+    def materializeTrade(scale: Int): String = {
+      val d = s"$tmp/trade_x$scale"
+      val o0 = Tables.load(spark, sfDir, "orders")
+      val l0 = Tables.load(spark, sfDir, "lineitem")
+      (0 until scale).map { i =>
+        o0.select((col("o_orderkey") + lit(i.toLong * 1000000000L)).as("o_orderkey"),
+          (col("o_custkey") + lit(i.toLong * 100000000L)).as("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+          col("o_orderpriority"))
+      }.reduce(_ unionByName _).write.mode("overwrite").parquet(s"$d/orders.parquet")
+      (0 until scale).map { i =>
+        l0.select((col("l_orderkey") + lit(i.toLong * 1000000000L)).as("l_orderkey"),
+          (col("l_partkey") + lit(i.toLong * 100000000L)).as("l_partkey"),
+          (col("l_suppkey") + lit(i.toLong * 100000000L)).as("l_suppkey"),
+          col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+          col("l_discount"), col("l_tax"), col("l_returnflag"),
+          col("l_linestatus"), col("l_shipdate"))
+      }.reduce(_ unionByName _).write.mode("overwrite").parquet(s"$d/lineitem.parquet")
+      d
+    }
+    def tradeFamilies(d: String): Seq[(String, () => Unit)] = Seq(
+      "pagerank" -> (() => noop(SparkEntry.queries("q_pagerank")(spark, d))),
+      "pagerank_dist" -> (() => {
+        val o = Tables.load(spark, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val l = Tables.load(spark, d, "lineitem")
+          .select(col("l_orderkey"), col("l_suppkey"))
+        val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey"), col("l_suppkey")).distinct()
+          .select(concat(lit("c"), col("o_custkey")).as("c"),
+            concat(lit("s"), col("l_suppkey")).as("s"))
+        val edges = pairs.select(explode(array(
+            struct(col("c").as("src"), col("s").as("dst")),
+            struct(col("s").as("src"), col("c").as("dst")))).as("e"))
+          .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        noop(graft.operators.Graph.pageRank(edges, localThreshold = 0L))
+      }),
+      "scd2_intervals" -> (() => noop(
+        SparkEntry.queries("q_scd2_intervals")(spark, d))),
+      "zorder_cluster" -> (() => noop(
+        SparkEntry.queries("q_zorder_cluster")(spark, d))),
+      "join_bucketed" -> (() => noop(
+        SparkEntry.queries("q_join_bucketed")(spark, d))))
+
     // untimed warmup at scale 1: JIT + codegen compilation
     val (wd, we) = materialize("warm", 1)
     families(wd, we).foreach { case (n, f) =>
+      try f() catch { case e: Throwable =>
+        System.err.println(s"[soak] warmup $n failed: ${e.getMessage}") }
+    }
+    val wt = materializeTrade(1)
+    tradeFamilies(wt).foreach { case (n, f) =>
       try f() catch { case e: Throwable =>
         System.err.println(s"[soak] warmup $n failed: ${e.getMessage}") }
     }
@@ -145,7 +204,8 @@ object Soak {
     scales.foreach { n =>
       val (d, e) = materialize("soak", n)
       rowCounts(n) = (d.count(), e.count())
-      families(d, e).foreach { case (name, f) =>
+      val td = materializeTrade(n)
+      (families(d, e) ++ tradeFamilies(td)).foreach { case (name, f) =>
         val secs = (1 to runs).flatMap { _ =>
           val t0 = System.nanoTime()
           try { f(); Some((System.nanoTime() - t0) / 1e9) }

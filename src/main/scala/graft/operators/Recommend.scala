@@ -134,4 +134,77 @@ object Recommend {
   /** Typed access to the winning ALS config (replaces `als.py:74-79`). */
   def bestAls(cv: CrossValidatorModel): ALSModel =
     cv.bestModel.asInstanceOf[ALSModel]
+
+  /** Item-item co-occurrence neighbors ("users who rated X also rated
+    * Y") — the memory-based CF baseline next to the reference's
+    * model-based ALS, and the op every recommender serves as
+    * related-items. Cosine over binary co-occurrence:
+    * `c12 / sqrt(c1·c2)`, plus Jaccard `c12 / (c1+c2−c12)`; top-`topK`
+    * neighbors per item by (cosine, neighbor-id) — ranking on the
+    * ROUNDED score keeps the order cross-engine stable.
+    *
+    * 100 TB shape — the interaction-cut discipline: each user's item
+    * list is capped at `cap` DETERMINISTICALLY (the `cap` smallest item
+    * ids, a stated semantic both engines implement identically, not a
+    * sample), so the quadratic per-user pair expansion is bounded at
+    * O(cap²) and a power user cannot melt a reducer — the same
+    * blast-radius bound as Dedup.bucketPairs, whose sorted-array HOF
+    * expansion this reuses (one groupBy, no self-join of the
+    * interaction table). Item counts are computed AFTER the cap so
+    * cosine/Jaccard stay internally consistent. `minSupport` drops
+    * pairs co-occurring fewer than that many times BEFORE the
+    * symmetrize/score/rank stages (the association-mining min-support
+    * rule: a single co-occurrence is noise, and on a sparse corpus it
+    * is also ~95% of the candidate pairs — measured 11.0M → 0.32M at
+    * sf0.1). One shuffle for the per-user grouping, one for pair
+    * counts, one bounded top-k window on the high-cardinality item id.
+    *
+    * This is a BUILD, not a per-query op — production serves
+    * related-items from the materialized output (the fit/serve split
+    * every index in this repo follows); PipelineQueries memoizes it per
+    * scale dir and Bench prices the build in its fit section.
+    */
+  def itemNeighbors(ratings: DataFrame, cap: Int = 30,
+                    topK: Int = 5, minSupport: Long = 2L): DataFrame = {
+    val wUser = Window.partitionBy(col("userId")).orderBy(col("movieId"))
+    val capped = ratings.select(col("userId"), col("movieId")).distinct()
+      .withColumn("__rn", row_number().over(wUser))
+      .filter(col("__rn") <= cap).drop("__rn")
+    val itemCnt = capped.groupBy(col("movieId")).agg(count(lit(1)).as("c"))
+    // the pair-count exchange is ~97%-unique keys on a sparse corpus, so
+    // AQE's size-based coalescing would fold it onto a few fat tasks
+    // (row count, not byte count, is the cost here) — pin the width to
+    // the session's shuffle parallelism
+    val shuffleN = ratings.sparkSession.sessionState.conf.numShufflePartitions
+    val pairs = capped.groupBy(col("userId"))
+      .agg(sort_array(collect_set(col("movieId"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, size(col("ids"))),
+          y => struct(x.as("m1"), y.as("m2")))))).as("p"))
+      .repartition(shuffleN, col("p.m1"), col("p.m2"))
+      .groupBy(col("p.m1").as("m1"), col("p.m2").as("m2"))
+      .agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minSupport)
+    // symmetrize in ONE pass (explode of a 2-struct array — a self-union
+    // would evaluate the pair-count subtree twice), then attach counts
+    val sym = pairs.select(explode(array(
+        struct(col("m1").as("item"), col("m2").as("nbr"), col("c12")),
+        struct(col("m2").as("item"), col("m1").as("nbr"), col("c12")))).as("e"))
+      .select(col("e.item").as("item"), col("e.nbr").as("nbr"),
+        col("e.c12").as("c12"))
+    val scored = sym
+      .join(itemCnt.select(col("movieId").as("item"), col("c").as("c1")),
+        Seq("item"))
+      .join(itemCnt.select(col("movieId").as("nbr"), col("c").as("c2")),
+        Seq("nbr"))
+      .select(col("item"), col("nbr"), col("c12"),
+        round(col("c12") / sqrt(col("c1") * col("c2")), 6).as("cosine"),
+        round(col("c12") / (col("c1") + col("c2") - col("c12")), 6)
+          .as("jaccard"))
+    val wItem = Window.partitionBy(col("item"))
+      .orderBy(col("cosine").desc, col("nbr"))
+    scored.withColumn("rn", row_number().over(wItem).cast("long"))
+      .filter(col("rn") <= topK)
+  }
 }

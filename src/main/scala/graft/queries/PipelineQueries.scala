@@ -306,8 +306,35 @@ object PipelineQueries {
         .filter(col("userId") < 100)
         .select(col("userId"), col("movieId"), col("rank"))
         .orderBy(col("userId"), col("rank"))
+    }),
+
+    // Item-item co-occurrence neighbors (Recommend.itemNeighbors) — the
+    // memory-based related-items baseline next to ALS, with the
+    // interaction-cut (deterministic 30-item user cap) and min-support 2
+    // bounding the quadratic expansion. Served from the per-dir
+    // materialized index (the fit/serve split: the pair-count build is
+    // priced in Bench's fit section as q_item_fit).
+    "q_item_neighbors" -> ((s, d) => {
+      s.read.parquet(itemIndexDir(s, d)).orderBy(col("item"), col("rn"))
     })
   )
+
+  /** At-rest item-neighbor index per scale dir — built ONCE per process
+    * (the SimilarityQueries.ivfIndexDir pattern): related-items serving
+    * reads a materialized index; nobody recounts 6M co-occurrence pairs
+    * per request. Values are partition-independent (exact integer counts
+    * → 6dp-rounded scores), so the index is a pure function of the data.
+    */
+  private val itemIndexDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private[graft] def itemIndexDir(s: SparkSession, d: String): String =
+    itemIndexDirs.getOrElseUpdate(d, {
+      val dir = java.nio.file.Files.createTempDirectory("graft_item_idx")
+        .toString + "/idx"
+      Recommend.itemNeighbors(Tables.ratings(s, d))
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
 
   val oracleSql: Map[String, String] = Map(
     "q_split_hash" ->
@@ -433,6 +460,41 @@ object PipelineQueries {
          |),
          |sp AS (SELECT userId, SUM(CAST(i AS DOUBLE)/rank) AS s FROM hits GROUP BY userId)
          |SELECT ROUND(AVG(COALESCE(s, 0.0)/LEAST(n, 10)), 6) AS map_at_k
-         |FROM nlab LEFT JOIN sp USING (userId)""".stripMargin
+         |FROM nlab LEFT JOIN sp USING (userId)""".stripMargin,
+
+    // the cap (30 smallest movieIds per user) and min-support (>= 2
+    // co-occurrences) are stated semantics both engines implement
+    // identically — counts are post-cap on both sides
+    "q_item_neighbors" ->
+      s"""WITH ${Tables.ratingsSql},
+         |du AS (SELECT DISTINCT userId, movieId FROM ratings),
+         |capped AS (
+         |  SELECT userId, movieId FROM (
+         |    SELECT userId, movieId,
+         |      ROW_NUMBER() OVER (PARTITION BY userId ORDER BY movieId) AS rn
+         |    FROM du) WHERE rn <= 30
+         |), cnt AS (SELECT movieId, COUNT(*) AS c FROM capped GROUP BY 1),
+         |pairs AS (
+         |  SELECT a.movieId AS m1, b.movieId AS m2, COUNT(*) AS c12
+         |  FROM capped a JOIN capped b
+         |    ON a.userId = b.userId AND a.movieId < b.movieId
+         |  GROUP BY 1, 2
+         |  HAVING COUNT(*) >= 2
+         |), sym AS (
+         |  SELECT m1 AS item, m2 AS nbr, c12 FROM pairs
+         |  UNION ALL SELECT m2, m1, c12 FROM pairs
+         |), scored AS (
+         |  SELECT item, nbr, c12,
+         |    ROUND(c12 / SQRT(ca.c * cb.c), 6) AS cosine,
+         |    ROUND(c12 / (ca.c + cb.c - c12), 6) AS jaccard
+         |  FROM sym JOIN cnt ca ON sym.item = ca.movieId
+         |           JOIN cnt cb ON sym.nbr = cb.movieId
+         |)
+         |SELECT item, nbr, c12, cosine, jaccard,
+         |  CAST(rn AS BIGINT) AS rn
+         |FROM (SELECT *, ROW_NUMBER() OVER (
+         |        PARTITION BY item ORDER BY cosine DESC, nbr) AS rn
+         |      FROM scored)
+         |WHERE rn <= 5 ORDER BY item, rn""".stripMargin
   )
 }

@@ -231,4 +231,38 @@ class RecommendSpec extends SparkTestBase {
     val a = q(spark, sf).collect()
     assert(a.length == 500 && a.sameElements(q(spark, sf).collect()))
   }
+
+  test("itemNeighbors: planted co-occurrence gives exact cosine/jaccard") {
+    // users 1,2 rate {10,20}; user 3 rates {10,30}:
+    // c(10)=3 c(20)=2 c(30)=1; c12(10,20)=2, c12(10,30)=1
+    val r = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L), (3L, 10L),
+      (3L, 30L)).toDF("userId", "movieId").withColumn("rating", lit(5.0))
+    val out = Recommend.itemNeighbors(r, cap = 50, topK = 5, minSupport = 1L)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) ->
+        (x.getLong(2), x.getDouble(3), x.getDouble(4))).toMap
+    assert(out((10L, 20L)) == ((2L, 0.816497, 0.666667))) // 2/sqrt(6), 2/(3+2-2)
+    assert(out((10L, 30L)) == ((1L, 0.57735, 0.333333))) // 1/sqrt(3), 1/3
+    assert(out((20L, 10L))._1 == 2L && out((30L, 10L))._1 == 1L)
+    // top-k ordering: 10's best neighbor is 20 (higher cosine)
+    val ranked = Recommend.itemNeighbors(r, minSupport = 1L)
+      .filter(col("item") === 10L)
+      .orderBy(col("rn")).select(col("nbr")).as[Long].collect().toSeq
+    assert(ranked == Seq(20L, 30L))
+    // default min-support 2: the single-co-occurrence pair is noise-cut
+    val supported = Recommend.itemNeighbors(r)
+      .select(col("item"), col("nbr")).as[(Long, Long)].collect().toSet
+    assert(supported == Set((10L, 20L), (20L, 10L)))
+  }
+
+  test("itemNeighbors: interaction cap bounds a power user's expansion") {
+    // user 9 rates 60 items; cap 50 keeps the 50 SMALLEST ids, so no
+    // pair may touch ids 50..59, and every kept pair count is 1
+    val power = (0L until 60L).map(i => (9L, i))
+    val r = power.toDF("userId", "movieId").withColumn("rating", lit(1.0))
+    val pairsTouched = Recommend
+      .itemNeighbors(r, cap = 50, topK = 1000, minSupport = 1L)
+      .select(col("item"), col("nbr")).as[(Long, Long)].collect()
+    assert(pairsTouched.nonEmpty)
+    assert(pairsTouched.forall { case (a, b) => a < 50 && b < 50 })
+  }
 }
