@@ -164,12 +164,24 @@ object Recommend {
     * every index in this repo follows); PipelineQueries memoizes it per
     * scale dir and Bench prices the build in its fit section.
     */
-  def itemNeighbors(ratings: DataFrame, cap: Int = 30,
-                    topK: Int = 5, minSupport: Long = 2L): DataFrame = {
+  /** The deterministic interaction cut shared by the neighbor build and
+    * its serving consumers: each user's `cap` SMALLEST item ids — a
+    * stated semantic (not a sample), so oracles implement it exactly
+    * and a power user's quadratic expansion is bounded at O(cap²).
+    * Recommenders persist THIS snapshot next to the index they build
+    * from it (PipelineQueries.itemIndexDir) so serving votes/exclusions
+    * use the same interaction state the index saw.
+    */
+  def cappedInteractions(ratings: DataFrame, cap: Int = 30): DataFrame = {
     val wUser = Window.partitionBy(col("userId")).orderBy(col("movieId"))
-    val capped = ratings.select(col("userId"), col("movieId")).distinct()
+    ratings.select(col("userId"), col("movieId")).distinct()
       .withColumn("__rn", row_number().over(wUser))
       .filter(col("__rn") <= cap).drop("__rn")
+  }
+
+  def itemNeighbors(ratings: DataFrame, cap: Int = 30,
+                    topK: Int = 5, minSupport: Long = 2L): DataFrame = {
+    val capped = cappedInteractions(ratings, cap)
     val itemCnt = capped.groupBy(col("movieId")).agg(count(lit(1)).as("c"))
     // the pair-count exchange is ~97%-unique keys on a sparse corpus, so
     // AQE's size-based coalescing would fold it onto a few fat tasks

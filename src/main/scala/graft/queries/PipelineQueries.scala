@@ -315,7 +315,37 @@ object PipelineQueries {
     // materialized index (the fit/serve split: the pair-count build is
     // priced in Bench's fit section as q_item_fit).
     "q_item_neighbors" -> ((s, d) => {
-      s.read.parquet(itemIndexDir(s, d)).orderBy(col("item"), col("rn"))
+      s.read.parquet(s"${itemIndexDir(s, d)}/idx")
+        .orderBy(col("item"), col("rn"))
+    }),
+
+    // Item-based CF recommendations served FROM the materialized index:
+    // each user's capped items vote for their index neighbors (summed
+    // rounded cosine — identical addends cross-engine, sum re-rounded),
+    // owned items anti-joined away, top-3 per user. Scale shape: the
+    // index is items×5 rows (AQE broadcasts it at this scale; at 100 TB
+    // it shuffles on item — both sides key-partitioned, no fan-out
+    // beyond cap×5 candidates per user); the per-user top-k window
+    // partitions on the high-cardinality userId.
+    "q_item_recs" -> ((s, d) => {
+      val root = itemIndexDir(s, d)
+      val idx = s.read.parquet(s"$root/idx")
+      // the SAME interaction snapshot the index was built from — voting
+      // and exclusion must not race a fresher ratings scan
+      val capped = s.read.parquet(s"$root/capped")
+      val votes = capped.join(idx, capped("movieId") === idx("item"))
+        .groupBy(col("userId"), col("nbr"))
+        .agg(round(sum(col("cosine")), 6).as("score"),
+          count(lit(1)).as("n_voters"))
+        .withColumnRenamed("nbr", "movieId")
+      val wr = Window.partitionBy(col("userId"))
+        .orderBy(col("score").desc, col("movieId"))
+      votes.join(capped, Seq("userId", "movieId"), "left_anti")
+        // re-select: using-columns anti-join reorders the schema (r7 trap)
+        .select(col("userId"), col("movieId"), col("score"), col("n_voters"))
+        .withColumn("rn", row_number().over(wr).cast("long"))
+        .filter(col("rn") <= 3)
+        .orderBy(col("userId"), col("rn"))
     })
   )
 
@@ -330,9 +360,12 @@ object PipelineQueries {
   private[graft] def itemIndexDir(s: SparkSession, d: String): String =
     itemIndexDirs.getOrElseUpdate(d, {
       val dir = java.nio.file.Files.createTempDirectory("graft_item_idx")
-        .toString + "/idx"
-      Recommend.itemNeighbors(Tables.ratings(s, d))
-        .write.mode("overwrite").parquet(dir)
+        .toString
+      val ratings = Tables.ratings(s, d)
+      Recommend.cappedInteractions(ratings)
+        .write.mode("overwrite").parquet(s"$dir/capped")
+      Recommend.itemNeighbors(ratings)
+        .write.mode("overwrite").parquet(s"$dir/idx")
       dir
     })
 
@@ -467,34 +500,69 @@ object PipelineQueries {
     // identically — counts are post-cap on both sides
     "q_item_neighbors" ->
       s"""WITH ${Tables.ratingsSql},
-         |du AS (SELECT DISTINCT userId, movieId FROM ratings),
-         |capped AS (
-         |  SELECT userId, movieId FROM (
-         |    SELECT userId, movieId,
-         |      ROW_NUMBER() OVER (PARTITION BY userId ORDER BY movieId) AS rn
-         |    FROM du) WHERE rn <= 30
-         |), cnt AS (SELECT movieId, COUNT(*) AS c FROM capped GROUP BY 1),
-         |pairs AS (
-         |  SELECT a.movieId AS m1, b.movieId AS m2, COUNT(*) AS c12
-         |  FROM capped a JOIN capped b
-         |    ON a.userId = b.userId AND a.movieId < b.movieId
+         |$itemIndexCtes
+         |SELECT item, nbr, c12, cosine, jaccard, rn
+         |FROM idx ORDER BY item, rn""".stripMargin,
+
+    // item-based CF serving: each user's capped items vote for their
+    // index neighbors (summed rounded cosine — identical addends on
+    // both engines), owned items excluded, top-3 per user
+    "q_item_recs" ->
+      s"""WITH ${Tables.ratingsSql},
+         |$itemIndexCtes,
+         |votes AS (
+         |  SELECT c.userId, i.nbr AS movieId,
+         |    ROUND(SUM(i.cosine), 6) AS score, COUNT(*) AS n_voters
+         |  FROM capped c JOIN idx i ON c.movieId = i.item
          |  GROUP BY 1, 2
-         |  HAVING COUNT(*) >= 2
-         |), sym AS (
-         |  SELECT m1 AS item, m2 AS nbr, c12 FROM pairs
-         |  UNION ALL SELECT m2, m1, c12 FROM pairs
-         |), scored AS (
-         |  SELECT item, nbr, c12,
-         |    ROUND(c12 / SQRT(ca.c * cb.c), 6) AS cosine,
-         |    ROUND(c12 / (ca.c + cb.c - c12), 6) AS jaccard
-         |  FROM sym JOIN cnt ca ON sym.item = ca.movieId
-         |           JOIN cnt cb ON sym.nbr = cb.movieId
+         |), unseen AS (
+         |  SELECT v.* FROM votes v
+         |  WHERE NOT EXISTS (SELECT 1 FROM capped c2
+         |                    WHERE c2.userId = v.userId
+         |                      AND c2.movieId = v.movieId)
          |)
-         |SELECT item, nbr, c12, cosine, jaccard,
-         |  CAST(rn AS BIGINT) AS rn
+         |SELECT userId, movieId, score, n_voters, CAST(rn AS BIGINT) AS rn
          |FROM (SELECT *, ROW_NUMBER() OVER (
-         |        PARTITION BY item ORDER BY cosine DESC, nbr) AS rn
-         |      FROM scored)
-         |WHERE rn <= 5 ORDER BY item, rn""".stripMargin
+         |        PARTITION BY userId ORDER BY score DESC, movieId) AS rn
+         |      FROM unseen)
+         |WHERE rn <= 3 ORDER BY userId, rn""".stripMargin
   )
+
+  /** The DuckDB twin of the [[Recommend.itemNeighbors]] build (cap 30,
+    * min-support 2, top-5 by rounded cosine), shared by the index query
+    * and the recs query so the two oracles can never drift. Expects the
+    * `ratings` CTE in scope. A `def`, not a `val`: `oracleSql` above
+    * interpolates it during object init, and a val declared below it
+    * would still be null at that point (the TextStats clinit lesson).
+    */
+  private def itemIndexCtes: String =
+    """du AS (SELECT DISTINCT userId, movieId FROM ratings),
+      |capped AS (
+      |  SELECT userId, movieId FROM (
+      |    SELECT userId, movieId,
+      |      ROW_NUMBER() OVER (PARTITION BY userId ORDER BY movieId) AS rn
+      |    FROM du) WHERE rn <= 30
+      |), cnt AS (SELECT movieId, COUNT(*) AS c FROM capped GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.movieId AS m1, b.movieId AS m2, COUNT(*) AS c12
+      |  FROM capped a JOIN capped b
+      |    ON a.userId = b.userId AND a.movieId < b.movieId
+      |  GROUP BY 1, 2
+      |  HAVING COUNT(*) >= 2
+      |), sym AS (
+      |  SELECT m1 AS item, m2 AS nbr, c12 FROM pairs
+      |  UNION ALL SELECT m2, m1, c12 FROM pairs
+      |), idxscored AS (
+      |  SELECT item, nbr, c12,
+      |    ROUND(c12 / SQRT(ca.c * cb.c), 6) AS cosine,
+      |    ROUND(c12 / (ca.c + cb.c - c12), 6) AS jaccard
+      |  FROM sym JOIN cnt ca ON sym.item = ca.movieId
+      |           JOIN cnt cb ON sym.nbr = cb.movieId
+      |), idx AS (
+      |  SELECT item, nbr, c12, cosine, jaccard, CAST(rn AS BIGINT) AS rn
+      |  FROM (SELECT *, ROW_NUMBER() OVER (
+      |          PARTITION BY item ORDER BY cosine DESC, nbr) AS rn
+      |        FROM idxscored)
+      |  WHERE rn <= 5
+      |)""".stripMargin
 }

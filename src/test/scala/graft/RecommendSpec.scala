@@ -265,4 +265,28 @@ class RecommendSpec extends SparkTestBase {
     assert(pairsTouched.nonEmpty)
     assert(pairsTouched.forall { case (a, b) => a < 50 && b < 50 })
   }
+
+  test("q_item_recs: never recommends owned items; ranked top-3 per user") {
+    val recs = SparkEntry.queries("q_item_recs")(spark, sf).collect()
+    assert(recs.nonEmpty)
+    val wUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("userId")).orderBy(col("movieId"))
+    val owned = Tables.ratings(spark, sf)
+      .select(col("userId"), col("movieId")).distinct()
+      .withColumn("__rn", row_number().over(wUser))
+      .filter(col("__rn") <= 30)
+      .select(col("userId"), col("movieId")).as[(Long, Long)]
+      .collect().toSet
+    recs.groupBy(_.getLong(0)).foreach { case (u, rows) =>
+      val sorted = rows.sortBy(_.getLong(4))
+      assert(sorted.map(_.getLong(4)).toSeq == (1L to sorted.length).toSeq)
+      assert(sorted.length <= 3)
+      // scores non-increasing in rank; no owned item recommended
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getDouble(2) >= b.getDouble(2))
+        case _ => ()
+      }
+      sorted.foreach(r => assert(!owned.contains((u, r.getLong(1)))))
+    }
+  }
 }
