@@ -39,7 +39,9 @@ object RelationalQueries {
       s: SparkSession, d: String): (String, String) = {
     val root = bucketRoots.getOrElseUpdate(d,
       java.nio.file.Files.createTempDirectory("graft_bucketed").toString)
-    val tag = java.lang.Long.toHexString(d.hashCode.toLong & 0xffffffffL)
+    // table names derive from the SANITIZED path, not a hash — two scale
+    // dirs can never collide onto one catalog entry
+    val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
     val lt = graft.operators.Bucketing.ensureBucketedTable(s,
       t(s, d, "lineitem").select(col("l_orderkey"), col("l_extendedprice"),
         col("l_discount")),
