@@ -271,7 +271,7 @@ object Bench {
     }
     val itemFitMedian =
       if (itemFitSecs.isEmpty) -1.0 else itemFitSecs.sorted.apply(itemFitSecs.length / 2)
-    try graft.queries.PipelineQueries.itemIndexDir(spark, sfDir)
+    try graft.queries.PipelineQueries.itemIndex(spark, sfDir)
     catch { case _: Throwable => () }
     val fitJson = f"""{"q_ivfpq_fit":$fitMedian%.3f,"q_ivfpq_write":$ivfWriteMedian%.3f,"q_bpe_fit":$bpeMedian%.3f,"q_qlr_fit":$qlrMedian%.3f,"q_bm25_fit":$bm25Median%.3f,"q_item_fit":$itemFitMedian%.3f}"""
 

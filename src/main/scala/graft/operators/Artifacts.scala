@@ -671,4 +671,45 @@ object Artifacts {
       (fit: => TextAnalysis.LenHistogram): TextAnalysis.LenHistogram =
     if (artifactExists(spark, dir)) loadLenHistogram(spark, dir)
     else { val m = fit; saveLenHistogram(spark, m, dir); m }
+
+  // ---- Item-neighbor index (related-items serving artifact) ----
+
+  /** Persist the item-neighbor index AND the capped interaction snapshot
+    * it was built from as ONE crash-safe version (both or neither:
+    * recommendation serving joins them, so a torn pair would be a
+    * CONSISTENCY bug — votes/exclusions against a different interaction
+    * state than the index saw). Same `publishVersion`/`_LATEST`
+    * discipline as every other fit artifact; a pointerless partial
+    * `v=` dir reads as absent (rebuild, not crash).
+    */
+  def saveItemIndex(spark: SparkSession, root: String,
+      index: DataFrame, capped: DataFrame): String =
+    publishVersion(spark, root) { dir =>
+      index.write.mode("overwrite").parquet(s"$dir/idx")
+      capped.write.mode("overwrite").parquet(s"$dir/capped")
+    }
+
+  /** Load pair of [[saveItemIndex]]: `(index, capped)` from the live
+    * version.
+    */
+  def loadItemIndex(spark: SparkSession,
+      root: String): (DataFrame, DataFrame) = {
+    val live = resolveLive(spark, root)
+    (spark.read.parquet(s"$live/idx"), spark.read.parquet(s"$live/capped"))
+  }
+
+  /** Serve-or-build: a published version loads (no refit on warm
+    * restart); absent or torn roots build from `ratings` and publish.
+    */
+  def loadOrBuildItemIndex(spark: SparkSession, root: String,
+      ratings: => DataFrame, cap: Int = 30, topK: Int = 5,
+      minSupport: Long = 2L): (DataFrame, DataFrame) = {
+    if (latestVersion(spark, root).isEmpty) {
+      val r = ratings
+      saveItemIndex(spark, root,
+        Recommend.itemNeighbors(r, cap, topK, minSupport),
+        Recommend.cappedInteractions(r, cap))
+    }
+    loadItemIndex(spark, root)
+  }
 }

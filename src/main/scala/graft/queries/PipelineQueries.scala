@@ -315,8 +315,7 @@ object PipelineQueries {
     // materialized index (the fit/serve split: the pair-count build is
     // priced in Bench's fit section as q_item_fit).
     "q_item_neighbors" -> ((s, d) => {
-      s.read.parquet(s"${itemIndexDir(s, d)}/idx")
-        .orderBy(col("item"), col("rn"))
+      itemIndex(s, d)._1.orderBy(col("item"), col("rn"))
     }),
 
     // Item-based CF recommendations served FROM the materialized index:
@@ -328,11 +327,10 @@ object PipelineQueries {
     // beyond cap×5 candidates per user); the per-user top-k window
     // partitions on the high-cardinality userId.
     "q_item_recs" -> ((s, d) => {
-      val root = itemIndexDir(s, d)
-      val idx = s.read.parquet(s"$root/idx")
       // the SAME interaction snapshot the index was built from — voting
-      // and exclusion must not race a fresher ratings scan
-      val capped = s.read.parquet(s"$root/capped")
+      // and exclusion must not race a fresher ratings scan (the two are
+      // one published artifact version)
+      val (idx, capped) = itemIndex(s, d)
       val votes = capped.join(idx, capped("movieId") === idx("item"))
         .groupBy(col("userId"), col("nbr"))
         .agg(round(sum(col("cosine")), 6).as("score"),
@@ -349,25 +347,26 @@ object PipelineQueries {
     })
   )
 
-  /** At-rest item-neighbor index per scale dir — built ONCE per process
-    * (the SimilarityQueries.ivfIndexDir pattern): related-items serving
-    * reads a materialized index; nobody recounts 6M co-occurrence pairs
-    * per request. Values are partition-independent (exact integer counts
-    * → 6dp-rounded scores), so the index is a pure function of the data.
+  /** At-rest item-neighbor index per scale dir — published through the
+    * crash-safe versioned artifact store (Artifacts.saveItemIndex:
+    * `_LATEST`-resolved, index + its source interaction snapshot as ONE
+    * version) so a restarted serving job loads the fitting run's index
+    * instead of silently refitting against whatever the ratings now are
+    * — the same discipline as ALS/IVF-PQ/BPE/quality-LR/BM25. Built
+    * once per (process, dir); nobody recounts 6M co-occurrence pairs
+    * per request. Values are partition-independent (exact integer
+    * counts → 6dp-rounded scores), so the index is a pure function of
+    * the data.
     */
-  private val itemIndexDirs =
+  private val itemIndexRoots =
     scala.collection.concurrent.TrieMap.empty[String, String]
-  private[graft] def itemIndexDir(s: SparkSession, d: String): String =
-    itemIndexDirs.getOrElseUpdate(d, {
-      val dir = java.nio.file.Files.createTempDirectory("graft_item_idx")
-        .toString
-      val ratings = Tables.ratings(s, d)
-      Recommend.cappedInteractions(ratings)
-        .write.mode("overwrite").parquet(s"$dir/capped")
-      Recommend.itemNeighbors(ratings)
-        .write.mode("overwrite").parquet(s"$dir/idx")
-      dir
-    })
+  private[graft] def itemIndex(
+      s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val root = itemIndexRoots.getOrElseUpdate(d,
+      java.nio.file.Files.createTempDirectory("graft_item_idx").toString)
+    graft.operators.Artifacts.loadOrBuildItemIndex(s, root,
+      Tables.ratings(s, d))
+  }
 
   val oracleSql: Map[String, String] = Map(
     "q_split_hash" ->

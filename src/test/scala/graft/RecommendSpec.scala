@@ -266,6 +266,25 @@ class RecommendSpec extends SparkTestBase {
     assert(pairsTouched.forall { case (a, b) => a < 50 && b < 50 })
   }
 
+  test("item index artifact: torn version reads as absent → rebuild; warm load serves without refit, bit-identical") {
+    import graft.operators.Artifacts
+    val r = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L), (3L, 10L),
+      (3L, 20L)).toDF("userId", "movieId").withColumn("rating", lit(5.0))
+    val root = java.nio.file.Files.createTempDirectory("graft_item_torn")
+      .toString + "/idx"
+    // torn: a partial pointerless v=1 (crash between write and publish)
+    new java.io.File(s"$root/v=1/idx").mkdirs()
+    val (idx1, cap1) = Artifacts.loadOrBuildItemIndex(spark, root, r)
+    assert(Artifacts.latestVersion(spark, root).exists(_.endsWith("v=2")),
+      "publish skips past the torn v=1")
+    assert(idx1.count() == 2 && cap1.count() == 6)
+    // warm: loads the published version — values bit-identical, and a
+    // poisoned ratings thunk proves no refit touches the input
+    val (idx2, _) = Artifacts.loadOrBuildItemIndex(spark, root,
+      sys.error("warm load must not re-read ratings"))
+    assert(idx1.collect().toSet == idx2.collect().toSet)
+  }
+
   test("q_item_recs: never recommends owned items; ranked top-3 per user") {
     val recs = SparkEntry.queries("q_item_recs")(spark, sf).collect()
     assert(recs.nonEmpty)
