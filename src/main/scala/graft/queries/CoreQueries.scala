@@ -72,6 +72,27 @@ object CoreQueries {
         .agg(
           round(avg(col("avg_rating")), 6).as("m"),
           round(expr("percentile(user_count, 0.9)"), 6).as("q"))
+    }),
+
+    // Time-decayed popularity: every rating votes rating/(1 + age/30d)
+    // of its value (hyperbolic decay — PURE arithmetic, deliberately not
+    // exp(): libm exp is not bit-identical across engines, division is).
+    // The freshness-weighted ranking every feed/trending surface runs;
+    // the anchor date is the corpus max (deterministic from data, one
+    // 1-row broadcast). Top-100 by (rounded score, movieId) —
+    // TakeOrdered, no global sort.
+    "q_pop_decayed" -> ((s, d) => {
+      val r = Tables.ratings(s, d)
+      val mx = r.agg(max(col("ts").cast("date")).as("mx"))
+      r.crossJoin(broadcast(mx))
+        .withColumn("age", datediff(col("mx"), col("ts").cast("date")))
+        .groupBy(col("movieId"))
+        .agg(
+          round(sum(col("rating") / (lit(1.0) + col("age") / lit(30.0))), 6)
+            .as("decayed_r"),
+          count(lit(1)).as("n"))
+        .orderBy(col("decayed_r").desc, col("movieId"))
+        .limit(100)
     })
   )
 
@@ -122,6 +143,19 @@ object CoreQueries {
          |)
          |SELECT ROUND(AVG(avg_rating), 6) AS m,
          |       ROUND(quantile_cont(user_count, 0.9), 6) AS q
-         |FROM agg""".stripMargin
+         |FROM agg""".stripMargin,
+
+    // literal arithmetic mirrors the Spark side exactly: CAST AS DOUBLE
+    // divisors (a bare 30.0 would be DECIMAL math in DuckDB)
+    "q_pop_decayed" ->
+      s"""WITH ${Tables.ratingsSql},
+         |mx AS (SELECT MAX(CAST(ts AS DATE)) AS mx FROM ratings)
+         |SELECT movieId,
+         |  ROUND(SUM(rating / (CAST(1 AS DOUBLE)
+         |    + DATEDIFF('day', CAST(ts AS DATE), (SELECT mx FROM mx))
+         |      / CAST(30 AS DOUBLE))), 6) AS decayed_r,
+         |  COUNT(*) AS n
+         |FROM ratings GROUP BY movieId
+         |ORDER BY decayed_r DESC, movieId LIMIT 100""".stripMargin
   )
 }

@@ -344,6 +344,31 @@ object PipelineQueries {
         .withColumn("rn", row_number().over(wr).cast("long"))
         .filter(col("rn") <= 3)
         .orderBy(col("userId"), col("rn"))
+    }),
+
+    // Association rules over the served neighbor lists (a stated
+    // semantic: rules for pairs the index retained — top-5 by cosine,
+    // min-support 2): directed confidence c12/c(antecedent) and lift
+    // c12·U/(c1·c2), global top-100 by (rounded lift, antecedent,
+    // consequent) — TakeOrdered over the items×5 index, no corpus
+    // rescan beyond the artifact's own counts; U is one scalar
+    // aggregate (the pagerank-count precedent).
+    "q_item_rules" -> ((s, d) => {
+      val (idx, capped) = itemIndex(s, d)
+      val cnt = capped.groupBy(col("movieId")).agg(count(lit(1)).as("c"))
+      val nUsers = capped.select(col("userId")).distinct().count()
+      idx.select(col("item"), col("nbr"), col("c12"))
+        .join(cnt.select(col("movieId").as("item"), col("c").as("c1")),
+          Seq("item"))
+        .join(cnt.select(col("movieId").as("nbr"), col("c").as("c2")),
+          Seq("nbr"))
+        .select(col("item").as("antecedent"), col("nbr").as("consequent"),
+          col("c12"),
+          round(col("c12") / col("c1"), 6).as("confidence"),
+          round(col("c12") * lit(nUsers.toDouble) / (col("c1") * col("c2")), 6)
+            .as("lift"))
+        .orderBy(col("lift").desc, col("antecedent"), col("consequent"))
+        .limit(100)
     })
   )
 
@@ -524,7 +549,18 @@ object PipelineQueries {
          |FROM (SELECT *, ROW_NUMBER() OVER (
          |        PARTITION BY userId ORDER BY score DESC, movieId) AS rn
          |      FROM unseen)
-         |WHERE rn <= 3 ORDER BY userId, rn""".stripMargin
+         |WHERE rn <= 3 ORDER BY userId, rn""".stripMargin,
+
+    "q_item_rules" ->
+      s"""WITH ${Tables.ratingsSql},
+         |$itemIndexCtes,
+         |u AS (SELECT CAST(COUNT(DISTINCT userId) AS DOUBLE) AS nu FROM capped)
+         |SELECT item AS antecedent, nbr AS consequent, c12,
+         |  ROUND(c12 / ca.c, 6) AS confidence,
+         |  ROUND(c12 * (SELECT nu FROM u) / (ca.c * cb.c), 6) AS lift
+         |FROM idx JOIN cnt ca ON idx.item = ca.movieId
+         |         JOIN cnt cb ON idx.nbr = cb.movieId
+         |ORDER BY lift DESC, antecedent, consequent LIMIT 100""".stripMargin
   )
 
   /** The DuckDB twin of the [[Recommend.itemNeighbors]] build (cap 30,
