@@ -1044,6 +1044,68 @@ object EventStreams {
       }
   }
 
+  /** One (shard, item, estimated-count) row of a sharded Misra-Gries
+    * summary — the [[heavyHittersIntake]] output unit.
+    */
+  case class ShardedCount(shard: Long, item: String, est: Long)
+
+  /** ONLINE heavy hitters — sharded Misra-Gries over an unbounded
+    * stream with HARD-bounded state: each of `shards` content-hash
+    * shards keeps at most `k` (item, counter) entries, updated with the
+    * classic rule (hit → increment; free slot → insert at 1; full →
+    * decrement ALL and drop zeros). Per batch each touched shard emits
+    * its full summary (≤k rows); [[mergeHeavyHitters]] folds shard
+    * summaries into the global top-k estimate.
+    *
+    * Guarantees (the MG theorem, per shard): every item with true shard
+    * frequency > n_shard/(k+1) is PRESENT, and any reported counter
+    * undercounts its true frequency by at most n_shard/(k+1) — asserted
+    * against exact batch counts in StreamingSpec. Counter VALUES (not
+    * membership of the guaranteed hitters) depend on arrival order —
+    * inherent to MG, which is why this surface is invariant-tested, not
+    * value-oracled (same reasoning as the HLL/theta exemptions).
+    *
+    * Scale shape: state is shards×k entries TOTAL regardless of stream
+    * length or item cardinality (the entire point); sharding by content
+    * hash spreads the update load across tasks AND keeps a given item's
+    * counters on one shard so summaries merge without double counting.
+    */
+  def heavyHittersIntake(events: DataFrame, k: Int = 16, shards: Int = 8,
+      itemCol: String = "event_type"): Dataset[ShardedCount] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col(itemCol).cast("string").as("item"),
+        pmod(xxhash64(col(itemCol).cast("string")), lit(shards.toLong))
+          .as("shard"))
+      .as[(String, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Map[String, Long], ShardedCount](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (shard: Long, rows: Iterator[(String, Long)],
+         state: GroupState[Map[String, Long]]) =>
+          var m = state.getOption.getOrElse(Map.empty[String, Long])
+          rows.foreach { case (item, _) =>
+            m.get(item) match {
+              case Some(c) => m = m.updated(item, c + 1)
+              case None if m.size < k => m = m.updated(item, 1L)
+              case None =>
+                m = m.view.mapValues(_ - 1).filter(_._2 > 0).toMap
+            }
+          }
+          state.update(m)
+          m.toSeq.sortBy { case (i, c) => (-c, i) }
+            .map { case (i, c) => ShardedCount(shard, i, c) }.iterator
+      }
+  }
+
+  /** Fold per-shard MG summaries (latest per shard) into the global
+    * top-`k` estimate: shards partition the item space by content hash,
+    * so a plain sum never double-counts.
+    */
+  def mergeHeavyHitters(summaries: DataFrame, k: Int): DataFrame =
+    summaries.groupBy(col("item")).agg(sum(col("est")).as("est"))
+      .orderBy(col("est").desc, col("item")).limit(k)
+
   /** One status observation for [[scd2Intake]] — `(key, obs_date,
     * obs_id, status)`; `obs_id` is the per-date total-order tiebreak
     * (the q_scd2_intervals orderkey).

@@ -1381,6 +1381,64 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(indexDir).distinct().count() == 4L)
   }
 
+  test("heavyHittersIntake: hard-bounded sharded state; MG membership and error invariants") {
+    implicit val sc = spark.sqlContext
+    val K = 4
+    val SHARDS = 2
+    // 60 hot + 12 noise types x 5 — far more distinct items than K slots
+    val items = Seq.fill(60)("hot") ++
+      (0 until 12).flatMap(i => Seq.fill(5)(s"noise_$i"))
+    val shuffled = new scala.util.Random(11).shuffle(items)
+    val mem = MemoryStream[E]
+    val sink = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, EventStreams.ShardedCount)]
+    val q = EventStreams.heavyHittersIntake(mem.toDF(), k = K, shards = SHARDS)
+      .writeStream.outputMode("append")
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[EventStreams.ShardedCount], id: Long) =>
+          sink.synchronized { sink ++= b.collect().map(id -> _) }; ()
+      }.start()
+    try {
+      shuffled.grouped(60).zipWithIndex.foreach { case (chunk, i) =>
+        mem.addData(chunk.zipWithIndex.map { case (it, j) =>
+          E(i * 1000L + j, ts(i * 10), 1L, it, 1.0) })
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    // latest summary per shard (each batch re-emits the full summary)
+    val latest = sink.synchronized(sink.toList)
+      .groupBy(_._2.shard).toSeq.flatMap { case (_, rs) =>
+        val last = rs.map(_._1).max
+        rs.filter(_._1 == last).map(_._2)
+      }
+    // hard state bound: ≤ K counters per shard, ever
+    latest.groupBy(_.shard).foreach { case (s, rows) =>
+      assert(rows.size <= K, s"shard $s overflowed: ${rows.size}")
+    }
+    // exact truth + the engine's own shard assignment
+    val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val shardOf = truth.keys.toSeq.toDF("item")
+      .select(col("item"), pmod(xxhash64(col("item")), lit(SHARDS.toLong)).as("s"))
+      .as[(String, Long)].collect().toMap
+    val nShard = truth.toSeq.groupBy { case (i, _) => shardOf(i) }
+      .view.mapValues(_.map(_._2).sum).toMap
+    val est = latest.map(r => r.item -> r.est).toMap
+    latest.foreach { r =>
+      assert(r.est <= truth(r.item), s"MG may never overcount: $r") }
+    truth.foreach { case (item, n) =>
+      val bound = nShard(shardOf(item)) / (K + 1.0)
+      if (n > bound) {
+        assert(est.contains(item), s"guaranteed hitter $item missing")
+        assert(truth(item) - est(item) <= bound, s"error bound broken for $item")
+      }
+    }
+    // merged global top-1 is the planted hot item
+    val merged = EventStreams.mergeHeavyHitters(
+      latest.toDF().select(col("shard"), col("item"), col("est")), 3)
+      .collect()
+    assert(merged.head.getString(0) == "hot", merged.mkString(","))
+  }
+
   test("scd2Intake: planted transitions close/open versions correctly") {
     implicit val sc = spark.sqlContext
     def d(s: String) = java.sql.Date.valueOf(s)
