@@ -10,9 +10,9 @@ import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
   * Scale shape: each iteration is ONE shuffle — `edges ⋈ ranks` on `src`
   * (the rank relation is |nodes| rows, joined on its key) followed by a
   * `groupBy(dst)` with map-side partial sums. Nothing unbounded is ever
-  * collected to the driver (the fast path below is gated on a measured
-  * edge count); the rank relation never exceeds one row per node. A
-  * fixed iteration count keeps the lineage bounded; a convergence-driven
+  * collected to the driver (the fast path is gated on a measured edge
+  * count); the rank relation never exceeds one row per node. A fixed
+  * iteration count keeps the lineage bounded; a convergence-driven
   * variant at scale would persist + checkpoint every ~10 rounds exactly
   * like the CC loop (Dedup.scala).
   *
@@ -26,14 +26,14 @@ object Graph {
   private lazy val logger = org.slf4j.LoggerFactory.getLogger(getClass)
 
   /** PageRank with `iterations` fixed power-iteration rounds at the
-    * given damping. `edges` must be `(src, dst)`; every node that should
-    * receive teleport mass must appear as a `src` at least once (a
-    * symmetric edge set satisfies this trivially and has no dangling
-    * nodes — callers with genuinely directed graphs should pre-attach
-    * their dangling-mass convention). Contributions to a `dst` that is
-    * never a `src` are dropped (that sink is outside the node set).
-    * Returns `(node, rank)` un-rounded; callers own the presentation
-    * rounding.
+    * given damping and UNIFORM teleport. `edges` must be `(src, dst)`;
+    * every node that should receive teleport mass must appear as a
+    * `src` at least once (a symmetric edge set satisfies this trivially
+    * and has no dangling nodes — callers with genuinely directed graphs
+    * should pre-attach their dangling-mass convention). Contributions
+    * to a `dst` that is never a `src` are dropped (that sink is outside
+    * the node set). Returns `(node, rank)` un-rounded; callers own the
+    * presentation rounding.
     *
     * SMALL-GRAPH FAST PATH (the [[Dedup.connectedComponents]] pattern):
     * below `localThreshold` edges the distributed loop's cost is pure
@@ -42,14 +42,35 @@ object Graph {
     * so the identical recurrence runs as a driver array loop over the
     * collected edge list instead (the collect is bounded by the count
     * guard, read from already-checkpointed blocks). At real scale the
-    * guard fails and the distributed loop below runs unchanged — the
-    * 100 TB path is untouched; GraphLayoutSpec asserts both paths agree
-    * on the same graphs.
+    * guard fails and the distributed loop runs unchanged — the 100 TB
+    * path is untouched; GraphLayoutSpec asserts both paths agree on the
+    * same graphs.
     */
   def pageRank(edges: DataFrame, iterations: Int = 5,
                damping: Double = 0.85,
                maxBroadcastNodes: Long = 1000000L,
-               localThreshold: Long = 2000000L): DataFrame = {
+               localThreshold: Long = 2000000L): DataFrame =
+    run(edges, None, iterations, damping, maxBroadcastNodes, localThreshold)
+
+  /** Personalized PageRank: teleport mass ∝ `seeds` `(node, w)` weights
+    * instead of uniform — the graph-based related-entities recommender
+    * (rank concentrates in the seed set's neighborhood). Seeds are
+    * intersected with the node set FIRST and weights normalized over
+    * the survivors (a seed outside the graph would silently leak
+    * teleport mass otherwise); non-seed nodes get zero teleport, so
+    * total mass is conserved on a symmetric edge set. Same fast-path /
+    * distributed split, same rounding contract as [[pageRank]].
+    */
+  def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
+                           iterations: Int = 5, damping: Double = 0.85,
+                           maxBroadcastNodes: Long = 1000000L,
+                           localThreshold: Long = 2000000L): DataFrame =
+    run(edges, Some(seeds.select(col("node"), col("w").cast("double"))),
+      iterations, damping, maxBroadcastNodes, localThreshold)
+
+  private def run(edges: DataFrame, seeds: Option[DataFrame],
+                  iterations: Int, damping: Double,
+                  maxBroadcastNodes: Long, localThreshold: Long): DataFrame = {
     // EAGER checkpoint FIRST (the Dedup.connectedComponents discipline):
     // the edge relation is read once by the guard count and twice by the
     // distributed build below, which would otherwise re-run the caller's
@@ -58,7 +79,7 @@ object Graph {
     val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     val m = e.count() // reads the materialized blocks, not the lineage
     require(m > 0, "pageRank over an empty edge set")
-    if (m <= localThreshold) return localPageRank(e, iterations, damping)
+    if (m <= localThreshold) return localRun(e, seeds, iterations, damping)
 
     // Distributed path. Round-cost structure: the out-degree is FOLDED
     // into the edge relation once (no per-round degree join), and the
@@ -72,19 +93,23 @@ object Graph {
     val nodes = eDeg.select(col("src").as("node")).distinct()
       .localCheckpoint(true)
     val n = nodes.count()
-    val teleport = (1.0 - damping) / n
-    // |nodes| is MEASURED (the count above), so the rank-side join
-    // strategy is a guarded decision, not an assumption (the repo's
-    // maxBroadcastGrams norm): under the limit the per-round rank
-    // relation broadcasts (no exchange at all — edges stay put in their
-    // checkpointed partitions); above it, a shuffle-hash join of the
-    // rank relation against the co-partitioned edges (no per-round sort
-    // of the edge side, which SMJ would pay every round).
+    // per-node teleport relation: uniform 1/n, or normalized seed
+    // weights over seeds∩nodes (zero elsewhere); checkpointed — it is
+    // read every round
+    val tele = (seeds match {
+      case None => nodes.withColumn("p", lit(1.0 / n))
+      case Some(s) =>
+        val sg = s.join(nodes, Seq("node"))
+        val sumW = sg.agg(sum(col("w"))).head().getDouble(0)
+        require(sumW > 0, "personalized teleport needs in-graph seeds")
+        nodes.join(sg, Seq("node"), "left")
+          .select(col("node"), (coalesce(col("w"), lit(0.0)) / lit(sumW)).as("p"))
+    }).localCheckpoint(true)
     val useBroadcast = n <= maxBroadcastNodes
     logger.info(s"pageRank: $m edges, $n nodes -> distributed, " +
       (if (useBroadcast) "broadcast rank join"
        else s"shuffle-hash rank join (over maxBroadcastNodes=$maxBroadcastNodes)"))
-    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    var ranks = tele.select(col("node"), col("p").as("rank"))
     for (_ <- 1 to iterations) {
       val rankSide = if (useBroadcast) broadcast(ranks)
                      else ranks.hint("shuffle_hash")
@@ -94,10 +119,10 @@ object Graph {
           (col("rank") / col("out_deg")).as("contrib"))
       val inSum = contribs.groupBy(col("node"))
         .agg(sum(col("contrib")).as("in_sum"))
-      ranks = nodes.join(inSum, Seq("node"), "left")
+      ranks = tele.join(inSum, Seq("node"), "left")
         .select(col("node"),
-          (lit(teleport) + lit(damping) * coalesce(col("in_sum"), lit(0.0)))
-            .as("rank"))
+          (lit(1.0 - damping) * col("p") +
+            lit(damping) * coalesce(col("in_sum"), lit(0.0))).as("rank"))
     }
     ranks
   }
@@ -107,8 +132,8 @@ object Graph {
     * (keys in a hash index); first-seen order assigns indices, so the
     * result is a pure function of the collected edge list.
     */
-  private def localPageRank(e: DataFrame, iterations: Int,
-                            damping: Double): DataFrame = {
+  private def localRun(e: DataFrame, seeds: Option[DataFrame],
+                       iterations: Int, damping: Double): DataFrame = {
     val spark = e.sparkSession
     val rows = e.collect() // bounded by the caller's localThreshold guard
     val idx = new java.util.HashMap[Any, Integer]()
@@ -131,8 +156,21 @@ object Graph {
       dstIx(i) = if (d == null) -1 else d.intValue()
       i += 1
     }
-    val teleport = (1.0 - damping) / n
-    var rank = Array.fill(n)(1.0 / n)
+    // teleport vector: uniform, or normalized over seeds∩nodes — the
+    // seed collect is bounded by the same guard (seeds ⊆ nodes < edges)
+    val p = seeds match {
+      case None => Array.fill(n)(1.0 / n)
+      case Some(s) =>
+        val arr = new Array[Double](n)
+        var sumW = 0.0
+        s.collect().foreach { r =>
+          val k = idx.get(r.get(0))
+          if (k != null) { arr(k) += r.getDouble(1); sumW += r.getDouble(1) }
+        }
+        require(sumW > 0, "personalized teleport needs in-graph seeds")
+        arr.map(_ / sumW)
+    }
+    var rank = p.clone()
     for (_ <- 1 to iterations) {
       val acc = new Array[Double](n)
       var j = 0
@@ -141,7 +179,7 @@ object Graph {
         if (t >= 0) acc(t) += rank(srcIx(j)) / outDeg(srcIx(j))
         j += 1
       }
-      rank = acc.map(a => teleport + damping * a)
+      rank = Array.tabulate(n)(k => (1.0 - damping) * p(k) + damping * acc(k))
     }
     val out = order.zipWithIndex.map { case (node, k) => Row(node, rank(k)) }
     val schema = StructType(Seq(

@@ -963,22 +963,25 @@ object AnalyticsQueries {
     // so the iteration math is witnessed end-to-end; final ranks rounded
     // 6dp (double-sum addition-order seam, SCALING.md contract).
     "q_pagerank" -> ((s, d) => {
-      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
-      val l = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-      // dedup on the LONG key pair, stringify the node ids after — the
-      // distinct is the edge-mining shuffle and 16-byte rows beat
-      // variable-length strings through it
-      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey"), col("l_suppkey")).distinct()
-        .select(concat(lit("c"), col("o_custkey")).as("c"),
-          concat(lit("s"), col("l_suppkey")).as("s"))
-      // symmetrize with ONE pass (explode of a 2-struct array) — a
-      // self-union would evaluate the join+distinct subtree twice
-      val edges = pairs.select(explode(array(
-          struct(col("c").as("src"), col("s").as("dst")),
-          struct(col("s").as("src"), col("c").as("dst")))).as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      graft.operators.Graph.pageRank(edges, iterations = 5, damping = 0.85)
+      graft.operators.Graph.pageRank(tradeEdges(s, d),
+          iterations = 5, damping = 0.85)
+        .select(col("node"), round(col("rank"), 6).as("rank_r"))
+        .orderBy(col("node"))
+    }),
+
+    // Personalized PageRank: teleport mass pinned to the BUILDING-segment
+    // customers — rank concentrates in their trading neighborhood, so the
+    // supplier ordering answers "which suppliers serve this segment's
+    // orbit" (the graph-based related-entities recommender). Same
+    // generated-CTE oracle as q_pagerank with a seed-normalized teleport
+    // CTE swapped in; supplier nodes only in the output.
+    "q_ppr_suppliers" -> ((s, d) => {
+      val seeds = t(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(concat(lit("c"), col("c_custkey")).as("node")).distinct()
+        .withColumn("w", lit(1.0))
+      graft.operators.Graph.personalizedPageRank(tradeEdges(s, d), seeds)
+        .filter(col("node").startsWith("s"))
         .select(col("node"), round(col("rank"), 6).as("rank_r"))
         .orderBy(col("node"))
     }),
@@ -1571,6 +1574,8 @@ object AnalyticsQueries {
 
     "q_pagerank" -> pagerankOracle,
 
+    "q_ppr_suppliers" -> pprOracle,
+
     "q_zorder_cluster" ->
       s"""WITH b AS (
          |  SELECT l_partkey % 1024 AS x, l_suppkey % 1024 AS y FROM lineitem
@@ -1591,19 +1596,43 @@ object AnalyticsQueries {
     * one ulp — mirroring the arithmetic, not the decimal text, is what
     * keeps the 6dp rounding seam safe).
     */
-  private def pagerankOracle: String = {
-    val iters = 5
-    val n = "(SELECT n FROM nn)"
+  /** The symmetric customer↔supplier trade graph both PageRank queries
+    * walk: dedup on the LONG key pair (the edge-mining shuffle — 16-byte
+    * rows beat variable-length strings through it), stringify after,
+    * symmetrize with ONE pass (explode of a 2-struct array — a
+    * self-union would evaluate the join+distinct subtree twice).
+    */
+  private def tradeEdges(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val l = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct()
+      .select(concat(lit("c"), col("o_custkey")).as("c"),
+        concat(lit("s"), col("l_suppkey")).as("s"))
+    pairs.select(explode(array(
+        struct(col("c").as("src"), col("s").as("dst")),
+        struct(col("s").as("src"), col("c").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+  }
+
+  /** Shared CTE prefix of both PageRank oracles: the symmetric trade
+    * graph, node set, out-degrees, and the per-node teleport CTE `tele`
+    * supplied by the caller (uniform or seed-normalized). The iteration
+    * body mirrors Graph.run's arithmetic EXACTLY — `(1−d)·p + d·Σ`, a
+    * multiplication by the teleport column, not a division by n (the
+    * two differ by an ulp and the engines must agree before rounding).
+    */
+  private def pagerankCtes(teleCte: String, iters: Int): String = {
     val damp = "CAST(0.85 AS DOUBLE)"
     val body = (1 to iters).map { k =>
       s""", r$k AS (
-         |  SELECT nd.node,
-         |    (CAST(1 AS DOUBLE) - $damp)/$n + $damp*COALESCE(sm.in_sum, CAST(0 AS DOUBLE)) AS rank
-         |  FROM nodes nd LEFT JOIN (
+         |  SELECT t.node,
+         |    (CAST(1 AS DOUBLE) - $damp)*t.p + $damp*COALESCE(sm.in_sum, CAST(0 AS DOUBLE)) AS rank
+         |  FROM tele t LEFT JOIN (
          |    SELECT e.dst AS node, SUM(p.rank / dg.out_deg) AS in_sum
          |    FROM edges e JOIN r${k - 1} p ON e.src = p.node
          |    JOIN deg dg ON e.src = dg.src
-         |    GROUP BY e.dst) sm ON nd.node = sm.node)""".stripMargin
+         |    GROUP BY e.dst) sm ON t.node = sm.node)""".stripMargin
     }.mkString
     s"""WITH pairs AS (
        |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
@@ -1615,8 +1644,31 @@ object AnalyticsQueries {
        |), nodes AS (SELECT DISTINCT src AS node FROM edges
        |), nn AS (SELECT COUNT(*) AS n FROM nodes
        |), deg AS (SELECT src, COUNT(*) AS out_deg FROM edges GROUP BY src
-       |), r0 AS (SELECT node, CAST(1 AS DOUBLE)/$n AS rank FROM nodes)""".stripMargin +
-      body +
-      s"\nSELECT node, ROUND(rank, 6) AS rank_r FROM r$iters ORDER BY node"
+       |), $teleCte
+       |, r0 AS (SELECT node, p AS rank FROM tele)""".stripMargin + body
   }
+
+  private def pagerankOracle: String =
+    pagerankCtes(
+      "tele AS (SELECT node, CAST(1 AS DOUBLE)/(SELECT n FROM nn) AS p FROM nodes)",
+      5) +
+      "\nSELECT node, ROUND(rank, 6) AS rank_r FROM r5 ORDER BY node"
+
+  private def pprOracle: String =
+    pagerankCtes(
+      """seeds AS (
+        |  SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS node,
+        |         CAST(1 AS DOUBLE) AS w
+        |  FROM customer WHERE c_mktsegment = 'BUILDING'
+        |), seedsg AS (
+        |  SELECT s.node, s.w FROM seeds s JOIN nodes n ON s.node = n.node
+        |), sw AS (SELECT SUM(w) AS s FROM seedsg
+        |), tele AS (
+        |  SELECT n.node, COALESCE(sg.w, CAST(0 AS DOUBLE))/(SELECT s FROM sw) AS p
+        |  FROM nodes n LEFT JOIN seedsg sg ON n.node = sg.node
+        |)""".stripMargin,
+      5) +
+      """
+        |SELECT node, ROUND(rank, 6) AS rank_r FROM r5
+        |WHERE node LIKE 's%' ORDER BY node""".stripMargin
 }

@@ -52,6 +52,26 @@ class GraphLayoutSpec extends SparkTestBase {
     }
   }
 
+  test("personalizedPageRank: mass conserved, seed neighborhood outranks, junk seeds ignored, fast ≡ distributed") {
+    val es = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"))
+    val sym = (es ++ es.map(_.swap)).toDF("src", "dst")
+    def ranks(seeds: Seq[(String, Double)], forceDist: Boolean = false) =
+      Graph.personalizedPageRank(sym, seeds.toDF("node", "w"),
+          iterations = 20,
+          localThreshold = if (forceDist) 0L else 2000000L)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val fast = ranks(Seq(("a", 1.0)))
+    assert(math.abs(fast.values.sum - 1.0) < 1e-9) // symmetric: no leak
+    assert(fast("a") > fast("c") && fast("b") > fast("d"))
+    assert(fast("e") > 0) // mass reaches the far end, monotonically less
+    val dist = ranks(Seq(("a", 1.0)), forceDist = true)
+    fast.foreach { case (k, v) =>
+      assert(math.abs(v - dist(k)) < 1e-12, s"$k: $v vs ${dist(k)}") }
+    // a seed outside the graph is dropped BEFORE normalization
+    val withJunk = ranks(Seq(("a", 1.0), ("zz", 9.0)))
+    fast.foreach { case (k, v) => assert(math.abs(v - withJunk(k)) < 1e-12) }
+  }
+
   test("q_pagerank: mass sums to 1 and both node namespaces surface") {
     val out = SparkEntry.queries("q_pagerank")(spark, sf).collect()
     val mass = out.map(_.getDouble(1)).sum
