@@ -92,7 +92,7 @@ object Bench {
     // clustering, SCD2 interval build, and the salted/bucketed join twins
     "q_pagerank", "q_zorder_cluster", "q_scd2_intervals",
     "q_join_salted", "q_join_bucketed", "q_item_neighbors", "q_item_recs",
-    "q_item_rules", "q_pop_decayed", "q_ppr_suppliers")
+    "q_item_rules", "q_pop_decayed", "q_ppr_suppliers", "q_fuzzy_parts")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

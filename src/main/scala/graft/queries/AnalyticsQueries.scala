@@ -986,6 +986,28 @@ object AnalyticsQueries {
         .orderBy(col("node"))
     }),
 
+    // Blocked fuzzy matching (the entity-resolution pattern): candidate
+    // pairs come from a BLOCK KEY (the name's last token), never an
+    // all-pairs cross product; the quadratic expansion inside a block
+    // rides the same sorted-array HOF as Dedup.bucketPairs; the
+    // expensive edit distance runs only on blocked candidates.
+    // levenshtein is the standard DP distance on both engines — exact
+    // integer, no float seam.
+    "q_fuzzy_parts" -> ((s, d) => {
+      val names = t(s, d, "part").select(col("p_name")).distinct()
+        .withColumn("block", element_at(split(col("p_name"), " "), -1))
+      names.groupBy(col("block"))
+        .agg(sort_array(collect_set(col("p_name"))).as("ns"))
+        .filter(size(col("ns")) > 1)
+        .select(col("block"), explode(flatten(transform(col("ns"), (x, i) =>
+          transform(slice(col("ns"), i + 2, size(col("ns"))),
+            y => struct(x.as("a"), y.as("b")))))).as("p"))
+        .select(col("block"), col("p.a").as("a"), col("p.b").as("b"),
+          levenshtein(col("p.a"), col("p.b")).cast("long").as("dist"))
+        .filter(col("dist") <= 2)
+        .orderBy(col("a"), col("b"))
+    }),
+
     // Z-order layout clustering: Morton-interleave (l_partkey, l_suppkey)
     // mod 1024 into one sort key and report each of the 64 coarse
     // z-ranges' (x, y) bounding box — the per-file min/max stats a
@@ -1575,6 +1597,18 @@ object AnalyticsQueries {
     "q_pagerank" -> pagerankOracle,
 
     "q_ppr_suppliers" -> pprOracle,
+
+    "q_fuzzy_parts" ->
+      """WITH n AS (
+        |  SELECT DISTINCT p_name,
+        |    list_extract(string_split(p_name, ' '), -1) AS block
+        |  FROM part
+        |)
+        |SELECT a.block, a.p_name AS a, b.p_name AS b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        |FROM n a JOIN n b ON a.block = b.block AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY a, b""".stripMargin,
 
     "q_zorder_cluster" ->
       s"""WITH b AS (
