@@ -172,7 +172,11 @@ object Soak {
       "zorder_cluster" -> (() => noop(
         SparkEntry.queries("q_zorder_cluster")(spark, d))),
       "join_bucketed" -> (() => noop(
-        SparkEntry.queries("q_join_bucketed")(spark, d))))
+        SparkEntry.queries("q_join_bucketed")(spark, d))),
+      // the co-occurrence pair-count build (the heaviest late-round op:
+      // capped quadratic expansion + a ~97%-unique-key count exchange)
+      "item_fit" -> (() => noop(
+        graft.operators.Recommend.itemNeighbors(Tables.ratings(spark, d)))))
 
     // untimed warmup at scale 1: JIT + codegen compilation
     val (wd, we) = materialize("warm", 1)
