@@ -331,7 +331,13 @@ object PipelineQueries {
       // and exclusion must not race a fresher ratings scan (the two are
       // one published artifact version)
       val (idx, capped) = itemIndex(s, d)
+      // the (user, candidate) vote aggregation has mostly-unique keys
+      // (≤ cap×topK candidates per user, few repeat voters) — pin the
+      // exchange width like the fit's pair count, or AQE's byte-based
+      // coalescing folds the row-count-bound work onto a few fat tasks
+      val shuffleN = s.sessionState.conf.numShufflePartitions
       val votes = capped.join(idx, capped("movieId") === idx("item"))
+        .repartition(shuffleN, col("userId"), col("nbr"))
         .groupBy(col("userId"), col("nbr"))
         .agg(round(sum(col("cosine")), 6).as("score"),
           count(lit(1)).as("n_voters"))
