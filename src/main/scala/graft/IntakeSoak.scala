@@ -32,7 +32,10 @@ object IntakeSoak {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val nBatches = sys.env.getOrElse("SPARK_GRAFT_INTAKE_BATCHES", "10").toInt
+    // default 50 batches: the r10 curve (10 batches, 0→34k hashes) was
+    // short for a "flat while state grows" claim — 50 covers an order of
+    // magnitude of index growth (→ ~170k hashes) in one run
+    val nBatches = sys.env.getOrElse("SPARK_GRAFT_INTAKE_BATCHES", "50").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -61,10 +64,13 @@ object IntakeSoak {
     val base = docs0.select(col("doc_id"), col("source"), col("text"))
       .orderBy(col("doc_id")).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    // epoch arithmetic, not a formatted literal — batch i advances i
+    // HOURS past midnight and i can exceed 23 (50-batch default)
+    val t0Epoch = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
     def batchDocs(i: Int): Seq[EventStreams.SourcedDoc] = base.toSeq.map {
       case (id, src, text) =>
         EventStreams.SourcedDoc(id + i.toLong * 100000000L,
-          java.sql.Timestamp.valueOf(f"2024-01-01 ${i}%02d:00:00"),
+          new java.sql.Timestamp(t0Epoch + i.toLong * 3600000L),
           src, if (i == 0) text else s"$text copy $i")
     }
     val sources = base.map(_._2).distinct

@@ -23,11 +23,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bucketing {
 
   /** Idempotently create bucketed table `table` at `path` from `df`
-    * (no-op when the session catalog already has it). Returns `table`.
+    * (no-op when the session catalog already has it AND its data still
+    * exists). Returns `table`.
+    *
+    * The existence check is catalog + STORAGE: with a persistent
+    * metastore, a stale catalog entry can outlive its data directory
+    * (e.g. a prior process registered a temp path that was deleted on
+    * exit) — trusting the catalog alone would serve empty or failing
+    * scans forever. A registered table whose path is missing or empty
+    * is dropped and rebuilt.
     */
   def ensureBucketedTable(s: SparkSession, df: => DataFrame, table: String,
                           path: String, key: String,
                           buckets: Int = 8): String = {
+    if (s.catalog.tableExists(table)) {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p) || fs.listStatus(p).isEmpty)
+        s.sql(s"DROP TABLE IF EXISTS $table")
+    }
     if (!s.catalog.tableExists(table)) {
       df.write.mode("overwrite").format("parquet")
         .bucketBy(buckets, key).sortBy(key)

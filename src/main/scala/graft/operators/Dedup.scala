@@ -243,6 +243,50 @@ object Dedup {
     expanded.union(overflow).dropDuplicates("id_a", "id_b")
   }
 
+  /** Capped blocked candidate pairs for fuzzy matching / entity
+    * resolution — [[bucketPairs]]' hot-bucket discipline applied to a
+    * VALUE-keyed block relation `(blockCol, valueCol)` (assumed distinct
+    * pairs; callers `.distinct()` first). Within each block: full
+    * pairwise expansion over the FIRST `maxBlock` members in `valueCol`
+    * order (deterministic cross-engine — it is a plain ORDER BY), plus a
+    * star-attach of every overflow member to the block's minimum member,
+    * so overflow keeps one-comparison recall instead of dropping out.
+    *
+    * This cap is what makes blocking scale-SAFE rather than merely
+    * scale-plausible: a block key with cardinality independent of n
+    * (e.g. TPC-H `p_name`'s last token — ≤92 color words, so at 100×
+    * rows every block is 100× larger) turns uncapped in-block expansion
+    * into O(n²); with the cap, per-block cost is bounded at O(maxBlock²)
+    * + O(overflow) for ANY data size. The SQL mirror (q_fuzzy_parts's
+    * oracle) reproduces the cap with ROW_NUMBER over the same ordering,
+    * so the capped semantics — not just the easy uncapped ones — are
+    * what the cross-engine gate verifies. Returns `(blockCol, a, b)`
+    * with `a < b` per row.
+    */
+  def blockedPairs(rows: DataFrame, blockCol: String = "block",
+      valueCol: String = "v", maxBlock: Int = 1000): DataFrame = {
+    val w = Window.partitionBy(col(blockCol)).orderBy(col(valueCol))
+    // running min over a value-ascending frame == block min, computed on
+    // the same window keys as the cap rank (one sort, no extra exchange)
+    val numbered = rows
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__mn", min(col(valueCol)).over(w))
+    val core = numbered.filter(col("__rn") <= maxBlock)
+      .groupBy(col(blockCol))
+      .agg(sort_array(collect_set(col(valueCol))).as("vs"))
+      .filter(size(col("vs")) > 1)
+      .select(col(blockCol), explode(flatten(transform(col("vs"), (x, i) =>
+        transform(slice(col("vs"), i + 2, size(col("vs"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col(blockCol), col("p.a").as("a"), col("p.b").as("b"))
+    // overflow star pairs: map-side projection of the already-numbered
+    // rows — no aggregation, bounded state, O(overflow) rows; b has
+    // rank > maxBlock so no overflow pair can also appear in `core`
+    val overflow = numbered.filter(col("__rn") > maxBlock)
+      .select(col(blockCol), col("__mn").as("a"), col(valueCol).as("b"))
+    core.union(overflow)
+  }
+
   /** Side-output health report for a banded bucketing: one row of
     * (n_buckets, max_bucket, n_truncated, ids_dropped) at a given cap.
     * This is the "log line" of [[bucketPairs]] — at 100 TB you run it on
@@ -426,44 +470,44 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 20,
       checkpointEvery: Int = 5, localThreshold: Long = 200000L): DataFrame = {
-    // EAGER localCheckpoint, not persist — twice, each load-bearing:
-    //  - `p` first: the symmetrization union below reads its input TWICE
-    //    (two branches of the same plan, no exchange to reuse), so an
-    //    expensive caller lineage (LSH candidate gen + cosine) would run
-    //    double; checkpointing the pair relation bounds that to ONE
-    //    evaluation (measured: q_corpus_clean_semantic ~2× faster).
-    //  - `edges` second: a persisted relation still PRINTS its full
-    //    child plan (InMemoryRelation includes its child), and every
-    //    round references edges — and, via the pointer jump, the
-    //    previous round — twice, so the plan STRING doubles per round on
-    //    top of the caller's lineage. Over an LSH pair pipeline that
-    //    string goes exponential and the listener's explainString OOMs
-    //    the driver before any task runs (observed at sf0.1: 879 edges,
-    //    8 GB heap dead). Checkpoint leaves make round plans O(round),
-    //    independent of input lineage depth.
-    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint(true)
-    // SMALL-GRAPH FAST PATH: below `localThreshold` edges the pair graph
-    // fits trivially on the driver, and the distributed loop's cost is
-    // pure JOB-SCHEDULING FLOOR — O(log d) rounds × (2 joins + 1 agg +
-    // 1 count action) of launch latency on near-empty partitions (~2.6 s
-    // idle at sf0.1 for q_dedup_cc_incremental, whose CONTRACTED graph is
-    // batch-sized by construction). Union-find-by-min on the collected
-    // edge list computes the IDENTICAL (id, min-reachable-id) labeling in
-    // one collect + one parallelize — the collect is bounded to
-    // `localThreshold` rows by the count guard (p is an eager checkpoint,
-    // so the count reads materialized blocks, not the caller's lineage).
-    // At real scale the guard fails and the pointer-jumping loop below
-    // runs unchanged — the 100 TB path is untouched; DedupSimilaritySpec
-    // asserts both paths equal driver union-find on the same graphs.
-    val idT = p.schema.fields(0).dataType
-    val integralIds = (idT == p.schema.fields(1).dataType) &&
+    // SMALL-GRAPH FAST PATH, dispatched via the shared [[Guarded.iterate]]
+    // (eager checkpoint BEFORE the guard count — see its scaladoc for why
+    // that ordering is load-bearing; here the checkpoint additionally
+    // stops the symmetrization union below reading the caller's LSH
+    // lineage TWICE, and — with the second checkpoint on `edges` — keeps
+    // per-round plan STRINGS O(round) instead of exponential: a persisted
+    // relation still PRINTS its full child plan, and the observed failure
+    // was the listener's explainString OOMing an 8 GB driver at sf0.1
+    // with 879 edges before any task ran).
+    // Below the guard: the distributed loop's cost is pure JOB-SCHEDULING
+    // FLOOR — O(log d) rounds × (2 joins + 1 agg + 1 count action) of
+    // launch latency on near-empty partitions (~2.6 s idle at sf0.1 for
+    // q_dedup_cc_incremental, whose CONTRACTED graph is batch-sized by
+    // construction). Union-find-by-min on the collected edge list
+    // computes the IDENTICAL (id, min-reachable-id) labeling in one
+    // guard-bounded collect + one parallelize. At real scale the guard
+    // fails and the pointer-jumping loop runs unchanged — the 100 TB
+    // path is untouched; DedupSimilaritySpec asserts both paths equal
+    // driver union-find on the same graphs. Non-integral id types always
+    // take the distributed path (the union-find twin packs ids as longs).
+    val idT = pairs.schema.fields(0).dataType
+    val integralIds = (idT == pairs.schema.fields(1).dataType) &&
       (idT match {
         case org.apache.spark.sql.types.LongType |
              org.apache.spark.sql.types.IntegerType |
              org.apache.spark.sql.types.ShortType => true
         case _ => false
       })
-    if (integralIds && p.count() <= localThreshold) return localCC(p, idT)
+    Guarded.iterate(pairs.select(col("id_a"), col("id_b")),
+        if (integralIds) localThreshold else -1L) { (p, _) =>
+      localCC(p, idT)
+    } { (p, _) =>
+      distributedCC(p, maxIter, checkpointEvery)
+    }
+  }
+
+  private def distributedCC(p: DataFrame, maxIter: Int,
+      checkpointEvery: Int): DataFrame = {
     val edges = p.select(col("id_a").as("id"), col("id_b").as("nbr"))
       .union(p.select(col("id_b").as("id"), col("id_a").as("nbr")))
       .repartition(col("nbr"))

@@ -58,8 +58,10 @@ object Graph {
     * intersected with the node set FIRST and weights normalized over
     * the survivors (a seed outside the graph would silently leak
     * teleport mass otherwise); non-seed nodes get zero teleport, so
-    * total mass is conserved on a symmetric edge set. Same fast-path /
-    * distributed split, same rounding contract as [[pageRank]].
+    * total mass is conserved on a symmetric edge set. Duplicate seed
+    * rows are summed per node before use (both paths — the input need
+    * not be distinct). Same fast-path / distributed split, same
+    * rounding contract as [[pageRank]].
     */
   def personalizedPageRank(edges: DataFrame, seeds: DataFrame,
                            iterations: Int = 5, damping: Double = 0.85,
@@ -71,16 +73,29 @@ object Graph {
   private def run(edges: DataFrame, seeds: Option[DataFrame],
                   iterations: Int, damping: Double,
                   maxBroadcastNodes: Long, localThreshold: Long): DataFrame = {
-    // EAGER checkpoint FIRST (the Dedup.connectedComponents discipline):
-    // the edge relation is read once by the guard count and twice by the
-    // distributed build below, which would otherwise re-run the caller's
-    // edge-mining lineage each time; checkpointed leaves also keep the
-    // printed round plans O(iterations) regardless of caller depth.
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
-    val m = e.count() // reads the materialized blocks, not the lineage
-    require(m > 0, "pageRank over an empty edge set")
-    if (m <= localThreshold) return localRun(e, seeds, iterations, damping)
+    // Duplicate (node, w) seed rows would silently break the distributed
+    // path's one-row-per-node rank relation (the left join would emit
+    // duplicate tele rows) while the local path sums them — aggregate
+    // ONCE here so both paths agree for ANY seed input.
+    val aggSeeds = seeds.map(_.groupBy(col("node")).agg(sum(col("w")).as("w")))
+    // Guarded dispatch (shared discipline — see [[Guarded.iterate]]):
+    // eager checkpoint BEFORE the count so the guard reads materialized
+    // blocks, the local collect is bounded, and the distributed build —
+    // which reads the edges twice — never re-runs the caller's
+    // edge-mining lineage; checkpointed leaves also keep the printed
+    // round plans O(iterations) regardless of caller depth.
+    Guarded.iterate(edges.select(col("src"), col("dst")), localThreshold) {
+      (e, m) =>
+        require(m > 0, "pageRank over an empty edge set")
+        localRun(e, aggSeeds, iterations, damping)
+    } { (e, m) =>
+      distributedRun(e, m, aggSeeds, iterations, damping, maxBroadcastNodes)
+    }
+  }
 
+  private def distributedRun(e: DataFrame, m: Long, seeds: Option[DataFrame],
+                             iterations: Int, damping: Double,
+                             maxBroadcastNodes: Long): DataFrame = {
     // Distributed path. Round-cost structure: the out-degree is FOLDED
     // into the edge relation once (no per-round degree join), and the
     // edge relation is pre-partitioned on `src` with the partitioning
@@ -100,7 +115,11 @@ object Graph {
       case None => nodes.withColumn("p", lit(1.0 / n))
       case Some(s) =>
         val sg = s.join(nodes, Seq("node"))
-        val sumW = sg.agg(sum(col("w"))).head().getDouble(0)
+        // SUM over zero rows is SQL null — read as Option so an
+        // all-out-of-graph seed set fails via the require's message
+        // (matching the local path) instead of an NPE on getDouble
+        val sumW = Option(sg.agg(sum(col("w"))).head()
+          .getAs[java.lang.Double](0)).fold(0.0)(_.doubleValue)
         require(sumW > 0, "personalized teleport needs in-graph seeds")
         nodes.join(sg, Seq("node"), "left")
           .select(col("node"), (coalesce(col("w"), lit(0.0)) / lit(sumW)).as("p"))

@@ -227,25 +227,33 @@ object TextAnalysis {
   def bpeMerges(vocab: DataFrame, rounds: Int,
       wordCol: String = "w", freqCol: String = "freq",
       localThreshold: Long = 200000L): DataFrame = {
-    val spark = vocab.sparkSession
+    // SMALL-VOCAB FAST PATH, dispatched via the shared [[Guarded.iterate]]
+    // (eager checkpoint BEFORE the guard count — its scaladoc owns the
+    // ordering argument): below `localThreshold` words, `rounds` ×
+    // (pair-explode + agg + top-1 action + checkpoint rewrite) is pure
+    // job-scheduling floor — the driver loop computes the IDENTICAL
+    // merge table from the guard-bounded collected vocabulary. The
+    // symbols collected are the SAME Spark-split arrays, and the
+    // top-pair tiebreak compares by unsigned UTF-8 bytes — exactly
+    // Spark's string sort order — so the paths can't diverge on split
+    // semantics or non-ASCII ordering (TextSpec asserts both paths
+    // equal the independent reference BPE). Above the guard the
+    // distributed rounds run unchanged: at real scale the vocabulary is
+    // the bounded-but-large relation the loop exists for.
+    Guarded.iterate(
+      vocab.select(split(col(wordCol), "").as("syms"),
+          col(freqCol).cast("long").as("freq"))
+        .filter(size(col("syms")) > 0), localThreshold) { (syms, _) =>
+      localBpe(syms, rounds)
+    } { (syms, _) =>
+      distributedBpe(syms, rounds)
+    }
+  }
+
+  private def distributedBpe(syms0: DataFrame, rounds: Int): DataFrame = {
+    val spark = syms0.sparkSession
     import spark.implicits._
-    var syms = vocab
-      .select(split(col(wordCol), "").as("syms"), col(freqCol).cast("long").as("freq"))
-      .filter(size(col("syms")) > 0)
-      .localCheckpoint(true)
-    // SMALL-VOCAB FAST PATH (the connectedComponents discipline): below
-    // `localThreshold` words, `rounds` × (pair-explode + agg + top-1
-    // action + checkpoint rewrite) is pure job-scheduling floor — the
-    // driver loop computes the IDENTICAL merge table from the collected
-    // vocabulary (bounded by the count guard; the count reads the eager
-    // checkpoint). The symbols collected are the SAME Spark-split
-    // arrays, and the top-pair tiebreak compares by unsigned UTF-8
-    // bytes — exactly Spark's string sort order — so the paths can't
-    // diverge on split semantics or non-ASCII ordering (TextSpec
-    // asserts both paths equal the independent reference BPE). Above
-    // the guard the distributed rounds run unchanged: at real scale the
-    // vocabulary is the bounded-but-large relation the loop exists for.
-    if (syms.count() <= localThreshold) return localBpe(syms, rounds)
+    var syms = syms0
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
     var r = 1
     var exhausted = false

@@ -962,12 +962,7 @@ object AnalyticsQueries {
     // oracle is the SAME recurrence unrolled into 5 generated SQL CTEs,
     // so the iteration math is witnessed end-to-end; final ranks rounded
     // 6dp (double-sum addition-order seam, SCALING.md contract).
-    "q_pagerank" -> ((s, d) => {
-      graft.operators.Graph.pageRank(tradeEdges(s, d),
-          iterations = 5, damping = 0.85)
-        .select(col("node"), round(col("rank"), 6).as("rank_r"))
-        .orderBy(col("node"))
-    }),
+    "q_pagerank" -> ((s, d) => pagerankFull(s, d, localThreshold = 2000000L)),
 
     // Personalized PageRank: teleport mass pinned to the BUILDING-segment
     // customers — rank concentrates in their trading neighborhood, so the
@@ -988,22 +983,27 @@ object AnalyticsQueries {
 
     // Blocked fuzzy matching (the entity-resolution pattern): candidate
     // pairs come from a BLOCK KEY (the name's last token), never an
-    // all-pairs cross product; the quadratic expansion inside a block
-    // rides the same sorted-array HOF as Dedup.bucketPairs; the
-    // expensive edit distance runs only on blocked candidates.
+    // all-pairs cross product, and the in-block expansion is CAPPED —
+    // Dedup.blockedPairs applies the bucketPairs maxBucket discipline
+    // (first 1000 members per block fully pairwise, overflow members
+    // star-attached to the block min). The cap matters precisely here
+    // because this block key has FIXED cardinality (TPC-H p_name draws
+    // its five words from 92 colors), so uncapped blocks grow linearly
+    // with the data and in-block pairing quadratically — the cap bounds
+    // per-block work at O(cap²) at any scale, and the oracle mirrors
+    // the capped semantics with ROW_NUMBER. At the verified scales
+    // every block is under the cap, so the result is pure-pairwise;
+    // the planted hot-block bound is asserted in ScalePostureSpec.
+    // The expensive edit distance runs only on blocked candidates;
     // levenshtein is the standard DP distance on both engines — exact
     // integer, no float seam.
     "q_fuzzy_parts" -> ((s, d) => {
       val names = t(s, d, "part").select(col("p_name")).distinct()
         .withColumn("block", element_at(split(col("p_name"), " "), -1))
-      names.groupBy(col("block"))
-        .agg(sort_array(collect_set(col("p_name"))).as("ns"))
-        .filter(size(col("ns")) > 1)
-        .select(col("block"), explode(flatten(transform(col("ns"), (x, i) =>
-          transform(slice(col("ns"), i + 2, size(col("ns"))),
-            y => struct(x.as("a"), y.as("b")))))).as("p"))
-        .select(col("block"), col("p.a").as("a"), col("p.b").as("b"),
-          levenshtein(col("p.a"), col("p.b")).cast("long").as("dist"))
+      graft.operators.Dedup
+        .blockedPairs(names, "block", "p_name", maxBlock = 1000)
+        .select(col("block"), col("a"), col("b"),
+          levenshtein(col("a"), col("b")).cast("long").as("dist"))
         .filter(col("dist") <= 2)
         .orderBy(col("a"), col("b"))
     }),
@@ -1027,6 +1027,36 @@ object AnalyticsQueries {
           min(col("x")).as("x_min"), max(col("x")).as("x_max"),
           min(col("y")).as("y_min"), max(col("y")).as("y_max"))
         .orderBy(col("zbucket"))
+    }),
+
+    // ANALYZE-style per-column table statistics (the CBO stats-collection
+    // pass every warehouse runs): rows / nulls / exact NDV / min / max
+    // for every numeric lineitem column, computed in ONE scan — a single
+    // aggregate carries all 7 columns' stats (Catalyst expands the
+    // multi-distinct into one Expand + two-stage aggregate, still one
+    // pass over the fact table; the per-column-query form the oracle
+    // uses scans 7×, which is exactly what a stats pass must NOT do at
+    // 100 TB), then unpivots driver-free via a 7-struct explode of the
+    // one-row result. Mins/maxes cast to double (exact for the BIGINT
+    // keys and exact parquet doubles — no float seam).
+    "q_table_stats" -> ((s, d) => {
+      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax")
+      val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn"),
+        countDistinct(col(c)).as(s"${c}__nd"),
+        min(col(c).cast("double")).as(s"${c}__mn"),
+        max(col(c).cast("double")).as(s"${c}__mx")) }
+      val one = t(s, d, "lineitem").agg(aggs.head, aggs.tail: _*)
+      one.select(col("n_rows"), explode(array(cols.map { c =>
+          struct(lit(c).as("col_name"),
+            col(s"${c}__nn").as("n_null"), col(s"${c}__nd").as("n_distinct"),
+            col(s"${c}__mn").as("min_v"), col(s"${c}__mx").as("max_v"))
+        }: _*)).as("st"))
+        .select(col("st.col_name").as("col_name"), col("n_rows"),
+          col("st.n_null").as("n_null"), col("st.n_distinct").as("n_distinct"),
+          col("st.min_v").as("min_v"), col("st.max_v").as("max_v"))
+        .orderBy(col("col_name"))
     })
   )
 
@@ -1598,17 +1628,43 @@ object AnalyticsQueries {
 
     "q_ppr_suppliers" -> pprOracle,
 
+    // mirrors Dedup.blockedPairs' CAP: rn ≤ 1000 members pair fully,
+    // overflow members pair once against the block min (rn = 1)
     "q_fuzzy_parts" ->
       """WITH n AS (
         |  SELECT DISTINCT p_name,
         |    list_extract(string_split(p_name, ' '), -1) AS block
         |  FROM part
+        |), r AS (
+        |  SELECT p_name, block,
+        |    ROW_NUMBER() OVER (PARTITION BY block ORDER BY p_name) AS rn
+        |  FROM n
+        |), cand AS (
+        |  SELECT a.block, a.p_name AS a, b.p_name AS b
+        |  FROM r a JOIN r b ON a.block = b.block AND a.p_name < b.p_name
+        |  WHERE a.rn <= 1000 AND b.rn <= 1000
+        |  UNION ALL
+        |  SELECT o.block, m.p_name AS a, o.p_name AS b
+        |  FROM r o JOIN r m ON o.block = m.block AND m.rn = 1
+        |  WHERE o.rn > 1000
         |)
-        |SELECT a.block, a.p_name AS a, b.p_name AS b,
-        |  CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
-        |FROM n a JOIN n b ON a.block = b.block AND a.p_name < b.p_name
-        |WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |SELECT block, a, b, CAST(levenshtein(a, b) AS BIGINT) AS dist
+        |FROM cand
+        |WHERE levenshtein(a, b) <= 2
         |ORDER BY a, b""".stripMargin,
+
+    // generated per-column UNION ALL — the oracle may scan 7×; the
+    // engine side must not (see the query comment)
+    "q_table_stats" -> (Seq("l_orderkey", "l_partkey", "l_suppkey",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      .map { c =>
+        s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
+           |  COUNT(*) - COUNT($c) AS n_null,
+           |  COUNT(DISTINCT $c) AS n_distinct,
+           |  CAST(MIN($c) AS DOUBLE) AS min_v,
+           |  CAST(MAX($c) AS DOUBLE) AS max_v
+           |FROM lineitem""".stripMargin }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")),
 
     "q_zorder_cluster" ->
       s"""WITH b AS (
@@ -1636,6 +1692,20 @@ object AnalyticsQueries {
     * symmetrize with ONE pass (explode of a 2-struct array — a
     * self-union would evaluate the join+distinct subtree twice).
     */
+  /** The FULL q_pagerank shape (edge mining → 5 power-iteration rounds →
+    * 6dp rounding → node order) with the fast-path guard exposed — shared
+    * by the registered query and Soak's forced-distributed twin so the
+    * two soak rows are ONE plan differing only in the guard (the r10
+    * twin rebuilt the edges inline and skipped the rounding/sort, which
+    * made its x10 reading incomparable with the default row).
+    */
+  private[graft] def pagerankFull(s: SparkSession, d: String,
+      localThreshold: Long): DataFrame =
+    graft.operators.Graph.pageRank(tradeEdges(s, d),
+        iterations = 5, damping = 0.85, localThreshold = localThreshold)
+      .select(col("node"), round(col("rank"), 6).as("rank_r"))
+      .orderBy(col("node"))
+
   private def tradeEdges(s: SparkSession, d: String): DataFrame = {
     val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
     val l = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))

@@ -433,10 +433,115 @@ object EventQueries {
         .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
         .agg(countDistinct(col("user_id")).as("n_users"))
         .orderBy(col("cohort_day"), col("day_offset"))
+    }),
+
+    // Ordered conversion funnel (view → click → purchase): per user the
+    // FIRST view, then the first click STRICTLY after it, then the
+    // first purchase strictly after that click — the stage times are
+    // min-aggregates over filtered co-partitioned joins, so the whole
+    // funnel is three user-keyed shuffles (each join key-partitioned,
+    // every min map-side combinable) + one single-row rollup; no
+    // per-user event list is ever collected (the naive sort-events-per-
+    // user form buffers unbounded history). Strictly-after is the
+    // stated semantic (a click in the same second as the view does not
+    // convert) — second-resolution ties are resolved identically on
+    // both engines because the comparison is on the VALUE, not row
+    // order. Latencies average exactly (integer seconds sum exactly;
+    // one double division each side).
+    "q_funnel_steps" -> ((s, d) => {
+      val e = ev(s, d).select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("sec"))
+      val t1 = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("sec")).as("t1"))
+      val t2 = e.filter(col("event_type") === "click")
+        .join(t1, Seq("user_id"))
+        .filter(col("sec") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("sec")).as("t2"))
+      val t3 = e.filter(col("event_type") === "purchase")
+        .join(t2, Seq("user_id"))
+        .filter(col("sec") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("sec")).as("t3"))
+      t1.join(t2, Seq("user_id"), "left").join(t3, Seq("user_id"), "left")
+        .agg(count(lit(1)).as("n_view"),
+          count(col("t2")).as("n_view_click"),
+          count(col("t3")).as("n_funnel"),
+          round(count(col("t2")).cast("double") / count(lit(1)), 6)
+            .as("conv_click"),
+          round(count(col("t3")).cast("double") / count(lit(1)), 6)
+            .as("conv_full"),
+          round(avg(col("t2") - col("t1")), 6).as("avg_sec_to_click"),
+          round(avg(col("t3") - col("t2")), 6).as("avg_sec_to_purchase"))
+    }),
+
+    // Sharded Misra-Gries heavy hitters — the BATCH twin of the online
+    // heavyHittersIntake loop, value-oracled on two MG theorems: (a) any
+    // item with true frequency > n/(k+1) is GUARANTEED present in its
+    // shard's summary for ANY arrival order (its shard frequency equals
+    // its global frequency under item-hash sharding, and n_shard ≤ n),
+    // so filtering the merged summary to exactly those items is
+    // order-independent; (b) a shard holding ≤ k distinct items never
+    // decrements, so its counters are EXACT — with the fixture's 5 event
+    // types and k=16 every merged `est` therefore equals the true count,
+    // which the oracle computes directly. If the MG fold dropped or
+    // undercounted a guaranteed item, the inner join / est column would
+    // go red. The eviction regime (items ≫ k) is covered by
+    // StreamingSpec's planted-skew invariants, where exact value
+    // oracling is impossible by design. Scale shape: one shuffle on the
+    // 8-way shard key, O(k) state per task, |summary| ≤ shards×k rows
+    // into the merge.
+    "q_heavy_hitters" -> ((s, d) => {
+      val e = ev(s, d)
+      val k = 16
+      val merged = graft.streaming.EventStreams
+        .mergeHeavyHitters(
+          graft.streaming.EventStreams.heavyHittersBatch(e, k, 8).toDF(), k)
+      val exact = e.filter(col("event_type").isNotNull)
+        .groupBy(col("event_type").as("item")).agg(count(lit(1)).as("cnt"))
+      val total = e.filter(col("event_type").isNotNull)
+        .agg(count(lit(1)).as("n_total"))
+      merged.join(exact, Seq("item"))
+        .crossJoin(broadcast(total)) // 1-row scalar attach
+        .filter(col("cnt") * lit((k + 1).toLong) > col("n_total"))
+        .select(col("item"), col("cnt"), col("est"))
+        .orderBy(col("item"))
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    // see the query comment: membership of >n/17 items is MG-guaranteed
+    // and their counters are exact when no shard exceeds 16 distinct
+    // items, so the summary-side columns equal the exact counts
+    "q_funnel_steps" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    CAST(FLOOR(date_part('epoch', ts)) AS BIGINT) AS sec
+        |  FROM events
+        |),
+        |t1 AS (SELECT user_id, MIN(sec) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |t2 AS (SELECT e.user_id, MIN(sec) AS t2 FROM e
+        |       JOIN t1 USING (user_id)
+        |       WHERE event_type = 'click' AND sec > t1 GROUP BY 1),
+        |t3 AS (SELECT e.user_id, MIN(sec) AS t3 FROM e
+        |       JOIN t2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND sec > t2 GROUP BY 1)
+        |SELECT COUNT(*) AS n_view,
+        |  COUNT(t2) AS n_view_click,
+        |  COUNT(t3) AS n_funnel,
+        |  ROUND(COUNT(t2) * 1.0 / COUNT(*), 6) AS conv_click,
+        |  ROUND(COUNT(t3) * 1.0 / COUNT(*), 6) AS conv_full,
+        |  ROUND(AVG(t2 - t1), 6) AS avg_sec_to_click,
+        |  ROUND(AVG(t3 - t2), 6) AS avg_sec_to_purchase
+        |FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)""".stripMargin,
+
+    "q_heavy_hitters" ->
+      """WITH e AS (SELECT event_type AS item FROM events
+        |           WHERE event_type IS NOT NULL),
+        |c AS (SELECT item, COUNT(*) AS cnt FROM e GROUP BY 1)
+        |SELECT item, cnt, cnt AS est FROM c
+        |WHERE cnt * 17 > (SELECT COUNT(*) FROM e)
+        |ORDER BY item""".stripMargin,
+
     "q_events_hourly" ->
       """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start,
         |  event_type, COUNT(*) AS n,

@@ -1070,13 +1070,34 @@ object EventStreams {
     * hash spreads the update load across tasks AND keeps a given item's
     * counters on one shard so summaries merge without double counting.
     */
-  def heavyHittersIntake(events: DataFrame, k: Int = 16, shards: Int = 8,
-      itemCol: String = "event_type"): Dataset[ShardedCount] = {
-    import events.sparkSession.implicits._
+  /** One Misra-Gries update step — shared verbatim by the streaming
+    * intake and its batch twin so the two can't drift: hit → increment;
+    * free slot → insert at 1; full → decrement ALL and drop zeros.
+    */
+  private[graft] def mgUpdate(m: Map[String, Long], item: String,
+      k: Int): Map[String, Long] =
+    m.get(item) match {
+      case Some(c) => m.updated(item, c + 1)
+      case None if m.size < k => m.updated(item, 1L)
+      case None => m.view.mapValues(_ - 1).filter(_._2 > 0).toMap
+    }
+
+  /** The `(item, shard)` projection both MG surfaces consume. Null items
+    * are dropped FIRST: a null would hash to a null shard key and crash
+    * the typed decode on a single bad event — a poison-pill stream.
+    */
+  private def mgItems(events: DataFrame, shards: Int,
+      itemCol: String): DataFrame =
     events
+      .filter(col(itemCol).isNotNull)
       .select(col(itemCol).cast("string").as("item"),
         pmod(xxhash64(col(itemCol).cast("string")), lit(shards.toLong))
           .as("shard"))
+
+  def heavyHittersIntake(events: DataFrame, k: Int = 16, shards: Int = 8,
+      itemCol: String = "event_type"): Dataset[ShardedCount] = {
+    import events.sparkSession.implicits._
+    mgItems(events, shards, itemCol)
       .as[(String, Long)]
       .groupByKey(_._2)
       .flatMapGroupsWithState[Map[String, Long], ShardedCount](
@@ -1084,17 +1105,36 @@ object EventStreams {
         (shard: Long, rows: Iterator[(String, Long)],
          state: GroupState[Map[String, Long]]) =>
           var m = state.getOption.getOrElse(Map.empty[String, Long])
-          rows.foreach { case (item, _) =>
-            m.get(item) match {
-              case Some(c) => m = m.updated(item, c + 1)
-              case None if m.size < k => m = m.updated(item, 1L)
-              case None =>
-                m = m.view.mapValues(_ - 1).filter(_._2 > 0).toMap
-            }
-          }
+          rows.foreach { case (item, _) => m = mgUpdate(m, item, k) }
           state.update(m)
           m.toSeq.sortBy { case (i, c) => (-c, i) }
             .map { case (i, c) => ShardedCount(shard, i, c) }.iterator
+      }
+  }
+
+  /** BATCH twin of [[heavyHittersIntake]]: the identical sharded MG fold
+    * (same [[mgUpdate]], same hash sharding) over a bounded relation —
+    * one pass, one shuffle on `shard`, O(k) task memory per shard
+    * regardless of input size (the iterator streams through the fold;
+    * nothing is buffered). Counter VALUES depend on within-shard arrival
+    * order — inherent to MG — but MEMBERSHIP of every item with true
+    * shard frequency > n_shard/(k+1) is order-independent (the MG
+    * theorem), and when a shard holds ≤ k distinct items no decrement
+    * ever fires, so every counter is EXACT for any order. q_heavy_hitters
+    * rides those two facts to a full DuckDB value oracle; the eviction
+    * regime is covered by StreamingSpec's planted-skew invariants.
+    */
+  def heavyHittersBatch(events: DataFrame, k: Int = 16, shards: Int = 8,
+      itemCol: String = "event_type"): Dataset[ShardedCount] = {
+    import events.sparkSession.implicits._
+    mgItems(events, shards, itemCol)
+      .as[(String, Long)]
+      .groupByKey(_._2)
+      .flatMapGroups { (shard: Long, rows: Iterator[(String, Long)]) =>
+        var m = Map.empty[String, Long]
+        rows.foreach { case (item, _) => m = mgUpdate(m, item, k) }
+        m.toSeq.sortBy { case (i, c) => (-c, i) }
+          .map { case (i, c) => ShardedCount(shard, i, c) }.iterator
       }
   }
 

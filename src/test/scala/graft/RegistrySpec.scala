@@ -37,6 +37,36 @@ class RegistrySpec extends SparkTestBase {
     assert(SparkEntry.queries.size == all.size)
   }
 
+  test("no duplicate keys WITHIN a module's Map literal (source scan — the literal dedups silently)") {
+    // a duplicate key inside one Map(...) never reaches the runtime set
+    // (Scala keeps the last entry), so the cross-module check above
+    // can't see it — the earlier query silently vanishes from the
+    // verified surface. Caught here by scanning the source: a key may
+    // appear at most twice per module file (once in `queries`, once in
+    // `oracleSql`), and at most once as a query closure.
+    val srcDir = new java.io.File("src/main/scala/graft/queries")
+    assume(srcDir.isDirectory, s"source dir not visible from test cwd")
+    for (f <- srcDir.listFiles.toSeq.sortBy(_.getName)
+         if f.getName.endsWith(".scala")) {
+      val text = {
+        val src = scala.io.Source.fromFile(f, "UTF-8")
+        try src.mkString finally src.close()
+      }
+      val closureKeys = "\"(q_\\w+)\" -> \\(\\(".r
+        .findAllMatchIn(text).map(_.group(1)).toSeq
+      val dupClosures = closureKeys.groupBy(identity)
+        .collect { case (k, v) if v.size > 1 => k }
+      assert(dupClosures.isEmpty,
+        s"${f.getName}: duplicate query closures for $dupClosures")
+      val entryKeys = "\"(q_\\w+)\" ->".r
+        .findAllMatchIn(text).map(_.group(1)).toSeq
+      val dupEntries = entryKeys.groupBy(identity)
+        .collect { case (k, v) if v.size > 2 => k }
+      assert(dupEntries.isEmpty,
+        s"${f.getName}: key appears more than query+oracle times: $dupEntries")
+    }
+  }
+
   test("every oracle key has a query; every oracle lives with its query's module") {
     assert((SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet).isEmpty)
     for ((name, (qs, os)) <- modules)

@@ -222,6 +222,39 @@ class ScalePostureSpec extends SparkTestBase {
       s"expected one (band,bucket) exchange + reuse, got $bandExchanges/$reused:\n$fin")
   }
 
+  test("blockedPairs: planted hot block stays O(cap²) — overflow star-attached, not paired") {
+    // the q_fuzzy_parts scale posture: a fixed-cardinality block key
+    // (TPC-H's 92 color last-tokens) means blocks grow LINEARLY with the
+    // data, so uncapped in-block pairing is O(n²) at scale. The cap must
+    // bound expansion for any block size while keeping every member
+    // reachable (one star comparison vs the block min).
+    val cap = 10
+    val n = 100
+    val hot = (0 until n).map(i => ("hotblock", f"name_$i%03d")) ++
+      Seq(("cold", "a"), ("cold", "b"))
+    val pairs = graft.operators.Dedup
+      .blockedPairs(hot.toDF("block", "v"), "block", "v", maxBlock = cap)
+      .collect()
+    val hotPairs = pairs.filter(_.getString(0) == "hotblock")
+    // capped core C(cap,2) + one star pair per overflow member — NOT C(n,2)
+    assert(hotPairs.length == cap * (cap - 1) / 2 + (n - cap),
+      s"expected ${cap * (cap - 1) / 2 + (n - cap)}, got ${hotPairs.length}")
+    // every member appears in at least one pair (overflow keeps recall)
+    val members = hotPairs.flatMap(r => Seq(r.getString(1), r.getString(2))).toSet
+    assert(members.size == n, s"members lost: ${n - members.size}")
+    // overflow pairs anchor at the block min
+    val starPartners = hotPairs.filter(r => r.getString(2) > f"name_${cap - 1}%03d")
+    assert(starPartners.forall(_.getString(1) == "name_000"))
+    // the cold block is pure pairwise, no star rows
+    assert(pairs.count(_.getString(0) == "cold") == 1)
+    // under-cap blocks are EXACTLY the uncapped expansion (the verified-
+    // scale regime: the oracle's core branch)
+    val small = graft.operators.Dedup
+      .blockedPairs(hot.toDF("block", "v"), "block", "v", maxBlock = 1000)
+      .filter(col("block") === "hotblock").count()
+    assert(small == n.toLong * (n - 1) / 2)
+  }
+
   test("(doc,term) family: tf exchange is REUSED by df; corpus tokenizes into one shuffle") {
     // q_tfidf_top3's df relation derives FROM the tf aggregate — if a
     // refactor ever makes df re-aggregate the tokenized corpus, the

@@ -1439,6 +1439,48 @@ class StreamingSpec extends SparkTestBase {
     assert(merged.head.getString(0) == "hot", merged.mkString(","))
   }
 
+  test("heavyHittersBatch twin: same MG invariants under eviction; exact when items ≤ k; null-tolerant") {
+    val K = 4
+    val SHARDS = 2
+    // same planted regime as the streaming test: 60 hot + 12 noise x 5,
+    // plus null poison pills the shard key must not crash on
+    val items = Seq.fill(60)("hot") ++
+      (0 until 12).flatMap(i => Seq.fill(5)(s"noise_$i"))
+    val shuffled = new scala.util.Random(11).shuffle(items)
+    val ev = (shuffled.zipWithIndex
+      .map { case (it, j) => (j.toLong, it) } :+
+      (9001L, null.asInstanceOf[String]))
+      .toDF("event_id", "event_type")
+    val summary = EventStreams.heavyHittersBatch(ev, k = K, shards = SHARDS)
+      .collect().toSeq
+    summary.groupBy(_.shard).foreach { case (s, rows) =>
+      assert(rows.size <= K, s"shard $s overflowed: ${rows.size}") }
+    val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val shardOf = truth.keys.toSeq.toDF("item")
+      .select(col("item"), pmod(xxhash64(col("item")), lit(SHARDS.toLong)).as("s"))
+      .as[(String, Long)].collect().toMap
+    val nShard = truth.toSeq.groupBy { case (i, _) => shardOf(i) }
+      .view.mapValues(_.map(_._2).sum).toMap
+    val est = summary.map(r => r.item -> r.est).toMap
+    summary.foreach { r =>
+      assert(r.est <= truth(r.item), s"MG may never overcount: $r") }
+    truth.foreach { case (item, n) =>
+      val bound = nShard(shardOf(item)) / (K + 1.0)
+      if (n > bound) {
+        assert(est.contains(item), s"guaranteed hitter $item missing")
+        assert(truth(item) - est(item) <= bound, s"error bound broken for $item")
+      }
+    }
+    // the q_heavy_hitters oracle lemma: with ≤ k distinct items per
+    // shard MG never decrements, so every counter is EXACT and
+    // arrival-order independent
+    val small = EventStreams.heavyHittersBatch(
+      ev.filter(col("event_type").isin("hot", "noise_0", "noise_1")),
+      k = 16, shards = SHARDS).collect()
+    val smallTruth = Map("hot" -> 60L, "noise_0" -> 5L, "noise_1" -> 5L)
+    assert(small.map(r => r.item -> r.est).toMap == smallTruth)
+  }
+
   test("scd2Intake: planted transitions close/open versions correctly") {
     implicit val sc = spark.sqlContext
     def d(s: String) = java.sql.Date.valueOf(s)
