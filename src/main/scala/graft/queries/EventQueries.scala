@@ -435,6 +435,38 @@ object EventQueries {
         .orderBy(col("cohort_day"), col("day_offset"))
     }),
 
+    // Last-touch marketing attribution: each purchase is attributed to
+    // the user's latest click at-or-before it (the AsofJoin.asofBackward
+    // operator — one union + one per-user window sweep, never a range
+    // self-join), gated by a 7-day attribution window; purchases whose
+    // last click is older (or who never clicked) land in the
+    // unattributed bucket (attr_day = -1). Revenue rolls up per
+    // attributed-click DAY in integer cents; n_clicks counts distinct
+    // credited clicks. µs epochs are the cross-engine event-time key
+    // (the q_events_asof convention); day = µs DIV 86400e6 — integer
+    // division, no float seam.
+    "q_attribution" -> ((s, d) => {
+      val e = ev(s, d).withColumn("us", unix_micros(col("ts")))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("us"),
+          cents(col("value")).as("rev_c"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("us"))
+      AsofJoin.asofBackward(purchases, clicks, "user_id", "us", "us",
+          attach = Map("click_id" -> "attr_click_id", "us" -> "click_us"),
+          rightTiebreak = "click_id")
+        .withColumn("attr_day",
+          when(col("click_us").isNotNull &&
+              col("us") - col("click_us") <= lit(7L * 86400L * 1000000L),
+            expr("click_us DIV 86400000000")).otherwise(lit(-1L)))
+        .groupBy(col("attr_day"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("rev_c")).as("rev_c"),
+          countDistinct(when(col("attr_day") >= 0, col("attr_click_id")))
+            .as("n_clicks"))
+        .orderBy(col("attr_day"))
+    }),
+
     // Ordered conversion funnel (view → click → purchase): per user the
     // FIRST view, then the first click STRICTLY after it, then the
     // first purchase strictly after that click — the stage times are
@@ -511,6 +543,34 @@ object EventQueries {
     // see the query comment: membership of >n/17 items is MG-guaranteed
     // and their counters are exact when no shard exceeds 16 distinct
     // items, so the summary-side columns equal the exact counts
+    "q_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us
+        |  FROM events
+        |),
+        |p AS (SELECT user_id, event_id, us,
+        |        CAST(ROUND(value*100) AS BIGINT) AS rev_c
+        |      FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id AS click_id, us FROM e
+        |      WHERE event_type = 'click'),
+        |att AS (
+        |  SELECT p.user_id, p.event_id, p.us, p.rev_c,
+        |    c.click_id AS attr_click_id, c.us AS click_us
+        |  FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.us >= c.us
+        |),
+        |b AS (
+        |  SELECT CASE WHEN click_us IS NOT NULL
+        |                AND us - click_us <= 604800000000
+        |              THEN click_us // 86400000000 ELSE -1 END AS attr_day,
+        |    rev_c, attr_click_id
+        |  FROM att
+        |)
+        |SELECT attr_day, COUNT(*) AS n_purchases,
+        |  CAST(SUM(rev_c) AS BIGINT) AS rev_c,
+        |  COUNT(DISTINCT CASE WHEN attr_day >= 0 THEN attr_click_id END)
+        |    AS n_clicks
+        |FROM b GROUP BY 1 ORDER BY attr_day""".stripMargin,
+
     "q_funnel_steps" ->
       """WITH e AS (
         |  SELECT user_id, event_type,

@@ -307,10 +307,75 @@ object RelationalQueries {
           sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
             .as("revenue_c"))
         .orderBy(col("o_orderpriority"))
+    }),
+
+    // CDC merge / MERGE INTO compaction: apply an ordered change feed
+    // (insert snapshot → seq-1 upserts → seq-2 deletes, derived
+    // deterministically from the fixture) onto a base snapshot and roll
+    // up the FINAL state. Latest-version-wins is ONE max_by aggregate
+    // on the high-cardinality key — a map-side-combinable groupBy, not
+    // a row_number window (the window form sorts every partition; the
+    // aggregate form ships one struct per key per mapper — the shape a
+    // 100 TB log-compaction job needs). seq is unique per key so
+    // max_by is deterministic; deletes drop AFTER the merge, exactly
+    // MERGE INTO's WHEN MATCHED THEN DELETE.
+    "q_cdc_merge" -> ((s, d) => {
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_orderstatus"), cents(col("o_totalprice")).as("price_c"))
+      val base = o.select(col("o_orderkey"), col("o_orderstatus"),
+        col("price_c"), lit(0L).as("seq"), lit("I").as("op"))
+      val upd = o.filter(pmod(col("o_orderkey"), lit(5)) === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (col("price_c") + lit(500L)).as("price_c"),
+          lit(1L).as("seq"), lit("U").as("op"))
+      val del = o.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("price_c"),
+          lit(2L).as("seq"), lit("D").as("op"))
+      base.unionByName(upd).unionByName(del)
+        .groupBy(col("o_orderkey"))
+        .agg(max_by(struct(col("op"), col("o_orderstatus"),
+          col("price_c")), col("seq")).as("f"))
+        .filter(col("f.op") =!= "D")
+        .select(col("f.o_orderstatus").as("o_orderstatus"),
+          col("f.price_c").as("price_c"), col("f.op").as("op"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("price_c")).as("price_c"),
+          sum(when(col("op") === "U", 1L).otherwise(0L)).as("n_updated"))
+        .orderBy(col("o_orderstatus"))
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    // arg_max per column ≡ the Spark side's max_by(struct) because seq
+    // is unique per key (0/1/2 from disjoint-by-construction branches)
+    "q_cdc_merge" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_c
+        |  FROM orders
+        |),
+        |feed AS (
+        |  SELECT o_orderkey, o_orderstatus, price_c, 0 AS seq, 'I' AS op FROM o
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, price_c + 500, 1, 'U' FROM o
+        |  WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, price_c, 2, 'D' FROM o
+        |  WHERE o_orderkey % 7 = 0
+        |),
+        |latest AS (
+        |  SELECT o_orderkey, arg_max(op, seq) AS op,
+        |    arg_max(o_orderstatus, seq) AS o_orderstatus,
+        |    arg_max(price_c, seq) AS price_c
+        |  FROM feed GROUP BY 1
+        |)
+        |SELECT o_orderstatus, COUNT(*) AS n_rows,
+        |  CAST(SUM(price_c) AS BIGINT) AS price_c,
+        |  CAST(SUM(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_updated
+        |FROM latest WHERE op <> 'D'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q_join_inner" ->
       """SELECT c_mktsegment,
         |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_c,

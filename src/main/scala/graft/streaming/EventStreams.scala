@@ -1146,6 +1146,70 @@ object EventStreams {
     summaries.groupBy(col("item")).agg(sum(col("est")).as("est"))
       .orderBy(col("est").desc, col("item")).limit(k)
 
+  /** One funnel stage transition emitted by [[funnelIntake]]:
+    * `stage` 1 = first view, 2 = first click strictly after it,
+    * 3 = first purchase strictly after that click; `sec` is the
+    * event-time second the stage completed.
+    */
+  case class FunnelStage(user_id: Long, stage: Int, sec: Long)
+  /** Per-user funnel state: the three completed-stage times (-1 =
+    * incomplete) — a fixed 24 bytes per user, the bounded
+    * |users|-proportional state any funnel tracker carries.
+    */
+  case class FunnelState(t1: Long, t2: Long, t3: Long)
+
+  /** ONLINE conversion-funnel tracking — the streaming twin of the
+    * oracled `q_funnel_steps` batch rollup: per user a 3-stage state
+    * machine (first view → first click strictly after → first purchase
+    * strictly after) that emits one append-only [[FunnelStage]] row the
+    * moment a stage completes. Counting stage rows downstream gives
+    * exactly the batch funnel's n_view / n_view_click / n_funnel, and
+    * the emitted `sec`s are the batch t1/t2/t3 (StreamingSpec asserts
+    * batch ≡ stream over a multi-batch replay).
+    *
+    * Ordering contract (the scd2Intake convention): exact equivalence
+    * needs per-key arrival in event-time order ACROSS batches — the
+    * natural order of a replayed log. WITHIN a batch there is no
+    * precondition: the iterator is re-sorted by `sec`, and equal-second
+    * orderings cannot diverge (a prerequisite and its dependent at the
+    * SAME second reject each other under strictly-after in either
+    * processing order, matching the batch `>` semantics).
+    *
+    * Scale shape: one shuffle per batch on the high-cardinality
+    * user_id; state is three longs per user; output is append-only
+    * (at most 3 rows per user, ever). NoTimeout — a TTL'd variant
+    * would expire cold users like SessionCloseProcessor.
+    */
+  def funnelIntake(events: DataFrame): Dataset[FunnelStage] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("user_id").cast("long").as("user_id"),
+        col("event_type").cast("string").as("event_type"),
+        unix_timestamp(col("ts")).as("sec"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelState, FunnelStage](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[(Long, String, Long)],
+         state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelStage]
+          rows.toSeq.sortBy(_._3).foreach { case (_, typ, sec) =>
+            typ match {
+              case "view" if st.t1 < 0 =>
+                st = st.copy(t1 = sec); out += FunnelStage(uid, 1, sec)
+              case "click" if st.t2 < 0 && st.t1 >= 0 && sec > st.t1 =>
+                st = st.copy(t2 = sec); out += FunnelStage(uid, 2, sec)
+              case "purchase" if st.t3 < 0 && st.t2 >= 0 && sec > st.t2 =>
+                st = st.copy(t3 = sec); out += FunnelStage(uid, 3, sec)
+              case _ => ()
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** One status observation for [[scd2Intake]] — `(key, obs_date,
     * obs_id, status)`; `obs_id` is the per-date total-order tiebreak
     * (the q_scd2_intervals orderkey).

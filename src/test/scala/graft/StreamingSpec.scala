@@ -1481,6 +1481,47 @@ class StreamingSpec extends SparkTestBase {
     assert(small.map(r => r.item -> r.est).toMap == smallTruth)
   }
 
+  test("funnelIntake: 3-stage state machine ≡ batch funnel over a time-ordered replay") {
+    implicit val sc = spark.sqlContext
+    import graft.streaming.EventStreams.FunnelStage
+    val mem = MemoryStream[E]
+    val sink = scala.collection.mutable.ArrayBuffer.empty[FunnelStage]
+    val q = EventStreams.funnelIntake(mem.toDF())
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[FunnelStage], _: Long) =>
+        sink.synchronized { sink ++= b.collect() }; ()
+      }.start()
+    // u1 full funnel; u2's click ties the view's SECOND (strictly-after
+    // rejects it, so the purchase can't complete either); u3's first
+    // click precedes any view (ignored) and its first purchase precedes
+    // the qualifying click (ignored) — only the batch-2 purchase lands.
+    // Batch split at minute 14 keeps per-user arrival time-ordered
+    // ACROSS batches (the stated replay contract).
+    val b1 = Seq(E(1, ts(0), 1, "view", 1.0), E(4, ts(0), 2, "view", 1.0),
+      E(5, ts(0), 2, "click", 1.0), E(7, ts(5), 3, "click", 1.0),
+      E(6, ts(5), 2, "purchase", 1.0), E(8, ts(10), 3, "view", 1.0),
+      E(2, ts(10), 1, "click", 1.0), E(10, ts(12), 3, "purchase", 1.0))
+    val b2 = Seq(E(9, ts(15), 3, "click", 1.0), E(3, ts(20), 1, "purchase", 1.0),
+      E(11, ts(30), 3, "purchase", 1.0))
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val base = Seq(ts(0)).toDF("ts")
+      .select(unix_timestamp(col("ts"))).head.getLong(0)
+    val got = sink.synchronized(sink.toSet)
+    val expect = Set(
+      FunnelStage(1L, 1, base), FunnelStage(1L, 2, base + 600),
+      FunnelStage(1L, 3, base + 1200),
+      FunnelStage(2L, 1, base),
+      FunnelStage(3L, 1, base + 600), FunnelStage(3L, 2, base + 900),
+      FunnelStage(3L, 3, base + 1800))
+    assert(got == expect, s"got $got")
+    // stage counts are exactly the batch funnel's n_view/n_view_click/n_funnel
+    val counts = got.toSeq.groupBy(_.stage).view.mapValues(_.size).toMap
+    assert(counts == Map(1 -> 3, 2 -> 2, 3 -> 2))
+  }
+
   test("scd2Intake: planted transitions close/open versions correctly") {
     implicit val sc = spark.sqlContext
     def d(s: String) = java.sql.Date.valueOf(s)
