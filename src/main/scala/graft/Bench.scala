@@ -101,7 +101,8 @@ object Bench {
     // pass, last-touch attribution over the as-of operator, and the
     // max_by CDC merge compaction
     "q_heavy_hitters", "q_funnel_steps", "q_table_stats",
-    "q_attribution", "q_cdc_merge")
+    "q_attribution", "q_cdc_merge", "q_col_histogram",
+    "q_rfm_segments", "q_event_transitions")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1037,33 +1037,90 @@ object AnalyticsQueries {
     // one pass over the fact table; the per-column-query form the
     // oracle uses scans 7×, which is exactly what a stats pass must NOT
     // do at 100 TB), then unpivots driver-free via a 7-struct explode
-    // of the one-row result. The PK (l_orderkey) is deliberately
-    // excluded: its NDV is ~the row count by key-ness and its exact
-    // distinct-aggregate state dominates everything else (measured
-    // 3.6 s → 1.0 s at sf0.1 without it) — a near-unique column is
-    // what approx_count_distinct exists for (the q_approx_distinct
-    // primitive), while exact NDV is the right tool for the bounded-
-    // cardinality columns CBO selectivity actually keys on. Mins/maxes
-    // cast to double (exact for BIGINT keys and parquet doubles — no
-    // float seam).
+    // of the one-row result. Exact NDV is computed ONLY for the
+    // bounded-cardinality columns CBO equality-selectivity keys on —
+    // near-unique columns (the PK, and l_extendedprice whose prices
+    // are ~distinct per row) are exactly what approx_count_distinct
+    // exists for (the q_approx_distinct primitive): their exact
+    // partial-distinct state rides the shuffle un-collapsed and
+    // dominated the whole line (measured ~3× the rest combined), so
+    // the price row reports NULL NDV while keeping its min/max (range
+    // selectivity needs those, and they cost one comparison per row).
+    // Mins/maxes cast to double (exact for BIGINT keys and parquet
+    // doubles — no float seam).
     "q_table_stats" -> ((s, d) => {
-      val cols = Seq("l_linenumber", "l_partkey", "l_suppkey", "l_quantity",
-        "l_extendedprice", "l_discount", "l_tax")
-      val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { c => Seq(
+      val ndvCols = Seq("l_linenumber", "l_partkey", "l_suppkey",
+        "l_quantity", "l_discount", "l_tax")
+      val cols = ndvCols :+ "l_extendedprice"
+      val aggs = count(lit(1)).as("n_rows") +: (cols.flatMap { c => Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nn"),
-        countDistinct(col(c)).as(s"${c}__nd"),
         min(col(c).cast("double")).as(s"${c}__mn"),
-        max(col(c).cast("double")).as(s"${c}__mx")) }
+        max(col(c).cast("double")).as(s"${c}__mx")) } ++
+        ndvCols.map(c => countDistinct(col(c)).as(s"${c}__nd")))
       val one = t(s, d, "lineitem").agg(aggs.head, aggs.tail: _*)
       one.select(col("n_rows"), explode(array(cols.map { c =>
           struct(lit(c).as("col_name"),
-            col(s"${c}__nn").as("n_null"), col(s"${c}__nd").as("n_distinct"),
+            col(s"${c}__nn").as("n_null"),
+            (if (ndvCols.contains(c)) col(s"${c}__nd")
+             else lit(null).cast("long")).as("n_distinct"),
             col(s"${c}__mn").as("min_v"), col(s"${c}__mx").as("max_v"))
         }: _*)).as("st"))
         .select(col("st.col_name").as("col_name"), col("n_rows"),
           col("st.n_null").as("n_null"), col("st.n_distinct").as("n_distinct"),
           col("st.min_v").as("min_v"), col("st.max_v").as("max_v"))
         .orderBy(col("col_name"))
+    }),
+
+    // Equi-width column histogram — the other half of the ANALYZE stats
+    // pass (q_table_stats): 16 bins over [min, max] of l_extendedprice,
+    // the selectivity histogram a CBO range predicate consults. Two
+    // passes by necessity (bounds before binning), but the bounds are a
+    // 1-row broadcast scalar attach — the corpus is scanned twice and
+    // shuffled once (16-row aggregate). Bin math is pure IEEE double
+    // arithmetic (sub / divide-by-16 / floor), bitwise identical on
+    // both engines, and the top bin absorbs x = max via LEAST.
+    "q_col_histogram" -> ((s, d) => {
+      val bins = 16
+      val li = t(s, d, "lineitem").select(col("l_extendedprice").as("x"))
+      val bounds = li.agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      li.crossJoin(broadcast(bounds))
+        .withColumn("bin",
+          least(floor((col("x") - col("lo")) /
+            ((col("hi") - col("lo")) / lit(bins.toDouble))), lit(bins - 1L))
+            .cast("long"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("x")), 6).as("bin_min"),
+          round(max(col("x")), 6).as("bin_max"))
+        .orderBy(col("bin"))
+    }),
+
+    // RFM customer segmentation (the classic marketing cube): per
+    // customer recency (latest order date), frequency (order count),
+    // monetary (lifetime cents), each cut into exact quintiles, then
+    // segment population + revenue per (R, F, M) cell. Every quintile
+    // is Rank.exactNtile — a range-partitioned global rank with
+    // broadcast per-partition offsets, NEVER the single-partition
+    // ntile window (`Window.orderBy` with no partition; the r8
+    // curriculum lesson) — with a total order (metric desc, custkey)
+    // so tile boundaries are deterministic cross-engine; the oracle's
+    // NTILE over the same ORDER BY computes the identical tiling.
+    "q_rfm_segments" -> ((s, d) => {
+      val per = t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate").cast("date")).as("last_order"),
+          count(lit(1)).as("frequency"),
+          sum(round(col("o_totalprice") * 100, 0).cast("long")).as("monetary_c"))
+      val r = graft.operators.Rank.exactNtile(per, 5, "r_tile",
+        col("last_order").desc, col("o_custkey"))
+      val rf = graft.operators.Rank.exactNtile(r, 5, "f_tile",
+        col("frequency").desc, col("o_custkey"))
+      val rfm = graft.operators.Rank.exactNtile(rf, 5, "m_tile",
+        col("monetary_c").desc, col("o_custkey"))
+      rfm.groupBy(col("r_tile"), col("f_tile"), col("m_tile"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("monetary_c")).as("monetary_c"))
+        .orderBy(col("r_tile"), col("f_tile"), col("m_tile"))
     })
   )
 
@@ -1661,17 +1718,56 @@ object AnalyticsQueries {
         |ORDER BY a, b""".stripMargin,
 
     // generated per-column UNION ALL — the oracle may scan 7×; the
-    // engine side must not (see the query comment)
+    // engine side must not (see the query comment). NULL NDV for the
+    // near-unique price column mirrors the engine's bounded-NDV policy.
     "q_table_stats" -> (Seq("l_linenumber", "l_partkey", "l_suppkey",
-        "l_quantity", "l_extendedprice", "l_discount", "l_tax")
+        "l_quantity", "l_discount", "l_tax", "l_extendedprice")
       .map { c =>
+        val nd = if (c == "l_extendedprice") "CAST(NULL AS BIGINT)"
+                 else s"COUNT(DISTINCT $c)"
         s"""SELECT '$c' AS col_name, COUNT(*) AS n_rows,
            |  COUNT(*) - COUNT($c) AS n_null,
-           |  COUNT(DISTINCT $c) AS n_distinct,
+           |  $nd AS n_distinct,
            |  CAST(MIN($c) AS DOUBLE) AS min_v,
            |  CAST(MAX($c) AS DOUBLE) AS max_v
            |FROM lineitem""".stripMargin }
       .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")),
+
+    "q_rfm_segments" ->
+      """WITH per AS (
+        |  SELECT o_custkey, MAX(CAST(o_orderdate AS DATE)) AS last_order,
+        |    COUNT(*) AS frequency,
+        |    CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+        |      AS monetary_c
+        |  FROM orders GROUP BY 1
+        |),
+        |tiles AS (
+        |  SELECT monetary_c,
+        |    CAST(NTILE(5) OVER (ORDER BY last_order DESC, o_custkey) AS BIGINT)
+        |      AS r_tile,
+        |    CAST(NTILE(5) OVER (ORDER BY frequency DESC, o_custkey) AS BIGINT)
+        |      AS f_tile,
+        |    CAST(NTILE(5) OVER (ORDER BY monetary_c DESC, o_custkey) AS BIGINT)
+        |      AS m_tile
+        |  FROM per
+        |)
+        |SELECT r_tile, f_tile, m_tile, COUNT(*) AS n_customers,
+        |  CAST(SUM(monetary_c) AS BIGINT) AS monetary_c
+        |FROM tiles GROUP BY 1, 2, 3
+        |ORDER BY r_tile, f_tile, m_tile""".stripMargin,
+
+    "q_col_histogram" ->
+      """WITH b AS (
+        |  SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi
+        |  FROM lineitem
+        |)
+        |SELECT CAST(LEAST(FLOOR((l_extendedprice - lo) / ((hi - lo) / 16.0)),
+        |         15) AS BIGINT) AS bin,
+        |  COUNT(*) AS n,
+        |  ROUND(MIN(l_extendedprice), 6) AS bin_min,
+        |  ROUND(MAX(l_extendedprice), 6) AS bin_max
+        |FROM lineitem, b
+        |GROUP BY 1 ORDER BY bin""".stripMargin,
 
     "q_zorder_cluster" ->
       s"""WITH b AS (

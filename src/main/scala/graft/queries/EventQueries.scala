@@ -435,6 +435,28 @@ object EventQueries {
         .orderBy(col("cohort_day"), col("day_offset"))
     }),
 
+    // First-order Markov transition matrix over each user's event
+    // sequence: one lag window on the high-cardinality user key, one
+    // bounded |types|² aggregate, transition probability normalized by
+    // a broadcast per-source total (≤|types| rows — never a second
+    // corpus shuffle). The journey-analysis staple next to the funnel.
+    "q_event_transitions" -> ((s, d) => {
+      val e = ev(s, d).select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("sec"), col("event_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("sec"), col("event_id"))
+      val pairs = e.withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = pairs.groupBy(col("prev_type"))
+        .agg(sum(col("n")).as("n_from"))
+      pairs.join(broadcast(totals), Seq("prev_type"))
+        .select(col("prev_type"), col("next_type"), col("n"),
+          round(col("n").cast("double") / col("n_from"), 6).as("p"))
+        .orderBy(col("prev_type"), col("next_type"))
+    }),
+
     // Last-touch marketing attribution: each purchase is attributed to
     // the user's latest click at-or-before it (the AsofJoin.asofBackward
     // operator — one union + one per-user window sweep, never a range
@@ -543,6 +565,26 @@ object EventQueries {
     // see the query comment: membership of >n/17 items is MG-guaranteed
     // and their counters are exact when no shard exceeds 16 distinct
     // items, so the summary-side columns equal the exact counts
+    "q_event_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id,
+        |    CAST(FLOOR(date_part('epoch', ts)) AS BIGINT) AS sec
+        |  FROM events
+        |),
+        |lagged AS (
+        |  SELECT LAG(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY sec, event_id) AS prev_type,
+        |    event_type AS next_type
+        |  FROM e
+        |),
+        |pairs AS (
+        |  SELECT prev_type, next_type, COUNT(*) AS n
+        |  FROM lagged WHERE prev_type IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT prev_type, next_type, n,
+        |  ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
+        |FROM pairs ORDER BY prev_type, next_type""".stripMargin,
+
     "q_attribution" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us
