@@ -222,6 +222,37 @@ class ScalePostureSpec extends SparkTestBase {
       s"expected one (band,bucket) exchange + reuse, got $bandExchanges/$reused:\n$fin")
   }
 
+  test("round-11 analytics plans: one-scan stats, windowless CDC merge, broadcast transition totals") {
+    // q_table_stats' one-scan claim: the 7-column stats aggregate must
+    // read lineitem exactly ONCE (the oracle's UNION ALL form scans 7×
+    // — the difference IS the operator's value at 100 TB)
+    val stats = SparkEntry.queries("q_table_stats")(spark, sf)
+    stats.collect()
+    val statsPlan = stats.queryExecution.executedPlan.toString
+      .split("Initial Plan")(0)
+    val scans = "Scan parquet".r.findAllIn(statsPlan).length
+    assert(scans == 1, s"expected 1 lineitem scan, got $scans:\n$statsPlan")
+    // q_cdc_merge's windowless claim: latest-version-wins must be the
+    // max_by AGGREGATE (map-side combinable), never a row_number
+    // Window (which sorts every partition of the feed)
+    val cdc = SparkEntry.queries("q_cdc_merge")(spark, sf)
+    cdc.collect()
+    val cdcPlan = cdc.queryExecution.executedPlan.toString
+      .split("Initial Plan")(0)
+    assert(!cdcPlan.contains("Window"), s"window in CDC merge plan:\n$cdcPlan")
+    assert(cdcPlan.contains("max_by"), s"max_by missing:\n$cdcPlan")
+    // q_event_transitions: the per-source totals join must broadcast
+    // (≤|types| rows) — a shuffle join there would re-exchange the
+    // pair relation for a 5-row dimension
+    val tr = SparkEntry.queries("q_event_transitions")(spark, sf)
+    tr.collect()
+    val trPlan = tr.queryExecution.executedPlan.toString
+      .split("Initial Plan")(0)
+    assert(trPlan.contains("BroadcastHashJoin") ||
+      trPlan.contains("BroadcastNestedLoopJoin"),
+      s"totals join not broadcast:\n$trPlan")
+  }
+
   test("blockedPairs: planted hot block stays O(cap²) — overflow star-attached, not paired") {
     // the q_fuzzy_parts scale posture: a fixed-cardinality block key
     // (TPC-H's 92 color last-tokens) means blocks grow LINEARLY with the
