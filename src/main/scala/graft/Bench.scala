@@ -366,14 +366,25 @@ object Bench {
     // truncates long tails, so the headline figures ride a short final
     // line that always survives — total seconds, line count, the most
     // expensive line (the bench "ceiling"), and per-section sums.
-    val ok = results.filter(_._2 >= 0)
+    // `lines`/`failed`/`max_line` cover EVERY timed line (headline +
+    // fit + both ML sections) — an ALS-fit failure or a fit-section
+    // ceiling must not hide behind headline-only bookkeeping.
+    val fitLines = Seq("q_ivfpq_fit" -> fitMedian,
+      "q_ivfpq_write" -> ivfWriteMedian, "q_bpe_fit" -> bpeMedian,
+      "q_qlr_fit" -> qlrMedian, "q_bm25_fit" -> bm25Median,
+      "q_item_fit" -> itemFitMedian)
+    val mlLines = (ml :+ ("q_als_fit" -> alsMedian))
+      .map { case (k, v) => s"ml:$k" -> v }
+    val mlSf1Lines = (mlSf1 :+ ("q_als_fit" -> alsSf1Median))
+      .map { case (k, v) => s"ml_sf:$k" -> v }
+    val allLines = results ++ fitLines ++ mlLines ++ mlSf1Lines
+    val ok = allLines.filter(_._2 >= 0)
     val maxLine = if (ok.isEmpty) ("", -1.0) else ok.maxBy(_._2)
     def sumPos(xs: Seq[Double]): Double = xs.filter(_ >= 0).sum
-    val fitSum = sumPos(Seq(fitMedian, ivfWriteMedian, bpeMedian, qlrMedian,
-      bm25Median, itemFitMedian))
-    val mlSum = sumPos(ml.map(_._2) :+ alsMedian)
-    val mlSf1Sum = sumPos(mlSf1.map(_._2) :+ alsSf1Median)
-    println(f"""{"bench_totals":{"sf":"$sfDir","runs":$runs,"total_s":$total%.3f,"lines":${results.size},"failed":${results.size - ok.size},"max_line":"${maxLine._1}","max_line_s":${maxLine._2}%.3f,"sections":{"headline_s":$total%.3f,"fit_s":$fitSum%.3f,"ml_sf001_s":$mlSum%.3f,"ml_sf_s":$mlSf1Sum%.3f}}}""")
+    val fitSum = sumPos(fitLines.map(_._2))
+    val mlSum = sumPos(mlLines.map(_._2))
+    val mlSf1Sum = sumPos(mlSf1Lines.map(_._2))
+    println(f"""{"bench_totals":{"sf":"$sfDir","runs":$runs,"total_s":$total%.3f,"lines":${allLines.size},"failed":${allLines.size - ok.size},"max_line":"${maxLine._1}","max_line_s":${maxLine._2}%.3f,"sections":{"headline_s":$total%.3f,"fit_s":$fitSum%.3f,"ml_sf001_s":$mlSum%.3f,"ml_sf_s":$mlSf1Sum%.3f}}}""")
     spark.stop()
   }
 }

@@ -37,7 +37,14 @@ object Bucketing {
                           path: String, key: String,
                           buckets: Int = 8): String = {
     if (s.catalog.tableExists(table)) {
-      val p = new org.apache.hadoop.fs.Path(path)
+      // check the location the CATALOG registered, not the `path`
+      // argument — after a restart the caller's fresh temp path and
+      // the cataloged location legitimately differ, and it is the
+      // cataloged one the scans will read
+      val registered = s.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .location
+      val p = new org.apache.hadoop.fs.Path(registered)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (!fs.exists(p) || fs.listStatus(p).isEmpty)
         s.sql(s"DROP TABLE IF EXISTS $table")

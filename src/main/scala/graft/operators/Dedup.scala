@@ -490,15 +490,20 @@ object Dedup {
     // path is untouched; DedupSimilaritySpec asserts both paths equal
     // driver union-find on the same graphs. Non-integral id types always
     // take the distributed path (the union-find twin packs ids as longs).
-    val idT = pairs.schema.fields(0).dataType
-    val integralIds = (idT == pairs.schema.fields(1).dataType) &&
+    // id type read from the (id_a, id_b) PROJECTION, not the raw caller
+    // frame — a caller with extra/reordered columns must not change
+    // which type the fast-path guard sees (fields(0) of the raw frame
+    // could be anything)
+    val proj = pairs.select(col("id_a"), col("id_b"))
+    val idT = proj.schema.fields(0).dataType
+    val integralIds = (idT == proj.schema.fields(1).dataType) &&
       (idT match {
         case org.apache.spark.sql.types.LongType |
              org.apache.spark.sql.types.IntegerType |
              org.apache.spark.sql.types.ShortType => true
         case _ => false
       })
-    Guarded.iterate(pairs.select(col("id_a"), col("id_b")),
+    Guarded.iterate(proj,
         if (integralIds) localThreshold else -1L) { (p, _) =>
       localCC(p, idT)
     } { (p, _) =>

@@ -96,6 +96,10 @@ object Graph {
   private def distributedRun(e: DataFrame, m: Long, seeds: Option[DataFrame],
                              iterations: Int, damping: Double,
                              maxBroadcastNodes: Long): DataFrame = {
+    // guard here too: a forced-distributed call (negative threshold)
+    // on an empty edge set must fail with the message, not silently
+    // build a 1/0 teleport over zero nodes
+    require(m > 0, "pageRank over an empty edge set")
     // Distributed path. Round-cost structure: the out-degree is FOLDED
     // into the edge relation once (no per-round degree join), and the
     // edge relation is pre-partitioned on `src` with the partitioning

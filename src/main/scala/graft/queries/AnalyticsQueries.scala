@@ -1110,7 +1110,7 @@ object AnalyticsQueries {
         .groupBy(col("o_custkey"))
         .agg(max(col("o_orderdate").cast("date")).as("last_order"),
           count(lit(1)).as("frequency"),
-          sum(round(col("o_totalprice") * 100, 0).cast("long")).as("monetary_c"))
+          sum(cents(col("o_totalprice"))).as("monetary_c"))
       val r = graft.operators.Rank.exactNtile(per, 5, "r_tile",
         col("last_order").desc, col("o_custkey"))
       val rf = graft.operators.Rank.exactNtile(r, 5, "f_tile",

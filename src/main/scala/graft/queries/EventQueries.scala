@@ -492,11 +492,16 @@ object EventQueries {
     // Ordered conversion funnel (view → click → purchase): per user the
     // FIRST view, then the first click STRICTLY after it, then the
     // first purchase strictly after that click — the stage times are
-    // min-aggregates over filtered co-partitioned joins, so the whole
-    // funnel is three user-keyed shuffles (each join key-partitioned,
-    // every min map-side combinable) + one single-row rollup; no
-    // per-user event list is ever collected (the naive sort-events-per-
-    // user form buffers unbounded history). Strictly-after is the
+    // min-aggregates over filtered co-partitioned joins (each min
+    // map-side combinable) + one single-row rollup; no per-user event
+    // list is ever collected (the naive sort-events-per-user form
+    // buffers unbounded history). Each stage's event scan is SLICED by
+    // a pushed event_type predicate, so the three stages together read
+    // ≈one corpus pass split by type; the t1 aggregate subtree appears
+    // twice (t2's input and the final rollup) and AQE reuses its
+    // exchange at runtime (ReusedExchange — probed; a persist here
+    // would leak a session-lifetime cache entry from a registered
+    // closure instead). Strictly-after is the
     // stated semantic (a click in the same second as the view does not
     // convert) — second-resolution ties are resolved identically on
     // both engines because the comparison is on the VALUE, not row
