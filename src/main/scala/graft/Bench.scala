@@ -102,7 +102,8 @@ object Bench {
     // max_by CDC merge compaction
     "q_heavy_hitters", "q_funnel_steps", "q_table_stats",
     "q_attribution", "q_cdc_merge", "q_col_histogram",
-    "q_rfm_segments", "q_event_transitions")
+    "q_rfm_segments", "q_event_transitions", "q_events_ewma",
+    "q_skew_report")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -94,6 +94,27 @@ object EventQueries {
 
   private def cents(c: org.apache.spark.sql.Column) = round(c * 100, 0).cast("long")
 
+  /** Truncated-EWMA spec shared by q_events_ewma and its GENERATED
+    * oracle: α = 1/2, so weight k is the dyadic 1/2^k — exactly
+    * representable as a double AND as decimal text, which is what
+    * makes the weighted sum bit-exact cross-engine with no libm.
+    */
+  private[graft] val ewmaK = 8
+  private[graft] def ewmaWeights(k: Int): Seq[Double] =
+    (0 until k).map(i => 1.0 / (1L << i))
+  /** The oracle's lag-sum text, generated from the same weights. */
+  private def ewmaOracleTerms: (String, String) = {
+    val wts = ewmaWeights(ewmaK)
+    val ew = wts.zipWithIndex.map { case (wt, k) =>
+      val src = if (k == 0) "n * 1.0" else s"LAG(n, $k) OVER w"
+      s"$src * $wt"
+    }.mkString(" + ")
+    val ma = wts.indices.map { k =>
+      if (k == 0) "n" else s"LAG(n, $k) OVER w"
+    }.mkString(" + ")
+    (s"($ew) / ${wts.sum}", s"($ma) * 1.0 / $ewmaK.0")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // tumbling 1h windows via window() — the batch twin of
     // EventStreams.tumblingCounts
@@ -435,6 +456,45 @@ object EventQueries {
         .orderBy(col("cohort_day"), col("day_offset"))
     }),
 
+    // EWMA smoothing of the hourly event series — the alerting
+    // baseline next to q_events_anomaly's z-score. The recursion
+    // s_t = α·x_t + (1-α)·s_{t-1} is not window-expressible, but with
+    // α = 1/2 the unrolled K-term weights are DYADIC (1/2^k — exactly
+    // representable doubles, exact decimal text), so the truncated
+    // EWMA is a plain weighted sum of K lags with BIT-EXACT arithmetic
+    // on both engines: no libm pow, no float seam (the repo's
+    // hyperbolic-decay/no-exp discipline). Both sides are GENERATED
+    // from the same weight spec (ewmaWeights) — the zvalueSql /
+    // pagerank pattern, so the weights cannot drift. The global-order
+    // window rides the gap-filled hourly spine, bounded by TIME (720
+    // rows/month), not data — the q_events_anomaly precedent; only
+    // rows with a full K-hour history emit (partial windows would
+    // renormalize differently).
+    "q_events_ewma" -> ((s, d) => {
+      val hourly = ev(s, d)
+        .groupBy(floor(unix_timestamp(col("ts")) / 3600).as("hr"))
+        .agg(count(lit(1)).as("n"))
+      val spine = hourly.agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("hr"))
+      val filled = spine.join(hourly, Seq("hr"), "left")
+        .select(col("hr"), coalesce(col("n"), lit(0L)).as("n"))
+      val w = Window.orderBy(col("hr"))
+      val wts = ewmaWeights(ewmaK)
+      val ewma = wts.zipWithIndex
+        .map { case (wt, k) => lag(col("n"), k).over(w) * lit(wt) }
+        .reduce(_ + _) / lit(wts.sum)
+      val ma = wts.indices
+        .map(k => lag(col("n"), k).over(w))
+        .reduce(_ + _).cast("double") / lit(ewmaK.toDouble)
+      filled
+        .withColumn("rn", row_number().over(w))
+        .withColumn("ewma_r", round(ewma, 6))
+        .withColumn("ma_r", round(ma, 6))
+        .filter(col("rn") >= ewmaK)
+        .select(col("hr"), col("n"), col("ewma_r"), col("ma_r"))
+        .orderBy(col("hr"))
+    }),
+
     // First-order Markov transition matrix over each user's event
     // sequence: one lag window on the high-cardinality user key, one
     // bounded |types|² aggregate, transition probability normalized by
@@ -570,6 +630,27 @@ object EventQueries {
     // see the query comment: membership of >n/17 items is MG-guaranteed
     // and their counters are exact when no shard exceeds 16 distinct
     // items, so the summary-side columns equal the exact counts
+    "q_events_ewma" -> {
+      val (ew, ma) = ewmaOracleTerms
+      s"""WITH hourly AS (
+         |  SELECT (epoch_us(ts) // 1000000) // 3600 AS hr, COUNT(*) AS n
+         |  FROM events GROUP BY 1
+         |), spine AS (
+         |  SELECT unnest(range(MIN(hr), MAX(hr) + 1)) AS hr FROM hourly
+         |), filled AS (
+         |  SELECT s.hr, COALESCE(h.n, 0) AS n
+         |  FROM spine s LEFT JOIN hourly h ON s.hr = h.hr
+         |), win AS (
+         |  SELECT hr, n, ROW_NUMBER() OVER w AS rn,
+         |    $ew AS ewma,
+         |    $ma AS ma
+         |  FROM filled WINDOW w AS (ORDER BY hr)
+         |)
+         |SELECT hr, CAST(n AS BIGINT) AS n,
+         |  ROUND(ewma, 6) AS ewma_r, ROUND(ma, 6) AS ma_r
+         |FROM win WHERE rn >= $ewmaK ORDER BY hr""".stripMargin
+    },
+
     "q_event_transitions" ->
       """WITH e AS (
         |  SELECT user_id, event_type, event_id,

@@ -309,6 +309,27 @@ object RelationalQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // The pre-salting diagnostic: per-key weight distribution of a join
+    // key plus the heaviest keys — the report that tells you WHEN
+    // Skew.saltedJoin / AQE skew handling is worth its extra exchange
+    // (run it on the key of any join that's spilling; alert on
+    // skew_factor). One key-shuffle for the counts, a bounded scalar
+    // aggregate broadcast back onto the TakeOrdered top keys — the
+    // report costs one pass however large the fact table is.
+    "q_skew_report" -> ((s, d) => {
+      val counts = t(s, d, "lineitem")
+        .groupBy(col("l_partkey").as("key")).agg(count(lit(1)).as("n"))
+      val stats = counts.agg(count(lit(1)).as("n_keys"),
+        sum(col("n")).as("n_rows"), max(col("n")).as("max_n"),
+        round(avg(col("n")), 6).as("mean_n"),
+        round(max(col("n")) / avg(col("n")), 6).as("skew_factor"))
+      counts.orderBy(col("n").desc, col("key")).limit(5)
+        .crossJoin(broadcast(stats)) // 1-row scalar attach
+        .select(col("key"), col("n"), col("n_keys"), col("n_rows"),
+          col("max_n"), col("mean_n"), col("skew_factor"))
+        .orderBy(col("n").desc, col("key"))
+    }),
+
     // CDC merge / MERGE INTO compaction: apply an ordered change feed
     // (insert snapshot → seq-1 upserts → seq-2 deletes, derived
     // deterministically from the fixture) onto a base snapshot and roll
@@ -347,6 +368,20 @@ object RelationalQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_skew_report" ->
+      """WITH c AS (
+        |  SELECT l_partkey AS key, COUNT(*) AS n FROM lineitem GROUP BY 1
+        |),
+        |s AS (
+        |  SELECT COUNT(*) AS n_keys, CAST(SUM(n) AS BIGINT) AS n_rows,
+        |    MAX(n) AS max_n, ROUND(AVG(n), 6) AS mean_n,
+        |    ROUND(MAX(n) * 1.0 / AVG(n), 6) AS skew_factor
+        |  FROM c
+        |)
+        |SELECT key, n, n_keys, n_rows, max_n, mean_n, skew_factor
+        |FROM (SELECT * FROM c ORDER BY n DESC, key LIMIT 5), s
+        |ORDER BY n DESC, key""".stripMargin,
+
     // arg_max per column ≡ the Spark side's max_by(struct) because seq
     // is unique per key (0/1/2 from disjoint-by-construction branches)
     "q_cdc_merge" ->
