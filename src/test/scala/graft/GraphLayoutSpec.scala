@@ -70,6 +70,24 @@ class GraphLayoutSpec extends SparkTestBase {
     // a seed outside the graph is dropped BEFORE normalization
     val withJunk = ranks(Seq(("a", 1.0), ("zz", 9.0)))
     fast.foreach { case (k, v) => assert(math.abs(v - withJunk(k)) < 1e-12) }
+    // duplicate (node, w) rows are SUMMED per node before either path —
+    // ("a",0.5)+("a",0.5)+("b",1.0) ≡ ("a",1.0)+("b",1.0); without the
+    // aggregation the distributed path would emit duplicate tele rows
+    // (rank relation no longer one row per node — silently wrong ranks)
+    val summed = ranks(Seq(("a", 1.0), ("b", 1.0)))
+    for (force <- Seq(false, true)) {
+      val dup = ranks(Seq(("a", 0.5), ("a", 0.5), ("b", 1.0)), force)
+      summed.foreach { case (k, v) =>
+        assert(math.abs(v - dup(k)) < 1e-12, s"dup seeds force=$force $k") }
+    }
+    // an all-out-of-graph seed set fails with the require message on
+    // BOTH paths (the distributed path used to NPE on the null sum)
+    for (force <- Seq(false, true)) {
+      val e = intercept[IllegalArgumentException] {
+        ranks(Seq(("zz", 1.0)), force)
+      }
+      assert(e.getMessage.contains("in-graph seeds"), e.getMessage)
+    }
   }
 
   test("q_pagerank: mass sums to 1 and both node namespaces surface") {

@@ -79,6 +79,34 @@ class ScalePostureSpec extends SparkTestBase {
     assert(j.count() > 0)
   }
 
+  test("ensureBucketedTable: a cataloged table whose data vanished is rebuilt, a healthy one is not") {
+    import graft.operators.Bucketing
+    val tbl = "graft_stale_probe"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    val dir1 = Files.createTempDirectory("graft_bkt_probe").toString
+    var builds = 0
+    def src = { builds += 1; Tables.nation(spark, sf) }
+    Bucketing.ensureBucketedTable(spark, src, tbl, s"$dir1/t", "n_nationkey")
+    val n = spark.table(tbl).count()
+    assert(builds == 1 && n > 0)
+    // healthy catalog entry: second call is a no-op even with a FRESH
+    // path argument (the registered location is what scans read — the
+    // guard must check it, not the argument)
+    val dir2 = Files.createTempDirectory("graft_bkt_probe2").toString
+    Bucketing.ensureBucketedTable(spark, src, tbl, s"$dir2/t", "n_nationkey")
+    assert(builds == 1, "healthy table was rebuilt")
+    // delete the REGISTERED data dir: the stale entry must be dropped
+    // and rebuilt instead of serving empty/failing scans forever
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    rm(new java.io.File(s"$dir1/t"))
+    Bucketing.ensureBucketedTable(spark, src, tbl, s"$dir2/t", "n_nationkey")
+    assert(builds == 2, "stale table was not rebuilt")
+    assert(spark.table(tbl).count() == n)
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("bucketed ratings view: the actual Tables.ratings join plans with zero exchanges") {
     // SCALING.md claims pre-bucketing orders/lineitem on orderkey makes
     // the ratings view shuffle-free; prove it through the REAL derivation
