@@ -103,7 +103,10 @@ object Bench {
     "q_heavy_hitters", "q_funnel_steps", "q_table_stats",
     "q_attribution", "q_cdc_merge", "q_col_histogram",
     "q_rfm_segments", "q_event_transitions", "q_events_ewma",
-    "q_skew_report")
+    "q_skew_report",
+    // round-11 late additions: degree-oriented triangle census and the
+    // as-of point-in-time SCD2 dimension lookup
+    "q_triangles", "q_scd2_lookup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -150,6 +150,73 @@ object Graph {
     ranks
   }
 
+  /** Exact triangle census of an undirected simple graph given as
+    * CANONICAL edges `(u, v)` with `u < v`, distinct. Returns ONE row
+    * `(n_nodes, n_edges, n_wedges, n_triangles, gcc)` where `n_wedges`
+    * is the path-2 count `Σ C(deg, 2)` (open + closed wedges) and
+    * `gcc = 3·triangles / wedges` — the global clustering coefficient,
+    * un-rounded (callers own the presentation rounding, the repo-wide
+    * 6dp contract).
+    *
+    * Scale shape — the DEGREE-ORIENTED wedge join (the standard
+    * distributed triangle-counting discipline): each edge is directed
+    * from its (degree, id)-smaller endpoint to the larger. That order is
+    * total and acyclic, so every triangle is counted exactly once — at
+    * its order-minimum vertex, whose two out-edges form the wedge the
+    * close join completes. The payoff is the out-degree bound: a node
+    * with out-degree k has k neighbors of degree ≥ its own, so
+    * k² ≤ Σdeg = 2m and k = O(√m). The wedge self-join on `src`
+    * therefore fans out O(√m) per edge — NOT the raw degree, which is
+    * what melts the naive shared-neighbor join on power-law graphs (a
+    * degree-h hub contributes h² unoriented wedges; oriented, its edges
+    * point INTO it and it contributes none). Three equi-join shuffles
+    * total (degree attach, wedge self-join, close probe on the composite
+    * `(u, v)` key); the census aggregates are all map-side partial;
+    * nothing is collected to the driver. The edge relation is eagerly
+    * checkpointed — it is read three times (degrees, orientation, close
+    * probe) and the caller's mining lineage must evaluate once.
+    */
+  def triangleStats(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("u"), col("v")).localCheckpoint(true)
+    val deg = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val du = deg.select(col("node").as("u"), col("deg").as("du"))
+    val dv = deg.select(col("node").as("v"), col("deg").as("dv"))
+    // Orient u→v iff (du, u) < (dv, v); the canonical u < v input breaks
+    // equal-degree ties. Checkpointed: both sides of the wedge self-join
+    // read it, and the orientation joins must not run twice.
+    val oriented = e.join(du, Seq("u")).join(dv, Seq("v"))
+      .select(
+        when(col("du") < col("dv") ||
+             (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("src"), col("v").as("dst")))
+          .otherwise(struct(col("v").as("src"), col("u").as("dst"))).as("o"))
+      .select(col("o.src").as("src"), col("o.dst").as("dst"))
+      .localCheckpoint(true)
+    // Wedge {x, y} at a shared oriented src, emitted once in canonical
+    // value order (x < y) so the close probe hits the canonical edge set
+    // directly — no per-row least/greatest normalization.
+    val wedges = oriented.select(col("src"), col("dst").as("x"))
+      .join(oriented.select(col("src"), col("dst").as("y")), Seq("src"))
+      .filter(col("x") < col("y"))
+      .select(col("x").as("u"), col("y").as("v"))
+    val tri = wedges.join(e, Seq("u", "v"))
+      .agg(count(lit(1)).as("n_triangles"))
+    // Σ C(deg,2) in exact integer arithmetic: deg·(deg−1) is even, so
+    // DIV 2 is exact (a double `/` would wobble past 2^53 wedges).
+    val base = deg.agg(count(lit(1)).as("n_nodes"),
+      coalesce(sum(expr("deg * (deg - 1) DIV 2")), lit(0L))
+        .cast("long").as("n_wedges"))
+    val en = e.agg(count(lit(1)).as("n_edges"))
+    base.crossJoin(broadcast(en)).crossJoin(broadcast(tri)) // 1-row attaches
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        when(col("n_wedges") > 0,
+          lit(3.0) * col("n_triangles") / col("n_wedges"))
+          .otherwise(lit(0.0)).as("gcc"))
+  }
+
   /** The identical recurrence as a driver array loop — see the fast-path
     * note on [[pageRank]]. Node ids stay whatever type the caller used
     * (keys in a hash index); first-seen order assigns indices, so the

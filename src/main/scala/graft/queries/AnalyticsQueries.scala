@@ -981,6 +981,35 @@ object AnalyticsQueries {
         .orderBy(col("node"))
     }),
 
+    // Exact triangle census + global clustering coefficient of the
+    // parts-co-ordered-together graph (edge {p1, p2} iff some order
+    // contains both parts) — the graph-cohesion statistic behind
+    // community detection and recommender-graph health checks.
+    // Graph.triangleStats runs the degree-ORIENTED wedge join, so the
+    // per-key fan-out is O(√m) regardless of hub degree (the naive
+    // shared-neighbor join is quadratic in the hottest degree). Edge
+    // mining caps each order at its first 20 parts (ROW_NUMBER by
+    // partkey, mirrored in the oracle — the blockedPairs discipline;
+    // TPC-H orders carry ≤7 lines so the cap never binds here, but an
+    // unbounded basket would otherwise expand quadratically). The one
+    // double (gcc = 3·tri/wedges) is a single IEEE multiply+divide over
+    // exact integers on both engines, rounded 6dp.
+    "q_triangles" -> ((s, d) => {
+      val lp = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val wcap = Window.partitionBy(col("l_orderkey")).orderBy(col("l_partkey"))
+      val capped = lp.withColumn("rn", row_number().over(wcap))
+        .filter(col("rn") <= 20).select(col("l_orderkey"), col("l_partkey"))
+      val edges = capped.select(col("l_orderkey"), col("l_partkey").as("u"))
+        .join(capped.select(col("l_orderkey"), col("l_partkey").as("v")),
+          Seq("l_orderkey"))
+        .filter(col("u") < col("v"))
+        .select(col("u"), col("v")).distinct()
+      graft.operators.Graph.triangleStats(edges)
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+          col("n_triangles"), round(col("gcc"), 6).as("gcc_r"))
+    }),
+
     // Blocked fuzzy matching (the entity-resolution pattern): candidate
     // pairs come from a BLOCK KEY (the name's last token), never an
     // all-pairs cross product, and the in-block expansion is CAPPED —
@@ -1691,6 +1720,40 @@ object AnalyticsQueries {
     "q_pagerank" -> pagerankOracle,
 
     "q_ppr_suppliers" -> pprOracle,
+
+    // Value-identical unoriented 3-way join over the same canonical
+    // (u < v) edge set — with a < b < c each triangle matches the join
+    // pattern (a,b)(b,c)(a,c) exactly once. The engine's orientation
+    // changes the plan's fan-out, never the census (the salted-join
+    // convention: the oracle witnesses the relation, not the layout).
+    "q_triangles" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |capped AS (
+        |  SELECT l_orderkey, l_partkey FROM (
+        |    SELECT l_orderkey, l_partkey,
+        |      ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS rn
+        |    FROM lp) WHERE rn <= 20),
+        |edges AS (
+        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM capped a JOIN capped b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |deg AS (
+        |  SELECT node, COUNT(*) AS dg FROM (
+        |    SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges)
+        |  GROUP BY 1),
+        |base AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        |         CAST(COALESCE(SUM(dg * (dg - 1) // 2), 0) AS BIGINT) AS n_wedges
+        |  FROM deg),
+        |en AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM edges),
+        |tri AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+        |  FROM edges e1 JOIN edges e2 ON e1.v = e2.u
+        |       JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+        |  ROUND(CASE WHEN n_wedges > 0
+        |             THEN 3.0 * n_triangles / n_wedges ELSE 0 END, 6) AS gcc_r
+        |FROM base, en, tri""".stripMargin,
 
     // mirrors Dedup.blockedPairs' CAP: rn ≤ 1000 members pair fully,
     // overflow members pair once against the block min (rn = 1)

@@ -52,6 +52,38 @@ object RelationalQueries {
     (lt, ot)
   }
 
+  /** The SCD2 (type-2 slowly-changing dimension) interval relation both
+    * q_scd2_intervals and q_scd2_lookup build on: each customer's
+    * consecutive same-status order runs collapsed (gaps-and-islands)
+    * into versioned validity intervals [valid_from, valid_to) with an
+    * is_current flag on the open interval. One window shuffle on the
+    * high-cardinality custkey (bounded per-partition state), one
+    * aggregate, one bounded second window over ≤|versions| rows per
+    * customer — no self-joins, no driver loops. Unsorted; callers own
+    * presentation order.
+    */
+  private def scd2Dim(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("d"), col("o_orderkey"))
+    val flagged = t(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("o_orderdate").cast("date").as("d"), col("o_orderstatus"))
+      .withColumn("chg",
+        when(lag(col("o_orderstatus"), 1).over(w).isNull ||
+             lag(col("o_orderstatus"), 1).over(w) =!= col("o_orderstatus"),
+          lit(1L)).otherwise(lit(0L)))
+      .withColumn("version", sum(col("chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val wv = Window.partitionBy(col("o_custkey")).orderBy(col("version"))
+    flagged.groupBy(col("o_custkey"), col("version"), col("o_orderstatus"))
+      .agg(min(col("d")).as("valid_from"), count(lit(1)).as("n_orders"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wv))
+      .withColumn("is_current", col("valid_to").isNull.cast("long"))
+      .select(col("o_custkey"), col("version"),
+        col("o_orderstatus").as("status"), col("valid_from"),
+        col("valid_to"), col("n_orders"), col("is_current"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // J1: inner equi-join fact⋈dim — dim broadcast, no shuffle of orders.
     "q_join_inner" -> ((s, d) => {
@@ -268,27 +300,42 @@ object RelationalQueries {
     // high-cardinality custkey (bounded per-partition state), one
     // aggregate, one bounded second window over the ≤|versions| rows per
     // customer — no self-joins, no driver loops.
-    "q_scd2_intervals" -> ((s, d) => {
-      val w = Window.partitionBy(col("o_custkey"))
-        .orderBy(col("d"), col("o_orderkey"))
-      val flagged = t(s, d, "orders")
-        .select(col("o_custkey"), col("o_orderkey"),
-          col("o_orderdate").cast("date").as("d"), col("o_orderstatus"))
-        .withColumn("chg",
-          when(lag(col("o_orderstatus"), 1).over(w).isNull ||
-               lag(col("o_orderstatus"), 1).over(w) =!= col("o_orderstatus"),
-            lit(1L)).otherwise(lit(0L)))
-        .withColumn("version", sum(col("chg")).over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      val wv = Window.partitionBy(col("o_custkey")).orderBy(col("version"))
-      flagged.groupBy(col("o_custkey"), col("version"), col("o_orderstatus"))
-        .agg(min(col("d")).as("valid_from"), count(lit(1)).as("n_orders"))
-        .withColumn("valid_to", lead(col("valid_from"), 1).over(wv))
-        .withColumn("is_current", col("valid_to").isNull.cast("long"))
-        .select(col("o_custkey"), col("version"),
-          col("o_orderstatus").as("status"), col("valid_from"),
-          col("valid_to"), col("n_orders"), col("is_current"))
-        .orderBy(col("o_custkey"), col("version"))
+    "q_scd2_intervals" -> ((s, d) =>
+      scd2Dim(s, d).orderBy(col("o_custkey"), col("version"))),
+
+    // Point-in-time (temporal) fact→dimension lookup against the SCD2
+    // history built above: each lineitem is enriched with the customer
+    // STATUS VERSION valid at its SHIP date — the "join to the dimension
+    // as of the event, not as of today" pattern every warehouse backfill
+    // needs. NEVER a range join: intervals per key are contiguous, so
+    // containment ≡ as-of-backward on valid_from, and
+    // AsofJoin.asofBackward runs it as ONE union shuffle on the
+    // high-cardinality custkey + a per-key ordered sweep — |facts|+|dim|
+    // rows moved, zero row multiplication (the BETWEEN-join form
+    // explodes each fact by its key's whole version history before
+    // pruning). At the d = valid_to boundary the half-open interval and
+    // the as-of's `<=`-latest-wins tie rule agree: the NEW version wins
+    // (AsofExtensionsSpec pins this seam). Facts dated BEFORE their
+    // customer's first version (this fixture draws ship dates
+    // independently of order dates) land in an explicit "(pre)" bucket
+    // — the unattributed-facts convention every backfill needs, mirrored
+    // in the oracle as the LEFT-join null branch.
+    "q_scd2_lookup" -> ((s, d) => {
+      val dim = scd2Dim(s, d).select(col("o_custkey"), col("valid_from"),
+        col("version"), col("status"))
+      val facts = t(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate").cast("date").as("d"))
+        .join(t(s, d, "orders").select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey"), col("d"))
+      graft.operators.AsofJoin.asofBackward(facts, dim, "o_custkey",
+          leftTime = "d", rightTime = "valid_from",
+          attach = Map("status" -> "status", "version" -> "version"),
+          rightTiebreak = "version")
+        .groupBy(coalesce(col("status"), lit("(pre)")).as("status"))
+        .agg(count(lit(1)).as("n_items"),
+          countDistinct(col("o_custkey")).as("n_custs"))
+        .orderBy(col("status"))
     }),
 
     // Fact⋈fact join over BUCKETED tables (Bucketing.ensureBucketedTable):
@@ -563,6 +610,45 @@ object RelationalQueries {
         |FROM iv
         |WINDOW wv AS (PARTITION BY o_custkey ORDER BY version)
         |ORDER BY o_custkey, version""".stripMargin,
+
+    // Interval-containment form of the as-of lookup: per-key intervals
+    // are contiguous and every ship date ≥ the customer's first
+    // valid_from, so the half-open BETWEEN join is value-identical to
+    // the engine's as-of-backward sweep (boundary facts land in the NEW
+    // version on both forms).
+    "q_scd2_lookup" ->
+      """WITH flagged AS (
+        |  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d, o_orderstatus,
+        |    CASE WHEN LAG(o_orderstatus) OVER w IS NULL
+        |           OR LAG(o_orderstatus) OVER w <> o_orderstatus
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+        |), islands AS (
+        |  SELECT o_custkey, o_orderstatus, d,
+        |    SUM(chg) OVER (PARTITION BY o_custkey ORDER BY d, o_orderkey
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+        |  FROM flagged
+        |), iv AS (
+        |  SELECT o_custkey, version, o_orderstatus, MIN(d) AS valid_from
+        |  FROM islands GROUP BY o_custkey, version, o_orderstatus
+        |), scd2 AS (
+        |  -- LEAD by VERSION, not valid_from: a same-day status flip makes
+        |  -- two versions share a valid_from; the earlier one must get the
+        |  -- zero-width interval (the as-of tiebreak picks the later)
+        |  SELECT o_custkey, o_orderstatus AS status, valid_from,
+        |    LEAD(valid_from) OVER (PARTITION BY o_custkey ORDER BY version) AS valid_to
+        |  FROM iv
+        |), facts AS (
+        |  SELECT o_custkey, CAST(l_shipdate AS DATE) AS d
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |)
+        |SELECT COALESCE(v.status, '(pre)') AS status, COUNT(*) AS n_items,
+        |  COUNT(DISTINCT f.o_custkey) AS n_custs
+        |FROM facts f LEFT JOIN scd2 v
+        |  ON f.o_custkey = v.o_custkey AND f.d >= v.valid_from
+        | AND (v.valid_to IS NULL OR f.d < v.valid_to)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // Bucketing changes the physical layout, never the relation.
     "q_join_bucketed" ->

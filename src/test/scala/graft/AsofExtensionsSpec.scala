@@ -52,6 +52,35 @@ class AsofExtensionsSpec extends SparkTestBase {
     assert(out.getAs[Long]("next_click") == 7L, "smallest tiebreak wins on equal time")
   }
 
+  test("scd2 point-in-time seams: boundary fact takes the NEW version, " +
+      "pre-history attaches nothing, same-day flip resolves to the later version") {
+    import java.sql.Date
+    def dt(s: String) = Date.valueOf(s)
+    val dim = Seq((1L, dt("2020-01-01"), 1L, "A"), (1L, dt("2020-03-01"), 2L, "B"))
+      .toDF("k", "valid_from", "version", "status")
+    val facts = Seq((1L, dt("2020-03-01"), "boundary"),
+      (1L, dt("2020-02-10"), "mid"), (1L, dt("2019-12-31"), "pre"))
+      .toDF("k", "d", "tag")
+    val out = AsofJoin.asofBackward(facts, dim, "k", "d", "valid_from",
+        Map("status" -> "status"), "version")
+      .collect()
+      .map(r => r.getAs[String]("tag") -> Option(r.getAs[String]("status")))
+      .toMap
+    assert(out == Map("boundary" -> Some("B"), "mid" -> Some("A"),
+      "pre" -> None))
+    // same-day status flip: two versions share valid_from; the zero-width
+    // earlier interval must lose to the larger version (the q_scd2_lookup
+    // oracle's LEAD-by-version half-open mirror of this tie)
+    val flip = Seq((1L, dt("2020-01-01"), 1L, "A"), (1L, dt("2020-01-01"), 2L, "B"))
+      .toDF("k", "valid_from", "version", "status")
+    val f2 = Seq((1L, dt("2020-01-01"), "at"), (1L, dt("2020-06-01"), "after"))
+      .toDF("k", "d", "tag")
+    val out2 = AsofJoin.asofBackward(f2, flip, "k", "d", "valid_from",
+        Map("status" -> "status"), "version")
+      .collect().map(r => r.getAs[String]("tag") -> r.getAs[String]("status")).toMap
+    assert(out2 == Map("at" -> "B", "after" -> "B"))
+  }
+
   test("VectorAlgebraRule rewrites self-cosine and self-dot (plan + values)") {
     GraftExtensions.installRule(spark)
     val df = Seq((Array(3.0f, 4.0f), Array(0.0f, 0.0f)))

@@ -145,6 +145,49 @@ class GraphLayoutSpec extends SparkTestBase {
     }
   }
 
+  // ---- triangle census ----
+
+  private def census(edges: Seq[(String, String)]) =
+    Graph.triangleStats(edges.toDF("u", "v")).collect().head
+
+  test("triangleStats: K4, path, and star+chord censuses are exact") {
+    val k4 = census(Seq(("a", "b"), ("a", "c"), ("a", "d"),
+      ("b", "c"), ("b", "d"), ("c", "d")))
+    assert((k4.getLong(0), k4.getLong(1), k4.getLong(2), k4.getLong(3))
+      == ((4L, 6L, 12L, 4L)))
+    assert(math.abs(k4.getDouble(4) - 1.0) < 1e-12)
+    val path = census(Seq(("a", "b"), ("b", "c"), ("c", "d")))
+    assert((path.getLong(2), path.getLong(3)) == ((2L, 0L)))
+    assert(path.getDouble(4) == 0.0)
+    // hub a (deg 4) + chord (b,c): wedges 6+1+1, one triangle closed at
+    // the ORIENTED min (b→a, b→c — the hub's edges point INTO it)
+    val star = census(Seq(("a", "b"), ("a", "c"), ("a", "d"),
+      ("a", "e"), ("b", "c")))
+    assert((star.getLong(2), star.getLong(3)) == ((8L, 1L)))
+    assert(math.abs(star.getDouble(4) - 3.0 / 8) < 1e-12)
+  }
+
+  test("triangleStats equals an unoriented brute-force census on a random graph") {
+    val rnd = new scala.util.Random(11)
+    val edges = (1 to 300).flatMap { _ =>
+      val x = rnd.nextInt(30); val y = rnd.nextInt(30)
+      if (x == y) None
+      else Some((f"n${math.min(x, y)}%02d", f"n${math.max(x, y)}%02d"))
+    }.distinct
+    val eset = edges.toSet
+    val nodes = edges.flatMap(t => Seq(t._1, t._2)).distinct.sorted
+    var tri = 0L
+    nodes.combinations(3).foreach { case Seq(x, y, z) => // ascending triple
+      if (eset((x, y)) && eset((y, z)) && eset((x, z))) tri += 1
+    }
+    val degs = edges.flatMap(t => Seq(t._1, t._2))
+      .groupBy(identity).view.mapValues(_.size.toLong)
+    val row = census(edges)
+    assert(row.getLong(0) == nodes.size && row.getLong(1) == edges.size)
+    assert(row.getLong(2) == degs.values.map(d => d * (d - 1) / 2).sum)
+    assert(row.getLong(3) == tri)
+  }
+
   // ---- SCD2 intervals ----
 
   test("q_scd2_intervals: versions tile each customer's history exactly") {
@@ -163,6 +206,16 @@ class GraphLayoutSpec extends SparkTestBase {
         case _ => ()
       }
     }
+  }
+
+  test("q_scd2_lookup: every fact lands in exactly one bucket, from the dimension's statuses") {
+    val rows = SparkEntry.queries("q_scd2_lookup")(spark, sf).collect()
+    val nFacts = Tables.load(spark, sf, "lineitem")
+      .join(Tables.load(spark, sf, "orders"),
+        col("l_orderkey") === col("o_orderkey")).count()
+    assert(rows.map(_.getLong(1)).sum == nFacts,
+      "as-of lookup must neither drop nor multiply facts")
+    assert(rows.map(_.getString(0)).toSet.subsetOf(Set("(pre)", "F", "O", "P")))
   }
 
   // ---- salted / bucketed join twins ----

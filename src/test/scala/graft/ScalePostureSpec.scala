@@ -281,6 +281,21 @@ class ScalePostureSpec extends SparkTestBase {
       s"totals join not broadcast:\n$trPlan")
   }
 
+  test("q_triangles plan: every multi-row join is an equi shuffle — no cartesian pair expansion") {
+    val tri = SparkEntry.queries("q_triangles")(spark, sf)
+    tri.collect()
+    val plan = tri.queryExecution.executedPlan.toString
+      .split("Initial Plan")(0)
+    // the wedge self-join and close probe must key on src / (u,v) —
+    // a CartesianProduct would mean the orientation discipline was lost
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian in triangle plan:\n$plan")
+    // the only nested-loop joins allowed are the two 1-row census
+    // attaches (broadcast scalar crossJoins)
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+    assert(bnl <= 2, s"unexpected nested-loop joins ($bnl):\n$plan")
+  }
+
   test("blockedPairs: planted hot block stays O(cap²) — overflow star-attached, not paired") {
     // the q_fuzzy_parts scale posture: a fixed-cardinality block key
     // (TPC-H's 92 color last-tokens) means blocks grow LINEARLY with the
