@@ -175,9 +175,27 @@ object Graph {
     * nothing is collected to the driver. The edge relation is eagerly
     * checkpointed — it is read three times (degrees, orientation, close
     * probe) and the caller's mining lineage must evaluate once.
+    *
+    * GUARDED BROADCAST (the [[pageRank]] maxBroadcastNodes convention):
+    * the wedge relation is the one quadratic-ish intermediate
+    * (Σ C(out_deg, 2) rows), and the shuffle plan exchanges it twice
+    * (self-join output + close-probe exchange). When the MEASURED edge
+    * count fits a broadcast (`maxBroadcastEdges`), the degree attach,
+    * the self-join's build side, and the close probe all broadcast
+    * instead, so every wedge is generated, probed, and partially
+    * counted INSIDE its map task — zero wedge exchanges. Above the
+    * guard the shuffle plan stands unchanged — the 100 TB path never
+    * builds an unbounded broadcast. (Note the broadcast removes
+    * exchanges, not wedge work: a DENSE graph's census cost is the
+    * wedge count itself — callers mining co-occurrence edges should
+    * min-support-filter first, q_triangles' discipline.)
     */
-  def triangleStats(edges: DataFrame): DataFrame = {
+  def triangleStats(edges: DataFrame,
+                    maxBroadcastEdges: Long = 4000000L): DataFrame = {
     val e = edges.select(col("u"), col("v")).localCheckpoint(true)
+    val m = e.count() // reads the checkpointed blocks — no lineage re-run
+    val small = m <= maxBroadcastEdges
+    def side(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val deg = e.select(col("u").as("node"))
       .unionAll(e.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -186,7 +204,7 @@ object Graph {
     // Orient u→v iff (du, u) < (dv, v); the canonical u < v input breaks
     // equal-degree ties. Checkpointed: both sides of the wedge self-join
     // read it, and the orientation joins must not run twice.
-    val oriented = e.join(du, Seq("u")).join(dv, Seq("v"))
+    val oriented = e.join(side(du), Seq("u")).join(side(dv), Seq("v"))
       .select(
         when(col("du") < col("dv") ||
              (col("du") === col("dv") && col("u") < col("v")),
@@ -198,10 +216,10 @@ object Graph {
     // value order (x < y) so the close probe hits the canonical edge set
     // directly — no per-row least/greatest normalization.
     val wedges = oriented.select(col("src"), col("dst").as("x"))
-      .join(oriented.select(col("src"), col("dst").as("y")), Seq("src"))
+      .join(side(oriented.select(col("src"), col("dst").as("y"))), Seq("src"))
       .filter(col("x") < col("y"))
       .select(col("x").as("u"), col("y").as("v"))
-    val tri = wedges.join(e, Seq("u", "v"))
+    val tri = wedges.join(side(e), Seq("u", "v"))
       .agg(count(lit(1)).as("n_triangles"))
     // Σ C(deg,2) in exact integer arithmetic: deg·(deg−1) is even, so
     // DIV 2 is exact (a double `/` would wobble past 2^53 wedges).

@@ -982,18 +982,23 @@ object AnalyticsQueries {
     }),
 
     // Exact triangle census + global clustering coefficient of the
-    // parts-co-ordered-together graph (edge {p1, p2} iff some order
-    // contains both parts) — the graph-cohesion statistic behind
+    // parts-co-ordered-together graph (edge {p1, p2} iff ≥2 distinct
+    // orders contain both parts) — the graph-cohesion statistic behind
     // community detection and recommender-graph health checks.
     // Graph.triangleStats runs the degree-ORIENTED wedge join, so the
     // per-key fan-out is O(√m) regardless of hub degree (the naive
     // shared-neighbor join is quadratic in the hottest degree). Edge
-    // mining caps each order at its first 20 parts (ROW_NUMBER by
-    // partkey, mirrored in the oracle — the blockedPairs discipline;
-    // TPC-H orders carry ≤7 lines so the cap never binds here, but an
-    // unbounded basket would otherwise expand quadratically). The one
-    // double (gcc = 3·tri/wedges) is a single IEEE multiply+divide over
-    // exact integers on both engines, rounded 6dp.
+    // mining applies the item-CF min-support discipline (q_item_rules):
+    // a pair co-ordered ONCE is coincidence, not affinity, and keeping
+    // those noise edges makes the co-occurrence graph dense in the
+    // FIXTURE's random-draw regime (1.2M support-1 edges vs 3.6k
+    // support-2 at sf0.1 — wedge work 72M vs thousands; measured
+    // 6.3 s → sub-second). Per-order baskets are capped at their first
+    // 20 parts (ROW_NUMBER by partkey, mirrored in the oracle — the
+    // blockedPairs discipline; TPC-H orders carry ≤7 lines so the cap
+    // never binds here, but an unbounded basket would otherwise expand
+    // quadratically). The one double (gcc = 3·tri/wedges) is a single
+    // IEEE multiply+divide over exact integers on both engines, 6dp.
     "q_triangles" -> ((s, d) => {
       val lp = t(s, d, "lineitem")
         .select(col("l_orderkey"), col("l_partkey")).distinct()
@@ -1004,7 +1009,8 @@ object AnalyticsQueries {
         .join(capped.select(col("l_orderkey"), col("l_partkey").as("v")),
           Seq("l_orderkey"))
         .filter(col("u") < col("v"))
-        .select(col("u"), col("v")).distinct()
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("sup"))
+        .filter(col("sup") >= 2).select(col("u"), col("v"))
       graft.operators.Graph.triangleStats(edges)
         .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
           col("n_triangles"), round(col("gcc"), 6).as("gcc_r"))
@@ -1734,9 +1740,10 @@ object AnalyticsQueries {
         |      ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS rn
         |    FROM lp) WHERE rn <= 20),
         |edges AS (
-        |  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
         |  FROM capped a JOIN capped b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
         |deg AS (
         |  SELECT node, COUNT(*) AS dg FROM (
         |    SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges)
