@@ -204,7 +204,16 @@ object Soak {
       // built once per scale dir in the untimed warm (itemIndex memo), so
       // this row prices serving, not the fit
       "item_recs" -> (() => noop(
-        SparkEntry.queries("q_item_recs")(spark, d))))
+        SparkEntry.queries("q_item_recs")(spark, d))),
+      // round-11 late additions: the disjoint-copy re-keying means the
+      // x N graph is N copies of the signal graph (edges, wedges, and
+      // the SCD2 fact/dim sides all scale ~linearly), so a clean plan
+      // reads ~linear here; the min-support aggregate dominates
+      // triangles' cost (pair-count exchange over the capped expansion)
+      "triangles" -> (() => noop(
+        SparkEntry.queries("q_triangles")(spark, d))),
+      "scd2_lookup" -> (() => noop(
+        SparkEntry.queries("q_scd2_lookup")(spark, d))))
     // untimed per-scale index build so the item_recs row is serving-only
     def warmItemIndex(d: String): Unit =
       try { graft.queries.PipelineQueries.itemIndex(spark, d); () }

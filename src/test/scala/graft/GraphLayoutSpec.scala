@@ -167,6 +167,16 @@ class GraphLayoutSpec extends SparkTestBase {
     assert(math.abs(star.getDouble(4) - 3.0 / 8) < 1e-12)
   }
 
+  test("triangleStats: broadcast path ≡ forced-shuffle path (the guarded-dispatch discipline)") {
+    val edges = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("a", "e"),
+      ("b", "c"), ("b", "d"), ("c", "d"), ("d", "e"))
+    val bc = census(edges)
+    val sh = Graph.triangleStats(edges.toDF("u", "v"),
+      maxBroadcastEdges = 0L).collect().head
+    assert(bc.toSeq == sh.toSeq,
+      s"guard paths diverge: ${bc.toSeq} vs ${sh.toSeq}")
+  }
+
   test("triangleStats equals an unoriented brute-force census on a random graph") {
     val rnd = new scala.util.Random(11)
     val edges = (1 to 300).flatMap { _ =>
