@@ -104,9 +104,10 @@ object Bench {
     "q_attribution", "q_cdc_merge", "q_col_histogram",
     "q_rfm_segments", "q_event_transitions", "q_events_ewma",
     "q_skew_report",
-    // round-11 late additions: degree-oriented triangle census and the
-    // as-of point-in-time SCD2 dimension lookup
-    "q_triangles", "q_scd2_lookup")
+    // round-11 late additions: degree-oriented triangle census, the
+    // as-of point-in-time SCD2 dimension lookup, and Jaro-Winkler
+    // blocked fuzzy matching (codegen'd native expression)
+    "q_triangles", "q_scd2_lookup", "q_fuzzy_jw")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

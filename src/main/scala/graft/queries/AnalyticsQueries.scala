@@ -1043,6 +1043,27 @@ object AnalyticsQueries {
         .orderBy(col("a"), col("b"))
     }),
 
+    // The edit-distance-free fuzzy-matching twin: same capped blocked
+    // candidate generation, scored by the codegen'd Jaro-Winkler
+    // expression (TextHashFunctions.JaroWinkler — the standard variant
+    // DuckDB implements, so the SCORES value-oracle cross-engine, not
+    // just the survivor set). JW is the entity-resolution scorer of
+    // choice for short name strings (prefix-weighted, transposition-
+    // tolerant, no DP table); the threshold compares the 6dp-ROUNDED
+    // score on both engines so a last-ulp wobble cannot flip a row's
+    // membership.
+    "q_fuzzy_jw" -> ((s, d) => {
+      val names = t(s, d, "part").select(col("p_name")).distinct()
+        .withColumn("block", element_at(split(col("p_name"), " "), -1))
+      graft.operators.Dedup
+        .blockedPairs(names, "block", "p_name", maxBlock = 1000)
+        .withColumn("jw_r", round(
+          graft.functions.TextHashFunctions.jaro_winkler(col("a"), col("b")), 6))
+        .filter(col("jw_r") >= 0.9)
+        .select(col("block"), col("a"), col("b"), col("jw_r"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     // Z-order layout clustering: Morton-interleave (l_partkey, l_suppkey)
     // mod 1024 into one sort key and report each of the 64 coarse
     // z-ranges' (x, y) bounding box — the per-file min/max stats a
@@ -1785,6 +1806,36 @@ object AnalyticsQueries {
         |SELECT block, a, b, CAST(levenshtein(a, b) AS BIGINT) AS dist
         |FROM cand
         |WHERE levenshtein(a, b) <= 2
+        |ORDER BY a, b""".stripMargin,
+
+    // same capped blocked-candidate CTE; DuckDB's
+    // jaro_winkler_similarity is the same standard variant as the
+    // engine's codegen'd expression, so the 6dp-rounded SCORE is the
+    // compared value (threshold on the rounded score on both sides)
+    "q_fuzzy_jw" ->
+      """WITH n AS (
+        |  SELECT DISTINCT p_name,
+        |    list_extract(string_split(p_name, ' '), -1) AS block
+        |  FROM part
+        |), r AS (
+        |  SELECT p_name, block,
+        |    ROW_NUMBER() OVER (PARTITION BY block ORDER BY p_name) AS rn
+        |  FROM n
+        |), cand AS (
+        |  SELECT a.block, a.p_name AS a, b.p_name AS b
+        |  FROM r a JOIN r b ON a.block = b.block AND a.p_name < b.p_name
+        |  WHERE a.rn <= 1000 AND b.rn <= 1000
+        |  UNION ALL
+        |  SELECT o.block, m.p_name AS a, o.p_name AS b
+        |  FROM r o JOIN r m ON o.block = m.block AND m.rn = 1
+        |  WHERE o.rn > 1000
+        |), scored AS (
+        |  SELECT block, a, b,
+        |    ROUND(jaro_winkler_similarity(a, b), 6) AS jw_r
+        |  FROM cand
+        |)
+        |SELECT block, a, b, jw_r FROM scored
+        |WHERE jw_r >= 0.9
         |ORDER BY a, b""".stripMargin,
 
     // generated per-column UNION ALL — the oracle may scan 7×; the

@@ -43,6 +43,43 @@ class FunctionsSpec extends SparkTestBase {
     assert(math.abs(fromDf - viaSql) < 1e-12)
   }
 
+  test("jaro_winkler: textbook values, edges, codegen ≡ interpreted ≡ SQL") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    // textbook triples (the published Winkler examples, also DuckDB's values)
+    val cases = Seq(
+      ("MARTHA", "MARHTA", 0.9611111111111111),
+      ("DIXON", "DICKSONX", 0.8133333333333332),
+      ("DWAYNE", "DUANE", 0.84),
+      ("JELLYFISH", "SMELLYFISH", 0.8962962962962964),
+      ("CRATE", "TRACE", 0.7333333333333334), // jaro ≤ 0.7 boundary: no boost
+      ("abc", "abc", 1.0),
+      ("", "abc", 0.0), ("", "", 0.0), ("ab", "cd", 0.0))
+    cases.foreach { case (a, b, want) =>
+      val got = TextHashFunctions.jaroWinkler(a, b)
+      assert(math.abs(got - want) < 1e-12, s"$a/$b: $got vs $want")
+      // symmetry
+      assert(TextHashFunctions.jaroWinkler(b, a) == got)
+    }
+    // codegen (DataFrame) ≡ interpreted (direct eval) ≡ SQL registration
+    val fromDf = Seq(("MARTHA", "MARHTA")).toDF("a", "b")
+      .select(TextHashFunctions.jaro_winkler(col("a"), col("b")))
+      .first().getDouble(0)
+    val interp = TextHashFunctions.JaroWinkler(
+      Literal(UTF8String.fromString("MARTHA"), org.apache.spark.sql.types.StringType),
+      Literal(UTF8String.fromString("MARHTA"), org.apache.spark.sql.types.StringType))
+      .eval(null).asInstanceOf[Double]
+    assert(fromDf == interp)
+    TextHashFunctions.register(spark)
+    Seq(("MARTHA", "MARHTA")).toDF("a", "b").createOrReplaceTempView("jwv")
+    assert(spark.sql("SELECT jaro_winkler(a, b) FROM jwv")
+      .first().getDouble(0) == fromDf)
+    // null propagation
+    val n = Seq((Option("x"), Option.empty[String])).toDF("a", "b")
+      .select(TextHashFunctions.jaro_winkler(col("a"), col("b"))).first()
+    assert(n.isNullAt(0))
+  }
+
   test("dot_product and l2_norm") {
     val df = Seq((Array(3.0f, 4.0f), Array(1.0f, 2.0f))).toDF("a", "b")
     val r = df.select(
