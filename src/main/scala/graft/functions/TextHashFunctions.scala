@@ -480,7 +480,7 @@ object TextHashFunctions {
   }
 
   /** Jaro-Winkler similarity — the STANDARD variant (match window
-    * `max(|a|,|b|)/2 − 1`, half-transpositions, Winkler prefix boost
+    * `max(|a|,|b|)/2 − 1`, FLOORED half-transpositions, Winkler prefix boost
     * p = 0.1 over the common prefix ≤ 4, applied only when jaro > 0.7;
     * either side empty → 0.0), which is the variant DuckDB's
     * `jaro_winkler_similarity` implements — so scores are value-
@@ -547,7 +547,11 @@ object TextHashFunctions {
       i += 1
     }
     val md = m.toDouble
-    val jaro = (md / l1 + md / l2 + (md - halfTrans / 2.0) / md) / 3.0
+    // FLOORED transposition count (integer division) — the strcmp95
+    // reference and DuckDB both floor; real-valued halfTrans/2.0
+    // diverges on every odd-half-transposition pair (e.g. cecbac/cbac:
+    // 0.7875 vs DuckDB's 0.825) and breaks the value-oracle contract
+    val jaro = (md / l1 + md / l2 + (md - halfTrans / 2) / md) / 3.0
     var p = 0
     val maxPrefix = math.min(4, math.min(l1, l2))
     while (p < maxPrefix && s1.charAt(p) == s2.charAt(p)) p += 1

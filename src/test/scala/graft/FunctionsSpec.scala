@@ -53,6 +53,11 @@ class FunctionsSpec extends SparkTestBase {
       ("DWAYNE", "DUANE", 0.84),
       ("JELLYFISH", "SMELLYFISH", 0.8962962962962964),
       ("CRATE", "TRACE", 0.7333333333333334), // jaro ≤ 0.7 boundary: no boost
+      // ODD half-transposition counts — these catch the real-division
+      // bug (strcmp95/DuckDB FLOOR the transposition count; halfTrans=3
+      // here, so t must be 1, not 1.5; values are DuckDB's)
+      ("cecbac", "cbac", 0.825),
+      ("abcde", "baced", 0.8666666666666667),
       ("abc", "abc", 1.0),
       ("", "abc", 0.0), ("", "", 0.0), ("ab", "cd", 0.0))
     cases.foreach { case (a, b, want) =>
