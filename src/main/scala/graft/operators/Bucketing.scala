@@ -46,7 +46,13 @@ object Bucketing {
         .location
       val p = new org.apache.hadoop.fs.Path(registered)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      if (!fs.exists(p) || fs.listStatus(p).isEmpty)
+      // require at least one DATA file — a directory holding only
+      // marker/metadata leftovers (_SUCCESS after a partial cleanup)
+      // is as stale as a missing one and must trigger the rebuild
+      if (!fs.exists(p) || !fs.listStatus(p).exists { st =>
+            val n = st.getPath.getName
+            st.isFile && !n.startsWith("_") && !n.startsWith(".")
+          })
         s.sql(s"DROP TABLE IF EXISTS $table")
     }
     if (!s.catalog.tableExists(table)) {

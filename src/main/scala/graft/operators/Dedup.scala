@@ -219,28 +219,51 @@ object Dedup {
     *                  (default 256 → ≤ 32,640 expanded pairs per bucket
     *                  plus one star pair per overflow id)
     */
-  def bucketPairs(buckets: DataFrame, maxBucket: Int = 256): DataFrame = {
-    val w = Window.partitionBy(col("band"), col("bucket")).orderBy(col("id"))
-    // running min over an id-ascending frame == the bucket's global min,
-    // computed on the SAME window keys (one sort, no extra exchange)
-    val numbered = buckets
+  def bucketPairs(buckets: DataFrame, maxBucket: Int = 256): DataFrame =
+    cappedKeyedPairs(buckets, Seq("band", "bucket"), "id", maxBucket,
+      "id_a", "id_b")
+      .select(col("id_a"), col("id_b"))
+      // the same pair legitimately surfaces in several bands
+      .dropDuplicates("id_a", "id_b")
+
+  /** The ONE capped hot-group pairing mechanism both [[bucketPairs]]
+    * (LSH band buckets) and [[blockedPairs]] (value-keyed entity-
+    * resolution blocks) ride — factored so the cap/overflow algebra
+    * can't drift between the two call sites (the [[Guarded.iterate]]
+    * rationale). Per partition-key group, in `valueCol` order: the
+    * first `cap` members pair fully pairwise (sorted-array expansion
+    * after an aggregation barrier — see the HOF re-evaluation trap in
+    * the verify notes), and every overflow member star-attaches to the
+    * group's minimum member. The running min rides the SAME window as
+    * the cap rank: one sort, no extra exchange. Returns the key
+    * columns + `(outA, outB)` with `outA < outB` per expanded row;
+    * overflow rows pair (group min, overflow member) and can never
+    * duplicate an expanded row (the overflow member's rank > cap keeps
+    * it out of the expansion set).
+    */
+  private def cappedKeyedPairs(rows: DataFrame, keys: Seq[String],
+      valueCol: String, cap: Int, outA: String, outB: String): DataFrame = {
+    val kcols = keys.map(col)
+    val w = Window.partitionBy(kcols: _*).orderBy(col(valueCol))
+    val numbered = rows
       .withColumn("__rn", row_number().over(w))
-      .withColumn("__mn", min(col("id")).over(w))
+      .withColumn("__mn", min(col(valueCol)).over(w))
     val expanded = numbered
-      .filter(col("__rn") <= maxBucket)
-      .groupBy(col("band"), col("bucket"))
-      .agg(sort_array(collect_set(col("id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + 2, size(col("ids"))),
-          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
+      .filter(col("__rn") <= cap)
+      .groupBy(kcols: _*)
+      .agg(sort_array(collect_set(col(valueCol))).as("__vs"))
+      .filter(size(col("__vs")) > 1)
+      .select(kcols :+ explode(flatten(transform(col("__vs"), (x, i) =>
+        transform(slice(col("__vs"), i + 2, size(col("__vs"))),
+          y => struct(x.as(outA), y.as(outB)))))).as("__p"): _*)
+      .select(kcols :+ col(s"__p.$outA").as(outA) :+
+        col(s"__p.$outB").as(outB): _*)
     // overflow star pairs: map-side projection of the already-numbered
     // rows — no aggregation, bounded state, O(overflow) rows
     val overflow = numbered
-      .filter(col("__rn") > maxBucket)
-      .select(col("__mn").as("id_a"), col("id").as("id_b"))
-    expanded.union(overflow).dropDuplicates("id_a", "id_b")
+      .filter(col("__rn") > cap)
+      .select(kcols :+ col("__mn").as(outA) :+ col(valueCol).as(outB): _*)
+    expanded.union(overflow)
   }
 
   /** Capped blocked candidate pairs for fuzzy matching / entity
@@ -264,28 +287,8 @@ object Dedup {
     * with `a < b` per row.
     */
   def blockedPairs(rows: DataFrame, blockCol: String = "block",
-      valueCol: String = "v", maxBlock: Int = 1000): DataFrame = {
-    val w = Window.partitionBy(col(blockCol)).orderBy(col(valueCol))
-    // running min over a value-ascending frame == block min, computed on
-    // the same window keys as the cap rank (one sort, no extra exchange)
-    val numbered = rows
-      .withColumn("__rn", row_number().over(w))
-      .withColumn("__mn", min(col(valueCol)).over(w))
-    val core = numbered.filter(col("__rn") <= maxBlock)
-      .groupBy(col(blockCol))
-      .agg(sort_array(collect_set(col(valueCol))).as("vs"))
-      .filter(size(col("vs")) > 1)
-      .select(col(blockCol), explode(flatten(transform(col("vs"), (x, i) =>
-        transform(slice(col("vs"), i + 2, size(col("vs"))),
-          y => struct(x.as("a"), y.as("b")))))).as("p"))
-      .select(col(blockCol), col("p.a").as("a"), col("p.b").as("b"))
-    // overflow star pairs: map-side projection of the already-numbered
-    // rows — no aggregation, bounded state, O(overflow) rows; b has
-    // rank > maxBlock so no overflow pair can also appear in `core`
-    val overflow = numbered.filter(col("__rn") > maxBlock)
-      .select(col(blockCol), col("__mn").as("a"), col(valueCol).as("b"))
-    core.union(overflow)
-  }
+      valueCol: String = "v", maxBlock: Int = 1000): DataFrame =
+    cappedKeyedPairs(rows, Seq(blockCol), valueCol, maxBlock, "a", "b")
 
   /** Side-output health report for a banded bucketing: one row of
     * (n_buckets, max_bucket, n_truncated, ids_dropped) at a given cap.

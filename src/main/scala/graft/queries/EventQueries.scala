@@ -616,8 +616,9 @@ object EventQueries {
           graft.streaming.EventStreams.heavyHittersBatch(e, k, 8).toDF(), k)
       val exact = e.filter(col("event_type").isNotNull)
         .groupBy(col("event_type").as("item")).agg(count(lit(1)).as("cnt"))
-      val total = e.filter(col("event_type").isNotNull)
-        .agg(count(lit(1)).as("n_total"))
+      // n_total derives from the ≤|types|-row exact aggregate — a
+      // separate corpus-count relation would be a second full scan
+      val total = exact.agg(sum(col("cnt")).as("n_total"))
       merged.join(exact, Seq("item"))
         .crossJoin(broadcast(total)) // 1-row scalar attach
         .filter(col("cnt") * lit((k + 1).toLong) > col("n_total"))
@@ -627,9 +628,6 @@ object EventQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
-    // see the query comment: membership of >n/17 items is MG-guaranteed
-    // and their counters are exact when no shard exceeds 16 distinct
-    // items, so the summary-side columns equal the exact counts
     "q_events_ewma" -> {
       val (ew, ma) = ewmaOracleTerms
       s"""WITH hourly AS (
@@ -722,6 +720,9 @@ object EventQueries {
         |  ROUND(AVG(t3 - t2), 6) AS avg_sec_to_purchase
         |FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)""".stripMargin,
 
+    // see the query comment: membership of >n/17 items is MG-guaranteed
+    // and their counters are exact when no shard exceeds 16 distinct
+    // items, so the summary-side columns equal the exact counts
     "q_heavy_hitters" ->
       """WITH e AS (SELECT event_type AS item FROM events
         |           WHERE event_type IS NOT NULL),

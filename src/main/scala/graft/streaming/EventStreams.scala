@@ -1186,6 +1186,11 @@ object EventStreams {
       .select(col("user_id").cast("long").as("user_id"),
         col("event_type").cast("string").as("event_type"),
         unix_timestamp(col("ts")).as("sec"))
+      // null user/timestamp would crash the non-nullable typed decode
+      // and kill the query — the same single-bad-event poison pill the
+      // heavy-hitters intake filters (a null event_type is harmless:
+      // the state machine's match simply ignores it)
+      .filter(col("user_id").isNotNull && col("sec").isNotNull)
       .as[(Long, String, Long)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[FunnelState, FunnelStage](
