@@ -104,6 +104,18 @@ class ScalePostureSpec extends SparkTestBase {
     Bucketing.ensureBucketedTable(spark, src, tbl, s"$dir2/t", "n_nationkey")
     assert(builds == 2, "stale table was not rebuilt")
     assert(spark.table(tbl).count() == n)
+    // marker-only directory (partial cleanup left _SUCCESS but no data
+    // files): as stale as a missing dir — must also trigger the rebuild
+    val reg = new java.io.File(new java.net.URI(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(tbl)).location.toString))
+    reg.listFiles().filter(f => f.isFile && !f.getName.startsWith("_"))
+      .foreach(_.delete())
+    assert(reg.listFiles().nonEmpty, "marker files should remain")
+    val dir3 = Files.createTempDirectory("graft_bkt_probe3").toString
+    Bucketing.ensureBucketedTable(spark, src, tbl, s"$dir3/t", "n_nationkey")
+    assert(builds == 3, "marker-only stale table was not rebuilt")
+    assert(spark.table(tbl).count() == n)
     spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 

@@ -1522,6 +1522,23 @@ class StreamingSpec extends SparkTestBase {
     assert(counts == Map(1 -> 3, 2 -> 2, 3 -> 2))
   }
 
+  test("funnelIntake: null user/ts events are filtered, not poison pills") {
+    // a null user_id (or null ts) reaching the non-nullable typed decode
+    // crashes the query — the single-bad-event failure the intake must
+    // shed (same guard class as heavyHittersIntake's null shard key)
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val ts2 = java.sql.Timestamp.valueOf("2024-01-01 00:02:00")
+    val rows = Seq(
+      (java.lang.Long.valueOf(1L), "view", ts0),
+      (null.asInstanceOf[java.lang.Long], "view", ts0),
+      (java.lang.Long.valueOf(1L), "click", ts2),
+      (java.lang.Long.valueOf(2L), "view", null.asInstanceOf[java.sql.Timestamp]))
+      .toDF("user_id", "event_type", "ts")
+    val out = graft.streaming.EventStreams.funnelIntake(rows).collect()
+    assert(out.map(s => (s.user_id, s.stage)).toSet == Set((1L, 1), (1L, 2)),
+      s"null rows must drop, valid rows must progress: ${out.toSeq}")
+  }
+
   test("scd2Intake: planted transitions close/open versions correctly") {
     implicit val sc = spark.sqlContext
     def d(s: String) = java.sql.Date.valueOf(s)
