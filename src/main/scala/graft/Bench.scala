@@ -107,7 +107,7 @@ object Bench {
     // round-11 late additions: degree-oriented triangle census, the
     // as-of point-in-time SCD2 dimension lookup, and Jaro-Winkler
     // blocked fuzzy matching (codegen'd native expression)
-    "q_triangles", "q_scd2_lookup", "q_fuzzy_jw")
+    "q_triangles", "q_scd2_lookup", "q_fuzzy_jw", "q_histogram_eqdepth")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1151,6 +1151,30 @@ object AnalyticsQueries {
         .orderBy(col("bin"))
     }),
 
+    // Equi-DEPTH (equi-height) histogram — the histogram real ANALYZE
+    // implementations keep (per-bucket row count is bounded BY
+    // CONSTRUCTION, so a skewed value domain cannot melt one bucket the
+    // way it melts equi-width bins; bucket boundaries ARE the
+    // selectivity quantiles a CBO range estimate interpolates).
+    // NTILE(16) over 600k prices would be the single-partition window
+    // trap (the r8 lesson — and partitionBy(lit(1)) folds away);
+    // Rank.exactNtile is the scale-safe equivalent: range-partitioned
+    // global sort + broadcast per-partition rank offsets, one pass,
+    // 16-row output. Ties broken by the (orderkey, linenumber) unique
+    // key so the rank relation — and therefore every bucket boundary —
+    // is deterministic cross-engine; money as integer cents.
+    "q_histogram_eqdepth" -> ((s, d) => {
+      val rows = t(s, d, "lineitem").select(
+        cents(col("l_extendedprice")).as("price_c"),
+        col("l_orderkey"), col("l_linenumber"))
+      graft.operators.Rank.exactNtile(rows, 16, "bucket",
+          col("price_c"), col("l_orderkey"), col("l_linenumber"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("price_c")).as("lo_c"),
+          max(col("price_c")).as("hi_c"))
+        .orderBy(col("bucket"))
+    }),
+
     // RFM customer segmentation (the classic marketing cube): per
     // customer recency (latest order date), frequency (order count),
     // monetary (lifetime cents), each cut into exact quintiles, then
@@ -1889,6 +1913,19 @@ object AnalyticsQueries {
         |  ROUND(MAX(l_extendedprice), 6) AS bin_max
         |FROM lineitem, b
         |GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    // same NTILE definition (first rem tiles get base+1 rows); the
+    // unique tie-break key makes the rank — and every boundary — exact
+    "q_histogram_eqdepth" ->
+      """WITH r AS (
+        |  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c,
+        |    NTILE(16) OVER (ORDER BY CAST(ROUND(l_extendedprice * 100) AS BIGINT),
+        |                    l_orderkey, l_linenumber) AS bucket
+        |  FROM lineitem
+        |)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, COUNT(*) AS n,
+        |  MIN(price_c) AS lo_c, MAX(price_c) AS hi_c
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_zorder_cluster" ->
       s"""WITH b AS (

@@ -645,4 +645,24 @@ class ScalePostureSpec extends SparkTestBase {
     assert(df.collect().map(_.getLong(1)).sum == 500L,
       "phases partition the sf0.001 corpus exactly")
   }
+
+  test("q_histogram_eqdepth plan: windowless exact NTILE; buckets tile the corpus") {
+    // same discipline as q_curriculum: the 16-way equi-depth cut must
+    // come from Rank.exactNtile (range sort + offsets), never a
+    // partitionless NTILE window
+    val df = SparkEntry.queries("q_histogram_eqdepth")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"Window node leaked back in:\n$plan")
+    val rows = df.collect()
+    val total = Tables.load(spark, sf, "lineitem").count()
+    assert(rows.map(_.getLong(1)).sum == total, "buckets must tile the corpus")
+    // depth property: bucket sizes differ by at most 1 (NTILE contract)
+    val ns = rows.map(_.getLong(1))
+    assert(ns.max - ns.min <= 1, s"equi-depth violated: ${ns.toSeq}")
+    // boundaries are monotone: bucket k's hi ≤ bucket k+1's lo
+    rows.sortBy(_.getLong(0)).sliding(2).foreach {
+      case Array(a, b) => assert(a.getLong(3) <= b.getLong(2))
+      case _ => ()
+    }
+  }
 }
