@@ -105,8 +105,9 @@ object Bench {
     "q_rfm_segments", "q_event_transitions", "q_events_ewma",
     "q_skew_report",
     // round-11 late additions: degree-oriented triangle census, the
-    // as-of point-in-time SCD2 dimension lookup, and Jaro-Winkler
-    // blocked fuzzy matching (codegen'd native expression)
+    // as-of point-in-time SCD2 dimension lookup, Jaro-Winkler blocked
+    // fuzzy matching (codegen'd native expression), and the equi-depth
+    // ANALYZE histogram (windowless exact NTILE)
     "q_triangles", "q_scd2_lookup", "q_fuzzy_jw", "q_histogram_eqdepth")
 
   def main(args: Array[String]): Unit = {

@@ -48,7 +48,11 @@ object Bucketing {
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       // require at least one DATA file — a directory holding only
       // marker/metadata leftovers (_SUCCESS after a partial cleanup)
-      // is as stale as a missing one and must trigger the rebuild
+      // is as stale as a missing one and must trigger the rebuild.
+      // Top-level check only: this builder always writes the FLAT
+      // non-partitioned layout, so data files sit directly under the
+      // location; a nested/partitioned table registered under this
+      // name by other tooling would read as stale and be rebuilt flat
       if (!fs.exists(p) || !fs.listStatus(p).exists { st =>
             val n = st.getPath.getName
             st.isFile && !n.startsWith("_") && !n.startsWith(".")
