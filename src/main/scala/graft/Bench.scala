@@ -108,7 +108,9 @@ object Bench {
     // as-of point-in-time SCD2 dimension lookup, Jaro-Winkler blocked
     // fuzzy matching (codegen'd native expression), and the equi-depth
     // ANALYZE histogram (windowless exact NTILE)
-    "q_triangles", "q_scd2_lookup", "q_fuzzy_jw", "q_histogram_eqdepth")
+    "q_triangles", "q_scd2_lookup", "q_fuzzy_jw", "q_histogram_eqdepth",
+    // nearest-direction as-of (two sweeps + least-distance pick)
+    "q_events_asof_nearest")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

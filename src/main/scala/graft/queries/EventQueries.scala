@@ -250,6 +250,48 @@ object EventQueries {
         .orderBy(col("user_id"), col("us"))
     }),
 
+    // as-of NEAREST join (pandas merge_asof direction='nearest'): each
+    // purchase gets the user's click with the SMALLEST |Δt|, either
+    // side. Composition, not a new operator: the nearest match is by
+    // definition either the backward-nearest or the forward-nearest, so
+    // two single-shuffle sweeps + a least-distance pick on the unique
+    // event key answer it — never the |purchases|×|clicks| per-user
+    // candidate explosion the oracle's join form uses. Tie contract
+    // (mirrored EXACTLY in the oracle's rank ordering): equal distance
+    // prefers the EARLIER (backward) click; equal-time backward clicks
+    // resolve to the largest click_id, forward ones to the smallest
+    // (the two sweeps' own tiebreaks — the oracle's side-dependent
+    // CASE sign reproduces both).
+    "q_events_asof_nearest" -> ((s, d) => {
+      val e = ev(s, d).withColumn("us", unix_micros(col("ts")))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"), col("us"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"), col("us"))
+      val b = AsofJoin.asofBackward(purchases, clicks, "user_id", "us", "us",
+        attach = Map("click_id" -> "b_id", "us" -> "b_us"),
+        rightTiebreak = "click_id")
+      val f = AsofJoin.asofForward(purchases, clicks, "user_id", "us", "us",
+        attach = Map("click_id" -> "f_id", "us" -> "f_us"),
+        rightTiebreak = "click_id")
+      b.join(f, Seq("user_id", "event_id", "us"))
+        .withColumn("db", col("us") - col("b_us"))
+        .withColumn("df", col("f_us") - col("us"))
+        .withColumn("nearest_click_id",
+          when(col("b_us").isNull, col("f_id"))
+            .when(col("f_us").isNull, col("b_id"))
+            .when(col("db") <= col("df"), col("b_id"))
+            .otherwise(col("f_id")))
+        .withColumn("d_us",
+          when(col("b_us").isNull, col("df"))
+            .when(col("f_us").isNull, col("db"))
+            .otherwise(least(col("db"), col("df"))))
+        .filter(col("nearest_click_id").isNotNull)
+        .select(col("user_id"), col("event_id"), col("us"),
+          col("nearest_click_id"), col("d_us"))
+        .orderBy(col("user_id"), col("us"))
+    }),
+
     // interval join (batch twin of EventStreams.intervalJoin, which is the
     // watermarked stream-stream form): every click by the same user within
     // 10 minutes AFTER a view. µs epochs at the output edge.
@@ -862,6 +904,33 @@ object EventQueries {
         |SELECT p.user_id, p.event_id, p.us, c.click_id AS next_click_id
         |FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.us <= c.us
         |ORDER BY p.user_id, p.us""".stripMargin,
+
+    // the rank ordering reproduces the engine's tie contract exactly:
+    // distance first; then earlier (backward) side; then the sweeps'
+    // own id tiebreaks via the side-dependent sign (backward largest,
+    // forward smallest)
+    "q_events_asof_nearest" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us
+        |  FROM events
+        |),
+        |p AS (SELECT user_id, event_id, us FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id AS click_id, us AS vus FROM e WHERE event_type = 'click'),
+        |cand AS (
+        |  SELECT p.user_id, p.event_id, p.us, c.click_id, c.vus,
+        |    ABS(p.us - c.vus) AS d
+        |  FROM p JOIN c ON p.user_id = c.user_id
+        |),
+        |pick AS (
+        |  SELECT user_id, event_id, us, click_id AS nearest_click_id,
+        |    d AS d_us,
+        |    ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY d, vus,
+        |      CASE WHEN vus <= us THEN -click_id ELSE click_id END) AS rn
+        |  FROM cand
+        |)
+        |SELECT user_id, event_id, us, nearest_click_id, d_us
+        |FROM pick WHERE rn = 1
+        |ORDER BY user_id, us""".stripMargin,
 
     "q_events_interval" ->
       """WITH e AS (

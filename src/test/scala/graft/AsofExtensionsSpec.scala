@@ -81,6 +81,32 @@ class AsofExtensionsSpec extends SparkTestBase {
     assert(out2 == Map("at" -> "B", "after" -> "B"))
   }
 
+  test("asof NEAREST composition: distance wins, ties prefer backward, one-sided users fall through") {
+    // the q_events_asof_nearest contract: nearest = min(backward, forward)
+    // distance; equal distance → the earlier (backward) match
+    val left = Seq((1L, 100L, "tie"), (2L, 100L, "fwd_only"),
+      (3L, 100L, "bwd_only"), (4L, 100L, "closer_fwd"))
+      .toDF("k", "us", "tag")
+    val right = Seq((1L, 95L, 10L), (1L, 105L, 11L), // tie at d=5
+      (2L, 120L, 20L), (3L, 80L, 30L),
+      (4L, 60L, 40L), (4L, 101L, 41L)) // fwd d=1 beats bwd d=40
+      .toDF("k", "us", "id")
+    val b = AsofJoin.asofBackward(left, right, "k", "us", "us",
+      Map("id" -> "b_id", "us" -> "b_us"), "id")
+    val f = AsofJoin.asofForward(left, right, "k", "us", "us",
+      Map("id" -> "f_id", "us" -> "f_us"), "id")
+    val out = b.join(f, Seq("k", "us", "tag"))
+      .withColumn("nearest",
+        when(col("b_us").isNull, col("f_id"))
+          .when(col("f_us").isNull, col("b_id"))
+          .when(col("us") - col("b_us") <= col("f_us") - col("us"), col("b_id"))
+          .otherwise(col("f_id")))
+      .collect().map(r => r.getAs[String]("tag") -> r.getAs[Long]("nearest"))
+      .toMap
+    assert(out == Map("tie" -> 10L, "fwd_only" -> 20L,
+      "bwd_only" -> 30L, "closer_fwd" -> 41L))
+  }
+
   test("VectorAlgebraRule rewrites self-cosine and self-dot (plan + values)") {
     GraftExtensions.installRule(spark)
     val df = Seq((Array(3.0f, 4.0f), Array(0.0f, 0.0f)))
