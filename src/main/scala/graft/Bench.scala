@@ -110,7 +110,10 @@ object Bench {
     // ANALYZE histogram (windowless exact NTILE)
     "q_triangles", "q_scd2_lookup", "q_fuzzy_jw", "q_histogram_eqdepth",
     // nearest-direction as-of (two sweeps + least-distance pick)
-    "q_events_asof_nearest")
+    "q_events_asof_nearest",
+    // distributed skyline, sorted-neighborhood ER, bounded-pool negative
+    // sampling, and the temporal split with cold-start leakage report
+    "q_skyline", "q_fuzzy_snm", "q_negative_sample", "q_split_temporal")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

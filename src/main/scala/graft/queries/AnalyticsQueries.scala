@@ -1201,6 +1201,55 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n_customers"),
           sum(col("monetary_c")).as("monetary_c"))
         .orderBy(col("r_tile"), col("f_tile"), col("m_tile"))
+    }),
+
+    // Skyline / Pareto frontier (the multi-objective "best tradeoffs"
+    // query — cheapest part for each size class you can't beat on both
+    // axes): parts minimizing retail price while maximizing size. The
+    // frontier is computed by Pareto.skyline2d — local-prune + bounded
+    // merge (prefix max via a BUCKET-partitioned window plus O(buckets)
+    // driver state), NEVER the single-partition global window the sort+
+    // running-max textbook form suggests. Money as integer cents; the
+    // oracle computes the same strictly-increasing-y envelope with
+    // DuckDB's running max (its single-node window IS the textbook
+    // form — fine for an oracle, wrong for the engine).
+    "q_skyline" -> ((s, d) => {
+      val pts = t(s, d, "part").select(
+        cents(col("p_retailprice")).as("price_c"),
+        col("p_size").cast("long").as("size"))
+      graft.operators.Pareto.skyline2d(pts, "price_c", "size")
+    }),
+
+    // Sorted-neighborhood fuzzy matching (Hernández/Stolfo SNM): the
+    // third candidate-generation discipline of the entity-resolution
+    // family (q_fuzzy_parts = capped full in-block pairing, q_fuzzy_jw =
+    // same blocks + JW scores; this = block-partitioned SORT + sliding
+    // window of w=5). SNM bounds candidates at O(n·(w-1)) with NO cap
+    // needed — each row pairs with only its w-1 successors in the
+    // block's sorted order (lead(1..4) over a block-PARTITIONED window,
+    // so no single-partition stage) — trading recall for a hard linear
+    // bound: only near-neighbors in sort order are compared, which is
+    // why production ER runs multiple passes with different sort keys.
+    // Scores via the codegen'd Jaro-Winkler, 6dp-rounded on both
+    // engines before the threshold compare.
+    "q_fuzzy_snm" -> ((s, d) => {
+      val names = t(s, d, "part").select(col("p_name")).distinct()
+        .withColumn("block", element_at(split(col("p_name"), " "), -1))
+      val w = Window.partitionBy(col("block")).orderBy(col("p_name"))
+      // leads materialize in one window pass, THEN explode (window
+      // expressions can't nest inside a generator)
+      val withLeads = (1 to 4).foldLeft(names) { (df, i) =>
+        df.withColumn(s"__n$i", lead(col("p_name"), i).over(w))
+      }
+      val pairs = withLeads
+        .withColumn("nbr", explode(array((1 to 4).map(i => col(s"__n$i")): _*)))
+        .filter(col("nbr").isNotNull)
+        .select(col("block"), col("p_name").as("a"), col("nbr").as("b"))
+      pairs.withColumn("jw_r", round(
+          graft.functions.TextHashFunctions.jaro_winkler(col("a"), col("b")), 6))
+        .filter(col("jw_r") >= 0.9)
+        .select(col("block"), col("a"), col("b"), col("jw_r"))
+        .orderBy(col("a"), col("b"))
     })
   )
 
@@ -1935,7 +1984,46 @@ object AnalyticsQueries {
          |)
          |SELECT CAST(zv >> 14 AS BIGINT) AS zbucket, COUNT(*) AS n,
          |  MIN(x) AS x_min, MAX(x) AS x_max, MIN(y) AS y_min, MAX(y) AS y_max
-         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // after the x-tie collapse the skyline is exactly the rows whose y
+    // strictly beats the running max over ascending x — the oracle may
+    // use the single-node window the engine must not
+    "q_skyline" ->
+      """WITH pts AS (
+        |  SELECT CAST(ROUND(p_retailprice * 100) AS BIGINT) AS price_c,
+        |    CAST(MAX(p_size) AS BIGINT) AS size
+        |  FROM part GROUP BY 1
+        |), w AS (
+        |  SELECT price_c, size, MAX(size) OVER (ORDER BY price_c
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx
+        |  FROM pts
+        |)
+        |SELECT price_c, size FROM w
+        |WHERE mx IS NULL OR size > mx
+        |ORDER BY price_c""".stripMargin,
+
+    "q_fuzzy_snm" ->
+      """WITH n AS (
+        |  SELECT DISTINCT p_name,
+        |    list_extract(string_split(p_name, ' '), -1) AS block
+        |  FROM part
+        |), r AS (
+        |  SELECT p_name, block,
+        |    ROW_NUMBER() OVER (PARTITION BY block ORDER BY p_name) AS rn
+        |  FROM n
+        |), cand AS (
+        |  SELECT a.block, a.p_name AS a, b.p_name AS b
+        |  FROM r a JOIN r b
+        |    ON a.block = b.block AND b.rn - a.rn BETWEEN 1 AND 4
+        |), scored AS (
+        |  SELECT block, a, b,
+        |    ROUND(jaro_winkler_similarity(a, b), 6) AS jw_r
+        |  FROM cand
+        |)
+        |SELECT block, a, b, jw_r FROM scored
+        |WHERE jw_r >= 0.9
+        |ORDER BY a, b""".stripMargin
   )
 
   /** The [[graft.operators.Graph.pageRank]] recurrence unrolled into

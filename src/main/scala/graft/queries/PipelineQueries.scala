@@ -375,6 +375,69 @@ object PipelineQueries {
             .as("lift"))
         .orderBy(col("lift").desc, col("antecedent"), col("consequent"))
         .limit(100)
+    }),
+
+    // Deterministic negative sampling (the implicit-feedback training-set
+    // builder every ranker/retrieval fit needs): per user, k=3 items the
+    // user did NOT interact with, drawn from a BOUNDED candidate pool —
+    // the top-50 most-popular items (TakeOrdered, broadcast). The pool
+    // bound is the scale posture: naive "catalog minus seen" is a
+    // users×items cross product (quadratic — the industry failure mode);
+    // here the cross join is O(users·50) with the pool broadcast, the
+    // anti-join against observed pairs is the one real shuffle, and the
+    // per-user pick is a user-PARTITIONED window. The pick is a pure
+    // Lehmer-style hash of (user, item) — exact int64 arithmetic on both
+    // engines (no engine-specific hash, no RNG), so the sample is
+    // reproducible and the oracle computes the identical set.
+    "q_negative_sample" -> ((s, d) => {
+      val obs = Tables.ratings(s, d)
+        .select(col("userId"), col("movieId")).distinct()
+      val pool = obs.groupBy(col("movieId")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("movieId")).limit(50)
+        .select(col("movieId").as("item"))
+      val cand = obs.select(col("userId")).distinct()
+        .crossJoin(broadcast(pool))
+      val neg = cand.join(obs
+          .select(col("userId"), col("movieId").as("item")),
+        Seq("userId", "item"), "left_anti")
+      val h = (col("userId") * lit(1000003L) + col("item")) % lit(2147483647L) *
+        lit(16807L) % lit(2147483647L)
+      val w = Window.partitionBy(col("userId")).orderBy(h, col("item"))
+      neg.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("userId"), col("item"), col("rnk"))
+        .orderBy(col("userId"), col("rnk"))
+    }),
+
+    // Temporal train/test split with a leakage report (the time-based
+    // split an offline-eval pipeline must use instead of a random one —
+    // random splits leak future interactions into training): interactions
+    // before the cutoff train, the rest test, plus the COLD-START counts
+    // (users/items whose first interaction is after the cutoff — the
+    // rows a model fit on train can only serve by fallback). Cold
+    // entities come from a per-entity MIN(ts) aggregate — no anti-join
+    // needed, two distributed aggregations and two 1-row scalar attaches.
+    "q_split_temporal" -> ((s, d) => {
+      val cutoff = lit("1999-01-01").cast("timestamp")
+      val r = Tables.ratings(s, d)
+      val lab = r.withColumn("split",
+        when(col("ts") < cutoff, "train").otherwise("test"))
+      val stats = lab.groupBy(col("split")).agg(
+        count(lit(1)).as("n_ratings"),
+        countDistinct(col("userId")).as("n_users"),
+        countDistinct(col("movieId")).as("n_items"))
+      val coldU = r.groupBy(col("userId")).agg(min(col("ts")).as("f"))
+        .agg(sum(when(col("f") >= cutoff, 1L).otherwise(0L))
+          .cast("long").as("n_cold_users"))
+      val coldI = r.groupBy(col("movieId")).agg(min(col("ts")).as("f"))
+        .agg(sum(when(col("f") >= cutoff, 1L).otherwise(0L))
+          .cast("long").as("n_cold_items"))
+      val cold = coldU.crossJoin(coldI).withColumn("split", lit("test"))
+      stats.join(cold, Seq("split"), "left")
+        .na.fill(0L, Seq("n_cold_users", "n_cold_items"))
+        .select(col("split"), col("n_ratings"), col("n_users"),
+          col("n_items"), col("n_cold_users"), col("n_cold_items"))
+        .orderBy(col("split"))
     })
   )
 
@@ -566,7 +629,61 @@ object PipelineQueries {
          |  ROUND(c12 * (SELECT nu FROM u) / (ca.c * cb.c), 6) AS lift
          |FROM idx JOIN cnt ca ON idx.item = ca.movieId
          |         JOIN cnt cb ON idx.nbr = cb.movieId
-         |ORDER BY lift DESC, antecedent, consequent LIMIT 100""".stripMargin
+         |ORDER BY lift DESC, antecedent, consequent LIMIT 100""".stripMargin,
+
+    // pure-arithmetic hash (no engine-specific function) → the exact
+    // same per-user negative pick on both engines
+    "q_negative_sample" ->
+      s"""WITH ${Tables.ratingsSql},
+         |obs AS (SELECT DISTINCT userId, movieId FROM ratings),
+         |pool AS (
+         |  SELECT movieId AS item FROM (
+         |    SELECT movieId, COUNT(*) AS n FROM obs
+         |    GROUP BY 1 ORDER BY n DESC, movieId LIMIT 50)
+         |), cand AS (
+         |  SELECT u.userId, p.item
+         |  FROM (SELECT DISTINCT userId FROM obs) u CROSS JOIN pool p
+         |), neg AS (
+         |  SELECT c.userId, c.item FROM cand c
+         |  WHERE NOT EXISTS (SELECT 1 FROM obs o
+         |                    WHERE o.userId = c.userId AND o.movieId = c.item)
+         |), rn AS (
+         |  SELECT userId, item,
+         |    ROW_NUMBER() OVER (PARTITION BY userId ORDER BY
+         |      (userId * 1000003 + item) % 2147483647 * 16807 % 2147483647,
+         |      item) AS rnk
+         |  FROM neg
+         |)
+         |SELECT userId, item, CAST(rnk AS BIGINT) AS rnk FROM rn
+         |WHERE rnk <= 3 ORDER BY userId, rnk""".stripMargin,
+
+    "q_split_temporal" ->
+      s"""WITH ${Tables.ratingsSql},
+         |lab AS (
+         |  SELECT userId, movieId,
+         |    CASE WHEN ts < TIMESTAMP '1999-01-01' THEN 'train'
+         |         ELSE 'test' END AS split
+         |  FROM ratings
+         |), s AS (
+         |  SELECT split, COUNT(*) AS n_ratings,
+         |    COUNT(DISTINCT userId) AS n_users,
+         |    COUNT(DISTINCT movieId) AS n_items
+         |  FROM lab GROUP BY 1
+         |), cu AS (
+         |  SELECT COUNT(*) AS n FROM (
+         |    SELECT userId FROM ratings GROUP BY userId
+         |    HAVING MIN(ts) >= TIMESTAMP '1999-01-01')
+         |), ci AS (
+         |  SELECT COUNT(*) AS n FROM (
+         |    SELECT movieId FROM ratings GROUP BY movieId
+         |    HAVING MIN(ts) >= TIMESTAMP '1999-01-01')
+         |)
+         |SELECT split, n_ratings, n_users, n_items,
+         |  CASE WHEN split = 'test' THEN (SELECT n FROM cu)
+         |       ELSE 0 END AS n_cold_users,
+         |  CASE WHEN split = 'test' THEN (SELECT n FROM ci)
+         |       ELSE 0 END AS n_cold_items
+         |FROM s ORDER BY split""".stripMargin
   )
 
   /** The DuckDB twin of the [[Recommend.itemNeighbors]] build (cap 30,

@@ -665,4 +665,39 @@ class ScalePostureSpec extends SparkTestBase {
       case _ => ()
     }
   }
+
+  test("frontier/sampling plans: no single-partition stage; bounded pool broadcast; group limit pushed down") {
+    // q_skyline: the prefix max must come from the bucket-PARTITIONED
+    // window + broadcast cross-bucket maxima — never the textbook
+    // partitionless running-max window (one task holding the relation)
+    val sky = SparkEntry.queries("q_skyline")(spark, sf)
+    sky.collect()
+    val skyPlan = sky.queryExecution.executedPlan.toString
+      .split("Initial Plan")(0)
+    assert(!skyPlan.contains("SinglePartition"),
+      s"single-partition stage in skyline plan:\n$skyPlan")
+    assert(skyPlan.contains("BroadcastExchange"),
+      s"cross-bucket prefix maxima not broadcast:\n$skyPlan")
+    // q_fuzzy_snm: the sliding window is block-partitioned
+    val snm = SparkEntry.queries("q_fuzzy_snm")(spark, sf)
+    snm.collect()
+    val snmPlan = snm.queryExecution.executedPlan.toString
+      .split("Initial Plan")(0)
+    assert(!snmPlan.contains("SinglePartition"),
+      s"single-partition stage in SNM plan:\n$snmPlan")
+    // q_negative_sample: the users×pool expansion must be a BROADCAST
+    // nested-loop over the 50-row pool (never a shuffled cartesian),
+    // and the per-user k=3 cut must push a WindowGroupLimit below the
+    // exchange so only ~k rows per user ride the window shuffle
+    val neg = SparkEntry.queries("q_negative_sample")(spark, sf)
+    neg.collect()
+    val negPlan = neg.queryExecution.executedPlan.toString
+      .split("Initial Plan")(0)
+    assert(negPlan.contains("BroadcastNestedLoopJoin"),
+      s"pool cross join not broadcast:\n$negPlan")
+    assert(!negPlan.contains("CartesianProduct"),
+      s"shuffled cartesian in negative-sampling plan:\n$negPlan")
+    assert(negPlan.contains("WindowGroupLimit"),
+      s"per-user limit not pushed below the exchange:\n$negPlan")
+  }
 }
