@@ -189,6 +189,13 @@ object Soak {
       // seeds∩nodes join + normalized teleport build per run
       "ppr_suppliers" -> (() => noop(
         SparkEntry.queries("q_ppr_suppliers")(spark, d))),
+      // HITS rides the same guard; its DIRECTED edge set is half
+      // pagerank's symmetric one, so the 2M crossover sits between x3
+      // (~1.8M edges, driver loop) and x10 (~6M, distributed rounds);
+      // hits_dist is the forced twin (one closure)
+      "hits" -> (() => noop(SparkEntry.queries("q_hits")(spark, d))),
+      "hits_dist" -> (() => noop(
+        graft.queries.AnalyticsQueries.hitsFull(spark, d, localThreshold = 0L))),
       "scd2_intervals" -> (() => noop(
         SparkEntry.queries("q_scd2_intervals")(spark, d))),
       "zorder_cluster" -> (() => noop(

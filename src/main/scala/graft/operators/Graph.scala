@@ -150,6 +150,128 @@ object Graph {
     ranks
   }
 
+  /** HITS (Kleinberg's hubs & authorities) over a DIRECTED edge relation
+    * `(src, dst)`: hub scores live on sources, authority scores on
+    * destinations (on the customer→supplier interaction graph: which
+    * customers are broad curators, which suppliers are consensus picks).
+    * Each round is the textbook mutual recurrence with L1 normalization
+    * per half-step (each score vector sums to 1) — the cross-engine-
+    * deterministic variant: an L2 norm adds a sqrt whose operand is an
+    * order-sensitive float sum, while L1 keeps every step a plain
+    * sum-and-divide the oracle can mirror literally. Init: uniform
+    * 1/|hubs| on the hub side.
+    *
+    * Scale shape (the [[pageRank]] conventions): edges checkpointed once
+    * and pre-partitioned, each round two `edges ⋈ scores` equi-joins on
+    * the score key + two map-side-partial `groupBy` sums; normalizers
+    * attach as broadcast 1-row crossJoins (lazy — no per-round driver
+    * action), score relations never exceed one row per node, measured
+    * node count picks broadcast vs shuffle-hash for the score side, and
+    * the same count-guarded driver fast path serves small graphs.
+    * Returns `(node, kind['auth'|'hub'], score)` un-rounded; callers own
+    * the 6dp presentation rounding.
+    */
+  def hits(edges: DataFrame, iterations: Int = 5,
+           maxBroadcastNodes: Long = 1000000L,
+           localThreshold: Long = 2000000L): DataFrame = {
+    require(iterations >= 1, s"iterations $iterations")
+    Guarded.iterate(edges.select(col("src"), col("dst")), localThreshold) {
+      (e, m) =>
+        require(m > 0, "hits over an empty edge set")
+        hitsLocal(e, iterations)
+    } { (e, m) =>
+      require(m > 0, "hits over an empty edge set")
+      hitsDistributed(e, iterations, maxBroadcastNodes)
+    }
+  }
+
+  private def hitsDistributed(e0: DataFrame, iterations: Int,
+                              maxBroadcastNodes: Long): DataFrame = {
+    val e = e0.repartition(col("src")).localCheckpoint(true)
+    val hubNodes = e.select(col("src").as("node")).distinct()
+      .localCheckpoint(true)
+    val nh = hubNodes.count()
+    val useBroadcast = nh <= maxBroadcastNodes
+    def scoreSide(df: DataFrame): DataFrame =
+      if (useBroadcast) broadcast(df) else df.hint("shuffle_hash")
+    // 1-row L1 normalizer attach — lazy, so the whole loop is ONE plan
+    // over checkpointed leaves (no per-round driver action)
+    def l1(df: DataFrame, c: String): DataFrame = {
+      val s = df.agg(sum(col(c)).as("__s"))
+      df.crossJoin(broadcast(s))
+        .select(col("node"), (col(c) / col("__s")).as(c))
+    }
+    var hub = hubNodes.withColumn("h", lit(1.0 / nh))
+    var auth: DataFrame = null
+    for (_ <- 1 to iterations) {
+      val hs = scoreSide(hub)
+      auth = l1(e.join(hs, e("src") === hs("node"))
+        .groupBy(col("dst")).agg(sum(col("h")).as("a"))
+        .select(col("dst").as("node"), col("a")), "a")
+      val as = scoreSide(auth)
+      hub = l1(e.join(as, e("dst") === as("node"))
+        .groupBy(col("src")).agg(sum(col("a")).as("h"))
+        .select(col("src").as("node"), col("h")), "h")
+    }
+    auth.select(col("node"), lit("auth").as("kind"), col("a").as("score"))
+      .unionAll(hub.select(col("node"), lit("hub").as("kind"),
+        col("h").as("score")))
+  }
+
+  /** The identical recurrence as a driver loop — the [[localRun]] twin
+    * for HITS. Hub/authority indices assigned in first-seen edge order;
+    * pure function of the collected edge list.
+    */
+  private def hitsLocal(e: DataFrame, iterations: Int): DataFrame = {
+    val spark = e.sparkSession
+    val rows = e.collect() // bounded by the caller's localThreshold guard
+    val hIdx = new java.util.HashMap[Any, Integer]()
+    val aIdx = new java.util.HashMap[Any, Integer]()
+    val hOrder = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val aOrder = scala.collection.mutable.ArrayBuffer.empty[Any]
+    val m = rows.length
+    val srcIx = new Array[Int](m)
+    val dstIx = new Array[Int](m)
+    var i = 0
+    while (i < m) {
+      val s = rows(i).get(0)
+      var si = hIdx.get(s)
+      if (si == null) { si = hIdx.size(); hIdx.put(s, si); hOrder += s }
+      srcIx(i) = si.intValue()
+      val d = rows(i).get(1)
+      var di = aIdx.get(d)
+      if (di == null) { di = aIdx.size(); aIdx.put(d, di); aOrder += d }
+      dstIx(i) = di.intValue()
+      i += 1
+    }
+    val nh = hIdx.size(); val na = aIdx.size()
+    var hub = Array.fill(nh)(1.0 / nh)
+    var auth = new Array[Double](na)
+    def normalize(v: Array[Double]): Array[Double] = {
+      var s = 0.0; var k = 0
+      while (k < v.length) { s += v(k); k += 1 }
+      v.map(_ / s)
+    }
+    for (_ <- 1 to iterations) {
+      val a = new Array[Double](na)
+      var j = 0
+      while (j < m) { a(dstIx(j)) += hub(srcIx(j)); j += 1 }
+      auth = normalize(a)
+      val h = new Array[Double](nh)
+      j = 0
+      while (j < m) { h(srcIx(j)) += auth(dstIx(j)); j += 1 }
+      hub = normalize(h)
+    }
+    val out = aOrder.zipWithIndex.map { case (n, k) => Row(n, "auth", auth(k)) } ++
+      hOrder.zipWithIndex.map { case (n, k) => Row(n, "hub", hub(k)) }
+    val schema = StructType(Seq(
+      e.schema.fields(0).copy(name = "node"),
+      StructField("kind", org.apache.spark.sql.types.StringType,
+        nullable = false),
+      StructField("score", DoubleType, nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(out.toSeq, 1), schema)
+  }
+
   /** Exact triangle census of an undirected simple graph given as
     * CANONICAL edges `(u, v)` with `u < v`, distinct. Returns ONE row
     * `(n_nodes, n_edges, n_wedges, n_triangles, gcc)` where `n_wedges`

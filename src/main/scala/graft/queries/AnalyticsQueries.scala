@@ -1250,6 +1250,56 @@ object AnalyticsQueries {
         .filter(col("jw_r") >= 0.9)
         .select(col("block"), col("a"), col("b"), col("jw_r"))
         .orderBy(col("a"), col("b"))
+    }),
+
+    // HITS hubs & authorities on the DIRECTED customer→supplier trade
+    // graph (q_pagerank's relation without the symmetrizing union):
+    // authority = consensus suppliers, hub = broad-curating customers.
+    // Graph.hits runs 5 L1-normalized mutual-recurrence rounds — per
+    // round two score-keyed equi-joins + two map-side-partial sums, with
+    // both normalizers attached as lazy broadcast 1-row crossJoins (no
+    // per-round driver action) — under the same guarded fast path /
+    // measured broadcast-vs-shuffle-hash dispatch as PageRank. The
+    // oracle is a GENERATED unrolled CTE mirroring the exact arithmetic,
+    // so the iteration math is witnessed end-to-end; scores rounded 6dp
+    // (double-sum addition-order seam, SCALING.md contract).
+    "q_hits" -> ((s, d) => hitsFull(s, d, localThreshold = 2000000L)),
+
+    // Winsorized robust scaling (the outlier-tolerant feature-prep pass:
+    // clip to [p01, p99], report the clipped mean + the IQR dispersion):
+    // two passes by construction — a per-group percentile aggregate
+    // (p01/p25/p75/p99 in ONE pass), broadcast back (≤|flags| rows),
+    // then one clip+aggregate scan. Everything downstream of the
+    // interpolated percentiles is EXACT integer math: bounds round to
+    // integer CENTS, so the winsorized column is long, its clip compares
+    // are integer compares, and avg(long) is an exact integer sum on
+    // both engines (bit-equal means, no float-summation seam — the one
+    // double seam left is the percentile interpolation itself, the
+    // q_percentiles-established 6dp parity). Dispersion is the IQR
+    // (p75−p25), not stddev: a Welford-merge stddev over price-scale
+    // values diverges cross-engine below 6dp, while IQR rides the same
+    // percentile parity as the bounds.
+    "q_winsorize" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_returnflag"),
+        cents(col("l_extendedprice")).as("pc"))
+      val b = li.groupBy(col("l_returnflag")).agg(
+        round(expr("percentile(pc, 0.01)"), 0).cast("long").as("lo_c"),
+        round(expr("percentile(pc, 0.99)"), 0).cast("long").as("hi_c"),
+        (expr("percentile(pc, 0.75)") - expr("percentile(pc, 0.25)"))
+          .as("iqr"))
+      li.join(broadcast(b), Seq("l_returnflag"))
+        .select(col("l_returnflag"),
+          least(greatest(col("pc"), col("lo_c")), col("hi_c")).as("wv"),
+          when(col("pc") < col("lo_c"), 1L).otherwise(0L).as("cl"),
+          when(col("pc") > col("hi_c"), 1L).otherwise(0L).as("ch"),
+          col("lo_c"), col("hi_c"), col("iqr"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("cl")).as("n_lo"), sum(col("ch")).as("n_hi"),
+          min(col("lo_c")).as("lo_c"), min(col("hi_c")).as("hi_c"),
+          round(avg(col("wv")), 6).as("mean_w"),
+          round(min(col("iqr")), 6).as("iqr_r"))
+        .orderBy(col("l_returnflag"))
     })
   )
 
@@ -2023,7 +2073,37 @@ object AnalyticsQueries {
         |)
         |SELECT block, a, b, jw_r FROM scored
         |WHERE jw_r >= 0.9
-        |ORDER BY a, b""".stripMargin
+        |ORDER BY a, b""".stripMargin,
+
+    "q_hits" -> hitsOracle,
+
+    // bounds round to integer cents, so everything after the percentile
+    // interpolation is exact integer math on both engines (see the query)
+    "q_winsorize" ->
+      """WITH li AS (
+        |  SELECT l_returnflag,
+        |    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS pc
+        |  FROM lineitem
+        |), b AS (
+        |  SELECT l_returnflag,
+        |    CAST(ROUND(CAST(quantile_cont(pc, 0.01) AS DOUBLE), 0) AS BIGINT) AS lo_c,
+        |    CAST(ROUND(CAST(quantile_cont(pc, 0.99) AS DOUBLE), 0) AS BIGINT) AS hi_c,
+        |    CAST(quantile_cont(pc, 0.75) AS DOUBLE)
+        |      - CAST(quantile_cont(pc, 0.25) AS DOUBLE) AS iqr
+        |  FROM li GROUP BY 1
+        |), w AS (
+        |  SELECT li.l_returnflag,
+        |    LEAST(GREATEST(pc, lo_c), hi_c) AS wv,
+        |    CASE WHEN pc < lo_c THEN 1 ELSE 0 END AS cl,
+        |    CASE WHEN pc > hi_c THEN 1 ELSE 0 END AS ch,
+        |    lo_c, hi_c, iqr
+        |  FROM li JOIN b ON li.l_returnflag = b.l_returnflag
+        |)
+        |SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(cl) AS BIGINT) AS n_lo, CAST(SUM(ch) AS BIGINT) AS n_hi,
+        |  MIN(lo_c) AS lo_c, MIN(hi_c) AS hi_c,
+        |  ROUND(AVG(wv), 6) AS mean_w, ROUND(MIN(iqr), 6) AS iqr_r
+        |FROM w GROUP BY 1 ORDER BY l_returnflag""".stripMargin
   )
 
   /** The [[graft.operators.Graph.pageRank]] recurrence unrolled into
@@ -2054,6 +2134,25 @@ object AnalyticsQueries {
         iterations = 5, damping = 0.85, localThreshold = localThreshold)
       .select(col("node"), round(col("rank"), 6).as("rank_r"))
       .orderBy(col("node"))
+
+  /** The registered q_hits closure with the guard exposed — the soak's
+    * forced-distributed twin must be the IDENTICAL plan (same edge
+    * mining, rounding, output sort) with only the guard forced off,
+    * the pagerankFull convention.
+    */
+  private[graft] def hitsFull(s: SparkSession, d: String,
+      localThreshold: Long): DataFrame = {
+    val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val l = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val edges = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct()
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
+    graft.operators.Graph.hits(edges, iterations = 5,
+        localThreshold = localThreshold)
+      .select(col("node"), col("kind"), round(col("score"), 6).as("score_r"))
+      .orderBy(col("kind"), col("node"))
+  }
 
   private def tradeEdges(s: SparkSession, d: String): DataFrame = {
     val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
@@ -2106,6 +2205,48 @@ object AnalyticsQueries {
       "tele AS (SELECT node, CAST(1 AS DOUBLE)/(SELECT n FROM nn) AS p FROM nodes)",
       5) +
       "\nSELECT node, ROUND(rank, 6) AS rank_r FROM r5 ORDER BY node"
+
+  /** Generated unrolled-CTE twin of [[graft.operators.Graph.hits]] over
+    * the DIRECTED customer→supplier graph: 5 rounds, each an authority
+    * sum + L1 normalize then a hub sum + L1 normalize — the exact
+    * arithmetic order the engine uses (`sum / total`, never a fused
+    * form), so only the 6dp presentation rounding absorbs the
+    * addition-order seam.
+    */
+  private def hitsOracle: String = {
+    // L1 normalize via SUM() OVER () so every CTE is referenced exactly
+    // once — a scalar-subquery normalizer references its CTE twice,
+    // which under CTE inlining doubles the plan per half-step (4^5× by
+    // round 5 — observed as a hang, the pagerank-oracle lesson extended)
+    val body = (1 to 5).map { k =>
+      s""", ar$k AS (
+         |  SELECT e.dst AS node, SUM(h.h) AS a
+         |  FROM e JOIN h${k - 1} h ON e.src = h.node GROUP BY 1
+         |), a$k AS (
+         |  SELECT node, a / SUM(a) OVER () AS a FROM ar$k
+         |), hr$k AS (
+         |  SELECT e.src AS node, SUM(a.a) AS h
+         |  FROM e JOIN a$k a ON e.dst = a.node GROUP BY 1
+         |), h$k AS (
+         |  SELECT node, h / SUM(h) OVER () AS h FROM hr$k
+         |)""".stripMargin
+    }.mkString
+    s"""WITH pairs AS (
+       |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS c,
+       |                  's' || CAST(l_suppkey AS VARCHAR) AS s
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |), e AS (SELECT c AS src, s AS dst FROM pairs
+       |), hn AS (SELECT DISTINCT src AS node FROM e
+       |), h0 AS (
+       |  SELECT node, CAST(1 AS DOUBLE) / (SELECT COUNT(*) FROM hn) AS h
+       |  FROM hn
+       |)""".stripMargin + body +
+      """
+        |SELECT node, 'auth' AS kind, ROUND(a, 6) AS score_r FROM a5
+        |UNION ALL
+        |SELECT node, 'hub' AS kind, ROUND(h, 6) AS score_r FROM h5
+        |ORDER BY kind, node""".stripMargin
+  }
 
   private def pprOracle: String =
     pagerankCtes(

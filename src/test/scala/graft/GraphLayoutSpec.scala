@@ -266,4 +266,41 @@ class GraphLayoutSpec extends SparkTestBase {
       assert(!plan.contains("Exchange"), plan)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  // ---- HITS ----
+
+  private def hitsOf(edges: Seq[(String, String)],
+      forceDist: Boolean = false): Map[(String, String), Double] =
+    Graph.hits(edges.toDF("src", "dst"), iterations = 5,
+        localThreshold = if (forceDist) 0L else 2000000L)
+      .collect()
+      .map(r => (r.getString(1), r.getString(0)) -> r.getDouble(2)).toMap
+
+  test("hits: star authority dominates; L1 mass conserved per side; fast ≡ distributed") {
+    // three hubs all endorse s1; s2 gets one endorsement
+    val es = Seq(("c1", "s1"), ("c2", "s1"), ("c3", "s1"), ("c3", "s2"))
+    val fast = hitsOf(es)
+    val auths = fast.collect { case (("auth", n), v) => n -> v }
+    val hubs = fast.collect { case (("hub", n), v) => n -> v }
+    assert(math.abs(auths.values.sum - 1.0) < 1e-12)
+    assert(math.abs(hubs.values.sum - 1.0) < 1e-12)
+    assert(auths("s1") > auths("s2"), "consensus supplier must dominate")
+    // c3 endorses the consensus pick AND the fringe one — at least the
+    // hub weight of a consensus-only endorser
+    assert(hubs("c3") >= hubs("c1") - 1e-12)
+    val dist = hitsOf(es, forceDist = true)
+    assert(fast.keySet == dist.keySet)
+    fast.foreach { case (k, v) =>
+      assert(math.abs(v - dist(k)) < 1e-12, s"$k: $v vs ${dist(k)}")
+    }
+  }
+
+  test("hits: disconnected components score independently of each other's size") {
+    // bipartite complete K(2,1) plus an isolated edge: within each
+    // component authorities split hub mass by in-degree share
+    val es = Seq(("c1", "sA"), ("c2", "sA"), ("x", "sB"))
+    val r = hitsOf(es)
+    assert(r(("auth", "sA")) > r(("auth", "sB")))
+    assert(math.abs(r(("auth", "sA")) + r(("auth", "sB")) - 1.0) < 1e-12)
+  }
 }
