@@ -175,6 +175,10 @@ object Graph {
            maxBroadcastNodes: Long = 1000000L,
            localThreshold: Long = 2000000L): DataFrame = {
     require(iterations >= 1, s"iterations $iterations")
+    // both unions of (src, dst) values flow into ONE output node column
+    require(edges.schema.fields(0).dataType == edges.schema.fields(1).dataType,
+      s"hits needs same-typed src/dst (got ${edges.schema.fields(0).dataType}" +
+        s" vs ${edges.schema.fields(1).dataType})")
     Guarded.iterate(edges.select(col("src"), col("dst")), localThreshold) {
       (e, m) =>
         require(m > 0, "hits over an empty edge set")
@@ -191,12 +195,24 @@ object Graph {
     val hubNodes = e.select(col("src").as("node")).distinct()
       .localCheckpoint(true)
     val nh = hubNodes.count()
-    val useBroadcast = nh <= maxBroadcastNodes
+    // the guard must cover BOTH relations scoreSide broadcasts: the hub
+    // side (|distinct src|) and the authority side (|distinct dst|) — a
+    // few-sources/many-destinations graph would pass a hub-only guard
+    // and then broadcast the huge authority relation every round
+    val na = e.select(col("dst")).distinct().count()
+    val useBroadcast = math.max(nh, na) <= maxBroadcastNodes
     def scoreSide(df: DataFrame): DataFrame =
       if (useBroadcast) broadcast(df) else df.hint("shuffle_hash")
-    // 1-row L1 normalizer attach — lazy, so the whole loop is ONE plan
-    // over checkpointed leaves (no per-round driver action)
-    def l1(df: DataFrame, c: String): DataFrame = {
+    // L1 normalizer: the sum attach references `raw` twice, so `raw` is
+    // CHECKPOINTED first — against a materialized leaf the double
+    // reference costs one cached-block re-read, while against the live
+    // round lineage it would double the logical plan per half-step
+    // (4^iterations growth — the exact blowup hitsOracle's scalar-
+    // subquery form hit in DuckDB). The per-half-step action this costs
+    // is the CC-loop persist discipline; it also truncates the printed
+    // plan (the r5 explainString lesson).
+    def l1(raw: DataFrame, c: String): DataFrame = {
+      val df = raw.localCheckpoint(true)
       val s = df.agg(sum(col(c)).as("__s"))
       df.crossJoin(broadcast(s))
         .select(col("node"), (col(c) / col("__s")).as(c))

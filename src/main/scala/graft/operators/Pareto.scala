@@ -43,8 +43,13 @@ object Pareto {
   def skyline2d(df: DataFrame, xCol: String, yCol: String,
       buckets: Int = 64): DataFrame = {
     require(buckets >= 1, s"buckets $buckets")
+    // pin the collapse: three consumers read it (the min/max head, the
+    // bucket-maxima collect, the returned plan) — unpinned, each would
+    // re-run the caller's full lineage + the collapse shuffle (the
+    // Guarded/Rank lineage discipline)
     val pts = df.groupBy(col(xCol))
       .agg(max(col(yCol)).cast("long").as(yCol))
+      .localCheckpoint(true)
     val mm = pts.agg(min(col(xCol)), max(col(xCol))).head()
     if (mm.isNullAt(0)) return pts.limit(0) // empty input
     val (lo, hi) = (mm.getLong(0), mm.getLong(1))

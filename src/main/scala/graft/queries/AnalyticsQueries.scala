@@ -1297,7 +1297,12 @@ object AnalyticsQueries {
         .agg(count(lit(1)).as("n"),
           sum(col("cl")).as("n_lo"), sum(col("ch")).as("n_hi"),
           min(col("lo_c")).as("lo_c"), min(col("hi_c")).as("hi_c"),
-          round(avg(col("wv")), 6).as("mean_w"),
+          // NOT avg(): Spark's Average over longs accumulates in a
+          // DOUBLE, exact only below 2^53 — sum(long) is the exact
+          // integer sum at any scale, and exact-sum / exact-count is
+          // ONE correctly-rounded double division on both engines
+          round(sum(col("wv")).cast("double") / count(lit(1)), 6)
+            .as("mean_w"),
           round(min(col("iqr")), 6).as("iqr_r"))
         .orderBy(col("l_returnflag"))
     })
@@ -2102,7 +2107,8 @@ object AnalyticsQueries {
         |SELECT l_returnflag, COUNT(*) AS n,
         |  CAST(SUM(cl) AS BIGINT) AS n_lo, CAST(SUM(ch) AS BIGINT) AS n_hi,
         |  MIN(lo_c) AS lo_c, MIN(hi_c) AS hi_c,
-        |  ROUND(AVG(wv), 6) AS mean_w, ROUND(MIN(iqr), 6) AS iqr_r
+        |  ROUND(CAST(SUM(wv) AS DOUBLE) / COUNT(*), 6) AS mean_w,
+        |  ROUND(MIN(iqr), 6) AS iqr_r
         |FROM w GROUP BY 1 ORDER BY l_returnflag""".stripMargin
   )
 
@@ -2141,31 +2147,32 @@ object AnalyticsQueries {
     * the pagerankFull convention.
     */
   private[graft] def hitsFull(s: SparkSession, d: String,
-      localThreshold: Long): DataFrame = {
-    val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
-    val l = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-    val edges = o.join(l, col("o_orderkey") === col("l_orderkey"))
-      .select(col("o_custkey"), col("l_suppkey")).distinct()
-      .select(concat(lit("c"), col("o_custkey")).as("src"),
-        concat(lit("s"), col("l_suppkey")).as("dst"))
-    graft.operators.Graph.hits(edges, iterations = 5,
+      localThreshold: Long): DataFrame =
+    graft.operators.Graph.hits(directedTradeEdges(s, d), iterations = 5,
         localThreshold = localThreshold)
       .select(col("node"), col("kind"), round(col("score"), 6).as("score_r"))
       .orderBy(col("kind"), col("node"))
-  }
 
-  private def tradeEdges(s: SparkSession, d: String): DataFrame = {
+  /** The distinct customer→supplier interaction pairs as directed
+    * `(src, dst)` — HITS runs it as-is; the PageRank oracle prefix and
+    * [[tradeEdges]] symmetrize it. ONE definition so the engine queries
+    * and both generated oracles can never drift on the edge mining.
+    */
+  private def directedTradeEdges(s: SparkSession, d: String): DataFrame = {
     val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
     val l = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-    val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+    o.join(l, col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey"), col("l_suppkey")).distinct()
-      .select(concat(lit("c"), col("o_custkey")).as("c"),
-        concat(lit("s"), col("l_suppkey")).as("s"))
-    pairs.select(explode(array(
-        struct(col("c").as("src"), col("s").as("dst")),
-        struct(col("s").as("src"), col("c").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .select(concat(lit("c"), col("o_custkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst"))
   }
+
+  private def tradeEdges(s: SparkSession, d: String): DataFrame =
+    directedTradeEdges(s, d)
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
 
   /** Shared CTE prefix of both PageRank oracles: the symmetric trade
     * graph, node set, out-degrees, and the per-node teleport CTE `tele`
