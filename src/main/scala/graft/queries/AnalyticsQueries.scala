@@ -1282,11 +1282,16 @@ object AnalyticsQueries {
     "q_winsorize" -> ((s, d) => {
       val li = t(s, d, "lineitem").select(col("l_returnflag"),
         cents(col("l_extendedprice")).as("pc"))
+      // ONE percentile buffer for all four cut points (the array form):
+      // four scalar percentile() aggregates each buffer + sort the full
+      // per-group value set independently — measured 4.5 s vs 1.9 s at
+      // sf0.1 for identical values
       val b = li.groupBy(col("l_returnflag")).agg(
-        round(expr("percentile(pc, 0.01)"), 0).cast("long").as("lo_c"),
-        round(expr("percentile(pc, 0.99)"), 0).cast("long").as("hi_c"),
-        (expr("percentile(pc, 0.75)") - expr("percentile(pc, 0.25)"))
-          .as("iqr"))
+          expr("percentile(pc, array(0.01D, 0.25D, 0.75D, 0.99D))").as("ps"))
+        .select(col("l_returnflag"),
+          round(element_at(col("ps"), 1), 0).cast("long").as("lo_c"),
+          round(element_at(col("ps"), 4), 0).cast("long").as("hi_c"),
+          (element_at(col("ps"), 3) - element_at(col("ps"), 2)).as("iqr"))
       li.join(broadcast(b), Seq("l_returnflag"))
         .select(col("l_returnflag"),
           least(greatest(col("pc"), col("lo_c")), col("hi_c")).as("wv"),
