@@ -390,8 +390,14 @@ object PipelineQueries {
     // engines (no engine-specific hash, no RNG), so the sample is
     // reproducible and the oracle computes the identical set.
     "q_negative_sample" -> ((s, d) => {
+      // pin the observed-pairs relation: THREE consumers read it (the
+      // popularity pool, the user dimension, the anti-join probe), and
+      // unpinned each re-runs the orders⋈lineitem join + distinct with
+      // its own column pruning (6 parquet scans in the plan); one
+      // materialized (userId, movieId) relation is strictly narrower
       val obs = Tables.ratings(s, d)
         .select(col("userId"), col("movieId")).distinct()
+        .localCheckpoint(true)
       val pool = obs.groupBy(col("movieId")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("movieId")).limit(50)
         .select(col("movieId").as("item"))

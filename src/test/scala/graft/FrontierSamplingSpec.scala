@@ -105,4 +105,23 @@ class FrontierSamplingSpec extends SparkTestBase {
     assert(out("test")._4 == firstSeen,
       "cold users = users whose FIRST interaction is at/after the cutoff")
   }
+
+  test("q_winsorize: rows tile the table, ~1% clipped per tail, mean inside the bounds") {
+    val rows = SparkEntry.queries("q_winsorize")(spark, sf).collect()
+    val total = Tables.load(spark, sf, "lineitem").count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total, "groups tile the table")
+    rows.foreach { r =>
+      val (n, nLo, nHi) = (r.getAs[Long]("n"),
+        r.getAs[Long]("n_lo"), r.getAs[Long]("n_hi"))
+      val (lo, hi) = (r.getAs[Long]("lo_c"), r.getAs[Long]("hi_c"))
+      assert(lo < hi, "p01 bound below p99 bound")
+      // each tail clips ~1% (integer-cent bound rounding can shift the
+      // cut by at most the tie mass at the boundary cent)
+      assert(nLo <= n / 50 && nHi <= n / 50, s"tails too fat: $nLo/$nHi of $n")
+      assert(nLo > 0 && nHi > 0, "a 1% cut of a continuous-ish column clips something")
+      val mean = r.getAs[Double]("mean_w")
+      assert(mean >= lo && mean <= hi, "winsorized mean inside the clip bounds")
+      assert(r.getAs[Double]("iqr_r") > 0)
+    }
+  }
 }
