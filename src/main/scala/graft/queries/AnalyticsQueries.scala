@@ -1265,6 +1265,32 @@ object AnalyticsQueries {
     // (double-sum addition-order seam, SCALING.md contract).
     "q_hits" -> ((s, d) => hitsFull(s, d, localThreshold = 2000000L)),
 
+    // End-to-end entity resolution (the MDM master-data flow): block →
+    // score (codegen'd Jaro-Winkler) → match (threshold) → CLUSTER
+    // (connected components over the match graph) → survivorship (the
+    // min-name golden record per cluster). Every stage is an existing
+    // operator — capped blockedPairs candidates, the guarded
+    // pointer-jumping CC — composed; the oracle witnesses the whole
+    // chain with a cycle-safe RECURSIVE UNION closure (UNION, not UNION
+    // ALL: the match graph is undirected/cyclic, and the q_cc_recursive
+    // descending-edge trick only works on chain-shaped pair relations —
+    // min-over-descending-paths is NOT the component min on general
+    // graphs).
+    "q_er_clusters" -> ((s, d) => {
+      val names = t(s, d, "part").select(col("p_name")).distinct()
+        .withColumn("block", element_at(split(col("p_name"), " "), -1))
+      val matched = graft.operators.Dedup
+        .blockedPairs(names, "block", "p_name", maxBlock = 1000)
+        .withColumn("jw_r", round(
+          graft.functions.TextHashFunctions.jaro_winkler(col("a"), col("b")), 6))
+        .filter(col("jw_r") >= 0.9)
+        .select(col("a").as("id_a"), col("b").as("id_b"))
+      graft.operators.Dedup.connectedComponents(matched)
+        .groupBy(col("comp").as("golden_name"))
+        .agg(count(lit(1)).as("n_members"), max(col("id")).as("last_member"))
+        .orderBy(col("golden_name"))
+    }),
+
     // Winsorized robust scaling (the outlier-tolerant feature-prep pass:
     // clip to [p01, p99], report the clipped mean + the IQR dispersion):
     // two passes by construction — a per-group percentile aggregate
@@ -2086,6 +2112,43 @@ object AnalyticsQueries {
         |ORDER BY a, b""".stripMargin,
 
     "q_hits" -> hitsOracle,
+
+    // same blocked-JW match relation as q_fuzzy_jw, closed with a
+    // cycle-safe recursive UNION (the undirected match graph may have
+    // cycles; UNION's dedup terminates the fixpoint)
+    "q_er_clusters" ->
+      """WITH RECURSIVE n AS (
+        |  SELECT DISTINCT p_name,
+        |    list_extract(string_split(p_name, ' '), -1) AS block
+        |  FROM part
+        |), r AS (
+        |  SELECT p_name, block,
+        |    ROW_NUMBER() OVER (PARTITION BY block ORDER BY p_name) AS rn
+        |  FROM n
+        |), cand AS (
+        |  SELECT a.block, a.p_name AS a, b.p_name AS b
+        |  FROM r a JOIN r b ON a.block = b.block AND a.p_name < b.p_name
+        |  WHERE a.rn <= 1000 AND b.rn <= 1000
+        |  UNION ALL
+        |  SELECT o.block, m.p_name AS a, o.p_name AS b
+        |  FROM r o JOIN r m ON o.block = m.block AND m.rn = 1
+        |  WHERE o.rn > 1000
+        |), m AS (
+        |  SELECT a, b FROM cand
+        |  WHERE ROUND(jaro_winkler_similarity(a, b), 6) >= 0.9
+        |), e AS (
+        |  SELECT a AS src, b AS dst FROM m
+        |  UNION ALL SELECT b AS src, a AS dst FROM m
+        |), reach(id, cur) AS (
+        |  SELECT src, src FROM e
+        |  UNION
+        |  SELECT re.id, e.dst FROM reach re JOIN e ON re.cur = e.src
+        |), lab AS (
+        |  SELECT id, MIN(cur) AS comp FROM reach GROUP BY id
+        |)
+        |SELECT comp AS golden_name, COUNT(*) AS n_members,
+        |  MAX(id) AS last_member
+        |FROM lab GROUP BY comp ORDER BY golden_name""".stripMargin,
 
     // bounds round to integer cents, so everything after the percentile
     // interpolation is exact integer math on both engines (see the query)

@@ -106,6 +106,31 @@ class FrontierSamplingSpec extends SparkTestBase {
       "cold users = users whose FIRST interaction is at/after the cutoff")
   }
 
+  test("q_er_clusters: every matched pair shares a cluster; clusters are >=2 and rep is the min member") {
+    val pairs = SparkEntry.queries("q_fuzzy_jw")(spark, sf)
+      .select(col("a"), col("b"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val clusters = SparkEntry.queries("q_er_clusters")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    // rebuild the member->comp map via union-find over the pairs
+    val parent = scala.collection.mutable.Map.empty[String, String]
+    def find(x: String): String = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.Ordering[String].max(ra, rb)) = math.Ordering[String].min(ra, rb)
+    }
+    val members = (pairs.map(_._1) ++ pairs.map(_._2)).distinct
+    val expect = members.groupBy(find).map { case (c, ms) =>
+      (c, ms.length.toLong, ms.max) }.toSet
+    assert(clusters.toSet == expect,
+      "clusters must equal the union-find closure of the matched pairs")
+    assert(clusters.forall(_._2 >= 2), "only matched (non-singleton) clusters")
+    clusters.foreach { case (g, _, last) => assert(g <= last) }
+  }
+
   test("q_winsorize: rows tile the table, ~1% clipped per tail, mean inside the bounds") {
     val rows = SparkEntry.queries("q_winsorize")(spark, sf).collect()
     val total = Tables.load(spark, sf, "lineitem").count()
