@@ -114,9 +114,10 @@ object Bench {
     // distributed skyline, sorted-neighborhood ER, bounded-pool negative
     // sampling, and the temporal split with cold-start leakage report
     "q_skyline", "q_fuzzy_snm", "q_negative_sample", "q_split_temporal",
-    // HITS hubs/authorities, winsorized robust scaling, and the
-    // composed block→score→match→cluster entity-resolution flow
-    "q_hits", "q_winsorize", "q_er_clusters")
+    // HITS hubs/authorities, winsorized robust scaling, the composed
+    // block→score→match→cluster entity-resolution flow, and the k-hop
+    // BFS reach curve
+    "q_hits", "q_winsorize", "q_er_clusters", "q_khop")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

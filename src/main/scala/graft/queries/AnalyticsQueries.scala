@@ -1265,6 +1265,37 @@ object AnalyticsQueries {
     // (double-sum addition-order seam, SCALING.md contract).
     "q_hits" -> ((s, d) => hitsFull(s, d, localThreshold = 2000000L)),
 
+    // k-hop BFS frontiers from a seed segment (the graph
+    // feature-engineering primitive: "what does this cohort reach in k
+    // steps"): BUILDING-segment customers → their suppliers (hop 1) →
+    // those suppliers' other customers (hop 2) → THEIR further
+    // suppliers (hop 3). Each hop is one equi-join + distinct + an
+    // anti-join subtracting the prior same-side frontier — a FIXED
+    // number of bounded shuffles, no iteration state; frontier
+    // relations never exceed one row per node. On the bipartite trade
+    // graph sides alternate, so the subtraction only ever compares
+    // same-typed frontiers. Output: per-hop distinct node counts (the
+    // reach curve) — 3 rows.
+    "q_khop" -> ((s, d) => {
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val cs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("s")).distinct()
+      val seeds = t(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("c")).distinct()
+      val hop1 = cs.join(seeds, Seq("c")).select(col("s")).distinct()
+      val hop2 = cs.join(hop1, Seq("s")).select(col("c")).distinct()
+        .join(seeds, Seq("c"), "left_anti")
+      val hop3 = cs.join(hop2, Seq("c")).select(col("s")).distinct()
+        .join(hop1, Seq("s"), "left_anti")
+      val agg = (df: DataFrame, hop: Int) =>
+        df.agg(lit(hop.toLong).as("hop"), count(lit(1)).as("n_nodes"))
+          .select(col("hop"), col("n_nodes"))
+      agg(hop1, 1).unionAll(agg(hop2, 2)).unionAll(agg(hop3, 3))
+        .orderBy(col("hop"))
+    }),
+
     // End-to-end entity resolution (the MDM master-data flow): block →
     // score (codegen'd Jaro-Winkler) → match (threshold) → CLUSTER
     // (connected components over the match graph) → survivorship (the
@@ -2112,6 +2143,29 @@ object AnalyticsQueries {
         |ORDER BY a, b""".stripMargin,
 
     "q_hits" -> hitsOracle,
+
+    "q_khop" ->
+      """WITH cs AS (
+        |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |), seeds AS (
+        |  SELECT DISTINCT c_custkey AS c FROM customer
+        |  WHERE c_mktsegment = 'BUILDING'
+        |), hop1 AS (
+        |  SELECT DISTINCT s FROM cs JOIN seeds USING (c)
+        |), hop2 AS (
+        |  SELECT DISTINCT c FROM cs JOIN hop1 USING (s)
+        |  WHERE c NOT IN (SELECT c FROM seeds)
+        |), hop3 AS (
+        |  SELECT DISTINCT s FROM cs JOIN hop2 USING (c)
+        |  WHERE s NOT IN (SELECT s FROM hop1)
+        |)
+        |SELECT CAST(1 AS BIGINT) AS hop, COUNT(*) AS n_nodes FROM hop1
+        |UNION ALL
+        |SELECT 2, COUNT(*) FROM hop2
+        |UNION ALL
+        |SELECT 3, COUNT(*) FROM hop3
+        |ORDER BY hop""".stripMargin,
 
     // same blocked-JW match relation as q_fuzzy_jw, closed with a
     // cycle-safe recursive UNION (the undirected match graph may have

@@ -295,6 +295,26 @@ class GraphLayoutSpec extends SparkTestBase {
     }
   }
 
+  test("q_khop: frontier algebra — hops disjoint from prior same-side frontiers, reach monotone-bounded") {
+    val out = SparkEntry.queries("q_khop")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    // independent brute-force recomputation of the three frontiers
+    val cs = Tables.orders(spark, sf)
+      .join(Tables.lineitem(spark, sf),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val seeds = Tables.customer(spark, sf)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey")).collect().map(_.getLong(0)).toSet
+    val h1 = cs.filter(p => seeds(p._1)).map(_._2).toSet
+    val h2 = cs.filter(p => h1(p._2)).map(_._1).toSet -- seeds
+    val h3 = cs.filter(p => h2(p._1)).map(_._2).toSet -- h1
+    assert(out(1L) == h1.size && out(2L) == h2.size && out(3L) == h3.size,
+      s"got $out, expect ${(h1.size, h2.size, h3.size)}")
+  }
+
   test("hits: disconnected components score independently of each other's size") {
     // bipartite complete K(2,1) plus an isolated edge: within each
     // component authorities split hub mass by in-degree share
