@@ -373,6 +373,127 @@ object Graph {
           .otherwise(lit(0.0)).as("gcc"))
   }
 
+  /** Bounded-round weighted shortest paths (Bellman-Ford relaxation)
+    * from a seed set over a directed weighted edge relation
+    * `(src, dst, w)` with NON-NEGATIVE integer weights. Returns
+    * `(node, dist)` for every node reachable from a seed within
+    * `rounds` edges, where `dist` is the minimum total weight over all
+    * such paths — exact integer arithmetic end to end, so unlike the
+    * power-iteration family there is NO float seam and no presentation
+    * rounding: the oracle can match distances bit-for-bit.
+    *
+    * The node universe is `DISTINCT src` (the [[pageRank]] convention —
+    * a symmetric edge set satisfies it trivially); seeds outside the
+    * universe are dropped, and a `dst` that is never a `src` still
+    * surfaces in the output when relaxed (it is a reachable sink).
+    * A fixed round count is the scale contract: `rounds` bounds both
+    * the lineage and the path length, exactly like the power-iteration
+    * family's fixed iterations — the "run to convergence" variant at
+    * scale is this loop with a convergence count check every ~10
+    * checkpointed rounds (the CC-loop discipline).
+    *
+    * Scale shape (the [[pageRank]] conventions): edges are checkpointed
+    * once and pre-partitioned on `src`; each round joins the frontier
+    * relation (≤ one row per reached node) to the edges on `src`
+    * (broadcast under the measured-node guard, shuffle-hash above),
+    * then takes one map-side-combinable `min` per node. Only
+    * dist-sized relations move per round; the per-round checkpoint
+    * keeps the plan O(rounds) (the dist relation is referenced twice
+    * per round — union + relax — the HITS double-reference lesson).
+    * Same [[Guarded.iterate]] driver fast path below `localThreshold`
+    * edges, with the identical relaxation as an array loop.
+    */
+  def sssp(edges: DataFrame, seeds: DataFrame, rounds: Int = 4,
+           maxBroadcastNodes: Long = 1000000L,
+           localThreshold: Long = 2000000L): DataFrame = {
+    val seedNodes = seeds.select(col("node")).distinct()
+    Guarded.iterate(
+      edges.select(col("src"), col("dst"), col("w").cast("long")),
+      localThreshold) { (e, m) =>
+      require(m > 0, "sssp over an empty edge set")
+      ssspLocal(e, seedNodes, rounds)
+    } { (e, m) =>
+      require(m > 0, "sssp over an empty edge set")
+      val ePart = e.repartition(col("src")).localCheckpoint(true)
+      val nodes = ePart.select(col("src").as("node")).distinct()
+        .localCheckpoint(true)
+      val n = nodes.count()
+      val useBroadcast = n <= maxBroadcastNodes
+      logger.info(s"sssp: $m edges, $n nodes -> distributed, " +
+        (if (useBroadcast) "broadcast frontier join"
+         else s"shuffle-hash frontier join (over maxBroadcastNodes=$maxBroadcastNodes)"))
+      var dist = seedNodes.join(nodes, Seq("node"))
+        .select(col("node"), lit(0L).as("dist")).localCheckpoint(true)
+      for (_ <- 1 to rounds) {
+        val distSide = if (useBroadcast) broadcast(dist)
+                       else dist.hint("shuffle_hash")
+        val relaxed = ePart
+          .join(distSide, ePart("src") === distSide("node"))
+          .select(col("dst").as("node"), (col("dist") + col("w")).as("dist"))
+        dist = dist.unionAll(relaxed)
+          .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+          .localCheckpoint(true)
+      }
+      dist
+    }
+  }
+
+  /** The identical relaxation as a driver array loop — the [[localRun]]
+    * twin for [[sssp]]. Exact integer math; pure function of the
+    * collected edge list + seed set (both bounded by the guard).
+    */
+  private def ssspLocal(e: DataFrame, seedNodes: DataFrame,
+                        rounds: Int): DataFrame = {
+    val spark = e.sparkSession
+    val rows = e.collect() // bounded by the caller's localThreshold guard
+    val idx = new java.util.HashMap[Any, Integer]()
+    val order = scala.collection.mutable.ArrayBuffer.empty[Any]
+    def ix(a: Any): Int = {
+      var i = idx.get(a)
+      if (i == null) { i = idx.size(); idx.put(a, i); order += a }
+      i.intValue()
+    }
+    val m = rows.length
+    val srcIx = new Array[Int](m); val dstIx = new Array[Int](m)
+    val w = new Array[Long](m)
+    val srcSeen = new java.util.HashSet[Any]()
+    var i = 0
+    while (i < m) {
+      srcIx(i) = ix(rows(i).get(0)); srcSeen.add(rows(i).get(0))
+      dstIx(i) = ix(rows(i).get(1)); w(i) = rows(i).getLong(2)
+      i += 1
+    }
+    val n = idx.size()
+    val INF = Long.MaxValue
+    val dist = Array.fill(n)(INF)
+    // seeds∩universe only: universe = distinct src (the distributed
+    // path's nodes relation) — a seed that is only ever a dst starts
+    // unreached there, so it must here too
+    seedNodes.collect().foreach { r =>
+      val a = r.get(0)
+      if (srcSeen.contains(a)) dist(ix(a)) = 0L
+    }
+    for (_ <- 1 to rounds) {
+      val prev = dist.clone()
+      var j = 0
+      while (j < m) {
+        if (prev(srcIx(j)) != INF) {
+          val cand = prev(srcIx(j)) + w(j)
+          if (cand < dist(dstIx(j))) dist(dstIx(j)) = cand
+        }
+        j += 1
+      }
+    }
+    val out = order.zipWithIndex.collect {
+      case (node, k) if dist(k) != INF => Row(node, dist(k))
+    }
+    val schema = StructType(Seq(
+      e.schema.fields(0).copy(name = "node"),
+      StructField("dist", org.apache.spark.sql.types.LongType,
+        nullable = false)))
+    spark.createDataFrame(spark.sparkContext.parallelize(out.toSeq, 1), schema)
+  }
+
   /** The identical recurrence as a driver array loop — see the fast-path
     * note on [[pageRank]]. Node ids stay whatever type the caller used
     * (keys in a hash index); first-seen order assigns indices, so the

@@ -1296,6 +1296,44 @@ object AnalyticsQueries {
         .orderBy(col("hop"))
     }),
 
+    // Weighted shortest paths (4 Bellman-Ford relaxation rounds) from
+    // the BUILDING-segment customers over the symmetric trade graph,
+    // edge cost = trade-strength tier (≥3 shared orders → 1, 2 → 2,
+    // 1 → 3): "how close is every entity to this segment, through
+    // strong ties" — the weighted complement of q_khop's reach curve
+    // and the third iterative-graph discipline (distance semiring next
+    // to PageRank's sum-product and CC's min-label). Every node's dist
+    // surfaces, so the min-over-alternative-paths arithmetic is
+    // genuinely exercised (a hop-2 customer found at cost 3+3 may be
+    // improved by a later 1+1+1+1 path — the relaxation the oracle's
+    // unrolled rounds witness). Exact integer math end to end: the ONE
+    // graph family with zero float seam, so distances match the oracle
+    // bit-for-bit with no rounding. Graph.sssp owns the scale shape
+    // (edges checkpointed + pre-partitioned once, frontier-sized
+    // relations per round, guarded broadcast, driver fast path under
+    // the measured-edge guard).
+    "q_sssp" -> ((s, d) => {
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val l = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey"), col("l_suppkey"))
+        .agg(countDistinct(col("o_orderkey")).as("n_ord"))
+        .select(concat(lit("c"), col("o_custkey")).as("a"),
+          concat(lit("s"), col("l_suppkey")).as("b"),
+          when(col("n_ord") >= 3, 1L).when(col("n_ord") === 2, 2L)
+            .otherwise(3L).as("w"))
+      val edges = pairs.select(explode(array(
+          struct(col("a").as("src"), col("b").as("dst"), col("w")),
+          struct(col("b").as("src"), col("a").as("dst"), col("w")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"),
+          col("e.w").as("w"))
+      val seeds = t(s, d, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(concat(lit("c"), col("c_custkey")).as("node"))
+      graft.operators.Graph.sssp(edges, seeds, rounds = 4)
+        .orderBy(col("node"))
+    }),
+
     // End-to-end entity resolution (the MDM master-data flow): block →
     // score (codegen'd Jaro-Winkler) → match (threshold) → CLUSTER
     // (connected components over the match graph) → survivorship (the
@@ -2144,6 +2182,8 @@ object AnalyticsQueries {
 
     "q_hits" -> hitsOracle,
 
+    "q_sssp" -> ssspOracle,
+
     "q_khop" ->
       """WITH cs AS (
         |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
@@ -2375,6 +2415,44 @@ object AnalyticsQueries {
         |UNION ALL
         |SELECT node, 'hub' AS kind, ROUND(h, 6) AS score_r FROM h5
         |ORDER BY kind, node""".stripMargin
+  }
+
+  /** Generated unrolled-CTE twin of [[graft.operators.Graph.sssp]] on
+    * the weighted trade graph: 4 relaxation rounds, each
+    * `dist_k(v) = MIN(dist_{k-1}(v), MIN over edges (u,v) of
+    * dist_{k-1}(u) + w)` — the exact recurrence both engine paths run.
+    * Pure integer arithmetic: distances compare bit-for-bit, the only
+    * oracle in the iterative-graph family with NO rounding seam.
+    */
+  private def ssspOracle: String = {
+    val body = (1 to 4).map { k =>
+      s""", d$k AS (
+         |  SELECT node, MIN(dist) AS dist FROM (
+         |    SELECT node, dist FROM d${k - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS node, p.dist + e.w AS dist
+         |    FROM edges e JOIN d${k - 1} p ON e.src = p.node) u
+         |  GROUP BY node)""".stripMargin
+    }.mkString
+    s"""WITH pairs AS (
+       |  SELECT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+       |         's' || CAST(l_suppkey AS VARCHAR) AS b,
+       |    CAST(CASE WHEN COUNT(DISTINCT o_orderkey) >= 3 THEN 1
+       |              WHEN COUNT(DISTINCT o_orderkey) = 2 THEN 2
+       |              ELSE 3 END AS BIGINT) AS w
+       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       |  GROUP BY 1, 2
+       |), edges AS (
+       |  SELECT a AS src, b AS dst, w FROM pairs
+       |  UNION ALL SELECT b AS src, a AS dst, w FROM pairs
+       |), seeds AS (
+       |  SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS node
+       |  FROM customer WHERE c_mktsegment = 'BUILDING'
+       |), nodes AS (SELECT DISTINCT src AS node FROM edges
+       |), d0 AS (
+       |  SELECT n.node, CAST(0 AS BIGINT) AS dist
+       |  FROM nodes n JOIN seeds s ON n.node = s.node)""".stripMargin +
+      body + "\nSELECT node, dist FROM d4 ORDER BY node"
   }
 
   private def pprOracle: String =

@@ -98,6 +98,66 @@ class GraphLayoutSpec extends SparkTestBase {
     assert(kinds == Set("c", "s"))
   }
 
+  // ---- SSSP (bounded-round Bellman-Ford) ----
+
+  private def distsOf(edges: Seq[(String, String, Long)], seeds: Seq[String],
+      rounds: Int = 4, forceDist: Boolean = false): Map[String, Long] = {
+    val sym = edges ++ edges.map { case (a, b, w) => (b, a, w) }
+    Graph.sssp(sym.toDF("src", "dst", "w"), seeds.toDF("node"),
+        rounds = rounds, localThreshold = if (forceDist) 0L else 2000000L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  test("sssp: later rounds improve an early expensive path (the Bellman-Ford min, not BFS)") {
+    // a→z direct costs 9; a→b→c→z costs 1+1+1=3. A BFS keeps the hop-1
+    // value; the relaxation must lower it at round 3.
+    val es = Seq(("a", "z", 9L), ("a", "b", 1L), ("b", "c", 1L), ("c", "z", 1L))
+    val d = distsOf(es, Seq("a"))
+    assert(d("a") == 0L && d("b") == 1L && d("c") == 2L && d("z") == 3L, d)
+    // with rounds=1 the expensive direct edge is all that's reachable
+    val d1 = distsOf(es, Seq("a"), rounds = 1)
+    assert(d1("z") == 9L && !d1.contains("c"), d1)
+  }
+
+  test("sssp: rounds bound reach; multi-seed takes the per-node min; junk seeds dropped") {
+    val line = (0 until 6).map(i => (s"n$i", s"n${i + 1}", 2L))
+    val d = distsOf(line, Seq("n0"))
+    assert(d("n4") == 8L && !d.contains("n5"), s"4 rounds reach n4 only: $d")
+    val two = distsOf(line, Seq("n0", "n6"))
+    assert(two("n3") == 6L && two("n4") == 4L && two("n5") == 2L, two)
+    val junk = distsOf(line, Seq("n0", "zz"))
+    assert(junk == d, "an out-of-graph seed must change nothing")
+    for (force <- Seq(false, true)) {
+      val e = intercept[IllegalArgumentException] {
+        distsOf(Seq.empty, Seq("a"), forceDist = force)
+      }
+      assert(e.getMessage.contains("empty edge set"), e.getMessage)
+    }
+  }
+
+  test("sssp: driver fast path ≡ forced distributed loop") {
+    val rnd = new scala.util.Random(11)
+    val es = Seq.fill(400)((s"n${rnd.nextInt(40)}", s"n${rnd.nextInt(40)}",
+      (rnd.nextInt(3) + 1).toLong))
+    val seeds = Seq("n0", "n7", "n13")
+    val fast = distsOf(es, seeds)
+    val dist = distsOf(es, seeds, forceDist = true)
+    assert(fast == dist, s"fast=$fast dist=$dist")
+    assert(fast.values.exists(_ > 0) && fast(seeds.head) == 0L)
+  }
+
+  test("q_sssp: seeds at zero, suppliers at odd-tier positive distances") {
+    val out = SparkEntry.queries("q_sssp")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty)
+    val (cs, ss) = out.partition(_._1.startsWith("c"))
+    assert(cs.exists(_._2 == 0L), "seed customers must sit at dist 0")
+    assert(ss.nonEmpty && ss.values.forall(_ > 0L),
+      "suppliers are never seeds: all positive")
+    assert(out.values.forall(v => v >= 0L && v <= 12L),
+      "4 rounds of cost ≤3 edges bound every distance at 12")
+  }
+
   // ---- Z-order ----
 
   test("zvalue matches a driver-side reference interleave") {
