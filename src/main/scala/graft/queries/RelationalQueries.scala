@@ -411,6 +411,45 @@ object RelationalQueries {
           sum(col("price_c")).as("price_c"),
           sum(when(col("op") === "U", 1L).otherwise(0L)).as("n_updated"))
         .orderBy(col("o_orderstatus"))
+    }),
+
+    // Incremental materialized-view maintenance (delta-propagation IVM,
+    // the complement of q_cdc_merge's row compaction): a stored per-key
+    // aggregate MV is refreshed from a signed CDC delta — inserts +1,
+    // retractions −1 — by ONE delta-sized aggregate merged into the MV
+    // with a full-outer coalesce-add; keys whose support reaches zero
+    // drop out. The 100 TB point is what the refresh DOESN'T touch:
+    // the base epoch's facts are never re-scanned — cost is
+    // O(|delta| + |affected MV keys|), the only refresh shape that
+    // survives a view over years of history (here the base aggregate
+    // stands in for the stored MV; at scale it is a table, and the
+    // delta agg is map-side combinable before the MV-key-partitioned
+    // merge join). The oracle witnesses the IVM algebra from the other
+    // side: a FULL recompute over the retained set (all orders minus
+    // the retracted ones) must equal the incremental merge exactly —
+    // integer counts and cents, no float seam.
+    "q_mv_refresh" -> ((s, d) => {
+      val o = t(s, d, "orders").select(col("o_custkey"), col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_c"), col("o_orderdate"))
+      val cutoff = expr("TIMESTAMP '1999-01-01 00:00:00'")
+      val base = o.filter(col("o_orderdate") < cutoff)
+      val mv = base.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("price_c")).as("rev_c"))
+      val delta = o.filter(col("o_orderdate") >= cutoff)
+          .select(col("o_custkey"), lit(1L).as("sgn"), col("price_c"))
+        .unionByName(base.filter(pmod(col("o_orderkey"), lit(13)) === 0)
+          .select(col("o_custkey"), lit(-1L).as("sgn"), col("price_c")))
+      val dagg = delta.groupBy(col("o_custkey"))
+        .agg(sum(col("sgn")).as("dn"),
+          sum(col("sgn") * col("price_c")).as("drev"))
+      mv.join(dagg, Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          (coalesce(col("n_orders"), lit(0L)) +
+            coalesce(col("dn"), lit(0L))).as("n_orders"),
+          (coalesce(col("rev_c"), lit(0L)) +
+            coalesce(col("drev"), lit(0L))).as("rev_c"))
+        .filter(col("n_orders") > 0)
+        .orderBy(col("o_custkey"))
     })
   )
 
@@ -457,6 +496,17 @@ object RelationalQueries {
         |  CAST(SUM(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_updated
         |FROM latest WHERE op <> 'D'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the IVM witness from the other side: full recompute over the
+    // retained set (all orders minus the retracted base-epoch ones)
+    // must equal the engine's incremental MV + signed-delta merge
+    "q_mv_refresh" ->
+      """SELECT o_custkey, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS rev_c
+        |FROM orders
+        |WHERE NOT (o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+        |           AND o_orderkey % 13 = 0)
+        |GROUP BY 1 ORDER BY o_custkey""".stripMargin,
 
     "q_join_inner" ->
       """SELECT c_mktsegment,
