@@ -182,6 +182,73 @@ object Similarity {
       .clusterCenters.map(_.toArray.map(_.toFloat))
   }
 
+  /** Fixed-round DETERMINISTIC Lloyd iterations — the cross-engine-
+    * witnessable clustering twin of the MLlib KMeans fits (whose
+    * kmeans|| init is engine-private, which is why every MLlib-derived
+    * query is oracle-exempt). Init is the `k` lowest-id vectors (a
+    * bounded k-row collect); each round assigns every point to its
+    * argmin-L2 centroid (ties → min centroid id) and recomputes
+    * centroids as per-dimension means ROUNDED to 6dp — the rounding is
+    * the seam contract: both engines re-enter every round from
+    * bit-equal centroid values, so the float wobble of one round's
+    * reordered sums cannot compound across rounds (the
+    * q_embed_centroids discipline applied iteratively). A centroid
+    * that loses all members carries its previous value.
+    *
+    * Returns per surviving cluster: `(cid, n_members, inertia, cv)` —
+    * inertia is the sum of members' squared distances to the FINAL
+    * centroids, un-rounded; `cv` the final centroid `array<double>`.
+    * Callers own presentation rounding/serialization.
+    *
+    * Scale shape: the points relation is checkpointed once and each
+    * round is one broadcast-k-centroids map pass (distance fold is an
+    * in-order `aggregate(zip_with(...))` — deterministic within a row)
+    * plus one posexplode cell aggregate whose k·d result is the ONLY
+    * thing collected (the bounded-fit discipline: driver state is
+    * k·d doubles, never points). Rounds are fixed, so lineage and cost
+    * are bounded; nothing quadratic, nothing point-count-sized leaves
+    * the executors.
+    */
+  def lloydSteps(emb: DataFrame, k: Int, rounds: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    require(k > 0 && rounds >= 0, s"need k>0, rounds>=0 (got $k, $rounds)")
+    val pts = emb.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("v")).localCheckpoint(true)
+    var cents: Seq[(Long, Seq[Double])] = pts.orderBy(col("id")).limit(k)
+      .collect().zipWithIndex
+      .map { case (r, i) => ((i + 1).toLong, r.getSeq[Double](1)) }.toSeq
+    def centDf(c: Seq[(Long, Seq[Double])]): DataFrame =
+      broadcast(c.toDF("cid", "cv"))
+    def assign(c: Seq[(Long, Seq[Double])]): DataFrame =
+      pts.crossJoin(centDf(c))
+        .withColumn("d2", aggregate(
+          zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, e) => acc + e))
+        .groupBy(col("id"))
+        .agg(min(struct(col("d2"), col("cid"))).as("m"))
+        .select(col("id"), col("m.cid").as("cid"), col("m.d2").as("d2"))
+    for (_ <- 1 to rounds) {
+      val newCells = assign(cents)
+        .join(pts, Seq("id"))
+        .select(col("cid"), posexplode(col("v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(round(avg(col("col")), 6).as("cv"))
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2))
+        .toMap // bounded: ≤ k·d cells
+      cents = cents.map { case (cid, cv) =>
+        (cid, cv.zipWithIndex.map { case (old, pos) =>
+          newCells.getOrElse((cid, pos), old) })
+      }
+    }
+    assign(cents)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_members"), sum(col("d2")).as("inertia"))
+      .join(centDf(cents), Seq("cid"))
+      .select(col("cid"), col("n_members"), col("inertia"), col("cv"))
+  }
+
   /** KMeans centroids as a (centroid_id, __centv ARRAY<FLOAT>) relation —
     * fit on the bounded deterministic [[fitInput]] sample.
     */

@@ -354,6 +354,31 @@ object SimilarityQueries {
           round(avg(col("cos")), 6).as("mean_cos"),
           round(min(col("cos")), 6).as("min_cos"))
         .orderBy(col("label"))
+    }),
+
+    // Fixed-round deterministic Lloyd clustering (k=4, 3 assign+update
+    // rounds, init = the 4 lowest-id vectors) — the ORACLED iteration
+    // witness for the KMeans family: every MLlib fit is oracle-exempt
+    // because kmeans|| init is engine-private, so this is the one
+    // place the assign/update math itself is checked end-to-end
+    // against an independent engine (the pagerank role, for
+    // clustering). Cross-engine seam contract: centroids re-round to
+    // 6dp every round (both engines restart each round from bit-equal
+    // values — one round's reordered-sum wobble never compounds), the
+    // per-row distance is an in-order fold, ties break to the min
+    // centroid id on both sides, and presentation pins inertia at 3dp
+    // and centroid cells at DECIMAL(20,6) (the q_embed_centroids
+    // serialization). Similarity.lloydSteps owns the scale shape
+    // (broadcast-k assignment map pass + one cell aggregate per round;
+    // driver state k·d doubles).
+    "q_kmeans_steps" -> ((s, d) => {
+      graft.operators.Similarity.lloydSteps(emb(s, d), k = 4, rounds = 3)
+        .select(col("cid"), col("n_members"),
+          round(col("inertia"), 3).as("inertia_r"),
+          array_join(
+            transform(col("cv"), c => round(c, 6).cast("decimal(20,6)"))
+              .cast("array<string>"), ",").as("centroid_str"))
+        .orderBy(col("cid"))
     })
   )
 
@@ -434,6 +459,65 @@ object SimilarityQueries {
         |)
         |SELECT label, COUNT(*) AS n_vecs,
         |  ROUND(AVG(cos), 6) AS mean_cos, ROUND(MIN(cos), 6) AS min_cos
-        |FROM scored GROUP BY label ORDER BY label""".stripMargin
+        |FROM scored GROUP BY label ORDER BY label""".stripMargin,
+
+    "q_kmeans_steps" -> lloydOracle(k = 4, rounds = 3)
   )
+
+  /** Generated unrolled-CTE twin of [[graft.operators.Similarity
+    * .lloydSteps]]: per round, an assignment (argmin summed squared
+    * distance over the 6dp-rounded previous centroids, ties → min cid)
+    * and a per-(cid, dim) mean re-rounded to 6dp, with empty centroids
+    * carrying their previous cells via the COALESCE left join — the
+    * exact recurrence and seam contract the engine runs.
+    */
+  private def lloydOracle(k: Int, rounds: Int): String = {
+    val round = (i: Int) =>
+      s""", d$i AS (
+         |  SELECT p.id, c.cid, SUM((p.v - c.cv)*(p.v - c.cv)) AS d2
+         |  FROM pts p JOIN c${i - 1} c ON p.pos = c.pos GROUP BY 1, 2
+         |), a$i AS (
+         |  SELECT id, MIN(cid) AS cid FROM (
+         |    SELECT id, cid, d2, MIN(d2) OVER (PARTITION BY id) AS md
+         |    FROM d$i) x
+         |  WHERE d2 = md GROUP BY id
+         |), n$i AS (
+         |  SELECT a.cid, p.pos, ROUND(AVG(p.v), 6) AS cv
+         |  FROM a$i a JOIN pts p ON a.id = p.id GROUP BY 1, 2
+         |), c$i AS (
+         |  SELECT prev.cid, prev.pos, COALESCE(n.cv, prev.cv) AS cv
+         |  FROM c${i - 1} prev
+         |  LEFT JOIN n$i n ON prev.cid = n.cid AND prev.pos = n.pos)""".stripMargin
+    s"""WITH pts AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS id,
+       |    unnest(range(len(embedding))) AS pos,
+       |    unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v
+       |  FROM embeddings
+       |), init AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY id) AS BIGINT) AS cid, id
+       |  FROM (SELECT DISTINCT id FROM pts ORDER BY id LIMIT $k) ids
+       |), c0 AS (
+       |  SELECT i.cid, p.pos, p.v AS cv FROM init i JOIN pts p ON i.id = p.id
+       |)""".stripMargin +
+      (1 to rounds).map(round).mkString +
+      s""", df AS (
+         |  SELECT p.id, c.cid, SUM((p.v - c.cv)*(p.v - c.cv)) AS d2
+         |  FROM pts p JOIN c$rounds c ON p.pos = c.pos GROUP BY 1, 2
+         |), af AS (
+         |  SELECT id, MIN(cid) AS cid, MIN(d2) AS d2 FROM (
+         |    SELECT id, cid, d2, MIN(d2) OVER (PARTITION BY id) AS md
+         |    FROM df) x
+         |  WHERE d2 = md GROUP BY id
+         |), cs AS (
+         |  SELECT cid, array_to_string(
+         |    list(CAST(CAST(ROUND(cv, 6) AS DECIMAL(20,6)) AS VARCHAR)
+         |      ORDER BY pos), ',') AS centroid_str
+         |  FROM c$rounds GROUP BY cid
+         |)
+         |SELECT f.cid, COUNT(*) AS n_members, ROUND(SUM(f.d2), 3) AS inertia_r,
+         |  cs.centroid_str
+         |FROM af f JOIN cs ON f.cid = cs.cid
+         |GROUP BY f.cid, cs.centroid_str
+         |ORDER BY f.cid""".stripMargin
+  }
 }

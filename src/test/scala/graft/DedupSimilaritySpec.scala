@@ -956,6 +956,51 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(left0 == Seq("v=3"), s"keep=0 left $left0")
   }
 
+  test("lloydSteps: planted blobs converge from mixed init; counts and inertia behave") {
+    // three tight blobs around (0,0), (10,0), (0,10); init = 3 lowest
+    // ids, which all sit in blob A — rounds must pull the centroids
+    // apart onto the true blobs (the assign/update math, not the init,
+    // does the clustering)
+    val pts = (0 until 30).map { i =>
+      val (cx, cy) = (i % 3) match {
+        case 0 => (0.0, 0.0); case 1 => (10.0, 0.0); case 2 => (0.0, 10.0)
+      }
+      // deterministic jitter in [-0.4, 0.4]
+      (i.toLong, Array(cx + ((i * 7) % 9 - 4) / 10.0f,
+        cy + ((i * 11) % 9 - 4) / 10.0f).map(_.toFloat))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val out = Similarity.lloydSteps(df, k = 3, rounds = 6).collect()
+    assert(out.length == 3)
+    val sizes = out.map(r => r.getLong(1)).sorted
+    assert(sizes.toSeq == Seq(10L, 10L, 10L), sizes.toSeq)
+    // centroids land on the blob centers (within jitter)
+    val cents = out.map(_.getSeq[Double](3))
+    for ((cx, cy) <- Seq((0.0, 0.0), (10.0, 0.0), (0.0, 10.0)))
+      assert(cents.exists(c =>
+        math.abs(c(0) - cx) < 0.5 && math.abs(c(1) - cy) < 0.5),
+        s"no centroid near ($cx,$cy): ${cents.map(_.toSeq).toSeq}")
+    // per-cluster inertia ≤ members · max jitter dist²
+    assert(out.forall(_.getDouble(2) <= 10 * 2 * 0.4 * 0.4 + 1e-6))
+  }
+
+  test("lloydSteps: a starved centroid carries its previous value; k>n tolerated") {
+    // two coincident far points + k=3 with all init centroids near the
+    // origin cluster: one centroid never wins a point and must keep its
+    // init value rather than NaN out
+    val pts = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(0.1f, 0f)), (2L, Array(0f, 0.1f)),
+      (3L, Array(50f, 50f)), (4L, Array(50f, 50f)))
+    val out = Similarity.lloydSteps(pts.toDF("vec_id", "embedding"),
+      k = 3, rounds = 3).collect()
+    assert(out.map(_.getLong(1)).sum == 5L)
+    assert(out.forall(r => !r.getSeq[Double](3).exists(_.isNaN)))
+    // k beyond the point count: every point its own cluster, no crash
+    val tiny = Similarity.lloydSteps(
+      pts.take(2).toDF("vec_id", "embedding"), k = 5, rounds = 2).collect()
+    assert(tiny.map(_.getLong(1)).sum == 2L)
+  }
+
   test("q_ivf_cell_health: deterministic single-row report over the serving assignment") {
     val h1 = graft.queries.SimilarityQueries.queries("q_ivf_cell_health")(spark, sf).collect()
     val h2 = graft.queries.SimilarityQueries.queries("q_ivf_cell_health")(spark, sf).collect()
