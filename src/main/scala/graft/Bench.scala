@@ -117,7 +117,12 @@ object Bench {
     // HITS hubs/authorities, winsorized robust scaling, the composed
     // block→score→match→cluster entity-resolution flow, and the k-hop
     // BFS reach curve
-    "q_hits", "q_winsorize", "q_er_clusters", "q_khop")
+    "q_hits", "q_winsorize", "q_er_clusters", "q_khop",
+    // weighted shortest paths, signed-delta MV refresh, and the oracled
+    // fixed-round Lloyd clustering
+    "q_sssp", "q_mv_refresh", "q_kmeans_steps",
+    // rolling distinct users (bucket-explode) + peak-concurrency sweep
+    "q_rolling_dau", "q_concurrency")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

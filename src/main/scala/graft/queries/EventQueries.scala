@@ -666,6 +666,80 @@ object EventQueries {
         .filter(col("cnt") * lit((k + 1).toLong) > col("n_total"))
         .select(col("item"), col("cnt"), col("est"))
         .orderBy(col("item"))
+    }),
+
+    // Rolling 7-day distinct users (the DAU/WAU dashboard pair) + the
+    // 7-day event volume, per active day. Spark has no COUNT(DISTINCT)
+    // window, and the naive forms melt at scale — a 7-way range
+    // self-join re-shuffles the event set per day of width, and a
+    // global sorted window single-partitions. The scale-safe shape is
+    // BUCKET-EXPLODE: reduce once to distinct (day, user) pairs, then
+    // each pair votes into the ≤7 window buckets it serves
+    // (a bounded ×7 map-side expansion of the already-reduced
+    // relation) and one countDistinct per bucket finishes it. DAU
+    // rides the same pass as the offset-0 slice (countDistinct over a
+    // CASE), so the whole report is two shuffles: the pair dedup and
+    // the bucket aggregate. Partial leading windows are part of the
+    // contract (day d counts only days ≥ d−6 that exist); trailing
+    // buckets past the last active day are cut by the inner join to
+    // the active-day set, mirrored in the oracle's range join.
+    "q_rolling_dau" -> ((s, d) => {
+      val e = ev(s, d).select(
+        floor(unix_timestamp(col("ts")) / 86400).as("day"), col("user_id"))
+      val du = e.distinct()
+      val days = e.select(col("day")).distinct()
+      val votes = du.select(col("day"), col("user_id"),
+          explode(sequence(lit(0), lit(6))).as("o"))
+        .select((col("day") + col("o")).as("day"), col("user_id"),
+          (col("o") === 0).as("is_today"))
+        .join(days, Seq("day")) // active days only — no trailing stubs
+      val rolling = votes.groupBy(col("day"))
+        .agg(countDistinct(when(col("is_today"), col("user_id"))).as("dau"),
+          countDistinct(col("user_id")).as("wau"))
+      val daily = e.groupBy(col("day")).agg(count(lit(1)).as("n"))
+      val n7 = daily.select(col("day"), col("n"),
+          explode(sequence(lit(0), lit(6))).as("o"))
+        .select((col("day") + col("o")).as("day"), col("n"))
+        .join(days, Seq("day"))
+        .groupBy(col("day")).agg(sum(col("n")).as("n_events_7d"))
+      rolling.join(n7, Seq("day"))
+        .select(col("day").cast("long").as("day"), col("dau"), col("wau"),
+          col("n_events_7d"))
+        .orderBy(col("day"))
+    }),
+
+    // Peak concurrency per day (max simultaneously-active users): each
+    // user's per-day activity interval [min ts, max ts] becomes a
+    // +1/−1 boundary pair and a running sum over the day's ordered
+    // boundaries peaks at the answer — the interval-sweep discipline
+    // that replaces the quadratic interval-overlap self-join. The one
+    // window is partitioned by DAY (boundaries per partition bounded
+    // by 2·|users active that day|, never the event count — the
+    // intervals relation is an aggregate), with an explicit ROWS
+    // frame and delta-descending tie order (starts before ends at the
+    // same instant, so a touch counts as overlap; equal-delta peers
+    // commute in a prefix sum, making the per-day MAX deterministic on
+    // both engines). Exact integer micros + integer deltas: no seam.
+    "q_concurrency" -> ((s, d) => {
+      val iv = ev(s, d).select(
+          floor(unix_timestamp(col("ts")) / 86400).as("day"),
+          col("user_id"), unix_micros(col("ts")).as("us"))
+        .groupBy(col("day"), col("user_id"))
+        .agg(min(col("us")).as("s_us"), max(col("us")).as("e_us"))
+      val bounds = iv.select(col("day"), col("s_us").as("us"),
+          lit(1L).as("delta"))
+        .unionAll(iv.select(col("day"), col("e_us").as("us"),
+          lit(-1L).as("delta")))
+      val w = Window.partitionBy(col("day"))
+        .orderBy(col("us"), col("delta").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      bounds.withColumn("running", sum(col("delta")).over(w))
+        .groupBy(col("day"))
+        .agg(max(col("running")).as("peak_concurrent"),
+          (count(lit(1)) / 2).cast("long").as("n_intervals"))
+        .select(col("day").cast("long").as("day"), col("peak_concurrent"),
+          col("n_intervals"))
+        .orderBy(col("day"))
     })
   )
 
@@ -1039,6 +1113,50 @@ object EventQueries {
         |SELECT c.cohort_day, e.day - c.cohort_day AS day_offset,
         |  COUNT(DISTINCT e.user_id) AS n_users
         |FROM e JOIN c USING (user_id)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the range join is the oracle-side witness of the bucket-explode:
+    // a (day, user) pair joins every window day it serves
+    "q_rolling_dau" ->
+      """WITH e AS (
+        |  SELECT (epoch_us(ts) // 1000000) // 86400 AS day, user_id
+        |  FROM events
+        |), du AS (SELECT DISTINCT day, user_id FROM e
+        |), days AS (SELECT DISTINCT day FROM e
+        |), ru AS (
+        |  SELECT d.day,
+        |    COUNT(DISTINCT CASE WHEN u.day = d.day THEN u.user_id END) AS dau,
+        |    COUNT(DISTINCT u.user_id) AS wau
+        |  FROM days d JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+        |  GROUP BY d.day
+        |), daily AS (SELECT day, COUNT(*) AS n FROM e GROUP BY 1
+        |), n7 AS (
+        |  SELECT d.day, CAST(SUM(x.n) AS BIGINT) AS n_events_7d
+        |  FROM days d JOIN daily x ON x.day BETWEEN d.day - 6 AND d.day
+        |  GROUP BY d.day
+        |)
+        |SELECT r.day, r.dau, r.wau, n7.n_events_7d
+        |FROM ru r JOIN n7 USING (day) ORDER BY day""".stripMargin,
+
+    // starts sort before ends at the same instant (delta DESC): a
+    // touch counts as overlap; equal-delta peers commute in the
+    // prefix sum so MAX is order-independent
+    "q_concurrency" ->
+      """WITH iv AS (
+        |  SELECT (epoch_us(ts) // 1000000) // 86400 AS day, user_id,
+        |    MIN(epoch_us(ts)) AS s_us, MAX(epoch_us(ts)) AS e_us
+        |  FROM events GROUP BY 1, 2
+        |), b AS (
+        |  SELECT day, s_us AS us, 1 AS delta FROM iv
+        |  UNION ALL SELECT day, e_us, -1 FROM iv
+        |), r AS (
+        |  SELECT day, SUM(delta) OVER (PARTITION BY day
+        |    ORDER BY us, delta DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+        |  FROM b
+        |)
+        |SELECT day, CAST(MAX(running) AS BIGINT) AS peak_concurrent,
+        |  CAST(COUNT(*) // 2 AS BIGINT) AS n_intervals
+        |FROM r GROUP BY day ORDER BY day""".stripMargin
   )
 }

@@ -489,4 +489,64 @@ class CurationSpec extends SparkTestBase {
     assert(out("s1") == ((3L, 3L, 1L)), s"s1: ${out("s1")}") // x,y,y dup; x cross
     assert(out("s2") == ((2L, 1L, 1L)), s"s2: ${out("s2")}") // x dup+cross; z unique
   }
+
+  test("q_rolling_dau: WAU dominates DAU and unions the trailing week; 7d volume sums dailies") {
+    val rows = q("q_rolling_dau").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val dau = rows.map(t => t._1 -> t._2).toMap
+    rows.foreach { case (day, d, w, _) =>
+      assert(w >= d, s"day $day: wau $w < dau $d")
+      // the window unions ≤7 dailies, so WAU can't exceed their sum
+      val cap = (day - 6 to day).flatMap(dau.get).sum
+      assert(w <= cap, s"day $day: wau $w > Σdau $cap")
+      // ...and can't be smaller than the largest single day in it
+      val floorW = (day - 6 to day).flatMap(dau.get).max
+      assert(w >= floorW, s"day $day: wau $w < max-day $floorW")
+    }
+    // n_events_7d re-derives from the per-day event counts
+    val e = graft.Tables.events(spark, sf)
+      .select(floor(unix_timestamp(col("ts")) / 86400).as("day"))
+      .groupBy("day").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { case (day, _, _, n7) =>
+      assert(n7 == (day - 6 to day).flatMap(e.get).sum, s"day $day")
+    }
+  }
+
+  test("q_concurrency: peak bounded by actives, floored by the busiest instant being ≥1") {
+    val conc = q("q_concurrency").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(conc.nonEmpty)
+    val dau = q("q_rolling_dau").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    conc.foreach { case (day, peak, nIv) =>
+      assert(nIv == dau(day), s"day $day: one interval per active user")
+      assert(peak >= 1L && peak <= nIv,
+        s"day $day: peak $peak outside [1, $nIv]")
+    }
+    // hand fixture: 3 overlapping at the peak instant, touch counts
+    val ts = Seq(
+      (1L, "2024-01-01 10:00:00"), (1L, "2024-01-01 12:00:00"),
+      (2L, "2024-01-01 11:00:00"), (2L, "2024-01-01 13:00:00"),
+      (3L, "2024-01-01 12:00:00"), (3L, "2024-01-01 12:30:00"),
+      (4L, "2024-01-01 14:00:00"), (4L, "2024-01-01 15:00:00"))
+      .toDF("user_id", "s").select(col("user_id"),
+        to_timestamp(col("s")).as("ts"))
+    val iv = ts.groupBy(floor(unix_timestamp(col("ts")) / 86400).as("day"),
+        col("user_id"))
+      .agg(min(unix_micros(col("ts"))).as("s_us"),
+        max(unix_micros(col("ts"))).as("e_us"))
+    val bounds = iv.select(col("day"), col("s_us").as("us"), lit(1L).as("delta"))
+      .unionAll(iv.select(col("day"), col("e_us").as("us"), lit(-1L).as("delta")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("day"))
+      .orderBy(col("us"), col("delta").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val peak = bounds.withColumn("r", sum(col("delta")).over(w))
+      .agg(max(col("r"))).first().getLong(0)
+    // at 12:00 user 1 ends, user 3 starts, user 2 is mid-interval: the
+    // start-before-end tie order counts all three
+    assert(peak == 3L, s"peak=$peak")
+  }
 }
