@@ -220,7 +220,13 @@ object Soak {
       "triangles" -> (() => noop(
         SparkEntry.queries("q_triangles")(spark, d))),
       "scd2_lookup" -> (() => noop(
-        SparkEntry.queries("q_scd2_lookup")(spark, d))))
+        SparkEntry.queries("q_scd2_lookup")(spark, d))),
+      // weighted SSSP rides the pagerank guard shape (same symmetric
+      // trade graph + a per-(c,s) weight aggregate; crossover between
+      // x1 and x3); sssp_dist is the forced twin of the SAME closure
+      "sssp" -> (() => noop(SparkEntry.queries("q_sssp")(spark, d))),
+      "sssp_dist" -> (() => noop(
+        graft.queries.AnalyticsQueries.ssspFull(spark, d, localThreshold = 0L))))
     // untimed per-scale index build so the item_recs row is serving-only
     def warmItemIndex(d: String): Unit =
       try { graft.queries.PipelineQueries.itemIndex(spark, d); () }

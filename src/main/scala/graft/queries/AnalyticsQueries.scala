@@ -1312,27 +1312,7 @@ object AnalyticsQueries {
     // (edges checkpointed + pre-partitioned once, frontier-sized
     // relations per round, guarded broadcast, driver fast path under
     // the measured-edge guard).
-    "q_sssp" -> ((s, d) => {
-      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
-      val l = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-      val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
-        .groupBy(col("o_custkey"), col("l_suppkey"))
-        .agg(countDistinct(col("o_orderkey")).as("n_ord"))
-        .select(concat(lit("c"), col("o_custkey")).as("a"),
-          concat(lit("s"), col("l_suppkey")).as("b"),
-          when(col("n_ord") >= 3, 1L).when(col("n_ord") === 2, 2L)
-            .otherwise(3L).as("w"))
-      val edges = pairs.select(explode(array(
-          struct(col("a").as("src"), col("b").as("dst"), col("w")),
-          struct(col("b").as("src"), col("a").as("dst"), col("w")))).as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst"),
-          col("e.w").as("w"))
-      val seeds = t(s, d, "customer")
-        .filter(col("c_mktsegment") === "BUILDING")
-        .select(concat(lit("c"), col("c_custkey")).as("node"))
-      graft.operators.Graph.sssp(edges, seeds, rounds = 4)
-        .orderBy(col("node"))
-    }),
+    "q_sssp" -> ((s, d) => ssspFull(s, d, localThreshold = 2000000L)),
 
     // End-to-end entity resolution (the MDM master-data flow): block →
     // score (codegen'd Jaro-Winkler) → match (threshold) → CLUSTER
@@ -2314,6 +2294,35 @@ object AnalyticsQueries {
         localThreshold = localThreshold)
       .select(col("node"), col("kind"), round(col("score"), 6).as("score_r"))
       .orderBy(col("kind"), col("node"))
+
+  /** The registered q_sssp closure with the guard exposed — the soak's
+    * forced-distributed twin must be the IDENTICAL plan (same edge
+    * mining, cost tiers, output sort) with only the guard forced off,
+    * the [[pagerankFull]] convention.
+    */
+  private[graft] def ssspFull(s: SparkSession, d: String,
+      localThreshold: Long): DataFrame = {
+    val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val l = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey"), col("l_suppkey"))
+      .agg(countDistinct(col("o_orderkey")).as("n_ord"))
+      .select(concat(lit("c"), col("o_custkey")).as("a"),
+        concat(lit("s"), col("l_suppkey")).as("b"),
+        when(col("n_ord") >= 3, 1L).when(col("n_ord") === 2, 2L)
+          .otherwise(3L).as("w"))
+    val edges = pairs.select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst"), col("w")),
+        struct(col("b").as("src"), col("a").as("dst"), col("w")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.w").as("w"))
+    val seeds = t(s, d, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(concat(lit("c"), col("c_custkey")).as("node"))
+    graft.operators.Graph.sssp(edges, seeds, rounds = 4,
+        localThreshold = localThreshold)
+      .orderBy(col("node"))
+  }
 
   /** The distinct customer→supplier interaction pairs as directed
     * `(src, dst)` — HITS runs it as-is; the PageRank oracle prefix and
