@@ -440,7 +440,10 @@ object Graph {
 
   /** The identical relaxation as a driver array loop — the [[localRun]]
     * twin for [[sssp]]. Exact integer math; pure function of the
-    * collected edge list + seed set (both bounded by the guard).
+    * collected edge list + seed set. The guard bounds only EDGES, so
+    * the seed relation is semi-joined to the edge srcs before its
+    * collect — a huge seeds input with a tiny graph collects at most
+    * |distinct src| rows, matching the distributed twin's join.
     */
   private def ssspLocal(e: DataFrame, seedNodes: DataFrame,
                         rounds: Int): DataFrame = {
@@ -468,8 +471,11 @@ object Graph {
     val dist = Array.fill(n)(INF)
     // seeds∩universe only: universe = distinct src (the distributed
     // path's nodes relation) — a seed that is only ever a dst starts
-    // unreached there, so it must here too
-    seedNodes.collect().foreach { r =>
+    // unreached there, so it must here too. The intersection happens
+    // BEFORE the collect (semi-join to the edge srcs) so the driver
+    // never materializes more seed rows than the graph has nodes.
+    val srcNodes = e.select(col(e.columns(0)).as("node")).distinct()
+    seedNodes.join(srcNodes, Seq("node")).collect().foreach { r =>
       val a = r.get(0)
       if (srcSeen.contains(a)) dist(ix(a)) = 0L
     }

@@ -202,7 +202,11 @@ object Similarity {
     *
     * Scale shape: the points relation is checkpointed once and each
     * round is one broadcast-k-centroids map pass (distance fold is an
-    * in-order `aggregate(zip_with(...))` — deterministic within a row)
+    * in-order `aggregate(zip_with(...))` — deterministic within a row —
+    * and d2 is ROUNDED to 6dp before the argmin, so an oracle whose
+    * per-point distance sum runs under an unordered parallel aggregate
+    * lands on the same assignment: the rounding, not summation order,
+    * decides near-ties on both engines)
     * plus one posexplode cell aggregate whose k·d result is the ONLY
     * thing collected (the bounded-fit discipline: driver state is
     * k·d doubles, never points). Rounds are fixed, so lineage and cost
@@ -223,9 +227,9 @@ object Similarity {
       broadcast(c.toDF("cid", "cv"))
     def assign(c: Seq[(Long, Seq[Double])]): DataFrame =
       pts.crossJoin(centDf(c))
-        .withColumn("d2", aggregate(
+        .withColumn("d2", round(aggregate(
           zip_with(col("v"), col("cv"), (x, y) => (x - y) * (x - y)),
-          lit(0.0), (acc, e) => acc + e))
+          lit(0.0), (acc, e) => acc + e), 6))
         .groupBy(col("id"))
         .agg(min(struct(col("d2"), col("cid"))).as("m"))
         .select(col("id"), col("m.cid").as("cid"), col("m.d2").as("d2"))

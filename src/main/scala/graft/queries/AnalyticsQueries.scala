@@ -21,6 +21,30 @@ object AnalyticsQueries {
   private def t(s: SparkSession, d: String, name: String) = Tables.load(s, d, name)
   private def cents(c: Column) = round(c * 100, 0).cast("long")
 
+  /** Capped blocked candidate pairs over distinct part names (block key =
+    * the name's last token; Dedup.blockedPairs maxBlock=1000 cap) — ONE
+    * definition shared by q_fuzzy_parts / q_fuzzy_jw / q_er_clusters so
+    * the three engine queries and their oracles can never drift on the
+    * block key or the cap (the directedTradeEdges discipline).
+    */
+  private def blockedPartPairs(s: SparkSession, d: String): DataFrame = {
+    val names = t(s, d, "part").select(col("p_name")).distinct()
+      .withColumn("block", element_at(split(col("p_name"), " "), -1))
+    graft.operators.Dedup.blockedPairs(names, "block", "p_name", maxBlock = 1000)
+  }
+
+  /** The Jaro-Winkler match relation (blocked candidates → 6dp-rounded
+    * codegen'd JW score → ≥0.9 threshold) — shared by q_fuzzy_jw (which
+    * reports it) and q_er_clusters (which clusters it), so
+    * FrontierSamplingSpec's cross-check that q_er_clusters clusters
+    * exactly the q_fuzzy_jw pair set is true by construction.
+    */
+  private def jwMatches(s: SparkSession, d: String): DataFrame =
+    blockedPartPairs(s, d)
+      .withColumn("jw_r", round(
+        graft.functions.TextHashFunctions.jaro_winkler(col("a"), col("b")), 6))
+      .filter(col("jw_r") >= 0.9)
+
   // DuckDB mirror of Dedup.tokens over the documents table (same contract
   // as TextQueries.duckToks — kept in sync with the tokenizer scaladoc)
   private val duckDocToks =
@@ -1033,10 +1057,7 @@ object AnalyticsQueries {
     // levenshtein is the standard DP distance on both engines — exact
     // integer, no float seam.
     "q_fuzzy_parts" -> ((s, d) => {
-      val names = t(s, d, "part").select(col("p_name")).distinct()
-        .withColumn("block", element_at(split(col("p_name"), " "), -1))
-      graft.operators.Dedup
-        .blockedPairs(names, "block", "p_name", maxBlock = 1000)
+      blockedPartPairs(s, d)
         .select(col("block"), col("a"), col("b"),
           levenshtein(col("a"), col("b")).cast("long").as("dist"))
         .filter(col("dist") <= 2)
@@ -1053,13 +1074,7 @@ object AnalyticsQueries {
     // score on both engines so a last-ulp wobble cannot flip a row's
     // membership.
     "q_fuzzy_jw" -> ((s, d) => {
-      val names = t(s, d, "part").select(col("p_name")).distinct()
-        .withColumn("block", element_at(split(col("p_name"), " "), -1))
-      graft.operators.Dedup
-        .blockedPairs(names, "block", "p_name", maxBlock = 1000)
-        .withColumn("jw_r", round(
-          graft.functions.TextHashFunctions.jaro_winkler(col("a"), col("b")), 6))
-        .filter(col("jw_r") >= 0.9)
+      jwMatches(s, d)
         .select(col("block"), col("a"), col("b"), col("jw_r"))
         .orderBy(col("a"), col("b"))
     }),
@@ -1326,13 +1341,7 @@ object AnalyticsQueries {
     // min-over-descending-paths is NOT the component min on general
     // graphs).
     "q_er_clusters" -> ((s, d) => {
-      val names = t(s, d, "part").select(col("p_name")).distinct()
-        .withColumn("block", element_at(split(col("p_name"), " "), -1))
-      val matched = graft.operators.Dedup
-        .blockedPairs(names, "block", "p_name", maxBlock = 1000)
-        .withColumn("jw_r", round(
-          graft.functions.TextHashFunctions.jaro_winkler(col("a"), col("b")), 6))
-        .filter(col("jw_r") >= 0.9)
+      val matched = jwMatches(s, d)
         .select(col("a").as("id_a"), col("b").as("id_b"))
       graft.operators.Dedup.connectedComponents(matched)
         .groupBy(col("comp").as("golden_name"))

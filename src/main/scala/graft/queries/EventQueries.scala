@@ -687,7 +687,11 @@ object EventQueries {
       val e = ev(s, d).select(
         floor(unix_timestamp(col("ts")) / 86400).as("day"), col("user_id"))
       val du = e.distinct()
-      val days = e.select(col("day")).distinct()
+      // active days from the ALREADY-reduced pair relation — deriving
+      // them from `e` would aggregate the full event scan a second time
+      // (distinct(day,user) and distinct(day) are different shuffles,
+      // so exchange reuse would not apply)
+      val days = du.select(col("day")).distinct()
       val votes = du.select(col("day"), col("user_id"),
           explode(sequence(lit(0), lit(6))).as("o"))
         .select((col("day") + col("o")).as("day"), col("user_id"),

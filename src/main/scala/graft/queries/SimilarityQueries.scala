@@ -365,7 +365,9 @@ object SimilarityQueries {
     // clustering). Cross-engine seam contract: centroids re-round to
     // 6dp every round (both engines restart each round from bit-equal
     // values — one round's reordered-sum wobble never compounds), the
-    // per-row distance is an in-order fold, ties break to the min
+    // per-row distance is an in-order fold ROUNDED to 6dp before the
+    // argmin (so the oracle's unordered parallel SUM lands on the same
+    // assignment), ties break to the min
     // centroid id on both sides, and presentation pins inertia at 3dp
     // and centroid cells at DECIMAL(20,6) (the q_embed_centroids
     // serialization). Similarity.lloydSteps owns the scale shape
@@ -465,8 +467,12 @@ object SimilarityQueries {
   )
 
   /** Generated unrolled-CTE twin of [[graft.operators.Similarity
-    * .lloydSteps]]: per round, an assignment (argmin summed squared
-    * distance over the 6dp-rounded previous centroids, ties → min cid)
+    * .lloydSteps]]: per round, an assignment (argmin 6dp-ROUNDED summed
+    * squared distance over the 6dp-rounded previous centroids, ties →
+    * min cid — the d2 rounding is part of the seam contract: DuckDB's
+    * parallel SUM is order-unpinned, so the raw-double argmin could
+    * flip on a near-tie; rounding before the decision makes both
+    * engines choose identically)
     * and a per-(cid, dim) mean re-rounded to 6dp, with empty centroids
     * carrying their previous cells via the COALESCE left join — the
     * exact recurrence and seam contract the engine runs.
@@ -474,7 +480,7 @@ object SimilarityQueries {
   private def lloydOracle(k: Int, rounds: Int): String = {
     val round = (i: Int) =>
       s""", d$i AS (
-         |  SELECT p.id, c.cid, SUM((p.v - c.cv)*(p.v - c.cv)) AS d2
+         |  SELECT p.id, c.cid, ROUND(SUM((p.v - c.cv)*(p.v - c.cv)), 6) AS d2
          |  FROM pts p JOIN c${i - 1} c ON p.pos = c.pos GROUP BY 1, 2
          |), a$i AS (
          |  SELECT id, MIN(cid) AS cid FROM (
@@ -501,7 +507,7 @@ object SimilarityQueries {
        |)""".stripMargin +
       (1 to rounds).map(round).mkString +
       s""", df AS (
-         |  SELECT p.id, c.cid, SUM((p.v - c.cv)*(p.v - c.cv)) AS d2
+         |  SELECT p.id, c.cid, ROUND(SUM((p.v - c.cv)*(p.v - c.cv)), 6) AS d2
          |  FROM pts p JOIN c$rounds c ON p.pos = c.pos GROUP BY 1, 2
          |), af AS (
          |  SELECT id, MIN(cid) AS cid, MIN(d2) AS d2 FROM (
