@@ -37,12 +37,23 @@ object Bucketing {
                           path: String, key: String,
                           buckets: Int = 8): String = {
     if (s.catalog.tableExists(table)) {
+      // resolve through the PUBLIC catalog API first: tableExists is
+      // true for temp views too, and getTableMetadata on an unqualified
+      // temp-view name throws instead of answering. A view has no
+      // storage to go stale — leave it untouched (the name is taken by
+      // other tooling; rebuilding a shadowed persistent table under it
+      // would not be the relation scans resolve anyway).
+      val entry = s.catalog.getTable(table)
+      if (entry.tableType == "VIEW" || entry.tableType == "TEMPORARY" ||
+          entry.tableType == "TEMP") return table
       // check the location the CATALOG registered, not the `path`
       // argument — after a restart the caller's fresh temp path and
       // the cataloged location legitimately differ, and it is the
-      // cataloged one the scans will read
+      // cataloged one the scans will read; qualify with the cataloged
+      // database so a non-default current database cannot misresolve
       val registered = s.sessionState.catalog
-        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
+          entry.name, Option(entry.database)))
         .location
       val p = new org.apache.hadoop.fs.Path(registered)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)

@@ -175,11 +175,16 @@ object Graph {
            maxBroadcastNodes: Long = 1000000L,
            localThreshold: Long = 2000000L): DataFrame = {
     require(iterations >= 1, s"iterations $iterations")
-    // both unions of (src, dst) values flow into ONE output node column
-    require(edges.schema.fields(0).dataType == edges.schema.fields(1).dataType,
-      s"hits needs same-typed src/dst (got ${edges.schema.fields(0).dataType}" +
-        s" vs ${edges.schema.fields(1).dataType})")
-    Guarded.iterate(edges.select(col("src"), col("dst")), localThreshold) {
+    // both unions of (src, dst) values flow into ONE output node column.
+    // Check types on the NAME-RESOLVED projection, not positional fields
+    // of the raw caller frame — a frame with extra or reordered columns
+    // would otherwise type-check the wrong pair (the same positional trap
+    // Dedup.connectedComponents fixed).
+    val proj = edges.select(col("src"), col("dst"))
+    require(proj.schema.fields(0).dataType == proj.schema.fields(1).dataType,
+      s"hits needs same-typed src/dst (got ${proj.schema.fields(0).dataType}" +
+        s" vs ${proj.schema.fields(1).dataType})")
+    Guarded.iterate(proj, localThreshold) {
       (e, m) =>
         require(m > 0, "hits over an empty edge set")
         hitsLocal(e, iterations)

@@ -43,11 +43,19 @@ object Pareto {
   def skyline2d(df: DataFrame, xCol: String, yCol: String,
       buckets: Int = 64): DataFrame = {
     require(buckets >= 1, s"buckets $buckets")
+    // integral x only: the bucket arithmetic and the bounded driver
+    // collects read x as long, so x is cast up front (lossless for any
+    // integral width; an Int x no longer ClassCastExceptions at the
+    // maxima collect). A fractional x would need a caller-side
+    // discretization decision — refuse rather than silently truncate.
+    require(Seq("ByteType", "ShortType", "IntegerType", "LongType")
+        .contains(df.schema(xCol).dataType.toString),
+      s"skyline2d needs an integral $xCol (got ${df.schema(xCol).dataType})")
     // pin the collapse: three consumers read it (the min/max head, the
     // bucket-maxima collect, the returned plan) — unpinned, each would
     // re-run the caller's full lineage + the collapse shuffle (the
     // Guarded/Rank lineage discipline)
-    val pts = df.groupBy(col(xCol))
+    val pts = df.groupBy(col(xCol).cast("long").as(xCol))
       .agg(max(col(yCol)).cast("long").as(yCol))
       .localCheckpoint(true)
     val mm = pts.agg(min(col(xCol)), max(col(xCol))).head()

@@ -678,13 +678,24 @@ class ScalePostureSpec extends SparkTestBase {
       s"single-partition stage in skyline plan:\n$skyPlan")
     assert(skyPlan.contains("BroadcastExchange"),
       s"cross-bucket prefix maxima not broadcast:\n$skyPlan")
-    // q_fuzzy_snm: the sliding window is block-partitioned
-    val snm = SparkEntry.queries("q_fuzzy_snm")(spark, sf)
-    snm.collect()
-    val snmPlan = snm.queryExecution.executedPlan.toString
+    // q_fuzzy_snm: the neighborhood sort must be a RANGE partition on
+    // the composite (block, key) — hash-on-block would cap parallelism
+    // at |distinct block| (92 here) forever (the r11 verdict finding)
+    val snmSort = graft.operators.SortedNeighborhood.globalSort(
+      SparkEntry.queries("q_fuzzy_snm")(spark, sf).sparkSession
+        .read.parquet(s"$sf/part")
+        .select(col("p_name")).distinct()
+        .withColumn("block", element_at(split(col("p_name"), " "), -1)),
+      "block", "p_name", None)
+    snmSort.collect()
+    val snmPlan = snmSort.queryExecution.executedPlan.toString
       .split("Initial Plan")(0)
+    assert(snmPlan.toLowerCase.contains("rangepartitioning"),
+      s"SNM sort is not range-partitioned:\n$snmPlan")
+    assert(!snmPlan.toLowerCase.contains("hashpartitioning(block"),
+      s"SNM sort hash-partitions on the block key:\n$snmPlan")
     assert(!snmPlan.contains("SinglePartition"),
-      s"single-partition stage in SNM plan:\n$snmPlan")
+      s"single-partition stage in SNM sort plan:\n$snmPlan")
     // q_negative_sample: the users×pool expansion must be a BROADCAST
     // nested-loop over the 50-row pool (never a shuffled cartesian),
     // and the per-user k=3 cut must push a WindowGroupLimit below the
@@ -699,5 +710,48 @@ class ScalePostureSpec extends SparkTestBase {
       s"shuffled cartesian in negative-sampling plan:\n$negPlan")
     assert(negPlan.contains("WindowGroupLimit"),
       s"per-user limit not pushed below the exchange:\n$negPlan")
+  }
+
+  test("SortedNeighborhood: pair set matches the windowed form; a hot block spreads over >1 task") {
+    import org.apache.spark.sql.expressions.Window
+    // planted HOT-BLOCK fixture: one single block value over 5000 keys.
+    // The block-partitioned window would sort it all in ONE task; the
+    // range sort on (block, key) must split it across many.
+    val w = 5
+    val hot = (0 until 5000)
+      .map(i => ("colorx", f"key_$i%05d")).toDF("block", "key")
+      .repartition(16) // unordered, multi-partition input
+    val pairs = graft.operators.SortedNeighborhood
+      .pairs(hot, "block", "key", w, numPartitions = Some(8))
+    // reference: the textbook lead(1..w-1) windowed form
+    val wnd = Window.partitionBy(col("block")).orderBy(col("key"))
+    val ref = (1 until w).foldLeft(hot) { (df, i) =>
+      df.withColumn(s"__n$i", lead(col("key"), i).over(wnd))
+    }.withColumn("b", explode(array((1 until w).map(i => col(s"__n$i")): _*)))
+      .filter(col("b").isNotNull)
+      .select(col("block"), col("key").as("a"), col("b"))
+    assert(pairs.count() == ref.count())
+    assert(pairs.exceptAll(ref).isEmpty && ref.exceptAll(pairs).isEmpty,
+      "SNM pair set diverges from the windowed reference")
+    // the single hot block's pairs were produced by >1 non-empty task
+    val nonEmpty = pairs.rdd
+      .mapPartitions(it => Iterator(it.nonEmpty)).collect().count(identity)
+    assert(nonEmpty > 1,
+      s"hot block not spread: $nonEmpty non-empty pair partitions")
+    // boundary handoff correctness under RUNT partitions: more
+    // partitions than rows-per-partition ≫ w, and blocks split exactly
+    // at partition boundaries
+    val tiny = (0 until 40)
+      .map(i => (s"b${i / 10}", f"k$i%03d")).toDF("block", "key")
+    val tinyPairs = graft.operators.SortedNeighborhood
+      .pairs(tiny, "block", "key", w, numPartitions = Some(13))
+    val tinyRef = (1 until w).foldLeft(tiny) { (df, i) =>
+      df.withColumn(s"__n$i", lead(col("key"), i).over(wnd))
+    }.withColumn("b", explode(array((1 until w).map(i => col(s"__n$i")): _*)))
+      .filter(col("b").isNotNull)
+      .select(col("block"), col("key").as("a"), col("b"))
+    assert(tinyPairs.exceptAll(tinyRef).isEmpty
+        && tinyRef.exceptAll(tinyPairs).isEmpty,
+      "runt-partition handoff diverges from the windowed reference")
   }
 }
