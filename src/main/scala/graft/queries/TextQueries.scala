@@ -260,6 +260,27 @@ object TextQueries {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     }),
 
+    // MinHash band buckets, VALUE-ORACLED (r11 worklist #6 — the
+    // lloydOracle move applied to banding): the exact (doc, band,
+    // bucket) relation minhashCandidates joins on, witnessed end-to-end
+    // by a DuckDB twin of the permutation-hash arithmetic itself —
+    // fnv64 over shingle bytes, the splitmix avalanche per hash
+    // function (signed-long minima, the Spark comparison order), and
+    // the per-band FNV fold — re-expressed as mod-2^64 HUGEINT
+    // arithmetic (wrapping multiply via 32-bit split, logical shifts as
+    // floor division of the unsigned residue). Pure integer end-to-end:
+    // no float seam exists, so the match is exact or the arithmetic is
+    // wrong. This de-exempts the banding math that q_dedup_minhash's
+    // rows-only check could not value-witness. (Byte contract: the
+    // oracle reads codepoints as bytes, valid because the fixture is
+    // ASCII — asserted in TextSpec; the engine itself hashes UTF-8
+    // bytes for any input.)
+    "q_minhash_sigs" -> ((s, d) =>
+      Dedup.minhashBuckets(docs(s, d), nShingle = 3, bands = 8, rowsPerBand = 4)
+        .select(col("id").as("doc_id"), col("band").cast("long").as("band"),
+          col("bucket"))
+        .orderBy(col("doc_id"), col("band"))),
+
     // corpus-wide top-20 trigram shingles (explode → count → top-k with
     // full tiebreak): the n-gram frequency table a tokenizer/contamination
     // audit starts from. One shuffle (ngram) + TakeOrdered.
@@ -1414,7 +1435,74 @@ object TextQueries {
     })
   )
 
+  /** mod-2^64 wrapping multiply `a * b` in DuckDB HUGEINT for the
+    * q_minhash_sigs oracle: `a` split into 32-bit halves so no
+    * intermediate exceeds ~2^97 (signed HUGEINT caps at 2^127 — a
+    * direct product of two 64-bit residues would overflow). Operands
+    * are unsigned residues in [0, 2^64); `b` a literal constant.
+    */
+  private def mm64(a: String, b: String): String =
+    s"(((($a) % 4294967296) * $b + (((($a) // 4294967296) * $b) % 4294967296)" +
+      s" * 4294967296) % 18446744073709551616)"
+
   val oracleSql: Map[String, String] = Map(
+    // the permutation-hash arithmetic of MinHashBandBuckets, unrolled:
+    // per shingle fnv64 over its bytes (ASCII fixture ⇒ codepoints ARE
+    // the bytes — asserted in TextSpec), per hash function j the
+    // splitmix avalanche of base ^ (seed + j·golden), minima taken over
+    // SIGNED longs (the Spark `<`), then the per-band FNV fold of the
+    // 4 minima. All values carried as unsigned HUGEINT residues; logical
+    // shift-right = floor division (residues are nonnegative); the
+    // staged CTEs (h0..h3) keep each splitmix step referencing a COLUMN
+    // so the split-multiply's textual duplication never compounds.
+    "q_minhash_sigs" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS tk FROM documents),
+         |sh AS (
+         |  SELECT doc_id, UNNEST(list_distinct(
+         |    CASE WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+         |         WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+         |         ELSE [array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)]
+         |    END)) AS g
+         |  FROM t
+         |),
+         |base AS (
+         |  SELECT doc_id, list_reduce(
+         |    list_prepend(CAST(14695981039346656037 AS HUGEINT),
+         |      list_transform(string_split(g, ''), c -> CAST(unicode(c) AS HUGEINT))),
+         |    (h, b) -> ${mm64("xor(h, b)", "1099511628211")}) AS base
+         |  FROM sh
+         |),
+         |h0 AS (
+         |  SELECT doc_id, j, xor(base,
+         |    (42 + CAST(j AS HUGEINT) * 11400714819323198485) % 18446744073709551616) AS v
+         |  FROM base, (SELECT UNNEST(range(32)) AS j)
+         |),
+         |h1 AS (SELECT doc_id, j, ${mm64("xor(v, v // 1073741824)", "13787848793156543929")} AS z1 FROM h0),
+         |h2 AS (SELECT doc_id, j, ${mm64("xor(z1, z1 // 134217728)", "10723151780598845931")} AS z2 FROM h1),
+         |h3 AS (SELECT doc_id, j, xor(z2, z2 // 2147483648) AS z FROM h2),
+         |mins AS (
+         |  SELECT doc_id, j,
+         |    MIN(CAST(CASE WHEN z >= 9223372036854775808
+         |      THEN z - 18446744073709551616 ELSE z END AS BIGINT)) AS ms
+         |  FROM h3 GROUP BY doc_id, j
+         |),
+         |bands AS (
+         |  SELECT doc_id, j // 4 AS band,
+         |    list(CASE WHEN ms < 0 THEN CAST(ms AS HUGEINT) + 18446744073709551616
+         |      ELSE CAST(ms AS HUGEINT) END ORDER BY j) AS mu
+         |  FROM mins GROUP BY doc_id, j // 4
+         |),
+         |folded AS (
+         |  SELECT doc_id, band, list_reduce(
+         |    list_prepend(CAST(14695981039346656037 AS HUGEINT), mu),
+         |    (h, m) -> ${mm64("xor(h, m)", "1099511628211")}) AS bu
+         |  FROM bands
+         |)
+         |SELECT doc_id, CAST(band AS BIGINT) AS band,
+         |  CAST(CASE WHEN bu >= 9223372036854775808
+         |    THEN bu - 18446744073709551616 ELSE bu END AS BIGINT) AS bucket
+         |FROM folded ORDER BY doc_id, band""".stripMargin,
+
     "q_token_count" ->
       s"""SELECT doc_id,
          |  CAST(len($duckToks) AS BIGINT) AS n_ws,

@@ -349,4 +349,37 @@ class TextSpec extends SparkTestBase {
     // (two idf contributions beat one saturated tf curve here)
     assert(out(1L) > out(2L), s"distinct-term doc must beat repeated-term doc: $out")
   }
+
+  test("q_minhash_sigs byte contract: fixture text is ASCII (oracle reads codepoints as bytes)") {
+    // The DuckDB twin of MinHashBandBuckets hashes unicode(c) per char;
+    // fnv64 hashes UTF-8 BYTES. They coincide iff the corpus is ASCII —
+    // this canary fails loudly if a fixture regen introduces non-ASCII
+    // text, in which case the oracle needs a byte-expansion step (the
+    // ENGINE is byte-correct for any input either way).
+    val nonAscii = Tables.documents(spark, sf)
+      .filter(col("text").rlike("[^\\x00-\\x7F]")).count()
+    assert(nonAscii == 0,
+      s"$nonAscii docs contain non-ASCII text — q_minhash_sigs oracle byte contract broken")
+  }
+
+  test("q_minhash_sigs matches MinHashBandBuckets nullSafeEval row-by-row") {
+    // the query's banding column vs a direct driver-side eval of the
+    // same expression — guards the query wiring (shingle n, bands,
+    // rowsPerBand, seed) independently of the DuckDB oracle
+    val rows = graft.queries.TextQueries.queries("q_minhash_sigs")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).orderBy(col("doc_id")).limit(25)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    docs.foreach { case (id, text) =>
+      val sh = graft.functions.TextHashFunctions.shingleEval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(text), 3)
+      val buckets = graft.functions.TextHashFunctions
+        .minhashBandEval(sh, 8, 4, 42L)
+      (0 until buckets.numElements()).foreach { b =>
+        assert(rows.get((id, b.toLong)).contains(buckets.getLong(b)),
+          s"doc $id band $b: query=${rows.get((id, b.toLong))} direct=${buckets.getLong(b)}")
+      }
+    }
+  }
 }
