@@ -118,7 +118,13 @@ object Soak {
         ()
       }),
       "ann_ivfpq_apply" -> (() => noop(Similarity.ivfPqApply(
-        emb, queries, 10, ivfModels(emb)))))
+        emb, queries, 10, ivfModels(emb)))),
+      // fixed-round Lloyd (r11 late addition, soaked per the r12
+      // worklist): 3 assign/update rounds over the scaled embeddings —
+      // per round one broadcast-k assignment pass + one k-row update
+      // aggregate, so a clean plan reads ~linear in corpus size
+      "kmeans_steps" -> (() => noop(
+        Similarity.lloydSteps(emb, k = 4, rounds = 3))))
 
     // Trade-table families (round-10 additions): N disjoint re-keyed
     // copies of orders/lineitem written in the Tables layout, so the
@@ -226,7 +232,13 @@ object Soak {
       // x1 and x3); sssp_dist is the forced twin of the SAME closure
       "sssp" -> (() => noop(SparkEntry.queries("q_sssp")(spark, d))),
       "sssp_dist" -> (() => noop(
-        graft.queries.AnalyticsQueries.ssspFull(spark, d, localThreshold = 0L))))
+        graft.queries.AnalyticsQueries.ssspFull(spark, d, localThreshold = 0L))),
+      // incremental MV maintenance (r11 late addition): the refresh
+      // cost term that must track the DELTA, not the base — but the
+      // registered query rebuilds base+delta from the scan each run, so
+      // this row prices the full maintain-from-scratch ceiling
+      "mv_refresh" -> (() => noop(
+        SparkEntry.queries("q_mv_refresh")(spark, d))))
     // untimed per-scale index build so the item_recs row is serving-only
     def warmItemIndex(d: String): Unit =
       try { graft.queries.PipelineQueries.itemIndex(spark, d); () }
