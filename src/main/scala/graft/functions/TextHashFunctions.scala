@@ -479,6 +479,48 @@ object TextHashFunctions {
     Bridge.column(BloomGramHit(Bridge.expression(text), bos.toByteArray, n))
   }
 
+  /** Whole-STRING bloom membership probe ([[BloomGramHit]]'s scalar
+    * sibling — no tokenization): true iff the bloom MIGHT contain the
+    * child string. Same fpp-only contract (no false negatives), so a
+    * `false` is a proof of absence — the pre-filter shape that lets a
+    * stream-static dedup probe skip its index join for unflagged rows
+    * ([[graft.streaming.EventStreams.curationIntake]] gate 4). Same
+    * value-equals/by-value-hashCode discipline as BloomGramHit (byte
+    * arrays compare by reference in synthesized case-class equals,
+    * which would block canonicalization).
+    */
+  case class BloomHit(child: Expression, bloomBytes: Array[Byte])
+      extends UnaryExpression {
+    override def dataType: DataType = BooleanType
+    override def equals(other: Any): Boolean = other match {
+      case BloomHit(c, b) =>
+        child == c && java.util.Arrays.equals(bloomBytes, b)
+      case _ => false
+    }
+    override def hashCode(): Int =
+      java.util.Objects.hash(child,
+        Integer.valueOf(java.util.Arrays.hashCode(bloomBytes)))
+    @transient private lazy val bloom =
+      org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(bloomBytes))
+    override def nullSafeEval(a: Any): Any =
+      bloom.mightContainString(a.asInstanceOf[UTF8String].toString)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bloomHit", bloom,
+        "org.apache.spark.util.sketch.BloomFilter")
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = $ref.mightContainString($a.toString());")
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  }
+
+  def bloom_hit(s: Column,
+      bloom: org.apache.spark.util.sketch.BloomFilter): Column = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    Bridge.column(BloomHit(Bridge.expression(s), bos.toByteArray))
+  }
+
   /** Jaro-Winkler similarity — the STANDARD variant (match window
     * `max(|a|,|b|)/2 − 1`, FLOORED half-transpositions, Winkler prefix boost
     * p = 0.1 over the common prefix ≤ 4, applied only when jaro > 0.7;

@@ -267,6 +267,37 @@ class CurationSpec extends SparkTestBase {
     assert(!hits(4L), "token-less text must never hit")
   }
 
+  test("BloomHit (scalar probe): no false negatives over an index snapshot; codegen'd") {
+    import spark.implicits._
+    // the curationIntake gate-4 shape: bloom over an md5 index snapshot
+    val known = (0 until 1000).map(i => s"known doc $i").toDF("text")
+      .select(md5(col("text")).as("content_hash"))
+    val bloom = known.stat.bloomFilter("content_hash", 1000L, 0.001)
+    val pred = graft.functions.TextHashFunctions
+      .bloom_hit(col("content_hash"), bloom)
+    // every known hash MUST flag (false negatives would admit dups)
+    val knownMisses = known.filter(!pred).count()
+    assert(knownMisses == 0L, s"$knownMisses false negatives")
+    // novel hashes mostly don't flag (fpp 0.001 over 2000 probes —
+    // allow generous slack; the gate only needs "usually skipped")
+    val novel = (0 until 2000).map(i => s"novel doc $i").toDF("text")
+      .select(md5(col("text")).as("content_hash"))
+    val novelHits = novel.filter(pred).count()
+    assert(novelHits < 100L, s"$novelHits of 2000 novel hashes flagged")
+    // stays inside whole-stage codegen (the in-scan predicate claim) —
+    // through a real scan: ConvertToLocalRelation folds a filter over a
+    // local Seq away entirely
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloomhit").toString
+    novel.write.mode("overwrite").parquet(dir)
+    val probe = spark.read.parquet(dir).filter(pred)
+    probe.collect()
+    // the `*(n)` stage marker is the collapsed-form spelling of
+    // WholeStageCodegen — the filter must carry it (a fallback to
+    // interpreted eval would print a bare `Filter`)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Filter bloomhit"), plan)
+  }
+
   test("q_embed_dispersion: cohesion bounded, centroid pull positive") {
     val rows = q("q_embed_dispersion").collect()
     assert(rows.map(_.getLong(1)).sum == 500L)

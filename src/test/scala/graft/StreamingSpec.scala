@@ -1332,12 +1332,15 @@ class StreamingSpec extends SparkTestBase {
     val afterC1 = spark.read.parquet(sinkDir).select(col("text"))
       .as[String].collect().toSet
     assert(afterC1 == Set(novelA, novelB, novelD), s"cycle 1 admitted $afterC1")
-    // funnel ledger: 9 in → 5 past the plan gates (soup, offTopic,
-    // knownDoc, one dup dropped) → 4 clean → 3 admitted; no drift alarm
+    // funnel ledger: 9 in → 6 past the plan gates (soup, offTopic, one
+    // in-stream dup dropped; knownDoc now rides INTO the batch as a
+    // bloom-flagged candidate since the r12 gate-6a move) → 4 clean
+    // (index verify drops knownDoc, contam verify drops the
+    // contaminated doc) → 3 admitted; no drift alarm
     val led1 = spark.read.parquet(ledgerDir)
       .select(col("n_batch"), col("n_clean"), col("n_admitted"), col("alarm"))
       .as[(Long, Long, Long, Boolean)].collect()
-    assert(led1.toSeq == Seq((5L, 4L, 3L, false)), s"ledger ${led1.toSeq}")
+    assert(led1.toSeq == Seq((6L, 4L, 3L, false)), s"ledger ${led1.toSeq}")
     // batch ≡ stream: the proven batch operators composed in the same
     // order admit the same TEXT set (doc_id of a dup pair is arbitrary
     // in both domains) against the pre-cycle index state
@@ -1376,7 +1379,7 @@ class StreamingSpec extends SparkTestBase {
     val led2 = spark.read.parquet(ledgerDir).orderBy(col("n_batch"))
       .select(col("n_batch"), col("n_clean"), col("n_admitted"))
       .as[(Long, Long, Long)].collect().toSeq
-    assert(led2 == Seq((1L, 1L, 0L), (5L, 4L, 3L)), s"ledgers $led2")
+    assert(led2 == Seq((2L, 1L, 0L), (6L, 4L, 3L)), s"ledgers $led2")
     // closed loop: index = seeded hash + the three admitted hashes
     assert(spark.read.parquet(indexDir).distinct().count() == 4L)
   }
