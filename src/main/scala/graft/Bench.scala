@@ -122,7 +122,11 @@ object Bench {
     // fixed-round Lloyd clustering
     "q_sssp", "q_mv_refresh", "q_kmeans_steps",
     // rolling distinct users (bucket-explode) + peak-concurrency sweep
-    "q_rolling_dau", "q_concurrency")
+    "q_rolling_dau", "q_concurrency",
+    // round-12 additions: the quota-packing OPTIMIZE report, the
+    // two-epoch constraint-drift diff, and the value-oracled MinHash
+    // band-bucket relation
+    "q_compaction_plan", "q_dq_drift", "q_minhash_sigs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1240,6 +1240,100 @@ object AnalyticsQueries {
       graft.operators.Pareto.skyline2d(pts, "price_c", "size")
     }),
 
+    // OPTIMIZE/compaction report (the warehouse-maintenance planning
+    // query next to q_mv_refresh/q_scd2/q_table_stats; pairs with
+    // Layout.zorderWrite, which fixes WHERE rows go — this plans HOW
+    // MANY files they should live in): per source, the small-files
+    // census of a deterministic file manifest plus the sequential
+    // quota-packing plan a compactor would execute — files in manifest
+    // order fill a running byte quota and file i lands in output bin
+    // (cum_bytes_i - 1) / target (integer division), so n_output =
+    // distinct bins and each output's size is the bin's byte sum.
+    // The manifest derives deterministically from data (doc_id % 20
+    // buckets per source, bytes = sum of n_chars) because the real
+    // file-listing side is engine metadata DuckDB can't see — the
+    // PLANNING arithmetic, which is what can silently regress, is what
+    // the oracle witnesses. Scale posture: a manifest is metadata-sized
+    // (one row per FILE, not per row); the cumsum window partitions by
+    // source over ~|files/source| rows — never a single-partition
+    // stage; everything downstream of the first groupBy is file-count
+    // sized. All integer arithmetic — no float seam.
+    "q_compaction_plan" -> ((s, d) => {
+      val target = 4000L // output-file byte quota; T/2 = small-file line
+      val manifest = t(s, d, "documents")
+        .groupBy(col("source"), pmod(col("doc_id"), lit(20L)).as("file_id"))
+        .agg(sum(col("n_chars")).as("bytes"))
+      val w = Window.partitionBy(col("source")).orderBy(col("file_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val planned = manifest
+        .withColumn("cum", sum(col("bytes")).over(w))
+        // guarded floor (mirrored in the oracle): an all-empty-docs
+        // first file would put cum at 0 and (cum-1)/T at a negative
+        // fraction, where floor and toward-zero truncation disagree
+        .withColumn("bin", floor((greatest(col("cum"), lit(1L)) - 1L) /
+          lit(target.toDouble)).cast("long"))
+      val bins = planned.groupBy(col("source"), col("bin"))
+        .agg(sum(col("bytes")).as("bin_bytes"))
+      val perSource = planned.groupBy(col("source")).agg(
+        count(lit(1)).as("n_files"),
+        sum(when(col("bytes") < lit(target / 2), 1L).otherwise(0L))
+          .as("n_small"),
+        sum(col("bytes")).as("total_bytes"))
+      perSource.join(
+          bins.groupBy(col("source")).agg(
+            count(lit(1)).as("n_output_files"),
+            max(col("bin_bytes")).as("max_output_bytes")),
+          Seq("source"))
+        .orderBy(col("source"))
+    }),
+
+    // Constraint-drift diff across two epochs (the data-quality twin of
+    // q_source_drift, pointed at WAREHOUSE invariants instead of corpus
+    // profiles): split orders at a date cutoff and diff the profile a
+    // DQ gate would alarm on — row count, mean/min/max price, exact
+    // customer NDV, and the F-status share. One epoch-keyed aggregate
+    // (two groups), then a 2-row conditional collapse and a 6-row
+    // metric unpivot — everything after the first pass is constant-
+    // sized. Means/shares rounded 6dp on both engines (the float-seam
+    // contract); drift computed FROM the rounded values so the division
+    // cannot reintroduce a seam.
+    "q_dq_drift" -> ((s, d) => {
+      val cutoff = to_date(lit("1996-01-01"))
+      val byEpoch = t(s, d, "orders")
+        .withColumn("epoch",
+          when(col("o_orderdate").cast("date") < cutoff, "a").otherwise("b"))
+        .groupBy(col("epoch")).agg(
+          count(lit(1)).as("n_rows"),
+          sum(cents(col("o_totalprice"))).as("sum_c"),
+          min(cents(col("o_totalprice"))).as("min_c"),
+          max(cents(col("o_totalprice"))).as("max_c"),
+          countDistinct(col("o_custkey")).as("ndv_cust"),
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L))
+            .as("n_f"))
+      def side(e: String, c: Column): Column =
+        max(when(col("epoch") === e, c))
+      val wide = byEpoch.agg(
+        side("a", col("n_rows")).as("rows_a"), side("b", col("n_rows")).as("rows_b"),
+        round(side("a", col("sum_c")) / side("a", col("n_rows")), 6).as("mean_a"),
+        round(side("b", col("sum_c")) / side("b", col("n_rows")), 6).as("mean_b"),
+        side("a", col("min_c")).as("min_a"), side("b", col("min_c")).as("min_b"),
+        side("a", col("max_c")).as("max_a"), side("b", col("max_c")).as("max_b"),
+        side("a", col("ndv_cust")).as("ndv_a"), side("b", col("ndv_cust")).as("ndv_b"),
+        round(side("a", col("n_f")).cast("double") / side("a", col("n_rows")), 6).as("f_a"),
+        round(side("b", col("n_f")).cast("double") / side("b", col("n_rows")), 6).as("f_b"))
+      val metrics = Seq(
+        ("n_rows", col("rows_a").cast("double"), col("rows_b").cast("double")),
+        ("price_mean_c", col("mean_a"), col("mean_b")),
+        ("price_min_c", col("min_a").cast("double"), col("min_b").cast("double")),
+        ("price_max_c", col("max_a").cast("double"), col("max_b").cast("double")),
+        ("ndv_custkey", col("ndv_a").cast("double"), col("ndv_b").cast("double")),
+        ("f_status_share", col("f_a"), col("f_b")))
+      metrics.map { case (name, a, b) =>
+        wide.select(lit(name).as("metric"), a.as("epoch_a"), b.as("epoch_b"),
+          round(abs(b - a) / greatest(abs(a), lit(1e-9)), 6).as("rel_drift"))
+      }.reduce(_ unionByName _).orderBy(col("metric"))
+    }),
+
     // Sorted-neighborhood fuzzy matching (Hernández/Stolfo SNM): the
     // third candidate-generation discipline of the entity-resolution
     // family (q_fuzzy_parts = capped full in-block pairing, q_fuzzy_jw =
@@ -1790,6 +1884,77 @@ object AnalyticsQueries {
         |  UNION ALL SELECT 'tax_range', tax_range, n_rows FROM a
         |  UNION ALL SELECT 'orders_custkey_fk', n_bad, n_rows FROM fk
         |) ORDER BY "check"""".stripMargin,
+
+    "q_compaction_plan" ->
+      """WITH manifest AS (
+        |  SELECT source, doc_id % 20 AS file_id,
+        |    CAST(SUM(n_chars) AS BIGINT) AS bytes
+        |  FROM documents GROUP BY source, doc_id % 20
+        |), planned AS (
+        |  SELECT source, file_id, bytes,
+        |    SUM(bytes) OVER (PARTITION BY source ORDER BY file_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM manifest
+        |), binned AS (
+        |  SELECT *, CAST(FLOOR((GREATEST(cum, 1) - 1) / 4000.0) AS BIGINT) AS bin
+        |  FROM planned
+        |), bins AS (
+        |  SELECT source, bin, CAST(SUM(bytes) AS BIGINT) AS bin_bytes
+        |  FROM binned GROUP BY source, bin
+        |), per_source AS (
+        |  SELECT source, COUNT(*) AS n_files,
+        |    CAST(SUM(CASE WHEN bytes < 2000 THEN 1 ELSE 0 END) AS BIGINT) AS n_small,
+        |    CAST(SUM(bytes) AS BIGINT) AS total_bytes
+        |  FROM binned GROUP BY source
+        |)
+        |SELECT p.source, p.n_files, p.n_small, p.total_bytes,
+        |  b.n_output_files, b.max_output_bytes
+        |FROM per_source p JOIN (
+        |  SELECT source, COUNT(*) AS n_output_files,
+        |    CAST(MAX(bin_bytes) AS BIGINT) AS max_output_bytes
+        |  FROM bins GROUP BY source) b USING (source)
+        |ORDER BY p.source""".stripMargin,
+
+    "q_dq_drift" ->
+      """WITH e AS (
+        |  SELECT CASE WHEN CAST(o_orderdate AS DATE) < DATE '1996-01-01'
+        |           THEN 'a' ELSE 'b' END AS epoch,
+        |    CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_c,
+        |    o_custkey, o_orderstatus
+        |  FROM orders
+        |), g AS (
+        |  SELECT epoch, COUNT(*) AS n_rows,
+        |    CAST(SUM(price_c) AS BIGINT) AS sum_c,
+        |    MIN(price_c) AS min_c, MAX(price_c) AS max_c,
+        |    COUNT(DISTINCT o_custkey) AS ndv_cust,
+        |    CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f
+        |  FROM e GROUP BY epoch
+        |), w AS (
+        |  SELECT
+        |    MAX(CASE WHEN epoch='a' THEN n_rows END) AS rows_a,
+        |    MAX(CASE WHEN epoch='b' THEN n_rows END) AS rows_b,
+        |    ROUND(MAX(CASE WHEN epoch='a' THEN sum_c END) / MAX(CASE WHEN epoch='a' THEN n_rows END), 6) AS mean_a,
+        |    ROUND(MAX(CASE WHEN epoch='b' THEN sum_c END) / MAX(CASE WHEN epoch='b' THEN n_rows END), 6) AS mean_b,
+        |    MAX(CASE WHEN epoch='a' THEN min_c END) AS min_a,
+        |    MAX(CASE WHEN epoch='b' THEN min_c END) AS min_b,
+        |    MAX(CASE WHEN epoch='a' THEN max_c END) AS max_a,
+        |    MAX(CASE WHEN epoch='b' THEN max_c END) AS max_b,
+        |    MAX(CASE WHEN epoch='a' THEN ndv_cust END) AS ndv_a,
+        |    MAX(CASE WHEN epoch='b' THEN ndv_cust END) AS ndv_b,
+        |    ROUND(CAST(MAX(CASE WHEN epoch='a' THEN n_f END) AS DOUBLE) / MAX(CASE WHEN epoch='a' THEN n_rows END), 6) AS f_a,
+        |    ROUND(CAST(MAX(CASE WHEN epoch='b' THEN n_f END) AS DOUBLE) / MAX(CASE WHEN epoch='b' THEN n_rows END), 6) AS f_b
+        |  FROM g
+        |), m AS (
+        |  SELECT 'n_rows' AS metric, CAST(rows_a AS DOUBLE) AS epoch_a, CAST(rows_b AS DOUBLE) AS epoch_b FROM w
+        |  UNION ALL SELECT 'price_mean_c', mean_a, mean_b FROM w
+        |  UNION ALL SELECT 'price_min_c', CAST(min_a AS DOUBLE), CAST(min_b AS DOUBLE) FROM w
+        |  UNION ALL SELECT 'price_max_c', CAST(max_a AS DOUBLE), CAST(max_b AS DOUBLE) FROM w
+        |  UNION ALL SELECT 'ndv_custkey', CAST(ndv_a AS DOUBLE), CAST(ndv_b AS DOUBLE) FROM w
+        |  UNION ALL SELECT 'f_status_share', f_a, f_b FROM w
+        |)
+        |SELECT metric, epoch_a, epoch_b,
+        |  ROUND(ABS(epoch_b - epoch_a) / GREATEST(ABS(epoch_a), 1e-9), 6) AS rel_drift
+        |FROM m ORDER BY metric""".stripMargin,
 
     "q_lateral_topk" ->
       """SELECT c.c_custkey, o.o_orderkey, o.price_c

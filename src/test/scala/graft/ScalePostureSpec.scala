@@ -682,8 +682,7 @@ class ScalePostureSpec extends SparkTestBase {
     // the composite (block, key) — hash-on-block would cap parallelism
     // at |distinct block| (92 here) forever (the r11 verdict finding)
     val snmSort = graft.operators.SortedNeighborhood.globalSort(
-      SparkEntry.queries("q_fuzzy_snm")(spark, sf).sparkSession
-        .read.parquet(s"$sf/part")
+      Tables.load(spark, sf, "part")
         .select(col("p_name")).distinct()
         .withColumn("block", element_at(split(col("p_name"), " "), -1)),
       "block", "p_name", None)
