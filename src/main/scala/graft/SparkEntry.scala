@@ -39,7 +39,6 @@ object SparkEntry {
     "q_als_recs" -> "ALS factors not SQL-expressible; block-structure recall in RecommendSpec",
     "q_approx_distinct" -> "HLL estimate is engine-specific; rsd tolerance vs exact in IngestSpec",
     "q_hll_sketch" -> "HLL sketch bytes are engine-specific; merge/estimate invariants in scalatest",
-    "q_cosine_ann" -> "LSH buckets are Spark-hash-specific; recall>=0.6 vs oracled brute force",
     "q_cosine_ivf" -> "IVF cells from hash centroids; recall + map-only plan assertions",
     "q_cosine_ivf_km" -> "KMeans cells are fit artifacts; recall vs hash-IVF + brute force",
     "q_cosine_pq" -> "KMeans codebooks are fit artifacts; recall floor in DedupSimilaritySpec",
@@ -48,13 +47,8 @@ object SparkEntry {
     "q_ivf_cell_health" -> "cells are KMeans fit artifacts; planted-skew + shape tests in DedupSimilaritySpec",
     "q_ivf_layout_health" -> "FS-metadata file counts of the at-rest index, not expressible over the parquet tables; fresh-build shape + planted-skew trigger tests in DedupSimilaritySpec",
     "q_sample_balanced_cells" -> "KMeans cell assignment not SQL-expressible; per-cell-count + determinism spec in DedupSimilaritySpec",
-    "q_dedup_minhash" -> "minhash perm hashes are Spark-specific; planted-pair recall tests",
-    "q_dedup_simhash" -> "simhash bit mix is Spark-specific; Hamming-distance tests",
-    "q_dedup_cosine" -> "LSH bucketing Spark-specific; planted near-dup + threshold tests",
-    "q_corpus_clean_semantic" -> "LSH candidate set Spark-specific; paraphrase-chain closure test in DedupSimilaritySpec",
     "q_bpe_vocab" -> "iterative merge loop not SQL-expressible; equals independent driver-side BPE in TextSpec",
     "q_bpe_tokenize" -> "trained-merge encoding not SQL-expressible; equals independent driver-side encoder in TextSpec",
-    "q_minhash_bucket_health" -> "derives from Spark-specific banding; determinism + shape tests",
     "q_eval_map_mllib" -> "RDD-based RankingMetrics; asserted EQUAL to oracled q_eval_map_std",
     "q_fingerprint_xx" -> "xxhash64 values are Spark-specific; stability + collision tests",
     "q_media_features" -> "stub codec features; determinism + batch-shape tests in RecommendSpec",
@@ -64,6 +58,5 @@ object SparkEntry {
     "q_split_v1_report" -> "seeded sampleBy never value-matches cross-engine; partition invariant",
     "q_split_v2_report" -> "seeded per-user sample; disjointness invariants (1 row, zeros)",
     "q_quality_classifier" -> "LBFGS LR fit not SQL-expressible; accuracy floor + fit determinism + planted-gate tests in CurationSpec",
-    "q_compress_ratio" -> "zlib deflate not SQL-expressible; monotonicity (repetitive < prose < mash) + determinism tests in TextSpec",
-    "q_dedup_incremental_near" -> "minhash banding Spark-hash-specific; planted-pair + full-batch-equivalence tests in DedupSimilaritySpec")
+    "q_compress_ratio" -> "zlib deflate not SQL-expressible; monotonicity (repetitive < prose < mash) + determinism tests in TextSpec")
 }

@@ -117,8 +117,10 @@ object SimilarityQueries {
         .orderBy(col("label"))
     }),
 
-    // LSH-bucketed ANN (scale path) — rows-only; recall vs brute force
-    // asserted in scalatest
+    // LSH-bucketed ANN (scale path) — VALUE-ORACLED since r12 via the
+    // rp-signature twin (literal sign table + sequential-fold cosine:
+    // bit-identical doubles, so ranks match exactly); recall vs brute
+    // force additionally asserted in scalatest
     "q_cosine_ann" -> ((s, d) => {
       val e = emb(s, d)
       Similarity.lshTopK(e, e.filter(col("vec_id") < 10), k = 5,
@@ -270,9 +272,10 @@ object SimilarityQueries {
     // candidates, threshold tuned to this corpus's cosine range) →
     // transitive closure → per-component min-id keep set → surviving
     // documents' per-source stats (vec_id aligns 1:1 with doc_id in the
-    // fixture). Rows-only (LSH candidate set is Spark-hash-specific);
-    // the planted paraphrase-chain closure is asserted in
-    // DedupSimilaritySpec.
+    // fixture). VALUE-ORACLED since r12: the rp-banding twin + capped
+    // pairs + exact cosine + a recursive-UNION closure mirror the whole
+    // composition in DuckDB; the planted paraphrase-chain closure is
+    // additionally asserted in DedupSimilaritySpec.
     "q_corpus_clean_semantic" -> ((s, d) => {
       val e = emb(s, d)
       // 8×6-bit banding: 64 buckets per band keeps the candidate volume
@@ -292,8 +295,10 @@ object SimilarityQueries {
         .orderBy(col("source"))
     }),
 
-    // embedding-cosine near-dup candidate pairs (LSH) — top-50 by cosine,
-    // rows-only (bucketing is Spark-hash-specific)
+    // embedding-cosine near-dup candidate pairs (LSH) — top-50 by
+    // cosine. VALUE-ORACLED since r12: the rp-signature twin + the
+    // ROW_NUMBER mirror of the bucket cap + the sequential-fold cosine
+    // reproduce the pair set AND the unrounded-cosine cut line exactly
     "q_dedup_cosine" -> ((s, d) => {
       // top-50 via orderBy+limit (TakeOrdered — per-partition heaps), not a
       // global ranking window: no single-partition WindowExec in the plan
@@ -384,11 +389,210 @@ object SimilarityQueries {
     })
   )
 
+  /** Driver-side twin of RandomProjectionSignature's splitmix mix —
+    * used only to GENERATE the oracle's literal sign table (the signs
+    * depend on (seed, j, i) alone, so they are constants, not data).
+    */
+  private def rpMix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** The random-projection LSH twin shared by q_dedup_cosine /
+    * q_cosine_ann (bands=16, bandBits=4) and q_corpus_clean_semantic
+    * (bands=8, bandBits=6), all seed=42 over the 64-dim fixture: bit j
+    * of a vector's signature is the sign of Σ_i emb[i]·sgn(seed,j,i),
+    * where the ±1 signs come from the splitmix avalanche — generated
+    * here as a LITERAL table (j, 2^j as HUGEINT, sign array) since
+    * they are pure constants; only the bands·bandBits bits the banding
+    * extracts are generated (rp_signature computes exactly that many).
+    * The accumulation is a SEQUENTIAL list_reduce in index order, so
+    * the doubles are bit-identical to the Spark expression's loop
+    * (float×±1 is exact; the adds happen in the same order) — the
+    * sign of a near-zero sum cannot flip between engines. Band b's
+    * bucket = (sig >> bandBits·b) & (2^bandBits − 1) =
+    * (usig // 2^(bandBits·b)) % 2^bandBits over the unsigned residue
+    * (the arithmetic-vs-logical shift difference is masked away).
+    * Exposes `rp_buckets(vec_id, band, bucket)`. Dim contract: sign
+    * arrays cover i < 64 — exactly the fixture's embedding width.
+    */
+  private def rpCte(bands: Int, bandBits: Int): String = {
+    val bits = bands * bandBits
+    val signRows = (0 until bits).map { j =>
+      val sgn = (0 until 64).map { i =>
+        if ((rpMix(42L * 0x100000001L + j.toLong * 0x10001L + i) & 1L) == 0L)
+          "1.0" else "-1.0"
+      }.mkString("[", ", ", "]")
+      s"($j, CAST('${BigInt(1) << j}' AS HUGEINT), $sgn)"
+    }.mkString(", ")
+    val bandRows = (0 until bands)
+      .map(b => s"($b, CAST('${BigInt(1) << (bandBits * b)}' AS HUGEINT))")
+      .mkString(", ")
+    val mask = 1L << bandBits
+    s"""rp_s(j, pw, sgn) AS (VALUES $signRows),
+       |rp_bands(band, bpw) AS (VALUES $bandRows),
+       |rp_acc AS (
+       |  SELECT e.vec_id, rp_s.j, rp_s.pw,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      [CAST(e.embedding[i+1] AS DOUBLE) * sgn[i+1]
+       |       FOR i IN range(0, len(e.embedding))]),
+       |      (a, b) -> a + b) AS a
+       |  FROM embeddings e, rp_s
+       |),
+       |rp_sig AS (
+       |  SELECT vec_id,
+       |    SUM(CASE WHEN a >= 0 THEN pw ELSE CAST(0 AS HUGEINT) END) AS usig
+       |  FROM rp_acc GROUP BY vec_id
+       |),
+       |rp_buckets AS (
+       |  SELECT s.vec_id, CAST(b.band AS BIGINT) AS band,
+       |    CAST((s.usig // b.bpw) % $mask AS BIGINT) AS bucket
+       |  FROM rp_sig s, rp_bands b
+       |)""".stripMargin
+  }
+
+  /** The capped in-bucket pairing mirror (cappedKeyedPairs with
+    * cap 256 over `rp_buckets`) + exact sequential-fold cosine —
+    * shared by every rp-banding oracle. Exposes `scored(id_a, id_b,
+    * cos)` with the bit-identical unrounded cosine.
+    */
+  private def rpScoredCte: String =
+    s"""numbered AS (
+       |  SELECT vec_id AS id, band, bucket,
+       |    ROW_NUMBER() OVER (PARTITION BY band, bucket ORDER BY vec_id) AS rn,
+       |    MIN(vec_id) OVER (PARTITION BY band, bucket) AS mn
+       |  FROM rp_buckets
+       |),
+       |expanded AS (
+       |  SELECT a.id AS id_a, b.id AS id_b
+       |  FROM numbered a JOIN numbered b
+       |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+       |   AND a.rn <= 256 AND b.rn <= 256
+       |),
+       |overflow AS (
+       |  SELECT mn AS id_a, id AS id_b FROM numbered WHERE rn > 256
+       |),
+       |cand AS (
+       |  SELECT DISTINCT id_a, id_b
+       |  FROM (SELECT * FROM expanded UNION ALL SELECT * FROM overflow)
+       |),
+       |parts AS (
+       |  SELECT c.id_a, c.id_b,
+       |    ${duckCosParts("ea.embedding", "eb.embedding")}
+       |  FROM cand c
+       |  JOIN embeddings ea ON ea.vec_id = c.id_a
+       |  JOIN embeddings eb ON eb.vec_id = c.id_b
+       |),
+       |scored AS (
+       |  SELECT id_a, id_b,
+       |    CASE WHEN nx = 0.0 OR ny = 0.0 THEN 0.0
+       |         ELSE dot / sqrt(nx * ny) END AS cos
+       |  FROM parts
+       |)""".stripMargin
+
+  /** DuckDB twin of the CosineSimilarity expression's exact arithmetic:
+    * per index a FLOAT32 multiply (DuckDB FLOAT*FLOAT stays FLOAT, as
+    * Java's `xi * yi` does) widened to DOUBLE and folded SEQUENTIALLY —
+    * the same IEEE op sequence, so the doubles (and therefore any
+    * ordering on them) are bit-identical. `a`/`b` must be FLOAT[]
+    * columns.
+    */
+  private def duckCosParts(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      [CAST($a[i+1] * $b[i+1] AS DOUBLE)
+       |       FOR i IN range(0, least(len($a), len($b)))]),
+       |      (x, y) -> x + y) AS dot,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      [CAST($a[i+1] * $a[i+1] AS DOUBLE)
+       |       FOR i IN range(0, least(len($a), len($b)))]),
+       |      (x, y) -> x + y) AS nx,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      [CAST($b[i+1] * $b[i+1] AS DOUBLE)
+       |       FOR i IN range(0, least(len($a), len($b)))]),
+       |      (x, y) -> x + y) AS ny""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     // the two serving paths share one join implementation and one model,
     // so their symmetric difference is the constant 0 — the oracle pins
     // exactly that
     "q_cosine_ivfpq_paths_agree" -> "SELECT CAST(0 AS BIGINT) AS n_diff",
+
+    // embedding-cosine LSH near-dup pairs (DE-EXEMPTED r12): the
+    // rp-signature twin generates the exact banding, cappedKeyedPairs
+    // mirrored with ROW_NUMBER (cap 256 + overflow star-attach), and
+    // the top-50 cut orders by the BIT-IDENTICAL unrounded cosine
+    // before the 6dp output round — so even the cut line matches.
+    "q_dedup_cosine" ->
+      s"""WITH ${rpCte(16, 4)},
+         |$rpScoredCte
+         |SELECT id_a, id_b, ROUND(cos, 6) AS cos_r
+         |FROM scored
+         |ORDER BY cos DESC, id_a, id_b LIMIT 50""".stripMargin,
+
+    // the composed semantic-dedup pipeline (DE-EXEMPTED r12): the
+    // 8×6-bit banding twin + capped pairs + exact cosine >= 0.45, then
+    // the min-id transitive closure as a recursive UNION (the
+    // q_er_clusters cycle-safe pattern), demoted = nodes whose
+    // component min is another id, survivors join documents (vec_id
+    // aligns 1:1 with doc_id in the fixture) for per-source stats.
+    "q_corpus_clean_semantic" ->
+      s"""WITH RECURSIVE ${rpCte(8, 6)},
+         |$rpScoredCte,
+         |m AS (SELECT id_a, id_b FROM scored WHERE cos >= 0.45),
+         |ed AS (
+         |  SELECT id_a AS src, id_b AS dst FROM m
+         |  UNION ALL SELECT id_b AS src, id_a AS dst FROM m
+         |),
+         |reach(id, cur) AS (
+         |  SELECT src, src FROM ed
+         |  UNION
+         |  SELECT re.id, ed.dst FROM reach re JOIN ed ON re.cur = ed.src
+         |),
+         |lab AS (SELECT id, MIN(cur) AS comp FROM reach GROUP BY id),
+         |demoted AS (SELECT id FROM lab WHERE comp <> id)
+         |SELECT d.source, COUNT(*) AS n_docs,
+         |  CAST(SUM(d.n_chars) AS BIGINT) AS n_chars_total
+         |FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT id FROM demoted)
+         |  AND d.doc_id IN (SELECT vec_id FROM embeddings)
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    // LSH-bucketed ANN (DE-EXEMPTED r12): query buckets (vec_id < 10)
+    // join corpus buckets, distinct candidates, exact cosine rerank,
+    // per-query rank over the bit-identical unrounded cosine
+    "q_cosine_ann" ->
+      s"""WITH ${rpCte(16, 4)},
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM rp_buckets q JOIN rp_buckets c
+         |    ON q.band = c.band AND q.bucket = c.bucket
+         |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+         |),
+         |parts AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    ${duckCosParts("eq.embedding", "ec.embedding")}
+         |  FROM cand c
+         |  JOIN embeddings eq ON eq.vec_id = c.query_id
+         |  JOIN embeddings ec ON ec.vec_id = c.neighbor_id
+         |),
+         |scored AS (
+         |  SELECT query_id, neighbor_id,
+         |    CASE WHEN nx = 0.0 OR ny = 0.0 THEN 0.0
+         |         ELSE dot / sqrt(nx * ny) END AS cos
+         |  FROM parts
+         |),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, neighbor_id) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+         |  ROUND(cos, 6) AS cos_r
+         |FROM ranked WHERE rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
 
     "q_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv

@@ -253,11 +253,15 @@ object TextQueries {
     // (Unigram shingles over the small shared vocabulary make ~72% of ALL
     // pairs candidates — the mis-tuned-LSH failure mode: measured 90,303
     // candidates among 500 docs where the true ≥0.8 near-dup count is 25.)
-    // Pair set depends on the banding hash → rows-only + scalatest recall.
+    // VALUE-ORACLED since r12: the banding twin (oracleSql minhashCte)
+    // plus a ROW_NUMBER mirror of the cappedKeyedPairs algebra rebuilds
+    // the exact pair set in DuckDB — the flagship dedup family is
+    // hash-matched end-to-end, not just recall-tested.
     "q_dedup_minhash" -> ((s, d) => {
       Dedup.minhashNearDups(docs(s, d), threshold = 0.8,
         nShingle = 3, bands = 8, rowsPerBand = 4)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
     }),
 
     // MinHash band buckets, VALUE-ORACLED (r11 worklist #6 — the
@@ -1291,7 +1295,8 @@ object TextQueries {
     // incremental NEAR-dup maintenance: docs with doc_id%10==3 play the
     // incoming batch, the rest the indexed corpus — batch bucket rows
     // join the persisted ids-only index, Jaccard verify fetches shingles
-    // by matched id. Rows-only (banding is Spark-hash-specific);
+    // by matched id. VALUE-ORACLED since r12 via the banding twin
+    // (bucket-join candidates + exact Jaccard, mirrored in DuckDB);
     // planted-pair + full-batch-equivalence tests in DedupSimilaritySpec.
     "q_dedup_incremental_near" -> ((s, d) => {
       val base = docs(s, d)
@@ -1305,13 +1310,17 @@ object TextQueries {
     // bucketStats over the REAL minhash banding (the production health
     // check next to the SQL-mirrored q_bucket_stats): on a sane corpus
     // with threshold-tuned banding, n_truncated must be 0 — a nonzero
-    // value is the retune-your-banding alarm. Rows-only (xxhash banding
-    // is not SQL-expressible) but fully deterministic.
+    // value is the retune-your-banding alarm. VALUE-ORACLED since r12
+    // via the banding twin (group sizes over mh_buckets).
     "q_minhash_bucket_health" -> ((s, d) => {
       Dedup.bucketStats(Dedup.minhashBuckets(docs(s, d)), maxBucket = 256)
     }),
 
-    // SimHash signatures (custom codegen'd expression) — rows-only
+    // SimHash signatures (custom codegen'd expression) — VALUE-ORACLED
+    // since r12: the fnv64/±1-bit-count arithmetic has a mod-2^64
+    // HUGEINT twin in oracleSql (the q_minhash_sigs pattern), so the
+    // signatures themselves hash-match DuckDB, exact integers
+    // end-to-end
     "q_dedup_simhash" -> ((s, d) => {
       docs(s, d).select(
         col("doc_id"),
@@ -1436,7 +1445,7 @@ object TextQueries {
   )
 
   /** mod-2^64 wrapping multiply `a * b` in DuckDB HUGEINT for the
-    * q_minhash_sigs oracle: `a` split into 32-bit halves so no
+    * hash-twin oracles: `a` split into 32-bit halves so no
     * intermediate exceeds ~2^97 (signed HUGEINT caps at 2^127 — a
     * direct product of two 64-bit residues would overflow). Operands
     * are unsigned residues in [0, 2^64); `b` a literal constant.
@@ -1445,63 +1454,198 @@ object TextQueries {
     s"(((($a) % 4294967296) * $b + (((($a) // 4294967296) * $b) % 4294967296)" +
       s" * 4294967296) % 18446744073709551616)"
 
+  /** The MinHash banding twin, shared by every oracle that consumes the
+    * REAL banding (q_minhash_sigs, q_minhash_bucket_health,
+    * q_dedup_minhash, q_dedup_incremental_near): the permutation-hash
+    * arithmetic of MinHashBandBuckets unrolled over `documents` —
+    * per shingle fnv64 over its bytes (ASCII fixture ⇒ codepoints ARE
+    * the bytes — asserted in TextSpec), per hash function j the
+    * splitmix avalanche of base ^ (seed + j·golden), minima taken over
+    * SIGNED longs (the Spark comparison), then the per-band FNV fold.
+    * All values carried as unsigned HUGEINT residues; logical
+    * shift-right = floor division (residues are nonnegative); the
+    * staged CTEs (h0..h3) keep each splitmix step referencing a COLUMN
+    * so the split-multiply's textual duplication never compounds.
+    * Exposes `mh_shingles(doc_id, shs)` (the distinct shingle list) and
+    * `mh_buckets(doc_id, band BIGINT, bucket BIGINT signed)`.
+    */
+  private def minhashCte: String =
+    s"""mh_t AS (SELECT doc_id, $duckToks AS tk FROM documents),
+       |mh_shingles AS (
+       |  SELECT doc_id, list_distinct(
+       |    CASE WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+       |         WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+       |         ELSE [array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)]
+       |    END) AS shs
+       |  FROM mh_t
+       |),
+       |mh_sh AS (SELECT doc_id, UNNEST(shs) AS g FROM mh_shingles),
+       |mh_base AS (
+       |  SELECT doc_id, list_reduce(
+       |    list_prepend(CAST(14695981039346656037 AS HUGEINT),
+       |      list_transform(string_split(g, ''), c -> CAST(unicode(c) AS HUGEINT))),
+       |    (h, b) -> ${mm64("xor(h, b)", "1099511628211")}) AS base
+       |  FROM mh_sh
+       |),
+       |mh_h0 AS (
+       |  SELECT doc_id, j, xor(base,
+       |    (42 + CAST(j AS HUGEINT) * 11400714819323198485) % 18446744073709551616) AS v
+       |  FROM mh_base, (SELECT UNNEST(range(32)) AS j)
+       |),
+       |mh_h1 AS (SELECT doc_id, j, ${mm64("xor(v, v // 1073741824)", "13787848793156543929")} AS z1 FROM mh_h0),
+       |mh_h2 AS (SELECT doc_id, j, ${mm64("xor(z1, z1 // 134217728)", "10723151780598845931")} AS z2 FROM mh_h1),
+       |mh_h3 AS (SELECT doc_id, j, xor(z2, z2 // 2147483648) AS z FROM mh_h2),
+       |mh_mins AS (
+       |  SELECT doc_id, j,
+       |    MIN(CAST(CASE WHEN z >= 9223372036854775808
+       |      THEN z - 18446744073709551616 ELSE z END AS BIGINT)) AS ms
+       |  FROM mh_h3 GROUP BY doc_id, j
+       |),
+       |mh_bands AS (
+       |  SELECT doc_id, j // 4 AS band,
+       |    list(CASE WHEN ms < 0 THEN CAST(ms AS HUGEINT) + 18446744073709551616
+       |      ELSE CAST(ms AS HUGEINT) END ORDER BY j) AS mu
+       |  FROM mh_mins GROUP BY doc_id, j // 4
+       |),
+       |mh_folded AS (
+       |  SELECT doc_id, band, list_reduce(
+       |    list_prepend(CAST(14695981039346656037 AS HUGEINT), mu),
+       |    (h, m) -> ${mm64("xor(h, m)", "1099511628211")}) AS bu
+       |  FROM mh_bands
+       |),
+       |mh_buckets AS (
+       |  SELECT doc_id, CAST(band AS BIGINT) AS band,
+       |    CAST(CASE WHEN bu >= 9223372036854775808
+       |      THEN bu - 18446744073709551616 ELSE bu END AS BIGINT) AS bucket
+       |  FROM mh_folded
+       |)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
-    // the permutation-hash arithmetic of MinHashBandBuckets, unrolled:
-    // per shingle fnv64 over its bytes (ASCII fixture ⇒ codepoints ARE
-    // the bytes — asserted in TextSpec), per hash function j the
-    // splitmix avalanche of base ^ (seed + j·golden), minima taken over
-    // SIGNED longs (the Spark `<`), then the per-band FNV fold of the
-    // 4 minima. All values carried as unsigned HUGEINT residues; logical
-    // shift-right = floor division (residues are nonnegative); the
-    // staged CTEs (h0..h3) keep each splitmix step referencing a COLUMN
-    // so the split-multiply's textual duplication never compounds.
+    // the real banding's (doc, band, bucket) relation — see [[minhashCte]]
     "q_minhash_sigs" ->
-      s"""WITH t AS (SELECT doc_id, $duckToks AS tk FROM documents),
-         |sh AS (
-         |  SELECT doc_id, UNNEST(list_distinct(
-         |    CASE WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
-         |         WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
-         |         ELSE [array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)]
-         |    END)) AS g
-         |  FROM t
+      s"""WITH $minhashCte
+         |SELECT doc_id, band, bucket
+         |FROM mh_buckets ORDER BY doc_id, band""".stripMargin,
+
+    // bucketStats over the REAL banding (DE-EXEMPTED r12): group sizes
+    // from the twin's bucket relation, the same four aggregates
+    "q_minhash_bucket_health" ->
+      s"""WITH $minhashCte,
+         |sizes AS (
+         |  SELECT band, bucket, COUNT(*) AS n
+         |  FROM mh_buckets GROUP BY band, bucket
+         |)
+         |SELECT COUNT(*) AS n_buckets, MAX(n) AS max_bucket,
+         |  CAST(SUM(CASE WHEN n > 256 THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
+         |  CAST(SUM(CASE WHEN n > 256 THEN n - 256 ELSE 0 END) AS BIGINT) AS ids_dropped
+         |FROM sizes""".stripMargin,
+
+    // the FULL LSH near-dup flow (DE-EXEMPTED r12): capped in-bucket
+    // pairing (first 256 ids per (band,bucket) pair fully, overflow
+    // star-attaches to the bucket min — the cappedKeyedPairs algebra,
+    // mirrored with ROW_NUMBER exactly like q_bucket_pairs_capped),
+    // distinct pairs, exact Jaccard over the distinct shingle lists,
+    // threshold on the UNROUNDED value (small-int division is
+    // IEEE-identical cross-engine), 6dp round at output only.
+    "q_dedup_minhash" ->
+      s"""WITH $minhashCte,
+         |numbered AS (
+         |  SELECT doc_id AS id, band, bucket,
+         |    ROW_NUMBER() OVER (PARTITION BY band, bucket ORDER BY doc_id) AS rn,
+         |    MIN(doc_id) OVER (PARTITION BY band, bucket) AS mn
+         |  FROM mh_buckets
          |),
-         |base AS (
+         |expanded AS (
+         |  SELECT a.id AS id_a, b.id AS id_b
+         |  FROM numbered a JOIN numbered b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+         |   AND a.rn <= 256 AND b.rn <= 256
+         |),
+         |overflow AS (
+         |  SELECT mn AS id_a, id AS id_b FROM numbered WHERE rn > 256
+         |),
+         |cand AS (
+         |  SELECT DISTINCT id_a, id_b
+         |  FROM (SELECT * FROM expanded UNION ALL SELECT * FROM overflow)
+         |),
+         |j AS (
+         |  SELECT c.id_a, c.id_b,
+         |    CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE) AS inter,
+         |    CAST(len(sa.shs) + len(sb.shs) AS DOUBLE) AS tot
+         |  FROM cand c
+         |  JOIN mh_shingles sa ON sa.doc_id = c.id_a
+         |  JOIN mh_shingles sb ON sb.doc_id = c.id_b
+         |)
+         |SELECT id_a, id_b,
+         |  ROUND(inter / (tot - inter), 6) AS jaccard
+         |FROM j
+         |WHERE tot - inter > 0 AND inter / (tot - inter) >= 0.8
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // incremental near-dup maintenance (DE-EXEMPTED r12): the
+    // doc_id%10==3 batch's buckets join the corpus buckets on
+    // (band, bucket) — NO cap on this path (the index join is ids-only
+    // and verify-bounded) — distinct (new, corpus) pairs, Jaccard >= 0.5
+    "q_dedup_incremental_near" ->
+      s"""WITH $minhashCte,
+         |cand AS (
+         |  SELECT DISTINCT nb.doc_id AS new_id, cb.doc_id AS corpus_id
+         |  FROM mh_buckets nb JOIN mh_buckets cb
+         |    ON nb.band = cb.band AND nb.bucket = cb.bucket
+         |  WHERE nb.doc_id % 10 = 3 AND cb.doc_id % 10 <> 3
+         |),
+         |j AS (
+         |  SELECT c.new_id, c.corpus_id,
+         |    CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE) AS inter,
+         |    CAST(len(sa.shs) + len(sb.shs) AS DOUBLE) AS tot
+         |  FROM cand c
+         |  JOIN mh_shingles sa ON sa.doc_id = c.new_id
+         |  JOIN mh_shingles sb ON sb.doc_id = c.corpus_id
+         |)
+         |SELECT new_id, corpus_id,
+         |  ROUND(inter / (tot - inter), 6) AS j_r
+         |FROM j
+         |WHERE tot - inter > 0 AND inter / (tot - inter) >= 0.5
+         |ORDER BY new_id, corpus_id""".stripMargin,
+
+    // SimHash64 unrolled (DE-EXEMPTED r12, the q_minhash_sigs move
+    // applied to the other hash-derived dedup family): per token fnv64
+    // (same char-as-byte contract, ASCII-asserted), per bit j the ±1
+    // count over tokens, bit set iff count >= 0 (the Spark tie
+    // convention — a token-less doc therefore signs every bit: -1).
+    // Bit powers ride a generated 64-row literal table (exact HUGEINT
+    // constants; 2^63 overflows BIGINT) so no float power is involved.
+    "q_dedup_simhash" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS tk FROM documents),
+         |tok AS (SELECT doc_id, UNNEST(tk) AS w FROM t),
+         |h AS (
          |  SELECT doc_id, list_reduce(
          |    list_prepend(CAST(14695981039346656037 AS HUGEINT),
-         |      list_transform(string_split(g, ''), c -> CAST(unicode(c) AS HUGEINT))),
-         |    (h, b) -> ${mm64("xor(h, b)", "1099511628211")}) AS base
-         |  FROM sh
+         |      list_transform(string_split(w, ''), c -> CAST(unicode(c) AS HUGEINT))),
+         |    (hh, b) -> ${mm64("xor(hh, b)", "1099511628211")}) AS h
+         |  FROM tok
          |),
-         |h0 AS (
-         |  SELECT doc_id, j, xor(base,
-         |    (42 + CAST(j AS HUGEINT) * 11400714819323198485) % 18446744073709551616) AS v
-         |  FROM base, (SELECT UNNEST(range(32)) AS j)
-         |),
-         |h1 AS (SELECT doc_id, j, ${mm64("xor(v, v // 1073741824)", "13787848793156543929")} AS z1 FROM h0),
-         |h2 AS (SELECT doc_id, j, ${mm64("xor(z1, z1 // 134217728)", "10723151780598845931")} AS z2 FROM h1),
-         |h3 AS (SELECT doc_id, j, xor(z2, z2 // 2147483648) AS z FROM h2),
-         |mins AS (
+         |pows(j, pw) AS (VALUES ${(0 until 64)
+             .map(j => s"(${j}, CAST('${BigInt(1) << j}' AS HUGEINT))")
+             .mkString(", ")}),
+         |bits AS (
          |  SELECT doc_id, j,
-         |    MIN(CAST(CASE WHEN z >= 9223372036854775808
-         |      THEN z - 18446744073709551616 ELSE z END AS BIGINT)) AS ms
-         |  FROM h3 GROUP BY doc_id, j
+         |    SUM(CASE WHEN (h // pw) % 2 = 1 THEN 1 ELSE -1 END) AS cnt,
+         |    MAX(pw) AS pw2
+         |  FROM h, pows GROUP BY doc_id, j
          |),
-         |bands AS (
-         |  SELECT doc_id, j // 4 AS band,
-         |    list(CASE WHEN ms < 0 THEN CAST(ms AS HUGEINT) + 18446744073709551616
-         |      ELSE CAST(ms AS HUGEINT) END ORDER BY j) AS mu
-         |  FROM mins GROUP BY doc_id, j // 4
-         |),
-         |folded AS (
-         |  SELECT doc_id, band, list_reduce(
-         |    list_prepend(CAST(14695981039346656037 AS HUGEINT), mu),
-         |    (h, m) -> ${mm64("xor(h, m)", "1099511628211")}) AS bu
-         |  FROM bands
+         |sig AS (
+         |  SELECT doc_id,
+         |    SUM(CASE WHEN cnt >= 0 THEN pw2 ELSE CAST(0 AS HUGEINT) END) AS usig
+         |  FROM bits GROUP BY doc_id
          |)
-         |SELECT doc_id, CAST(band AS BIGINT) AS band,
-         |  CAST(CASE WHEN bu >= 9223372036854775808
-         |    THEN bu - 18446744073709551616 ELSE bu END AS BIGINT) AS bucket
-         |FROM folded ORDER BY doc_id, band""".stripMargin,
+         |SELECT d.doc_id,
+         |  CAST(CASE WHEN s.usig IS NULL THEN -1
+         |    WHEN s.usig >= 9223372036854775808 THEN s.usig - 18446744073709551616
+         |    ELSE s.usig END AS BIGINT) AS simhash
+         |FROM (SELECT DISTINCT doc_id FROM documents) d
+         |LEFT JOIN sig s USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q_token_count" ->
       s"""SELECT doc_id,
