@@ -505,6 +505,132 @@ object Graph {
     spark.createDataFrame(spark.sparkContext.parallelize(out.toSeq, 1), schema)
   }
 
+  /** k-core peel curve: `rounds` synchronous peeling rounds over an
+    * undirected graph given as canonical `(u, v)` edge rows (u < v,
+    * distinct). Round r drops every node whose degree in the round-r−1
+    * SURVIVING subgraph is below `k` (the standard synchronous peel —
+    * after enough rounds the fixpoint is exactly the k-core), and
+    * reports one row per round: `(round, n_nodes, n_edges)` with
+    * `n_nodes` = distinct endpoints of the surviving edge set (an
+    * alive node whose last neighbor died counts as gone — it has no
+    * edge left to carry it into the core). Round 0 is the unpeeled
+    * census. Exact integer counts — zero float seam, so the fixed-round
+    * unrolled-CTE oracle (the q_sssp / q_kmeans_steps convention)
+    * matches bit-for-bit.
+    *
+    * Scale shape (the [[sssp]] conventions): edges checkpointed per
+    * round (each round references its edge set three times — degree
+    * union, u-semi-join, v-semi-join — the HITS double-reference
+    * lesson); per round ONE map-side-combinable degree aggregate and
+    * TWO hash semi-joins against the ids-only `alive` relation; only
+    * node-sized relations move besides the surviving edges themselves,
+    * and the fixed round count bounds the plan. Same [[Guarded.iterate]]
+    * driver fast path below `localThreshold` edges, with the identical
+    * peel as an array loop.
+    */
+  def kcorePeel(edges: DataFrame, k: Int, rounds: Int,
+                localThreshold: Long = 2000000L): DataFrame = {
+    require(k >= 1, s"k $k"); require(rounds >= 0, s"rounds $rounds")
+    Guarded.iterate(edges.select(col("u"), col("v")), localThreshold) {
+      (e, _) => kcoreLocal(e, k, rounds)
+    } { (e0, m0) =>
+      val spark = e0.sparkSession
+      val curve = scala.collection.mutable.ArrayBuffer.empty[Row]
+      var e = e0.repartition(col("u")).localCheckpoint(true)
+      var m = m0
+      def nNodes(df: DataFrame): Long =
+        df.select(col("u").as("n")).unionAll(df.select(col("v").as("n")))
+          .distinct().count()
+      curve += Row(0L, nNodes(e), m)
+      var r = 1
+      while (r <= rounds) {
+        // empty-set fast exit: every further round is (r, 0, 0) — emit
+        // the constant tail without launching 3 jobs per dead round
+        if (m == 0L) { curve += Row(r.toLong, 0L, 0L) }
+        else {
+          val alive = e.select(col("u").as("node"))
+            .unionAll(e.select(col("v").as("node")))
+            .groupBy(col("node")).agg(count(lit(1)).as("dg"))
+            .filter(col("dg") >= k).select(col("node"))
+          e = e
+            .join(alive.select(col("node").as("u")), Seq("u"), "left_semi")
+            .join(alive.select(col("node").as("v")), Seq("v"), "left_semi")
+            // using-columns joins reorder the schema (the r7 trap) —
+            // re-pin the canonical column order before the checkpoint
+            .select(col("u"), col("v"))
+            .localCheckpoint(true)
+          m = e.count()
+          curve += Row(r.toLong, if (m == 0L) 0L else nNodes(e), m)
+        }
+        r += 1
+      }
+      val schema = StructType(Seq(
+        StructField("round", org.apache.spark.sql.types.LongType, false),
+        StructField("n_nodes", org.apache.spark.sql.types.LongType, false),
+        StructField("n_edges", org.apache.spark.sql.types.LongType, false)))
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(curve.toSeq, 1), schema)
+    }
+  }
+
+  /** The identical synchronous peel as a driver array loop — the
+    * [[localRun]] twin for [[kcorePeel]]. Node ids stay opaque hash
+    * keys; counts are a pure function of the collected edge list.
+    */
+  private def kcoreLocal(e: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val spark = e.sparkSession
+    val rows = e.collect() // bounded by the caller's localThreshold guard
+    val idx = new java.util.HashMap[Any, Integer]()
+    def ix(a: Any): Int = {
+      var i = idx.get(a)
+      if (i == null) { i = idx.size(); idx.put(a, i) }
+      i.intValue()
+    }
+    val m = rows.length
+    val ua = new Array[Int](m); val va = new Array[Int](m)
+    var i = 0
+    while (i < m) { ua(i) = ix(rows(i).get(0)); va(i) = ix(rows(i).get(1)); i += 1 }
+    val n = idx.size()
+    var eAlive = Array.fill(m)(true)
+    def census: (Long, Long) = {
+      val seen = new Array[Boolean](n)
+      var ne = 0L; var nn = 0L; var j = 0
+      while (j < m) {
+        if (eAlive(j)) {
+          ne += 1
+          if (!seen(ua(j))) { seen(ua(j)) = true; nn += 1 }
+          if (!seen(va(j))) { seen(va(j)) = true; nn += 1 }
+        }
+        j += 1
+      }
+      (nn, ne)
+    }
+    val curve = scala.collection.mutable.ArrayBuffer.empty[Row]
+    val c0 = census; curve += Row(0L, c0._1, c0._2)
+    var r = 1
+    while (r <= rounds) {
+      val deg = new Array[Long](n)
+      var j = 0
+      while (j < m) {
+        if (eAlive(j)) { deg(ua(j)) += 1; deg(va(j)) += 1 }
+        j += 1
+      }
+      j = 0
+      while (j < m) {
+        if (eAlive(j) && (deg(ua(j)) < k || deg(va(j)) < k)) eAlive(j) = false
+        j += 1
+      }
+      val c = census; curve += Row(r.toLong, c._1, c._2)
+      r += 1
+    }
+    val schema = StructType(Seq(
+      StructField("round", org.apache.spark.sql.types.LongType, false),
+      StructField("n_nodes", org.apache.spark.sql.types.LongType, false),
+      StructField("n_edges", org.apache.spark.sql.types.LongType, false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(curve.toSeq, 1), schema)
+  }
+
   /** The identical recurrence as a driver array loop — see the fast-path
     * note on [[pageRank]]. Node ids stay whatever type the caller used
     * (keys in a hash index); first-seen order assigns indices, so the

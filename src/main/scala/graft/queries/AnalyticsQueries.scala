@@ -27,6 +27,26 @@ object AnalyticsQueries {
     * the three engine queries and their oracles can never drift on the
     * block key or the cap (the directedTradeEdges discipline).
     */
+  /** The co-purchase part graph shared by q_triangles and q_kcore (ONE
+    * definition so the two censuses and their oracles agree on the edge
+    * set): parts co-occurring in ≥2 orders, per-order fan capped at the
+    * first 20 parts (the min-support + cap discipline that keeps a
+    * co-occurrence build from going quadratic on a hot order).
+    */
+  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
+    val lp = t(s, d, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val wcap = Window.partitionBy(col("l_orderkey")).orderBy(col("l_partkey"))
+    val capped = lp.withColumn("rn", row_number().over(wcap))
+      .filter(col("rn") <= 20).select(col("l_orderkey"), col("l_partkey"))
+    capped.select(col("l_orderkey"), col("l_partkey").as("u"))
+      .join(capped.select(col("l_orderkey"), col("l_partkey").as("v")),
+        Seq("l_orderkey"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("sup"))
+      .filter(col("sup") >= 2).select(col("u"), col("v"))
+  }
+
   private def blockedPartPairs(s: SparkSession, d: String): DataFrame = {
     val names = t(s, d, "part").select(col("p_name")).distinct()
       .withColumn("block", element_at(split(col("p_name"), " "), -1))
@@ -1024,21 +1044,26 @@ object AnalyticsQueries {
     // quadratically). The one double (gcc = 3·tri/wedges) is a single
     // IEEE multiply+divide over exact integers on both engines, 6dp.
     "q_triangles" -> ((s, d) => {
-      val lp = t(s, d, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val wcap = Window.partitionBy(col("l_orderkey")).orderBy(col("l_partkey"))
-      val capped = lp.withColumn("rn", row_number().over(wcap))
-        .filter(col("rn") <= 20).select(col("l_orderkey"), col("l_partkey"))
-      val edges = capped.select(col("l_orderkey"), col("l_partkey").as("u"))
-        .join(capped.select(col("l_orderkey"), col("l_partkey").as("v")),
-          Seq("l_orderkey"))
-        .filter(col("u") < col("v"))
-        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("sup"))
-        .filter(col("sup") >= 2).select(col("u"), col("v"))
-      graft.operators.Graph.triangleStats(edges)
+      graft.operators.Graph.triangleStats(coPurchaseEdges(s, d))
         .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
           col("n_triangles"), round(col("gcc"), 6).as("gcc_r"))
     }),
+
+    // k-core decomposition (fixed-round synchronous peel, k=3 over the
+    // q_triangles co-purchase graph — ONE edge definition shared via
+    // coPurchaseEdges so the two graph censuses can never drift): each
+    // round drops every node below degree 3 in the SURVIVING subgraph
+    // and reports the peel curve (round, n_nodes, n_edges) — the
+    // community-density census next to the triangle census. Exact
+    // integer counts (the zero-float-seam family with q_sssp), so the
+    // unrolled 6-round CTE oracle matches bit-for-bit; Graph.kcorePeel
+    // owns the scale shape (per-round degree aggregate + two ids-only
+    // hash semi-joins, per-round checkpoint, Guarded.iterate fast path
+    // under the measured-edge guard, constant-tail fast exit once the
+    // peel empties).
+    "q_kcore" -> ((s, d) =>
+      graft.operators.Graph.kcorePeel(coPurchaseEdges(s, d), k = 3,
+        rounds = 6, localThreshold = 2000000L)),
 
     // Blocked fuzzy matching (the entity-resolution pattern): candidate
     // pairs come from a BLOCK KEY (the name's last token), never an
@@ -2140,17 +2165,7 @@ object AnalyticsQueries {
     // changes the plan's fan-out, never the census (the salted-join
     // convention: the oracle witnesses the relation, not the layout).
     "q_triangles" ->
-      """WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        |capped AS (
-        |  SELECT l_orderkey, l_partkey FROM (
-        |    SELECT l_orderkey, l_partkey,
-        |      ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS rn
-        |    FROM lp) WHERE rn <= 20),
-        |edges AS (
-        |  SELECT a.l_partkey AS u, b.l_partkey AS v
-        |  FROM capped a JOIN capped b
-        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      s"""WITH $coPurchaseCte,
         |deg AS (
         |  SELECT node, COUNT(*) AS dg FROM (
         |    SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges)
@@ -2342,6 +2357,8 @@ object AnalyticsQueries {
     "q_hits" -> hitsOracle,
 
     "q_sssp" -> ssspOracle,
+
+    "q_kcore" -> kcoreOracle,
 
     "q_khop" ->
       """WITH cs AS (
@@ -2612,6 +2629,55 @@ object AnalyticsQueries {
     * Pure integer arithmetic: distances compare bit-for-bit, the only
     * oracle in the iterative-graph family with NO rounding seam.
     */
+  /** The co-purchase edge CTE shared by the q_triangles and q_kcore
+    * oracles — the SQL twin of [[coPurchaseEdges]]. Exposes `edges(u, v)`.
+    */
+  private def coPurchaseCte: String =
+    """lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |capped AS (
+      |  SELECT l_orderkey, l_partkey FROM (
+      |    SELECT l_orderkey, l_partkey,
+      |      ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) AS rn
+      |    FROM lp) WHERE rn <= 20),
+      |edges AS (
+      |  SELECT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM capped a JOIN capped b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)""".stripMargin
+
+  /** q_kcore's unrolled fixed-round peel (the ssspOracle convention —
+    * exact integer counts, no rounding seam). Each CTE round drops
+    * sub-k-degree nodes from the previous survivor set; every e{r} is
+    * MATERIALIZED because rounds reference their predecessor several
+    * times (degree union + two membership filters + the census) and a
+    * 6-deep inlined chain re-evaluates exponentially (the hitsOracle
+    * scalar-subquery blowup, pre-empted).
+    */
+  private def kcoreOracle: String = {
+    val k = 3; val rounds = 6
+    val body = (1 to rounds).map { r =>
+      s""", alive$r AS MATERIALIZED (
+         |  SELECT node FROM (
+         |    SELECT node, COUNT(*) AS dg FROM (
+         |      SELECT u AS node FROM e${r - 1}
+         |      UNION ALL SELECT v AS node FROM e${r - 1}) un
+         |    GROUP BY node) dd WHERE dg >= $k
+         |), e$r AS MATERIALIZED (
+         |  SELECT u, v FROM e${r - 1}
+         |  WHERE u IN (SELECT node FROM alive$r)
+         |    AND v IN (SELECT node FROM alive$r))""".stripMargin
+    }.mkString
+    val census = (0 to rounds).map { r =>
+      s"""SELECT CAST($r AS BIGINT) AS round,
+         |  (SELECT COUNT(*) FROM (SELECT u AS x FROM e$r
+         |    UNION SELECT v FROM e$r) nx) AS n_nodes,
+         |  (SELECT COUNT(*) FROM e$r) AS n_edges""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $coPurchaseCte,
+       |e0 AS MATERIALIZED (SELECT u, v FROM edges)""".stripMargin +
+      body + "\n" + census + "\nORDER BY round"
+  }
+
   private def ssspOracle: String = {
     val body = (1 to 4).map { k =>
       s""", d$k AS (

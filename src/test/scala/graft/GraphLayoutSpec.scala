@@ -146,6 +146,58 @@ class GraphLayoutSpec extends SparkTestBase {
     assert(fast.values.exists(_ > 0) && fast(seeds.head) == 0L)
   }
 
+  // ---- k-core (fixed-round synchronous peel) ----
+
+  private def peelOf(edges: Seq[(String, String)], k: Int, rounds: Int,
+      forceDist: Boolean = false): Seq[(Long, Long, Long)] =
+    Graph.kcorePeel(edges.toDF("u", "v"), k, rounds,
+        localThreshold = if (forceDist) 0L else 2000000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+
+  test("kcorePeel: a triangle with pendants peels to the 2-core triangle") {
+    // triangle a-b-c plus pendant chain c-d-e: round 1 drops e (deg 1),
+    // round 2 drops d (its neighbor e died), then the triangle is stable
+    val es = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("c", "d"), ("d", "e"))
+    val curve = peelOf(es, k = 2, rounds = 3)
+    assert(curve == Seq((0L, 5L, 5L), (1L, 4L, 4L), (2L, 3L, 3L),
+      (3L, 3L, 3L)), curve)
+  }
+
+  test("kcorePeel: k above max degree empties; constant tail after empty") {
+    val es = Seq(("a", "b"), ("b", "c"))
+    val curve = peelOf(es, k = 3, rounds = 4)
+    assert(curve.head == ((0L, 3L, 2L)) &&
+      curve.tail.forall(c => c._2 == 0L && c._3 == 0L), curve)
+  }
+
+  test("kcorePeel: driver fast path ≡ forced distributed loop") {
+    val rnd = new scala.util.Random(7)
+    val es = Seq.fill(300)((s"n${rnd.nextInt(40)}", s"n${rnd.nextInt(40)}"))
+      .filter { case (a, b) => a < b }.distinct
+    val fast = peelOf(es, k = 3, rounds = 5)
+    val dist = peelOf(es, k = 3, rounds = 5, forceDist = true)
+    assert(fast == dist, s"fast=$fast dist=$dist")
+    assert(fast.head._3 > 0 && fast.map(_._3).sliding(2)
+      .forall(w => w.last <= w.head), "edge curve must be non-increasing")
+  }
+
+  test("q_kcore: non-trivial peel, monotone curve, census consistency") {
+    val out = SparkEntry.queries("q_kcore")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(out.length == 7 && out.head._1 == 0L)
+    assert(out.map(_._2).sliding(2).forall(w => w.last <= w.head) &&
+      out.map(_._3).sliding(2).forall(w => w.last <= w.head),
+      s"peel never grows: ${out.toSeq}")
+    // sf0.001's co-purchase graph has min degree ≥ 3 (nothing peels);
+    // sf0.01's peels 3445 → 2008 edges — both shapes are legitimate, so
+    // the fixture assertion is consistency, and actual peeling is pinned
+    // by the synthetic triangle/pendant tests above
+    assert(out.head._3 > 0, "non-empty base graph")
+    // every survivor row keeps n_nodes ≤ 2·n_edges (each edge carries ≤2)
+    assert(out.forall(c => c._2 <= 2 * c._3), out.toSeq)
+  }
+
   test("q_sssp: seeds at zero, suppliers at odd-tier positive distances") {
     val out = SparkEntry.queries("q_sssp")(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
