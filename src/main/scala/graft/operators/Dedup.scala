@@ -322,6 +322,149 @@ object Dedup {
     minhashCandidates(docs, nShingle, bands, rowsPerBand)
       .filter(col("jaccard") >= threshold)
 
+  /** EXACT set-similarity self-join above a Jaccard threshold via
+    * prefix filtering (the PPJoin family — Xiao et al., "Efficient
+    * Similarity Joins for Near Duplicate Detection", WWW 2008; public
+    * algorithm): the zero-false-negative complement to [[minhashNearDups]]
+    * (LSH trades recall for candidate volume; the prefix filter is
+    * LOSSLESS, so this join's output IS the ground-truth pair set the
+    * LSH recall tests measure against).
+    *
+    * The threshold is a RATIONAL `tn/td` (e.g. 4/5 for 0.8) so every
+    * filter is integer arithmetic — `ceil(t·|x|)` through doubles
+    * flips at representation boundaries (0.8·5 = 4.000000000000001 →
+    * ceil 5, one prefix token short, a REAL missed-pair bug class),
+    * while `(tn·sz + td − 1) div td` is bit-exact on any engine.
+    *
+    * Candidate discipline (the 100 TB shape):
+    *  1. tokens order globally by (document frequency ASC, token) —
+    *     rarest first; the order is data-derived but deterministic.
+    *  2. each set keeps only its PREFIX — the first
+    *     `sz − ceil(t·sz) + 1` tokens in that order. Any pair with
+    *     J ≥ t must share a prefix token (else the intersection fits
+    *     inside one suffix: ≤ ceil(t·sz) − 1 < t·sz ≤ |A∩B|).
+    *  3. candidates = equi-join of the prefix relation with itself on
+    *     the token (ids+sizes only — sets join back per candidate),
+    *     pre-filtered by the length bound `tn·max(sz) ≤ td·min(sz)`.
+    *     Prefix tokens are the globally RAREST members of each set, so
+    *     per-token join groups are small by construction — the skew a
+    *     raw token join would hit lives in the frequent tokens the
+    *     prefix never emits.
+    *  4. exact verification: `td·|A∩B| ≥ tn·|A∪B|` — integers again.
+    *
+    * The prefix relation is checkpointed once (the self-join would
+    * otherwise recompute the tokenize+df+window lineage per side — the
+    * r3 LSH-self-join lesson). Returns (id_a, id_b, inter, uni,
+    * jaccard) with id_a < id_b; empty shingle sets drop out (a
+    * token-less doc has J = 0 against everything).
+    */
+  def prefixJaccardJoin(docs: DataFrame, tn: Int, td: Int,
+      nShingle: Int = 3, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(tn > 0 && td > 0 && tn <= td, s"threshold $tn/$td not in (0,1]")
+    val sets = docs
+      .select(col(idCol).as("id"), shingles(col(textCol), nShingle).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .withColumn("sz", size(col("shs")).cast("long"))
+      .localCheckpoint(true) // read 3×: df build, prefix build, verify fetch
+    val dfreq = sets.select(explode(col("shs")).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("dfreq"))
+    val wDoc = Window.partitionBy(col("id")).orderBy(col("dfreq"), col("g"))
+    val prefixLen =
+      col("sz") - floor((lit(tn) * col("sz") + lit(td - 1)) / lit(td)) + 1
+    val prefix = sets.select(col("id"), col("sz"), explode(col("shs")).as("g"))
+      .join(dfreq, Seq("g"))
+      .withColumn("__rn", row_number().over(wDoc))
+      .filter(col("__rn") <= prefixLen)
+      .select(col("g"), col("id"), col("sz"))
+      .localCheckpoint(true) // self-joined: never recompute the window side
+    val cand = prefix.select(col("g"), col("id").as("id_a"), col("sz").as("sza"))
+      .join(prefix.select(col("g"), col("id").as("id_b"), col("sz").as("szb")),
+        Seq("g"))
+      .filter(col("id_a") < col("id_b") &&
+        lit(tn) * greatest(col("sza"), col("szb")) <=
+          lit(td) * least(col("sza"), col("szb")))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(sets.select(col("id").as("id_a"), col("shs").as("sa"),
+        col("sz").as("sza")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("shs").as("sb"),
+        col("sz").as("szb")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .withColumn("uni", col("sza") + col("szb") - col("inter"))
+      .filter(lit(td) * col("inter") >= lit(tn) * col("uni"))
+      .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
+        (col("inter").cast("double") / col("uni")).as("jaccard"))
+  }
+
+  /** The [[prefixJaccardJoin]] pruning funnel as ONE declarative row —
+    * the observability query that justifies the prefix filter at scale:
+    * all-pairs count, pairs surviving the length bound (computed from
+    * the SIZE HISTOGRAM self-join — O(|distinct sizes|²), never the
+    * pairs themselves), distinct prefix-candidates, and verified pairs.
+    * Every count is exact integer arithmetic; scalar 1-row relations
+    * assemble by broadcast cross join (the q_col_histogram bounds
+    * pattern).
+    */
+  def prefixJaccardFunnel(docs: DataFrame, tn: Int, td: Int,
+      nShingle: Int = 3, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    val sets = docs
+      .select(col(idCol).as("id"), shingles(col(textCol), nShingle).as("shs"))
+      .filter(size(col("shs")) > 0)
+      .withColumn("sz", size(col("shs")).cast("long"))
+      .localCheckpoint(true)
+    val nDocs = sets.agg(count(lit(1)).as("n_docs"))
+    val hist = sets.groupBy(col("sz")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(true) // self-joined below
+    val lengthPairs = hist.select(col("sz").as("sza"), col("cnt").as("ca"))
+      .join(hist.select(col("sz").as("szb"), col("cnt").as("cb")),
+        col("sza") <= col("szb") &&
+          lit(tn) * col("szb") <= lit(td) * col("sza"))
+      .agg(coalesce(sum(when(col("sza") === col("szb"),
+        col("ca") * (col("ca") - 1) / 2)
+        .otherwise(col("ca") * col("cb"))), lit(0L)).cast("long")
+        .as("n_length_pairs"))
+    val dfreq = sets.select(explode(col("shs")).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("dfreq"))
+    val wDoc = Window.partitionBy(col("id")).orderBy(col("dfreq"), col("g"))
+    val prefixLen =
+      col("sz") - floor((lit(tn) * col("sz") + lit(td - 1)) / lit(td)) + 1
+    val prefix = sets.select(col("id"), col("sz"), explode(col("shs")).as("g"))
+      .join(dfreq, Seq("g"))
+      .withColumn("__rn", row_number().over(wDoc))
+      .filter(col("__rn") <= prefixLen)
+      .select(col("g"), col("id"), col("sz"))
+      .localCheckpoint(true)
+    val cand = prefix.select(col("g"), col("id").as("id_a"), col("sz").as("sza"))
+      .join(prefix.select(col("g"), col("id").as("id_b"), col("sz").as("szb")),
+        Seq("g"))
+      .filter(col("id_a") < col("id_b") &&
+        lit(tn) * greatest(col("sza"), col("szb")) <=
+          lit(td) * least(col("sza"), col("szb")))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .localCheckpoint(true) // counted AND verified below
+    val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+    val nVerified = cand
+      .join(sets.select(col("id").as("id_a"), col("shs").as("sa"),
+        col("sz").as("sza")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("shs").as("sb"),
+        col("sz").as("szb")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .filter(lit(td) * col("inter") >=
+        lit(tn) * (col("sza") + col("szb") - col("inter")))
+      .agg(count(lit(1)).as("n_verified"))
+    nDocs
+      .crossJoin(broadcast(lengthPairs))
+      .crossJoin(broadcast(nCand))
+      .crossJoin(broadcast(nVerified))
+      .select(col("n_docs"),
+        (col("n_docs") * (col("n_docs") - 1) / 2).cast("long").as("n_all_pairs"),
+        col("n_length_pairs"), col("n_candidates"), col("n_verified"))
+  }
+
   /** SimHash near-dup pairs: 64-bit signature per doc (custom codegen'd
     * expression), bucketed by 4 × 16-bit bands (two docs within Hamming
     * distance ≤ 3 are guaranteed to collide in ≥1 band by pigeonhole),

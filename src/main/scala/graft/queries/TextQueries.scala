@@ -264,6 +264,29 @@ object TextQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // EXACT set-similarity self-join (PPJoin prefix filtering) at the
+    // same 0.8 threshold as q_dedup_minhash — the zero-false-negative
+    // ground truth next to the LSH path. Threshold as the RATIONAL 4/5:
+    // every prune and the verify itself are integer arithmetic (see
+    // Dedup.prefixJaccardJoin on the ceil(0.8·5) double trap). The
+    // oracle is PURE BRUTE FORCE (all doc pairs, no filters), so a
+    // lossy prefix/length filter would surface as missing rows — the
+    // losslessness theorem is what the cross-engine gate checks.
+    "q_ssjoin_exact" -> ((s, d) => {
+      Dedup.prefixJaccardJoin(docs(s, d), tn = 4, td = 5, nShingle = 3)
+        .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
+          round(col("jaccard"), 6).as("j_r"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // the PPJoin pruning funnel (all pairs → length-bound survivors →
+    // prefix candidates → verified) — the one-row observability report
+    // that justifies the prefix filter at scale; the length-pair count
+    // comes from the size-histogram self-join, never from materialized
+    // pairs. Fully oracled: the funnel arithmetic mirrors in SQL.
+    "q_ssjoin_stats" -> ((s, d) =>
+      Dedup.prefixJaccardFunnel(docs(s, d), tn = 4, td = 5, nShingle = 3)),
+
     // MinHash band buckets, VALUE-ORACLED (r11 worklist #6 — the
     // lloydOracle move applied to banding): the exact (doc, band,
     // bucket) relation minhashCandidates joins on, witnessed end-to-end
@@ -1469,7 +1492,11 @@ object TextQueries {
     * Exposes `mh_shingles(doc_id, shs)` (the distinct shingle list) and
     * `mh_buckets(doc_id, band BIGINT, bucket BIGINT signed)`.
     */
-  private def minhashCte: String =
+  /** The distinct-3-shingle CTE (Dedup.shingles' SQL twin, with the
+    * same <3-token fallback) — shared by [[minhashCte]] and the exact
+    * set-similarity-join oracles. Exposes `mh_shingles(doc_id, shs)`.
+    */
+  private def shinglesCte: String =
     s"""mh_t AS (SELECT doc_id, $duckToks AS tk FROM documents),
        |mh_shingles AS (
        |  SELECT doc_id, list_distinct(
@@ -1478,7 +1505,10 @@ object TextQueries {
        |         ELSE [array_to_string(tk[i:i+2], ' ') FOR i IN range(1, len(tk) - 1)]
        |    END) AS shs
        |  FROM mh_t
-       |),
+       |)""".stripMargin
+
+  private def minhashCte: String =
+    s"""$shinglesCte,
        |mh_sh AS (SELECT doc_id, UNNEST(shs) AS g FROM mh_shingles),
        |mh_base AS (
        |  SELECT doc_id, list_reduce(
@@ -1581,6 +1611,62 @@ object TextQueries {
          |FROM j
          |WHERE tot - inter > 0 AND inter / (tot - inter) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // PURE BRUTE FORCE (every doc pair, no length/prefix filter): any
+    // false negative in the engine's prefix filtering shows as a
+    // missing row here — the oracle independently witnesses the PPJoin
+    // losslessness theorem, not just the arithmetic
+    "q_ssjoin_exact" ->
+      s"""WITH $shinglesCte,
+         |ne AS (
+         |  SELECT doc_id, shs, CAST(len(shs) AS BIGINT) AS sz
+         |  FROM mh_shingles WHERE len(shs) > 0),
+         |j AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    CAST(len(list_intersect(a.shs, b.shs)) AS BIGINT) AS inter,
+         |    a.sz + b.sz - CAST(len(list_intersect(a.shs, b.shs)) AS BIGINT) AS uni
+         |  FROM ne a JOIN ne b ON a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, inter, uni,
+         |  ROUND(CAST(inter AS DOUBLE) / uni, 6) AS j_r
+         |FROM j WHERE 5 * inter >= 4 * uni
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the funnel arithmetic mirrored stage by stage (sizes histogram,
+    // integer prefix length (4·sz+4)//5, rarest-first ROW_NUMBER order)
+    "q_ssjoin_stats" ->
+      s"""WITH $shinglesCte,
+         |ne AS (
+         |  SELECT doc_id AS id, shs, CAST(len(shs) AS BIGINT) AS sz
+         |  FROM mh_shingles WHERE len(shs) > 0),
+         |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM ne),
+         |hist AS (SELECT sz, CAST(COUNT(*) AS BIGINT) AS cnt FROM ne GROUP BY sz),
+         |lp AS (
+         |  SELECT CAST(COALESCE(SUM(CASE WHEN a.sz = b.sz
+         |      THEN a.cnt * (a.cnt - 1) // 2
+         |      ELSE a.cnt * b.cnt END), 0) AS BIGINT) AS n_length_pairs
+         |  FROM hist a JOIN hist b
+         |    ON a.sz <= b.sz AND 4 * b.sz <= 5 * a.sz),
+         |tok AS (SELECT id, sz, UNNEST(shs) AS g FROM ne),
+         |dfq AS (SELECT g, COUNT(*) AS dfreq FROM tok GROUP BY g),
+         |pref AS (
+         |  SELECT g, id, sz FROM (
+         |    SELECT t.g, t.id, t.sz,
+         |      ROW_NUMBER() OVER (PARTITION BY t.id ORDER BY d.dfreq, t.g) AS rn
+         |    FROM tok t JOIN dfq d USING (g)) x
+         |  WHERE rn <= sz - (4 * sz + 4) // 5 + 1),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |  FROM pref a JOIN pref b ON a.g = b.g AND a.id < b.id
+         |   AND 4 * greatest(a.sz, b.sz) <= 5 * least(a.sz, b.sz)),
+         |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand),
+         |nv AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n_verified
+         |  FROM cand c JOIN ne a ON a.id = c.id_a JOIN ne b ON b.id = c.id_b
+         |  WHERE 5 * len(list_intersect(a.shs, b.shs)) >=
+         |        4 * (a.sz + b.sz - len(list_intersect(a.shs, b.shs))))
+         |SELECT n_docs, n_docs * (n_docs - 1) // 2 AS n_all_pairs,
+         |  n_length_pairs, n_candidates, n_verified
+         |FROM nd, lp, nc, nv""".stripMargin,
 
     // incremental near-dup maintenance (DE-EXEMPTED r12): the
     // doc_id%10==3 batch's buckets join the corpus buckets on

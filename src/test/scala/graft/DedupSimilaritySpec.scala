@@ -38,6 +38,49 @@ class DedupSimilaritySpec extends SparkTestBase {
     assert(!pairs.exists(r => r.getLong(1) == 3L || r.getLong(0) == 3L))
   }
 
+  test("prefixJaccardJoin equals the brute-force pair set on random near-dup corpora") {
+    val rnd = new scala.util.Random(3)
+    // 40 docs over a tight vocab so near-dup pairs actually occur, plus
+    // planted near-identical pairs at several set sizes (the prefix-
+    // length boundary cases: sz where (4·sz+4)/5 rounds both ways)
+    val base = (0 until 40).map { i =>
+      (i.toLong, Seq.fill(12 + rnd.nextInt(20))(s"w${rnd.nextInt(25)}").mkString(" "))
+    }
+    val planted = Seq(
+      (100L, (1 to 20).map(i => s"p$i").mkString(" ")),
+      (101L, (1 to 19).map(i => s"p$i").mkString(" ") + " q1"),
+      (102L, (1 to 5).map(i => s"r$i").mkString(" ")),
+      (103L, (1 to 5).map(i => s"r$i").mkString(" ")))
+    val docs = (base ++ planted).toDF("doc_id", "text")
+    val got = Dedup.prefixJaccardJoin(docs, tn = 4, td = 5, nShingle = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // independent brute force over the same unigram sets
+    val sets = (base ++ planted).map { case (id, tx) =>
+      id -> tx.split("\\s+").filter(_.nonEmpty).toSet }
+    val want = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib && sa.nonEmpty
+      inter = (sa & sb).size; uni = (sa | sb).size
+      if uni > 0 && 5 * inter >= 4 * uni
+    } yield (ia, ib)).toSet
+    assert(got == want, s"got=$got want=$want")
+    assert(want.contains((102L, 103L)) && want.contains((100L, 101L)),
+      "planted pairs must be in the ground truth")
+  }
+
+  test("prefixJaccardFunnel: monotone funnel, verified equals the exact join") {
+    val docs = (0 until 30).map(i =>
+      (i.toLong, (0 to 10).map(j => s"t${(i + j) % 13}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val row = Dedup.prefixJaccardFunnel(docs, 4, 5, nShingle = 1).head()
+    val (nd, ap, lp, nc, nv) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3), row.getLong(4))
+    assert(nd == 30 && ap == 30L * 29 / 2)
+    assert(lp <= ap && nc <= lp && nv <= nc,
+      s"funnel must narrow: $ap >= $lp >= $nc >= $nv")
+    val exact = Dedup.prefixJaccardJoin(docs, 4, 5, nShingle = 1).count()
+    assert(nv == exact, s"funnel n_verified $nv != exact join $exact")
+  }
+
   test("incrementalNearDup: batch vs corpus index — planted dup found, novel passes") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
