@@ -20,6 +20,68 @@ object TextAnalysis {
   def tokenCountBpeish(text: Column): Column =
     size(regexp_extract_all(text, lit("\\p{L}+|\\p{N}+|[^\\p{L}\\p{N}\\s]"), lit(0))).cast("long")
 
+  /** Intra-document repetition census (the Gopher / RefinedWeb
+    * repetition-rule family — Rae et al. 2021 §A1.1, Penedo et al. 2023;
+    * public heuristics): per document the top-2-gram concentration, the
+    * duplicate-3-gram mass, and the duplicate fixed-`chunk`-token block
+    * count — the signals that catch boilerplate loops, keyword stuffing
+    * and copy-paste padding, which per-corpus dedup never sees because
+    * the repetition is INSIDE one doc.
+    *
+    * Returns INTEGER counts (`top2_n/g2_tot`, `dup3_n/g3_tot`,
+    * `dupch_n/ch_tot`, plus `n_tokens`) so downstream gates compare
+    * integers (`20·top2_n ≤ g2_tot` for a 5% rule) with zero float
+    * seam; consumers derive rounded fractions for reporting only.
+    * Degenerate docs (no 2-grams / 3-grams / complete chunks) carry 0
+    * totals via the left joins.
+    *
+    * Scale shape: ONE tokenize pass behind an aggregate barrier (the
+    * passageDedup HOF discipline), checkpointed once and read by the
+    * three n-gram branches; each branch is explode → two-level count
+    * (map-side combinable, keys bounded per doc by its own length); the
+    * assembly joins are per-doc-keyed. Nothing global, nothing driver-
+    * side.
+    */
+  def repetitionStats(docs: DataFrame, chunk: Int = 10,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    require(chunk >= 2, s"chunk $chunk")
+    val toksDf = docs
+      .select(col(idCol), Dedup.tokens(col(textCol)).as("tk"))
+      .groupBy(col(idCol)).agg(first(col("tk")).as("tk")) // HOF barrier
+      .localCheckpoint(true) // read by 3 n-gram branches + the size head
+    def grams(n: Int): DataFrame = toksDf
+      .filter(size(col("tk")) >= n)
+      .select(col(idCol), explode(transform(
+        sequence(lit(0), size(col("tk")) - n),
+        i => concat_ws(" ", slice(col("tk"), i + 1, lit(n))))).as("g"))
+    val c2 = grams(2).groupBy(col(idCol), col("g"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col(idCol))
+      .agg(max(col("cnt")).as("top2_n"), sum(col("cnt")).as("g2_tot"))
+    val c3 = grams(3).groupBy(col(idCol))
+      .agg(count(lit(1)).as("g3_tot"), countDistinct(col("g")).as("g3_dst"))
+    val ch = toksDf.filter(size(col("tk")) >= chunk)
+      .select(col(idCol), explode(transform(
+        sequence(lit(0), (size(col("tk")) / chunk).cast("int") - 1),
+        c => concat_ws(" ", slice(col("tk"), c * chunk + 1, lit(chunk)))))
+        .as("g"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("ch_tot"), countDistinct(col("g")).as("ch_dst"))
+    toksDf.select(col(idCol), size(col("tk")).cast("long").as("n_tokens"))
+      .join(c2, Seq(idCol), "left")
+      .join(c3, Seq(idCol), "left")
+      .join(ch, Seq(idCol), "left")
+      .select(col(idCol), col("n_tokens"),
+        coalesce(col("top2_n"), lit(0L)).as("top2_n"),
+        coalesce(col("g2_tot"), lit(0L)).as("g2_tot"),
+        (coalesce(col("g3_tot"), lit(0L)) -
+          coalesce(col("g3_dst"), lit(0L))).as("dup3_n"),
+        coalesce(col("g3_tot"), lit(0L)).as("g3_tot"),
+        (coalesce(col("ch_tot"), lit(0L)) -
+          coalesce(col("ch_dst"), lit(0L))).as("dupch_n"),
+        coalesce(col("ch_tot"), lit(0L)).as("ch_tot"))
+  }
+
   /** Stopword list shared by the quality score and the language scorer. */
   val enStopwords: Seq[String] = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",

@@ -287,6 +287,43 @@ object TextQueries {
     "q_ssjoin_stats" -> ((s, d) =>
       Dedup.prefixJaccardFunnel(docs(s, d), tn = 4, td = 5, nShingle = 3)),
 
+    // Intra-document repetition census (Gopher/RefinedWeb repetition
+    // rules — TextAnalysis.repetitionStats): top-2-gram concentration,
+    // duplicate-3-gram mass, duplicate 10-token blocks, all as INTEGER
+    // counts plus one reporting fraction. Fully oracled; the per-doc
+    // output is bounded by |documents| (the q_dedup_simhash precedent).
+    "q_rep_ngrams" -> ((s, d) => {
+      TextAnalysis.repetitionStats(docs(s, d))
+        .select(col("doc_id"), col("n_tokens"), col("top2_n"),
+          col("g2_tot"), col("dup3_n"), col("g3_tot"), col("dupch_n"),
+          col("ch_tot"),
+          when(col("g2_tot") > 0, round(col("top2_n").cast("double") /
+            col("g2_tot"), 6)).otherwise(lit(0.0)).as("top2_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // the corpus admission gate over those rules (the Gopher-style
+    // filter report): per source, docs passing min-length (≥5 tokens)
+    // + top-2-gram ≤ 5% + duplicate-3-grams ≤ 5% + zero duplicate
+    // blocks. Every rule is an INTEGER comparison (20·top2_n ≤ g2_tot —
+    // the PPJoin rational-threshold discipline), so pass/fail can never
+    // flip on a float rounding boundary between engines.
+    "q_gopher_gate" -> ((s, d) => {
+      val rep = TextAnalysis.repetitionStats(docs(s, d))
+      val pass = col("n_tokens") >= 5 &&
+        lit(20) * col("top2_n") <= col("g2_tot") &&
+        lit(20) * col("dup3_n") <= col("g3_tot") &&
+        col("dupch_n") === 0
+      rep.join(docs(s, d).select(col("doc_id"), col("source")), Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(pass, 1L).otherwise(0L)).as("n_pass"),
+          sum(when(col("n_tokens") >= 5 &&
+            lit(20) * col("top2_n") > col("g2_tot"), 1L).otherwise(0L))
+            .as("n_fail_top2"))
+        .orderBy(col("source"))
+    }),
+
     // MinHash band buckets, VALUE-ORACLED (r11 worklist #6 — the
     // lloydOracle move applied to banding): the exact (doc, band,
     // bucket) relation minhashCandidates joins on, witnessed end-to-end
@@ -1550,6 +1587,48 @@ object TextQueries {
        |  FROM mh_folded
        |)""".stripMargin
 
+  /** The repetition-census twin (TextAnalysis.repetitionStats unrolled:
+    * 2-gram concentration, 3-gram duplicate mass, duplicate 10-token
+    * blocks as INTEGER counts) — shared by the q_rep_ngrams and
+    * q_gopher_gate oracles. Exposes `rep(doc_id, n_tokens, top2_n,
+    * g2_tot, dup3_n, g3_tot, dupch_n, ch_tot)`.
+    */
+  private def repCte: String =
+    s"""rt AS (SELECT doc_id, $duckToks AS tk FROM documents),
+       |rg2 AS (
+       |  SELECT doc_id, UNNEST([array_to_string(tk[i:i+1], ' ')
+       |    FOR i IN range(1, len(tk))]) AS g
+       |  FROM rt WHERE len(tk) >= 2),
+       |rc2 AS (
+       |  SELECT doc_id, MAX(cnt) AS top2_n, SUM(cnt) AS g2_tot FROM (
+       |    SELECT doc_id, g, COUNT(*) AS cnt FROM rg2 GROUP BY doc_id, g) x
+       |  GROUP BY doc_id),
+       |rg3 AS (
+       |  SELECT doc_id, UNNEST([array_to_string(tk[i:i+2], ' ')
+       |    FOR i IN range(1, len(tk) - 1)]) AS g
+       |  FROM rt WHERE len(tk) >= 3),
+       |rc3 AS (
+       |  SELECT doc_id, COUNT(*) AS g3_tot, COUNT(DISTINCT g) AS g3_dst
+       |  FROM rg3 GROUP BY doc_id),
+       |rch AS (
+       |  SELECT doc_id, UNNEST([array_to_string(tk[(10*c+1):(10*c+10)], ' ')
+       |    FOR c IN range(0, len(tk) // 10)]) AS g
+       |  FROM rt WHERE len(tk) >= 10),
+       |rcc AS (
+       |  SELECT doc_id, COUNT(*) AS ch_tot, COUNT(DISTINCT g) AS ch_dst
+       |  FROM rch GROUP BY doc_id),
+       |rep AS (
+       |  SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens,
+       |    CAST(COALESCE(c2.top2_n, 0) AS BIGINT) AS top2_n,
+       |    CAST(COALESCE(c2.g2_tot, 0) AS BIGINT) AS g2_tot,
+       |    CAST(COALESCE(c3.g3_tot - c3.g3_dst, 0) AS BIGINT) AS dup3_n,
+       |    CAST(COALESCE(c3.g3_tot, 0) AS BIGINT) AS g3_tot,
+       |    CAST(COALESCE(cc.ch_tot - cc.ch_dst, 0) AS BIGINT) AS dupch_n,
+       |    CAST(COALESCE(cc.ch_tot, 0) AS BIGINT) AS ch_tot
+       |  FROM rt t LEFT JOIN rc2 c2 USING (doc_id)
+       |    LEFT JOIN rc3 c3 USING (doc_id)
+       |    LEFT JOIN rcc cc USING (doc_id))""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     // the real banding's (doc, band, bucket) relation — see [[minhashCte]]
     "q_minhash_sigs" ->
@@ -1611,6 +1690,29 @@ object TextQueries {
          |FROM j
          |WHERE tot - inter > 0 AND inter / (tot - inter) >= 0.8
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // per-doc repetition census — the repCte relation + the reporting
+    // fraction (one exact division, rounded 6dp)
+    "q_rep_ngrams" ->
+      s"""WITH $repCte
+         |SELECT doc_id, n_tokens, top2_n, g2_tot, dup3_n, g3_tot,
+         |  dupch_n, ch_tot,
+         |  CASE WHEN g2_tot > 0
+         |       THEN ROUND(CAST(top2_n AS DOUBLE) / g2_tot, 6)
+         |       ELSE 0.0 END AS top2_frac
+         |FROM rep ORDER BY doc_id""".stripMargin,
+
+    // the admission gate: the same integer rules over repCte
+    "q_gopher_gate" ->
+      s"""WITH $repCte
+         |SELECT d.source, COUNT(*) AS n_docs,
+         |  SUM(CASE WHEN r.n_tokens >= 5 AND 20 * r.top2_n <= r.g2_tot
+         |    AND 20 * r.dup3_n <= r.g3_tot AND r.dupch_n = 0
+         |    THEN 1 ELSE 0 END) AS n_pass,
+         |  SUM(CASE WHEN r.n_tokens >= 5 AND 20 * r.top2_n > r.g2_tot
+         |    THEN 1 ELSE 0 END) AS n_fail_top2
+         |FROM rep r JOIN documents d USING (doc_id)
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
     // PURE BRUTE FORCE (every doc pair, no length/prefix filter): any
     // false negative in the engine's prefix filtering shows as a

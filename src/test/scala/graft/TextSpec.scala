@@ -128,6 +128,28 @@ class TextSpec extends SparkTestBase {
     assert(r2 == Seq("b", "es", "t"), "first merge sees no 'es' symbol yet")
   }
 
+  test("repetitionStats: planted loop/block/clean docs get the exact census") {
+    // doc 1: "spam ham" × 15 — every 2-gram repeats, one 10-token block
+    //        duplicated twice (3 identical chunks)
+    // doc 2: 30 distinct tokens — zero repetition anywhere
+    // doc 3: 4 tokens — no complete chunk, tiny gram totals
+    val d1 = Seq.fill(15)("spam ham").mkString(" ")
+    val d2 = (1 to 30).map(i => s"w$i").mkString(" ")
+    val d3 = "a b c d"
+    val out = TextAnalysis.repetitionStats(
+        Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    // d1: 30 tokens, 29 2-grams, top ("spam ham") appears 15×;
+    // 28 3-grams but only 2 distinct → 26 dup; 3 chunks, 1 distinct
+    assert(out(1L) == ((30L, 15L, 29L, 26L, 28L, 2L, 3L)), out(1L))
+    // d2: all grams distinct, top-2-gram count 1, zero dups
+    assert(out(2L) == ((30L, 1L, 29L, 0L, 28L, 0L, 3L)), out(2L))
+    // d3: 3 2-grams / 2 3-grams, no complete 10-token chunk
+    assert(out(3L) == ((4L, 1L, 3L, 0L, 2L, 0L, 0L)), out(3L))
+  }
+
   test("compress_ratio: repetitive << prose << mash, deterministic, empty neutral") {
     val rep = ("spam ham " * 200).trim                  // structure-level redundancy
     val prose = "the quick brown fox jumps over the lazy dog while the " +
