@@ -1248,6 +1248,49 @@ object AnalyticsQueries {
         .orderBy(col("r_tile"), col("f_tile"), col("m_tile"))
     }),
 
+    // Pairwise Pearson correlation matrix from EXACT integer moments
+    // (the other ANALYZE artifact next to q_table_stats — the CBO/
+    // feature-selection correlation screen): ONE scan, ONE single-row
+    // aggregate computing n, Σx and Σxy for all 4 columns / 10 pairs as
+    // DECIMAL(38,0) sums of integer cents (long products stay < 2^63
+    // per row; the SUMS are what overflow long at scale, hence decimal
+    // — headroom to ~10^38 covers n·x² at 100 TB row counts), then the
+    // textbook corr formula over those exact integers with ONE double
+    // seam at the final divide. Unlike the streaming-co-moment corr
+    // aggregate (partition-merge order wobbles the low bits, so a
+    // CPUS=3 vs 8 sweep can flip a 6dp round), exact moments make the
+    // result a deterministic pure function of the data.
+    "q_corr_matrix" -> ((s, d) => {
+      val names = Seq("qty", "price", "disc", "tax")
+      val li = t(s, d, "lineitem").select(
+        col("l_quantity").cast("long").as("qty"),
+        cents(col("l_extendedprice")).as("price"),
+        cents(col("l_discount")).as("disc"),
+        cents(col("l_tax")).as("tax"))
+      val pairAggs = for {
+        i <- names.indices; j <- i until names.size
+      } yield sum((col(names(i)) * col(names(j))).cast("decimal(38,0)"))
+        .as(s"sp_${names(i)}_${names(j)}")
+      val aggs = (count(lit(1)).cast("decimal(38,0)").as("n") +:
+        names.map(nm => sum(col(nm).cast("decimal(38,0)")).as(s"s_$nm"))) ++
+        pairAggs
+      val one = li.agg(aggs.head, aggs.tail: _*)
+      def variance(a: String) =
+        (col("n") * col(s"sp_${a}_$a") - col(s"s_$a") * col(s"s_$a"))
+          .cast("double")
+      def corrOf(a: String, b: String) = round(
+        (col("n") * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b"))
+          .cast("double") / sqrt(variance(a) * variance(b)), 6)
+      val pairs = for {
+        i <- names.indices; j <- (i + 1) until names.size
+      } yield struct(lit(names(i)).as("col_a"), lit(names(j)).as("col_b"),
+        corrOf(names(i), names(j)).as("corr_r"))
+      one.select(explode(array(pairs: _*)).as("p"))
+        .select(col("p.col_a").as("col_a"), col("p.col_b").as("col_b"),
+          col("p.corr_r").as("corr_r"))
+        .orderBy(col("col_a"), col("col_b"))
+    }),
+
     // Skyline / Pareto frontier (the multi-objective "best tradeoffs"
     // query — cheapest part for each size class you can't beat on both
     // axes): parts minimizing retail price while maximizing size. The
@@ -2360,6 +2403,8 @@ object AnalyticsQueries {
 
     "q_kcore" -> kcoreOracle,
 
+    "q_corr_matrix" -> corrMatrixOracle,
+
     "q_khop" ->
       """WITH cs AS (
         |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
@@ -2629,6 +2674,40 @@ object AnalyticsQueries {
     * Pure integer arithmetic: distances compare bit-for-bit, the only
     * oracle in the iterative-graph family with NO rounding seam.
     */
+  /** q_corr_matrix's twin: the same exact-integer moments as HUGEINT
+    * sums and the same corr formula with the single double seam at the
+    * final divide (op order mirrored: numerator cast, two variance
+    * casts, multiply, sqrt, divide, 6dp round).
+    */
+  private def corrMatrixOracle: String = {
+    val names = Seq("qty", "price", "disc", "tax")
+    val moments = (Seq("CAST(COUNT(*) AS HUGEINT) AS n") ++
+      names.map(a => s"CAST(SUM(CAST($a AS HUGEINT)) AS HUGEINT) AS s_$a") ++
+      (for { i <- names.indices; j <- i until names.size } yield
+        s"CAST(SUM(CAST(${names(i)} * ${names(j)} AS HUGEINT)) AS HUGEINT)" +
+          s" AS sp_${names(i)}_${names(j)}")).mkString(",\n  ")
+    val rows = (for { i <- names.indices; j <- (i + 1) until names.size }
+      yield {
+        val (a, b) = (names(i), names(j))
+        s"""SELECT '$a' AS col_a, '$b' AS col_b,
+           |  ROUND(CAST(n * sp_${a}_$b - s_$a * s_$b AS DOUBLE) /
+           |    sqrt(CAST(n * sp_${a}_$a - s_$a * s_$a AS DOUBLE) *
+           |         CAST(n * sp_${b}_$b - s_$b * s_$b AS DOUBLE)), 6)
+           |    AS corr_r FROM m""".stripMargin
+      }).mkString("\nUNION ALL\n")
+    s"""WITH b AS (
+       |  SELECT CAST(l_quantity AS BIGINT) AS qty,
+       |    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price,
+       |    CAST(ROUND(l_discount * 100) AS BIGINT) AS disc,
+       |    CAST(ROUND(l_tax * 100) AS BIGINT) AS tax
+       |  FROM lineitem),
+       |m AS (SELECT
+       |  $moments
+       |FROM b)
+       |$rows
+       |ORDER BY col_a, col_b""".stripMargin
+  }
+
   /** The co-purchase edge CTE shared by the q_triangles and q_kcore
     * oracles — the SQL twin of [[coPurchaseEdges]]. Exposes `edges(u, v)`.
     */
