@@ -390,6 +390,47 @@ object TextHashFunctions {
 
   def simhash64(tokens: Column): Column = Bridge.column(SimHash64(Bridge.expression(tokens)))
 
+  /** Deterministic 64-bit avalanche of three long keys + a static seed —
+    * the hash a SQL-mirrorable "random" choice rides (random-walk next-
+    * step selection, salting, deterministic jitter). The wrapping
+    * combine and the splitmix64-style finalizer (public-domain
+    * constants, the [[VectorFunctions.RandomProjectionSignature]] mix)
+    * run INSIDE the expression, so ANSI overflow checks never see them;
+    * the DuckDB twin carries the same arithmetic as mod-2^64 HUGEINT
+    * residues (the q_minhash_sigs mm64 machinery).
+    */
+  case class Mix64(a: Expression, b: Expression, c: Expression, seed: Int)
+      extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+    override def first: Expression = a
+    override def second: Expression = b
+    override def third: Expression = c
+    override def dataType: DataType = LongType
+    override def nullSafeEval(x: Any, y: Any, z0in: Any): Any =
+      mix64Eval(x.asInstanceOf[Long], y.asInstanceOf[Long],
+        z0in.asInstanceOf[Long], seed)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (x, y, z) =>
+        s"${ev.value} = graft.functions.TextHashFunctions.mix64Eval($x, $y, $z, $seed);")
+    override protected def withNewChildrenInternal(
+        f: Expression, s: Expression, t: Expression): Expression =
+      copy(a = f, b = s, c = t)
+  }
+
+  /** static entry point for generated code — keep in lockstep with the
+    * mix64Cte twin in AnalyticsQueries
+    */
+  def mix64Eval(a: Long, b: Long, c: Long, seed: Int): Long = {
+    var z = seed.toLong * 0x9e3779b97f4a7c15L +
+      a * 0xc2b2ae3d27d4eb4fL + b * 0x165667b19e3779f9L + c
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  def mix64(a: Column, b: Column, c: Column, seed: Int): Column =
+    Bridge.column(Mix64(Bridge.expression(a), Bridge.expression(b),
+      Bridge.expression(c), seed))
+
   /** TRUE iff any word `n`-gram of `child`'s text MIGHT be in the bloom
     * filter (serialized `org.apache.spark.util.sketch.BloomFilter`
     * bytes). Gram construction is byte-identical to [[ShingleSet]] (same

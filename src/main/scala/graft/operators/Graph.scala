@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
 
 /** Iterative graph analytics over edge relations (the power-iteration
@@ -571,6 +572,66 @@ object Graph {
       spark.createDataFrame(
         spark.sparkContext.parallelize(curve.toSeq, 1), schema)
     }
+  }
+
+  /** Deterministic random walks (the node2vec/DeepWalk corpus builder —
+    * Perozzi et al. 2014, Grover & Leskovec 2016; public algorithms,
+    * uniform-transition special case): `nWalks` walks of `walkLen`
+    * steps from each of the `nStarts` smallest node ids over the
+    * symmetrized graph. "Random" is [[graft.functions.TextHashFunctions
+    * .mix64]] of (current node, walk id, step) — a pure function of the
+    * walk coordinates, so walks are reproducible under ANY partitioning
+    * / re-run / engine (the SQL twin replays them bit-for-bit), which
+    * is exactly what a training-corpus builder needs from its sampler.
+    *
+    * Returns the visit relation `(start, w, step, node)` (step 0 = the
+    * start itself) — downstream skip-gram windows consume it ordered by
+    * (start, w, step).
+    *
+    * Scale shape: the adjacency (node, nbr, rn, deg) is built once —
+    * per-node windows, bounded by the max degree — and checkpointed
+    * (every step joins it twice: deg attach + indexed-neighbor lookup;
+    * both are equi-joins on node resp. (node, rn), so a pre-partitioned
+    * adjacency serves all steps without re-shuffle). Each step moves
+    * only walk-sized relations (nStarts·nWalks rows); the step count is
+    * fixed, so the plan is O(walkLen) with no iterative blowup.
+    */
+  def randomWalks(edges: DataFrame, nStarts: Int, nWalks: Int,
+                  walkLen: Int, seed: Int = 42): DataFrame = {
+    require(nStarts >= 1 && nWalks >= 1 && walkLen >= 0,
+      s"nStarts $nStarts nWalks $nWalks walkLen $walkLen")
+    val sym = edges.select(col("u").as("node"), col("v").as("nbr"))
+      .unionAll(edges.select(col("v").as("node"), col("u").as("nbr")))
+      .distinct()
+    val wAdj = Window.partitionBy(col("node")).orderBy(col("nbr"))
+    val adj = sym
+      .withColumn("rn", row_number().over(wAdj).cast("long"))
+      .withColumn("deg",
+        count(lit(1)).over(Window.partitionBy(col("node"))).cast("long"))
+      .localCheckpoint(true) // joined 2× per step
+    val degs = adj.select(col("node"), col("deg")).distinct()
+    val starts = adj.select(col("node")).distinct()
+      .orderBy(col("node")).limit(nStarts) // TakeOrdered: bounded
+      .select(col("node").as("start"))
+    var cur = starts
+      .crossJoin(broadcast(
+        adj.sparkSession.range(nWalks).select(col("id").as("w"))))
+      .select(col("start"), col("w"), col("start").as("node"))
+    val visits = scala.collection.mutable.ArrayBuffer(
+      cur.select(col("start"), col("w"), lit(0L).as("step"), col("node")))
+    for (t <- 1 to walkLen) {
+      val choice = graft.functions.TextHashFunctions.mix64(
+        col("node"), col("w"), lit(t.toLong), seed)
+      cur = cur
+        .join(degs, Seq("node"))
+        .withColumn("rn", pmod(choice, col("deg")) + 1L)
+        .join(adj.select(col("node"), col("rn"), col("nbr")),
+          Seq("node", "rn"))
+        .select(col("start"), col("w"), col("nbr").as("node"))
+      visits += cur.select(col("start"), col("w"),
+        lit(t.toLong).as("step"), col("node"))
+    }
+    visits.reduce(_ unionAll _)
   }
 
   /** The identical synchronous peel as a driver array loop — the

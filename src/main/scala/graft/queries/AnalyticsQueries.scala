@@ -1248,6 +1248,19 @@ object AnalyticsQueries {
         .orderBy(col("r_tile"), col("f_tile"), col("m_tile"))
     }),
 
+    // Deterministic random-walk corpus (the DeepWalk/node2vec sampler
+    // over the co-purchase graph): 2 walks × 4 steps from the 20
+    // smallest node ids; the next-step choice is mix64(node, walk,
+    // step) mod degree — a pure function of the walk coordinates, so
+    // the oracle REPLAYS every walk bit-for-bit through the mm64
+    // HUGEINT twin (the q_minhash_sigs discipline applied to graph
+    // sampling). Graph.randomWalks owns the scale shape: adjacency
+    // built once + checkpointed, walk-sized relations per fixed step.
+    "q_random_walks" -> ((s, d) =>
+      graft.operators.Graph.randomWalks(coPurchaseEdges(s, d),
+        nStarts = 20, nWalks = 2, walkLen = 4, seed = 42)
+        .orderBy(col("start"), col("w"), col("step"), col("node"))),
+
     // Pairwise Pearson correlation matrix from EXACT integer moments
     // (the other ANALYZE artifact next to q_table_stats — the CBO/
     // feature-selection correlation screen): ONE scan, ONE single-row
@@ -2405,6 +2418,8 @@ object AnalyticsQueries {
 
     "q_corr_matrix" -> corrMatrixOracle,
 
+    "q_random_walks" -> walkOracle,
+
     "q_khop" ->
       """WITH cs AS (
         |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
@@ -2674,6 +2689,60 @@ object AnalyticsQueries {
     * Pure integer arithmetic: distances compare bit-for-bit, the only
     * oracle in the iterative-graph family with NO rounding seam.
     */
+  /** q_random_walks' twin: replays every walk step through the mod-2^64
+    * HUGEINT mix64 (combine constants seed·golden / 0xc2b2ae3d27d4eb4f /
+    * 0x165667b19e3779f9, then the splitmix finalizer stages — keep in
+    * lockstep with TextHashFunctions.mix64Eval), one staged CTE chain
+    * per step so the split-multiply's textual duplication never
+    * compounds (the minhashCte lesson).
+    */
+  private def walkOracle: String = {
+    val (nStarts, nWalks, walkLen, seed) = (20, 2, 4, 42)
+    def mm64(a: String, b: String) = TextQueries.mm64(a, b)
+    val M = "18446744073709551616" // 2^64
+    val seedTerm =
+      java.lang.Long.toUnsignedString(seed.toLong * 0x9e3779b97f4a7c15L)
+    val body = (1 to walkLen).map { t =>
+      s""", s${t}0 AS (
+         |  SELECT p.start, p.w, p.node, d.deg,
+         |    ($seedTerm + ${mm64(s"CAST(p.node AS HUGEINT)", "14029467366897019727")}
+         |     + ${mm64(s"CAST(p.w AS HUGEINT)", "1609587929392839161")} + $t) % $M AS z0
+         |  FROM w${t - 1} p JOIN dg d ON d.node = p.node
+         |), s${t}1 AS (SELECT *, ${mm64("xor(z0, z0 // 1073741824)", "13787848793156543929")} AS z1 FROM s${t}0
+         |), s${t}2 AS (SELECT *, ${mm64("xor(z1, z1 // 134217728)", "10723151780598845931")} AS z2 FROM s${t}1
+         |), s${t}3 AS (SELECT *, xor(z2, z2 // 2147483648) AS zz FROM s${t}2
+         |), s${t}4 AS (
+         |  SELECT start, w, node, deg,
+         |    CAST(CASE WHEN zz >= 9223372036854775808
+         |      THEN zz - $M ELSE zz END AS BIGINT) AS sgn
+         |  FROM s${t}3
+         |), w$t AS MATERIALIZED (
+         |  SELECT p.start, p.w, a.nbr AS node
+         |  FROM s${t}4 p JOIN adj a ON a.node = p.node
+         |   AND a.rn = 1 + ((p.sgn % p.deg) + p.deg) % p.deg)""".stripMargin
+    }.mkString
+    val out = (0 to walkLen).map(t =>
+      s"SELECT start, w, CAST($t AS BIGINT) AS step, node FROM w$t")
+      .mkString("\nUNION ALL\n")
+    s"""WITH $coPurchaseCte,
+       |sym AS (
+       |  SELECT u AS node, v AS nbr FROM edges
+       |  UNION SELECT v AS node, u AS nbr FROM edges),
+       |adj AS MATERIALIZED (
+       |  SELECT node, nbr,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY node ORDER BY nbr) AS BIGINT) AS rn,
+       |    CAST(COUNT(*) OVER (PARTITION BY node) AS BIGINT) AS deg
+       |  FROM sym),
+       |dg AS (SELECT DISTINCT node, deg FROM adj),
+       |starts AS (
+       |  SELECT node AS start FROM (
+       |    SELECT DISTINCT node FROM adj ORDER BY node LIMIT $nStarts) s),
+       |w0 AS (
+       |  SELECT start, CAST(w AS BIGINT) AS w, start AS node
+       |  FROM starts, (SELECT UNNEST(range($nWalks)) AS w) ww)""".stripMargin +
+      body + "\n" + out + "\nORDER BY start, w, step, node"
+  }
+
   /** q_corr_matrix's twin: the same exact-integer moments as HUGEINT
     * sums and the same corr formula with the single double seam at the
     * final divide (op order mirrored: numerator cast, two variance

@@ -1510,7 +1510,7 @@ object TextQueries {
     * direct product of two 64-bit residues would overflow). Operands
     * are unsigned residues in [0, 2^64); `b` a literal constant.
     */
-  private def mm64(a: String, b: String): String =
+  private[queries] def mm64(a: String, b: String): String =
     s"(((($a) % 4294967296) * $b + (((($a) // 4294967296) * $b) % 4294967296)" +
       s" * 4294967296) % 18446744073709551616)"
 

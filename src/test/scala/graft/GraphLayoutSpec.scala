@@ -182,6 +182,35 @@ class GraphLayoutSpec extends SparkTestBase {
       .forall(w => w.last <= w.head), "edge curve must be non-increasing")
   }
 
+  // ---- deterministic random walks ----
+
+  test("randomWalks: every step follows an edge; walks are reproducible") {
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+      .toDF("u", "v")
+    val nbrs = (es.collect().map(r => (r.getLong(0), r.getLong(1))) ++
+      es.collect().map(r => (r.getLong(1), r.getLong(0))))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    def runIt() = Graph.randomWalks(es, nStarts = 4, nWalks = 3, walkLen = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(t => (t._1, t._2, t._3)).toSeq
+    val a = runIt()
+    assert(a == runIt(), "walks must be bit-reproducible across runs")
+    assert(a.size == 4 * 3 * 6, s"4 starts x 3 walks x 6 steps: ${a.size}")
+    // step-t node must be adjacent to step-(t-1) node within each walk
+    a.groupBy(t => (t._1, t._2)).foreach { case (_, steps) =>
+      val path = steps.sortBy(_._3).map(_._4)
+      assert(path.head == steps.head._1, "step 0 is the start")
+      path.sliding(2).foreach { w =>
+        assert(nbrs(w.head).contains(w.last), s"non-edge hop in $path")
+      }
+    }
+    // a different seed changes at least one walk
+    val b = Graph.randomWalks(es, 4, 3, 5, seed = 7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(t => (t._1, t._2, t._3)).toSeq
+    assert(a != b, "seed must steer the walks")
+  }
+
   test("q_kcore: non-trivial peel, monotone curve, census consistency") {
     val out = SparkEntry.queries("q_kcore")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
