@@ -126,7 +126,13 @@ object Bench {
     // round-12 additions: the quota-packing OPTIMIZE report, the
     // two-epoch constraint-drift diff, and the value-oracled MinHash
     // band-bucket relation
-    "q_compaction_plan", "q_dq_drift", "q_minhash_sigs")
+    "q_compaction_plan", "q_dq_drift", "q_minhash_sigs",
+    // round-12 additions: the k-core peel curve, the lossless PPJoin
+    // set-similarity join + its pruning funnel, the Gopher repetition
+    // gate, the exact-moments correlation matrix, and the deterministic
+    // random-walk sampler
+    "q_kcore", "q_ssjoin_exact", "q_ssjoin_stats", "q_gopher_gate",
+    "q_corr_matrix", "q_random_walks")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -613,10 +613,17 @@ object Graph {
     val starts = adj.select(col("node")).distinct()
       .orderBy(col("node")).limit(nStarts) // TakeOrdered: bounded
       .select(col("node").as("start"))
+    // each step relation is checkpointed: it is read TWICE (next step +
+    // its own union branch), and without the cut every union branch
+    // would re-derive the whole prefix chain — O(walkLen²) joins and a
+    // BroadcastNestedLoopJoin per branch instead of one total. The
+    // relations are walk-sized (nStarts·nWalks rows), so the cuts are
+    // per-step metadata cost, not data cost.
     var cur = starts
       .crossJoin(broadcast(
         adj.sparkSession.range(nWalks).select(col("id").as("w"))))
       .select(col("start"), col("w"), col("start").as("node"))
+      .localCheckpoint(true)
     val visits = scala.collection.mutable.ArrayBuffer(
       cur.select(col("start"), col("w"), lit(0L).as("step"), col("node")))
     for (t <- 1 to walkLen) {
@@ -628,6 +635,7 @@ object Graph {
         .join(adj.select(col("node"), col("rn"), col("nbr")),
           Seq("node", "rn"))
         .select(col("start"), col("w"), col("nbr").as("node"))
+        .localCheckpoint(true)
       visits += cur.select(col("start"), col("w"),
         lit(t.toLong).as("step"), col("node"))
     }

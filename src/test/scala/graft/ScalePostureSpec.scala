@@ -308,6 +308,37 @@ class ScalePostureSpec extends SparkTestBase {
     assert(bnl <= 2, s"unexpected nested-loop joins ($bnl):\n$plan")
   }
 
+  test("round-12 plans: ssjoin equi-only, corr one-scan, walks one bounded broadcast") {
+    // PPJoin: the prefix self-join and both verify fetches must be equi
+    // joins — a CartesianProduct would mean the prefix key was lost
+    val ss = SparkEntry.queries("q_ssjoin_exact")(spark, sf)
+    ss.collect()
+    val ssPlan = ss.queryExecution.executedPlan.toString
+      .split("Initial Plan")(0)
+    assert(!ssPlan.contains("CartesianProduct"), s"cartesian:\n$ssPlan")
+    assert(!ssPlan.contains("BroadcastNestedLoopJoin"), s"bnlj:\n$ssPlan")
+    // corr matrix: exactly ONE lineitem scan feeds the one-row moments
+    // aggregate (the whole point of fused exact moments)
+    val cm = SparkEntry.queries("q_corr_matrix")(spark, sf)
+    cm.collect()
+    val cmPlan = cm.queryExecution.executedPlan.toString
+      .split("Initial Plan")(0)
+    val scans = "Scan parquet".r.findAllIn(cmPlan).length
+    assert(scans == 1, s"corr matrix must scan once, saw $scans:\n$cmPlan")
+    // random walks: the only nested-loop join is the bounded walk-id
+    // broadcast attach; every step lookup is an equi join on (node, rn)
+    val rw = graft.operators.Graph.randomWalks(
+      SparkEntry.queries("q_kcore")(spark, sf).sparkSession
+        .range(30).select(col("id").as("u"), (col("id") + 1).as("v")),
+      nStarts = 5, nWalks = 2, walkLen = 3)
+    rw.collect()
+    val rwPlan = rw.queryExecution.executedPlan.toString
+      .split("Initial Plan")(0)
+    assert(!rwPlan.contains("CartesianProduct"), s"cartesian:\n$rwPlan")
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(rwPlan).length
+    assert(bnl <= 1, s"walks allow one bounded broadcast attach ($bnl):\n$rwPlan")
+  }
+
   test("blockedPairs: planted hot block stays O(cap²) — overflow star-attached, not paired") {
     // the q_fuzzy_parts scale posture: a fixed-cardinality block key
     // (TPC-H's 92 color last-tokens) means blocks grow LINEARLY with the
