@@ -124,7 +124,19 @@ object Soak {
       // per round one broadcast-k assignment pass + one k-row update
       // aggregate, so a clean plan reads ~linear in corpus size
       "kmeans_steps" -> (() => noop(
-        Similarity.lloydSteps(emb, k = 4, rounds = 3))))
+        Similarity.lloydSteps(emb, k = 4, rounds = 3))),
+      // round-12: the LOSSLESS PPJoin on the ADVERSARIAL blow-up — every
+      // doc gains N−1 near-identical copies ("copy i" suffixes), so the
+      // true pair count itself grows ~N²/2 per doc group; this family
+      // measures the prefix filter under maximal candidate pressure
+      // (the regime where a lossy-but-cheap LSH would be tempting)
+      "ssjoin" -> (() => noop(
+        Dedup.prefixJaccardJoin(docs, tn = 4, td = 5))),
+      // round-12: repetition rules — embarrassingly parallel per-doc
+      // n-gram counts; the flat-curve control row (any super-linear
+      // reading here means the tokenize barrier or the explode fan-out
+      // regressed, not the data)
+      "rep_rules" -> (() => noop(TextAnalysis.repetitionStats(docs))))
 
     // Trade-table families (round-10 additions): N disjoint re-keyed
     // copies of orders/lineitem written in the Tables layout, so the
@@ -238,7 +250,14 @@ object Soak {
       // registered query rebuilds base+delta from the scan each run, so
       // this row prices the full maintain-from-scratch ceiling
       "mv_refresh" -> (() => noop(
-        SparkEntry.queries("q_mv_refresh")(spark, d))))
+        SparkEntry.queries("q_mv_refresh")(spark, d))),
+      // round-12: k-core peel (fixed 6 rounds over the disjoint-copy
+      // graph — per-round degree agg + two semi-joins, expect ~linear)
+      // and the random-walk sampler (FIXED 20-start query side — the
+      // serving-shaped row: only the adjacency build grows with scale)
+      "kcore" -> (() => noop(SparkEntry.queries("q_kcore")(spark, d))),
+      "random_walks" -> (() => noop(
+        SparkEntry.queries("q_random_walks")(spark, d))))
     // untimed per-scale index build so the item_recs row is serving-only
     def warmItemIndex(d: String): Unit =
       try { graft.queries.PipelineQueries.itemIndex(spark, d); () }
