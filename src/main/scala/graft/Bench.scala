@@ -132,7 +132,12 @@ object Bench {
     // gate, the exact-moments correlation matrix, and the deterministic
     // random-walk sampler
     "q_kcore", "q_ssjoin_exact", "q_ssjoin_stats", "q_gopher_gate",
-    "q_corr_matrix", "q_random_walks")
+    "q_corr_matrix", "q_random_walks",
+    // round-12 late additions: KNN-Shapley data valuation, label
+    // propagation communities, skip-gram/PMI statistics, and the
+    // incremental PPJoin probe
+    "q_knn_shapley", "q_lpa_communities", "q_walk_skipgrams",
+    "q_ssjoin_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -362,22 +362,10 @@ object Dedup {
       nShingle: Int = 3, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
     require(tn > 0 && td > 0 && tn <= td, s"threshold $tn/$td not in (0,1]")
-    val sets = docs
-      .select(col(idCol).as("id"), shingles(col(textCol), nShingle).as("shs"))
-      .filter(size(col("shs")) > 0)
-      .withColumn("sz", size(col("shs")).cast("long"))
-      .localCheckpoint(true) // read 3×: df build, prefix build, verify fetch
+    val sets = shingleSets(docs, nShingle, textCol, idCol)
     val dfreq = sets.select(explode(col("shs")).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("dfreq"))
-    val wDoc = Window.partitionBy(col("id")).orderBy(col("dfreq"), col("g"))
-    val prefixLen =
-      col("sz") - floor((lit(tn) * col("sz") + lit(td - 1)) / lit(td)) + 1
-    val prefix = sets.select(col("id"), col("sz"), explode(col("shs")).as("g"))
-      .join(dfreq, Seq("g"))
-      .withColumn("__rn", row_number().over(wDoc))
-      .filter(col("__rn") <= prefixLen)
-      .select(col("g"), col("id"), col("sz"))
-      .localCheckpoint(true) // self-joined: never recompute the window side
+    val prefix = prefixOf(sets, dfreq, tn, td)
     val cand = prefix.select(col("g"), col("id").as("id_a"), col("sz").as("sza"))
       .join(prefix.select(col("g"), col("id").as("id_b"), col("sz").as("szb")),
         Seq("g"))
@@ -386,17 +374,86 @@ object Dedup {
           lit(td) * least(col("sza"), col("szb")))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
-    cand
-      .join(sets.select(col("id").as("id_a"), col("shs").as("sa"),
-        col("sz").as("sza")), Seq("id_a"))
-      .join(sets.select(col("id").as("id_b"), col("shs").as("sb"),
-        col("sz").as("szb")), Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
-      .withColumn("uni", col("sza") + col("szb") - col("inter"))
-      .filter(lit(td) * col("inter") >= lit(tn) * col("uni"))
-      .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
-        (col("inter").cast("double") / col("uni")).as("jaccard"))
+    verifyJaccard(cand, sets, sets, tn, td, "id_a", "id_b")
   }
+
+  /** Incremental PPJoin probe: exact Jaccard ≥ tn/td pairs between an
+    * incoming `batch` and the indexed `corpus` ONLY (within-batch and
+    * within-corpus pairs are the other operators' jobs — the
+    * incrementalNearDup split). The global prefix order is document
+    * frequency over corpus ∪ batch; at rest the corpus side's prefix
+    * relation is exactly what a persisted ids-only prefix index stores
+    * (the MinhashIndex posture), with the ORDER frozen at index-build
+    * time — the union-df here is the batch-twin of that artifact.
+    * Losslessness needs both sides' prefixes under ONE total order,
+    * which both forms satisfy.
+    */
+  def prefixJaccardProbe(corpus: DataFrame, batch: DataFrame,
+      tn: Int, td: Int, nShingle: Int = 3, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(tn > 0 && td > 0 && tn <= td, s"threshold $tn/$td not in (0,1]")
+    val cSets = shingleSets(corpus, nShingle, textCol, idCol)
+    val bSets = shingleSets(batch, nShingle, textCol, idCol)
+    val dfreq = cSets.select(explode(col("shs")).as("g"))
+      .unionAll(bSets.select(explode(col("shs")).as("g")))
+      .groupBy(col("g")).agg(count(lit(1)).as("dfreq"))
+      .localCheckpoint(true) // consumed by both prefix builds
+    val cand = prefixOf(bSets, dfreq, tn, td)
+      .select(col("g"), col("id").as("new_id"), col("sz").as("sza"))
+      .join(prefixOf(cSets, dfreq, tn, td)
+        .select(col("g"), col("id").as("corpus_id"), col("sz").as("szb")),
+        Seq("g"))
+      .filter(lit(tn) * greatest(col("sza"), col("szb")) <=
+        lit(td) * least(col("sza"), col("szb")))
+      .select(col("new_id"), col("corpus_id"))
+      .dropDuplicates("new_id", "corpus_id")
+    verifyJaccard(cand, bSets, cSets, tn, td, "new_id", "corpus_id")
+  }
+
+  /** Distinct shingle sets with sizes, checkpointed (every consumer
+    * reads it ≥2×: df build, prefix build, verify fetch).
+    */
+  private def shingleSets(docs: DataFrame, nShingle: Int,
+      textCol: String, idCol: String): DataFrame = docs
+    .select(col(idCol).as("id"), shingles(col(textCol), nShingle).as("shs"))
+    .filter(size(col("shs")) > 0)
+    .withColumn("sz", size(col("shs")).cast("long"))
+    .localCheckpoint(true)
+
+  /** The rarest-first prefix relation (g, id, sz) — first
+    * `sz − ceil(tn·sz/td) + 1` tokens per set in (dfreq, g) order, the
+    * integer prefix length. Checkpointed: candidate joins read it from
+    * both sides.
+    */
+  private def prefixOf(sets: DataFrame, dfreq: DataFrame,
+      tn: Int, td: Int): DataFrame = {
+    val wDoc = Window.partitionBy(col("id")).orderBy(col("dfreq"), col("g"))
+    val prefixLen =
+      col("sz") - floor((lit(tn) * col("sz") + lit(td - 1)) / lit(td)) + 1
+    sets.select(col("id"), col("sz"), explode(col("shs")).as("g"))
+      .join(dfreq, Seq("g"))
+      .withColumn("__rn", row_number().over(wDoc))
+      .filter(col("__rn") <= prefixLen)
+      .select(col("g"), col("id"), col("sz"))
+      .localCheckpoint(true)
+  }
+
+  /** Exact-verification tail shared by the PPJoin forms: fetch both
+    * sets per candidate, integer threshold `td·inter ≥ tn·uni`, one
+    * reporting division.
+    */
+  private def verifyJaccard(cand: DataFrame, aSets: DataFrame,
+      bSets: DataFrame, tn: Int, td: Int,
+      aName: String, bName: String): DataFrame = cand
+    .join(aSets.select(col("id").as(aName), col("shs").as("sa"),
+      col("sz").as("sza")), Seq(aName))
+    .join(bSets.select(col("id").as(bName), col("shs").as("sb"),
+      col("sz").as("szb")), Seq(bName))
+    .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
+    .withColumn("uni", col("sza") + col("szb") - col("inter"))
+    .filter(lit(td) * col("inter") >= lit(tn) * col("uni"))
+    .select(col(aName), col(bName), col("inter"), col("uni"),
+      (col("inter").cast("double") / col("uni")).as("jaccard"))
 
   /** The [[prefixJaccardJoin]] pruning funnel as ONE declarative row —
     * the observability query that justifies the prefix filter at scale:
@@ -410,11 +467,7 @@ object Dedup {
   def prefixJaccardFunnel(docs: DataFrame, tn: Int, td: Int,
       nShingle: Int = 3, textCol: String = "text",
       idCol: String = "doc_id"): DataFrame = {
-    val sets = docs
-      .select(col(idCol).as("id"), shingles(col(textCol), nShingle).as("shs"))
-      .filter(size(col("shs")) > 0)
-      .withColumn("sz", size(col("shs")).cast("long"))
-      .localCheckpoint(true)
+    val sets = shingleSets(docs, nShingle, textCol, idCol)
     val nDocs = sets.agg(count(lit(1)).as("n_docs"))
     val hist = sets.groupBy(col("sz")).agg(count(lit(1)).as("cnt"))
       .localCheckpoint(true) // self-joined below
@@ -428,15 +481,7 @@ object Dedup {
         .as("n_length_pairs"))
     val dfreq = sets.select(explode(col("shs")).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("dfreq"))
-    val wDoc = Window.partitionBy(col("id")).orderBy(col("dfreq"), col("g"))
-    val prefixLen =
-      col("sz") - floor((lit(tn) * col("sz") + lit(td - 1)) / lit(td)) + 1
-    val prefix = sets.select(col("id"), col("sz"), explode(col("shs")).as("g"))
-      .join(dfreq, Seq("g"))
-      .withColumn("__rn", row_number().over(wDoc))
-      .filter(col("__rn") <= prefixLen)
-      .select(col("g"), col("id"), col("sz"))
-      .localCheckpoint(true)
+    val prefix = prefixOf(sets, dfreq, tn, td)
     val cand = prefix.select(col("g"), col("id").as("id_a"), col("sz").as("sza"))
       .join(prefix.select(col("g"), col("id").as("id_b"), col("sz").as("szb")),
         Seq("g"))
@@ -447,14 +492,7 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
       .localCheckpoint(true) // counted AND verified below
     val nCand = cand.agg(count(lit(1)).as("n_candidates"))
-    val nVerified = cand
-      .join(sets.select(col("id").as("id_a"), col("shs").as("sa"),
-        col("sz").as("sza")), Seq("id_a"))
-      .join(sets.select(col("id").as("id_b"), col("shs").as("sb"),
-        col("sz").as("szb")), Seq("id_b"))
-      .withColumn("inter", size(array_intersect(col("sa"), col("sb"))).cast("long"))
-      .filter(lit(td) * col("inter") >=
-        lit(tn) * (col("sza") + col("szb") - col("inter")))
+    val nVerified = verifyJaccard(cand, sets, sets, tn, td, "id_a", "id_b")
       .agg(count(lit(1)).as("n_verified"))
     nDocs
       .crossJoin(broadcast(lengthPairs))

@@ -574,6 +574,102 @@ object Graph {
     }
   }
 
+  /** Synchronous label propagation (Raghavan et al. 2007, the
+    * community-detection baseline; public algorithm), made fully
+    * deterministic: every node starts labeled with its own id and each
+    * of the fixed `rounds` updates EVERY node to its neighbors' MODE
+    * label, ties broken by the smallest label (classic LPA breaks ties
+    * randomly — the min tiebreak is what makes the result a pure
+    * function of the edge set, SQL-mirrorable round by round).
+    * Undirected input as canonical `(u, v)` rows; returns `(node,
+    * label)` after the last round.
+    *
+    * Scale shape: per round ONE equi-join of the symmetric edge list to
+    * the node-sized label relation, ONE map-side-combinable (node,
+    * label) count, and ONE per-node window over that count (bounded by
+    * the node's distinct neighbor labels ≤ degree); labels are
+    * checkpointed per round (read by the next join + the final
+    * output). [[Guarded.iterate]] driver fast path below
+    * `localThreshold` edges, identical recurrence as an array loop.
+    */
+  def lpaSteps(edges: DataFrame, rounds: Int,
+               localThreshold: Long = 2000000L): DataFrame = {
+    require(rounds >= 1, s"rounds $rounds")
+    Guarded.iterate(edges.select(col("u"), col("v")), localThreshold) {
+      (e, m) =>
+        require(m > 0, "lpa over an empty edge set")
+        lpaLocal(e, rounds)
+    } { (e, m) =>
+      require(m > 0, "lpa over an empty edge set")
+      val sym = e.select(col("u").as("node"), col("v").as("nbr"))
+        .unionAll(e.select(col("v").as("node"), col("u").as("nbr")))
+        .distinct()
+        .repartition(col("nbr")).localCheckpoint(true) // joined per round on nbr
+      var labels = sym.select(col("node")).distinct()
+        .select(col("node"), col("node").as("label"))
+        .localCheckpoint(true)
+      val wMode = Window.partitionBy(col("node"))
+        .orderBy(col("__n").desc, col("label"))
+      for (_ <- 1 to rounds) {
+        labels = sym
+          .join(labels.select(col("node").as("nbr"), col("label")),
+            Seq("nbr"))
+          .groupBy(col("node"), col("label"))
+          .agg(count(lit(1)).as("__n"))
+          .withColumn("__r", row_number().over(wMode))
+          .filter(col("__r") === 1)
+          .select(col("node"), col("label"))
+          .localCheckpoint(true)
+      }
+      labels
+    }
+  }
+
+  /** The identical synchronous mode update as a driver loop — the
+    * [[localRun]] twin for [[lpaSteps]]. Mode ties break on the LABEL
+    * VALUE in the distributed path, so ids are sorted once (numeric for
+    * Long ids, lexicographic otherwise — matching Spark's column
+    * ordering for the types the engine and its tests use) and labels
+    * ride sorted positions internally.
+    */
+  private def lpaLocal(e: DataFrame, rounds: Int): DataFrame = {
+    val spark = e.sparkSession
+    val rows = e.collect() // bounded by the caller's localThreshold guard
+    val ids = rows.flatMap(r => Seq(r.get(0), r.get(1))).distinct
+    val sorted: Array[Any] =
+      if (ids.forall(_.isInstanceOf[Long]))
+        ids.map(_.asInstanceOf[Long]).sorted.map(_.asInstanceOf[Any]).toArray
+      else ids.map(_.toString).sorted.map(_.asInstanceOf[Any]).toArray
+    val idx = sorted.zipWithIndex.toMap
+    def ofRow(a: Any): Int =
+      idx(if (a.isInstanceOf[Long]) a else a.toString)
+    val n = sorted.length
+    val adj = Array.fill(n)(scala.collection.mutable.SortedSet.empty[Int])
+    rows.foreach { r =>
+      val a = ofRow(r.get(0)); val b = ofRow(r.get(1))
+      if (a != b) { adj(a) += b; adj(b) += a }
+    }
+    var lab = Array.tabulate(n)(identity) // label = own sorted position
+    for (_ <- 1 to rounds) {
+      val next = new Array[Int](n)
+      var v = 0
+      while (v < n) {
+        val cnt = scala.collection.mutable.Map.empty[Int, Int]
+        adj(v).foreach { u => cnt(lab(u)) = cnt.getOrElse(lab(u), 0) + 1 }
+        next(v) =
+          if (cnt.isEmpty) lab(v)
+          else cnt.toSeq.maxBy { case (l, c) => (c.toLong, -l.toLong) }._1
+        v += 1
+      }
+      lab = next
+    }
+    val out = (0 until n).map(i => Row(sorted(i), sorted(lab(i))))
+    val schema = StructType(Seq(
+      e.schema.fields(0).copy(name = "node"),
+      e.schema.fields(0).copy(name = "label")))
+    spark.createDataFrame(spark.sparkContext.parallelize(out, 1), schema)
+  }
+
   /** Deterministic random walks (the node2vec/DeepWalk corpus builder —
     * Perozzi et al. 2014, Grover & Leskovec 2016; public algorithms,
     * uniform-transition special case): `nWalks` walks of `walkLen`

@@ -1261,6 +1261,49 @@ object AnalyticsQueries {
         nStarts = 20, nWalks = 2, walkLen = 4, seed = 42)
         .orderBy(col("start"), col("w"), col("step"), col("node"))),
 
+    // Deterministic label propagation (3 synchronous mode-update rounds
+    // over the co-purchase graph; ties → min label, which is what makes
+    // classic LPA SQL-mirrorable) → community-size census. Exact
+    // integers; Graph.lpaSteps owns the scale shape (per round one
+    // label join + one (node,label) count + one degree-bounded window,
+    // labels checkpointed; Guarded fast path under the edge guard).
+    "q_lpa_communities" -> ((s, d) =>
+      graft.operators.Graph.lpaSteps(coPurchaseEdges(s, d), rounds = 3)
+        .groupBy(col("label")).agg(count(lit(1)).as("n_members"))
+        .orderBy(col("label"))),
+
+    // Skip-gram co-occurrence + PMI over the deterministic walks — the
+    // second half of the DeepWalk pipeline (the (center, context)
+    // statistics SGNS implicitly factorizes — Levy & Goldberg 2014):
+    // within each walk, pairs at step distance ≤ 2; counts and both
+    // marginals are exact integers off ONE checkpointed pair relation;
+    // PMI = ln(n·total / (n_center·n_context)) is the single float
+    // seam (one division + one ln, mirrored op-for-op; the q_lm_score
+    // cross-engine log convention). Walk-sized relations throughout.
+    "q_walk_skipgrams" -> ((s, d) => {
+      val visits = graft.operators.Graph.randomWalks(coPurchaseEdges(s, d),
+        nStarts = 20, nWalks = 2, walkLen = 4, seed = 42)
+        .localCheckpoint(true) // self-joined: both sides read it
+      val a = visits.select(col("start"), col("w"), col("step").as("sa"),
+        col("node").as("center"))
+      val b = visits.select(col("start"), col("w"), col("step").as("sb"),
+        col("node").as("context"))
+      val pairs = a.join(b, Seq("start", "w"))
+        .filter(col("sa") =!= col("sb") &&
+          abs(col("sa") - col("sb")) <= 2)
+        .groupBy(col("center"), col("context")).agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // read by the total + two marginal branches
+      val total = pairs.agg(sum(col("n")).as("tot"))
+      val cM = pairs.groupBy(col("center")).agg(sum(col("n")).as("n_c"))
+      val xM = pairs.groupBy(col("context")).agg(sum(col("n")).as("n_x"))
+      pairs.join(cM, Seq("center")).join(xM, Seq("context"))
+        .crossJoin(broadcast(total))
+        .select(col("center"), col("context"), col("n"),
+          round(log((col("n") * col("tot")).cast("double") /
+            (col("n_c") * col("n_x")).cast("double")), 6).as("pmi_r"))
+        .orderBy(col("center"), col("context"))
+    }),
+
     // Pairwise Pearson correlation matrix from EXACT integer moments
     // (the other ANALYZE artifact next to q_table_stats — the CBO/
     // feature-selection correlation screen): ONE scan, ONE single-row
@@ -2420,6 +2463,26 @@ object AnalyticsQueries {
 
     "q_random_walks" -> walkOracle,
 
+    "q_lpa_communities" -> lpaOracle,
+
+    // the replayed walks feed the same windowed pair count + marginals
+    "q_walk_skipgrams" ->
+      s"""WITH $walkCte,
+         |pr AS (
+         |  SELECT a.node AS center, b.node AS context, COUNT(*) AS n
+         |  FROM visits a JOIN visits b
+         |    ON a.start = b.start AND a.w = b.w
+         |   AND a.step <> b.step AND abs(a.step - b.step) <= 2
+         |  GROUP BY 1, 2),
+         |tot AS (SELECT SUM(n) AS tot FROM pr),
+         |cm AS (SELECT center, SUM(n) AS n_c FROM pr GROUP BY center),
+         |xm AS (SELECT context, SUM(n) AS n_x FROM pr GROUP BY context)
+         |SELECT p.center, p.context, p.n,
+         |  ROUND(ln(CAST(p.n * t.tot AS DOUBLE) /
+         |    CAST(c.n_c * x.n_x AS DOUBLE)), 6) AS pmi_r
+         |FROM pr p JOIN cm c USING (center) JOIN xm x USING (context), tot t
+         |ORDER BY center, context""".stripMargin,
+
     "q_khop" ->
       """WITH cs AS (
         |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
@@ -2689,6 +2752,34 @@ object AnalyticsQueries {
     * Pure integer arithmetic: distances compare bit-for-bit, the only
     * oracle in the iterative-graph family with NO rounding seam.
     */
+  /** q_lpa_communities' twin: the mode update unrolled round by round
+    * (ROW_NUMBER over (count DESC, label) — the same min-label
+    * tiebreak), exact integers end to end.
+    */
+  private def lpaOracle: String = {
+    val rounds = 3
+    val body = (1 to rounds).map { r =>
+      s""", c$r AS (
+         |  SELECT s.node, l.label, COUNT(*) AS cnt
+         |  FROM sym s JOIN l${r - 1} l ON l.node = s.nbr
+         |  GROUP BY s.node, l.label
+         |), l$r AS MATERIALIZED (
+         |  SELECT node, label FROM (
+         |    SELECT node, label,
+         |      ROW_NUMBER() OVER (PARTITION BY node
+         |        ORDER BY cnt DESC, label) AS rn
+         |    FROM c$r) x WHERE rn = 1)""".stripMargin
+    }.mkString
+    s"""WITH $coPurchaseCte,
+       |sym AS MATERIALIZED (
+       |  SELECT u AS node, v AS nbr FROM edges
+       |  UNION SELECT v AS node, u AS nbr FROM edges),
+       |l0 AS (SELECT DISTINCT node, node AS label FROM sym)""".stripMargin +
+      body +
+      s"\nSELECT label, COUNT(*) AS n_members FROM l$rounds" +
+      "\nGROUP BY label ORDER BY label"
+  }
+
   /** q_random_walks' twin: replays every walk step through the mod-2^64
     * HUGEINT mix64 (combine constants seed·golden / 0xc2b2ae3d27d4eb4f /
     * 0x165667b19e3779f9, then the splitmix finalizer stages — keep in
@@ -2696,7 +2787,14 @@ object AnalyticsQueries {
     * per step so the split-multiply's textual duplication never
     * compounds (the minhashCte lesson).
     */
-  private def walkOracle: String = {
+  private def walkOracle: String =
+    s"WITH $walkCte\n" +
+      "SELECT start, w, step, node FROM visits ORDER BY start, w, step, node"
+
+  /** The walk-replay CTE chain shared by walkOracle and the skip-gram
+    * oracle — exposes `visits(start, w, step, node)`.
+    */
+  private def walkCte: String = {
     val (nStarts, nWalks, walkLen, seed) = (20, 2, 4, 42)
     def mm64(a: String, b: String) = TextQueries.mm64(a, b)
     val M = "18446744073709551616" // 2^64
@@ -2740,7 +2838,7 @@ object AnalyticsQueries {
        |w0 AS (
        |  SELECT start, CAST(w AS BIGINT) AS w, start AS node
        |  FROM starts, (SELECT UNNEST(range($nWalks)) AS w) ww)""".stripMargin +
-      body + "\n" + out + "\nORDER BY start, w, step, node"
+      body + s",\nvisits AS (\n$out)"
   }
 
   /** q_corr_matrix's twin: the same exact-integer moments as HUGEINT

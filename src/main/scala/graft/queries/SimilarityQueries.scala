@@ -130,6 +130,63 @@ object SimilarityQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Exact KNN-Shapley data valuation (Jia et al., VLDB 2019 — the
+    // closed-form Shapley value of each TRAINING point for a K-NN
+    // classifier; public algorithm): the per-example "how much does
+    // this row help" score a curation pipeline ranks hard negatives /
+    // mislabeled candidates by. Test points = vec_id < 10 (the query-
+    // batch convention), train = the rest, K = 5, utility = label
+    // match. Per test point the train set is ranked by the EXACT
+    // unrounded cosine (the duckCosParts bit-identical twin), then the
+    // paper's recursion s_i = s_{i+1} + (1[y_i=y] − 1[y_{i+1}=y])·
+    // min(K,i)/(K·i) collapses into ONE suffix sum of per-row
+    // contributions (contrib_M = m_M/M at the far end) — computed as a
+    // RUNNING sum in rank-descending order: each contrib is a single
+    // exact-integer-over-integer division, and the running frame is the
+    // only float accumulation (engines may reassociate it — segment
+    // tree vs sequential — but the reassociation error is ~1e-13
+    // against a 5e-7 rounding half-step, so the 6dp contract holds).
+    // Scale shape: the (test × train) relation parallelizes across test
+    // points (per-test window partitions — never a global sort); the
+    // all-ranks requirement is intrinsic to EXACT KNN-Shapley — at
+    // 100 TB the production form runs this on an ANN-restricted
+    // candidate set per test point and telescopes the tail, exactly as
+    // the paper's approximate variant does.
+    "q_knn_shapley" -> ((s, d) => {
+      val k = 5
+      val e = emb(s, d)
+      val q = broadcast(e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("label").as("qlabel")))
+      val scored = e.filter(col("vec_id") >= 10)
+        .select(col("vec_id"), col("embedding").as("cv"), col("label"))
+        .crossJoin(q)
+        .withColumn("cos", cosine_similarity(col("qv"), col("cv")))
+        .withColumn("m",
+          when(col("label") === col("qlabel"), 1L).otherwise(0L))
+      val wRank = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      val wLead = wRank // same partition+order: one window exchange+sort
+      val ranked = scored
+        .withColumn("rank", row_number().over(wRank).cast("long"))
+        .withColumn("m_next", lead(col("m"), 1).over(wLead))
+        .withColumn("n_train",
+          count(lit(1)).over(Window.partitionBy(col("query_id"))))
+      val contrib = ranked.withColumn("contrib",
+        when(col("m_next").isNull,
+          col("m").cast("double") / col("n_train"))
+          .otherwise(((col("m") - col("m_next")) *
+            least(lit(k.toLong), col("rank"))).cast("double") /
+            (lit(k.toLong) * col("rank"))))
+      val wSuffix = Window.partitionBy(col("query_id"))
+        .orderBy(col("rank").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      contrib
+        .withColumn("shap_r", round(sum(col("contrib")).over(wSuffix), 6))
+        .select(col("query_id"), col("vec_id"), col("rank"), col("shap_r"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     // product-quantization ANN (8 subspaces x 32 centroids, ADC + exact
     // rerank): the memory-bound scale path — corpus rides the scoring
     // join as 8 codes + a norm instead of 64 floats. Rows-only (KMeans
@@ -593,6 +650,44 @@ object SimilarityQueries {
          |  ROUND(cos, 6) AS cos_r
          |FROM ranked WHERE rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
+
+    // the paper recursion as the same suffix-sum: exact-cosine rank,
+    // integer indicators, one division per contrib, running frame
+    "q_knn_shapley" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv,
+         |            label AS qlabel
+         |           FROM embeddings WHERE vec_id < 10),
+         |tr AS (SELECT vec_id, embedding AS cv, label
+         |       FROM embeddings WHERE vec_id >= 10),
+         |parts AS (
+         |  SELECT t.vec_id, q.query_id, q.qlabel, t.label,
+         |    ${duckCosParts("q.qv", "t.cv")}
+         |  FROM tr t, q),
+         |sc AS (
+         |  SELECT query_id, vec_id,
+         |    CASE WHEN label = qlabel THEN 1 ELSE 0 END AS m,
+         |    CASE WHEN nx = 0.0 OR ny = 0.0 THEN 0.0
+         |         ELSE dot / sqrt(nx * ny) END AS cos
+         |  FROM parts),
+         |rk AS (
+         |  SELECT query_id, vec_id, m,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, vec_id) AS rank,
+         |    LEAD(m) OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, vec_id) AS m_next,
+         |    COUNT(*) OVER (PARTITION BY query_id) AS n_train
+         |  FROM sc),
+         |cb AS (
+         |  SELECT query_id, vec_id, rank,
+         |    CASE WHEN m_next IS NULL THEN CAST(m AS DOUBLE) / n_train
+         |         ELSE CAST((m - m_next) * least(5, rank) AS DOUBLE) /
+         |              (5 * rank) END AS contrib
+         |  FROM rk)
+         |SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank,
+         |  ROUND(SUM(contrib) OVER (PARTITION BY query_id
+         |    ORDER BY rank DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS shap_r
+         |FROM cb ORDER BY query_id, rank""".stripMargin,
 
     "q_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, embedding AS qv

@@ -287,6 +287,22 @@ object TextQueries {
     "q_ssjoin_stats" -> ((s, d) =>
       Dedup.prefixJaccardFunnel(docs(s, d), tn = 4, td = 5, nShingle = 3)),
 
+    // incremental PPJoin probe (the exact twin of
+    // q_dedup_incremental_near): the doc_id%10==3 batch against the
+    // indexed corpus only, prefix-filtered under ONE union-df order,
+    // same rational 4/5 threshold. Oracle is brute force over
+    // batch × corpus — the gate witnesses losslessness on the probe
+    // form too.
+    "q_ssjoin_incremental" -> ((s, d) => {
+      val base = docs(s, d)
+      Dedup.prefixJaccardProbe(
+        base.filter(col("doc_id") % 10 =!= 3),
+        base.filter(col("doc_id") % 10 === 3), tn = 4, td = 5)
+        .select(col("new_id"), col("corpus_id"), col("inter"), col("uni"),
+          round(col("jaccard"), 6).as("j_r"))
+        .orderBy(col("new_id"), col("corpus_id"))
+    }),
+
     // Intra-document repetition census (Gopher/RefinedWeb repetition
     // rules — TextAnalysis.repetitionStats): top-2-gram concentration,
     // duplicate-3-gram mass, duplicate 10-token blocks, all as INTEGER
@@ -1769,6 +1785,23 @@ object TextQueries {
          |SELECT n_docs, n_docs * (n_docs - 1) // 2 AS n_all_pairs,
          |  n_length_pairs, n_candidates, n_verified
          |FROM nd, lp, nc, nv""".stripMargin,
+
+    // brute force over batch × corpus, no filters — losslessness gate
+    "q_ssjoin_incremental" ->
+      s"""WITH $shinglesCte,
+         |ne AS (
+         |  SELECT doc_id, shs, CAST(len(shs) AS BIGINT) AS sz
+         |  FROM mh_shingles WHERE len(shs) > 0),
+         |j AS (
+         |  SELECT b.doc_id AS new_id, c.doc_id AS corpus_id,
+         |    CAST(len(list_intersect(b.shs, c.shs)) AS BIGINT) AS inter,
+         |    b.sz + c.sz - CAST(len(list_intersect(b.shs, c.shs)) AS BIGINT) AS uni
+         |  FROM ne b JOIN ne c
+         |    ON b.doc_id % 10 = 3 AND c.doc_id % 10 <> 3)
+         |SELECT new_id, corpus_id, inter, uni,
+         |  ROUND(CAST(inter AS DOUBLE) / uni, 6) AS j_r
+         |FROM j WHERE 5 * inter >= 4 * uni
+         |ORDER BY new_id, corpus_id""".stripMargin,
 
     // incremental near-dup maintenance (DE-EXEMPTED r12): the
     // doc_id%10==3 batch's buckets join the corpus buckets on

@@ -67,6 +67,27 @@ class DedupSimilaritySpec extends SparkTestBase {
       "planted pairs must be in the ground truth")
   }
 
+  test("prefixJaccardProbe equals brute force over batch × corpus only") {
+    val rnd = new scala.util.Random(5)
+    val corpus = (0 until 30).map(i =>
+      (i.toLong, Seq.fill(10 + rnd.nextInt(15))(s"w${rnd.nextInt(18)}").mkString(" ")))
+    val batch = (100 until 110).map(i =>
+      (i.toLong, Seq.fill(10 + rnd.nextInt(15))(s"w${rnd.nextInt(18)}").mkString(" "))) :+
+      (200L, corpus.head._2) // planted exact dup of corpus doc 0
+    val got = Dedup.prefixJaccardProbe(corpus.toDF("doc_id", "text"),
+        batch.toDF("doc_id", "text"), tn = 4, td = 5, nShingle = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cs = corpus.map { case (id, tx) => id -> tx.split(" ").toSet }
+    val bs = batch.map { case (id, tx) => id -> tx.split(" ").toSet }
+    val want = (for {
+      (ib, sb) <- bs; (ic, sc) <- cs
+      inter = (sb & sc).size; uni = (sb | sc).size
+      if uni > 0 && 5 * inter >= 4 * uni
+    } yield (ib, ic)).toSet
+    assert(got == want, s"got=$got want=$want")
+    assert(want.contains((200L, 0L)), "planted dup must be ground truth")
+  }
+
   test("prefixJaccardFunnel: monotone funnel, verified equals the exact join") {
     val docs = (0 until 30).map(i =>
       (i.toLong, (0 to 10).map(j => s"t${(i + j) % 13}").mkString(" ")))
@@ -283,6 +304,60 @@ class DedupSimilaritySpec extends SparkTestBase {
       .collect().map(_.getLong(0)).toSet
     assert(kept == truth,
       s"extra=${kept -- truth} missing=${truth -- kept}")
+  }
+
+  test("q_knn_shapley: equals an independent driver recursion; group rationality holds") {
+    val rows = SparkEntry.queries("q_knn_shapley")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // independent re-derivation: same cosine arithmetic (float multiply
+    // widened to double, sequential fold), same rank order, the paper's
+    // backward recursion s_i = s_{i+1} + (m_i - m_{i+1})·min(K,i)/(K·i)
+    val e = graft.Tables.embeddings(spark, sf)
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).toArray, r.getLong(2)))
+    val (tests, train) = e.partition(_._1 < 10)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        dot += (a(i) * b(i)).toDouble
+        nx += (a(i) * a(i)).toDouble; ny += (b(i) * b(i)).toDouble
+        i += 1
+      }
+      if (nx == 0.0 || ny == 0.0) 0.0 else dot / math.sqrt(nx * ny)
+    }
+    val K = 5
+    val want = tests.flatMap { case (qid, qv, qlab) =>
+      val ranked = train.map { case (tid, tv, tlab) =>
+        (tid, cos(qv, tv), if (tlab == qlab) 1L else 0L)
+      }.sortBy(t => (-t._2, t._1))
+      val nT = ranked.length
+      val s = new Array[Double](nT)
+      s(nT - 1) = ranked(nT - 1)._3.toDouble / nT
+      for (i <- nT - 2 to 0 by -1) {
+        val r = i + 1 // 1-based rank
+        s(i) = s(i + 1) + ((ranked(i)._3 - ranked(i + 1)._3) *
+          math.min(K, r)).toDouble / (K.toLong * r)
+      }
+      ranked.zipWithIndex.map { case ((tid, _, _), i) =>
+        (qid, tid) -> s(i)
+      }
+    }.toMap
+    rows.foreach { case (qid, tid, _, got) =>
+      val exp = want((qid, tid))
+      assert(math.abs(got - exp) < 1e-6, s"($qid,$tid): $got vs $exp")
+    }
+    // group rationality: per test point Σ s_i = (top-K match count)/K
+    val byQ = rows.groupBy(_._1)
+    tests.foreach { case (qid, qv, qlab) =>
+      val topK = train.map { case (tid, tv, tlab) =>
+        (tid, cos(qv, tv), if (tlab == qlab) 1 else 0)
+      }.sortBy(t => (-t._2, t._1)).take(K)
+      val v = topK.map(_._3).sum.toDouble / K
+      val got = byQ(qid).map(_._4).sum
+      assert(math.abs(got - v) < 1e-3, s"q$qid: sum $got vs utility $v")
+    }
   }
 
   test("brute-force topK: self excluded, ranks contiguous, cosine sorted") {

@@ -182,6 +182,34 @@ class GraphLayoutSpec extends SparkTestBase {
       .forall(w => w.last <= w.head), "edge curve must be non-increasing")
   }
 
+  // ---- label propagation (synchronous, min-label ties) ----
+
+  private def lpaOf(edges: Seq[(Long, Long)], rounds: Int,
+      forceDist: Boolean = false): Map[Long, Long] =
+    Graph.lpaSteps(edges.toDF("u", "v"), rounds,
+        localThreshold = if (forceDist) 0L else 2000000L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("lpaSteps: two bridged triangles localize; hand-traced 3 rounds") {
+    val es = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L)
+    assert(lpaOf(es, 3) == want)
+    assert(lpaOf(es, 3, forceDist = true) == want,
+      "driver fast path must equal the forced distributed loop")
+  }
+
+  test("q_lpa_communities: members partition the node set") {
+    val out = SparkEntry.queries("q_lpa_communities")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.nonEmpty && out.forall(_._2 >= 1))
+    val nNodes = SparkEntry.queries("q_kcore")(spark, sf)
+      .filter(col("round") === 0).head().getLong(1)
+    assert(out.map(_._2).sum == nNodes,
+      s"community sizes must sum to the node census ($nNodes)")
+  }
+
   // ---- deterministic random walks ----
 
   test("randomWalks: every step follows an edge; walks are reproducible") {
@@ -209,6 +237,22 @@ class GraphLayoutSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3))).sortBy(t => (t._1, t._2, t._3)).toSeq
     assert(a != b, "seed must steer the walks")
+  }
+
+  test("q_walk_skipgrams: symmetric counts, exact pair mass, symmetric PMI") {
+    val out = SparkEntry.queries("q_walk_skipgrams")(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out.nonEmpty)
+    // the ±2 window emits both orientations: counts and PMI symmetric
+    out.foreach { case ((a, b), (n, pmi)) =>
+      val rev = out.get((b, a))
+      assert(rev.contains((n, pmi)), s"asymmetric cell ($a,$b)")
+    }
+    // exact pair mass: 20 starts × 2 walks, 5 positions each → per walk
+    // 8 ordered pairs at distance 1 + 6 at distance 2 = 14
+    assert(out.values.map(_._1).sum == 20L * 2 * 14,
+      s"total pair mass ${out.values.map(_._1).sum}")
   }
 
   test("q_kcore: non-trivial peel, monotone curve, census consistency") {
