@@ -2822,7 +2822,7 @@ object AnalyticsQueries {
     val out = (0 to walkLen).map(t =>
       s"SELECT start, w, CAST($t AS BIGINT) AS step, node FROM w$t")
       .mkString("\nUNION ALL\n")
-    s"""WITH $coPurchaseCte,
+    s"""$coPurchaseCte,
        |sym AS (
        |  SELECT u AS node, v AS nbr FROM edges
        |  UNION SELECT v AS node, u AS nbr FROM edges),

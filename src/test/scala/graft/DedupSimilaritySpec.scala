@@ -314,6 +314,8 @@ class DedupSimilaritySpec extends SparkTestBase {
     // widened to double, sequential fold), same rank order, the paper's
     // backward recursion s_i = s_{i+1} + (m_i - m_{i+1})·min(K,i)/(K·i)
     val e = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id").cast("long"), col("embedding"),
+        col("label").cast("long"))
       .collect().map(r => (r.getLong(0),
         r.getSeq[Float](1).toArray, r.getLong(2)))
     val (tests, train) = e.partition(_._1 < 10)
