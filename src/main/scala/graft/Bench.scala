@@ -137,7 +137,9 @@ object Bench {
     // propagation communities, skip-gram/PMI statistics, and the
     // incremental PPJoin probe
     "q_knn_shapley", "q_lpa_communities", "q_walk_skipgrams",
-    "q_ssjoin_incremental")
+    "q_ssjoin_incremental",
+    // the deterministic Poisson-bootstrap CI and contamination severity
+    "q_bootstrap_ci", "q_contamination_span")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -5,6 +5,7 @@ import graft.operators.{Dedup, Split, TextAnalysis}
 import graft.functions.TextHashFunctions
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Text-analysis + dedup queries over the `documents` table.
   *
@@ -287,6 +288,50 @@ object TextQueries {
     "q_ssjoin_stats" -> ((s, d) =>
       Dedup.prefixJaccardFunnel(docs(s, d), tn = 4, td = 5, nShingle = 3)),
 
+    // Deterministic Poisson bootstrap (Chamandy et al. 2012, the
+    // resampling scheme that works in one pass at any scale because
+    // replica weights are INDEPENDENT per row — no global sample-of-n):
+    // 200 replicas of the per-source mean n_chars, each row's replica-r
+    // weight = Poisson(1) drawn by inverting mix64(doc_id, r)'s uniform
+    // against PRECOMPUTED cumulative literals (the same double literals
+    // embedded in both engines — no cross-engine exp/pow seam), CI from
+    // exact order statistics of the 200 replica means (ranks 5 / 196 ≈
+    // 95%). Scale shape: one ×R map-side expansion, one (source, r)
+    // exact-integer aggregate, one R-bounded window per source. The
+    // whole resampling REPLAYS in the oracle through the mm64 twin —
+    // a bootstrap CI the cross-engine gate can hash-match.
+    "q_bootstrap_ci" -> ((s, d) => {
+      val reps = 200
+      val base = docs(s, d).select(col("doc_id"), col("source"),
+        col("n_chars"))
+      val expd = base.select(col("doc_id"), col("source"), col("n_chars"),
+        explode(sequence(lit(0L), lit(reps - 1L))).as("r"))
+      val z = graft.functions.TextHashFunctions.mix64(
+        col("doc_id"), col("r"), lit(0L), seed = 77)
+      val u = (z.cast("double") / lit(18446744073709551616.0)) +
+        when(z < 0, lit(1.0)).otherwise(lit(0.0))
+      val w = poissonCum.zipWithIndex.foldRight(lit(8L)) {
+        case ((c, k), rest) => when(u < lit(c), k.toLong).otherwise(rest)
+      }
+      val perRep = expd.withColumn("w", w)
+        .groupBy(col("source"), col("r"))
+        .agg(sum(col("w")).as("sw"),
+          sum(col("w") * col("n_chars")).as("swx"))
+        .filter(col("sw") > 0)
+        .select(col("source"), col("r"),
+          (col("swx").cast("double") / col("sw")).as("m"))
+      val wRank = Window.partitionBy(col("source"))
+        .orderBy(col("m"), col("r"))
+      val ci = perRep.withColumn("rn", row_number().over(wRank))
+        .groupBy(col("source"))
+        .agg(round(max(when(col("rn") === 5, col("m"))), 6).as("ci_lo_r"),
+          round(max(when(col("rn") === 196, col("m"))), 6).as("ci_hi_r"))
+      val point = base.groupBy(col("source"))
+        .agg(round(sum(col("n_chars")).cast("double") / count(lit(1)), 6)
+          .as("mean_r"))
+      point.join(ci, Seq("source")).orderBy(col("source"))
+    }),
+
     // incremental PPJoin probe (the exact twin of
     // q_dedup_incremental_near): the doc_id%10==3 batch against the
     // indexed corpus only, prefix-filtered under ONE union-df order,
@@ -301,6 +346,40 @@ object TextQueries {
         .select(col("new_id"), col("corpus_id"), col("inter"), col("uni"),
           round(col("jaccard"), 6).as("j_r"))
         .orderBy(col("new_id"), col("corpus_id"))
+    }),
+
+    // Contamination SEVERITY (the follow-up to q_decontaminate's
+    // boolean hit): per contaminated training doc, how many 5-gram
+    // positions match the benchmark slice and the LONGEST CONSECUTIVE
+    // run of them (runs via the pos − ROW_NUMBER island trick) — a
+    // 1-gram-long accidental collision and a 40-token verbatim quote
+    // both "hit", but only the span tells you which. Positional grams
+    // ride one tokenize barrier + a map-side transform; the bench gram
+    // set is dim-sized (it joins the way q_decontaminate's plan does);
+    // islands are per-doc windows bounded by the doc's own hit count.
+    // Exact integers end to end.
+    "q_contamination_span" -> ((s, d) => {
+      val base = docs(s, d)
+      val toks5 = base.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+        .select(col("doc_id"), Dedup.tokens(col("text")).as("tk"))
+        .groupBy(col("doc_id")).agg(first(col("tk")).as("tk")) // HOF barrier
+        .filter(size(col("tk")) >= 5)
+      val posGrams = toks5.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("tk")) - 5),
+          i => concat_ws(" ", slice(col("tk"), i + 1, lit(5)))))
+          .as(Seq("pos", "g")))
+      val benchGrams = base.filter(pmod(col("doc_id"), lit(10)) === 7)
+        .select(explode(Dedup.shingles(col("text"), 5)).as("g")).distinct()
+      val hits = posGrams.join(benchGrams, Seq("g"))
+        .select(col("doc_id"), col("pos"))
+      val wIsl = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      hits.withColumn("grp", col("pos") - row_number().over(wIsl))
+        .groupBy(col("doc_id"), col("grp")).agg(count(lit(1)).as("run"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("run")).as("n_hit_positions"),
+          max(col("run")).as("max_run"),
+          (max(col("run")) + 4).as("span_tokens"))
+        .orderBy(col("doc_id"))
     }),
 
     // Intra-document repetition census (Gopher/RefinedWeb repetition
@@ -1603,6 +1682,71 @@ object TextQueries {
        |  FROM mh_folded
        |)""".stripMargin
 
+  /** Cumulative Poisson(1) thresholds P(X ≤ k), k = 0..7 — computed
+    * ONCE here and embedded as the IDENTICAL double literals in the
+    * Spark expression (lit) and the oracle SQL (Double.toString
+    * round-trips), so the inverse-CDF draw has no cross-engine exp
+    * seam. Weights above 7 collapse to 8 (P ≈ 1e-5 tail).
+    */
+  private[queries] val poissonCum: Seq[Double] = {
+    var p = math.exp(-1.0); var c = p
+    val out = scala.collection.mutable.ArrayBuffer(c)
+    for (k <- 1 to 7) { p = p / k; c += p; out += c }
+    out.toSeq
+  }
+
+  /** q_bootstrap_ci's twin: the mix64 replay (staged CTE columns — the
+    * walkOracle discipline) + the same threshold CASE + the same exact-
+    * integer replica sums and rank-5/196 order statistics.
+    */
+  private def bootstrapOracle: String = {
+    val mM = "18446744073709551616"
+    val seedT =
+      java.lang.Long.toUnsignedString(77L * 0x9e3779b97f4a7c15L)
+    val wCase = poissonCum.zipWithIndex
+      .map { case (c, k) => s"WHEN u < $c THEN $k" }
+      .mkString("CASE ", " ", " ELSE 8 END")
+    s"""WITH b0 AS (
+       |  SELECT d.doc_id, d.source, d.n_chars, CAST(rr.r AS BIGINT) AS r
+       |  FROM documents d, (SELECT UNNEST(range(200)) AS r) rr),
+       |b1 AS (SELECT *, ($seedT + ${mm64("CAST(doc_id AS HUGEINT)", "14029467366897019727")}
+       |  + ${mm64("CAST(r AS HUGEINT)", "1609587929392839161")} + 0) % $mM AS z0 FROM b0),
+       |b2 AS (SELECT *, ${mm64("xor(z0, z0 // 1073741824)", "13787848793156543929")} AS z1 FROM b1),
+       |b3 AS (SELECT *, ${mm64("xor(z1, z1 // 134217728)", "10723151780598845931")} AS z2 FROM b2),
+       |b4 AS (SELECT *, xor(z2, z2 // 2147483648) AS zz FROM b3),
+       |b5 AS (
+       |  SELECT doc_id, source, n_chars, r,
+       |    CAST(CASE WHEN zz >= 9223372036854775808
+       |      THEN zz - $mM ELSE zz END AS BIGINT) AS zs
+       |  FROM b4),
+       |b6 AS (
+       |  SELECT *, CAST(zs AS DOUBLE) / 18446744073709551616.0 +
+       |    CASE WHEN zs < 0 THEN 1.0 ELSE 0.0 END AS u
+       |  FROM b5),
+       |b7 AS (SELECT source, r, n_chars, $wCase AS w FROM b6),
+       |pr AS (
+       |  SELECT source, r, SUM(w) AS sw, SUM(w * n_chars) AS swx
+       |  FROM b7 GROUP BY source, r),
+       |pm AS (
+       |  SELECT source, r, CAST(swx AS DOUBLE) / sw AS m
+       |  FROM pr WHERE sw > 0),
+       |rk AS (
+       |  SELECT source, m,
+       |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY m, r) AS rn
+       |  FROM pm),
+       |ci AS (
+       |  SELECT source,
+       |    ROUND(MAX(CASE WHEN rn = 5 THEN m END), 6) AS ci_lo_r,
+       |    ROUND(MAX(CASE WHEN rn = 196 THEN m END), 6) AS ci_hi_r
+       |  FROM rk GROUP BY source),
+       |pt AS (
+       |  SELECT source,
+       |    ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS mean_r
+       |  FROM documents GROUP BY source)
+       |SELECT pt.source, mean_r, ci_lo_r, ci_hi_r
+       |FROM pt JOIN ci USING (source) ORDER BY source""".stripMargin
+  }
+
   /** The repetition-census twin (TextAnalysis.repetitionStats unrolled:
     * 2-gram concentration, 3-gram duplicate mass, duplicate 10-token
     * blocks as INTEGER counts) — shared by the q_rep_ngrams and
@@ -1785,6 +1929,43 @@ object TextQueries {
          |SELECT n_docs, n_docs * (n_docs - 1) // 2 AS n_all_pairs,
          |  n_length_pairs, n_candidates, n_verified
          |FROM nd, lp, nc, nv""".stripMargin,
+
+    "q_bootstrap_ci" -> bootstrapOracle,
+
+    // positional 5-grams (struct comprehension: 0-based pos + gram),
+    // bench gram set with the same <5-token fallback as the engine's
+    // shingle_set, islands via pos − ROW_NUMBER
+    "q_contamination_span" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $duckToks AS tk FROM documents
+         |  WHERE doc_id % 10 <> 7),
+         |pg AS (
+         |  SELECT doc_id,
+         |    UNNEST([{'pos': i - 1, 'g': array_to_string(tk[i:i+4], ' ')}
+         |      FOR i IN range(1, len(tk) - 3)]) AS s
+         |  FROM t WHERE len(tk) >= 5),
+         |bt AS (
+         |  SELECT $duckToks AS tk FROM documents WHERE doc_id % 10 = 7),
+         |bg AS (
+         |  SELECT DISTINCT UNNEST(
+         |    CASE WHEN len(tk) = 0 THEN CAST([] AS VARCHAR[])
+         |         WHEN len(tk) < 5 THEN [array_to_string(tk, ' ')]
+         |         ELSE [array_to_string(tk[i:i+4], ' ')
+         |               FOR i IN range(1, len(tk) - 3)]
+         |    END) AS g
+         |  FROM bt),
+         |hits AS (
+         |  SELECT p.doc_id, CAST(p.s.pos AS BIGINT) AS pos
+         |  FROM pg p JOIN bg ON p.s.g = bg.g),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM hits),
+         |runs AS (
+         |  SELECT doc_id, grp, COUNT(*) AS run FROM isl GROUP BY doc_id, grp)
+         |SELECT doc_id, SUM(run) AS n_hit_positions, MAX(run) AS max_run,
+         |  MAX(run) + 4 AS span_tokens
+         |FROM runs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // brute force over batch × corpus, no filters — losslessness gate
     "q_ssjoin_incremental" ->

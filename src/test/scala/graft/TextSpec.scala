@@ -150,6 +150,53 @@ class TextSpec extends SparkTestBase {
     assert(out(3L) == ((4L, 1L, 3L, 0L, 2L, 0L, 0L)), out(3L))
   }
 
+  test("q_bootstrap_ci: bounds ordered and bracketing the point estimate") {
+    val out = SparkEntry.queries("q_bootstrap_ci")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.nonEmpty)
+    out.foreach { case (src, mean, lo, hi) =>
+      assert(lo <= hi, s"$src: lo $lo > hi $hi")
+      assert(lo <= mean && mean <= hi,
+        s"$src: point $mean outside [$lo, $hi] — a 95% bootstrap CI over " +
+          "25+ docs per source must bracket the sample mean")
+      assert(hi - lo > 0.0, s"$src: degenerate CI")
+    }
+  }
+
+  test("contamination span: a planted verbatim quote gets its exact run length") {
+    // bench doc 7 (doc_id%10==7) donates a 12-token quote into train
+    // doc 1 at offset 3 → hit positions 3..10 (8 consecutive 5-grams),
+    // span 12 tokens; train doc 2 shares nothing
+    val quote = (1 to 12).map(i => s"q$i").mkString(" ")
+    val docsDf = Seq(
+      (7L, quote + " tail tokens here"),
+      (1L, "pad one two " + quote + " trailing junk words"),
+      (2L, (1 to 20).map(i => s"z$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    // run the same flow as q_contamination_span via a temp dir? The
+    // query reads from a dir — drive the operator shape inline instead
+    val toks5 = docsDf.filter(col("doc_id") % 10 =!= 7)
+      .select(col("doc_id"), Dedup.tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 5)
+    val posGrams = toks5.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), size(col("tk")) - 5),
+        i => concat_ws(" ", slice(col("tk"), i + 1, lit(5)))))
+        .as(Seq("pos", "g")))
+    val benchGrams = docsDf.filter(col("doc_id") % 10 === 7)
+      .select(explode(Dedup.shingles(col("text"), 5)).as("g")).distinct()
+    val wIsl = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val out = posGrams.join(benchGrams, Seq("g"))
+      .select(col("doc_id"), col("pos"))
+      .withColumn("grp", col("pos") - row_number().over(wIsl))
+      .groupBy(col("doc_id"), col("grp")).agg(count(lit(1)).as("run"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("run")).as("nh"), max(col("run")).as("mr"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(1L) == ((8L, 8L)), s"quote spans 8 grams: ${out.get(1L)}")
+    assert(!out.contains(2L), "clean doc must not surface")
+  }
+
   test("compress_ratio: repetitive << prose << mash, deterministic, empty neutral") {
     val rep = ("spam ham " * 200).trim                  // structure-level redundancy
     val prose = "the quick brown fox jumps over the lazy dog while the " +
