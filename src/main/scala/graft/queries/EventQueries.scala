@@ -221,6 +221,58 @@ object EventQueries {
     }),
 
     // as-of backward join (union+window form, AsofJoin scaladoc): each
+    // Robust trend over the daily event series (the drift-monitor pair
+    // every volume dashboard needs): Mann-Kendall S (Σ sign of all
+    // forward pairs — EXACT INTEGER, the nonparametric "is it trending"
+    // statistic) + the Theil-Sen slope (exact median of pairwise
+    // slopes — a 30% outlier-day contamination can't move it, unlike
+    // OLS) + the OLS slope from exact integer moments for contrast.
+    // Scale shape: the all-pairs expansion is over the AGGREGATED daily
+    // series — bounded by |calendar days|², which grows with TIME, not
+    // data volume (a decade is ~6.6M pairs); the median rank rides
+    // Rank.withGlobalRank (range-partitioned sort + offsets — never a
+    // single-partition window), and each pairwise slope is one exact
+    // integer division. Median convention: avg of ranks (m+1)/2 and
+    // (m+2)/2 (equal for odd m) — a 2-value IEEE avg is commutative,
+    // so the seam is engine-safe.
+    "q_trend_robust" -> ((s, d) => {
+      val daily = ev(s, d)
+        .select((unix_micros(col("ts")) / lit(86400000000L))
+          .cast("long").as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("y"))
+        .localCheckpoint(true) // self-joined + the moments branch
+      val pairs = daily.select(col("day").as("di"), col("y").as("yi"))
+        .join(daily.select(col("day").as("dj"), col("y").as("yj")),
+          col("di") < col("dj"))
+        .select(col("di"), col("dj"),
+          when(col("yj") > col("yi"), 1L)
+            .when(col("yj") < col("yi"), -1L).otherwise(0L).as("sgn"),
+          ((col("yj") - col("yi")).cast("double") /
+            (col("dj") - col("di"))).as("slope"))
+        .localCheckpoint(true) // MK aggregate + the ranked-median pass
+      val mk = pairs.agg(sum(col("sgn")).as("mk_s"),
+        count(lit(1)).as("n_pairs"))
+      val (ranked, m) = graft.operators.Rank.withGlobalRank(
+        pairs, "rk", col("slope"), col("di"), col("dj"))
+      val (lo, hi) = ((m + 1) / 2, (m + 2) / 2)
+      val med = ranked.filter(col("rk") === lo || col("rk") === hi)
+        .agg(round(avg(col("slope")), 6).as("ts_slope_r"))
+      val ols = daily.agg(
+        count(lit(1)).as("n_days"),
+        sum(col("day").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum((col("day") * col("y")).cast("decimal(38,0)")).as("sxy"),
+        sum((col("day") * col("day")).cast("decimal(38,0)")).as("sxx"))
+        .select(col("n_days"),
+          round((col("n_days").cast("decimal(38,0)") * col("sxy") -
+            col("sx") * col("sy")).cast("double") /
+            (col("n_days").cast("decimal(38,0)") * col("sxx") -
+              col("sx") * col("sx")).cast("double"), 6).as("ols_slope_r"))
+      ols.crossJoin(broadcast(mk)).crossJoin(broadcast(med))
+        .select(col("n_days"), col("n_pairs"), col("mk_s"),
+          col("ts_slope_r"), col("ols_slope_r"))
+    }),
+
     // purchase event gets the user's most recent click at-or-before it.
     // Microsecond epochs: distinct across events, so ties can't make the
     // DuckDB ASOF oracle ambiguous.
@@ -748,6 +800,43 @@ object EventQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // MK S is exact integer; each pairwise slope is one exact division;
+    // the median rank convention ((m+1)/2, (m+2)/2 with a 2-value avg)
+    // and the OLS exact-moment op order mirror the engine exactly
+    "q_trend_robust" ->
+      """WITH daily AS (
+        |  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.day AS di, b.day AS dj,
+        |    CAST(CASE WHEN b.y > a.y THEN 1
+        |      WHEN b.y < a.y THEN -1 ELSE 0 END AS BIGINT) AS sgn,
+        |    CAST(b.y - a.y AS DOUBLE) / (b.day - a.day) AS slope
+        |  FROM daily a JOIN daily b ON a.day < b.day),
+        |mk AS (
+        |  SELECT CAST(SUM(sgn) AS BIGINT) AS mk_s,
+        |    CAST(COUNT(*) AS BIGINT) AS n_pairs FROM pairs),
+        |rk AS (
+        |  SELECT slope,
+        |    ROW_NUMBER() OVER (ORDER BY slope, di, dj) AS rk
+        |  FROM pairs),
+        |med AS (
+        |  SELECT ROUND(AVG(slope), 6) AS ts_slope_r
+        |  FROM rk, mk WHERE rk = (n_pairs + 1) // 2 OR rk = (n_pairs + 2) // 2),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(CAST(day AS HUGEINT)) AS HUGEINT) AS sx,
+        |    CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+        |    CAST(SUM(CAST(day * y AS HUGEINT)) AS HUGEINT) AS sxy,
+        |    CAST(SUM(CAST(day * day AS HUGEINT)) AS HUGEINT) AS sxx
+        |  FROM daily)
+        |SELECT m.n_days, mk.n_pairs, mk.mk_s, med.ts_slope_r,
+        |  ROUND(CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE) /
+        |    CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE), 6) AS ols_slope_r
+        |FROM m, mk, med""".stripMargin,
+
     "q_events_ewma" -> {
       val (ew, ma) = ewmaOracleTerms
       s"""WITH hourly AS (

@@ -521,6 +521,35 @@ class CurationSpec extends SparkTestBase {
     assert(out("s2") == ((2L, 1L, 1L)), s"s2: ${out("s2")}") // x dup+cross; z unique
   }
 
+  test("q_trend_robust: pair algebra consistent; Theil-Sen shrugs off the outlier OLS can't") {
+    val row = q("q_trend_robust").head()
+    val (nDays, nPairs, mkS) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(nPairs == nDays * (nDays - 1) / 2, s"$nPairs vs C($nDays,2)")
+    assert(math.abs(mkS) <= nPairs, "MK S is a sum of ±1/0 over the pairs")
+    // robustness on a planted series: perfect slope-2 line, one wild
+    // outlier day — Theil-Sen stays 2.0 exactly, OLS is dragged
+    def stats(ys: Seq[Long]): (Double, Double) = {
+      val pts = ys.zipWithIndex.map { case (y, i) => (i.toLong, y) }
+      val slopes = (for {
+        (xi, yi) <- pts; (xj, yj) <- pts if xi < xj
+      } yield (yj - yi).toDouble / (xj - xi)).sorted
+      val m = slopes.length
+      val ts = (slopes((m + 1) / 2 - 1) + slopes((m + 2) / 2 - 1)) / 2
+      val n = pts.length.toDouble
+      val (sx, sy) = (pts.map(_._1).sum.toDouble, pts.map(_._2).sum.toDouble)
+      val sxy = pts.map(p => p._1 * p._2).sum.toDouble
+      val sxx = pts.map(p => p._1 * p._1).sum.toDouble
+      (ts, (n * sxy - sx * sy) / (n * sxx - sx * sx))
+    }
+    val clean = (0 until 20).map(i => 100L + 2 * i)
+    val dirty = clean.updated(10, 5000L)
+    val (tsC, olsC) = stats(clean)
+    val (tsD, olsD) = stats(dirty)
+    assert(math.abs(tsC - 2.0) < 1e-12 && math.abs(olsC - 2.0) < 1e-12)
+    assert(math.abs(tsD - 2.0) < 0.5, s"Theil-Sen moved to $tsD")
+    assert(math.abs(olsD - 2.0) > 1, s"OLS should be dragged, got $olsD")
+  }
+
   test("q_rolling_dau: WAU dominates DAU and unions the trailing week; 7d volume sums dailies") {
     val rows = q("q_rolling_dau").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
