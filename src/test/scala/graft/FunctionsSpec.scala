@@ -173,6 +173,29 @@ class FunctionsSpec extends SparkTestBase {
       s"estimate $est vs exact $exact")
   }
 
+  test("mix64: codegen column equals the static eval; inputs and seed both steer") {
+    val rnd = new scala.util.Random(19)
+    val rows = Seq.fill(200)((rnd.nextLong(), math.abs(rnd.nextLong()) % 64,
+      math.abs(rnd.nextLong()) % 16))
+    val got = rows.toDF("a", "b", "c")
+      .select(col("a"), col("b"), col("c"),
+        graft.functions.TextHashFunctions.mix64(
+          col("a"), col("b"), col("c"), seed = 42).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+    got.foreach { case ((a, b, c), z) =>
+      assert(z == graft.functions.TextHashFunctions.mix64Eval(a, b, c, 42),
+        s"codegen != static at ($a,$b,$c)")
+    }
+    // distinct (b, c) coordinates at a fixed a must spread: no collisions
+    // across this sample (64·16 cells, 200 draws of a pure 64-bit hash)
+    val zs = got.map(_._2)
+    assert(zs.distinct.length == zs.length, "unexpected mix collision")
+    // the seed steers: same inputs, different seed, different outputs
+    val (a0, b0, c0) = rows.head
+    assert(graft.functions.TextHashFunctions.mix64Eval(a0, b0, c0, 42) !=
+      graft.functions.TextHashFunctions.mix64Eval(a0, b0, c0, 7))
+  }
+
   test("char_trigrams: exact normalization + sliding-window semantics") {
     import graft.functions.TextHashFunctions.char_trigrams
     val df = Seq(
