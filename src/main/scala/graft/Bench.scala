@@ -138,8 +138,9 @@ object Bench {
     // incremental PPJoin probe
     "q_knn_shapley", "q_lpa_communities", "q_walk_skipgrams",
     "q_ssjoin_incremental",
-    // the deterministic Poisson-bootstrap CI and contamination severity
-    "q_bootstrap_ci", "q_contamination_span")
+    // the deterministic Poisson-bootstrap CI, contamination severity,
+    // and the robust-trend pair (MK S + Theil-Sen vs OLS)
+    "q_bootstrap_ci", "q_contamination_span", "q_trend_robust")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
