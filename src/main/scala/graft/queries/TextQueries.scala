@@ -1682,6 +1682,130 @@ object TextQueries {
        |  FROM mh_folded
        |)""".stripMargin
 
+  /** q_fingerprint_xx's twin (DE-EXEMPTED r12): Spark's `xxhash64` IS
+    * XXH64 (public spec, Collet) of the UTF-8 bytes with seed 42, so
+    * the whole streaming hash unrolls into mod-2^64 HUGEINT arithmetic —
+    * 32-byte stripes as ONE list_reduce with a 4-accumulator STRUCT
+    * state (elements are structs too: DuckDB's reduce needs one type,
+    * so each element carries its stripe index in `a1`), then the merge,
+    * ≤3 8-byte tail words, one optional 4-byte word and ≤3 tail bytes
+    * UNROLLED as guarded staged CTE columns (nesting them would
+    * re-duplicate the full prior text per level — the minhashCte
+    * lesson), then the final avalanche. Byte values come from the
+    * normalized (tokens-joined) string via unicode(c) — the ASCII
+    * fixture contract asserted in TextSpec. The same byte list feeds
+    * the rolling-fingerprint twin: FNV-1a over every 8-char window,
+    * kept iff the unsigned residue ≡ 0 (mod 4) (Java floorMod of the
+    * signed value equals the unsigned residue mod 4 since 2^64 ≡ 0),
+    * COUNT(DISTINCT) per doc.
+    */
+  private def xxhashOracle: String = {
+    val M = "18446744073709551616"
+    val p1 = "11400714785074694791"; val p2 = "14029467366897019727"
+    val p3 = "1609587929392839161"; val p4 = "9650029242287828579"
+    val mask = BigInt(2).pow(64)
+    def rotl(x: String, r: Int): String = {
+      val lo = BigInt(1) << (64 - r); val hi = BigInt(1) << r
+      s"((($x) % $lo) * $hi + ($x) // $lo)"
+    }
+    def lane(base: String, nBytes: Int): String =
+      (0 until nBytes).map(j =>
+        s"by[CAST(($base) + ${j + 1} AS BIGINT)] * ${BigInt(1) << (8 * j)}")
+        .mkString(" + ")
+    def rnd(acc: String, ln: String): String =
+      mm64(rotl(s"(($acc) + ${mm64(ln, p2)}) % $M", 31), p1)
+    def mergeRound(h: String, acc: String): String =
+      s"(${mm64(s"xor(($h), (${mm64(rotl(mm64(acc, p2), 31), p1)}))", p1)}" +
+        s" + $p4) % $M"
+    def tail8(h: String, w: Int): String = {
+      val r = mm64(rotl(mm64(s"(${lane(s"ns*32 + ${8 * w}", 8)})", p2), 31), p1)
+      s"CASE WHEN n - ns*32 >= ${8 * (w + 1)} THEN " +
+        s"(${mm64(rotl(s"xor(($h), ($r))", 27), p1)} + $p4) % $M ELSE ($h) END"
+    }
+    def tail4(h: String): String = {
+      val ml = mm64(s"(${lane("ns*32 + t8*8", 4)})", p1)
+      s"CASE WHEN n - ns*32 - t8*8 >= 4 THEN " +
+        s"(${mm64(rotl(s"xor(($h), ($ml))", 23), p2)} + $p3) % $M ELSE ($h) END"
+    }
+    def tail1(h: String, b: Int): String = {
+      val byte = s"by[CAST(ns*32 + t8*8 + t4*4 + ${b + 1} AS BIGINT)]"
+      s"CASE WHEN n - ns*32 - t8*8 - t4*4 >= ${b + 1} THEN " +
+        mm64(rotl(s"xor(($h), ($byte * 2870177450012600261) % $M)", 11), p1) +
+        s" ELSE ($h) END"
+    }
+    val seed = BigInt(42)
+    val a10 = (seed + BigInt(p1) + BigInt(p2)).mod(mask)
+    val a20 = (seed + BigInt(p2)).mod(mask)
+    val a40 = (seed - BigInt(p1)).mod(mask)
+    val seedP5 = (seed + BigInt("2870177450012600261")).mod(mask)
+    def upd(acc: String, k: Int): String =
+      rnd(acc, lane(s"32*(i.a1) + ${8 * k}", 8))
+    val reduceExpr =
+      s"""list_reduce(list_prepend(
+         |  {'a1': CAST($a10 AS HUGEINT), 'a2': CAST($a20 AS HUGEINT),
+         |   'a3': CAST(42 AS HUGEINT), 'a4': CAST($a40 AS HUGEINT)},
+         |  list_transform(range(CAST(ns AS BIGINT)), x ->
+         |    {'a1': CAST(x AS HUGEINT), 'a2': CAST(0 AS HUGEINT),
+         |     'a3': CAST(0 AS HUGEINT), 'a4': CAST(0 AS HUGEINT)})),
+         |  (st, i) -> {'a1': ${upd("st.a1", 0)},
+         |    'a2': ${upd("st.a2", 1)}, 'a3': ${upd("st.a3", 2)},
+         |    'a4': ${upd("st.a4", 3)}})""".stripMargin
+    val rfpExpr =
+      s"""CASE WHEN len(by) >= 8 THEN
+         |  [ list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+         |      by[p : p + 7]), (h, b) -> ${mm64("xor(h, b)", "1099511628211")})
+         |    FOR p IN range(1, len(by) - 6) ]
+         |  ELSE CAST([] AS HUGEINT[]) END""".stripMargin
+    s"""WITH t AS (SELECT doc_id, $duckToks AS tk FROM documents),
+       |b0 AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(tk) = 0 THEN CAST([] AS HUGEINT[])
+       |    ELSE list_transform(string_split(array_to_string(tk, ' '), ''),
+       |      c -> CAST(unicode(c) AS HUGEINT)) END AS by
+       |  FROM t),
+       |b1 AS (SELECT doc_id, by, CAST(len(by) AS HUGEINT) AS n,
+       |  CAST(len(by) // 32 AS HUGEINT) AS ns FROM b0),
+       |b2 AS (SELECT doc_id, by, n, ns,
+       |  CASE WHEN n >= 32 THEN $reduceExpr ELSE NULL END AS st FROM b1),
+       |b3 AS (SELECT doc_id, by, n, ns, st,
+       |  CASE WHEN n >= 32 THEN (${rotl("st.a1", 1)} + ${rotl("st.a2", 7)} +
+       |    ${rotl("st.a3", 12)} + ${rotl("st.a4", 18)}) % $M
+       |  ELSE CAST($seedP5 AS HUGEINT) END AS h0 FROM b2),
+       |m1 AS (SELECT doc_id, by, n, ns, st,
+       |  CASE WHEN n >= 32 THEN ${mergeRound("h0", "st.a1")} ELSE h0 END AS hm1 FROM b3),
+       |m2 AS (SELECT doc_id, by, n, ns, st,
+       |  CASE WHEN n >= 32 THEN ${mergeRound("hm1", "st.a2")} ELSE hm1 END AS hm2 FROM m1),
+       |m3 AS (SELECT doc_id, by, n, ns, st,
+       |  CASE WHEN n >= 32 THEN ${mergeRound("hm2", "st.a3")} ELSE hm2 END AS hm3 FROM m2),
+       |b4 AS (SELECT doc_id, by, n, ns,
+       |  CASE WHEN n >= 32 THEN ${mergeRound("hm3", "st.a4")} ELSE hm3 END AS h1 FROM m3),
+       |b5 AS (SELECT doc_id, by, n, ns,
+       |  CAST((n - ns*32) // 8 AS HUGEINT) AS t8, (h1 + n) % $M AS h2 FROM b4),
+       |b6 AS (SELECT doc_id, by, n, ns, t8, ${tail8("h2", 0)} AS h3 FROM b5),
+       |b7 AS (SELECT doc_id, by, n, ns, t8, ${tail8("h3", 1)} AS h4 FROM b6),
+       |b8 AS (SELECT doc_id, by, n, ns, t8, ${tail8("h4", 2)} AS h5 FROM b7),
+       |b9 AS (SELECT doc_id, by, n, ns, t8,
+       |  CASE WHEN n - ns*32 - t8*8 >= 4 THEN CAST(1 AS HUGEINT)
+       |  ELSE CAST(0 AS HUGEINT) END AS t4, h5 FROM b8),
+       |c0 AS (SELECT doc_id, by, n, ns, t8, t4, ${tail4("h5")} AS h6 FROM b9),
+       |c1 AS (SELECT doc_id, by, n, ns, t8, t4, ${tail1("h6", 0)} AS h7 FROM c0),
+       |c2 AS (SELECT doc_id, by, n, ns, t8, t4, ${tail1("h7", 1)} AS h8 FROM c1),
+       |c3 AS (SELECT doc_id, by, n, ns, t8, t4, ${tail1("h8", 2)} AS h9 FROM c2),
+       |d0 AS (SELECT doc_id, ${mm64("xor(h9, h9 // 8589934592)", p2)} AS z1 FROM c3),
+       |d1 AS (SELECT doc_id, ${mm64("xor(z1, z1 // 536870912)", p3)} AS z2 FROM d0),
+       |d2 AS (SELECT doc_id, xor(z2, z2 // 4294967296) AS z3 FROM d1),
+       |rf AS (
+       |  SELECT b1.doc_id, CAST(COUNT(DISTINCT h) AS BIGINT) AS n_rolling_fp
+       |  FROM b1, UNNEST($rfpExpr) AS u(h)
+       |  WHERE h % 4 = 0 GROUP BY b1.doc_id)
+       |SELECT d2.doc_id,
+       |  CAST(CASE WHEN z3 >= 9223372036854775808 THEN z3 - $M
+       |    ELSE z3 END AS BIGINT) AS fp_xx,
+       |  COALESCE(rf.n_rolling_fp, 0) AS n_rolling_fp
+       |FROM d2 LEFT JOIN rf ON rf.doc_id = d2.doc_id
+       |ORDER BY d2.doc_id""".stripMargin
+  }
+
   /** Cumulative Poisson(1) thresholds P(X ≤ k), k = 0..7 — computed
     * ONCE here and embedded as the IDENTICAL double literals in the
     * Spark expression (lit) and the oracle SQL (Double.toString
@@ -1931,6 +2055,8 @@ object TextQueries {
          |FROM nd, lp, nc, nv""".stripMargin,
 
     "q_bootstrap_ci" -> bootstrapOracle,
+
+    "q_fingerprint_xx" -> xxhashOracle,
 
     // positional 5-grams (struct comprehension: 0-based pos + gram),
     // bench gram set with the same <5-token fallback as the engine's
