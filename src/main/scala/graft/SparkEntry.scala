@@ -49,7 +49,6 @@ object SparkEntry {
     "q_sample_balanced_cells" -> "KMeans cell assignment not SQL-expressible; per-cell-count + determinism spec in DedupSimilaritySpec",
     "q_bpe_vocab" -> "iterative merge loop not SQL-expressible; equals independent driver-side BPE in TextSpec",
     "q_bpe_tokenize" -> "trained-merge encoding not SQL-expressible; equals independent driver-side encoder in TextSpec",
-    "q_eval_map_mllib" -> "RDD-based RankingMetrics; asserted EQUAL to oracled q_eval_map_std",
     "q_media_features" -> "stub codec features; determinism + batch-shape tests in RecommendSpec",
     "q_media_decode" -> "real javax.imageio PNG decode not SQL-expressible; generator-parity + determinism tests in RecommendSpec",
     "q_audio_decode" -> "real javax.sound.sampled WAV decode not SQL-expressible; generator-parity + determinism tests in RecommendSpec",

@@ -468,6 +468,34 @@ object PipelineQueries {
       Tables.ratings(s, d))
   }
 
+  /** ONE MAP@10 oracle body for the DataFrame (`q_eval_map_std`) and
+    * RDD-RankingMetrics (`q_eval_map_mllib`) forms — they compute the
+    * same metric by construction (EvalSpec asserts equality), so only
+    * the output alias differs.
+    */
+  private def mapAtKOracle(alias: String): String =
+    s"""WITH $splitSql,
+       |dedup AS (
+       |  SELECT userId, movieId, AVG(rating) AS r
+       |  FROM train GROUP BY userId, movieId
+       |),
+       |recs AS (
+       |  SELECT userId, movieId,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY userId
+       |      ORDER BY r DESC, movieId) AS BIGINT) AS rank
+       |  FROM dedup QUALIFY rank <= 10
+       |),
+       |labels AS (SELECT DISTINCT userId, movieId FROM val),
+       |nlab AS (SELECT userId, COUNT(*) AS n FROM labels GROUP BY userId),
+       |hits AS (
+       |  SELECT r.userId, r.rank,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY r.userId ORDER BY r.rank) AS BIGINT) AS i
+       |  FROM recs r JOIN labels l ON r.userId = l.userId AND r.movieId = l.movieId
+       |),
+       |sp AS (SELECT userId, SUM(CAST(i AS DOUBLE)/rank) AS s FROM hits GROUP BY userId)
+       |SELECT ROUND(AVG(COALESCE(s, 0.0)/LEAST(n, 10)), 6) AS $alias
+       |FROM nlab LEFT JOIN sp USING (userId)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q_split_hash" ->
       s"""WITH ${Tables.ratingsSql}
@@ -571,28 +599,13 @@ object PipelineQueries {
          |SELECT ROUND(AVG(COALESCE(h.sum_raw, 0.0) / n.n_labels / $K.0), 6) AS map_ref_swapped
          |FROM nlab n LEFT JOIN hits h ON n.userId = h.userId""".stripMargin,
 
-    "q_eval_map_std" ->
-      s"""WITH $splitSql,
-         |dedup AS (
-         |  SELECT userId, movieId, AVG(rating) AS r
-         |  FROM train GROUP BY userId, movieId
-         |),
-         |recs AS (
-         |  SELECT userId, movieId,
-         |    CAST(ROW_NUMBER() OVER (PARTITION BY userId
-         |      ORDER BY r DESC, movieId) AS BIGINT) AS rank
-         |  FROM dedup QUALIFY rank <= 10
-         |),
-         |labels AS (SELECT DISTINCT userId, movieId FROM val),
-         |nlab AS (SELECT userId, COUNT(*) AS n FROM labels GROUP BY userId),
-         |hits AS (
-         |  SELECT r.userId, r.rank,
-         |    CAST(ROW_NUMBER() OVER (PARTITION BY r.userId ORDER BY r.rank) AS BIGINT) AS i
-         |  FROM recs r JOIN labels l ON r.userId = l.userId AND r.movieId = l.movieId
-         |),
-         |sp AS (SELECT userId, SUM(CAST(i AS DOUBLE)/rank) AS s FROM hits GROUP BY userId)
-         |SELECT ROUND(AVG(COALESCE(s, 0.0)/LEAST(n, 10)), 6) AS map_at_k
-         |FROM nlab LEFT JOIN sp USING (userId)""".stripMargin,
+    "q_eval_map_std" -> mapAtKOracle("map_at_k"),
+
+    // DE-EXEMPTED r12: the RDD RankingMetrics form is asserted EQUAL to
+    // the DataFrame standardMapAtK in EvalSpec, so it takes the SAME
+    // oracle (the q_decontaminate_bloom same-oracle pattern) modulo the
+    // output alias — the gate now checks the equality cross-engine too
+    "q_eval_map_mllib" -> mapAtKOracle("map_at_k_mllib"),
 
     // the cap (30 smallest movieIds per user) and min-support (>= 2
     // co-occurrences) are stated semantics both engines implement
