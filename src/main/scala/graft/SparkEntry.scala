@@ -39,7 +39,6 @@ object SparkEntry {
     "q_als_recs" -> "ALS factors not SQL-expressible; block-structure recall in RecommendSpec",
     "q_approx_distinct" -> "HLL estimate is engine-specific; rsd tolerance vs exact in IngestSpec",
     "q_hll_sketch" -> "HLL sketch bytes are engine-specific; merge/estimate invariants in scalatest",
-    "q_cosine_ivf" -> "IVF cells from hash centroids; recall + map-only plan assertions",
     "q_cosine_ivf_km" -> "KMeans cells are fit artifacts; recall vs hash-IVF + brute force",
     "q_cosine_pq" -> "KMeans codebooks are fit artifacts; recall floor in DedupSimilaritySpec",
     "q_cosine_ivfpq" -> "KMeans cells+codebooks; recall floor + cell-pruned plan assertion",

@@ -292,7 +292,11 @@ object SimilarityQueries {
         .orderBy(col("vec_id"))
     }),
 
-    // IVF-style coarse-quantized ANN — rows-only
+    // IVF-style coarse-quantized ANN — VALUE-ORACLED since r12: the
+    // hash centroids are xxhash64(vec_id) picks (XXH64's closed 8-byte
+    // form, replayed in HUGEINT — see ivfOracle) and every cosine is
+    // the bit-identical duckCosParts twin, so cells, probes and the
+    // reranked top-5 all hash-match DuckDB
     "q_cosine_ivf" -> ((s, d) => {
       val e = emb(s, d)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < 10), k = 5,
@@ -570,7 +574,88 @@ object SimilarityQueries {
        |       FOR i IN range(0, least(len($a), len($b)))]),
        |      (x, y) -> x + y) AS ny""".stripMargin
 
+  /** q_cosine_ivf's twin (DE-EXEMPTED r12): the "hash centroids" are
+    * the 16 corpus vectors with the smallest (xxhash64(vec_id), vec_id)
+    * — and xxhash64 of a LONG is XXH64's closed 8-byte form (seed+P5+8,
+    * one lane round, one merge, avalanche), five staged mod-2^64
+    * HUGEINT columns. Assignment and probe are exact-cosine argmax /
+    * top-4 with the (cos DESC, cid) tiebreak over bit-identical doubles
+    * (duckCosParts), so cells, candidates, and the reranked top-5 all
+    * replay exactly.
+    */
+  private def ivfOracle: String = {
+    val M = "18446744073709551616"
+    val p1 = "11400714785074694791"; val p2 = "14029467366897019727"
+    val p3 = "1609587929392839161"; val p4 = "9650029242287828579"
+    def mm64(a: String, b: String) = TextQueries.mm64(a, b)
+    def rotl(x: String, r: Int): String = {
+      val lo = BigInt(1) << (64 - r); val hi = BigInt(1) << r
+      s"((($x) % $lo) * $hi + ($x) // $lo)"
+    }
+    // seed(42) + PRIME5 + 8 bytes, mod 2^64
+    val h0 = (BigInt(42) + BigInt("2870177450012600261") + 8)
+      .mod(BigInt(2).pow(64))
+    val cosCase =
+      """CASE WHEN nx = 0.0 OR ny = 0.0 THEN 0.0
+        |         ELSE dot / sqrt(nx * ny) END""".stripMargin
+    s"""WITH x0 AS (
+       |  SELECT vec_id, embedding, label,
+       |    ${mm64(rotl(mm64("CAST(vec_id AS HUGEINT)", p2), 31), p1)} AS k1
+       |  FROM embeddings),
+       |x1 AS (SELECT vec_id, embedding,
+       |  (${mm64(rotl(s"xor(CAST($h0 AS HUGEINT), k1)", 27), p1)} + $p4) % $M AS hb
+       |  FROM x0),
+       |x2 AS (SELECT vec_id, embedding, ${mm64("xor(hb, hb // 8589934592)", p2)} AS z1 FROM x1),
+       |x3 AS (SELECT vec_id, embedding, ${mm64("xor(z1, z1 // 536870912)", p3)} AS z2 FROM x2),
+       |x4 AS (SELECT vec_id, embedding,
+       |  CAST(CASE WHEN xor(z2, z2 // 4294967296) >= 9223372036854775808
+       |    THEN xor(z2, z2 // 4294967296) - $M
+       |    ELSE xor(z2, z2 // 4294967296) END AS BIGINT) AS hs
+       |  FROM x3),
+       |cents AS (
+       |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY hs, vec_id) AS INTEGER) AS cid,
+       |    embedding AS cv
+       |  FROM x4 QUALIFY cid <= 16),
+       |aparts AS (
+       |  SELECT e.vec_id, c.cid, ${duckCosParts("e.embedding", "c.cv")}
+       |  FROM embeddings e, cents c),
+       |assign AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id
+       |        ORDER BY ($cosCase) DESC, cid) AS rn
+       |    FROM aparts) a WHERE rn = 1),
+       |qcells AS (
+       |  SELECT vec_id AS query_id, cid FROM (
+       |    SELECT vec_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id
+       |        ORDER BY ($cosCase) DESC, cid) AS rn
+       |    FROM aparts WHERE vec_id < 10) qq WHERE rn <= 4),
+       |cand AS (
+       |  SELECT DISTINCT q.query_id, a.vec_id AS neighbor_id
+       |  FROM qcells q JOIN assign a ON a.cid = q.cid
+       |  WHERE a.vec_id <> q.query_id),
+       |rparts AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |    ${duckCosParts("eq.embedding", "ec.embedding")}
+       |  FROM cand c
+       |  JOIN embeddings eq ON eq.vec_id = c.query_id
+       |  JOIN embeddings ec ON ec.vec_id = c.neighbor_id),
+       |scored AS (
+       |  SELECT query_id, neighbor_id, $cosCase AS cos FROM rparts),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       |  ROUND(cos, 6) AS cos_r
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_cosine_ivf" -> ivfOracle,
     // the two serving paths share one join implementation and one model,
     // so their symmetric difference is the constant 0 — the oracle pins
     // exactly that
