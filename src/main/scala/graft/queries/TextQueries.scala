@@ -1990,11 +1990,11 @@ object TextQueries {
     "q_gopher_gate" ->
       s"""WITH $repCte
          |SELECT d.source, COUNT(*) AS n_docs,
-         |  SUM(CASE WHEN r.n_tokens >= 5 AND 20 * r.top2_n <= r.g2_tot
+         |  CAST(SUM(CASE WHEN r.n_tokens >= 5 AND 20 * r.top2_n <= r.g2_tot
          |    AND 20 * r.dup3_n <= r.g3_tot AND r.dupch_n = 0
-         |    THEN 1 ELSE 0 END) AS n_pass,
-         |  SUM(CASE WHEN r.n_tokens >= 5 AND 20 * r.top2_n > r.g2_tot
-         |    THEN 1 ELSE 0 END) AS n_fail_top2
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+         |  CAST(SUM(CASE WHEN r.n_tokens >= 5 AND 20 * r.top2_n > r.g2_tot
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_top2
          |FROM rep r JOIN documents d USING (doc_id)
          |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
@@ -2089,8 +2089,8 @@ object TextQueries {
          |  FROM hits),
          |runs AS (
          |  SELECT doc_id, grp, COUNT(*) AS run FROM isl GROUP BY doc_id, grp)
-         |SELECT doc_id, SUM(run) AS n_hit_positions, MAX(run) AS max_run,
-         |  MAX(run) + 4 AS span_tokens
+         |SELECT doc_id, CAST(SUM(run) AS BIGINT) AS n_hit_positions,
+         |  MAX(run) AS max_run, MAX(run) + 4 AS span_tokens
          |FROM runs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // brute force over batch × corpus, no filters — losslessness gate

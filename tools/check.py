@@ -78,7 +78,13 @@ def main():
             print(f"[FAIL] {name}: rows spark={len(sr)} duck={len(dr)}")
             failures += 1
             continue
-        bad = [(i, a, b) for i, (a, b) in enumerate(zip(sr, dr)) if a != b]
+        def canon(row):
+            # Type-strict: the driver hashes pandas string reprs, so
+            # int 3 vs HUGEINT->float64 3.0 MUST fail here too (the
+            # q_gopher_gate r12 escape). Python's 3 == 3.0 would mask it.
+            return tuple((type(v).__name__, repr(v)) for v in row)
+        bad = [(i, a, b) for i, (a, b) in enumerate(zip(sr, dr))
+               if canon(a) != canon(b)]
         if bad:
             i, a, b = bad[0]
             print(f"[FAIL] {name}: {len(bad)} mismatched rows; first at {i}:")
