@@ -79,10 +79,15 @@ def main():
             failures += 1
             continue
         def canon(row):
-            # Type-strict: the driver hashes pandas string reprs, so
-            # int 3 vs HUGEINT->float64 3.0 MUST fail here too (the
-            # q_gopher_gate r12 escape). Python's 3 == 3.0 would mask it.
-            return tuple((type(v).__name__, repr(v)) for v in row)
+            # Type-strict, mirroring the driver's pandas conversion:
+            # DECIMAL -> float64 on BOTH sides there, so normalize
+            # Decimal to float here; but int 3 vs HUGEINT->float64 3.0
+            # MUST still fail (the q_gopher_gate r12 escape — Python's
+            # bare 3 == 3.0 masked it).
+            import decimal
+            def cv(v):
+                return float(v) if isinstance(v, decimal.Decimal) else v
+            return tuple((type(cv(v)).__name__, repr(cv(v))) for v in row)
         bad = [(i, a, b) for i, (a, b) in enumerate(zip(sr, dr))
                if canon(a) != canon(b)]
         if bad:
