@@ -47,6 +47,47 @@ object AnalyticsQueries {
       .filter(col("sup") >= 2).select(col("u"), col("v"))
   }
 
+  /** Link-prediction scores over [[coPurchaseEdges]] — ONE definition
+    * shared by q_link_predict and q_link_recs so the pair set and the
+    * three measures can never drift between the ranking and the per-node
+    * recommendation views. Candidates are the NON-adjacent two-hop pairs:
+    * a wedge self-join on the middle node with the per-center fan capped
+    * at the first 64 neighbors by id (cap mirrored in the oracle via
+    * ROW_NUMBER; TRUE degrees feed the formulas), then a left-anti
+    * against the edge set. cn = common-neighbor count (exact long),
+    * aa = Σ 1/ln(deg(v)) folded in SORTED degree order (sort_array +
+    * aggregate HOF) so the float sum is partition-count-independent,
+    * jaccard = cn/(deg_u + deg_w − cn) — one division, 6dp.
+    */
+  private def linkScores(s: SparkSession, d: String): DataFrame = {
+    val e = coPurchaseEdges(s, d)
+    val sym = e.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(e.select(col("v").as("a"), col("u").as("b")))
+    val deg = sym.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+    val wcap = Window.partitionBy(col("a")).orderBy(col("b"))
+    val capped = sym.withColumn("rn", row_number().over(wcap))
+      .filter(col("rn") <= 64).drop("rn")
+    val wedges = capped.select(col("a").as("mid"), col("b").as("u"))
+      .join(capped.select(col("a").as("mid"), col("b").as("w")), Seq("mid"))
+      .filter(col("u") < col("w"))
+    val nonAdj = wedges.join(
+      e.select(col("u").as("eu"), col("v").as("ew")),
+      col("u") === col("eu") && col("w") === col("ew"), "left_anti")
+    val scored = nonAdj
+      .join(deg.select(col("a").as("mid"), col("deg").as("deg_mid")),
+        Seq("mid"))
+      .groupBy(col("u"), col("w"))
+      .agg(count(lit(1)).as("cn"),
+        aggregate(sort_array(collect_list(col("deg_mid"))), lit(0.0),
+          (acc, x) => acc + lit(1.0) / log(x)).as("aa"))
+    scored
+      .join(deg.select(col("a").as("u"), col("deg").as("deg_u")), Seq("u"))
+      .join(deg.select(col("a").as("w"), col("deg").as("deg_w")), Seq("w"))
+      .select(col("u"), col("w"), col("cn"), round(col("aa"), 6).as("aa_r"),
+        round(col("cn").cast("double") /
+          (col("deg_u") + col("deg_w") - col("cn")), 6).as("jacc_r"))
+  }
+
   private def blockedPartPairs(s: SparkSession, d: String): DataFrame = {
     val names = t(s, d, "part").select(col("p_name")).distinct()
       .withColumn("block", element_at(split(col("p_name"), " "), -1))
@@ -1616,6 +1657,178 @@ object AnalyticsQueries {
             .as("mean_w"),
           round(min(col("iqr")), 6).as("iqr_r"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // Link prediction over the co-purchase graph (the "complete the
+    // graph" primitive behind co-buy recommendations and knowledge-graph
+    // completion): every NON-adjacent pair two hops apart scored by the
+    // three classic measures — common neighbors, Jaccard, Adamic-Adar.
+    // One wedge self-join on the shared middle node (the q_triangles
+    // shape), center fan capped at 64 (mirrored in the oracle with
+    // ROW_NUMBER — the capped-pairs algebra; TRUE degrees still feed the
+    // formulas), candidates anti-joined against the edge set. The AA sum
+    // is a float sum over per-pair common-neighbor degrees, so the
+    // engine folds it in sorted order (sort_array + aggregate HOF) —
+    // partition-count-independent bit-identical output; the oracle's
+    // single-node SUM differs only below the 6dp contract.
+    "q_link_predict" -> ((s, d) =>
+      linkScores(s, d)
+        .orderBy(col("cn").desc, col("u"), col("w")).limit(50)),
+
+    // per-node top-3 link recommendations from the same scored relation
+    // (ONE definition shared with q_link_predict): both directions,
+    // window partitioned by node — parallelism grows with |nodes|, and
+    // ties broken on the ROUNDED score + partner id so the rank is
+    // cross-engine deterministic.
+    "q_link_recs" -> ((s, d) => {
+      val sc = linkScores(s, d)
+      val both = sc.select(col("u").as("node"), col("w").as("partner"),
+          col("aa_r"))
+        .unionAll(sc.select(col("w").as("node"), col("u").as("partner"),
+          col("aa_r")))
+      val wtop = Window.partitionBy(col("node"))
+        .orderBy(col("aa_r").desc, col("partner"))
+      both.withColumn("rnk", row_number().over(wtop).cast("long"))
+        .filter(col("rnk") <= 3)
+        .orderBy(col("node"), col("rnk"))
+    }),
+
+    // Exact-moments OLS per group (y = extendedprice cents on
+    // x = quantity): slope/intercept/R² from DECIMAL(38,0) integer
+    // moments — the q_corr_matrix discipline — so the sums are
+    // partitioning-independent and the only float ops are the final
+    // divisions, written in the SAME order on both engines.
+    "q_ols_fit" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_returnflag"),
+        col("l_quantity").cast("long").as("x"),
+        cents(col("l_extendedprice")).as("y"))
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val m = li.groupBy(col("l_returnflag")).agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x") * col("x"))).as("sxx"),
+        sum(dec(col("x") * col("y"))).as("sxy"),
+        sum(dec(col("y") * col("y"))).as("syy"))
+      val sxxc = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+      val sxyc = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+      val syyc = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+      m.select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
+          round(sxyc / sxxc, 6).as("slope_r"),
+          round((col("sy").cast("double") -
+            sxyc / sxxc * col("sx").cast("double")) /
+            col("n").cast("double"), 6).as("intercept_r"),
+          round(sxyc * sxyc / (sxxc * syyc), 6).as("r2_r"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Two-regressor OLS (y = price cents ~ quantity + discount cents)
+    // via the closed-form 2×2 normal-equation solve over the same exact
+    // decimal moments: centered cross-moments stay EXACT integers until
+    // one determinant division. R² = (b1·S1y + b2·S2y)/Syy — the
+    // explained-variance identity, float only at the end.
+    "q_ols_multi" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(
+        col("l_quantity").cast("long").as("x1"),
+        cents(col("l_discount")).as("x2"),
+        cents(col("l_extendedprice")).as("y"))
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val m = li.agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(dec(col("x1"))).as("s1"), sum(dec(col("x2"))).as("s2"),
+        sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x1") * col("x1"))).as("s11"),
+        sum(dec(col("x1") * col("x2"))).as("s12"),
+        sum(dec(col("x2") * col("x2"))).as("s22"),
+        sum(dec(col("x1") * col("y"))).as("s1y"),
+        sum(dec(col("x2") * col("y"))).as("s2y"),
+        sum(dec(col("y") * col("y"))).as("syy"))
+      val c11 = (col("n") * col("s11") - col("s1") * col("s1")).cast("double")
+      val c12 = (col("n") * col("s12") - col("s1") * col("s2")).cast("double")
+      val c22 = (col("n") * col("s22") - col("s2") * col("s2")).cast("double")
+      val c1y = (col("n") * col("s1y") - col("s1") * col("sy")).cast("double")
+      val c2y = (col("n") * col("s2y") - col("s2") * col("sy")).cast("double")
+      val cyy = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+      val det = c11 * c22 - c12 * c12
+      val b1 = (c22 * c1y - c12 * c2y) / det
+      val b2 = (c11 * c2y - c12 * c1y) / det
+      m.select(col("n").cast("long").as("n_rows"),
+        round(b1, 6).as("b1_r"), round(b2, 6).as("b2_r"),
+        round((col("sy").cast("double") - b1 * col("s1").cast("double") -
+          b2 * col("s2").cast("double")) / col("n").cast("double"), 6)
+          .as("intercept_r"),
+        round((b1 * c1y + b2 * c2y) / cyy, 6).as("r2_r"))
+    }),
+
+    // Pearson chi-square independence test (source × lang over the
+    // documents table — "is the language mix the same across sources?").
+    // Contingency cells are ONE count shuffle bounded by the VALUE
+    // DOMAIN (|sources|·|langs|), marginals broadcast back; each cell's
+    // term keeps an exact DECIMAL numerator (O·n − r·c)² and floats only
+    // at the per-cell division, and the final sum folds the ≤domain
+    // cells in SORTED order (aggregate HOF) so the statistic is
+    // partition-count-independent bit-identical.
+    "q_chi2_independence" -> ((s, d) => {
+      val cells = Tables.documents(s, d)
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("o"))
+      val rows = cells.groupBy(col("source")).agg(sum(col("o")).as("rtot"))
+      val colsM = cells.groupBy(col("lang")).agg(sum(col("o")).as("ctot"))
+      val tot = cells.agg(sum(col("o")).as("n_total"))
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val numd = (dec(col("o")) * dec(col("n_total")) -
+        dec(col("rtot")) * dec(col("ctot"))).cast("double")
+      val terms = cells.join(broadcast(rows), Seq("source"))
+        .join(broadcast(colsM), Seq("lang"))
+        .crossJoin(broadcast(tot))
+        .select(col("source"), col("lang"), col("o"), col("n_total"),
+          (numd * numd /
+            (dec(col("rtot")) * dec(col("ctot"))).cast("double") /
+            col("n_total").cast("double")).as("term"))
+      terms.agg(
+          aggregate(
+            sort_array(collect_list(struct(col("source"), col("lang"),
+              col("term")))),
+            lit(0.0), (acc, x) => acc + x.getField("term")).as("chi2"),
+          ((countDistinct(col("source")) - 1) *
+            (countDistinct(col("lang")) - 1)).as("dof"),
+          sum(col("o")).as("n_total"))
+        .select(round(col("chi2"), 6).as("chi2_r"), col("dof"),
+          col("n_total"))
+    }),
+
+    // Two-sample Kolmogorov-Smirnov D (src0 vs src1 n_chars
+    // distributions): EXACT — per distinct value the cumulative counts
+    // are integers, so D's numerator max|F1·n2 − F2·n1| is an exact
+    // DECIMAL(38,0) integer and the only float op is the one final
+    // division. The cumulative window is partitionless BY DESIGN: its
+    // input is first aggregated to the value DOMAIN (distinct n_chars),
+    // the q_col_histogram/q_concurrency bounded-domain discipline, so
+    // the single task sorts |domain| rows, not |rows|.
+    "q_ks_two_sample" -> ((s, d) => {
+      val dd = Tables.documents(s, d)
+        .filter(col("source").isin("src0", "src1"))
+        .select(col("source"), col("n_chars"))
+      val cells = dd.groupBy(col("n_chars")).agg(
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("c1"),
+        sum(when(col("source") === "src1", 1L).otherwise(0L)).as("c2"))
+      val wcum = Window.orderBy(col("n_chars"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = cells.select(col("n_chars"),
+        sum(col("c1")).over(wcum).as("f1"),
+        sum(col("c2")).over(wcum).as("f2"))
+      val tot = dd.agg(
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("n1"),
+        sum(when(col("source") === "src1", 1L).otherwise(0L)).as("n2"))
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      cum.crossJoin(broadcast(tot))
+        .select(col("n1"), col("n2"),
+          abs(dec(col("f1")) * dec(col("n2")) -
+            dec(col("f2")) * dec(col("n1"))).as("dnum"))
+        .groupBy(col("n1"), col("n2"))
+        .agg(max(col("dnum")).as("d_num"))
+        .select(col("n1"), col("n2"), col("d_num"),
+          round(col("d_num").cast("double") /
+            (col("n1").cast("double") * col("n2").cast("double")), 6)
+            .as("d_r"))
     })
   )
 
@@ -2570,7 +2783,156 @@ object AnalyticsQueries {
         |  MIN(lo_c) AS lo_c, MIN(hi_c) AS hi_c,
         |  ROUND(CAST(SUM(wv) AS DOUBLE) / COUNT(*), 6) AS mean_w,
         |  ROUND(MIN(iqr), 6) AS iqr_r
-        |FROM w GROUP BY 1 ORDER BY l_returnflag""".stripMargin
+        |FROM w GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
+
+    // full link-scored relation, top-50 by common-neighbor count
+    "q_link_predict" ->
+      s"""WITH $linkCte
+         |SELECT u, w, cn, aa_r, jacc_r FROM lnk
+         |ORDER BY cn DESC, u, w LIMIT 50""".stripMargin,
+
+    // per-node top-3 by (rounded AA, partner) over the same relation
+    "q_link_recs" ->
+      s"""WITH $linkCte,
+         |both_dirs AS (
+         |  SELECT u AS node, w AS partner, aa_r FROM lnk
+         |  UNION ALL
+         |  SELECT w AS node, u AS partner, aa_r FROM lnk),
+         |rk AS (
+         |  SELECT node, partner, aa_r,
+         |    ROW_NUMBER() OVER (PARTITION BY node
+         |      ORDER BY aa_r DESC, partner) AS rnk
+         |  FROM both_dirs)
+         |SELECT node, partner, aa_r, rnk FROM rk WHERE rnk <= 3
+         |ORDER BY node, rnk""".stripMargin,
+
+    // exact decimal moments, float only at the final divisions — the
+    // corrMatrixOracle discipline, same op order as the engine
+    "q_ols_fit" ->
+      """WITH li AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(ROUND(l_extendedprice*100) AS BIGINT) AS y
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT l_returnflag,
+        |    CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+        |    SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+        |    SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+        |    SUM(CAST(x*x AS DECIMAL(38,0))) AS sxx,
+        |    SUM(CAST(x*y AS DECIMAL(38,0))) AS sxy,
+        |    SUM(CAST(y*y AS DECIMAL(38,0))) AS syy
+        |  FROM li GROUP BY 1),
+        |c AS (
+        |  SELECT l_returnflag, n, sx, sy,
+        |    CAST(n*sxx - sx*sx AS DOUBLE) AS sxxc,
+        |    CAST(n*sxy - sx*sy AS DOUBLE) AS sxyc,
+        |    CAST(n*syy - sy*sy AS DOUBLE) AS syyc
+        |  FROM m)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+        |  ROUND(sxyc / sxxc, 6) AS slope_r,
+        |  ROUND((CAST(sy AS DOUBLE) - sxyc / sxxc * CAST(sx AS DOUBLE))
+        |    / CAST(n AS DOUBLE), 6) AS intercept_r,
+        |  ROUND(sxyc * sxyc / (sxxc * syyc), 6) AS r2_r
+        |FROM c ORDER BY l_returnflag""".stripMargin,
+
+    "q_ols_multi" ->
+      """WITH li AS (
+        |  SELECT CAST(l_quantity AS BIGINT) AS x1,
+        |    CAST(ROUND(l_discount*100) AS BIGINT) AS x2,
+        |    CAST(ROUND(l_extendedprice*100) AS BIGINT) AS y
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+        |    SUM(CAST(x1 AS DECIMAL(38,0))) AS s1,
+        |    SUM(CAST(x2 AS DECIMAL(38,0))) AS s2,
+        |    SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+        |    SUM(CAST(x1*x1 AS DECIMAL(38,0))) AS s11,
+        |    SUM(CAST(x1*x2 AS DECIMAL(38,0))) AS s12,
+        |    SUM(CAST(x2*x2 AS DECIMAL(38,0))) AS s22,
+        |    SUM(CAST(x1*y AS DECIMAL(38,0))) AS s1y,
+        |    SUM(CAST(x2*y AS DECIMAL(38,0))) AS s2y,
+        |    SUM(CAST(y*y AS DECIMAL(38,0))) AS syy
+        |  FROM li),
+        |c AS (
+        |  SELECT n, s1, s2, sy,
+        |    CAST(n*s11 - s1*s1 AS DOUBLE) AS c11,
+        |    CAST(n*s12 - s1*s2 AS DOUBLE) AS c12,
+        |    CAST(n*s22 - s2*s2 AS DOUBLE) AS c22,
+        |    CAST(n*s1y - s1*sy AS DOUBLE) AS c1y,
+        |    CAST(n*s2y - s2*sy AS DOUBLE) AS c2y,
+        |    CAST(n*syy - sy*sy AS DOUBLE) AS cyy
+        |  FROM m),
+        |b AS (
+        |  SELECT n, s1, s2, sy, c1y, c2y, cyy,
+        |    (c22 * c1y - c12 * c2y) / (c11 * c22 - c12 * c12) AS b1,
+        |    (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) AS b2
+        |  FROM c)
+        |SELECT CAST(n AS BIGINT) AS n_rows,
+        |  ROUND(b1, 6) AS b1_r, ROUND(b2, 6) AS b2_r,
+        |  ROUND((CAST(sy AS DOUBLE) - b1 * CAST(s1 AS DOUBLE)
+        |    - b2 * CAST(s2 AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+        |    AS intercept_r,
+        |  ROUND((b1 * c1y + b2 * c2y) / cyy, 6) AS r2_r
+        |FROM b""".stripMargin,
+
+    // per-cell exact DECIMAL numerator, float per-cell division; the
+    // oracle's single-node SUM vs the engine's sorted fold differ only
+    // below the 6dp contract
+    "q_chi2_independence" ->
+      """WITH cells AS (
+        |  SELECT source, lang, COUNT(*) AS o FROM documents GROUP BY 1, 2),
+        |r AS (SELECT source, CAST(SUM(o) AS BIGINT) AS rtot
+        |      FROM cells GROUP BY 1),
+        |cl AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS ctot
+        |       FROM cells GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(o) AS BIGINT) AS n_total FROM cells),
+        |nums AS (
+        |  SELECT c.o, c.source, c.lang,
+        |    CAST(CAST(c.o AS DECIMAL(38,0)) * CAST(t.n_total AS DECIMAL(38,0))
+        |      - CAST(r.rtot AS DECIMAL(38,0)) * CAST(cl.ctot AS DECIMAL(38,0))
+        |      AS DOUBLE) AS numd,
+        |    CAST(CAST(r.rtot AS DECIMAL(38,0)) * CAST(cl.ctot AS DECIMAL(38,0)) AS DOUBLE) AS dend,
+        |    CAST(t.n_total AS DOUBLE) AS ntd
+        |  FROM cells c JOIN r USING (source) JOIN cl USING (lang), tt t),
+        |terms AS (
+        |  SELECT o, source, lang, numd * numd / dend / ntd AS term
+        |  FROM nums)
+        |SELECT ROUND(SUM(term), 6) AS chi2_r,
+        |  (COUNT(DISTINCT source) - 1) * (COUNT(DISTINCT lang) - 1) AS dof,
+        |  CAST(SUM(o) AS BIGINT) AS n_total
+        |FROM terms""".stripMargin,
+
+    // exact integer D numerator over the value domain; one final division
+    "q_ks_two_sample" ->
+      """WITH dd AS (
+        |  SELECT source, n_chars FROM documents
+        |  WHERE source IN ('src0', 'src1')),
+        |cells AS (
+        |  SELECT n_chars,
+        |    CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |  FROM dd GROUP BY 1),
+        |cum AS (
+        |  SELECT n_chars,
+        |    SUM(c1) OVER (ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f1,
+        |    SUM(c2) OVER (ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f2
+        |  FROM cells),
+        |tot AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        |  FROM dd)
+        |SELECT n1, n2,
+        |  MAX(CAST(abs(CAST(f1 AS DECIMAL(38,0)) * CAST(n2 AS DECIMAL(38,0))
+        |    - CAST(f2 AS DECIMAL(38,0)) * CAST(n1 AS DECIMAL(38,0)))
+        |    AS DECIMAL(38,0))) AS d_num,
+        |  ROUND(CAST(MAX(CAST(abs(CAST(f1 AS DECIMAL(38,0)) * CAST(n2 AS DECIMAL(38,0))
+        |    - CAST(f2 AS DECIMAL(38,0)) * CAST(n1 AS DECIMAL(38,0)))
+        |    AS DECIMAL(38,0))) AS DOUBLE)
+        |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS d_r
+        |FROM cum, tot GROUP BY n1, n2""".stripMargin
   )
 
   /** The [[graft.operators.Graph.pageRank]] recurrence unrolled into
@@ -2890,6 +3252,37 @@ object AnalyticsQueries {
       |  FROM capped a JOIN capped b
       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)""".stripMargin
+
+  /** The link-prediction relation — the SQL twin of [[linkScores]] on top
+    * of [[coPurchaseCte]]. Exposes `lnk(u, w, cn, aa_r, jacc_r)`.
+    * MATERIALIZED: q_link_recs reads lnk twice (both directions).
+    */
+  private def linkCte: String =
+    s"""$coPurchaseCte,
+       |sym AS (SELECT u AS a, v AS b FROM edges
+       |        UNION ALL SELECT v AS a, u AS b FROM edges),
+       |deg AS MATERIALIZED (SELECT a, COUNT(*) AS deg FROM sym GROUP BY a),
+       |capped_sym AS MATERIALIZED (
+       |  SELECT a, b FROM (
+       |    SELECT a, b, ROW_NUMBER() OVER (PARTITION BY a ORDER BY b) AS rn
+       |    FROM sym) WHERE rn <= 64),
+       |wedges AS (
+       |  SELECT x.b AS u, x.a AS mid, y.b AS w
+       |  FROM capped_sym x JOIN capped_sym y
+       |    ON x.a = y.a AND x.b < y.b),
+       |nonadj AS (
+       |  SELECT wg.u, wg.mid, wg.w FROM wedges wg
+       |  WHERE NOT EXISTS (
+       |    SELECT 1 FROM edges e WHERE e.u = wg.u AND e.v = wg.w)),
+       |scored AS MATERIALIZED (
+       |  SELECT n.u, n.w, COUNT(*) AS cn, SUM(1.0 / ln(dv.deg)) AS aa
+       |  FROM nonadj n JOIN deg dv ON dv.a = n.mid GROUP BY n.u, n.w),
+       |lnk AS MATERIALIZED (
+       |  SELECT s.u, s.w, s.cn, ROUND(s.aa, 6) AS aa_r,
+       |    ROUND(CAST(s.cn AS DOUBLE) / (du.deg + dw.deg - s.cn), 6)
+       |      AS jacc_r
+       |  FROM scored s JOIN deg du ON du.a = s.u
+       |    JOIN deg dw ON dw.a = s.w)""".stripMargin
 
   /** q_kcore's unrolled fixed-round peel (the ssspOracle convention —
     * exact integer counts, no rounding seam). Each CTE round drops

@@ -444,6 +444,40 @@ object PipelineQueries {
         .select(col("split"), col("n_ratings"), col("n_users"),
           col("n_items"), col("n_cold_users"), col("n_cold_items"))
         .orderBy(col("split"))
+    }),
+
+    // Quantile normalization (the cross-source feature-alignment pass:
+    // map each source's n_chars distribution onto the POOLED
+    // distribution, so a length threshold means the same thing for
+    // every source). Exact by construction: rank within source r →
+    // pooled order statistic at position ceil(r·N/n_s), all integer
+    // arithmetic with a full (value, doc_id) tiebreak. Scale shape:
+    // NO per-source window anywhere (the q_fuzzy_snm 92-task lesson) —
+    // ranks come from Rank.withGlobalRank's range-partitioned global
+    // sort on (source, n_chars, doc_id); the per-source offsets are a
+    // bounded ≤|sources| broadcast; the pooled lookup is a second
+    // range-sorted rank joined on position. The r·N product is LONG —
+    // exact to ~3e9 rows·rows; past that the decimal(38,0) twin of this
+    // arithmetic is the drop-in (documented, not speculative code).
+    "q_quantile_norm" -> ((s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val (ranked, nTotal) = graft.operators.Rank.withGlobalRank(
+        base, "grank", col("source"), col("n_chars"), col("doc_id"))
+      val offs = ranked.groupBy(col("source"))
+        .agg((min(col("grank")) - 1L).as("off"), count(lit(1)).as("n_s"))
+      val withR = ranked.join(broadcast(offs), Seq("source"))
+        .withColumn("r", col("grank") - col("off"))
+        .withColumn("p",
+          expr(s"(r * ${nTotal}L + n_s - 1) div n_s"))
+      val (pooled, _) = graft.operators.Rank.withGlobalRank(
+        base.select(col("n_chars").as("pv"), col("doc_id").as("pid")),
+        "prank", col("pv"), col("pid"))
+      withR.join(pooled.select(col("prank"), col("pv")),
+          col("p") === col("prank"))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          col("pv").as("norm_chars"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -702,7 +736,27 @@ object PipelineQueries {
          |       ELSE 0 END AS n_cold_users,
          |  CASE WHEN split = 'test' THEN (SELECT n FROM ci)
          |       ELSE 0 END AS n_cold_items
-         |FROM s ORDER BY split""".stripMargin
+         |FROM s ORDER BY split""".stripMargin,
+
+    // per-source rank → pooled order statistic at ceil(r·N/n_s);
+    // // is DuckDB's floor division — positives, so it equals Spark's
+    // truncating `div`
+    "q_quantile_norm" ->
+      """WITH src AS (
+        |  SELECT doc_id, source, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS r,
+        |    COUNT(*) OVER (PARTITION BY source) AS ns
+        |  FROM documents),
+        |tot AS (SELECT COUNT(*) AS n FROM documents),
+        |pooled AS (
+        |  SELECT n_chars AS pv,
+        |    ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS pr
+        |  FROM documents)
+        |SELECT s.doc_id, s.source, s.n_chars, p.pv AS norm_chars
+        |FROM src s CROSS JOIN tot t
+        |JOIN pooled p ON p.pr = (s.r * t.n + s.ns - 1) // s.ns
+        |ORDER BY s.doc_id""".stripMargin
   )
 
   /** The DuckDB twin of the [[Recommend.itemNeighbors]] build (cap 30,

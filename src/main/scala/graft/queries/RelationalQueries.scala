@@ -450,6 +450,104 @@ object RelationalQueries {
             coalesce(col("drev"), lit(0L))).as("rev_c"))
         .filter(col("n_orders") > 0)
         .orderBy(col("o_custkey"))
+    }),
+
+    // k-anonymity audit (training-data governance: can any row be
+    // singled out by its quasi-identifiers?): group sizes over the QI
+    // tuple (segment, nation, $1000 acctbal band), then the release
+    // report — smallest group (the k), rows in groups below the k=5
+    // release threshold, and the at-risk fraction. One count shuffle
+    // bounded by the QI DOMAIN; every figure is an exact integer except
+    // the one reporting fraction. floor() (not integer div) for the
+    // band: truncation rounds negative balances toward zero and floors
+    // disagree cross-engine.
+    "q_k_anonymity" -> ((s, d) => {
+      val qi = t(s, d, "customer").select(col("c_mktsegment").as("seg"),
+        col("c_nationkey").as("nat"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band"))
+      qi.groupBy(col("seg"), col("nat"), col("bal_band"))
+        .agg(count(lit(1)).as("gsize"))
+        .agg(count(lit(1)).as("n_groups"), min(col("gsize")).as("k_min"),
+          sum(col("gsize")).as("n_rows"),
+          sum(when(col("gsize") < 5, col("gsize")).otherwise(0L))
+            .as("rows_at_risk"),
+          sum(when(col("gsize") < 5, 1L).otherwise(0L)).as("groups_lt5"))
+        .select(col("n_groups"), col("k_min"), col("n_rows"),
+          col("rows_at_risk"), col("groups_lt5"),
+          round(col("rows_at_risk").cast("double") /
+            col("n_rows").cast("double"), 6).as("risk_frac_r"))
+    }),
+
+    // l-diversity (the companion audit: within each QI group, how many
+    // DISTINCT sensitive values — here the group's customers' order
+    // priorities — does an attacker learn?): per-group distinct count,
+    // reported as the l histogram. The join fans out by orders-per-
+    // customer, then collapses straight back to the bounded QI domain.
+    "q_l_diversity" -> ((s, d) => {
+      val qi = t(s, d, "customer").select(col("c_custkey"),
+        col("c_mktsegment").as("seg"), col("c_nationkey").as("nat"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band"))
+      val sens = t(s, d, "orders").select(
+        col("o_custkey").as("c_custkey"),
+        col("o_orderpriority").as("sens"))
+      qi.join(sens, Seq("c_custkey"))
+        .groupBy(col("seg"), col("nat"), col("bal_band"))
+        .agg(countDistinct(col("sens")).as("l_div"))
+        .groupBy(col("l_div")).agg(count(lit(1)).as("n_groups"))
+        .orderBy(col("l_div"))
+    }),
+
+    // the generalization ladder (how k recovers as QI columns coarsen):
+    // ONE rollup pass gives group sizes at every prefix level —
+    // (seg,nat,band) → (seg,nat) → (seg) — then a per-level summary
+    // keyed by grouping_id. Spark's rollup and DuckDB's ROLLUP share
+    // the first-column-most-significant GROUPING() convention.
+    "q_anon_ladder" -> ((s, d) => {
+      val qi = t(s, d, "customer").select(col("c_mktsegment").as("seg"),
+        col("c_nationkey").as("nat"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band"))
+      qi.rollup(col("seg"), col("nat"), col("bal_band"))
+        .agg(count(lit(1)).as("gsize"), grouping_id().as("gid"))
+        .filter(col("gid").isin(0, 1, 3))
+        .groupBy(col("gid"))
+        .agg(count(lit(1)).as("n_groups"), min(col("gsize")).as("k_min"),
+          sum(when(col("gsize") < 5, col("gsize")).otherwise(0L))
+            .as("rows_at_risk"))
+        .select(
+          when(col("gid") === 0, "seg_nat_band")
+            .when(col("gid") === 1, "seg_nat")
+            .otherwise("seg").as("level"),
+          col("n_groups"), col("k_min"), col("rows_at_risk"))
+        .orderBy(col("level"))
+    }),
+
+    // JOIN-delta IVM (the harder maintenance case next to q_mv_refresh's
+    // single-table aggregate): the stored MV is a per-customer revenue
+    // aggregate over orders ⋈ lineitem, and a lineitem delta batch
+    // (l_orderkey % 17 = 5 — proportional at any scale) arrives. The
+    // refresh joins ONLY the delta against the orders dimension —
+    // O(|Δ| + |affected keys|), never a base-fact rescan — and merges
+    // with the full-outer coalesce-add. The oracle recomputes from
+    // scratch, witnessing the join-delta identity
+    // agg((B ∪ Δ) ⋈ O) = agg(B ⋈ O) ⊕ agg(Δ ⋈ O) cross-engine.
+    // Revenue as exact cents per line (one IEEE product, the TPC-H
+    // revenue convention), so the merge has no float seam.
+    "q_mv_join_refresh" -> ((s, d) => {
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val li = t(s, d, "lineitem").select(col("l_orderkey"),
+        cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("rev"),
+        (pmod(col("l_orderkey"), lit(17)) === 5).as("is_delta"))
+      def agg1(part: DataFrame, out: String) =
+        part.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey")).agg(sum(col("rev")).as(out))
+      val mv0 = agg1(li.filter(!col("is_delta")), "rev_c")
+      val dmv = agg1(li.filter(col("is_delta")), "d_rev")
+      mv0.join(dmv, Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          (coalesce(col("rev_c"), lit(0L)) +
+            coalesce(col("d_rev"), lit(0L))).as("revenue_c"))
+        .orderBy(col("o_custkey"))
     })
   )
 
@@ -705,6 +803,63 @@ object RelationalQueries {
       """SELECT o_orderpriority, COUNT(*) AS n_items,
         |  CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_c
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_k_anonymity" ->
+      """WITH qi AS (
+        |  SELECT c_mktsegment AS seg, c_nationkey AS nat,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band
+        |  FROM customer),
+        |g AS (
+        |  SELECT seg, nat, bal_band, COUNT(*) AS gsize
+        |  FROM qi GROUP BY 1, 2, 3)
+        |SELECT COUNT(*) AS n_groups, MIN(gsize) AS k_min,
+        |  CAST(SUM(gsize) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN gsize < 5 THEN gsize ELSE 0 END) AS BIGINT)
+        |    AS rows_at_risk,
+        |  CAST(SUM(CASE WHEN gsize < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS groups_lt5,
+        |  ROUND(CAST(SUM(CASE WHEN gsize < 5 THEN gsize ELSE 0 END) AS DOUBLE)
+        |    / CAST(SUM(gsize) AS DOUBLE), 6) AS risk_frac_r
+        |FROM g""".stripMargin,
+
+    "q_l_diversity" ->
+      """WITH qi AS (
+        |  SELECT c_custkey, c_mktsegment AS seg, c_nationkey AS nat,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band
+        |  FROM customer),
+        |l AS (
+        |  SELECT qi.seg, qi.nat, qi.bal_band,
+        |    COUNT(DISTINCT o.o_orderpriority) AS l_div
+        |  FROM qi JOIN orders o ON o.o_custkey = qi.c_custkey
+        |  GROUP BY 1, 2, 3)
+        |SELECT l_div, COUNT(*) AS n_groups
+        |FROM l GROUP BY 1 ORDER BY l_div""".stripMargin,
+
+    "q_anon_ladder" ->
+      """WITH qi AS (
+        |  SELECT c_mktsegment AS seg, c_nationkey AS nat,
+        |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band
+        |  FROM customer),
+        |r AS (
+        |  SELECT seg, nat, bal_band, COUNT(*) AS gsize,
+        |    GROUPING(seg, nat, bal_band) AS gid
+        |  FROM qi GROUP BY ROLLUP (seg, nat, bal_band))
+        |SELECT CASE WHEN gid = 0 THEN 'seg_nat_band'
+        |            WHEN gid = 1 THEN 'seg_nat'
+        |            ELSE 'seg' END AS level,
+        |  COUNT(*) AS n_groups, MIN(gsize) AS k_min,
+        |  CAST(SUM(CASE WHEN gsize < 5 THEN gsize ELSE 0 END) AS BIGINT)
+        |    AS rows_at_risk
+        |FROM r WHERE gid IN (0, 1, 3)
+        |GROUP BY 1 ORDER BY level""".stripMargin,
+
+    // the join-delta IVM witness: full recompute over ALL lineitems
+    "q_mv_join_refresh" ->
+      """SELECT o_custkey,
+        |  CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_c
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY o_custkey""".stripMargin
   )
 }

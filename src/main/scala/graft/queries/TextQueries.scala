@@ -452,6 +452,40 @@ object TextQueries {
         .limit(20)
     }),
 
+    // PMI collocations (the corpus phrase-mining primitive: which
+    // adjacent word pairs co-occur far above chance?): positional
+    // bigrams off one tokenize barrier, marginals from the PAIR table
+    // (left marginal of x, right marginal of y — the q_walk_skipgrams
+    // convention), min-count 5, PMI = ln(c_xy·N/(c_x·c_y)). All counts
+    // exact integers; ONE ln per surviving pair; top-20 ordered on the
+    // ROUNDED score + the pair so the cutoff is cross-engine
+    // deterministic. One (x,y) count shuffle + two marginal reshuffles
+    // of the already-aggregated pair table — never a second corpus scan.
+    "q_pmi_bigrams" -> ((s, d) => {
+      val tk = docs(s, d)
+        .select(col("doc_id"), Dedup.tokens(col("text")).as("tk"))
+        .groupBy(col("doc_id")).agg(first(col("tk")).as("tk")) // HOF barrier
+        .filter(size(col("tk")) >= 2)
+      val bg = tk.select(explode(transform(
+          sequence(lit(0), size(col("tk")) - 2),
+          i => struct(get(col("tk"), i).as("x"),
+            get(col("tk"), i + 1).as("y")))).as("b"))
+        .select(col("b.x").as("x"), col("b.y").as("y"))
+      val pc = bg.groupBy(col("x"), col("y")).agg(count(lit(1)).as("n_xy"))
+      val xm = pc.groupBy(col("x")).agg(sum(col("n_xy")).as("n_x"))
+      val ym = pc.groupBy(col("y")).agg(sum(col("n_xy")).as("n_y"))
+      val tot = pc.agg(sum(col("n_xy")).as("n_tot"))
+      pc.filter(col("n_xy") >= 5)
+        .join(xm, Seq("x")).join(ym, Seq("y"))
+        .crossJoin(broadcast(tot))
+        .select(col("x"), col("y"), col("n_xy"),
+          round(log(col("n_xy").cast("double") * col("n_tot").cast("double") /
+            (col("n_x").cast("double") * col("n_y").cast("double"))), 6)
+            .as("pmi_r"))
+        .orderBy(col("pmi_r").desc, col("x"), col("y"))
+        .limit(20)
+    }),
+
     // PII/noise scrubbing over the events props strings (the only text in
     // the testdata with digit runs): emails/URLs/numbers → placeholders.
     "q_text_scrub" -> ((s, d) => {
@@ -2092,6 +2126,29 @@ object TextQueries {
          |SELECT doc_id, CAST(SUM(run) AS BIGINT) AS n_hit_positions,
          |  MAX(run) AS max_run, MAX(run) + 4 AS span_tokens
          |FROM runs GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // positional bigrams via the struct-comprehension (0-based i pairs
+    // tk[i],tk[i+1]); marginals and total from the pair table
+    "q_pmi_bigrams" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS tk FROM documents),
+         |bg AS (
+         |  SELECT s.x, s.y FROM (
+         |    SELECT UNNEST([{'x': tk[i], 'y': tk[i+1]}
+         |      FOR i IN range(1, len(tk))]) AS s
+         |    FROM t WHERE len(tk) >= 2)),
+         |pc AS MATERIALIZED (
+         |  SELECT x, y, COUNT(*) AS n_xy FROM bg GROUP BY 1, 2),
+         |xm AS (SELECT x, CAST(SUM(n_xy) AS BIGINT) AS n_x
+         |       FROM pc GROUP BY 1),
+         |ym AS (SELECT y, CAST(SUM(n_xy) AS BIGINT) AS n_y
+         |       FROM pc GROUP BY 1),
+         |tt AS (SELECT CAST(SUM(n_xy) AS BIGINT) AS n_tot FROM pc)
+         |SELECT p.x, p.y, p.n_xy,
+         |  ROUND(ln(CAST(p.n_xy AS DOUBLE) * CAST(t.n_tot AS DOUBLE) /
+         |    (CAST(x.n_x AS DOUBLE) * CAST(y.n_y AS DOUBLE))), 6) AS pmi_r
+         |FROM pc p JOIN xm x USING (x) JOIN ym y USING (y), tt t
+         |WHERE p.n_xy >= 5
+         |ORDER BY pmi_r DESC, p.x, p.y LIMIT 20""".stripMargin,
 
     // brute force over batch × corpus, no filters — losslessness gate
     "q_ssjoin_incremental" ->
