@@ -140,7 +140,14 @@ object Bench {
     "q_ssjoin_incremental",
     // the deterministic Poisson-bootstrap CI, contamination severity,
     // and the robust-trend pair (MK S + Theil-Sen vs OLS)
-    "q_bootstrap_ci", "q_contamination_span", "q_trend_robust")
+    "q_bootstrap_ci", "q_contamination_span", "q_trend_robust",
+    // round-13: link prediction (wedge join), exact-moments OLS,
+    // chi2/KS distribution tests, governance audits, join-delta IVM,
+    // PMI collocations, quantile normalization (two global ranks)
+    "q_link_predict", "q_link_recs", "q_ols_fit", "q_ols_multi",
+    "q_chi2_independence", "q_ks_two_sample", "q_k_anonymity",
+    "q_l_diversity", "q_anon_ladder", "q_mv_join_refresh",
+    "q_pmi_bigrams", "q_quantile_norm")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -136,7 +136,12 @@ object Soak {
       // n-gram counts; the flat-curve control row (any super-linear
       // reading here means the tokenize barrier or the explode fan-out
       // regressed, not the data)
-      "rep_rules" -> (() => noop(TextAnalysis.repetitionStats(docs))))
+      "rep_rules" -> (() => noop(TextAnalysis.repetitionStats(docs))),
+      // round-13: two range-partitioned global ranks + a bounded-offsets
+      // broadcast + one position join — the curve certifies the
+      // no-per-group-window shape stays ~linear as the corpus grows
+      "quantile_norm" -> (() => noop(graft.operators.Rank
+        .quantileNormalize(docs, "source", "n_chars", "doc_id", "norm"))))
 
     // Trade-table families (round-10 additions): N disjoint re-keyed
     // copies of orders/lineitem written in the Tables layout, so the
@@ -257,7 +262,17 @@ object Soak {
       // serving-shaped row: only the adjacency build grows with scale)
       "kcore" -> (() => noop(SparkEntry.queries("q_kcore")(spark, d))),
       "random_walks" -> (() => noop(
-        SparkEntry.queries("q_random_walks")(spark, d))))
+        SparkEntry.queries("q_random_walks")(spark, d))),
+      // round-13: the wedge self-join under the per-center 64-cap —
+      // disjoint copies keep per-node degree flat, so a clean capped
+      // expansion reads ~linear (a super-linear reading means the cap
+      // or the min-support pre-filter regressed); and the join-delta
+      // IVM's maintain-from-scratch ceiling (delta is %-keyed, so it
+      // scales with the copies)
+      "link_predict" -> (() => noop(
+        SparkEntry.queries("q_link_predict")(spark, d))),
+      "mv_join_refresh" -> (() => noop(
+        SparkEntry.queries("q_mv_join_refresh")(spark, d))))
     // untimed per-scale index build so the item_recs row is serving-only
     def warmItemIndex(d: String): Unit =
       try { graft.queries.PipelineQueries.itemIndex(spark, d); () }

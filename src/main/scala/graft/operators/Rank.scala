@@ -61,6 +61,40 @@ object Rank {
     * plain column expression from the broadcast total. Output column is
     * BIGINT (cross-engine stable; Spark's own `ntile` yields INT).
     */
+  /** Quantile normalization: map each row's `valueCol` within its
+    * `groupCol` distribution onto the POOLED distribution — the row at
+    * within-group rank r (of n_g) becomes the pooled order statistic at
+    * position ceil(r·N/n_g). Exact integer arithmetic with a full
+    * (value, id) tiebreak; NO per-group window anywhere (the q_fuzzy_snm
+    * parallelism-cap lesson): within-group ranks come from ONE
+    * range-partitioned global sort on (group, value, id) minus a bounded
+    * ≤|groups| broadcast of per-group start offsets, and the pooled
+    * lookup is a second range-sorted rank joined on position. The r·N
+    * position product is LONG — exact to ~3e9 rows; past that the
+    * DECIMAL(38,0) twin of the same arithmetic is the drop-in.
+    *
+    * Output: (idCol, groupCol, valueCol, normCol).
+    */
+  def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String, normCol: String): DataFrame = {
+    val base = df.select(col(idCol), col(groupCol), col(valueCol))
+    val (ranked, nTotal) = withGlobalRank(
+      base, "__grank", col(groupCol), col(valueCol), col(idCol))
+    val offs = ranked.groupBy(col(groupCol))
+      .agg((min(col("__grank")) - 1L).as("__off"),
+        count(lit(1)).as("__n_g"))
+    val withP = ranked.join(broadcast(offs), Seq(groupCol))
+      .withColumn("__r", col("__grank") - col("__off"))
+      .withColumn("__p", expr(s"(__r * ${nTotal}L + __n_g - 1) div __n_g"))
+    val (pooled, _) = withGlobalRank(
+      base.select(col(valueCol).as("__pv"), col(idCol).as("__pid")),
+      "__prank", col("__pv"), col("__pid"))
+    withP.join(pooled.select(col("__prank"), col("__pv")),
+        col("__p") === col("__prank"))
+      .select(col(idCol), col(groupCol), col(valueCol),
+        col("__pv").as(normCol))
+  }
+
   def exactNtile(df: DataFrame, k: Int, tileCol: String,
       order: Column*): DataFrame = {
     require(k >= 1, s"k $k")

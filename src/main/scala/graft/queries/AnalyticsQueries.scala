@@ -1681,11 +1681,16 @@ object AnalyticsQueries {
     // ties broken on the ROUNDED score + partner id so the rank is
     // cross-engine deterministic.
     "q_link_recs" -> ((s, d) => {
-      val sc = linkScores(s, d)
-      val both = sc.select(col("u").as("node"), col("w").as("partner"),
-          col("aa_r"))
-        .unionAll(sc.select(col("w").as("node"), col("u").as("partner"),
-          col("aa_r")))
+      // both directions via ONE explode, not a self-union — a union
+      // would compute the whole wedge-join plan twice (no exchange
+      // reuse across the differing projections; measured 4.8 s vs
+      // 2.6 s at sf0.1)
+      val both = linkScores(s, d).select(explode(array(
+          struct(col("u").as("node"), col("w").as("partner"), col("aa_r")),
+          struct(col("w").as("node"), col("u").as("partner"), col("aa_r"))))
+          .as("e"))
+        .select(col("e.node").as("node"), col("e.partner").as("partner"),
+          col("e.aa_r").as("aa_r"))
       val wtop = Window.partitionBy(col("node"))
         .orderBy(col("aa_r").desc, col("partner"))
       both.withColumn("rnk", row_number().over(wtop).cast("long"))

@@ -459,26 +459,10 @@ object PipelineQueries {
     // range-sorted rank joined on position. The r·N product is LONG —
     // exact to ~3e9 rows·rows; past that the decimal(38,0) twin of this
     // arithmetic is the drop-in (documented, not speculative code).
-    "q_quantile_norm" -> ((s, d) => {
-      val base = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"), col("n_chars"))
-      val (ranked, nTotal) = graft.operators.Rank.withGlobalRank(
-        base, "grank", col("source"), col("n_chars"), col("doc_id"))
-      val offs = ranked.groupBy(col("source"))
-        .agg((min(col("grank")) - 1L).as("off"), count(lit(1)).as("n_s"))
-      val withR = ranked.join(broadcast(offs), Seq("source"))
-        .withColumn("r", col("grank") - col("off"))
-        .withColumn("p",
-          expr(s"(r * ${nTotal}L + n_s - 1) div n_s"))
-      val (pooled, _) = graft.operators.Rank.withGlobalRank(
-        base.select(col("n_chars").as("pv"), col("doc_id").as("pid")),
-        "prank", col("pv"), col("pid"))
-      withR.join(pooled.select(col("prank"), col("pv")),
-          col("p") === col("prank"))
-        .select(col("doc_id"), col("source"), col("n_chars"),
-          col("pv").as("norm_chars"))
-        .orderBy(col("doc_id"))
-    })
+    "q_quantile_norm" -> ((s, d) =>
+      graft.operators.Rank.quantileNormalize(
+        Tables.documents(s, d), "source", "n_chars", "doc_id", "norm_chars")
+        .orderBy(col("doc_id")))
   )
 
   /** At-rest item-neighbor index per scale dir — published through the
