@@ -1800,6 +1800,97 @@ object AnalyticsQueries {
           col("n_total"))
     }),
 
+    // One-way ANOVA F (does mean document length differ across
+    // sources?): the variance decomposition SSB/SSW from the SAME exact
+    // decimal moments as q_ols_fit — per-group (n_g, S_g) plus one
+    // global Σx², all DECIMAL(38,0). The only floats are the per-group
+    // S_g²/n_g terms (folded in SORTED group order — the q_chi2
+    // discipline: partition-count-independent) and the final F ratio.
+    "q_anova_f" -> ((s, d) => {
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val x = Tables.documents(s, d)
+        .select(col("source"), col("n_chars").as("x"))
+      val g = x.groupBy(col("source")).agg(
+        count(lit(1)).cast("decimal(38,0)").as("n_g"),
+        sum(dec(col("x"))).as("s_g"))
+      val tot = x.agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(dec(col("x"))).as("sx"),
+        sum(dec(col("x") * col("x"))).as("sxx"))
+      val folded = g.select(col("source"),
+          (col("s_g").cast("double") * col("s_g").cast("double") /
+            col("n_g").cast("double")).as("t_g"))
+        .agg(count(lit(1)).as("k_groups"),
+          aggregate(sort_array(collect_list(struct(col("source"),
+            col("t_g")))), lit(0.0),
+            (acc, e) => acc + e.getField("t_g")).as("sum_t"))
+      folded.crossJoin(broadcast(tot))
+        .select(col("k_groups"), col("n").cast("long").as("n_total"),
+          round(col("sum_t") - col("sx").cast("double") *
+            col("sx").cast("double") / col("n").cast("double"), 6)
+            .as("ssb_r"),
+          round(col("sxx").cast("double") - col("sum_t"), 6).as("ssw_r"),
+          round(((col("sum_t") - col("sx").cast("double") *
+            col("sx").cast("double") / col("n").cast("double")) /
+            (col("k_groups") - 1).cast("double")) /
+            ((col("sxx").cast("double") - col("sum_t")) /
+              (col("n").cast("double") - col("k_groups").cast("double"))),
+            6).as("f_r"))
+    }),
+
+    // Categorical diversity report (Shannon entropy + Gini impurity +
+    // distinct count for the four categorical columns a mixing/audit
+    // job profiles): each column is ONE domain-bounded count shuffle;
+    // probabilities and the −Σp·ln(p) / Σp² sums fold the ≤domain
+    // cells in sorted order. One ln per cell.
+    "q_entropy_report" -> ((s, d) => {
+      def ent(df: DataFrame, c: String, label: String): DataFrame = {
+        val counts = df.groupBy(col(c).as("v")).agg(count(lit(1)).as("n"))
+        val tot = counts.agg(sum(col("n")).as("nt"))
+        counts.crossJoin(broadcast(tot))
+          .select(col("v"), col("n"), col("nt"),
+            (col("n").cast("double") / col("nt").cast("double")).as("p"))
+          .agg(count(lit(1)).as("n_distinct"), min(col("nt")).as("n_total"),
+            aggregate(sort_array(collect_list(struct(col("v"), col("p")))),
+              lit(0.0),
+              (acc, e) => acc - e.getField("p") * log(e.getField("p")))
+              .as("h"),
+            aggregate(sort_array(collect_list(struct(col("v"), col("p")))),
+              lit(0.0),
+              (acc, e) => acc + e.getField("p") * e.getField("p"))
+              .as("p2"))
+          .select(lit(label).as("column_name"), col("n_distinct"),
+            col("n_total"), round(col("h"), 6).as("entropy_r"),
+            round(lit(1.0) - col("p2"), 6).as("gini_r"))
+      }
+      ent(Tables.documents(s, d), "lang", "documents.lang")
+        .unionAll(ent(Tables.documents(s, d), "source", "documents.source"))
+        .unionAll(ent(Tables.events(s, d), "event_type", "events.event_type"))
+        .unionAll(ent(t(s, d, "orders"), "o_orderpriority",
+          "orders.o_orderpriority"))
+        .orderBy(col("column_name"))
+    }),
+
+    // Benford first-digit audit (the fraud/synthetic-data smell test
+    // over order totals): leading digit of the cents value vs the
+    // log10(1+1/d) expectation. Digit extraction is STRING-based
+    // (first char of the long's decimal text — identical cross-engine;
+    // no float log10 of the value itself), counts are exact, and the
+    // two rounded reporting floats are one division and one ln ratio.
+    "q_benford" -> ((s, d) => {
+      val digits = t(s, d, "orders")
+        .select(substring(cents(col("o_totalprice")).cast("string"), 1, 1)
+          .cast("long").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+      val tot = digits.agg(sum(col("n_obs")).as("nt"))
+      digits.crossJoin(broadcast(tot))
+        .select(col("digit"), col("n_obs"),
+          round(col("n_obs").cast("double") / col("nt").cast("double"), 6)
+            .as("freq_r"),
+          round(log(lit(1.0) + lit(1.0) / col("digit").cast("double")) /
+            log(lit(10.0)), 6).as("exp_r"))
+        .orderBy(col("digit"))
+    }),
+
     // Two-sample Kolmogorov-Smirnov D (src0 vs src1 n_chars
     // distributions): EXACT — per distinct value the cumulative counts
     // are integers, so D's numerator max|F1·n2 − F2·n1| is an exact
@@ -2907,6 +2998,49 @@ object AnalyticsQueries {
         |  CAST(SUM(o) AS BIGINT) AS n_total
         |FROM terms""".stripMargin,
 
+    // exact decimal moments; floats only in the per-group terms and the
+    // final F ratio, op order mirrored
+    "q_anova_f" ->
+      """WITH x AS (SELECT source, n_chars AS x FROM documents),
+        |g AS (
+        |  SELECT source, CAST(COUNT(*) AS DECIMAL(38,0)) AS n_g,
+        |    SUM(CAST(x AS DECIMAL(38,0))) AS s_g
+        |  FROM x GROUP BY 1),
+        |tt AS (
+        |  SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+        |    SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+        |    SUM(CAST(x*x AS DECIMAL(38,0))) AS sxx
+        |  FROM x),
+        |f AS (
+        |  SELECT COUNT(*) AS k_groups,
+        |    SUM(CAST(s_g AS DOUBLE) * CAST(s_g AS DOUBLE)
+        |      / CAST(n_g AS DOUBLE)) AS sum_t
+        |  FROM g)
+        |SELECT k_groups, CAST(n AS BIGINT) AS n_total,
+        |  ROUND(sum_t - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+        |    / CAST(n AS DOUBLE), 6) AS ssb_r,
+        |  ROUND(CAST(sxx AS DOUBLE) - sum_t, 6) AS ssw_r,
+        |  ROUND(((sum_t - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+        |    / CAST(n AS DOUBLE)) / CAST(k_groups - 1 AS DOUBLE)) /
+        |    ((CAST(sxx AS DOUBLE) - sum_t) /
+        |      (CAST(n AS DOUBLE) - CAST(k_groups AS DOUBLE))), 6) AS f_r
+        |FROM f, tt""".stripMargin,
+
+    "q_entropy_report" -> entropyOracle,
+
+    // string-based digit extraction; exact counts; ln-ratio expectation
+    "q_benford" ->
+      """WITH dg AS (
+        |  SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice*100) AS BIGINT)
+        |    AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |    COUNT(*) AS n_obs
+        |  FROM orders GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS nt FROM dg)
+        |SELECT digit, n_obs,
+        |  ROUND(CAST(n_obs AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS freq_r,
+        |  ROUND(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0), 6) AS exp_r
+        |FROM dg, tt ORDER BY digit""".stripMargin,
+
     // exact integer D numerator over the value domain; one final division
     "q_ks_two_sample" ->
       """WITH dd AS (
@@ -3257,6 +3391,28 @@ object AnalyticsQueries {
       |  FROM capped a JOIN capped b
       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
       |  GROUP BY 1, 2 HAVING COUNT(*) >= 2)""".stripMargin
+
+  /** The q_entropy_report oracle, generated per (label, table, column)
+    * from one template so the four blocks can't drift. Engine fold
+    * (acc − p·ln p in sorted order) vs the oracle's single-node SUM of
+    * −(p·ln p): association differs only below the 6dp contract.
+    */
+  private def entropyOracle: String = {
+    val cols = Seq(("documents.lang", "documents", "lang"),
+      ("documents.source", "documents", "source"),
+      ("events.event_type", "events", "event_type"),
+      ("orders.o_orderpriority", "orders", "o_orderpriority"))
+    cols.map { case (label, tbl, c) =>
+      s"""SELECT '$label' AS column_name, COUNT(*) AS n_distinct,
+         |  CAST(MIN(nt) AS BIGINT) AS n_total,
+         |  ROUND(SUM(- (CAST(n AS DOUBLE) / CAST(nt AS DOUBLE))
+         |    * ln(CAST(n AS DOUBLE) / CAST(nt AS DOUBLE))), 6) AS entropy_r,
+         |  ROUND(1.0 - SUM((CAST(n AS DOUBLE) / CAST(nt AS DOUBLE))
+         |    * (CAST(n AS DOUBLE) / CAST(nt AS DOUBLE))), 6) AS gini_r
+         |FROM (SELECT COUNT(*) AS n, SUM(COUNT(*)) OVER () AS nt
+         |      FROM $tbl GROUP BY $c)""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
+  }
 
   /** The link-prediction relation — the SQL twin of [[linkScores]] on top
     * of [[coPurchaseCte]]. Exposes `lnk(u, w, cn, aa_r, jacc_r)`.

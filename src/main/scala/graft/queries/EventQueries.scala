@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.operators.{AsofJoin, Multimodal}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -796,6 +796,76 @@ object EventQueries {
         .select(col("day").cast("long").as("day"), col("peak_concurrent"),
           col("n_intervals"))
         .orderBy(col("day"))
+    }),
+
+    // Autocorrelation function of the daily event-count series (lags
+    // 1..7 — the seasonality probe next to q_events_ewma's smoother):
+    // Pearson r per lag from EXACT decimal moments over the
+    // pairwise-present day pairs (a gap simply contributes no pair —
+    // documented semantics that avoid a cross-engine gap-fill spine).
+    // The daily series is one domain-bounded aggregate; the 7-way lag
+    // expansion explodes the ALREADY-aggregated relation (≤7·|days|
+    // rows), never the event scan.
+    "q_acf" -> ((s, d) => {
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val daily = ev(s, d)
+        .groupBy(floor(unix_timestamp(col("ts")) / 86400).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val lagged = daily.select(col("day"), col("n").as("x"),
+          explode(sequence(lit(1L), lit(7L))).as("lag"))
+        .select((col("day") + col("lag")).as("day"), col("lag"), col("x"))
+      val pairs = lagged.join(daily.select(col("day"), col("n").as("y")),
+        Seq("day"))
+      pairs.groupBy(col("lag")).agg(
+          count(lit(1)).cast("decimal(38,0)").as("np"),
+          sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+          sum(dec(col("x") * col("x"))).as("sxx"),
+          sum(dec(col("x") * col("y"))).as("sxy"),
+          sum(dec(col("y") * col("y"))).as("syy"))
+        .select(col("lag"), col("np").cast("long").as("n_pairs"),
+          round((col("np") * col("sxy") - col("sx") * col("sy"))
+            .cast("double") /
+            sqrt((col("np") * col("sxx") - col("sx") * col("sx"))
+              .cast("double") *
+              (col("np") * col("syy") - col("sy") * col("sy"))
+                .cast("double")), 6).as("acf_r"))
+        .orderBy(col("lag"))
+    }),
+
+    // Holt's linear-trend smoothing over the daily count series (the
+    // level+trend forecaster next to the EWMA level smoother):
+    // α = β = 1/2, so every weight multiply is an exact dyadic halving
+    // and the sequential recursion is bit-identical cross-engine when
+    // folded in the SAME day order — the engine folds
+    // sort_array(collect_list(...)) (partition-count-independent); the
+    // oracle replays the identical recursion as a struct-state
+    // list_reduce (the xxhashOracle machinery). Series indexed by
+    // ACTIVE days (the q_acf pairwise-present convention). The fold is
+    // a single bounded-domain task by design: the input is the
+    // already-aggregated daily relation.
+    "q_holt_linear" -> ((s, d) => {
+      val daily = ev(s, d)
+        .groupBy(floor(unix_timestamp(col("ts")) / 86400).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val st = daily.agg(count(lit(1)).as("n_days"),
+        aggregate(
+          sort_array(collect_list(struct(col("day"), col("n")))),
+          struct(lit(0.0).as("l"), lit(0.0).as("b"), lit(0L).as("i")),
+          (s0, x) => {
+            val y = x.getField("n").cast("double")
+            val first = s0.getField("i") === 0L
+            val lnew = when(first, y).otherwise(
+              lit(0.5) * y + lit(0.5) * (s0.getField("l") + s0.getField("b")))
+            struct(lnew.as("l"),
+              when(first, lit(0.0)).otherwise(
+                lit(0.5) * (lnew - s0.getField("l")) +
+                  lit(0.5) * s0.getField("b")).as("b"),
+              (s0.getField("i") + 1L).as("i"))
+          }).as("st"))
+      st.select(col("n_days"),
+        round(col("st.l"), 6).as("level_r"),
+        round(col("st.b"), 6).as("trend_r"),
+        round(col("st.l") + lit(7.0) * col("st.b"), 6).as("fc7_r"))
     })
   )
 
@@ -1250,6 +1320,58 @@ object EventQueries {
         |)
         |SELECT day, CAST(MAX(running) AS BIGINT) AS peak_concurrent,
         |  CAST(COUNT(*) // 2 AS BIGINT) AS n_intervals
-        |FROM r GROUP BY day ORDER BY day""".stripMargin
+        |FROM r GROUP BY day ORDER BY day""".stripMargin,
+
+    // exact decimal moments per lag over pairwise-present day pairs;
+    // one sqrt + one division (both correctly rounded IEEE)
+    "q_acf" ->
+      """WITH daily AS (
+        |  SELECT (epoch_us(ts) // 1000000) // 86400 AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1),
+        |lagged AS (
+        |  SELECT f.day + l.lag AS day, l.lag, f.n AS x
+        |  FROM daily f, (SELECT UNNEST(range(1, 8)) AS lag) l),
+        |pairs AS (
+        |  SELECT p.lag, p.x, f.n AS y
+        |  FROM lagged p JOIN daily f USING (day)),
+        |m AS (
+        |  SELECT lag, CAST(COUNT(*) AS DECIMAL(38,0)) AS np,
+        |    SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+        |    SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+        |    SUM(CAST(x*x AS DECIMAL(38,0))) AS sxx,
+        |    SUM(CAST(x*y AS DECIMAL(38,0))) AS sxy,
+        |    SUM(CAST(y*y AS DECIMAL(38,0))) AS syy
+        |  FROM pairs GROUP BY lag)
+        |SELECT lag, CAST(np AS BIGINT) AS n_pairs,
+        |  ROUND(CAST(np*sxy - sx*sy AS DOUBLE) /
+        |    sqrt(CAST(np*sxx - sx*sx AS DOUBLE) *
+        |      CAST(np*syy - sy*sy AS DOUBLE)), 6) AS acf_r
+        |FROM m ORDER BY lag""".stripMargin,
+
+    // the identical dyadic recursion replayed as a RECURSIVE CTE in day
+    // order (NOT a struct-state list_reduce: DuckDB's reduce does not
+    // keep the accumulator stable across struct fields when one field
+    // reads another — field b saw the already-updated l; the XXH64
+    // oracle's 4-lane struct reduce survives only because its lanes
+    // never cross-read)
+    "q_holt_linear" ->
+      """WITH RECURSIVE daily AS (
+        |  SELECT (epoch_us(ts) // 1000000) // 86400 AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1),
+        |ser AS (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY day) AS i, CAST(n AS DOUBLE) AS y
+        |  FROM daily),
+        |nd AS (SELECT COUNT(*) AS n_days FROM daily),
+        |rec AS (
+        |  SELECT CAST(1 AS BIGINT) AS i, y AS l, CAST(0.0 AS DOUBLE) AS b
+        |  FROM ser WHERE i = 1
+        |  UNION ALL
+        |  SELECT s.i + 1,
+        |    0.5 * ser.y + 0.5 * (s.l + s.b),
+        |    0.5 * ((0.5 * ser.y + 0.5 * (s.l + s.b)) - s.l) + 0.5 * s.b
+        |  FROM rec s JOIN ser ON ser.i = s.i + 1)
+        |SELECT n_days, ROUND(l, 6) AS level_r, ROUND(b, 6) AS trend_r,
+        |  ROUND(l + 7.0 * b, 6) AS fc7_r
+        |FROM rec, nd WHERE i = n_days""".stripMargin
   )
 }
