@@ -147,7 +147,11 @@ object Bench {
     "q_link_predict", "q_link_recs", "q_ols_fit", "q_ols_multi",
     "q_chi2_independence", "q_ks_two_sample", "q_k_anonymity",
     "q_l_diversity", "q_anon_ladder", "q_mv_join_refresh",
-    "q_pmi_bigrams", "q_quantile_norm")
+    "q_pmi_bigrams", "q_quantile_norm",
+    // round-13 batch 2: ANOVA/entropy/Benford/ACF/Holt stats tier +
+    // truncated closeness centrality (3-hop multi-seed BFS)
+    "q_anova_f", "q_entropy_report", "q_benford", "q_acf",
+    "q_holt_linear", "q_closeness")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

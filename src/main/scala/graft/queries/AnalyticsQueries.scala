@@ -1800,6 +1800,54 @@ object AnalyticsQueries {
           col("n_total"))
     }),
 
+    // Truncated closeness/harmonic centrality (multi-seed BFS, radius
+    // 3, over the co-purchase graph): per seed the reach set with hop
+    // distances, n_reached / sum_dist, and the harmonic sum Σ 1/d kept
+    // EXACT as Σ 12/d (d ∈ {1,2,3} → 12,6,4 — integer unit fractions
+    // over the common denominator; the one float is the final
+    // normalization). Frontier relations are reach-sized; each hop is
+    // one shuffle join on the frontier plus ids-only anti-joins against
+    // the visited sets; the symmetric edge list is checkpointed once
+    // (read by all three hops). Seeds are the 5 smallest node ids —
+    // deterministic, no RNG.
+    "q_closeness" -> ((s, d) => {
+      val e = coPurchaseEdges(s, d)
+      val sym = e.select(col("u").as("a"), col("v").as("b"))
+        .unionAll(e.select(col("v").as("a"), col("u").as("b")))
+        .localCheckpoint(true)
+      val nodes = sym.select(col("a").as("node")).distinct()
+      val seeds = nodes.orderBy(col("node")).limit(5)
+        .select(col("node").as("seed"))
+      val f1 = sym.join(broadcast(seeds), col("a") === col("seed"))
+        .filter(col("b") =!= col("seed"))
+        .select(col("seed"), col("b").as("node")).distinct()
+      def hop(frontier: DataFrame, visited: Seq[DataFrame]): DataFrame = {
+        val raw = frontier.join(sym, col("node") === col("a"))
+          .select(col("seed"), col("b").as("nd"))
+          .filter(col("nd") =!= col("seed"))
+          .select(col("seed"), col("nd").as("node")).distinct()
+        visited.foldLeft(raw)((acc, v) =>
+          acc.join(v, Seq("seed", "node"), "left_anti")
+            .select(col("seed"), col("node")))
+      }
+      val f2 = hop(f1, Seq(f1))
+      val f3 = hop(f2, Seq(f1, f2))
+      val allv = f1.withColumn("dist", lit(1L))
+        .unionAll(f2.withColumn("dist", lit(2L)))
+        .unionAll(f3.withColumn("dist", lit(3L)))
+      val ng = nodes.agg(count(lit(1)).as("n_nodes"))
+      allv.groupBy(col("seed"))
+        .agg(count(lit(1)).as("n_reached"), sum(col("dist")).as("sum_dist"),
+          sum(expr("12 div dist")).as("harm12"))
+        .crossJoin(broadcast(ng))
+        .select(col("seed"), col("n_reached"), col("sum_dist"),
+          col("harm12"),
+          round(col("harm12").cast("double") / lit(12.0) /
+            (col("n_nodes").cast("double") - lit(1.0)), 6)
+            .as("closeness_r"))
+        .orderBy(col("seed"))
+    }),
+
     // One-way ANOVA F (does mean document length differ across
     // sources?): the variance decomposition SSB/SSW from the SAME exact
     // decimal moments as q_ols_fit — per-group (n_g, S_g) plus one
@@ -2997,6 +3045,44 @@ object AnalyticsQueries {
         |  (COUNT(DISTINCT source) - 1) * (COUNT(DISTINCT lang) - 1) AS dof,
         |  CAST(SUM(o) AS BIGINT) AS n_total
         |FROM terms""".stripMargin,
+
+    // unrolled 3-hop BFS (the khop/kcore MATERIALIZED discipline);
+    // harmonic sum exact as Σ 12//d
+    "q_closeness" ->
+      s"""WITH $coPurchaseCte,
+         |sym AS (SELECT u AS a, v AS b FROM edges
+         |        UNION ALL SELECT v AS a, u AS b FROM edges),
+         |nodes AS (SELECT DISTINCT a AS node FROM sym),
+         |ng AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+         |seeds AS (SELECT node AS seed FROM nodes ORDER BY node LIMIT 5),
+         |f1 AS MATERIALIZED (
+         |  SELECT s.seed, e.b AS node FROM seeds s JOIN sym e ON e.a = s.seed
+         |  WHERE e.b <> s.seed GROUP BY 1, 2),
+         |f2 AS MATERIALIZED (
+         |  SELECT f.seed, e.b AS node FROM f1 f JOIN sym e ON e.a = f.node
+         |  WHERE e.b <> f.seed
+         |    AND NOT EXISTS (SELECT 1 FROM f1 p
+         |                    WHERE p.seed = f.seed AND p.node = e.b)
+         |  GROUP BY 1, 2),
+         |f3 AS MATERIALIZED (
+         |  SELECT f.seed, e.b AS node FROM f2 f JOIN sym e ON e.a = f.node
+         |  WHERE e.b <> f.seed
+         |    AND NOT EXISTS (SELECT 1 FROM f1 p
+         |                    WHERE p.seed = f.seed AND p.node = e.b)
+         |    AND NOT EXISTS (SELECT 1 FROM f2 p
+         |                    WHERE p.seed = f.seed AND p.node = e.b)
+         |  GROUP BY 1, 2),
+         |allv AS (
+         |  SELECT seed, node, CAST(1 AS BIGINT) AS dist FROM f1
+         |  UNION ALL SELECT seed, node, 2 FROM f2
+         |  UNION ALL SELECT seed, node, 3 FROM f3)
+         |SELECT a.seed, COUNT(*) AS n_reached,
+         |  CAST(SUM(dist) AS BIGINT) AS sum_dist,
+         |  CAST(SUM(12 // dist) AS BIGINT) AS harm12,
+         |  ROUND(CAST(SUM(12 // dist) AS DOUBLE) / 12.0 /
+         |    (CAST(g.n_nodes AS DOUBLE) - 1.0), 6) AS closeness_r
+         |FROM allv a, ng g GROUP BY a.seed, g.n_nodes
+         |ORDER BY a.seed""".stripMargin,
 
     // exact decimal moments; floats only in the per-group terms and the
     // final F ratio, op order mirrored

@@ -230,6 +230,114 @@ class StatsGovernanceSpec extends SparkTestBase {
     }
   }
 
+  // ---- batch-2 stats tier ----
+
+  test("q_anova_f matches a driver-side BigInt-moments recompute") {
+    val xs = Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val n = xs.length.toDouble
+    val sx = xs.map(r => BigInt(r._2)).sum.toDouble
+    val sxx = xs.map(r => BigInt(r._2) * r._2).sum.toDouble
+    val groups = xs.groupBy(_._1)
+    val sumT = groups.toSeq.sortBy(_._1).map { case (_, rs) =>
+      val sg = rs.map(r => BigInt(r._2)).sum.toDouble
+      sg * sg / rs.length.toDouble
+    }.sum
+    val k = groups.size.toDouble
+    val ssb = sumT - sx * sx / n
+    val ssw = sxx - sumT
+    val f = (ssb / (k - 1)) / (ssw / (n - k))
+    val row = q("q_anova_f").collect().head
+    assert(row.getLong(0) == groups.size && row.getLong(1) == xs.length)
+    assert(math.abs(row.getDouble(2) - ssb) < 1e-4)
+    assert(math.abs(row.getDouble(3) - ssw) < 1e-4)
+    assert(math.abs(row.getDouble(4) - f) < 1e-5)
+  }
+
+  test("q_entropy_report: bounds and exact recompute for documents.lang") {
+    val rows = q("q_entropy_report").collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      val (nd, h, g) = (r.getLong(1), r.getDouble(3), r.getDouble(4))
+      assert(h >= 0.0 && h <= math.log(nd.toDouble) + 1e-9,
+        s"${r.getString(0)}: H=$h outside [0, ln($nd)]")
+      assert(g >= 0.0 && g < 1.0)
+    }
+    val counts = Tables.documents(spark, sf).groupBy(col("lang")).count()
+      .collect().map(_.getLong(1))
+    val tot = counts.sum.toDouble
+    val h = counts.map(c => -(c / tot) * math.log(c / tot)).sum
+    val lang = rows.find(_.getString(0) == "documents.lang").get
+    assert(lang.getLong(1) == counts.length)
+    assert(math.abs(lang.getDouble(3) - h) < 1e-6)
+  }
+
+  test("q_benford: frequencies sum to 1, expectations are Benford's law") {
+    val rows = q("q_benford").collect()
+    assert(rows.map(_.getLong(0)).forall(d => d >= 1 && d <= 9))
+    val freqSum = rows.map(_.getDouble(2)).sum
+    assert(math.abs(freqSum - 1.0) < 1e-4, s"freq sum $freqSum")
+    rows.foreach { r =>
+      val exp = math.log(1.0 + 1.0 / r.getLong(0)) / math.log(10.0)
+      assert(math.abs(r.getDouble(3) - exp) < 1e-6)
+    }
+  }
+
+  test("q_acf: lag-0 analogue is 1; all lags in [-1, 1]; exact lag-1 recompute") {
+    val daily = Tables.events(spark, sf)
+      .groupBy(floor(unix_timestamp(col("ts")) / 86400).as("day"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = daily.toSeq.flatMap { case (d, x) =>
+      daily.get(d + 1).map(y => (x, y)) }
+    val n = BigInt(pairs.length)
+    val sx = pairs.map(p => BigInt(p._1)).sum
+    val sy = pairs.map(p => BigInt(p._2)).sum
+    val sxy = pairs.map(p => BigInt(p._1) * p._2).sum
+    val sxx = pairs.map(p => BigInt(p._1) * p._1).sum
+    val syy = pairs.map(p => BigInt(p._2) * p._2).sum
+    val r1 = (n * sxy - sx * sy).toDouble /
+      math.sqrt((n * sxx - sx * sx).toDouble * (n * syy - sy * sy).toDouble)
+    val rows = q("q_acf").collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 7L))
+    rows.foreach(r => assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9))
+    val lag1 = rows.find(_.getLong(0) == 1L).get
+    assert(lag1.getLong(1) == pairs.length)
+    assert(math.abs(lag1.getDouble(2) - r1) < 1e-6)
+  }
+
+  test("q_holt_linear matches the sequential recursion replayed in Scala") {
+    val ys = Tables.events(spark, sf)
+      .groupBy(floor(unix_timestamp(col("ts")) / 86400).as("day"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).map(_._2.toDouble)
+    var l = ys.head; var b = 0.0
+    ys.tail.foreach { y =>
+      val lnew = 0.5 * y + 0.5 * (l + b)
+      b = 0.5 * (lnew - l) + 0.5 * b
+      l = lnew
+    }
+    val row = q("q_holt_linear").collect().head
+    assert(row.getLong(0) == ys.length)
+    assert(math.abs(row.getDouble(1) - l) < 1e-6)
+    assert(math.abs(row.getDouble(2) - b) < 1e-6)
+    assert(math.abs(row.getDouble(3) - (l + 7.0 * b)) < 1e-6)
+  }
+
+  test("q_closeness: harmonic sum is consistent and reach is monotone in radius") {
+    val rows = q("q_closeness").collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (nReached, sumDist, harm12) =
+        (r.getLong(1), r.getLong(2), r.getLong(3))
+      // each reached node contributes dist in [1,3] and 12/dist in {12,6,4}
+      assert(sumDist >= nReached && sumDist <= 3 * nReached)
+      assert(harm12 >= 4 * nReached && harm12 <= 12 * nReached)
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0)
+    }
+  }
+
   // ---- join-delta IVM ----
 
   test("q_mv_join_refresh equals the direct full recompute (IVM identity)") {
