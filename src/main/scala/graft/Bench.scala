@@ -151,7 +151,9 @@ object Bench {
     // round-13 batch 2: ANOVA/entropy/Benford/ACF/Holt stats tier +
     // truncated closeness centrality (3-hop multi-seed BFS)
     "q_anova_f", "q_entropy_report", "q_benford", "q_acf",
-    "q_holt_linear", "q_closeness")
+    "q_holt_linear", "q_closeness",
+    // round-13 batch 3: exact prefix-sum ABC classes + per-day TWAP
+    "q_abc_classes", "q_twap")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

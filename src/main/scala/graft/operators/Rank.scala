@@ -61,6 +61,35 @@ object Rank {
     * plain column expression from the broadcast total. Output column is
     * BIGINT (cross-engine stable; Spark's own `ntile` yields INT).
     */
+  /** `df` + an exact inclusive running total of `weightCol` (LongType)
+    * over the total order `order` — the scale-safe prefix sum: the same
+    * two-pass range-sort plan as [[withGlobalRank]] but collecting
+    * per-partition WEIGHT sums (driver state O(partitions)). Returns the
+    * frame and the grand total. Long arithmetic throughout — exact while
+    * the grand total fits 2^63 (integer cents to ~9e16 dollars); the
+    * DECIMAL twin of the same plan is the drop-in past that.
+    */
+  def withRunningTotal(df: DataFrame, runCol: String, weightCol: String,
+      order: Column*): (DataFrame, Long) = {
+    val sorted = df.orderBy(order: _*)
+    val idx = sorted.schema.fieldIndex(weightCol)
+    val schema = StructType(sorted.schema.fields :+
+      StructField(runCol, LongType, nullable = false))
+    val rdd = sorted.rdd
+    val sums = rdd
+      .mapPartitionsWithIndex((pid, it) =>
+        Iterator((pid, it.foldLeft(0L)((a, r) => a + r.getLong(idx)))))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = sums.scanLeft(0L)(_ + _)
+    val total = if (sums.isEmpty) 0L else offsets.last
+    val bc = df.sparkSession.sparkContext.broadcast(offsets)
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var acc = bc.value(pid)
+      it.map { r => acc += r.getLong(idx); Row.fromSeq(r.toSeq :+ acc) }
+    }
+    (df.sparkSession.createDataFrame(out, schema), total)
+  }
+
   /** Quantile normalization: map each row's `valueCol` within its
     * `groupCol` distribution onto the POOLED distribution — the row at
     * within-group rank r (of n_g) becomes the pooled order statistic at

@@ -1800,6 +1800,33 @@ object AnalyticsQueries {
           col("n_total"))
     }),
 
+    // ABC / Pareto contribution classes (the 80/20 inventory census:
+    // which parts carry 80% / 95% of revenue?): per-key revenue, an
+    // EXACT running total over the revenue-descending total order via
+    // Rank.withRunningTotal — the scale-safe prefix sum (range sort +
+    // per-partition weight sums + broadcast offsets), NEVER the
+    // single-partition running-max window the textbook form suggests —
+    // and INTEGER threshold comparisons (100·cum ≤ 80·total), so class
+    // membership can never flip on a float boundary. One float: the
+    // per-class share.
+    "q_abc_classes" -> ((s, d) => {
+      val rev = t(s, d, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("rev_c"))
+      val (run, total) = graft.operators.Rank.withRunningTotal(
+        rev, "cum_c", "rev_c", col("rev_c").desc, col("l_partkey"))
+      run.withColumn("abc_class",
+          when(col("cum_c") * 100 <= lit(total) * 80, "A")
+            .when(col("cum_c") * 100 <= lit(total) * 95, "B")
+            .otherwise("C"))
+        .groupBy(col("abc_class"))
+        .agg(count(lit(1)).as("n_parts"), sum(col("rev_c")).as("rev_c"),
+          round(sum(col("rev_c")).cast("double") / lit(total.toDouble), 6)
+            .as("share_r"))
+        .orderBy(col("abc_class"))
+    }),
+
     // Truncated closeness/harmonic centrality (multi-seed BFS, radius
     // 3, over the co-purchase graph): per seed the reach set with hop
     // distances, n_reached / sum_dist, and the harmonic sum Σ 1/d kept
@@ -3045,6 +3072,33 @@ object AnalyticsQueries {
         |  (COUNT(DISTINCT source) - 1) * (COUNT(DISTINCT lang) - 1) AS dof,
         |  CAST(SUM(o) AS BIGINT) AS n_total
         |FROM terms""".stripMargin,
+
+    // the textbook running-sum window IS fine for a single-node oracle;
+    // integer thresholds mirror exactly (window SUM is HUGEINT — the
+    // comparisons stay integral)
+    "q_abc_classes" ->
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT)
+        |      AS rev_c
+        |  FROM lineitem GROUP BY 1),
+        |run AS (
+        |  SELECT l_partkey, rev_c,
+        |    SUM(rev_c) OVER (ORDER BY rev_c DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c,
+        |    SUM(rev_c) OVER () AS tot
+        |  FROM rev),
+        |cls AS (
+        |  SELECT CASE WHEN 100 * cum_c <= 80 * tot THEN 'A'
+        |              WHEN 100 * cum_c <= 95 * tot THEN 'B'
+        |              ELSE 'C' END AS abc_class,
+        |    rev_c, tot
+        |  FROM run)
+        |SELECT abc_class, COUNT(*) AS n_parts,
+        |  CAST(SUM(rev_c) AS BIGINT) AS rev_c,
+        |  ROUND(CAST(SUM(rev_c) AS DOUBLE) / CAST(MIN(tot) AS DOUBLE), 6)
+        |    AS share_r
+        |FROM cls GROUP BY 1 ORDER BY abc_class""".stripMargin,
 
     // unrolled 3-hop BFS (the khop/kcore MATERIALIZED discipline);
     // harmonic sum exact as Σ 12//d

@@ -798,6 +798,39 @@ object EventQueries {
         .orderBy(col("day"))
     }),
 
+    // Time-weighted average value per day (the TWAP/metrics-rollup op:
+    // a value that holds until the next observation should be averaged
+    // by TIME HELD, not by observation count): piecewise-constant
+    // segments from a lead() window per (user, day) — parallelism grows
+    // with users, bounded per task by one user's day (never the
+    // per-day-only partitioning the SNM lesson warns about) — then the
+    // day's TWAP as Σ value·dt / Σ dt with the value·µs products kept
+    // EXACT in DECIMAL(38,0) (cents × µs overflows long). One float:
+    // the final division.
+    "q_twap" -> ((s, d) => {
+      val e = ev(s, d).select(
+        floor(unix_timestamp(col("ts")) / 86400).as("day"),
+        col("user_id"), unix_micros(col("ts")).as("us"),
+        cents(col("value")).as("v"), col("event_id"))
+      val w = Window.partitionBy(col("user_id"), col("day"))
+        .orderBy(col("us"), col("event_id"))
+      val seg = e.withColumn("nxt", lead(col("us"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("day"),
+          (col("v").cast("decimal(38,0)") * (col("nxt") - col("us")))
+            .as("wv"),
+          (col("nxt") - col("us")).as("dt"))
+      seg.groupBy(col("day"))
+        .agg(count(lit(1)).as("n_segments"),
+          sum(col("dt")).as("dt_us"),
+          sum(col("wv")).as("swv"))
+        .select(col("day").cast("long").as("day"), col("n_segments"),
+          col("dt_us"),
+          round(col("swv").cast("double") / col("dt_us").cast("double"), 6)
+            .as("twap_r"))
+        .orderBy(col("day"))
+    }),
+
     // Autocorrelation function of the daily event-count series (lags
     // 1..7 — the seasonality probe next to q_events_ewma's smoother):
     // Pearson r per lag from EXACT decimal moments over the
@@ -1321,6 +1354,29 @@ object EventQueries {
         |SELECT day, CAST(MAX(running) AS BIGINT) AS peak_concurrent,
         |  CAST(COUNT(*) // 2 AS BIGINT) AS n_intervals
         |FROM r GROUP BY day ORDER BY day""".stripMargin,
+
+    // piecewise-constant segments per (user, day); value·µs exact in
+    // DECIMAL; one final division
+    "q_twap" ->
+      """WITH e AS (
+        |  SELECT (epoch_us(ts) // 1000000) // 86400 AS day, user_id,
+        |    epoch_us(ts) AS us,
+        |    CAST(ROUND(value*100) AS BIGINT) AS v, event_id
+        |  FROM events),
+        |seg AS (
+        |  SELECT day,
+        |    CAST(v AS DECIMAL(38,0)) * (nxt - us) AS wv, nxt - us AS dt
+        |  FROM (
+        |    SELECT day, us, v,
+        |      LEAD(us, 1) OVER (PARTITION BY user_id, day
+        |        ORDER BY us, event_id) AS nxt
+        |    FROM e) x
+        |  WHERE nxt IS NOT NULL)
+        |SELECT day, COUNT(*) AS n_segments,
+        |  CAST(SUM(dt) AS BIGINT) AS dt_us,
+        |  ROUND(CAST(SUM(wv) AS DOUBLE) / CAST(CAST(SUM(dt) AS BIGINT) AS DOUBLE), 6)
+        |    AS twap_r
+        |FROM seg GROUP BY day ORDER BY day""".stripMargin,
 
     // exact decimal moments per lag over pairwise-present day pairs;
     // one sqrt + one division (both correctly rounded IEEE)

@@ -338,6 +338,69 @@ class StatsGovernanceSpec extends SparkTestBase {
     }
   }
 
+  // ---- running-total / ABC / TWAP ----
+
+  test("Rank.withRunningTotal: exact prefix sums and grand total") {
+    import spark.implicits._
+    val df = Seq((1L, 10L), (2L, 5L), (3L, 20L), (4L, 1L), (5L, 7L))
+      .toDF("k", "w")
+    val (run, total) = graft.operators.Rank.withRunningTotal(
+      df, "cum", "w", col("w").desc, col("k"))
+    assert(total == 43L)
+    val got = run.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // order: (3,20) (1,10) (5,7) (2,5) (4,1)
+    assert(got == Map(3L -> 20L, 1L -> 30L, 5L -> 37L, 2L -> 42L, 4L -> 43L))
+  }
+
+  test("q_abc_classes matches a driver-side exact classification") {
+    val rev = Tables.load(spark, sf, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * 100, 0).cast("long")).as("rev_c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val total = rev.map(r => BigInt(r._2)).sum
+    var cum = BigInt(0)
+    val classes = rev.sortBy(r => (-r._2, r._1)).map { case (_, rc) =>
+      cum += rc
+      if (100 * cum <= 80 * total) "A"
+      else if (100 * cum <= 95 * total) "B" else "C"
+    }
+    val expected = classes.groupBy(identity).map { case (k, v) => k -> v.length }
+    val got = q("q_abc_classes").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.map { case (k, v) => k -> v.toInt } == expected)
+    val shares = q("q_abc_classes").collect().map(_.getDouble(3))
+    assert(math.abs(shares.sum - 1.0) < 1e-5)
+  }
+
+  test("q_twap matches a driver-side segment recompute") {
+    val evs = Tables.events(spark, sf).select(
+      floor(unix_timestamp(col("ts")) / 86400).cast("long"),
+      col("user_id"), unix_micros(col("ts")),
+      round(col("value") * 100, 0).cast("long"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val segs = evs.groupBy(e => (e._1, e._2)).toSeq.flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => (e._3, e._5))
+      sorted.zip(sorted.tail).map { case (a, b) =>
+        (a._1, BigInt(a._4) * (b._3 - a._3), b._3 - a._3)
+      }
+    }
+    val expected = segs.groupBy(_._1).map { case (day, ss) =>
+      val swv = ss.map(_._2).sum
+      val sdt = ss.map(s => BigInt(s._3)).sum
+      day -> ((ss.length.toLong, sdt.toLong, swv.toDouble / sdt.toDouble))
+    }
+    val got = q("q_twap").collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (n, dt, tw) = expected(r.getLong(0))
+      assert(r.getLong(1) == n && r.getLong(2) == dt)
+      assert(math.abs(r.getDouble(3) - tw) < 1e-6)
+    }
+  }
+
   // ---- join-delta IVM ----
 
   test("q_mv_join_refresh equals the direct full recompute (IVM identity)") {
