@@ -182,7 +182,11 @@ object SimilarityQueries {
         .orderBy(col("rank").desc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       contrib
-        .withColumn("shap_r", round(sum(col("contrib")).over(wSuffix), 6))
+        // + 0.0 normalizes IEEE negative zero: a suffix sum that cancels
+        // to -0.0 on one engine and +0.0 on the other is value-equal but
+        // repr/hash-DIFFERENT ("-0.0" vs "0.0") — surfaced at sf0.1
+        .withColumn("shap_r",
+          round(sum(col("contrib")).over(wSuffix), 6) + lit(0.0))
         .select(col("query_id"), col("vec_id"), col("rank"), col("shap_r"))
         .orderBy(col("query_id"), col("rank"))
     }),
@@ -771,7 +775,8 @@ object SimilarityQueries {
          |SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank,
          |  ROUND(SUM(contrib) OVER (PARTITION BY query_id
          |    ORDER BY rank DESC
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS shap_r
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) + 0.0
+         |    AS shap_r
          |FROM cb ORDER BY query_id, rank""".stripMargin,
 
     "q_cosine_topk" ->

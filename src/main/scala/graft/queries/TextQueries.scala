@@ -1526,8 +1526,12 @@ object TextQueries {
     // shape: see [[dsirWeightsDf]] (shared with q_dsir_select — one
     // definition owns the math).
     "q_dsir_weights" -> ((s, d) => {
+      // + 0.0 normalizes IEEE negative zero (a log-ratio sum that
+      // cancels to -0.0 on one engine reprs as "-0.0" — the sf0.1
+      // q_knn_shapley seam)
       dsirWeightsDf(s, d)
-        .select(col("doc_id"), col("n_trigrams"), col("w").as("avg_logratio"))
+        .select(col("doc_id"), col("n_trigrams"),
+          (col("w") + lit(0.0)).as("avg_logratio"))
         .orderBy(col("doc_id"))
     }),
 
@@ -3283,7 +3287,7 @@ object TextQueries {
 
     "q_dsir_weights" ->
       s"""$dsirCtes
-         |SELECT doc_id, n_trigrams, w AS avg_logratio
+         |SELECT doc_id, n_trigrams, w + 0.0 AS avg_logratio
          |FROM wts ORDER BY doc_id""".stripMargin,
 
     "q_dsir_select" ->
