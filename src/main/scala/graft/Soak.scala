@@ -272,7 +272,16 @@ object Soak {
       "link_predict" -> (() => noop(
         SparkEntry.queries("q_link_predict")(spark, d))),
       "mv_join_refresh" -> (() => noop(
-        SparkEntry.queries("q_mv_join_refresh")(spark, d))))
+        SparkEntry.queries("q_mv_join_refresh")(spark, d))),
+      // round-13 batch 2/3: 3-hop multi-seed BFS (frontier-sized
+      // relations; disjoint copies keep per-seed reach flat, so the
+      // curve prices the edge-build + checkpoint, not frontier growth)
+      // and the exact prefix-sum ABC census (one range sort over the
+      // per-key aggregate + O(partitions) driver state)
+      "closeness" -> (() => noop(
+        SparkEntry.queries("q_closeness")(spark, d))),
+      "abc_classes" -> (() => noop(
+        SparkEntry.queries("q_abc_classes")(spark, d))))
     // untimed per-scale index build so the item_recs row is serving-only
     def warmItemIndex(d: String): Unit =
       try { graft.queries.PipelineQueries.itemIndex(spark, d); () }
