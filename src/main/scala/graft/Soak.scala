@@ -180,6 +180,17 @@ object Soak {
           col("c_name"), col("c_nationkey"), col("c_mktsegment"),
           col("c_acctbal"))
       }.reduce(_ unionByName _).write.mode("overwrite").parquet(s"$d/customer.parquet")
+      // events re-keyed by USER (timestamps unchanged): the day domain
+      // stays fixed while per-day rows and per-day active users grow
+      // N× — exactly the regime the interval-sweep / rolling-DAU /
+      // per-(user,day) TWAP posture notes claim to survive (the r11
+      // q_concurrency "per-day bound" question, now measured)
+      val e0 = Tables.events(spark, sfDir)
+      (0 until scale).map { i =>
+        e0.select((col("event_id") + lit(i.toLong * 1000000000L)).as("event_id"),
+          col("ts"), (col("user_id") + lit(i.toLong * 100000000L)).as("user_id"),
+          col("event_type"), col("value"), col("props"))
+      }.reduce(_ unionByName _).write.mode("overwrite").parquet(s"$d/events.parquet")
       d
     }
     // Untimed per-scale table touch: the first family to read a freshly
@@ -188,11 +199,14 @@ object Soak {
     // landing inside whichever family ran first (the r10 guarded-vs-
     // forced pagerank 1.5× "anomaly": the default row ran first at each
     // scale). One untimed sequential read per table levels the field.
-    def touchTrade(d: String): Unit =
+    def touchTrade(d: String): Unit = {
       Seq("orders", "lineitem", "customer").foreach { t =>
         try Tables.load(spark, d, t).write.mode("overwrite").format("noop").save()
         catch { case _: Throwable => () }
       }
+      try Tables.events(spark, d).write.mode("overwrite").format("noop").save()
+      catch { case _: Throwable => () }
+    }
     def touchDocs(docs: DataFrame, emb: DataFrame): Unit =
       Seq(docs, emb).foreach { df =>
         try df.write.mode("overwrite").format("noop").save()
@@ -281,7 +295,17 @@ object Soak {
       "closeness" -> (() => noop(
         SparkEntry.queries("q_closeness")(spark, d))),
       "abc_classes" -> (() => noop(
-        SparkEntry.queries("q_abc_classes")(spark, d))))
+        SparkEntry.queries("q_abc_classes")(spark, d))),
+      // event-time tier (first soak coverage): per-day rows and active
+      // users grow N× under the user-rekeyed events blow-up while the
+      // day domain stays fixed — the adversarial regime for the +1/−1
+      // interval sweep's per-day partitions, the bucket-explode rolling
+      // DAU, and TWAP's per-(user,day) lead() windows
+      "concurrency" -> (() => noop(
+        SparkEntry.queries("q_concurrency")(spark, d))),
+      "rolling_dau" -> (() => noop(
+        SparkEntry.queries("q_rolling_dau")(spark, d))),
+      "twap" -> (() => noop(SparkEntry.queries("q_twap")(spark, d))))
     // untimed per-scale index build so the item_recs row is serving-only
     def warmItemIndex(d: String): Unit =
       try { graft.queries.PipelineQueries.itemIndex(spark, d); () }
