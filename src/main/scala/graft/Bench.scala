@@ -153,7 +153,10 @@ object Bench {
     "q_anova_f", "q_entropy_report", "q_benford", "q_acf",
     "q_holt_linear", "q_closeness",
     // round-13 batch 3: exact prefix-sum ABC classes + per-day TWAP
-    "q_abc_classes", "q_twap")
+    "q_abc_classes", "q_twap",
+    // round-13 batch 4: graph stats (degree histogram, per-node LCC),
+    // Gini concentration, exact weighted median
+    "q_degree_dist", "q_lcc_topk", "q_gini_revenue", "q_weighted_median")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

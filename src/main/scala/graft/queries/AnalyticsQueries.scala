@@ -1800,6 +1800,103 @@ object AnalyticsQueries {
           col("n_total"))
     }),
 
+    // Degree distribution of the co-purchase graph (the first thing a
+    // graph audit plots): per-degree node counts off the shared edge
+    // set. Exact integers; one degree aggregate + one domain-bounded
+    // histogram shuffle.
+    "q_degree_dist" -> ((s, d) => {
+      val e = coPurchaseEdges(s, d)
+      val sym = e.select(col("u").as("a"))
+        .unionAll(e.select(col("v").as("a")))
+      sym.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+        .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("deg"))
+    }),
+
+    // Per-node local clustering coefficient, top-20 (the community-
+    // tightness ranking next to q_triangles' global census): triangles
+    // through v = edges among v's neighbors, from the SAME capped wedge
+    // expansion as linkScores (cap 64, oracle-mirrored; true degrees in
+    // the denominator; fixture degrees sit far below the cap so the
+    // coefficient is exact there). lcc = 2T/(d(d−1)) — one division on
+    // an exact integer pair; cutoff ordered on the ROUNDED value + node.
+    "q_lcc_topk" -> ((s, d) => {
+      val e = coPurchaseEdges(s, d)
+      val sym = e.select(col("u").as("a"), col("v").as("b"))
+        .unionAll(e.select(col("v").as("a"), col("u").as("b")))
+      val deg = sym.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+      val wcap = Window.partitionBy(col("a")).orderBy(col("b"))
+      val capped = sym.withColumn("rn", row_number().over(wcap))
+        .filter(col("rn") <= 64).drop("rn")
+      val wedges = capped.select(col("a").as("mid"), col("b").as("u"))
+        .join(capped.select(col("a").as("mid"), col("b").as("w")),
+          Seq("mid"))
+        .filter(col("u") < col("w"))
+      val tri = wedges
+        .join(e.select(col("u").as("eu"), col("v").as("ev")),
+          col("u") === col("eu") && col("w") === col("ev"), "left_semi")
+        .groupBy(col("mid")).agg(count(lit(1)).as("t_v"))
+      deg.filter(col("deg") >= 3)
+        .join(tri, col("a") === col("mid"), "left")
+        .select(col("a").as("node"), col("deg"),
+          coalesce(col("t_v"), lit(0L)).as("t_v"))
+        .withColumn("lcc_r", round(lit(2.0) * col("t_v").cast("double") /
+          (col("deg").cast("double") * (col("deg").cast("double") - 1.0)),
+          6))
+        .orderBy(col("lcc_r").desc, col("node")).limit(20)
+    }),
+
+    // Gini coefficient of revenue concentration (the Lorenz-curve
+    // scalar next to q_abc_classes' banding): G = (2·Σ r·x − (n+1)·Σx)
+    // / (n·Σx) over the ascending (revenue, key) total order — ranks
+    // from Rank.withGlobalRank (range-partitioned, never a
+    // single-partition window), every sum EXACT in DECIMAL(38,0), ONE
+    // float at the final division.
+    "q_gini_revenue" -> ((s, d) => {
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val rev = t(s, d, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .as("rev_c"))
+      val (ranked, _) = graft.operators.Rank.withGlobalRank(
+        rev, "r", col("rev_c"), col("l_partkey"))
+      ranked.agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(dec(col("rev_c"))).as("sx"),
+          sum(dec(col("r")) * dec(col("rev_c"))).as("srx"))
+        .select(col("n").cast("long").as("n_keys"),
+          round((lit(2) * col("srx") - (col("n") + 1) * col("sx"))
+            .cast("double") / (col("n") * col("sx")).cast("double"), 6)
+            .as("gini_r"))
+    }),
+
+    // Exact weighted median price per return flag (weight = quantity):
+    // the per-group weighted order statistic WITHOUT a per-group window
+    // — ONE range-partitioned running total over the (flag, price, key)
+    // total order (Rank.withRunningTotal), per-group start offsets from
+    // a bounded ≤|flags| aggregate (min(cum − w) = the cum BEFORE the
+    // group), then the first row where 2·cum_in_group ≥ group_total.
+    // Every comparison is integer — the median can't flip on a float
+    // boundary.
+    "q_weighted_median" -> ((s, d) => {
+      val li = t(s, d, "lineitem").select(col("l_returnflag"),
+        cents(col("l_extendedprice")).as("price_c"),
+        col("l_quantity").cast("long").as("w"),
+        col("l_orderkey"), col("l_linenumber"))
+      val (run, _) = graft.operators.Rank.withRunningTotal(
+        li, "cum", "w", col("l_returnflag"), col("price_c"),
+        col("l_orderkey"), col("l_linenumber"))
+      val g = run.groupBy(col("l_returnflag"))
+        .agg(sum(col("w")).as("w_total"),
+          min(col("cum") - col("w")).as("start"))
+      run.join(broadcast(g), Seq("l_returnflag"))
+        .filter((col("cum") - col("start")) * 2 >= col("w_total"))
+        .groupBy(col("l_returnflag"))
+        .agg(min(col("price_c")).as("wmedian_c"), min(col("w_total"))
+          .as("w_total"))
+        .select(col("l_returnflag"), col("w_total"), col("wmedian_c"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // ABC / Pareto contribution classes (the 80/20 inventory census:
     // which parts carry 80% / 95% of revenue?): per-key revenue, an
     // EXACT running total over the revenue-descending total order via
@@ -3072,6 +3169,83 @@ object AnalyticsQueries {
         |  (COUNT(DISTINCT source) - 1) * (COUNT(DISTINCT lang) - 1) AS dof,
         |  CAST(SUM(o) AS BIGINT) AS n_total
         |FROM terms""".stripMargin,
+
+    "q_degree_dist" ->
+      s"""WITH $coPurchaseCte,
+         |sym AS (SELECT u AS a FROM edges UNION ALL SELECT v FROM edges),
+         |deg AS (SELECT a, COUNT(*) AS deg FROM sym GROUP BY a)
+         |SELECT deg, COUNT(*) AS n_nodes
+         |FROM deg GROUP BY deg ORDER BY deg""".stripMargin,
+
+    // the same capped wedge expansion; triangles via EXISTS against the
+    // canonical edge set; 2T/(d(d−1)) on exact integers
+    "q_lcc_topk" ->
+      s"""WITH $coPurchaseCte,
+         |sym AS (SELECT u AS a, v AS b FROM edges
+         |        UNION ALL SELECT v AS a, u AS b FROM edges),
+         |deg AS (SELECT a, COUNT(*) AS deg FROM sym GROUP BY a),
+         |capped_sym AS MATERIALIZED (
+         |  SELECT a, b FROM (
+         |    SELECT a, b, ROW_NUMBER() OVER (PARTITION BY a ORDER BY b) AS rn
+         |    FROM sym) WHERE rn <= 64),
+         |wedges AS (
+         |  SELECT x.a AS mid, x.b AS u, y.b AS w
+         |  FROM capped_sym x JOIN capped_sym y
+         |    ON x.a = y.a AND x.b < y.b),
+         |tri AS (
+         |  SELECT mid, COUNT(*) AS t_v FROM wedges wg
+         |  WHERE EXISTS (SELECT 1 FROM edges e
+         |                WHERE e.u = wg.u AND e.v = wg.w)
+         |  GROUP BY mid)
+         |SELECT d.a AS node, d.deg, COALESCE(t.t_v, 0) AS t_v,
+         |  ROUND(2.0 * CAST(COALESCE(t.t_v, 0) AS DOUBLE) /
+         |    (CAST(d.deg AS DOUBLE) * (CAST(d.deg AS DOUBLE) - 1.0)), 6)
+         |    AS lcc_r
+         |FROM deg d LEFT JOIN tri t ON t.mid = d.a
+         |WHERE d.deg >= 3
+         |ORDER BY lcc_r DESC, node LIMIT 20""".stripMargin,
+
+    // ranks via ROW_NUMBER over the same ascending total order; exact
+    // decimal sums; one division
+    "q_gini_revenue" ->
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |    CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT)
+        |      AS rev_c
+        |  FROM lineitem GROUP BY 1),
+        |rk AS (
+        |  SELECT rev_c,
+        |    ROW_NUMBER() OVER (ORDER BY rev_c, l_partkey) AS r
+        |  FROM rev),
+        |m AS (
+        |  SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+        |    SUM(CAST(rev_c AS DECIMAL(38,0))) AS sx,
+        |    SUM(CAST(r AS DECIMAL(38,0)) * CAST(rev_c AS DECIMAL(38,0))) AS srx
+        |  FROM rk)
+        |SELECT CAST(n AS BIGINT) AS n_keys,
+        |  ROUND(CAST(2*srx - (n+1)*sx AS DOUBLE)
+        |    / CAST(n*sx AS DOUBLE), 6) AS gini_r
+        |FROM m""".stripMargin,
+
+    // per-flag cumulative weights (single-node window is fine for the
+    // oracle); integer 2·cum ≥ total threshold
+    "q_weighted_median" ->
+      """WITH li AS (
+        |  SELECT l_returnflag,
+        |    CAST(ROUND(l_extendedprice*100) AS BIGINT) AS price_c,
+        |    CAST(l_quantity AS BIGINT) AS w, l_orderkey, l_linenumber
+        |  FROM lineitem),
+        |run AS (
+        |  SELECT l_returnflag, price_c, w,
+        |    SUM(w) OVER (PARTITION BY l_returnflag
+        |      ORDER BY price_c, l_orderkey, l_linenumber
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumg,
+        |    SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM li)
+        |SELECT l_returnflag, CAST(MIN(tot) AS BIGINT) AS w_total,
+        |  MIN(price_c) AS wmedian_c
+        |FROM run WHERE 2 * cumg >= tot
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // the textbook running-sum window IS fine for a single-node oracle;
     // integer thresholds mirror exactly (window SUM is HUGEINT — the

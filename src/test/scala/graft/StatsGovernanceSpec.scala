@@ -401,6 +401,72 @@ class StatsGovernanceSpec extends SparkTestBase {
     }
   }
 
+  // ---- batch-4: graph stats + concentration ----
+
+  test("q_degree_dist is consistent with q_triangles' node/edge census") {
+    val hist = q("q_degree_dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val tri = q("q_triangles").collect().head
+    val (nNodes, nEdges) = (tri.getLong(0), tri.getLong(1))
+    assert(hist.map(_._2).sum == nNodes)
+    assert(hist.map { case (d, n) => d * n }.sum == 2 * nEdges)
+  }
+
+  test("q_lcc_topk: coefficients in [0,1], triangles bounded by wedge count") {
+    val rows = q("q_lcc_topk").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val (deg, tv, lcc) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(deg >= 3)
+      assert(tv >= 0 && tv <= deg * (deg - 1) / 2)
+      assert(lcc >= 0.0 && lcc <= 1.0)
+    }
+    val ls = rows.map(_.getDouble(3))
+    assert(ls.zip(ls.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q_gini_revenue matches a driver-side exact recompute, in [0,1)") {
+    val rev = Tables.load(spark, sf, "lineitem")
+      .groupBy(col("l_partkey"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * 100, 0).cast("long")).as("rev_c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sorted = rev.sortBy(r => (r._2, r._1)).map(_._2)
+    val n = BigInt(sorted.length)
+    val sx = sorted.map(BigInt(_)).sum
+    val srx = sorted.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+    val gini = (2 * srx - (n + 1) * sx).toDouble / (n * sx).toDouble
+    val row = q("q_gini_revenue").collect().head
+    assert(row.getLong(0) == sorted.length)
+    assert(math.abs(row.getDouble(1) - gini) < 1e-6)
+    assert(row.getDouble(1) >= 0.0 && row.getDouble(1) < 1.0)
+  }
+
+  test("q_weighted_median matches a driver-side exact weighted order statistic") {
+    val li = Tables.load(spark, sf, "lineitem")
+      .select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100, 0).cast("long"),
+        col("l_quantity").cast("long"),
+        col("l_orderkey"), col("l_linenumber"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4)))
+    val expected = li.groupBy(_._1).map { case (flag, rs) =>
+      val sorted = rs.sortBy(r => (r._2, r._4, r._5))
+      val tot = sorted.map(_._3).sum
+      var cum = 0L
+      val med = sorted.find { r => cum += r._3; 2 * cum >= tot }.get._2
+      flag -> ((tot, med))
+    }
+    val got = q("q_weighted_median").collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val (tot, med) = expected(r.getString(0))
+      assert(r.getLong(1) == tot && r.getLong(2) == med,
+        s"${r.getString(0)}: (${r.getLong(1)},${r.getLong(2)}) vs ($tot,$med)")
+    }
+  }
+
   // ---- join-delta IVM ----
 
   test("q_mv_join_refresh equals the direct full recompute (IVM identity)") {
