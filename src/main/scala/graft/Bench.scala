@@ -156,7 +156,9 @@ object Bench {
     "q_abc_classes", "q_twap",
     // round-13 batch 4: graph stats (degree histogram, per-node LCC),
     // Gini concentration, exact weighted median
-    "q_degree_dist", "q_lcc_topk", "q_gini_revenue", "q_weighted_median")
+    "q_degree_dist", "q_lcc_topk", "q_gini_revenue", "q_weighted_median",
+    // round-13 batch 5: seasonality profile, WoW growth, systematic sample
+    "q_seasonality", "q_growth_rates", "q_sample_systematic")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

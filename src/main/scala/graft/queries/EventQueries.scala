@@ -798,6 +798,49 @@ object EventQueries {
         .orderBy(col("day"))
     }),
 
+    // Day-of-week seasonality profile (the load-shape census the ACF
+    // hints at): per weekday the day count, event total, per-day
+    // average and the index vs the overall daily mean. Weekday =
+    // epoch-day mod 7 — the integer convention that sidesteps the
+    // Spark-1=Sunday / DuckDB-0=Sunday dayofweek trap entirely. Exact
+    // integers + two mirrored divisions.
+    "q_seasonality" -> ((s, d) => {
+      val daily = ev(s, d)
+        .groupBy(floor(unix_timestamp(col("ts")) / 86400).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val tot = daily.agg(sum(col("n")).as("te"),
+        count(lit(1)).as("td"))
+      daily.groupBy(pmod(col("day"), lit(7)).cast("long").as("dow"))
+        .agg(count(lit(1)).as("n_days"), sum(col("n")).as("n_events"))
+        .crossJoin(broadcast(tot))
+        .select(col("dow"), col("n_days"), col("n_events"),
+          round(col("n_events").cast("double") / col("n_days").cast("double"),
+            6).as("avg_r"),
+          round((col("n_events").cast("double") / col("n_days").cast("double"))
+            / (col("te").cast("double") / col("td").cast("double")), 6)
+            .as("idx_r"))
+        .orderBy(col("dow"))
+    }),
+
+    // Week-over-week revenue growth (the KPI-trend staple): weekly
+    // cents off one orders aggregate (week = epoch-day // 7 — integer
+    // both engines), lag over the WEEK DOMAIN (bounded — the
+    // q_ks_two_sample partitionless-window discipline), one division
+    // guarded by prev > 0.
+    "q_growth_rates" -> ((s, d) => {
+      val weekly = Tables.load(s, d, "orders")
+        .groupBy(floor(unix_timestamp(col("o_orderdate")) / 604800)
+          .cast("long").as("week"))
+        .agg(sum(cents(col("o_totalprice"))).as("rev_c"))
+      val w = Window.orderBy(col("week"))
+      weekly.withColumn("prev_c", lag(col("rev_c"), 1).over(w))
+        .filter(col("prev_c").isNotNull)
+        .select(col("week"), col("rev_c"), col("prev_c"),
+          round((col("rev_c") - col("prev_c")).cast("double") /
+            col("prev_c").cast("double"), 6).as("growth_r"))
+        .orderBy(col("week"))
+    }),
+
     // Time-weighted average value per day (the TWAP/metrics-rollup op:
     // a value that holds until the next observation should be averaged
     // by TIME HELD, not by observation count): piecewise-constant
@@ -1354,6 +1397,43 @@ object EventQueries {
         |SELECT day, CAST(MAX(running) AS BIGINT) AS peak_concurrent,
         |  CAST(COUNT(*) // 2 AS BIGINT) AS n_intervals
         |FROM r GROUP BY day ORDER BY day""".stripMargin,
+
+    // epoch-day mod 7 weekday; exact integers; mirrored divisions
+    "q_seasonality" ->
+      """WITH daily AS (
+        |  SELECT (epoch_us(ts) // 1000000) // 86400 AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1),
+        |tot AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS te,
+        |    CAST(COUNT(*) AS BIGINT) AS td
+        |  FROM daily),
+        |dw AS (
+        |  SELECT day % 7 AS dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |    CAST(SUM(n) AS BIGINT) AS n_events
+        |  FROM daily GROUP BY 1)
+        |SELECT dow, n_days, n_events,
+        |  ROUND(CAST(n_events AS DOUBLE) / CAST(n_days AS DOUBLE), 6)
+        |    AS avg_r,
+        |  ROUND((CAST(n_events AS DOUBLE) / CAST(n_days AS DOUBLE))
+        |    / (CAST(te AS DOUBLE) / CAST(td AS DOUBLE)), 6) AS idx_r
+        |FROM dw, tot ORDER BY dow""".stripMargin,
+
+    // weekly cents; lag over the bounded week domain; prev > 0 guard
+    "q_growth_rates" ->
+      """WITH weekly AS (
+        |  SELECT (epoch_us(o_orderdate) // 1000000) // 604800 AS week,
+        |    CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+        |      AS rev_c
+        |  FROM orders GROUP BY 1),
+        |lagged AS (
+        |  SELECT week, rev_c,
+        |    LAG(rev_c, 1) OVER (ORDER BY week) AS prev_c
+        |  FROM weekly)
+        |SELECT week, rev_c, prev_c,
+        |  ROUND(CAST(rev_c - prev_c AS DOUBLE) / CAST(prev_c AS DOUBLE), 6)
+        |    AS growth_r
+        |FROM lagged WHERE prev_c IS NOT NULL
+        |ORDER BY week""".stripMargin,
 
     // piecewise-constant segments per (user, day); value·µs exact in
     // DECIMAL; one final division

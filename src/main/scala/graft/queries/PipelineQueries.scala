@@ -462,7 +462,23 @@ object PipelineQueries {
     "q_quantile_norm" -> ((s, d) =>
       graft.operators.Rank.quantileNormalize(
         Tables.documents(s, d), "source", "n_chars", "doc_id", "norm_chars")
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // Systematic sampling (every 25th row of the (n_chars, doc_id)
+    // total order — the equal-spaced design that guarantees coverage of
+    // the whole length distribution, unlike a Bernoulli draw): global
+    // rank via Rank.withGlobalRank (range-partitioned, never a
+    // single-partition window), keep rank ≡ 1 (mod 25). Deterministic —
+    // no RNG — so it value-matches cross-engine, unlike the seeded
+    // samples (SURVEY §7.4 risk 1).
+    "q_sample_systematic" -> ((s, d) => {
+      val (ranked, _) = graft.operators.Rank.withGlobalRank(
+        Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+        "grank", col("n_chars"), col("doc_id"))
+      ranked.filter(pmod(col("grank"), lit(25)) === 1)
+        .select(col("doc_id"), col("n_chars"), col("grank"))
+        .orderBy(col("grank"))
+    })
   )
 
   /** At-rest item-neighbor index per scale dir — published through the
@@ -721,6 +737,15 @@ object PipelineQueries {
          |  CASE WHEN split = 'test' THEN (SELECT n FROM ci)
          |       ELSE 0 END AS n_cold_items
          |FROM s ORDER BY split""".stripMargin,
+
+    // every 25th row of the same total order
+    "q_sample_systematic" ->
+      """WITH rk AS (
+        |  SELECT doc_id, n_chars,
+        |    ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS grank
+        |  FROM documents)
+        |SELECT doc_id, n_chars, grank
+        |FROM rk WHERE grank % 25 = 1 ORDER BY grank""".stripMargin,
 
     // per-source rank → pooled order statistic at ceil(r·N/n_s);
     // // is DuckDB's floor division — positives, so it equals Spark's

@@ -467,6 +467,41 @@ class StatsGovernanceSpec extends SparkTestBase {
     }
   }
 
+  // ---- batch-5: seasonality / growth / systematic sample ----
+
+  test("q_seasonality: totals reconcile with the raw event count") {
+    val rows = q("q_seasonality").collect()
+    assert(rows.length <= 7)
+    assert(rows.map(_.getLong(0)).forall(d => d >= 0 && d <= 6))
+    val totalEvents = Tables.events(spark, sf).count()
+    assert(rows.map(_.getLong(2)).sum == totalEvents)
+    rows.foreach(r => assert(r.getDouble(4) > 0.0))
+    // the day-count-weighted mean of the index is 1 by construction
+    val wIdx = rows.map(r => r.getLong(1) * r.getDouble(4)).sum /
+      rows.map(_.getLong(1)).sum
+    assert(math.abs(wIdx - 1.0) < 1e-3, s"weighted idx mean $wIdx")
+  }
+
+  test("q_growth_rates: rows chain (prev_c equals the prior week's rev_c)") {
+    val rows = q("q_growth_rates").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.zip(rows.tail).foreach { case (a, b) =>
+      if (b._1 == a._1 + 1) assert(b._3 == a._2, s"chain broken at $b")
+    }
+    rows.foreach { r =>
+      val g = (r._2 - r._3).toDouble / r._3.toDouble
+      assert(math.abs(r._4 - g) < 1e-6)
+    }
+  }
+
+  test("q_sample_systematic: ranks form the exact 1 mod 25 sequence") {
+    val n = Tables.documents(spark, sf).count()
+    val rows = q("q_sample_systematic").collect().map(_.getLong(2))
+    assert(rows.length == ((n + 24) / 25).toInt)
+    assert(rows.toSeq == rows.indices.map(i => 1L + 25L * i))
+  }
+
   // ---- join-delta IVM ----
 
   test("q_mv_join_refresh equals the direct full recompute (IVM identity)") {
