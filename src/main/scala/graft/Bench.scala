@@ -157,8 +157,9 @@ object Bench {
     // round-13 batch 4: graph stats (degree histogram, per-node LCC),
     // Gini concentration, exact weighted median
     "q_degree_dist", "q_lcc_topk", "q_gini_revenue", "q_weighted_median",
-    // round-13 batch 5: seasonality profile, WoW growth, systematic sample
-    "q_seasonality", "q_growth_rates", "q_sample_systematic")
+    // round-13 batch 5: seasonality profile, WoW growth, systematic
+    // sample, per-user activity streaks
+    "q_seasonality", "q_growth_rates", "q_sample_systematic", "q_streaks")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

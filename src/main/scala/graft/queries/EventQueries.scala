@@ -798,6 +798,29 @@ object EventQueries {
         .orderBy(col("day"))
     }),
 
+    // Gaps-and-islands: longest consecutive-day activity streak per
+    // user (the engagement metric behind "N-day streak" badges), via
+    // the day − ROW_NUMBER island key (the q_contamination_span trick)
+    // over the distinct (user, day) relation — windows partitioned by
+    // USER, so parallelism grows with users and per-task state is one
+    // user's active days. Exact integers end to end; top-20 ordered on
+    // (streak, n_islands, user) so the cutoff is deterministic.
+    "q_streaks" -> ((s, d) => {
+      val ud = ev(s, d).select(col("user_id"),
+        floor(unix_timestamp(col("ts")) / 86400).as("day")).distinct()
+      val wu = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      ud.withColumn("grp", col("day") - row_number().over(wu))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("run"))
+        .groupBy(col("user_id"))
+        .agg(max(col("run")).as("longest_streak"),
+          count(lit(1)).as("n_islands"),
+          sum(col("run")).as("n_active_days"))
+        .orderBy(col("longest_streak").desc, col("n_islands"),
+          col("user_id"))
+        .limit(20)
+    }),
+
     // Day-of-week seasonality profile (the load-shape census the ACF
     // hints at): per weekday the day count, event total, per-day
     // average and the index vs the overall daily mean. Weekday =
@@ -1397,6 +1420,26 @@ object EventQueries {
         |SELECT day, CAST(MAX(running) AS BIGINT) AS peak_concurrent,
         |  CAST(COUNT(*) // 2 AS BIGINT) AS n_intervals
         |FROM r GROUP BY day ORDER BY day""".stripMargin,
+
+    // day − ROW_NUMBER islands over distinct (user, day); exact integers
+    "q_streaks" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |    (epoch_us(ts) // 1000000) // 86400 AS day
+        |  FROM events),
+        |isl AS (
+        |  SELECT user_id,
+        |    day - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+        |      AS grp
+        |  FROM ud),
+        |runs AS (
+        |  SELECT user_id, grp, COUNT(*) AS run
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT user_id, MAX(run) AS longest_streak,
+        |  COUNT(*) AS n_islands, CAST(SUM(run) AS BIGINT) AS n_active_days
+        |FROM runs GROUP BY user_id
+        |ORDER BY longest_streak DESC, n_islands, user_id
+        |LIMIT 20""".stripMargin,
 
     // epoch-day mod 7 weekday; exact integers; mirrored divisions
     "q_seasonality" ->

@@ -502,6 +502,33 @@ class StatsGovernanceSpec extends SparkTestBase {
     assert(rows.toSeq == rows.indices.map(i => 1L + 25L * i))
   }
 
+  test("q_streaks matches a driver-side islands recompute") {
+    val ud = Tables.events(spark, sf)
+      .select(col("user_id"), floor(unix_timestamp(col("ts")) / 86400)
+        .cast("long").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = ud.groupBy(_._1).map { case (u, ds) =>
+      val days = ds.map(_._2).sorted
+      var streaks = List.empty[Int]; var cur = 1
+      days.zip(days.tail).foreach { case (a, b) =>
+        if (b == a + 1) cur += 1 else { streaks ::= cur; cur = 1 }
+      }
+      streaks ::= cur
+      u -> ((streaks.max.toLong, streaks.length.toLong, days.length.toLong))
+    }
+    val got = q("q_streaks").collect()
+    assert(got.length <= 20 && got.nonEmpty)
+    got.foreach { r =>
+      val (mx, ni, na) = expected(r.getLong(0))
+      assert(r.getLong(1) == mx && r.getLong(2) == ni && r.getLong(3) == na,
+        s"user ${r.getLong(0)}")
+    }
+    // the cutoff really is the global top by (streak desc, islands, user)
+    val sortedAll = expected.toSeq
+      .sortBy { case (u, (mx, ni, _)) => (-mx, ni, u) }.take(got.length)
+    assert(got.map(_.getLong(0)).toSeq == sortedAll.map(_._1))
+  }
+
   // ---- join-delta IVM ----
 
   test("q_mv_join_refresh equals the direct full recompute (IVM identity)") {
