@@ -159,7 +159,11 @@ object Bench {
     "q_degree_dist", "q_lcc_topk", "q_gini_revenue", "q_weighted_median",
     // round-13 batch 5: seasonality profile, WoW growth, systematic
     // sample, per-user activity streaks
-    "q_seasonality", "q_growth_rates", "q_sample_systematic", "q_streaks")
+    "q_seasonality", "q_growth_rates", "q_sample_systematic", "q_streaks",
+    // round-14: cohort retention matrix, 30-min sessionization census,
+    // click-path trigrams, exact-integer CUSUM change-point
+    "q_cohort_retention", "q_sessionize", "q_session_paths",
+    "q_cusum_shift")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

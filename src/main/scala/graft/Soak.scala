@@ -305,7 +305,20 @@ object Soak {
         SparkEntry.queries("q_concurrency")(spark, d))),
       "rolling_dau" -> (() => noop(
         SparkEntry.queries("q_rolling_dau")(spark, d))),
-      "twap" -> (() => noop(SparkEntry.queries("q_twap")(spark, d))))
+      "twap" -> (() => noop(SparkEntry.queries("q_twap")(spark, d))),
+      // r14 event-tier additions: cohort matrix (one (user,week)
+      // distinct + per-user min), sessionization (per-user windows —
+      // users grow N× under the rekey), path trigrams (bounded |types|³
+      // domain), and the CUSUM fold (bounded day domain — should stay
+      // FLAT, it aggregates to |days| rows before the fold)
+      "cohort_retention" -> (() => noop(
+        SparkEntry.queries("q_cohort_retention")(spark, d))),
+      "sessionize" -> (() => noop(
+        SparkEntry.queries("q_sessionize")(spark, d))),
+      "session_paths" -> (() => noop(
+        SparkEntry.queries("q_session_paths")(spark, d))),
+      "cusum_shift" -> (() => noop(
+        SparkEntry.queries("q_cusum_shift")(spark, d))))
     // untimed per-scale index build so the item_recs row is serving-only
     def warmItemIndex(d: String): Unit =
       try { graft.queries.PipelineQueries.itemIndex(spark, d); () }

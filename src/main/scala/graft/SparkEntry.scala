@@ -14,6 +14,15 @@ object SparkEntry {
       graft.queries.EventQueries.queries ++
       graft.queries.SimilarityQueries.queries ++
       graft.queries.AnalyticsQueries.queries
+  /** Oracles whose SQL embeds a FITTED model's parameters as literals —
+    * they need a live SparkSession + scale dir, so Verify generates them
+    * at dump time and merges them into oracle_sql.json next to
+    * [[oracleSql]]. Names here must be disjoint from the static map
+    * (RegistrySpec asserts it).
+    */
+  def dynamicOracleSql(spark: SparkSession, sfDir: String): Map[String, String] =
+    graft.queries.TextQueries.dynamicOracleSql(spark, sfDir)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
@@ -54,6 +63,5 @@ object SparkEntry {
     "q_video_decode" -> "real MJPEG-in-AVI container walk + per-frame JPEG decode not SQL-expressible; generator-parity + determinism tests in RecommendSpec",
     "q_split_v1_report" -> "seeded sampleBy never value-matches cross-engine; partition invariant",
     "q_split_v2_report" -> "seeded per-user sample; disjointness invariants (1 row, zeros)",
-    "q_quality_classifier" -> "LBFGS LR fit not SQL-expressible; accuracy floor + fit determinism + planted-gate tests in CurationSpec",
     "q_compress_ratio" -> "zlib deflate not SQL-expressible; monotonicity (repetitive < prose < mash) + determinism tests in TextSpec")
 }

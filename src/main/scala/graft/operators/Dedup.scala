@@ -366,12 +366,14 @@ object Dedup {
     val dfreq = sets.select(explode(col("shs")).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("dfreq"))
     val prefix = prefixOf(sets, dfreq, tn, td)
-    val cand = prefix.select(col("g"), col("id").as("id_a"), col("sz").as("sza"))
-      .join(prefix.select(col("g"), col("id").as("id_b"), col("sz").as("szb")),
-        Seq("g"))
+    val cand = prefix.select(col("g"), col("id").as("id_a"),
+        col("sz").as("sza"), col("pos").as("pa"))
+      .join(prefix.select(col("g"), col("id").as("id_b"),
+        col("sz").as("szb"), col("pos").as("pb")), Seq("g"))
       .filter(col("id_a") < col("id_b") &&
         lit(tn) * greatest(col("sza"), col("szb")) <=
-          lit(td) * least(col("sza"), col("szb")))
+          lit(td) * least(col("sza"), col("szb")) &&
+        posFilter(col("pa"), col("pb"), col("sza"), col("szb"), tn, td))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
     verifyJaccard(cand, sets, sets, tn, td, "id_a", "id_b")
@@ -399,12 +401,15 @@ object Dedup {
       .groupBy(col("g")).agg(count(lit(1)).as("dfreq"))
       .localCheckpoint(true) // consumed by both prefix builds
     val cand = prefixOf(bSets, dfreq, tn, td)
-      .select(col("g"), col("id").as("new_id"), col("sz").as("sza"))
+      .select(col("g"), col("id").as("new_id"), col("sz").as("sza"),
+        col("pos").as("pa"))
       .join(prefixOf(cSets, dfreq, tn, td)
-        .select(col("g"), col("id").as("corpus_id"), col("sz").as("szb")),
+        .select(col("g"), col("id").as("corpus_id"), col("sz").as("szb"),
+          col("pos").as("pb")),
         Seq("g"))
       .filter(lit(tn) * greatest(col("sza"), col("szb")) <=
-        lit(td) * least(col("sza"), col("szb")))
+        lit(td) * least(col("sza"), col("szb")) &&
+        posFilter(col("pa"), col("pb"), col("sza"), col("szb"), tn, td))
       .select(col("new_id"), col("corpus_id"))
       .dropDuplicates("new_id", "corpus_id")
     verifyJaccard(cand, bSets, cSets, tn, td, "new_id", "corpus_id")
@@ -420,10 +425,11 @@ object Dedup {
     .withColumn("sz", size(col("shs")).cast("long"))
     .localCheckpoint(true)
 
-  /** The rarest-first prefix relation (g, id, sz) — first
+  /** The rarest-first prefix relation (g, id, sz, pos) — first
     * `sz − ceil(tn·sz/td) + 1` tokens per set in (dfreq, g) order, the
-    * integer prefix length. Checkpointed: candidate joins read it from
-    * both sides.
+    * integer prefix length; `pos` is the token's 1-based rank in that
+    * order (the PPJoin+ position-filter input). Checkpointed: candidate
+    * joins read it from both sides.
     */
   private def prefixOf(sets: DataFrame, dfreq: DataFrame,
       tn: Int, td: Int): DataFrame = {
@@ -434,9 +440,24 @@ object Dedup {
       .join(dfreq, Seq("g"))
       .withColumn("__rn", row_number().over(wDoc))
       .filter(col("__rn") <= prefixLen)
-      .select(col("g"), col("id"), col("sz"))
+      .select(col("g"), col("id"), col("sz"),
+        col("__rn").cast("long").as("pos"))
       .localCheckpoint(true)
   }
+
+  /** PPJoin+ position filter, division-free: on a shared prefix token at
+    * 1-based ranks (pa, pb), the remaining possible overlap is bounded by
+    * `1 + min(sza − pa, szb − pb)`; Jaccard ≥ tn/td needs overlap ≥
+    * ceil(tn·(sza+szb)/(tn+td)), and `a ≥ ceil(x/D) ⟺ a·D ≥ x` keeps the
+    * comparison in exact integers (the rational-threshold lesson).
+    * LOSSLESS under any-token semantics: a truly-similar pair's FIRST
+    * common token (which the prefix theorem puts in both prefixes) has
+    * every common token at rank ≥ its own, so the bound holds there.
+    */
+  private def posFilter(pa: Column, pb: Column, sza: Column, szb: Column,
+      tn: Int, td: Int): Column =
+    (lit(1L) + least(sza - pa, szb - pb)) * lit((tn + td).toLong) >=
+      lit(tn.toLong) * (sza + szb)
 
   /** Exact-verification tail shared by the PPJoin forms: fetch both
     * sets per candidate, integer threshold `td·inter ≥ tn·uni`, one
@@ -459,7 +480,9 @@ object Dedup {
     * the observability query that justifies the prefix filter at scale:
     * all-pairs count, pairs surviving the length bound (computed from
     * the SIZE HISTOGRAM self-join — O(|distinct sizes|²), never the
-    * pairs themselves), distinct prefix-candidates, and verified pairs.
+    * pairs themselves), distinct prefix-candidates, candidates surviving
+    * the PPJoin+ position filter (the stage that verification actually
+    * pays for), and verified pairs.
     * Every count is exact integer arithmetic; scalar 1-row relations
     * assemble by broadcast cross join (the q_col_histogram bounds
     * pattern).
@@ -482,25 +505,35 @@ object Dedup {
     val dfreq = sets.select(explode(col("shs")).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("dfreq"))
     val prefix = prefixOf(sets, dfreq, tn, td)
-    val cand = prefix.select(col("g"), col("id").as("id_a"), col("sz").as("sza"))
-      .join(prefix.select(col("g"), col("id").as("id_b"), col("sz").as("szb")),
-        Seq("g"))
+    val joined = prefix.select(col("g"), col("id").as("id_a"),
+        col("sz").as("sza"), col("pos").as("pa"))
+      .join(prefix.select(col("g"), col("id").as("id_b"),
+        col("sz").as("szb"), col("pos").as("pb")), Seq("g"))
       .filter(col("id_a") < col("id_b") &&
         lit(tn) * greatest(col("sza"), col("szb")) <=
           lit(td) * least(col("sza"), col("szb")))
+      .withColumn("pos_ok",
+        posFilter(col("pa"), col("pb"), col("sza"), col("szb"), tn, td))
+      .localCheckpoint(true) // both candidate counts read it
+    val candPre = joined.select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val cand = joined.filter(col("pos_ok"))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .localCheckpoint(true) // counted AND verified below
-    val nCand = cand.agg(count(lit(1)).as("n_candidates"))
+    val nCand = candPre.agg(count(lit(1)).as("n_candidates"))
+    val nCandPos = cand.agg(count(lit(1)).as("n_candidates_pos"))
     val nVerified = verifyJaccard(cand, sets, sets, tn, td, "id_a", "id_b")
       .agg(count(lit(1)).as("n_verified"))
     nDocs
       .crossJoin(broadcast(lengthPairs))
       .crossJoin(broadcast(nCand))
+      .crossJoin(broadcast(nCandPos))
       .crossJoin(broadcast(nVerified))
       .select(col("n_docs"),
         (col("n_docs") * (col("n_docs") - 1) / 2).cast("long").as("n_all_pairs"),
-        col("n_length_pairs"), col("n_candidates"), col("n_verified"))
+        col("n_length_pairs"), col("n_candidates"), col("n_candidates_pos"),
+        col("n_verified"))
   }
 
   /** SimHash near-dup pairs: 64-bit signature per doc (custom codegen'd

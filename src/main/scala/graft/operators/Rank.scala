@@ -55,37 +55,38 @@ object Rank {
     (df.sparkSession.createDataFrame(indexed, schema), total)
   }
 
-  /** Exact `ntile(k)` over a total order, scale-safe: global rank via
-    * [[withGlobalRank]], then SQL-standard ntile arithmetic (each tile
-    * gets floor(n/k) rows; the first n mod k tiles get one extra) as a
-    * plain column expression from the broadcast total. Output column is
-    * BIGINT (cross-engine stable; Spark's own `ntile` yields INT).
-    */
-  /** `df` + an exact inclusive running total of `weightCol` (LongType)
-    * over the total order `order` — the scale-safe prefix sum: the same
-    * two-pass range-sort plan as [[withGlobalRank]] but collecting
-    * per-partition WEIGHT sums (driver state O(partitions)). Returns the
-    * frame and the grand total. Long arithmetic throughout — exact while
-    * the grand total fits 2^63 (integer cents to ~9e16 dollars); the
-    * DECIMAL twin of the same plan is the drop-in past that.
+  /** `df` + an exact inclusive running total of `weightCol` (LongType —
+    * asserted on the schema; a NULL weight contributes 0, documented so
+    * the contract is explicit rather than an NPE inside the partition
+    * fold) over the total order `order` — the scale-safe prefix sum:
+    * the same two-pass range-sort plan as [[withGlobalRank]] but
+    * collecting per-partition WEIGHT sums (driver state O(partitions)).
+    * Returns the frame and the grand total. Long arithmetic throughout
+    * — exact while the grand total fits 2^63 (integer cents to ~9e16
+    * dollars); the DECIMAL twin of the same plan is the drop-in past
+    * that.
     */
   def withRunningTotal(df: DataFrame, runCol: String, weightCol: String,
       order: Column*): (DataFrame, Long) = {
+    require(df.schema(weightCol).dataType == LongType,
+      s"withRunningTotal weight '$weightCol' must be LongType, " +
+        s"got ${df.schema(weightCol).dataType}")
     val sorted = df.orderBy(order: _*)
     val idx = sorted.schema.fieldIndex(weightCol)
     val schema = StructType(sorted.schema.fields :+
       StructField(runCol, LongType, nullable = false))
+    def w(r: Row): Long = if (r.isNullAt(idx)) 0L else r.getLong(idx)
     val rdd = sorted.rdd
     val sums = rdd
       .mapPartitionsWithIndex((pid, it) =>
-        Iterator((pid, it.foldLeft(0L)((a, r) => a + r.getLong(idx)))))
+        Iterator((pid, it.foldLeft(0L)((a, r) => a + w(r)))))
       .collect().sortBy(_._1).map(_._2)
     val offsets = sums.scanLeft(0L)(_ + _)
     val total = if (sums.isEmpty) 0L else offsets.last
     val bc = df.sparkSession.sparkContext.broadcast(offsets)
     val out = rdd.mapPartitionsWithIndex { (pid, it) =>
       var acc = bc.value(pid)
-      it.map { r => acc += r.getLong(idx); Row.fromSeq(r.toSeq :+ acc) }
+      it.map { r => acc += w(r); Row.fromSeq(r.toSeq :+ acc) }
     }
     (df.sparkSession.createDataFrame(out, schema), total)
   }
@@ -124,6 +125,12 @@ object Rank {
         col("__pv").as(normCol))
   }
 
+  /** Exact `ntile(k)` over a total order, scale-safe: global rank via
+    * [[withGlobalRank]], then SQL-standard ntile arithmetic (each tile
+    * gets floor(n/k) rows; the first n mod k tiles get one extra) as a
+    * plain column expression from the broadcast total. Output column is
+    * BIGINT (cross-engine stable; Spark's own `ntile` yields INT).
+    */
   def exactNtile(df: DataFrame, k: Int, tileCol: String,
       order: Column*): DataFrame = {
     require(k >= 1, s"k $k")

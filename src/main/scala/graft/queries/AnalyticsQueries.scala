@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.functions.ExactRatio.{ratio6, ratio6Sql, sratio6, sratio6Sql, det6, det6Sql}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -84,8 +85,8 @@ object AnalyticsQueries {
       .join(deg.select(col("a").as("u"), col("deg").as("deg_u")), Seq("u"))
       .join(deg.select(col("a").as("w"), col("deg").as("deg_w")), Seq("w"))
       .select(col("u"), col("w"), col("cn"), round(col("aa"), 6).as("aa_r"),
-        round(col("cn").cast("double") /
-          (col("deg_u") + col("deg_w") - col("cn")), 6).as("jacc_r"))
+        ratio6(col("cn"), col("deg_u") + col("deg_w") - col("cn"))
+          .as("jacc_r"))
   }
 
   private def blockedPartPairs(s: SparkSession, d: String): DataFrame = {
@@ -155,8 +156,15 @@ object AnalyticsQueries {
         .withColumn("first_price_c", first(col("price_c")).over(wf))
         .withColumn("last_price_c", last(col("price_c")).over(wf))
         .withColumn("quartile", ntile(4).over(w).cast("long"))
-        .withColumn("pr", round(percent_rank().over(w), 6))
-        .withColumn("cd", round(cume_dist().over(w), 6))
+        // percent_rank/cume_dist re-derived as EXACT integer ratios
+        // ((rank−1)/(n−1), peers≤current/n): library PERCENT_RANK is a
+        // double division whose true value terminates at 6dp whenever
+        // n−1 is 2/5-smooth — the ROUND(DOUBLE) seam (ExactRatio)
+        .withColumn("n_part",
+          count(lit(1)).over(Window.partitionBy(col("o_custkey"))))
+        .withColumn("pr", when(col("n_part") === 1, lit(0.0)).otherwise(
+          ratio6(rank().over(w) - 1, col("n_part") - 1)))
+        .withColumn("cd", ratio6(count(lit(1)).over(w), col("n_part")))
         .select(col("o_custkey"), col("o_orderkey"), col("next_order"),
           col("first_price_c"), col("last_price_c"), col("quartile"),
           col("pr"), col("cd"))
@@ -318,8 +326,10 @@ object AnalyticsQueries {
           sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_c"),
           sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
             * (lit(1.0) + col("l_tax")))).as("sum_charge_c"),
-          round(avg(col("l_quantity")), 6).as("avg_qty"),
-          round(avg(col("l_discount")), 6).as("avg_disc"),
+          ratio6(sum(cents(col("l_quantity"))), count(lit(1)) * 100)
+            .as("avg_qty"),
+          ratio6(sum(cents(col("l_discount"))), count(lit(1)) * 100)
+            .as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
@@ -414,10 +424,9 @@ object AnalyticsQueries {
         .select(col("l_partkey"),
           cents(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("rev_c"))
         .join(broadcast(p), col("l_partkey") === col("p_partkey"))
-        .agg(round(
+        .agg(ratio6(
           sum(when(col("p_type").startsWith("PROMO"), col("rev_c")).otherwise(0L))
-            .cast("double") * 100.0 / sum(col("rev_c")).cast("double"), 6)
-          .as("promo_pct"))
+            * 100, sum(col("rev_c"))).as("promo_pct"))
     }),
 
     // TPC-H Q4 shape: correlated EXISTS (predicate subquery). Catalyst's
@@ -580,9 +589,9 @@ object AnalyticsQueries {
         .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
         .groupBy(col("o_year"))
-        .agg(round(
-          sum(when(col("supp_nation") === "NATION_3", col("vol_c")).otherwise(0L))
-            .cast("double") / sum(col("vol_c")).cast("double"), 6).as("mkt_share"))
+        .agg(ratio6(
+          sum(when(col("supp_nation") === "NATION_3", col("vol_c")).otherwise(0L)),
+          sum(col("vol_c"))).as("mkt_share"))
         .orderBy(col("o_year"))
     }),
 
@@ -819,8 +828,12 @@ object AnalyticsQueries {
         .withColumn("rnk", rank().over(w).cast("long"))
         .withColumn("drnk", dense_rank().over(w).cast("long"))
         .withColumn("quartile", ntile(4).over(w).cast("long"))
-        .withColumn("pct_rank", round(percent_rank().over(w), 6))
-        .withColumn("cume", round(cume_dist().over(w), 6))
+        .withColumn("n_part",
+          count(lit(1)).over(Window.partitionBy(col("o_custkey"))))
+        .withColumn("pct_rank", when(col("n_part") === 1, lit(0.0))
+          .otherwise(ratio6(rank().over(w) - 1, col("n_part") - 1)))
+        .withColumn("cume", ratio6(count(lit(1)).over(w), col("n_part")))
+        .drop("n_part")
         .withColumn("prev_price_c", lag(col("price_c"), 1).over(w))
         .withColumn("next_price_c", lead(col("price_c"), 1).over(w))
         .withColumn("min_price_c", first(col("price_c")).over(w))
@@ -845,8 +858,7 @@ object AnalyticsQueries {
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .crossJoin(broadcast(total))
         .select(col("rank"), col("term"), col("c"),
-          round(col("cum_c").cast("double") / col("n").cast("double"), 6)
-            .as("cum_share"))
+          ratio6(col("cum_c"), col("n")).as("cum_share"))
         .orderBy(col("rank"))
     }),
 
@@ -916,7 +928,9 @@ object AnalyticsQueries {
           col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
         .groupBy(col("band_id"))
         .agg(count(lit(1)).as("n_parts"),
-          round(avg(col("p_size")), 6).as("avg_size"))
+          // NOT round(avg(int)): exact-int sum / exact count via ratio6 —
+          // the terminating-ratio ROUND(DOUBLE) seam (ExactRatio scaladoc)
+          ratio6(sum(col("p_size")), count(lit(1))).as("avg_size"))
         .orderBy(col("band_id"))
     }),
 
@@ -962,8 +976,12 @@ object AnalyticsQueries {
           (uid, n, sum)
         }
         .toDF("userId", "n", "sum_rating")
+        // ratings sit on a .5 grid, so sum_rating·2 is an exact integer-
+        // valued double at any n — ratio6 makes the mean's 6-dp rounding
+        // exact instead of ROUND(DOUBLE) (ExactRatio scaladoc)
         .select(col("userId"), col("n"),
-          round(col("sum_rating") / col("n"), 6).as("avg_rating"))
+          ratio6((col("sum_rating") * 2).cast("decimal(38,0)"), col("n") * 2)
+            .as("avg_rating"))
         .orderBy(col("userId"))
     }),
 
@@ -1375,9 +1393,9 @@ object AnalyticsQueries {
       def variance(a: String) =
         (col("n") * col(s"sp_${a}_$a") - col(s"s_$a") * col(s"s_$a"))
           .cast("double")
-      def corrOf(a: String, b: String) = round(
+      def corrOf(a: String, b: String) = det6(
         (col("n") * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b"))
-          .cast("double") / sqrt(variance(a) * variance(b)), 6)
+          .cast("double") / sqrt(variance(a) * variance(b)))
       val pairs = for {
         i <- names.indices; j <- (i + 1) until names.size
       } yield struct(lit(names(i)).as("col_a"), lit(names(j)).as("col_b"),
@@ -1459,9 +1477,9 @@ object AnalyticsQueries {
     // customer NDV, and the F-status share. One epoch-keyed aggregate
     // (two groups), then a 2-row conditional collapse and a 6-row
     // metric unpivot — everything after the first pass is constant-
-    // sized. Means/shares rounded 6dp on both engines (the float-seam
-    // contract); drift computed FROM the rounded values so the division
-    // cannot reintroduce a seam.
+    // sized. Means/shares are ExactRatio.ratio6 (exact integer 6-dp
+    // rounding — no ROUND(DOUBLE) anywhere); drift computed FROM those
+    // bit-identical values with det6, so no library-round seam remains.
     "q_dq_drift" -> ((s, d) => {
       val cutoff = to_date(lit("1996-01-01"))
       val byEpoch = t(s, d, "orders")
@@ -1479,13 +1497,13 @@ object AnalyticsQueries {
         max(when(col("epoch") === e, c))
       val wide = byEpoch.agg(
         side("a", col("n_rows")).as("rows_a"), side("b", col("n_rows")).as("rows_b"),
-        round(side("a", col("sum_c")) / side("a", col("n_rows")), 6).as("mean_a"),
-        round(side("b", col("sum_c")) / side("b", col("n_rows")), 6).as("mean_b"),
+        ratio6(side("a", col("sum_c")), side("a", col("n_rows"))).as("mean_a"),
+        ratio6(side("b", col("sum_c")), side("b", col("n_rows"))).as("mean_b"),
         side("a", col("min_c")).as("min_a"), side("b", col("min_c")).as("min_b"),
         side("a", col("max_c")).as("max_a"), side("b", col("max_c")).as("max_b"),
         side("a", col("ndv_cust")).as("ndv_a"), side("b", col("ndv_cust")).as("ndv_b"),
-        round(side("a", col("n_f")).cast("double") / side("a", col("n_rows")), 6).as("f_a"),
-        round(side("b", col("n_f")).cast("double") / side("b", col("n_rows")), 6).as("f_b"))
+        ratio6(side("a", col("n_f")), side("a", col("n_rows"))).as("f_a"),
+        ratio6(side("b", col("n_f")), side("b", col("n_rows"))).as("f_b"))
       val metrics = Seq(
         ("n_rows", col("rows_a").cast("double"), col("rows_b").cast("double")),
         ("price_mean_c", col("mean_a"), col("mean_b")),
@@ -1495,7 +1513,7 @@ object AnalyticsQueries {
         ("f_status_share", col("f_a"), col("f_b")))
       metrics.map { case (name, a, b) =>
         wide.select(lit(name).as("metric"), a.as("epoch_a"), b.as("epoch_b"),
-          round(abs(b - a) / greatest(abs(a), lit(1e-9)), 6).as("rel_drift"))
+          det6(abs(b - a) / greatest(abs(a), lit(1e-9))).as("rel_drift"))
       }.reduce(_ unionByName _).orderBy(col("metric"))
     }),
 
@@ -1653,8 +1671,7 @@ object AnalyticsQueries {
           // DOUBLE, exact only below 2^53 — sum(long) is the exact
           // integer sum at any scale, and exact-sum / exact-count is
           // ONE correctly-rounded double division on both engines
-          round(sum(col("wv")).cast("double") / count(lit(1)), 6)
-            .as("mean_w"),
+          ratio6(sum(col("wv")), count(lit(1))).as("mean_w"),
           round(min(col("iqr")), 6).as("iqr_r"))
         .orderBy(col("l_returnflag"))
     }),
@@ -1714,15 +1731,21 @@ object AnalyticsQueries {
         sum(dec(col("x") * col("x"))).as("sxx"),
         sum(dec(col("x") * col("y"))).as("sxy"),
         sum(dec(col("y") * col("y"))).as("syy"))
-      val sxxc = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
-      val sxyc = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-      val syyc = (col("n") * col("syy") - col("sy") * col("sy")).cast("double")
+      // slope/intercept as EXACT integer ratios (sratio6: the centered
+      // moments are DECIMAL(38,0) integers, and the intercept clears the
+      // inner slope fraction: (sy·Sxx − Sxy·sx)/(n·Sxx)); r² via det6 —
+      // its numerator Sxy² would overflow DECIMAL(38,0)·10⁶, and the
+      // double chain below is written in the same op order as the oracle
+      // so the input bits already match.
+      val sxxc = col("n") * col("sxx") - col("sx") * col("sx")
+      val sxyc = col("n") * col("sxy") - col("sx") * col("sy")
+      val syyc = col("n") * col("syy") - col("sy") * col("sy")
       m.select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
-          round(sxyc / sxxc, 6).as("slope_r"),
-          round((col("sy").cast("double") -
-            sxyc / sxxc * col("sx").cast("double")) /
-            col("n").cast("double"), 6).as("intercept_r"),
-          round(sxyc * sxyc / (sxxc * syyc), 6).as("r2_r"))
+          sratio6(sxyc, sxxc).as("slope_r"),
+          sratio6(col("sy") * sxxc - sxyc * col("sx"), col("n") * sxxc)
+            .as("intercept_r"),
+          det6(sxyc.cast("double") * sxyc.cast("double") /
+            (sxxc.cast("double") * syyc.cast("double"))).as("r2_r"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -1756,12 +1779,16 @@ object AnalyticsQueries {
       val det = c11 * c22 - c12 * c12
       val b1 = (c22 * c1y - c12 * c2y) / det
       val b2 = (c11 * c2y - c12 * c1y) / det
+      // det6 (not library round): the centered-moment products would
+      // overflow DECIMAL(38,0)·10⁶ exactness, but the double chain is
+      // op-order-identical to the oracle, so det6's IEEE-only rounding
+      // is bit-reproducible cross-engine (ExactRatio scaladoc).
       m.select(col("n").cast("long").as("n_rows"),
-        round(b1, 6).as("b1_r"), round(b2, 6).as("b2_r"),
-        round((col("sy").cast("double") - b1 * col("s1").cast("double") -
-          b2 * col("s2").cast("double")) / col("n").cast("double"), 6)
+        det6(b1).as("b1_r"), det6(b2).as("b2_r"),
+        det6((col("sy").cast("double") - b1 * col("s1").cast("double") -
+          b2 * col("s2").cast("double")) / col("n").cast("double"))
           .as("intercept_r"),
-        round((b1 * c1y + b2 * c2y) / cyy, 6).as("r2_r"))
+        det6((b1 * c1y + b2 * c2y) / cyy).as("r2_r"))
     }),
 
     // Pearson chi-square independence test (source × lang over the
@@ -1796,7 +1823,7 @@ object AnalyticsQueries {
           ((countDistinct(col("source")) - 1) *
             (countDistinct(col("lang")) - 1)).as("dof"),
           sum(col("o")).as("n_total"))
-        .select(round(col("chi2"), 6).as("chi2_r"), col("dof"),
+        .select(det6(col("chi2")).as("chi2_r"), col("dof"),
           col("n_total"))
     }),
 
@@ -1840,9 +1867,8 @@ object AnalyticsQueries {
         .join(tri, col("a") === col("mid"), "left")
         .select(col("a").as("node"), col("deg"),
           coalesce(col("t_v"), lit(0L)).as("t_v"))
-        .withColumn("lcc_r", round(lit(2.0) * col("t_v").cast("double") /
-          (col("deg").cast("double") * (col("deg").cast("double") - 1.0)),
-          6))
+        .withColumn("lcc_r",
+          ratio6(col("t_v") * 2, col("deg") * (col("deg") - 1)))
         .orderBy(col("lcc_r").desc, col("node")).limit(20)
     }),
 
@@ -1864,9 +1890,8 @@ object AnalyticsQueries {
           sum(dec(col("rev_c"))).as("sx"),
           sum(dec(col("r")) * dec(col("rev_c"))).as("srx"))
         .select(col("n").cast("long").as("n_keys"),
-          round((lit(2) * col("srx") - (col("n") + 1) * col("sx"))
-            .cast("double") / (col("n") * col("sx")).cast("double"), 6)
-            .as("gini_r"))
+          sratio6(lit(2) * col("srx") - (col("n") + 1) * col("sx"),
+            col("n") * col("sx")).as("gini_r"))
     }),
 
     // Exact weighted median price per return flag (weight = quantity):
@@ -1919,8 +1944,7 @@ object AnalyticsQueries {
             .otherwise("C"))
         .groupBy(col("abc_class"))
         .agg(count(lit(1)).as("n_parts"), sum(col("rev_c")).as("rev_c"),
-          round(sum(col("rev_c")).cast("double") / lit(total.toDouble), 6)
-            .as("share_r"))
+          ratio6(sum(col("rev_c")), lit(total)).as("share_r"))
         .orderBy(col("abc_class"))
     }),
 
@@ -1966,8 +1990,7 @@ object AnalyticsQueries {
         .crossJoin(broadcast(ng))
         .select(col("seed"), col("n_reached"), col("sum_dist"),
           col("harm12"),
-          round(col("harm12").cast("double") / lit(12.0) /
-            (col("n_nodes").cast("double") - lit(1.0)), 6)
+          ratio6(col("harm12"), (col("n_nodes") - 1) * 12)
             .as("closeness_r"))
         .orderBy(col("seed"))
     }),
@@ -1997,16 +2020,16 @@ object AnalyticsQueries {
             (acc, e) => acc + e.getField("t_g")).as("sum_t"))
       folded.crossJoin(broadcast(tot))
         .select(col("k_groups"), col("n").cast("long").as("n_total"),
-          round(col("sum_t") - col("sx").cast("double") *
-            col("sx").cast("double") / col("n").cast("double"), 6)
+          det6(col("sum_t") - col("sx").cast("double") *
+            col("sx").cast("double") / col("n").cast("double"))
             .as("ssb_r"),
-          round(col("sxx").cast("double") - col("sum_t"), 6).as("ssw_r"),
-          round(((col("sum_t") - col("sx").cast("double") *
+          det6(col("sxx").cast("double") - col("sum_t")).as("ssw_r"),
+          det6(((col("sum_t") - col("sx").cast("double") *
             col("sx").cast("double") / col("n").cast("double")) /
             (col("k_groups") - 1).cast("double")) /
             ((col("sxx").cast("double") - col("sum_t")) /
-              (col("n").cast("double") - col("k_groups").cast("double"))),
-            6).as("f_r"))
+              (col("n").cast("double") - col("k_groups").cast("double"))))
+            .as("f_r"))
     }),
 
     // Categorical diversity report (Shannon entropy + Gini impurity +
@@ -2031,8 +2054,8 @@ object AnalyticsQueries {
               (acc, e) => acc + e.getField("p") * e.getField("p"))
               .as("p2"))
           .select(lit(label).as("column_name"), col("n_distinct"),
-            col("n_total"), round(col("h"), 6).as("entropy_r"),
-            round(lit(1.0) - col("p2"), 6).as("gini_r"))
+            col("n_total"), det6(col("h")).as("entropy_r"),
+            det6(lit(1.0) - col("p2")).as("gini_r"))
       }
       ent(Tables.documents(s, d), "lang", "documents.lang")
         .unionAll(ent(Tables.documents(s, d), "source", "documents.source"))
@@ -2056,18 +2079,19 @@ object AnalyticsQueries {
       val tot = digits.agg(sum(col("n_obs")).as("nt"))
       digits.crossJoin(broadcast(tot))
         .select(col("digit"), col("n_obs"),
-          round(col("n_obs").cast("double") / col("nt").cast("double"), 6)
-            .as("freq_r"),
-          round(log(lit(1.0) + lit(1.0) / col("digit").cast("double")) /
-            log(lit(10.0)), 6).as("exp_r"))
+          ratio6(col("n_obs"), col("nt")).as("freq_r"),
+          det6(log(lit(1.0) + lit(1.0) / col("digit").cast("double")) /
+            log(lit(10.0))).as("exp_r"))
         .orderBy(col("digit"))
     }),
 
     // Two-sample Kolmogorov-Smirnov D (src0 vs src1 n_chars
-    // distributions): EXACT — per distinct value the cumulative counts
-    // are integers, so D's numerator max|F1·n2 − F2·n1| is an exact
-    // DECIMAL(38,0) integer and the only float op is the one final
-    // division. The cumulative window is partitionless BY DESIGN: its
+    // distributions): EXACT end-to-end — per distinct value the cumulative
+    // counts are integers, so D's numerator max|F1·n2 − F2·n1| is an exact
+    // DECIMAL(38,0) integer, and the ratio is ExactRatio.ratio6 (integer
+    // round-half-up, then one IEEE-exact double division) — the r13
+    // round(double) driver seam is gone; no engine-version-dependent
+    // ROUND remains. The cumulative window is partitionless BY DESIGN: its
     // input is first aggregated to the value DOMAIN (distinct n_chars),
     // the q_col_histogram/q_concurrency bounded-domain discipline, so
     // the single task sorts |domain| rows, not |rows|.
@@ -2094,8 +2118,8 @@ object AnalyticsQueries {
         .groupBy(col("n1"), col("n2"))
         .agg(max(col("dnum")).as("d_num"))
         .select(col("n1"), col("n2"), col("d_num"),
-          round(col("d_num").cast("double") /
-            (col("n1").cast("double") * col("n2").cast("double")), 6)
+          ratio6(col("d_num"),
+            col("n1").cast("decimal(38,0)") * col("n2").cast("decimal(38,0)"))
             .as("d_r"))
     })
   )
@@ -2119,16 +2143,19 @@ object AnalyticsQueries {
         |ORDER BY o_orderkey""".stripMargin,
 
     "q_window_analytics" ->
-      """SELECT o_custkey, o_orderkey,
+      s"""SELECT o_custkey, o_orderkey,
         |  LEAD(o_orderkey, 1) OVER w AS next_order,
         |  FIRST_VALUE(price_c) OVER wf AS first_price_c,
         |  LAST_VALUE(price_c) OVER wf AS last_price_c,
         |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
-        |  ROUND(PERCENT_RANK() OVER w, 6) AS pr,
-        |  ROUND(CUME_DIST() OVER w, 6) AS cd
+        |  CASE WHEN COUNT(*) OVER wp = 1 THEN 0.0
+        |       ELSE ${ratio6Sql("RANK() OVER w - 1", "COUNT(*) OVER wp - 1")}
+        |  END AS pr,
+        |  ${ratio6Sql("COUNT(*) OVER w", "COUNT(*) OVER wp")} AS cd
         |FROM (SELECT o_custkey, o_orderkey, o_orderdate,
         |        CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_c FROM orders)
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |  wp AS (PARTITION BY o_custkey),
         |  wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
@@ -2236,13 +2263,15 @@ object AnalyticsQueries {
         |FROM part WHERE p_partkey < 200 ORDER BY p_partkey""".stripMargin,
 
     "q_tpch_q1" ->
-      """SELECT l_returnflag, l_linestatus,
+      s"""SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
         |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_c,
         |  CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_c,
         |  CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*(1.0+l_tax)*100) AS BIGINT)) AS BIGINT) AS sum_charge_c,
-        |  ROUND(AVG(l_quantity), 6) AS avg_qty,
-        |  ROUND(AVG(l_discount), 6) AS avg_disc,
+        |  ${ratio6Sql("SUM(CAST(ROUND(l_quantity*100) AS BIGINT))",
+                       "COUNT(*) * 100")} AS avg_qty,
+        |  ${ratio6Sql("SUM(CAST(ROUND(l_discount*100) AS BIGINT))",
+                       "COUNT(*) * 100")} AS avg_disc,
         |  COUNT(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
@@ -2301,12 +2330,12 @@ object AnalyticsQueries {
         |  AND l_quantity < 24""".stripMargin,
 
     "q_tpch_q14" ->
-      """SELECT ROUND(
-        |  CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
-        |    THEN CAST(ROUND(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)
-        |    ELSE 0 END) AS DOUBLE) * 100.0 /
-        |  CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS DOUBLE),
-        |  6) AS promo_pct
+      s"""SELECT ${ratio6Sql(
+             "SUM(CASE WHEN p_type LIKE 'PROMO%' " +
+               "THEN CAST(ROUND(l_extendedprice*(1.0-l_discount)*100) AS BIGINT) " +
+               "ELSE 0 END) * 100",
+             "SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*100) AS BIGINT))")}
+        |  AS promo_pct
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin,
@@ -2354,13 +2383,13 @@ object AnalyticsQueries {
         |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin,
 
     "q_tpch_q8" ->
-      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-        |  ROUND(
-        |    CAST(SUM(CASE WHEN n1.n_name = 'NATION_3'
-        |      THEN CAST(ROUND(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)
-        |      ELSE 0 END) AS DOUBLE) /
-        |    CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS DOUBLE),
-        |    6) AS mkt_share
+      s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  ${ratio6Sql(
+             "SUM(CASE WHEN n1.n_name = 'NATION_3' " +
+               "THEN CAST(ROUND(l_extendedprice*(1.0-l_discount)*100) AS BIGINT) " +
+               "ELSE 0 END)",
+             "SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*100) AS BIGINT))")}
+        |    AS mkt_share
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
         |JOIN orders ON l_orderkey = o_orderkey
@@ -2521,7 +2550,7 @@ object AnalyticsQueries {
         |ORDER BY p.source""".stripMargin,
 
     "q_dq_drift" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT CASE WHEN CAST(o_orderdate AS DATE) < DATE '1996-01-01'
         |           THEN 'a' ELSE 'b' END AS epoch,
         |    CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_c,
@@ -2538,16 +2567,20 @@ object AnalyticsQueries {
         |  SELECT
         |    MAX(CASE WHEN epoch='a' THEN n_rows END) AS rows_a,
         |    MAX(CASE WHEN epoch='b' THEN n_rows END) AS rows_b,
-        |    ROUND(MAX(CASE WHEN epoch='a' THEN sum_c END) / MAX(CASE WHEN epoch='a' THEN n_rows END), 6) AS mean_a,
-        |    ROUND(MAX(CASE WHEN epoch='b' THEN sum_c END) / MAX(CASE WHEN epoch='b' THEN n_rows END), 6) AS mean_b,
+        |    ${ratio6Sql("MAX(CASE WHEN epoch='a' THEN sum_c END)",
+                         "MAX(CASE WHEN epoch='a' THEN n_rows END)")} AS mean_a,
+        |    ${ratio6Sql("MAX(CASE WHEN epoch='b' THEN sum_c END)",
+                         "MAX(CASE WHEN epoch='b' THEN n_rows END)")} AS mean_b,
         |    MAX(CASE WHEN epoch='a' THEN min_c END) AS min_a,
         |    MAX(CASE WHEN epoch='b' THEN min_c END) AS min_b,
         |    MAX(CASE WHEN epoch='a' THEN max_c END) AS max_a,
         |    MAX(CASE WHEN epoch='b' THEN max_c END) AS max_b,
         |    MAX(CASE WHEN epoch='a' THEN ndv_cust END) AS ndv_a,
         |    MAX(CASE WHEN epoch='b' THEN ndv_cust END) AS ndv_b,
-        |    ROUND(CAST(MAX(CASE WHEN epoch='a' THEN n_f END) AS DOUBLE) / MAX(CASE WHEN epoch='a' THEN n_rows END), 6) AS f_a,
-        |    ROUND(CAST(MAX(CASE WHEN epoch='b' THEN n_f END) AS DOUBLE) / MAX(CASE WHEN epoch='b' THEN n_rows END), 6) AS f_b
+        |    ${ratio6Sql("MAX(CASE WHEN epoch='a' THEN n_f END)",
+                         "MAX(CASE WHEN epoch='a' THEN n_rows END)")} AS f_a,
+        |    ${ratio6Sql("MAX(CASE WHEN epoch='b' THEN n_f END)",
+                         "MAX(CASE WHEN epoch='b' THEN n_rows END)")} AS f_b
         |  FROM g
         |), m AS (
         |  SELECT 'n_rows' AS metric, CAST(rows_a AS DOUBLE) AS epoch_a, CAST(rows_b AS DOUBLE) AS epoch_b FROM w
@@ -2558,7 +2591,7 @@ object AnalyticsQueries {
         |  UNION ALL SELECT 'f_status_share', f_a, f_b FROM w
         |)
         |SELECT metric, epoch_a, epoch_b,
-        |  ROUND(ABS(epoch_b - epoch_a) / GREATEST(ABS(epoch_a), 1e-9), 6) AS rel_drift
+        |  ${det6Sql("ABS(epoch_b - epoch_a) / GREATEST(ABS(epoch_a), 1e-9)")} AS rel_drift
         |FROM m ORDER BY metric""".stripMargin,
 
     "q_lateral_topk" ->
@@ -2607,7 +2640,7 @@ object AnalyticsQueries {
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q_window_rank_family" ->
-      """WITH o AS (
+      s"""WITH o AS (
         |  SELECT o_custkey, o_orderkey,
         |    CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_c
         |  FROM orders WHERE o_custkey < 50
@@ -2616,13 +2649,16 @@ object AnalyticsQueries {
         |  CAST(RANK() OVER w AS BIGINT) AS rnk,
         |  CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
         |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
-        |  ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
-        |  ROUND(CUME_DIST() OVER w, 6) AS cume,
+        |  CASE WHEN COUNT(*) OVER wp = 1 THEN 0.0
+        |       ELSE ${ratio6Sql("RANK() OVER w - 1", "COUNT(*) OVER wp - 1")}
+        |  END AS pct_rank,
+        |  ${ratio6Sql("COUNT(*) OVER w", "COUNT(*) OVER wp")} AS cume,
         |  LAG(price_c, 1) OVER w AS prev_price_c,
         |  LEAD(price_c, 1) OVER w AS next_price_c,
         |  FIRST_VALUE(price_c) OVER w AS min_price_c
         |FROM o
-        |WINDOW w AS (PARTITION BY o_custkey ORDER BY price_c, o_orderkey)
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY price_c, o_orderkey),
+        |  wp AS (PARTITION BY o_custkey)
         |ORDER BY o_custkey, rnk, o_orderkey""".stripMargin,
 
     "q_vocab_coverage" ->
@@ -2636,9 +2672,9 @@ object AnalyticsQueries {
         |  FROM tf QUALIFY rank <= 20
         |)
         |SELECT rank, term, c,
-        |  ROUND(CAST(SUM(c) OVER (ORDER BY rank
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-        |    / CAST(n AS DOUBLE), 6) AS cum_share
+        |  ${ratio6Sql(
+             "SUM(c) OVER (ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+             "n")} AS cum_share
         |FROM top, tot ORDER BY rank""".stripMargin,
 
     "q_approx_top_k" ->
@@ -2663,11 +2699,11 @@ object AnalyticsQueries {
         |  (SELECT COUNT(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM r)) AS n_diff""".stripMargin,
 
     "q_range_join" ->
-      """WITH bands(band_id, lo, hi) AS (
+      s"""WITH bands(band_id, lo, hi) AS (
         |  VALUES (1, 900.0, 925.0), (2, 925.0, 950.0),
         |         (3, 950.0, 975.0), (4, 975.0, 1000.0))
         |SELECT CAST(band_id AS BIGINT) AS band_id, COUNT(*) AS n_parts,
-        |  ROUND(AVG(p_size), 6) AS avg_size
+        |  ${ratio6Sql("SUM(p_size)", "COUNT(*)")} AS avg_size
         |FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
         |GROUP BY band_id ORDER BY band_id""".stripMargin,
 
@@ -2732,7 +2768,7 @@ object AnalyticsQueries {
     "q_typed_agg" ->
       s"""WITH ${Tables.ratingsSql}
          |SELECT userId, COUNT(*) AS n,
-         |  ROUND(SUM(rating)/COUNT(*), 6) AS avg_rating
+         |  ${ratio6Sql("CAST(SUM(rating)*2 AS HUGEINT)", "COUNT(*)*2")} AS avg_rating
          |FROM ratings GROUP BY userId ORDER BY userId""".stripMargin,
 
     "q_pagerank" -> pagerankOracle,
@@ -3027,7 +3063,7 @@ object AnalyticsQueries {
     // bounds round to integer cents, so everything after the percentile
     // interpolation is exact integer math on both engines (see the query)
     "q_winsorize" ->
-      """WITH li AS (
+      s"""WITH li AS (
         |  SELECT l_returnflag,
         |    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS pc
         |  FROM lineitem
@@ -3049,7 +3085,7 @@ object AnalyticsQueries {
         |SELECT l_returnflag, COUNT(*) AS n,
         |  CAST(SUM(cl) AS BIGINT) AS n_lo, CAST(SUM(ch) AS BIGINT) AS n_hi,
         |  MIN(lo_c) AS lo_c, MIN(hi_c) AS hi_c,
-        |  ROUND(CAST(SUM(wv) AS DOUBLE) / COUNT(*), 6) AS mean_w,
+        |  ${ratio6Sql("SUM(wv)", "COUNT(*)")} AS mean_w,
         |  ROUND(MIN(iqr), 6) AS iqr_r
         |FROM w GROUP BY 1 ORDER BY l_returnflag""".stripMargin,
 
@@ -3075,51 +3111,54 @@ object AnalyticsQueries {
          |ORDER BY node, rnk""".stripMargin,
 
     // exact decimal moments, float only at the final divisions — the
-    // corrMatrixOracle discipline, same op order as the engine
+    // centered moments EXACT in HUGEINT (mirrors the engine's exact
+    // DECIMAL(38,0) — DuckDB would silently fall back to DOUBLE on a
+    // >38-width decimal product); slope/intercept via sratio6 (exact
+    // integer 6-dp rounding), r² via det6 on the identical double chain
     "q_ols_fit" ->
-      """WITH li AS (
+      s"""WITH li AS (
         |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
         |    CAST(ROUND(l_extendedprice*100) AS BIGINT) AS y
         |  FROM lineitem),
         |m AS (
         |  SELECT l_returnflag,
-        |    CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
-        |    SUM(CAST(x AS DECIMAL(38,0))) AS sx,
-        |    SUM(CAST(y AS DECIMAL(38,0))) AS sy,
-        |    SUM(CAST(x*x AS DECIMAL(38,0))) AS sxx,
-        |    SUM(CAST(x*y AS DECIMAL(38,0))) AS sxy,
-        |    SUM(CAST(y*y AS DECIMAL(38,0))) AS syy
+        |    CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,0))) AS HUGEINT) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(38,0))) AS HUGEINT) AS sy,
+        |    CAST(SUM(CAST(x*x AS DECIMAL(38,0))) AS HUGEINT) AS sxx,
+        |    CAST(SUM(CAST(x*y AS DECIMAL(38,0))) AS HUGEINT) AS sxy,
+        |    CAST(SUM(CAST(y*y AS DECIMAL(38,0))) AS HUGEINT) AS syy
         |  FROM li GROUP BY 1),
         |c AS (
         |  SELECT l_returnflag, n, sx, sy,
-        |    CAST(n*sxx - sx*sx AS DOUBLE) AS sxxc,
-        |    CAST(n*sxy - sx*sy AS DOUBLE) AS sxyc,
-        |    CAST(n*syy - sy*sy AS DOUBLE) AS syyc
+        |    (n*sxx - sx*sx) AS sxxc,
+        |    (n*sxy - sx*sy) AS sxyc,
+        |    (n*syy - sy*sy) AS syyc
         |  FROM m)
         |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
-        |  ROUND(sxyc / sxxc, 6) AS slope_r,
-        |  ROUND((CAST(sy AS DOUBLE) - sxyc / sxxc * CAST(sx AS DOUBLE))
-        |    / CAST(n AS DOUBLE), 6) AS intercept_r,
-        |  ROUND(sxyc * sxyc / (sxxc * syyc), 6) AS r2_r
+        |  ${sratio6Sql("sxyc", "sxxc")} AS slope_r,
+        |  ${sratio6Sql("sy*sxxc - sxyc*sx", "n*sxxc")} AS intercept_r,
+        |  ${det6Sql("CAST(sxyc AS DOUBLE) * CAST(sxyc AS DOUBLE) / " +
+                     "(CAST(sxxc AS DOUBLE) * CAST(syyc AS DOUBLE))")} AS r2_r
         |FROM c ORDER BY l_returnflag""".stripMargin,
 
     "q_ols_multi" ->
-      """WITH li AS (
+      s"""WITH li AS (
         |  SELECT CAST(l_quantity AS BIGINT) AS x1,
         |    CAST(ROUND(l_discount*100) AS BIGINT) AS x2,
         |    CAST(ROUND(l_extendedprice*100) AS BIGINT) AS y
         |  FROM lineitem),
         |m AS (
-        |  SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
-        |    SUM(CAST(x1 AS DECIMAL(38,0))) AS s1,
-        |    SUM(CAST(x2 AS DECIMAL(38,0))) AS s2,
-        |    SUM(CAST(y AS DECIMAL(38,0))) AS sy,
-        |    SUM(CAST(x1*x1 AS DECIMAL(38,0))) AS s11,
-        |    SUM(CAST(x1*x2 AS DECIMAL(38,0))) AS s12,
-        |    SUM(CAST(x2*x2 AS DECIMAL(38,0))) AS s22,
-        |    SUM(CAST(x1*y AS DECIMAL(38,0))) AS s1y,
-        |    SUM(CAST(x2*y AS DECIMAL(38,0))) AS s2y,
-        |    SUM(CAST(y*y AS DECIMAL(38,0))) AS syy
+        |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(CAST(x1 AS DECIMAL(38,0))) AS HUGEINT) AS s1,
+        |    CAST(SUM(CAST(x2 AS DECIMAL(38,0))) AS HUGEINT) AS s2,
+        |    CAST(SUM(CAST(y AS DECIMAL(38,0))) AS HUGEINT) AS sy,
+        |    CAST(SUM(CAST(x1*x1 AS DECIMAL(38,0))) AS HUGEINT) AS s11,
+        |    CAST(SUM(CAST(x1*x2 AS DECIMAL(38,0))) AS HUGEINT) AS s12,
+        |    CAST(SUM(CAST(x2*x2 AS DECIMAL(38,0))) AS HUGEINT) AS s22,
+        |    CAST(SUM(CAST(x1*y AS DECIMAL(38,0))) AS HUGEINT) AS s1y,
+        |    CAST(SUM(CAST(x2*y AS DECIMAL(38,0))) AS HUGEINT) AS s2y,
+        |    CAST(SUM(CAST(y*y AS DECIMAL(38,0))) AS HUGEINT) AS syy
         |  FROM li),
         |c AS (
         |  SELECT n, s1, s2, sy,
@@ -3136,18 +3175,18 @@ object AnalyticsQueries {
         |    (c11 * c2y - c12 * c1y) / (c11 * c22 - c12 * c12) AS b2
         |  FROM c)
         |SELECT CAST(n AS BIGINT) AS n_rows,
-        |  ROUND(b1, 6) AS b1_r, ROUND(b2, 6) AS b2_r,
-        |  ROUND((CAST(sy AS DOUBLE) - b1 * CAST(s1 AS DOUBLE)
-        |    - b2 * CAST(s2 AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+        |  ${det6Sql("b1")} AS b1_r, ${det6Sql("b2")} AS b2_r,
+        |  ${det6Sql("(CAST(sy AS DOUBLE) - b1 * CAST(s1 AS DOUBLE) " +
+                     "- b2 * CAST(s2 AS DOUBLE)) / CAST(n AS DOUBLE)")}
         |    AS intercept_r,
-        |  ROUND((b1 * c1y + b2 * c2y) / cyy, 6) AS r2_r
+        |  ${det6Sql("(b1 * c1y + b2 * c2y) / cyy")} AS r2_r
         |FROM b""".stripMargin,
 
     // per-cell exact DECIMAL numerator, float per-cell division; the
     // oracle's single-node SUM vs the engine's sorted fold differ only
     // below the 6dp contract
     "q_chi2_independence" ->
-      """WITH cells AS (
+      s"""WITH cells AS (
         |  SELECT source, lang, COUNT(*) AS o FROM documents GROUP BY 1, 2),
         |r AS (SELECT source, CAST(SUM(o) AS BIGINT) AS rtot
         |      FROM cells GROUP BY 1),
@@ -3165,7 +3204,7 @@ object AnalyticsQueries {
         |terms AS (
         |  SELECT o, source, lang, numd * numd / dend / ntd AS term
         |  FROM nums)
-        |SELECT ROUND(SUM(term), 6) AS chi2_r,
+        |SELECT ${det6Sql("SUM(term)")} AS chi2_r,
         |  (COUNT(DISTINCT source) - 1) * (COUNT(DISTINCT lang) - 1) AS dof,
         |  CAST(SUM(o) AS BIGINT) AS n_total
         |FROM terms""".stripMargin,
@@ -3198,8 +3237,7 @@ object AnalyticsQueries {
          |                WHERE e.u = wg.u AND e.v = wg.w)
          |  GROUP BY mid)
          |SELECT d.a AS node, d.deg, COALESCE(t.t_v, 0) AS t_v,
-         |  ROUND(2.0 * CAST(COALESCE(t.t_v, 0) AS DOUBLE) /
-         |    (CAST(d.deg AS DOUBLE) * (CAST(d.deg AS DOUBLE) - 1.0)), 6)
+         |  ${ratio6Sql("COALESCE(t.t_v, 0) * 2", "d.deg * (d.deg - 1)")}
          |    AS lcc_r
          |FROM deg d LEFT JOIN tri t ON t.mid = d.a
          |WHERE d.deg >= 3
@@ -3208,7 +3246,7 @@ object AnalyticsQueries {
     // ranks via ROW_NUMBER over the same ascending total order; exact
     // decimal sums; one division
     "q_gini_revenue" ->
-      """WITH rev AS (
+      s"""WITH rev AS (
         |  SELECT l_partkey,
         |    CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT)
         |      AS rev_c
@@ -3223,8 +3261,8 @@ object AnalyticsQueries {
         |    SUM(CAST(r AS DECIMAL(38,0)) * CAST(rev_c AS DECIMAL(38,0))) AS srx
         |  FROM rk)
         |SELECT CAST(n AS BIGINT) AS n_keys,
-        |  ROUND(CAST(2*srx - (n+1)*sx AS DOUBLE)
-        |    / CAST(n*sx AS DOUBLE), 6) AS gini_r
+        |  ${sratio6Sql("CAST(2*srx - (n+1)*sx AS HUGEINT)",
+                        "CAST(n*sx AS HUGEINT)")} AS gini_r
         |FROM m""".stripMargin,
 
     // per-flag cumulative weights (single-node window is fine for the
@@ -3251,7 +3289,7 @@ object AnalyticsQueries {
     // integer thresholds mirror exactly (window SUM is HUGEINT — the
     // comparisons stay integral)
     "q_abc_classes" ->
-      """WITH rev AS (
+      s"""WITH rev AS (
         |  SELECT l_partkey,
         |    CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT)
         |      AS rev_c
@@ -3270,8 +3308,7 @@ object AnalyticsQueries {
         |  FROM run)
         |SELECT abc_class, COUNT(*) AS n_parts,
         |  CAST(SUM(rev_c) AS BIGINT) AS rev_c,
-        |  ROUND(CAST(SUM(rev_c) AS DOUBLE) / CAST(MIN(tot) AS DOUBLE), 6)
-        |    AS share_r
+        |  ${ratio6Sql("SUM(rev_c)", "MIN(tot)")} AS share_r
         |FROM cls GROUP BY 1 ORDER BY abc_class""".stripMargin,
 
     // unrolled 3-hop BFS (the khop/kcore MATERIALIZED discipline);
@@ -3307,15 +3344,15 @@ object AnalyticsQueries {
          |SELECT a.seed, COUNT(*) AS n_reached,
          |  CAST(SUM(dist) AS BIGINT) AS sum_dist,
          |  CAST(SUM(12 // dist) AS BIGINT) AS harm12,
-         |  ROUND(CAST(SUM(12 // dist) AS DOUBLE) / 12.0 /
-         |    (CAST(g.n_nodes AS DOUBLE) - 1.0), 6) AS closeness_r
+         |  ${ratio6Sql("SUM(12 // dist)", "(g.n_nodes - 1) * 12")}
+         |    AS closeness_r
          |FROM allv a, ng g GROUP BY a.seed, g.n_nodes
          |ORDER BY a.seed""".stripMargin,
 
     // exact decimal moments; floats only in the per-group terms and the
     // final F ratio, op order mirrored
     "q_anova_f" ->
-      """WITH x AS (SELECT source, n_chars AS x FROM documents),
+      s"""WITH x AS (SELECT source, n_chars AS x FROM documents),
         |g AS (
         |  SELECT source, CAST(COUNT(*) AS DECIMAL(38,0)) AS n_g,
         |    SUM(CAST(x AS DECIMAL(38,0))) AS s_g
@@ -3331,33 +3368,33 @@ object AnalyticsQueries {
         |      / CAST(n_g AS DOUBLE)) AS sum_t
         |  FROM g)
         |SELECT k_groups, CAST(n AS BIGINT) AS n_total,
-        |  ROUND(sum_t - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
-        |    / CAST(n AS DOUBLE), 6) AS ssb_r,
-        |  ROUND(CAST(sxx AS DOUBLE) - sum_t, 6) AS ssw_r,
-        |  ROUND(((sum_t - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
-        |    / CAST(n AS DOUBLE)) / CAST(k_groups - 1 AS DOUBLE)) /
-        |    ((CAST(sxx AS DOUBLE) - sum_t) /
-        |      (CAST(n AS DOUBLE) - CAST(k_groups AS DOUBLE))), 6) AS f_r
+        |  ${det6Sql("sum_t - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) " +
+                     "/ CAST(n AS DOUBLE)")} AS ssb_r,
+        |  ${det6Sql("CAST(sxx AS DOUBLE) - sum_t")} AS ssw_r,
+        |  ${det6Sql("((sum_t - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) " +
+                     "/ CAST(n AS DOUBLE)) / CAST(k_groups - 1 AS DOUBLE)) / " +
+                     "((CAST(sxx AS DOUBLE) - sum_t) / " +
+                     "(CAST(n AS DOUBLE) - CAST(k_groups AS DOUBLE)))")} AS f_r
         |FROM f, tt""".stripMargin,
 
     "q_entropy_report" -> entropyOracle,
 
     // string-based digit extraction; exact counts; ln-ratio expectation
     "q_benford" ->
-      """WITH dg AS (
+      s"""WITH dg AS (
         |  SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice*100) AS BIGINT)
         |    AS VARCHAR), 1, 1) AS BIGINT) AS digit,
         |    COUNT(*) AS n_obs
         |  FROM orders GROUP BY 1),
         |tt AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS nt FROM dg)
         |SELECT digit, n_obs,
-        |  ROUND(CAST(n_obs AS DOUBLE) / CAST(nt AS DOUBLE), 6) AS freq_r,
-        |  ROUND(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0), 6) AS exp_r
+        |  ${ratio6Sql("n_obs", "nt")} AS freq_r,
+        |  ${det6Sql("ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0)")} AS exp_r
         |FROM dg, tt ORDER BY digit""".stripMargin,
 
-    // exact integer D numerator over the value domain; one final division
+    // exact integer D numerator over the value domain; exact ratio6 tail
     "q_ks_two_sample" ->
-      """WITH dd AS (
+      s"""WITH dd AS (
         |  SELECT source, n_chars FROM documents
         |  WHERE source IN ('src0', 'src1')),
         |cells AS (
@@ -3376,16 +3413,16 @@ object AnalyticsQueries {
         |  SELECT
         |    CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
         |    CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS n2
-        |  FROM dd)
-        |SELECT n1, n2,
-        |  MAX(CAST(abs(CAST(f1 AS DECIMAL(38,0)) * CAST(n2 AS DECIMAL(38,0))
-        |    - CAST(f2 AS DECIMAL(38,0)) * CAST(n1 AS DECIMAL(38,0)))
-        |    AS DECIMAL(38,0))) AS d_num,
-        |  ROUND(CAST(MAX(CAST(abs(CAST(f1 AS DECIMAL(38,0)) * CAST(n2 AS DECIMAL(38,0))
-        |    - CAST(f2 AS DECIMAL(38,0)) * CAST(n1 AS DECIMAL(38,0)))
-        |    AS DECIMAL(38,0))) AS DOUBLE)
-        |    / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 6) AS d_r
-        |FROM cum, tot GROUP BY n1, n2""".stripMargin
+        |  FROM dd),
+        |agg AS (
+        |  SELECT n1, n2,
+        |    MAX(CAST(abs(CAST(f1 AS DECIMAL(38,0)) * CAST(n2 AS DECIMAL(38,0))
+        |      - CAST(f2 AS DECIMAL(38,0)) * CAST(n1 AS DECIMAL(38,0)))
+        |      AS DECIMAL(38,0))) AS d_num
+        |  FROM cum, tot GROUP BY n1, n2)
+        |SELECT n1, n2, d_num,
+        |  ${ratio6Sql("d_num", "CAST(n1 AS HUGEINT) * CAST(n2 AS HUGEINT)")} AS d_r
+        |FROM agg""".stripMargin
   )
 
   /** The [[graft.operators.Graph.pageRank]] recurrence unrolled into
@@ -3672,9 +3709,9 @@ object AnalyticsQueries {
       yield {
         val (a, b) = (names(i), names(j))
         s"""SELECT '$a' AS col_a, '$b' AS col_b,
-           |  ROUND(CAST(n * sp_${a}_$b - s_$a * s_$b AS DOUBLE) /
-           |    sqrt(CAST(n * sp_${a}_$a - s_$a * s_$a AS DOUBLE) *
-           |         CAST(n * sp_${b}_$b - s_$b * s_$b AS DOUBLE)), 6)
+           |  ${det6Sql(s"CAST(n * sp_${a}_$b - s_$a * s_$b AS DOUBLE) / " +
+                        s"sqrt(CAST(n * sp_${a}_$a - s_$a * s_$a AS DOUBLE) * " +
+                        s"CAST(n * sp_${b}_$b - s_$b * s_$b AS DOUBLE))")}
            |    AS corr_r FROM m""".stripMargin
       }).mkString("\nUNION ALL\n")
     s"""WITH b AS (
@@ -3719,10 +3756,10 @@ object AnalyticsQueries {
     cols.map { case (label, tbl, c) =>
       s"""SELECT '$label' AS column_name, COUNT(*) AS n_distinct,
          |  CAST(MIN(nt) AS BIGINT) AS n_total,
-         |  ROUND(SUM(- (CAST(n AS DOUBLE) / CAST(nt AS DOUBLE))
-         |    * ln(CAST(n AS DOUBLE) / CAST(nt AS DOUBLE))), 6) AS entropy_r,
-         |  ROUND(1.0 - SUM((CAST(n AS DOUBLE) / CAST(nt AS DOUBLE))
-         |    * (CAST(n AS DOUBLE) / CAST(nt AS DOUBLE))), 6) AS gini_r
+         |  ${det6Sql("SUM(- (CAST(n AS DOUBLE) / CAST(nt AS DOUBLE)) " +
+                      "* ln(CAST(n AS DOUBLE) / CAST(nt AS DOUBLE)))")} AS entropy_r,
+         |  ${det6Sql("1.0 - SUM((CAST(n AS DOUBLE) / CAST(nt AS DOUBLE)) " +
+                      "* (CAST(n AS DOUBLE) / CAST(nt AS DOUBLE)))")} AS gini_r
          |FROM (SELECT COUNT(*) AS n, SUM(COUNT(*)) OVER () AS nt
          |      FROM $tbl GROUP BY $c)""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY column_name")
@@ -3754,7 +3791,7 @@ object AnalyticsQueries {
        |  FROM nonadj n JOIN deg dv ON dv.a = n.mid GROUP BY n.u, n.w),
        |lnk AS MATERIALIZED (
        |  SELECT s.u, s.w, s.cn, ROUND(s.aa, 6) AS aa_r,
-       |    ROUND(CAST(s.cn AS DOUBLE) / (du.deg + dw.deg - s.cn), 6)
+       |    ${ratio6Sql("s.cn", "du.deg + dw.deg - s.cn")}
        |      AS jacc_r
        |  FROM scored s JOIN deg du ON du.a = s.u
        |    JOIN deg dw ON dw.a = s.w)""".stripMargin

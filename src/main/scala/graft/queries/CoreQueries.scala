@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.functions.ExactRatio.{ratio6, ratio6Sql}
 import graft.operators.Popularity
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -35,7 +36,11 @@ object CoreQueries {
           sum(cents(col("l_extendedprice"))).as("sum_base_c"),
           sum(cents(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("sum_disc_c"),
           count(lit(1)).as("n"),
-          round(avg(col("l_discount")), 6).as("avg_disc"))
+          // discounts are 2-dp values: Σcents/(100·n) is the EXACT mean,
+          // rounded in integer arithmetic (no double-sum order, no
+          // ROUND(DOUBLE) seam — ExactRatio scaladoc)
+          ratio6(sum(cents(col("l_discount"))), count(lit(1)) * 100)
+            .as("avg_disc"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
@@ -98,12 +103,13 @@ object CoreQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q1_agg" ->
-      """SELECT l_returnflag, l_linestatus,
+      s"""SELECT l_returnflag, l_linestatus,
         |  CAST(SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS BIGINT) AS sum_qty_c,
         |  CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_base_c,
         |  CAST(SUM(CAST(ROUND(l_extendedprice*(1.0-l_discount)*100) AS BIGINT)) AS BIGINT) AS sum_disc_c,
         |  COUNT(*) AS n,
-        |  ROUND(AVG(l_discount), 6) AS avg_disc
+        |  ${ratio6Sql("SUM(CAST(ROUND(l_discount*100) AS BIGINT))",
+                       "COUNT(*) * 100")} AS avg_disc
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.functions.ExactRatio.{ratio6, ratio6Sql, sratio6, sratio6Sql, det6, det6Sql}
 import graft.operators.{AsofJoin, Multimodal}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -256,7 +257,7 @@ object EventQueries {
         pairs, "rk", col("slope"), col("di"), col("dj"))
       val (lo, hi) = ((m + 1) / 2, (m + 2) / 2)
       val med = ranked.filter(col("rk") === lo || col("rk") === hi)
-        .agg(round(avg(col("slope")), 6).as("ts_slope_r"))
+        .agg(det6(avg(col("slope"))).as("ts_slope_r"))
       val ols = daily.agg(
         count(lit(1)).as("n_days"),
         sum(col("day").cast("decimal(38,0)")).as("sx"),
@@ -264,10 +265,10 @@ object EventQueries {
         sum((col("day") * col("y")).cast("decimal(38,0)")).as("sxy"),
         sum((col("day") * col("day")).cast("decimal(38,0)")).as("sxx"))
         .select(col("n_days"),
-          round((col("n_days").cast("decimal(38,0)") * col("sxy") -
-            col("sx") * col("sy")).cast("double") /
-            (col("n_days").cast("decimal(38,0)") * col("sxx") -
-              col("sx") * col("sx")).cast("double"), 6).as("ols_slope_r"))
+          sratio6(col("n_days").cast("decimal(38,0)") * col("sxy") -
+            col("sx") * col("sy"),
+            col("n_days").cast("decimal(38,0)") * col("sxx") -
+              col("sx") * col("sx")).as("ols_slope_r"))
       ols.crossJoin(broadcast(mk)).crossJoin(broadcast(med))
         .select(col("n_days"), col("n_pairs"), col("mk_s"),
           col("ts_slope_r"), col("ols_slope_r"))
@@ -607,7 +608,7 @@ object EventQueries {
         .agg(sum(col("n")).as("n_from"))
       pairs.join(broadcast(totals), Seq("prev_type"))
         .select(col("prev_type"), col("next_type"), col("n"),
-          round(col("n").cast("double") / col("n_from"), 6).as("p"))
+          ratio6(col("n"), col("n_from")).as("p"))
         .orderBy(col("prev_type"), col("next_type"))
     }),
 
@@ -678,12 +679,12 @@ object EventQueries {
         .agg(count(lit(1)).as("n_view"),
           count(col("t2")).as("n_view_click"),
           count(col("t3")).as("n_funnel"),
-          round(count(col("t2")).cast("double") / count(lit(1)), 6)
-            .as("conv_click"),
-          round(count(col("t3")).cast("double") / count(lit(1)), 6)
-            .as("conv_full"),
-          round(avg(col("t2") - col("t1")), 6).as("avg_sec_to_click"),
-          round(avg(col("t3") - col("t2")), 6).as("avg_sec_to_purchase"))
+          ratio6(count(col("t2")), count(lit(1))).as("conv_click"),
+          ratio6(count(col("t3")), count(lit(1))).as("conv_full"),
+          ratio6(sum(col("t2") - col("t1")), count(col("t2")))
+            .as("avg_sec_to_click"),
+          ratio6(sum(col("t3") - col("t2")), count(col("t3")))
+            .as("avg_sec_to_purchase"))
     }),
 
     // Sharded Misra-Gries heavy hitters — the BATCH twin of the online
@@ -837,10 +838,10 @@ object EventQueries {
         .agg(count(lit(1)).as("n_days"), sum(col("n")).as("n_events"))
         .crossJoin(broadcast(tot))
         .select(col("dow"), col("n_days"), col("n_events"),
-          round(col("n_events").cast("double") / col("n_days").cast("double"),
-            6).as("avg_r"),
-          round((col("n_events").cast("double") / col("n_days").cast("double"))
-            / (col("te").cast("double") / col("td").cast("double")), 6)
+          ratio6(col("n_events"), col("n_days")).as("avg_r"),
+          // index vs overall daily mean as ONE exact integer ratio:
+          // (ne/nd)/(te/td) = ne·td / (nd·te)
+          ratio6(col("n_events") * col("td"), col("n_days") * col("te"))
             .as("idx_r"))
         .orderBy(col("dow"))
     }),
@@ -848,8 +849,9 @@ object EventQueries {
     // Week-over-week revenue growth (the KPI-trend staple): weekly
     // cents off one orders aggregate (week = epoch-day // 7 — integer
     // both engines), lag over the WEEK DOMAIN (bounded — the
-    // q_ks_two_sample partitionless-window discipline), one division
-    // guarded by prev > 0.
+    // q_ks_two_sample partitionless-window discipline); the ratio IS
+    // guarded by prev_c > 0 (not just non-null) on both engines and
+    // computed with sratio6 — exact, no ROUND(DOUBLE) seam.
     "q_growth_rates" -> ((s, d) => {
       val weekly = Tables.load(s, d, "orders")
         .groupBy(floor(unix_timestamp(col("o_orderdate")) / 604800)
@@ -857,10 +859,10 @@ object EventQueries {
         .agg(sum(cents(col("o_totalprice"))).as("rev_c"))
       val w = Window.orderBy(col("week"))
       weekly.withColumn("prev_c", lag(col("rev_c"), 1).over(w))
-        .filter(col("prev_c").isNotNull)
+        .filter(col("prev_c").isNotNull && col("prev_c") > 0)
         .select(col("week"), col("rev_c"), col("prev_c"),
-          round((col("rev_c") - col("prev_c")).cast("double") /
-            col("prev_c").cast("double"), 6).as("growth_r"))
+          sratio6(col("rev_c") - col("prev_c"), col("prev_c"))
+            .as("growth_r"))
         .orderBy(col("week"))
     }),
 
@@ -892,8 +894,7 @@ object EventQueries {
           sum(col("wv")).as("swv"))
         .select(col("day").cast("long").as("day"), col("n_segments"),
           col("dt_us"),
-          round(col("swv").cast("double") / col("dt_us").cast("double"), 6)
-            .as("twap_r"))
+          sratio6(col("swv"), col("dt_us")).as("twap_r"))
         .orderBy(col("day"))
     }),
 
@@ -922,12 +923,12 @@ object EventQueries {
           sum(dec(col("x") * col("y"))).as("sxy"),
           sum(dec(col("y") * col("y"))).as("syy"))
         .select(col("lag"), col("np").cast("long").as("n_pairs"),
-          round((col("np") * col("sxy") - col("sx") * col("sy"))
+          det6((col("np") * col("sxy") - col("sx") * col("sy"))
             .cast("double") /
             sqrt((col("np") * col("sxx") - col("sx") * col("sx"))
               .cast("double") *
               (col("np") * col("syy") - col("sy") * col("sy"))
-                .cast("double")), 6).as("acf_r"))
+                .cast("double"))).as("acf_r"))
         .orderBy(col("lag"))
     }),
 
@@ -961,10 +962,124 @@ object EventQueries {
                   lit(0.5) * s0.getField("b")).as("b"),
               (s0.getField("i") + 1L).as("i"))
           }).as("st"))
-      st.select(col("n_days"),
-        round(col("st.l"), 6).as("level_r"),
-        round(col("st.b"), 6).as("trend_r"),
-        round(col("st.l") + lit(7.0) * col("st.b"), 6).as("fc7_r"))
+      // n_days > 0 guard: on an EMPTY series the fold's initial state
+      // would emit one (0, 0.0, 0.0, 0.0) row while the oracle's
+      // recursive CTE emits none — mirror the oracle's zero-row shape
+      // (ADVICE r13; fixtures are never empty, so this is contract
+      // hygiene, not a behavior change).
+      st.filter(col("n_days") > 0)
+        .select(col("n_days"),
+          det6(col("st.l")).as("level_r"),
+          det6(col("st.b")).as("trend_r"),
+          det6(col("st.l") + lit(7.0) * col("st.b")).as("fc7_r"))
+    }),
+
+    // Cohort retention matrix (the product-analytics staple): cohort =
+    // a user's FIRST active week; for offsets 0..7 the share of the
+    // cohort active in week cohort+off. Shape: ONE (user, week)
+    // distinct shuffle, a per-user min (same key — no extra exchange
+    // class), cohort sizes broadcast back (≤|weeks| rows), output
+    // |weeks|·8. All counts exact; retention via ratio6.
+    "q_cohort_retention" -> ((s, d) => {
+      val uw = ev(s, d).select(col("user_id"),
+          floor(unix_timestamp(col("ts")) / 604800).cast("long").as("week"))
+        .distinct()
+      val first = uw.groupBy(col("user_id"))
+        .agg(min(col("week")).as("cohort_w"))
+      val sizes = first.groupBy(col("cohort_w"))
+        .agg(count(lit(1)).as("n_cohort"))
+      uw.join(first, Seq("user_id"))
+        .select(col("cohort_w"), (col("week") - col("cohort_w")).as("off"))
+        .filter(col("off") <= 7)
+        .groupBy(col("cohort_w"), col("off"))
+        // uw is (user, week)-distinct, so the count IS distinct users
+        .agg(count(lit(1)).as("n_active"))
+        .join(broadcast(sizes), Seq("cohort_w"))
+        .select(col("cohort_w"), col("off"), col("n_active"),
+          col("n_cohort"),
+          ratio6(col("n_active"), col("n_cohort")).as("retention_r"))
+        .orderBy(col("cohort_w"), col("off"))
+    }),
+
+    // Sessionization census (gaps-and-islands with a 30-minute idle
+    // timeout — the q_streaks discipline at second resolution): session
+    // starts flagged by lag(), session ids by running count of starts
+    // (both inside ONE per-user window — parallelism grows with users),
+    // per-session rollup, then a constant-size global census. Every
+    // reported mean is a ratio6 of exact integers.
+    "q_sessionize" -> ((s, d) => {
+      val e = ev(s, d).select(col("user_id"),
+        unix_timestamp(col("ts")).as("sec"), col("event_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("sec"), col("event_id"))
+      val sess = e.withColumn("prev", lag(col("sec"), 1).over(w))
+        .withColumn("new_s", when(col("prev").isNull ||
+          col("sec") - col("prev") > 1800, 1L).otherwise(0L))
+        .withColumn("sid", sum(col("new_s")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("sec")) - min(col("sec"))).as("dur_sec"))
+      sess.agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        ratio6(sum(col("n_events")), count(lit(1)))
+          .as("events_per_session_r"),
+        ratio6(sum(col("dur_sec")), count(lit(1))).as("mean_dur_sec_r"),
+        max(col("dur_sec")).as("max_dur_sec"),
+        sum(when(col("n_events") === 1, 1L).otherwise(0L)).as("n_bounce"))
+    }),
+
+    // Top click-path trigrams (journey mining next to the pairwise
+    // q_event_transitions): per-user time-ordered event-type 3-grams
+    // via two lead()s in ONE window, counted over the bounded
+    // |types|³ path domain, top-20 with full tiebreak (TakeOrdered).
+    "q_session_paths" -> ((s, d) => {
+      val e = ev(s, d).select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("sec"), col("event_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("sec"), col("event_id"))
+      e.withColumn("e2", lead(col("event_type"), 1).over(w))
+        .withColumn("e3", lead(col("event_type"), 2).over(w))
+        .filter(col("e3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("e2"), col("e3"))
+          .as("path"))
+        .groupBy(col("path")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path")).limit(20)
+    }),
+
+    // CUSUM level-shift detector over the daily count series (the
+    // change-point alarm the drift suite lacked): residuals scaled by
+    // the day count so EVERYTHING is exact integers — s_i = td·x_i − te
+    // (td days, te total events), C_i = max(0, C_{i-1} + s_i) in 1/td
+    // units — the Page CUSUM recursion with zero float ops; the one
+    // reported ratio is ratio6. Folded in sorted day order over the
+    // bounded day domain (the q_holt_linear fold discipline); the
+    // oracle replays the recursion as a RECURSIVE CTE.
+    "q_cusum_shift" -> ((s, d) => {
+      val daily = ev(s, d)
+        .groupBy(floor(unix_timestamp(col("ts")) / 86400).cast("long")
+          .as("day"))
+        .agg(count(lit(1)).as("n"))
+      val tot = daily.agg(sum(col("n")).as("te"), count(lit(1)).as("td"))
+      val st = daily.crossJoin(broadcast(tot))
+        .select(col("day"), col("td"),
+          (col("td") * col("n") - col("te")).as("sres"))
+      st.agg(min(col("td")).as("td"),
+          aggregate(
+            sort_array(collect_list(struct(col("day"), col("sres")))),
+            struct(lit(0L).as("cur"), lit(0L).as("mx"),
+              lit(-1L).as("mx_day")),
+            (s0, x) => {
+              val cur2 = greatest(lit(0L),
+                s0.getField("cur") + x.getField("sres"))
+              struct(cur2.as("cur"),
+                greatest(s0.getField("mx"), cur2).as("mx"),
+                when(cur2 > s0.getField("mx"), x.getField("day"))
+                  .otherwise(s0.getField("mx_day")).as("mx_day"))
+            }).as("st"))
+        .select(col("st.mx_day").as("shift_day"),
+          col("st.mx").as("cusum_scaled"),
+          ratio6(col("st.mx"), col("td")).as("cusum_r"))
     })
   )
 
@@ -973,7 +1088,7 @@ object EventQueries {
     // the median rank convention ((m+1)/2, (m+2)/2 with a 2-value avg)
     // and the OLS exact-moment op order mirror the engine exactly
     "q_trend_robust" ->
-      """WITH daily AS (
+      s"""WITH daily AS (
         |  SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
         |    CAST(COUNT(*) AS BIGINT) AS y
         |  FROM events GROUP BY 1),
@@ -991,7 +1106,7 @@ object EventQueries {
         |    ROW_NUMBER() OVER (ORDER BY slope, di, dj) AS rk
         |  FROM pairs),
         |med AS (
-        |  SELECT ROUND(AVG(slope), 6) AS ts_slope_r
+        |  SELECT ${det6Sql("AVG(slope)")} AS ts_slope_r
         |  FROM rk, mk WHERE rk = (n_pairs + 1) // 2 OR rk = (n_pairs + 2) // 2),
         |m AS (
         |  SELECT CAST(COUNT(*) AS HUGEINT) AS n,
@@ -1002,8 +1117,8 @@ object EventQueries {
         |    CAST(SUM(CAST(day * day AS HUGEINT)) AS HUGEINT) AS sxx
         |  FROM daily)
         |SELECT m.n_days, mk.n_pairs, mk.mk_s, med.ts_slope_r,
-        |  ROUND(CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE) /
-        |    CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE), 6) AS ols_slope_r
+        |  ${sratio6Sql("m.n * m.sxy - m.sx * m.sy",
+                        "m.n * m.sxx - m.sx * m.sx")} AS ols_slope_r
         |FROM m, mk, med""".stripMargin,
 
     "q_events_ewma" -> {
@@ -1028,7 +1143,7 @@ object EventQueries {
     },
 
     "q_event_transitions" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT user_id, event_type, event_id,
         |    CAST(FLOOR(date_part('epoch', ts)) AS BIGINT) AS sec
         |  FROM events
@@ -1044,7 +1159,7 @@ object EventQueries {
         |  FROM lagged WHERE prev_type IS NOT NULL GROUP BY 1, 2
         |)
         |SELECT prev_type, next_type, n,
-        |  ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY prev_type), 6) AS p
+        |  ${ratio6Sql("n", "SUM(n) OVER (PARTITION BY prev_type)")} AS p
         |FROM pairs ORDER BY prev_type, next_type""".stripMargin,
 
     "q_attribution" ->
@@ -1076,7 +1191,7 @@ object EventQueries {
         |FROM b GROUP BY 1 ORDER BY attr_day""".stripMargin,
 
     "q_funnel_steps" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT user_id, event_type,
         |    CAST(FLOOR(date_part('epoch', ts)) AS BIGINT) AS sec
         |  FROM events
@@ -1092,10 +1207,10 @@ object EventQueries {
         |SELECT COUNT(*) AS n_view,
         |  COUNT(t2) AS n_view_click,
         |  COUNT(t3) AS n_funnel,
-        |  ROUND(COUNT(t2) * 1.0 / COUNT(*), 6) AS conv_click,
-        |  ROUND(COUNT(t3) * 1.0 / COUNT(*), 6) AS conv_full,
-        |  ROUND(AVG(t2 - t1), 6) AS avg_sec_to_click,
-        |  ROUND(AVG(t3 - t2), 6) AS avg_sec_to_purchase
+        |  ${ratio6Sql("COUNT(t2)", "COUNT(*)")} AS conv_click,
+        |  ${ratio6Sql("COUNT(t3)", "COUNT(*)")} AS conv_full,
+        |  ${ratio6Sql("SUM(t2 - t1)", "COUNT(t2)")} AS avg_sec_to_click,
+        |  ${ratio6Sql("SUM(t3 - t2)", "COUNT(t3)")} AS avg_sec_to_purchase
         |FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)""".stripMargin,
 
     // see the query comment: membership of >n/17 items is MG-guaranteed
@@ -1442,8 +1557,10 @@ object EventQueries {
         |LIMIT 20""".stripMargin,
 
     // epoch-day mod 7 weekday; exact integers; mirrored divisions
+    // ((day % 7) + 7) % 7 mirrors Spark's pmod for negative epoch-days
+    // (pre-1970 timestamps) — ADVICE r13; post-1970 fixtures never hit it
     "q_seasonality" ->
-      """WITH daily AS (
+      s"""WITH daily AS (
         |  SELECT (epoch_us(ts) // 1000000) // 86400 AS day, COUNT(*) AS n
         |  FROM events GROUP BY 1),
         |tot AS (
@@ -1451,19 +1568,17 @@ object EventQueries {
         |    CAST(COUNT(*) AS BIGINT) AS td
         |  FROM daily),
         |dw AS (
-        |  SELECT day % 7 AS dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  SELECT ((day % 7) + 7) % 7 AS dow, CAST(COUNT(*) AS BIGINT) AS n_days,
         |    CAST(SUM(n) AS BIGINT) AS n_events
         |  FROM daily GROUP BY 1)
         |SELECT dow, n_days, n_events,
-        |  ROUND(CAST(n_events AS DOUBLE) / CAST(n_days AS DOUBLE), 6)
-        |    AS avg_r,
-        |  ROUND((CAST(n_events AS DOUBLE) / CAST(n_days AS DOUBLE))
-        |    / (CAST(te AS DOUBLE) / CAST(td AS DOUBLE)), 6) AS idx_r
+        |  ${ratio6Sql("n_events", "n_days")} AS avg_r,
+        |  ${ratio6Sql("n_events * td", "n_days * te")} AS idx_r
         |FROM dw, tot ORDER BY dow""".stripMargin,
 
     // weekly cents; lag over the bounded week domain; prev > 0 guard
     "q_growth_rates" ->
-      """WITH weekly AS (
+      s"""WITH weekly AS (
         |  SELECT (epoch_us(o_orderdate) // 1000000) // 604800 AS week,
         |    CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
         |      AS rev_c
@@ -1473,22 +1588,21 @@ object EventQueries {
         |    LAG(rev_c, 1) OVER (ORDER BY week) AS prev_c
         |  FROM weekly)
         |SELECT week, rev_c, prev_c,
-        |  ROUND(CAST(rev_c - prev_c AS DOUBLE) / CAST(prev_c AS DOUBLE), 6)
-        |    AS growth_r
-        |FROM lagged WHERE prev_c IS NOT NULL
+        |  ${sratio6Sql("rev_c - prev_c", "prev_c")} AS growth_r
+        |FROM lagged WHERE prev_c IS NOT NULL AND prev_c > 0
         |ORDER BY week""".stripMargin,
 
     // piecewise-constant segments per (user, day); value·µs exact in
     // DECIMAL; one final division
     "q_twap" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT (epoch_us(ts) // 1000000) // 86400 AS day, user_id,
         |    epoch_us(ts) AS us,
         |    CAST(ROUND(value*100) AS BIGINT) AS v, event_id
         |  FROM events),
         |seg AS (
         |  SELECT day,
-        |    CAST(v AS DECIMAL(38,0)) * (nxt - us) AS wv, nxt - us AS dt
+        |    CAST(v AS HUGEINT) * (nxt - us) AS wv, nxt - us AS dt
         |  FROM (
         |    SELECT day, us, v,
         |      LEAD(us, 1) OVER (PARTITION BY user_id, day
@@ -1497,14 +1611,13 @@ object EventQueries {
         |  WHERE nxt IS NOT NULL)
         |SELECT day, COUNT(*) AS n_segments,
         |  CAST(SUM(dt) AS BIGINT) AS dt_us,
-        |  ROUND(CAST(SUM(wv) AS DOUBLE) / CAST(CAST(SUM(dt) AS BIGINT) AS DOUBLE), 6)
-        |    AS twap_r
+        |  ${sratio6Sql("SUM(wv)", "SUM(dt)")} AS twap_r
         |FROM seg GROUP BY day ORDER BY day""".stripMargin,
 
     // exact decimal moments per lag over pairwise-present day pairs;
     // one sqrt + one division (both correctly rounded IEEE)
     "q_acf" ->
-      """WITH daily AS (
+      s"""WITH daily AS (
         |  SELECT (epoch_us(ts) // 1000000) // 86400 AS day, COUNT(*) AS n
         |  FROM events GROUP BY 1),
         |lagged AS (
@@ -1522,9 +1635,9 @@ object EventQueries {
         |    SUM(CAST(y*y AS DECIMAL(38,0))) AS syy
         |  FROM pairs GROUP BY lag)
         |SELECT lag, CAST(np AS BIGINT) AS n_pairs,
-        |  ROUND(CAST(np*sxy - sx*sy AS DOUBLE) /
-        |    sqrt(CAST(np*sxx - sx*sx AS DOUBLE) *
-        |      CAST(np*syy - sy*sy AS DOUBLE)), 6) AS acf_r
+        |  ${det6Sql("CAST(np*sxy - sx*sy AS DOUBLE) / " +
+                     "sqrt(CAST(np*sxx - sx*sx AS DOUBLE) * " +
+                     "CAST(np*syy - sy*sy AS DOUBLE))")} AS acf_r
         |FROM m ORDER BY lag""".stripMargin,
 
     // the identical dyadic recursion replayed as a RECURSIVE CTE in day
@@ -1534,7 +1647,7 @@ object EventQueries {
     // oracle's 4-lane struct reduce survives only because its lanes
     // never cross-read)
     "q_holt_linear" ->
-      """WITH RECURSIVE daily AS (
+      s"""WITH RECURSIVE daily AS (
         |  SELECT (epoch_us(ts) // 1000000) // 86400 AS day, COUNT(*) AS n
         |  FROM events GROUP BY 1),
         |ser AS (
@@ -1549,8 +1662,101 @@ object EventQueries {
         |    0.5 * ser.y + 0.5 * (s.l + s.b),
         |    0.5 * ((0.5 * ser.y + 0.5 * (s.l + s.b)) - s.l) + 0.5 * s.b
         |  FROM rec s JOIN ser ON ser.i = s.i + 1)
-        |SELECT n_days, ROUND(l, 6) AS level_r, ROUND(b, 6) AS trend_r,
-        |  ROUND(l + 7.0 * b, 6) AS fc7_r
-        |FROM rec, nd WHERE i = n_days""".stripMargin
+        |SELECT n_days, ${det6Sql("l")} AS level_r, ${det6Sql("b")} AS trend_r,
+        |  ${det6Sql("l + 7.0 * b")} AS fc7_r
+        |FROM rec, nd WHERE i = n_days""".stripMargin,
+
+    // (user, week)-distinct activity; first week per user; exact counts
+    "q_cohort_retention" ->
+      s"""WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |    (epoch_us(ts) // 1000000) // 604800 AS week
+        |  FROM events),
+        |f AS (SELECT user_id, MIN(week) AS cohort_w FROM uw GROUP BY 1),
+        |sz AS (SELECT cohort_w, COUNT(*) AS n_cohort FROM f GROUP BY 1),
+        |act AS (
+        |  SELECT f.cohort_w, uw.week - f.cohort_w AS off,
+        |    COUNT(*) AS n_active
+        |  FROM uw JOIN f USING (user_id)
+        |  WHERE uw.week - f.cohort_w <= 7
+        |  GROUP BY 1, 2)
+        |SELECT a.cohort_w, a.off, a.n_active, s.n_cohort,
+        |  ${ratio6Sql("a.n_active", "s.n_cohort")} AS retention_r
+        |FROM act a JOIN sz s USING (cohort_w)
+        |ORDER BY cohort_w, off""".stripMargin,
+
+    // identical gaps-and-islands session ids; single-node windows are
+    // fine for the oracle
+    "q_sessionize" ->
+      s"""WITH e AS (
+        |  SELECT user_id, event_id,
+        |    CAST(FLOOR(date_part('epoch', ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |fl AS (
+        |  SELECT user_id, sec, event_id,
+        |    CASE WHEN LAG(sec) OVER w IS NULL
+        |           OR sec - LAG(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+        |sid AS (
+        |  SELECT user_id, sec,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM fl),
+        |sess AS (
+        |  SELECT user_id, sid, COUNT(*) AS n_events,
+        |    MAX(sec) - MIN(sec) AS dur_sec
+        |  FROM sid GROUP BY 1, 2)
+        |SELECT COUNT(*) AS n_sessions,
+        |  CAST(SUM(n_events) AS BIGINT) AS n_events,
+        |  ${ratio6Sql("SUM(n_events)", "COUNT(*)")} AS events_per_session_r,
+        |  ${ratio6Sql("SUM(dur_sec)", "COUNT(*)")} AS mean_dur_sec_r,
+        |  MAX(dur_sec) AS max_dur_sec,
+        |  CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bounce
+        |FROM sess""".stripMargin,
+
+    // the same two-LEAD trigram expansion over the bounded path domain
+    "q_session_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id,
+        |    CAST(FLOOR(date_part('epoch', ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |tri AS (
+        |  SELECT event_type AS e1,
+        |    LEAD(event_type, 1) OVER w AS e2,
+        |    LEAD(event_type, 2) OVER w AS e3
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id))
+        |SELECT e1 || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n
+        |FROM tri WHERE e3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
+
+    // the exact-integer Page recursion replayed as a RECURSIVE CTE (the
+    // q_holt_linear machinery, but with zero float state)
+    "q_cusum_shift" ->
+      s"""WITH RECURSIVE daily AS (
+        |  SELECT (epoch_us(ts) // 1000000) // 86400 AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS te,
+        |  CAST(COUNT(*) AS BIGINT) AS td FROM daily),
+        |ser AS (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY day) AS i, day,
+        |    td * n - te AS sres
+        |  FROM daily, tot),
+        |rec AS (
+        |  SELECT CAST(1 AS BIGINT) AS i,
+        |    GREATEST(0, sres) AS cur,
+        |    GREATEST(0, sres) AS mx,
+        |    CASE WHEN GREATEST(0, sres) > 0 THEN day ELSE -1 END AS mx_day
+        |  FROM ser WHERE i = 1
+        |  UNION ALL
+        |  SELECT r.i + 1,
+        |    GREATEST(0, r.cur + s.sres),
+        |    GREATEST(r.mx, GREATEST(0, r.cur + s.sres)),
+        |    CASE WHEN GREATEST(0, r.cur + s.sres) > r.mx THEN s.day
+        |         ELSE r.mx_day END
+        |  FROM rec r JOIN ser s ON s.i = r.i + 1)
+        |SELECT mx_day AS shift_day, CAST(mx AS BIGINT) AS cusum_scaled,
+        |  ${ratio6Sql("mx", "td")} AS cusum_r
+        |FROM rec, tot WHERE i = td""".stripMargin
   )
 }

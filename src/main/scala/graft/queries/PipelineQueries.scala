@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.functions.ExactRatio.{ratio6, ratio6Sql}
 import graft.operators.{Eval, Popularity, Recommend, Split}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -370,8 +371,8 @@ object PipelineQueries {
           Seq("nbr"))
         .select(col("item").as("antecedent"), col("nbr").as("consequent"),
           col("c12"),
-          round(col("c12") / col("c1"), 6).as("confidence"),
-          round(col("c12") * lit(nUsers.toDouble) / (col("c1") * col("c2")), 6)
+          ratio6(col("c12"), col("c1")).as("confidence"),
+          ratio6(col("c12") * lit(nUsers), col("c1") * col("c2"))
             .as("lift"))
         .orderBy(col("lift").desc, col("antecedent"), col("consequent"))
         .limit(100)
@@ -676,10 +677,10 @@ object PipelineQueries {
     "q_item_rules" ->
       s"""WITH ${Tables.ratingsSql},
          |$itemIndexCtes,
-         |u AS (SELECT CAST(COUNT(DISTINCT userId) AS DOUBLE) AS nu FROM capped)
+         |u AS (SELECT CAST(COUNT(DISTINCT userId) AS BIGINT) AS nu FROM capped)
          |SELECT item AS antecedent, nbr AS consequent, c12,
-         |  ROUND(c12 / ca.c, 6) AS confidence,
-         |  ROUND(c12 * (SELECT nu FROM u) / (ca.c * cb.c), 6) AS lift
+         |  ${ratio6Sql("c12", "ca.c")} AS confidence,
+         |  ${ratio6Sql("c12 * (SELECT nu FROM u)", "ca.c * cb.c")} AS lift
          |FROM idx JOIN cnt ca ON idx.item = ca.movieId
          |         JOIN cnt cb ON idx.nbr = cb.movieId
          |ORDER BY lift DESC, antecedent, consequent LIMIT 100""".stripMargin,

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.Tables
+import graft.functions.ExactRatio.{ratio6, ratio6Sql}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -368,8 +369,10 @@ object RelationalQueries {
         .groupBy(col("l_partkey").as("key")).agg(count(lit(1)).as("n"))
       val stats = counts.agg(count(lit(1)).as("n_keys"),
         sum(col("n")).as("n_rows"), max(col("n")).as("max_n"),
-        round(avg(col("n")), 6).as("mean_n"),
-        round(max(col("n")) / avg(col("n")), 6).as("skew_factor"))
+        ratio6(sum(col("n")), count(lit(1))).as("mean_n"),
+        // max/mean = max·n_keys/sum — ONE exact integer ratio
+        ratio6(max(col("n")) * count(lit(1)), sum(col("n")))
+          .as("skew_factor"))
       counts.orderBy(col("n").desc, col("key")).limit(5)
         .crossJoin(broadcast(stats)) // 1-row scalar attach
         .select(col("key"), col("n"), col("n_keys"), col("n_rows"),
@@ -474,8 +477,7 @@ object RelationalQueries {
           sum(when(col("gsize") < 5, 1L).otherwise(0L)).as("groups_lt5"))
         .select(col("n_groups"), col("k_min"), col("n_rows"),
           col("rows_at_risk"), col("groups_lt5"),
-          round(col("rows_at_risk").cast("double") /
-            col("n_rows").cast("double"), 6).as("risk_frac_r"))
+          ratio6(col("rows_at_risk"), col("n_rows")).as("risk_frac_r"))
     }),
 
     // l-diversity (the companion audit: within each QI group, how many
@@ -553,13 +555,13 @@ object RelationalQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q_skew_report" ->
-      """WITH c AS (
+      s"""WITH c AS (
         |  SELECT l_partkey AS key, COUNT(*) AS n FROM lineitem GROUP BY 1
         |),
         |s AS (
         |  SELECT COUNT(*) AS n_keys, CAST(SUM(n) AS BIGINT) AS n_rows,
-        |    MAX(n) AS max_n, ROUND(AVG(n), 6) AS mean_n,
-        |    ROUND(MAX(n) * 1.0 / AVG(n), 6) AS skew_factor
+        |    MAX(n) AS max_n, ${ratio6Sql("SUM(n)", "COUNT(*)")} AS mean_n,
+        |    ${ratio6Sql("MAX(n) * COUNT(*)", "SUM(n)")} AS skew_factor
         |  FROM c
         |)
         |SELECT key, n, n_keys, n_rows, max_n, mean_n, skew_factor
@@ -806,7 +808,7 @@ object RelationalQueries {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_k_anonymity" ->
-      """WITH qi AS (
+      s"""WITH qi AS (
         |  SELECT c_mktsegment AS seg, c_nationkey AS nat,
         |    CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS bal_band
         |  FROM customer),
@@ -819,8 +821,8 @@ object RelationalQueries {
         |    AS rows_at_risk,
         |  CAST(SUM(CASE WHEN gsize < 5 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS groups_lt5,
-        |  ROUND(CAST(SUM(CASE WHEN gsize < 5 THEN gsize ELSE 0 END) AS DOUBLE)
-        |    / CAST(SUM(gsize) AS DOUBLE), 6) AS risk_frac_r
+        |  ${ratio6Sql("SUM(CASE WHEN gsize < 5 THEN gsize ELSE 0 END)",
+                       "SUM(gsize)")} AS risk_frac_r
         |FROM g""".stripMargin,
 
     "q_l_diversity" ->

@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.operators.{Dedup, Split, TextAnalysis}
 import graft.functions.TextHashFunctions
+import graft.functions.ExactRatio.{ratio6, ratio6Sql, det6, det6Sql}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -319,16 +320,18 @@ object TextQueries {
           sum(col("w") * col("n_chars")).as("swx"))
         .filter(col("sw") > 0)
         .select(col("source"), col("r"),
-          (col("swx").cast("double") / col("sw")).as("m"))
+          (col("swx").cast("double") / col("sw")).as("m"),
+          // rank on the raw double ratio (mirrored), REPORT the exact
+          // integer 6-dp rounding — no ROUND(DOUBLE) seam in the output
+          ratio6(col("swx"), col("sw")).as("m6"))
       val wRank = Window.partitionBy(col("source"))
         .orderBy(col("m"), col("r"))
       val ci = perRep.withColumn("rn", row_number().over(wRank))
         .groupBy(col("source"))
-        .agg(round(max(when(col("rn") === 5, col("m"))), 6).as("ci_lo_r"),
-          round(max(when(col("rn") === 196, col("m"))), 6).as("ci_hi_r"))
+        .agg(max(when(col("rn") === 5, col("m6"))).as("ci_lo_r"),
+          max(when(col("rn") === 196, col("m6"))).as("ci_hi_r"))
       val point = base.groupBy(col("source"))
-        .agg(round(sum(col("n_chars")).cast("double") / count(lit(1)), 6)
-          .as("mean_r"))
+        .agg(ratio6(sum(col("n_chars")), count(lit(1))).as("mean_r"))
       point.join(ci, Seq("source")).orderBy(col("source"))
     }),
 
@@ -392,8 +395,8 @@ object TextQueries {
         .select(col("doc_id"), col("n_tokens"), col("top2_n"),
           col("g2_tot"), col("dup3_n"), col("g3_tot"), col("dupch_n"),
           col("ch_tot"),
-          when(col("g2_tot") > 0, round(col("top2_n").cast("double") /
-            col("g2_tot"), 6)).otherwise(lit(0.0)).as("top2_frac"))
+          when(col("g2_tot") > 0, ratio6(col("top2_n"), col("g2_tot")))
+            .otherwise(lit(0.0)).as("top2_frac"))
         .orderBy(col("doc_id"))
     }),
 
@@ -656,8 +659,8 @@ object TextQueries {
         sum(col("n_toks")).as("total_tokens"),
         sum(col("nchar")).as("total_chars"),
         round(avg(col("q")), 6).as("mean_quality"),
-        round(avg(col("is_en")), 6).as("en_frac"),
-        round(lit(1.0) - countDistinct(col("fp")) / count(lit(1)), 6)
+        ratio6(sum(col("is_en")), count(lit(1))).as("en_frac"),
+        ratio6(count(lit(1)) - countDistinct(col("fp")), count(lit(1)))
           .as("dup_rate"),
         round(expr("percentile(n_toks, 0.5)"), 6).as("p50_tokens"))
         .orderBy(col("source"))
@@ -1197,8 +1200,7 @@ object TextQueries {
         .groupBy(col("doc_id"))
         .agg(
           max(struct(col("c"), col("term"))).getField("term").as("top_term"),
-          round(max(col("c")).cast("double") / sum(col("c")).cast("double"), 6)
-            .as("rep_ratio"),
+          ratio6(max(col("c")), sum(col("c"))).as("rep_ratio"),
           sum(col("c")).as("n_tokens"))
         .orderBy(col("doc_id"))
     }),
@@ -1232,8 +1234,8 @@ object TextQueries {
         .groupBy(col("source"))
         .agg(sum(col("c")).as("n_tokens"),
           count(lit(1)).as("n_types"),
-          round(count(lit(1)).cast("double") / sum(col("c")), 6).as("ttr_r"),
-          round(count(when(col("c") === 1, 1)).cast("double") / count(lit(1)), 6)
+          ratio6(count(lit(1)), sum(col("c"))).as("ttr_r"),
+          ratio6(count(when(col("c") === 1, 1)), count(lit(1)))
             .as("hapax_r"))
         .orderBy(col("source"))
     }),
@@ -1890,20 +1892,21 @@ object TextQueries {
        |  SELECT source, r, SUM(w) AS sw, SUM(w * n_chars) AS swx
        |  FROM b7 GROUP BY source, r),
        |pm AS (
-       |  SELECT source, r, CAST(swx AS DOUBLE) / sw AS m
+       |  SELECT source, r, CAST(swx AS DOUBLE) / sw AS m,
+       |    ${ratio6Sql("swx", "sw")} AS m6
        |  FROM pr WHERE sw > 0),
        |rk AS (
-       |  SELECT source, m,
+       |  SELECT source, m, m6,
        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY m, r) AS rn
        |  FROM pm),
        |ci AS (
        |  SELECT source,
-       |    ROUND(MAX(CASE WHEN rn = 5 THEN m END), 6) AS ci_lo_r,
-       |    ROUND(MAX(CASE WHEN rn = 196 THEN m END), 6) AS ci_hi_r
+       |    MAX(CASE WHEN rn = 5 THEN m6 END) AS ci_lo_r,
+       |    MAX(CASE WHEN rn = 196 THEN m6 END) AS ci_hi_r
        |  FROM rk GROUP BY source),
        |pt AS (
        |  SELECT source,
-       |    ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS mean_r
+       |    ${ratio6Sql("SUM(n_chars)", "COUNT(*)")} AS mean_r
        |  FROM documents GROUP BY source)
        |SELECT pt.source, mean_r, ci_lo_r, ci_hi_r
        |FROM pt JOIN ci USING (source) ORDER BY source""".stripMargin
@@ -2020,7 +2023,7 @@ object TextQueries {
          |SELECT doc_id, n_tokens, top2_n, g2_tot, dup3_n, g3_tot,
          |  dupch_n, ch_tot,
          |  CASE WHEN g2_tot > 0
-         |       THEN ROUND(CAST(top2_n AS DOUBLE) / g2_tot, 6)
+         |       THEN ${ratio6Sql("top2_n", "g2_tot")}
          |       ELSE 0.0 END AS top2_frac
          |FROM rep ORDER BY doc_id""".stripMargin,
 
@@ -2073,24 +2076,30 @@ object TextQueries {
          |tok AS (SELECT id, sz, UNNEST(shs) AS g FROM ne),
          |dfq AS (SELECT g, COUNT(*) AS dfreq FROM tok GROUP BY g),
          |pref AS (
-         |  SELECT g, id, sz FROM (
+         |  SELECT g, id, sz, rn AS pos FROM (
          |    SELECT t.g, t.id, t.sz,
          |      ROW_NUMBER() OVER (PARTITION BY t.id ORDER BY d.dfreq, t.g) AS rn
          |    FROM tok t JOIN dfq d USING (g)) x
          |  WHERE rn <= sz - (4 * sz + 4) // 5 + 1),
-         |cand AS (
-         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         |jn AS (
+         |  SELECT a.id AS id_a, b.id AS id_b,
+         |    (1 + least(a.sz - a.pos, b.sz - b.pos)) * 9 >= 4 * (a.sz + b.sz)
+         |      AS pos_ok
          |  FROM pref a JOIN pref b ON a.g = b.g AND a.id < b.id
          |   AND 4 * greatest(a.sz, b.sz) <= 5 * least(a.sz, b.sz)),
+         |cand AS (SELECT DISTINCT id_a, id_b FROM jn),
+         |candp AS (SELECT DISTINCT id_a, id_b FROM jn WHERE pos_ok),
          |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand),
+         |ncp AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates_pos
+         |        FROM candp),
          |nv AS (
          |  SELECT CAST(COUNT(*) AS BIGINT) AS n_verified
-         |  FROM cand c JOIN ne a ON a.id = c.id_a JOIN ne b ON b.id = c.id_b
+         |  FROM candp c JOIN ne a ON a.id = c.id_a JOIN ne b ON b.id = c.id_b
          |  WHERE 5 * len(list_intersect(a.shs, b.shs)) >=
          |        4 * (a.sz + b.sz - len(list_intersect(a.shs, b.shs))))
          |SELECT n_docs, n_docs * (n_docs - 1) // 2 AS n_all_pairs,
-         |  n_length_pairs, n_candidates, n_verified
-         |FROM nd, lp, nc, nv""".stripMargin,
+         |  n_length_pairs, n_candidates, n_candidates_pos, n_verified
+         |FROM nd, lp, nc, ncp, nv""".stripMargin,
 
     "q_bootstrap_ci" -> bootstrapOracle,
 
@@ -2529,10 +2538,12 @@ object TextQueries {
          |  CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
          |  CAST(SUM(nchar_b) AS BIGINT) AS total_chars,
          |  ROUND(AVG(q), 6) AS mean_quality,
-         |  ROUND(AVG(CASE WHEN hits_en >= 1 AND hits_en > hits_de
-         |                  AND hits_en >= hits_es AND hits_en >= hits_fr
-         |             THEN 1.0 ELSE 0.0 END), 6) AS en_frac,
-         |  ROUND(1.0 - COUNT(DISTINCT fp) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_rate,
+         |  ${ratio6Sql(
+             "SUM(CASE WHEN hits_en >= 1 AND hits_en > hits_de " +
+               "AND hits_en >= hits_es AND hits_en >= hits_fr " +
+               "THEN 1 ELSE 0 END)",
+             "COUNT(*)")} AS en_frac,
+         |  ${ratio6Sql("COUNT(*) - COUNT(DISTINCT fp)", "COUNT(*)")} AS dup_rate,
          |  ROUND(CAST(quantile_cont(n_toks, 0.5) AS DOUBLE), 6) AS p50_tokens
          |FROM m GROUP BY source ORDER BY source""".stripMargin,
 
@@ -2629,8 +2640,8 @@ object TextQueries {
          |)
          |SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
          |  COUNT(*) AS n_types,
-         |  ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS ttr_r,
-         |  ROUND(CAST(COUNT(CASE WHEN c = 1 THEN 1 END) AS DOUBLE) / COUNT(*), 6)
+         |  ${ratio6Sql("COUNT(*)", "SUM(c)")} AS ttr_r,
+         |  ${ratio6Sql("COUNT(CASE WHEN c = 1 THEN 1 END)", "COUNT(*)")}
          |    AS hapax_r
          |FROM tc GROUP BY source ORDER BY source""".stripMargin,
 
@@ -2920,7 +2931,7 @@ object TextQueries {
          |  FROM c
          |)
          |SELECT doc_id, term AS top_term,
-         |  ROUND(CAST(mx AS DOUBLE) / n_tokens, 6) AS rep_ratio,
+         |  ${ratio6Sql("mx", "n_tokens")} AS rep_ratio,
          |  CAST(n_tokens AS BIGINT) AS n_tokens
          |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
 
@@ -3338,8 +3349,64 @@ object TextQueries {
          |SELECT bucket, COUNT(*) AS n_docs,
          |  CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
          |  CAST(SUM(pad) AS BIGINT) AS sum_pad,
-         |  ROUND(CAST(SUM(n_tok) AS DOUBLE) /
-         |        CAST(SUM(n_tok) + SUM(pad) AS DOUBLE), 6) AS fill_ratio
+         |  ${ratio6Sql("SUM(n_tok)", "SUM(n_tok) + SUM(pad)")} AS fill_ratio
          |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
   )
+
+  /** Oracles that need a FITTED model's parameters as SQL literals —
+    * generated at Verify time (when a SparkSession and scale dir exist),
+    * merged into oracle_sql.json next to the static map. The fits are
+    * deterministic (pinned single-partition inputs — the KMeans lesson),
+    * so the embedded literals are a pure function of (corpus, config)
+    * and the replay is a true cross-engine oracle, not an echo.
+    */
+  def dynamicOracleSql(s: SparkSession, d: String): Map[String, String] =
+    Map("q_quality_classifier" -> qualityLrOracleSql(qlrModel(s, d)))
+
+  /** SQL double literal with exact round-trip (shortest repr parses back
+    * to the identical double in DuckDB).
+    */
+  private def dlit(x: Double): String =
+    s"CAST('${java.lang.Double.toString(x)}' AS DOUBLE)"
+
+  /** The [[graft.operators.TextAnalysis.qualityLrScore]] twin: replays
+    * feature extraction (the proven duckToks/punct/stop twins + per-code
+    * [A-Z] and summed token length) and the sigmoid over the trained
+    * weights embedded as literals, in the ENGINE's exact fold order
+    * (intercept + w0·f0 + w1·f1 + … left-assoc). Feature order is owned
+    * by TextStats.langs on both sides — generated from the same array,
+    * so it cannot drift.
+    */
+  private def qualityLrOracleSql(
+      m: graft.operators.TextAnalysis.QualityLrModel): String = {
+    def wordList(ws: Iterable[String]): String =
+      ws.toSeq.sorted.map(w => s"'$w'").mkString("[", ",", "]")
+    val stopList = wordList(graft.operators.TextAnalysis.enStopwords)
+    val fs = Seq(
+      s"(CASE WHEN nchar = 0 THEN 0.0 ELSE len(regexp_extract_all(text, '[[:punct:]]')) / nchar END)",
+      s"(CASE WHEN nchar = 0 THEN 0.0 ELSE len(regexp_extract_all(text, '[A-Z]')) / nchar END)",
+      s"(CASE WHEN ntok = 0 THEN 0.0 ELSE len(list_filter(toks, x -> list_contains($stopList, x))) / ntok END)",
+      s"(CASE WHEN ntok = 0 THEN 0.0 ELSE len(array_to_string(toks, '')) / ntok END)",
+      s"ln(nchar + 1.0)") ++
+      graft.functions.TextStats.langs.map { case (_, ws) =>
+        s"(CASE WHEN ntok = 0 THEN 0.0 ELSE len(list_filter(toks, x -> list_contains(${wordList(ws)}, x))) / ntok END)"
+      }
+    require(fs.length == m.weights.length,
+      s"feature/weight arity: ${fs.length} vs ${m.weights.length}")
+    val z = m.weights.zip(fs).foldLeft(dlit(m.intercept)) {
+      case (acc, (w, f)) => s"$acc + ${dlit(w)} * $f"
+    }
+    s"""WITH t AS (
+       |  SELECT doc_id, text, $duckToks AS toks,
+       |    CAST(length(text) AS DOUBLE) AS nchar
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, text, toks, nchar,
+       |    CAST(len(toks) AS DOUBLE) AS ntok
+       |  FROM t)
+       |SELECT doc_id,
+       |  ROUND(1.0 / (1.0 + exp(-($z))), 6) AS score_r,
+       |  ROUND(1.0 / (1.0 + exp(-($z))), 6) >= 0.5 AS pred_keep
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
 }

@@ -93,11 +93,11 @@ class DedupSimilaritySpec extends SparkTestBase {
       (i.toLong, (0 to 10).map(j => s"t${(i + j) % 13}").mkString(" ")))
       .toDF("doc_id", "text")
     val row = Dedup.prefixJaccardFunnel(docs, 4, 5, nShingle = 1).head()
-    val (nd, ap, lp, nc, nv) = (row.getLong(0), row.getLong(1),
-      row.getLong(2), row.getLong(3), row.getLong(4))
+    val (nd, ap, lp, nc, ncp, nv) = (row.getLong(0), row.getLong(1),
+      row.getLong(2), row.getLong(3), row.getLong(4), row.getLong(5))
     assert(nd == 30 && ap == 30L * 29 / 2)
-    assert(lp <= ap && nc <= lp && nv <= nc,
-      s"funnel must narrow: $ap >= $lp >= $nc >= $nv")
+    assert(lp <= ap && nc <= lp && ncp <= nc && nv <= ncp,
+      s"funnel must narrow: $ap >= $lp >= $nc >= $ncp >= $nv")
     val exact = Dedup.prefixJaccardJoin(docs, 4, 5, nShingle = 1).count()
     assert(nv == exact, s"funnel n_verified $nv != exact join $exact")
   }

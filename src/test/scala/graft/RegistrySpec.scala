@@ -75,8 +75,15 @@ class RegistrySpec extends SparkTestBase {
 
   test("no-oracle queries are EXACTLY the declared exemptions, each with a reason") {
     // "no_oracle" in CORRECTNESS must stay a design decision, not an
-    // omission: a query ships with an oracle OR an explicit reason.
-    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    // omission: a query ships with an oracle (static OR model-literal
+    // dynamic) or an explicit reason.
+    val dynamic = SparkEntry.dynamicOracleSql(spark, sf).keySet
+    assert((dynamic -- SparkEntry.queries.keySet).isEmpty,
+      s"dynamic oracles without a query: ${dynamic -- SparkEntry.queries.keySet}")
+    assert((dynamic & SparkEntry.oracleSql.keySet).isEmpty,
+      s"dynamic oracle shadows a static one: ${dynamic & SparkEntry.oracleSql.keySet}")
+    val noOracle =
+      SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- dynamic
     val exempt = SparkEntry.oracleExempt.keySet
     assert((noOracle -- exempt).isEmpty,
       s"queries without oracle AND without exemption reason: ${noOracle -- exempt}")

@@ -544,4 +544,85 @@ class StatsGovernanceSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(inc == full)
   }
+
+  // ---- round-14 event tier ----
+
+  /** (user, epoch-second, event_id, event_type) fixture collected once
+    * for the driver-side session/cohort/path recomputes.
+    */
+  private lazy val evFixture: Array[(Long, Long, Long, String)] =
+    Tables.events(spark, sf)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("sec"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+
+  test("q_cohort_retention matches a driver-side recompute; offset-0 is 1.0") {
+    val uw = evFixture.map(e => (e._1, e._2 / 604800)).distinct
+    val first = uw.groupBy(_._1).map { case (u, ws) => u -> ws.map(_._2).min }
+    val sizes = first.groupBy(_._2).map { case (w, us) => w -> us.size.toLong }
+    val expected = uw.map { case (u, w) => (first(u), w - first(u)) }
+      .filter(_._2 <= 7)
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val got = q("q_cohort_retention").collect()
+    assert(got.length == expected.size)
+    got.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      assert(r.getLong(2) == expected(k), s"cell $k")
+      assert(r.getLong(3) == sizes(k._1))
+      if (k._2 == 0L) assert(r.getDouble(4) == 1.0, s"offset-0 cohort $k")
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0)
+    }
+  }
+
+  test("q_sessionize matches a driver-side gaps-and-islands recompute") {
+    val sessions = evFixture.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val secs = es.sortBy(e => (e._2, e._3)).map(_._2)
+      val bounds = secs.zip(0L +: secs.dropRight(1))
+        .map { case (s2, prev) => s2 -> (s2 - prev > 1800) }
+      // first event always starts a session
+      val flags = true +: bounds.drop(1).map(_._2)
+      val ids = flags.scanLeft(0L)((a, f) => if (f) a + 1 else a).drop(1)
+      secs.zip(ids).groupBy(_._2).values.map { g =>
+        (g.length.toLong, g.map(_._1).max - g.map(_._1).min)
+      }
+    }
+    val row = q("q_sessionize").collect().head
+    assert(row.getLong(0) == sessions.length.toLong)
+    assert(row.getLong(1) == sessions.map(_._1).sum)
+    assert(row.getLong(4) == sessions.map(_._2).max)
+    assert(row.getLong(5) == sessions.count(_._1 == 1L).toLong)
+    val meanEv = sessions.map(_._1).sum.toDouble / sessions.length
+    assert(math.abs(row.getDouble(2) - meanEv) < 1e-6)
+  }
+
+  test("q_session_paths matches a driver-side trigram count; top-20 order") {
+    val paths = evFixture.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val types = es.sortBy(e => (e._2, e._3)).map(_._4)
+      types.sliding(3).filter(_.length == 3).map(_.mkString(">"))
+    }.groupBy(identity).map { case (p, v) => p -> v.size.toLong }
+    val got = q("q_session_paths").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(got.length <= 20 && got.nonEmpty)
+    got.foreach { case (p, n) => assert(paths(p) == n, s"path $p") }
+    val top = paths.toSeq.sortBy { case (p, n) => (-n, p) }.take(got.length)
+    assert(got.toSeq == top)
+  }
+
+  test("q_cusum_shift matches an exact BigInt Page recursion") {
+    val daily = evFixture.map(_._2 / 86400)
+      .groupBy(identity).map { case (d, v) => d -> BigInt(v.size) }
+      .toSeq.sortBy(_._1)
+    val te = daily.map(_._2).sum
+    val td = BigInt(daily.length)
+    var cur = BigInt(0); var mx = BigInt(0); var mxDay = -1L
+    daily.foreach { case (day, n) =>
+      cur = (cur + td * n - te).max(BigInt(0))
+      if (cur > mx) { mx = cur; mxDay = day }
+    }
+    val row = q("q_cusum_shift").collect().head
+    assert(row.getLong(0) == mxDay)
+    assert(row.getLong(1) == mx.toLong)
+    assert(math.abs(row.getDouble(2) - mx.toDouble / td.toDouble) < 1e-6)
+  }
 }
