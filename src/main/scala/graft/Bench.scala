@@ -161,9 +161,10 @@ object Bench {
     // sample, per-user activity streaks
     "q_seasonality", "q_growth_rates", "q_sample_systematic", "q_streaks",
     // round-14: cohort retention matrix, 30-min sessionization census,
-    // click-path trigrams, exact-integer CUSUM change-point
+    // click-path trigrams, exact-integer CUSUM change-point, the
+    // token-budget curriculum sampler, multi-touch linear attribution
     "q_cohort_retention", "q_sessionize", "q_session_paths",
-    "q_cusum_shift")
+    "q_cusum_shift", "q_token_curriculum", "q_attribution_multi")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -318,7 +318,12 @@ object Soak {
       "session_paths" -> (() => noop(
         SparkEntry.queries("q_session_paths")(spark, d))),
       "cusum_shift" -> (() => noop(
-        SparkEntry.queries("q_cusum_shift")(spark, d))))
+        SparkEntry.queries("q_cusum_shift")(spark, d))),
+      // user-keyed 7-day range join + per-purchase windows: the touch
+      // fan-out grows with purchases×clicks-per-user-week — the soak
+      // watches that product stay user-bounded under the rekey
+      "attribution_multi" -> (() => noop(
+        SparkEntry.queries("q_attribution_multi")(spark, d))))
     // untimed per-scale index build so the item_recs row is serving-only
     def warmItemIndex(d: String): Unit =
       try { graft.queries.PipelineQueries.itemIndex(spark, d); () }

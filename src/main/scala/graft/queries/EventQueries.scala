@@ -644,6 +644,43 @@ object EventQueries {
         .orderBy(col("attr_day"))
     }),
 
+    // Multi-touch LINEAR attribution (the all-touch companion of the
+    // last-touch asof above): every click of the purchase's user in the
+    // 7-day lookback shares the revenue EQUALLY — in exact integer
+    // MICRO-CENTS via Hamilton splitting (each of the n touches gets
+    // ⌊rev_c·10⁶/n⌋; the first rev_c·10⁶ mod n touches in (click_us,
+    // click_id) order get +1), so per-day credit sums are exact longs
+    // and credit conservation (Σcredit = rev_c·10⁶ per purchase) is an
+    // identity, not a float approximation. Shape: one user-keyed range
+    // join (clicks per user per week bounded), two purchase-keyed
+    // windows, one day rollup.
+    "q_attribution_multi" -> ((s, d) => {
+      val e = ev(s, d).withColumn("us", unix_micros(col("ts")))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("pid"),
+          col("us").as("pus"), cents(col("value")).as("rev_c"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          col("us").as("cus"))
+      val touches = purchases.join(clicks, Seq("user_id"))
+        .filter(col("cus") <= col("pus") &&
+          col("pus") - col("cus") <= lit(7L * 86400L * 1000000L))
+      val wP = Window.partitionBy(col("pid"))
+      val wR = wP.orderBy(col("cus"), col("click_id"))
+      touches
+        .withColumn("n_t", count(lit(1)).over(wP))
+        .withColumn("rk", row_number().over(wR).cast("long"))
+        .withColumn("micro", col("rev_c") * lit(1000000L))
+        .withColumn("credit", expr("micro div n_t") +
+          when(col("rk") <= pmod(col("micro"), col("n_t")), 1L)
+            .otherwise(0L))
+        .groupBy(expr("cus DIV 86400000000").as("day"))
+        .agg(count(lit(1)).as("n_touches"),
+          countDistinct(col("pid")).as("n_purchases"),
+          sum(col("credit")).as("credit_micro_c"))
+        .orderBy(col("day"))
+    }),
+
     // Ordered conversion funnel (view → click → purchase): per user the
     // FIRST view, then the first click STRICTLY after it, then the
     // first purchase strictly after that click — the stage times are
@@ -1189,6 +1226,37 @@ object EventQueries {
         |  COUNT(DISTINCT CASE WHEN attr_day >= 0 THEN attr_click_id END)
         |    AS n_clicks
         |FROM b GROUP BY 1 ORDER BY attr_day""".stripMargin,
+
+    // the same Hamilton micro-cent split; integer // and % throughout
+    "q_attribution_multi" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |    CAST(ROUND(value*100) AS BIGINT) AS rev_c
+        |  FROM events),
+        |p AS (SELECT user_id, event_id AS pid, us AS pus, rev_c FROM e
+        |      WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id AS click_id, us AS cus FROM e
+        |      WHERE event_type = 'click'),
+        |t AS (
+        |  SELECT p.pid, p.rev_c, c.click_id, c.cus
+        |  FROM p JOIN c USING (user_id)
+        |  WHERE c.cus <= p.pus AND p.pus - c.cus <= 604800000000),
+        |w AS (
+        |  SELECT pid, cus, rev_c,
+        |    COUNT(*) OVER (PARTITION BY pid) AS n_t,
+        |    ROW_NUMBER() OVER (PARTITION BY pid ORDER BY cus, click_id)
+        |      AS rk
+        |  FROM t),
+        |cr AS (
+        |  SELECT cus // 86400000000 AS day, pid,
+        |    (rev_c * 1000000) // n_t
+        |      + CASE WHEN rk <= (rev_c * 1000000) % n_t THEN 1 ELSE 0 END
+        |      AS credit
+        |  FROM w)
+        |SELECT day, COUNT(*) AS n_touches,
+        |  COUNT(DISTINCT pid) AS n_purchases,
+        |  CAST(SUM(credit) AS BIGINT) AS credit_micro_c
+        |FROM cr GROUP BY day ORDER BY day""".stripMargin,
 
     "q_funnel_steps" ->
       s"""WITH e AS (

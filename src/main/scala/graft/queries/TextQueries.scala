@@ -4,7 +4,7 @@ import graft.Tables
 import graft.operators.{Dedup, Split, TextAnalysis}
 import graft.functions.TextHashFunctions
 import graft.functions.ExactRatio.{ratio6, ratio6Sql, det6, det6Sql}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -1621,6 +1621,63 @@ object TextQueries {
     // length band should we pack first" before a packing run
     // (q_pack_tokens is the packer; this is its planning view). Pure
     // integer arithmetic, one map pass + one 6-row aggregate.
+    // Token-budget curriculum sampler (VERDICT r13 Next #7c — the
+    // composition the mixing tier lacked): a global token budget
+    // B = ⌊T/5⌋ is apportioned across sources by TOKEN MASS with exact
+    // Hamilton largest-remainder (the Mix.apportionLargestRemainder
+    // arithmetic generalized to weighted shares, DECIMAL(38,0) products
+    // so tk·B can't overflow at corpus scale), then each source admits
+    // docs in (quality desc, doc_id) order until its allocation is
+    // spent — the in-source prefix sum is Rank.withRunningTotal over
+    // the ONE global (source, -q, id) total order minus broadcast
+    // per-source start offsets (the q_weighted_median discipline; never
+    // a |sources|-parallel window). A doc is admitted iff its INCLUSIVE
+    // token cum fits the allocation. Everything integer; the one
+    // reported ratio is ratio6.
+    "q_token_curriculum" -> ((s, d) => {
+      val base = docs(s, d).select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCountWs(col("text")).as("n_tok"),
+        round(TextAnalysis.qualityScore(col("text")), 6).as("q"))
+      val st = base.groupBy(col("source")).agg(sum(col("n_tok")).as("tk"))
+      val tot = st.agg(sum(col("tk")).as("t_all"))
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      // exact floor division (the ExactRatio trick): subtract the pmod
+      // remainder first, so the decimal division's scale-6 HALF_UP
+      // rounding is a no-op (the true quotient IS an integer)
+      val alExact = st.crossJoin(broadcast(tot))
+        .withColumn("b_all", expr("t_all div 5"))
+        .withColumn("rem", pmod(dec(col("tk")) * dec(col("b_all")),
+          dec(col("t_all"))))
+        .withColumn("fl", ((dec(col("tk")) * dec(col("b_all")) - col("rem")) /
+          dec(col("t_all"))).cast("decimal(38,0)").cast("long"))
+      val allocated = alExact.agg(sum(col("fl")).as("afl"))
+      val wRem = Window.orderBy(col("rem").desc, col("source"))
+      val targets = alExact.withColumn("rk", row_number().over(wRem).cast("long"))
+        .crossJoin(broadcast(allocated))
+        .withColumn("alloc", col("fl") +
+          when(col("rk") <= col("b_all") - col("afl"), 1L).otherwise(0L))
+        .select(col("source"), col("tk"), col("alloc"))
+      val (run, _) = graft.operators.Rank.withRunningTotal(
+        base, "cum", "n_tok", col("source"), col("q").desc, col("doc_id"))
+      val starts = run.groupBy(col("source"))
+        .agg(min(col("cum") - col("n_tok")).as("start"))
+      run.join(broadcast(starts), Seq("source"))
+        .join(broadcast(targets), Seq("source"))
+        .withColumn("adm", (col("cum") - col("start")) <= col("alloc"))
+        .groupBy(col("source"))
+        .agg(min(col("tk")).as("tokens_total"),
+          min(col("alloc")).as("alloc"),
+          sum(when(col("adm"), 1L).otherwise(0L)).as("n_admitted"),
+          sum(when(col("adm"), col("n_tok")).otherwise(0L))
+            .as("tokens_admitted"))
+        .select(col("source"), col("tokens_total"), col("alloc"),
+          col("n_admitted"), col("tokens_admitted"),
+          when(col("alloc") === 0, lit(0.0))
+            .otherwise(ratio6(col("tokens_admitted"), col("alloc")))
+            .as("fill_r"))
+        .orderBy(col("source"))
+    }),
+
     "q_seq_len_plan" -> ((s, d) => {
       val n = size(Dedup.tokens(col("text"))).cast("long")
       val bucket = when(n <= 16, "a_le16").when(n <= 32, "b_le32")
@@ -3334,6 +3391,54 @@ object TextQueries {
          |SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
          |FROM h a JOIN h b ON a.fp = b.fp AND a.source < b.source
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Hamilton apportionment in HUGEINT + the same per-source
+    // quality-descending prefix admission; ws-split token twin
+    "q_token_curriculum" ->
+      s"""WITH raw AS (
+         |  SELECT doc_id, source, text, $duckToks AS toks,
+         |    CAST(length(text) AS DOUBLE) AS nchar
+         |  FROM documents),
+         |base AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(list_filter(string_split_regex(text, '\\s+'),
+         |      t -> len(t) > 0)) AS BIGINT) AS n_tok,
+         |    $duckQuality AS q
+         |  FROM raw),
+         |st AS (SELECT source, CAST(SUM(n_tok) AS BIGINT) AS tk
+         |       FROM base GROUP BY 1),
+         |tt AS (SELECT CAST(SUM(tk) AS BIGINT) AS t_all FROM st),
+         |alx AS (
+         |  SELECT source, tk, t_all // 5 AS b_all,
+         |    (CAST(tk AS HUGEINT) * (t_all // 5)) // CAST(t_all AS HUGEINT)
+         |      AS fl,
+         |    (CAST(tk AS HUGEINT) * (t_all // 5)) % CAST(t_all AS HUGEINT)
+         |      AS rem
+         |  FROM st, tt),
+         |ad AS (SELECT SUM(fl) AS afl FROM alx),
+         |tg AS (
+         |  SELECT source, tk,
+         |    CAST(fl + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source)
+         |        <= b_all - afl THEN 1 ELSE 0 END AS BIGINT) AS alloc
+         |  FROM alx, ad),
+         |run AS (
+         |  SELECT source, n_tok,
+         |    SUM(n_tok) OVER (PARTITION BY source ORDER BY q DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM base),
+         |adm AS (
+         |  SELECT r.source, r.n_tok, t.alloc, t.tk,
+         |    r.cum <= t.alloc AS a
+         |  FROM run r JOIN tg t USING (source))
+         |SELECT source, MIN(tk) AS tokens_total, MIN(alloc) AS alloc,
+         |  CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+         |  CAST(SUM(CASE WHEN a THEN n_tok ELSE 0 END) AS BIGINT)
+         |    AS tokens_admitted,
+         |  CASE WHEN MIN(alloc) = 0 THEN 0.0
+         |       ELSE ${ratio6Sql(
+                  "SUM(CASE WHEN a THEN n_tok ELSE 0 END)", "MIN(alloc)")}
+         |  END AS fill_r
+         |FROM adm GROUP BY source ORDER BY source""".stripMargin,
 
     "q_seq_len_plan" ->
       s"""WITH t AS (

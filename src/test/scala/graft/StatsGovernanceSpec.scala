@@ -609,6 +609,51 @@ class StatsGovernanceSpec extends SparkTestBase {
     assert(got.toSeq == top)
   }
 
+  test("q_token_curriculum: Hamilton allocation sums to B; admission is the quality-top prefix") {
+    val rows = q("q_token_curriculum").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val tAll = rows.map(_._2).sum
+    assert(rows.map(_._3).sum == tAll / 5,
+      s"alloc sum ${rows.map(_._3).sum} != B ${tAll / 5}")
+    rows.foreach { case (src, tk, alloc, nAdm, tokAdm) =>
+      assert(tokAdm <= alloc, s"$src overspent: $tokAdm > $alloc")
+      assert(tokAdm <= tk && nAdm >= 0)
+    }
+    // Hamilton: every allocation within 1 of the exact proportional share
+    rows.foreach { case (src, tk, alloc, _, _) =>
+      val exact = BigInt(tk) * (tAll / 5) / tAll
+      assert((BigInt(alloc) - exact).abs <= 1, s"$src alloc $alloc vs $exact")
+    }
+  }
+
+  test("q_attribution_multi conserves revenue: per-purchase credit sums to rev_c * 1e6") {
+    import org.apache.spark.sql.functions._
+    // independent recompute of the per-purchase identity from the fixture
+    val e = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"),
+        round(col("value") * 100, 0).cast("long").as("rev_c"))
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("pid"),
+        col("us").as("pus"), col("rev_c")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id"), col("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (u, v) => u -> v.map(_._2) }
+    val expectedTotal = p.map { case (u, _, pus, rev) =>
+      val n = c.getOrElse(u, Array.empty[Long])
+        .count(cus => cus <= pus && pus - cus <= 7L * 86400L * 1000000L)
+      if (n > 0) BigInt(rev) * 1000000 else BigInt(0)
+    }.sum
+    val got = q("q_attribution_multi").collect()
+    val gotTotal = got.map(r => BigInt(r.getLong(3))).sum
+    assert(gotTotal == expectedTotal,
+      s"credit total $gotTotal != attributed revenue $expectedTotal")
+    assert(got.forall(_.getLong(1) >= 1))
+  }
+
   test("q_cusum_shift matches an exact BigInt Page recursion") {
     val daily = evFixture.map(_._2 / 86400)
       .groupBy(identity).map { case (d, v) => d -> BigInt(v.size) }
