@@ -164,7 +164,11 @@ object Bench {
     // click-path trigrams, exact-integer CUSUM change-point, the
     // token-budget curriculum sampler, multi-touch linear attribution
     "q_cohort_retention", "q_sessionize", "q_session_paths",
-    "q_cusum_shift", "q_token_curriculum", "q_attribution_multi")
+    "q_cusum_shift", "q_token_curriculum", "q_attribution_multi",
+    // cross-document shared-substring spans (rare-gram diagonal islands)
+    "q_cross_doc_spans",
+    // weekly growth accounting, chi2 cell residuals, inter-arrival gaps
+    "q_growth_accounting", "q_chi2_residuals", "q_interarrival")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

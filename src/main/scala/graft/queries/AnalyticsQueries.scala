@@ -1827,6 +1827,32 @@ object AnalyticsQueries {
           col("n_total"))
     }),
 
+    // Per-cell Pearson residuals for the source×lang contingency (the
+    // drill-down q_chi2_independence points at: WHICH cells drive the
+    // statistic): expected count as an EXACT ratio6 of integer
+    // marginals, residual (O−E)/√E computed as (O·n − r·c)/√(r·c·n) —
+    // exact DECIMAL numerator, det6 on the mirrored float tail. Same
+    // domain-bounded one-shuffle shape as the test itself.
+    "q_chi2_residuals" -> ((s, d) => {
+      val cells = Tables.documents(s, d)
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("o"))
+      val rows = cells.groupBy(col("source")).agg(sum(col("o")).as("rtot"))
+      val colsM = cells.groupBy(col("lang")).agg(sum(col("o")).as("ctot"))
+      val tot = cells.agg(sum(col("o")).as("n_total"))
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      cells.join(broadcast(rows), Seq("source"))
+        .join(broadcast(colsM), Seq("lang"))
+        .crossJoin(broadcast(tot))
+        .select(col("source"), col("lang"), col("o"),
+          ratio6(dec(col("rtot")) * dec(col("ctot")), col("n_total"))
+            .as("expected_r"),
+          det6((dec(col("o")) * dec(col("n_total")) -
+            dec(col("rtot")) * dec(col("ctot"))).cast("double") /
+            sqrt((dec(col("rtot")) * dec(col("ctot"))).cast("double") *
+              col("n_total").cast("double"))).as("resid_r"))
+        .orderBy(col("source"), col("lang"))
+    }),
+
     // Degree distribution of the co-purchase graph (the first thing a
     // graph audit plots): per-degree node counts off the shared edge
     // set. Exact integers; one degree aggregate + one domain-bounded
@@ -3208,6 +3234,26 @@ object AnalyticsQueries {
         |  (COUNT(DISTINCT source) - 1) * (COUNT(DISTINCT lang) - 1) AS dof,
         |  CAST(SUM(o) AS BIGINT) AS n_total
         |FROM terms""".stripMargin,
+
+    // exact HUGEINT/DECIMAL numerators; det6 on the mirrored float tail
+    "q_chi2_residuals" ->
+      s"""WITH cells AS (
+        |  SELECT source, lang, COUNT(*) AS o FROM documents GROUP BY 1, 2),
+        |r AS (SELECT source, CAST(SUM(o) AS BIGINT) AS rtot
+        |      FROM cells GROUP BY 1),
+        |cl AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS ctot
+        |       FROM cells GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(o) AS BIGINT) AS n_total FROM cells)
+        |SELECT c.source, c.lang, c.o,
+        |  ${ratio6Sql("CAST(r.rtot AS HUGEINT) * cl.ctot", "t.n_total")}
+        |    AS expected_r,
+        |  ${det6Sql(
+             "CAST(CAST(c.o AS DECIMAL(38,0)) * CAST(t.n_total AS DECIMAL(38,0)) " +
+               "- CAST(r.rtot AS DECIMAL(38,0)) * CAST(cl.ctot AS DECIMAL(38,0)) AS DOUBLE) / " +
+               "sqrt(CAST(CAST(r.rtot AS DECIMAL(38,0)) * CAST(cl.ctot AS DECIMAL(38,0)) AS DOUBLE) " +
+               "* CAST(t.n_total AS DOUBLE))")} AS resid_r
+        |FROM cells c JOIN r USING (source) JOIN cl USING (lang), tt t
+        |ORDER BY c.source, c.lang""".stripMargin,
 
     "q_degree_dist" ->
       s"""WITH $coPurchaseCte,

@@ -1084,6 +1084,70 @@ object EventQueries {
         .orderBy(col("n").desc, col("path")).limit(20)
     }),
 
+    // Growth accounting (the new/retained/resurrected/churned weekly
+    // user ledger — the companion of q_cohort_retention that product
+    // teams actually chart): per active (user, week), the user is NEW
+    // (first week), RETAINED (active in week−1) or RESURRECTED (active
+    // before, not in week−1); CHURNED(w) = active(w−1) − retained(w),
+    // attached via a lag over the bounded week domain. Identity
+    // active = new + retained + resurrected holds by construction.
+    // Shape: one (user, week) distinct, a per-user min, one ids-only
+    // self-join on the shifted week, one domain-bounded rollup.
+    "q_growth_accounting" -> ((s, d) => {
+      val uw = ev(s, d).select(col("user_id"),
+          floor(unix_timestamp(col("ts")) / 604800).cast("long").as("week"))
+        .distinct()
+        .localCheckpoint(true) // read three times (flags, prev-set, rollup)
+      val first = uw.groupBy(col("user_id"))
+        .agg(min(col("week")).as("first_w"))
+      val prevSet = uw.select(col("user_id"),
+        (col("week") + 1).as("week"), lit(1L).as("was_prev"))
+      val flags = uw.join(first, Seq("user_id"))
+        .join(prevSet, Seq("user_id", "week"), "left")
+        .select(col("week"),
+          when(col("week") === col("first_w"), 1L).otherwise(0L).as("is_new"),
+          when(col("week") =!= col("first_w") && col("was_prev").isNotNull,
+            1L).otherwise(0L).as("is_ret"),
+          when(col("week") =!= col("first_w") && col("was_prev").isNull,
+            1L).otherwise(0L).as("is_res"))
+      val weekly = flags.groupBy(col("week"))
+        .agg(count(lit(1)).as("n_active"), sum(col("is_new")).as("n_new"),
+          sum(col("is_ret")).as("n_retained"),
+          sum(col("is_res")).as("n_resurrected"))
+      val w = Window.orderBy(col("week"))
+      weekly
+        .withColumn("prev_active", lag(col("n_active"), 1).over(w))
+        .select(col("week"), col("n_active"), col("n_new"),
+          col("n_retained"), col("n_resurrected"),
+          coalesce(col("prev_active") - col("n_retained"), lit(0L))
+            .as("n_churned"),
+          when(col("prev_active").isNull || col("prev_active") === 0,
+            lit(0.0)).otherwise(
+            ratio6(col("n_retained"), col("prev_active")))
+            .as("retention_r"))
+        .orderBy(col("week"))
+    }),
+
+    // Inter-arrival gap statistics per event type (the arrival-process
+    // profile a capacity model starts from): consecutive same-type
+    // gaps per user via ONE (user, type)-keyed lag window, then a
+    // domain-bounded per-type rollup — exact integer seconds, ratio6
+    // mean, exact percentile on the integer grid.
+    "q_interarrival" -> ((s, d) => {
+      val e = ev(s, d).select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("sec"), col("event_id"))
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("sec"), col("event_id"))
+      e.withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
+        .filter(col("gap").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_gaps"),
+          ratio6(sum(col("gap")), count(lit(1))).as("mean_gap_r"),
+          round(expr("percentile(gap, 0.5)"), 6).as("p50_gap"),
+          max(col("gap")).as("max_gap"))
+        .orderBy(col("event_type"))
+    }),
+
     // CUSUM level-shift detector over the daily count series (the
     // change-point alarm the drift suite lacked): residuals scaled by
     // the day count so EVERYTHING is exact integers — s_i = td·x_i − te
@@ -1733,6 +1797,57 @@ object EventQueries {
         |SELECT n_days, ${det6Sql("l")} AS level_r, ${det6Sql("b")} AS trend_r,
         |  ${det6Sql("l + 7.0 * b")} AS fc7_r
         |FROM rec, nd WHERE i = n_days""".stripMargin,
+
+    // the same flag algebra; churn via lag over the bounded week domain
+    "q_growth_accounting" ->
+      s"""WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |    (epoch_us(ts) // 1000000) // 604800 AS week
+        |  FROM events),
+        |f AS (SELECT user_id, MIN(week) AS first_w FROM uw GROUP BY 1),
+        |fl AS (
+        |  SELECT u.week,
+        |    CASE WHEN u.week = f.first_w THEN 1 ELSE 0 END AS is_new,
+        |    CASE WHEN u.week <> f.first_w AND p.user_id IS NOT NULL
+        |         THEN 1 ELSE 0 END AS is_ret,
+        |    CASE WHEN u.week <> f.first_w AND p.user_id IS NULL
+        |         THEN 1 ELSE 0 END AS is_res
+        |  FROM uw u JOIN f USING (user_id)
+        |  LEFT JOIN uw p ON p.user_id = u.user_id AND p.week = u.week - 1),
+        |wk AS (
+        |  SELECT week, COUNT(*) AS n_active,
+        |    CAST(SUM(is_new) AS BIGINT) AS n_new,
+        |    CAST(SUM(is_ret) AS BIGINT) AS n_retained,
+        |    CAST(SUM(is_res) AS BIGINT) AS n_resurrected
+        |  FROM fl GROUP BY 1)
+        |SELECT week, n_active, n_new, n_retained, n_resurrected,
+        |  COALESCE(LAG(n_active) OVER (ORDER BY week) - n_retained, 0)
+        |    AS n_churned,
+        |  CASE WHEN LAG(n_active) OVER (ORDER BY week) IS NULL
+        |         OR LAG(n_active) OVER (ORDER BY week) = 0 THEN 0.0
+        |       ELSE ${ratio6Sql("n_retained",
+                       "LAG(n_active) OVER (ORDER BY week)")}
+        |  END AS retention_r
+        |FROM wk ORDER BY week""".stripMargin,
+
+    // per-(user,type) lag gaps; exact integer seconds; quantile_cont is
+    // the proven percentile twin on the integer grid
+    "q_interarrival" ->
+      s"""WITH e AS (
+        |  SELECT user_id, event_type, event_id,
+        |    CAST(FLOOR(date_part('epoch', ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type,
+        |    sec - LAG(sec) OVER (PARTITION BY user_id, event_type
+        |      ORDER BY sec, event_id) AS gap
+        |  FROM e)
+        |SELECT event_type, COUNT(*) AS n_gaps,
+        |  ${ratio6Sql("SUM(gap)", "COUNT(*)")} AS mean_gap_r,
+        |  ROUND(CAST(quantile_cont(gap, 0.5) AS DOUBLE), 6) AS p50_gap,
+        |  MAX(gap) AS max_gap
+        |FROM g WHERE gap IS NOT NULL GROUP BY 1
+        |ORDER BY event_type""".stripMargin,
 
     // (user, week)-distinct activity; first week per user; exact counts
     "q_cohort_retention" ->

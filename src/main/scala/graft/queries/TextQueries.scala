@@ -385,6 +385,51 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Corpus-vs-corpus shared-substring spans (VERDICT r13 Next #7a —
+    // the "Deduplicating Training Data" exact-substring direction,
+    // generalized from q_contamination_span's one-sided probe to doc
+    // PAIRS): positional 5-grams, candidate pairs blocked on RARE grams
+    // (corpus dfreq ≤ 20 — a span made ENTIRELY of boilerplate grams is
+    // the repetition family's business, not attribution's; the cap
+    // bounds the per-gram fan-out at 190 pairs), then the longest
+    // common run per pair via diagonal islands: matches of pair (a,b)
+    // at positions (pa, pb) lie on diagonal pa−pb, and consecutive pa
+    // within one diagonal are one shared substring — the
+    // pos − ROW_NUMBER islands trick, windows keyed by (pair, diagonal)
+    // so parallelism grows with pairs. Top-50 by longest span with full
+    // tiebreak. All integers; oracle replays every step.
+    "q_cross_doc_spans" -> ((s, d) => {
+      val toks5 = docs(s, d)
+        .select(col("doc_id"), Dedup.tokens(col("text")).as("tk"))
+        .groupBy(col("doc_id")).agg(first(col("tk")).as("tk")) // HOF barrier
+        .filter(size(col("tk")) >= 5)
+      val posGrams = toks5.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("tk")) - 5),
+          i => concat_ws(" ", slice(col("tk"), i + 1, lit(5)))))
+          .as(Seq("pos", "g")))
+        .localCheckpoint(true) // dfreq + both sides of the pair join
+      val rare = posGrams.groupBy(col("g")).agg(count(lit(1)).as("dfreq"))
+        .filter(col("dfreq") <= 20).select(col("g"))
+      val occ = posGrams.join(rare, Seq("g"))
+      val pr = occ.select(col("g"), col("doc_id").as("a"), col("pos").as("pa"))
+        .join(occ.select(col("g"), col("doc_id").as("b"), col("pos").as("pb")),
+          Seq("g"))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b"), col("pa"), col("pb"))
+        .withColumn("diag", col("pa") - col("pb"))
+      val wIsl = Window.partitionBy(col("a"), col("b"), col("diag"))
+        .orderBy(col("pa"))
+      pr.withColumn("grp", col("pa") - row_number().over(wIsl))
+        .groupBy(col("a"), col("b"), col("diag"), col("grp"))
+        .agg(count(lit(1)).as("run"))
+        .groupBy(col("a"), col("b"))
+        .agg(max(col("run")).as("max_run"), sum(col("run")).as("n_matched"))
+        .filter(col("max_run") >= 3)
+        .select(col("a"), col("b"), col("max_run"), col("n_matched"),
+          (col("max_run") + 4).as("span_tokens"))
+        .orderBy(col("max_run").desc, col("a"), col("b")).limit(50)
+    }),
+
     // Intra-document repetition census (Gopher/RefinedWeb repetition
     // rules — TextAnalysis.repetitionStats): top-2-gram concentration,
     // duplicate-3-gram mass, duplicate 10-token blocks, all as INTEGER
@@ -3391,6 +3436,38 @@ object TextQueries {
          |SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
          |FROM h a JOIN h b ON a.fp = b.fp AND a.source < b.source
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // positional 5-grams, rare-gram pair blocking, diagonal islands —
+    // the q_contamination_span machinery generalized to pairs
+    "q_cross_doc_spans" ->
+      s"""WITH t AS (SELECT doc_id, $duckToks AS tk FROM documents),
+         |t5 AS (SELECT doc_id, tk FROM t WHERE len(tk) >= 5),
+         |pg AS (
+         |  SELECT doc_id,
+         |    UNNEST([{'pos': i - 1, 'g': array_to_string(tk[i:i+4], ' ')}
+         |      FOR i IN range(1, len(tk) - 3)]) AS s
+         |  FROM t5),
+         |pp AS (SELECT doc_id, s.pos AS pos, s.g AS g FROM pg),
+         |rare AS (
+         |  SELECT g FROM (SELECT g, COUNT(*) AS c FROM pp GROUP BY g)
+         |  WHERE c <= 20),
+         |occ AS (SELECT pp.doc_id, pp.pos, pp.g FROM pp JOIN rare USING (g)),
+         |pr AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, x.pos AS pa, y.pos AS pb
+         |  FROM occ x JOIN occ y ON x.g = y.g AND x.doc_id < y.doc_id),
+         |isl AS (
+         |  SELECT a, b, pa - pb AS diag, pa,
+         |    pa - ROW_NUMBER() OVER (PARTITION BY a, b, pa - pb
+         |      ORDER BY pa) AS grp
+         |  FROM pr),
+         |runs AS (
+         |  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS run
+         |  FROM isl GROUP BY a, b, diag, grp)
+         |SELECT a, b, MAX(run) AS max_run,
+         |  CAST(SUM(run) AS BIGINT) AS n_matched,
+         |  MAX(run) + 4 AS span_tokens
+         |FROM runs GROUP BY a, b HAVING MAX(run) >= 3
+         |ORDER BY max_run DESC, a, b LIMIT 50""".stripMargin,
 
     // Hamilton apportionment in HUGEINT + the same per-source
     // quality-descending prefix admission; ws-split token twin
