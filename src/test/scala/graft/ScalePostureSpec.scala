@@ -784,4 +784,45 @@ class ScalePostureSpec extends SparkTestBase {
         && tinyRef.exceptAll(tinyPairs).isEmpty,
       "runt-partition handoff diverges from the windowed reference")
   }
+
+  test("round-14 plans: cohort/attribution/cross-doc join shapes hold") {
+    // cohort: the user-week activity joins are all equi; the only
+    // nested-loop join allowed is the broadcast cohort-size attach
+    val cr = SparkEntry.queries("q_cohort_retention")(spark, sf)
+    cr.collect()
+    val crPlan = cr.queryExecution.executedPlan.toString
+      .split("Initial Plan")(0)
+    assert(!crPlan.contains("CartesianProduct"), s"cartesian:\n$crPlan")
+    // multi-touch: the 7-day lookback is a user-keyed EQUI join with the
+    // range predicate as a post-join filter — never a cartesian; the
+    // per-purchase windows must be hash-partitioned on pid
+    val am = SparkEntry.queries("q_attribution_multi")(spark, sf)
+    am.collect()
+    val amPlan = am.queryExecution.executedPlan.toString
+      .split("Initial Plan")(0)
+    assert(!amPlan.contains("CartesianProduct"), s"cartesian:\n$amPlan")
+    assert(!amPlan.contains("BroadcastNestedLoopJoin"), s"bnlj:\n$amPlan")
+    // cross-doc spans: pair generation must stay an equi join on the
+    // rare gram; islands windows keyed by (a, b, diag)
+    val cd = SparkEntry.queries("q_cross_doc_spans")(spark, sf)
+    cd.collect()
+    val cdPlan = cd.queryExecution.executedPlan.toString
+      .split("Initial Plan")(0)
+    assert(!cdPlan.contains("CartesianProduct"), s"cartesian:\n$cdPlan")
+    assert(cdPlan.contains("diag"), s"islands window lost its diag key:\n$cdPlan")
+  }
+
+  test("round-14 plans: curriculum single fact pass per stage, growth ledger equi-only") {
+    val tc = SparkEntry.queries("q_token_curriculum")(spark, sf)
+    tc.collect()
+    val tcPlan = tc.queryExecution.executedPlan.toString
+      .split("Initial Plan")(0)
+    assert(!tcPlan.contains("CartesianProduct"), s"cartesian:\n$tcPlan")
+    val ga = SparkEntry.queries("q_growth_accounting")(spark, sf)
+    ga.collect()
+    val gaPlan = ga.queryExecution.executedPlan.toString
+      .split("Initial Plan")(0)
+    assert(!gaPlan.contains("CartesianProduct"), s"cartesian:\n$gaPlan")
+    assert(!gaPlan.contains("BroadcastNestedLoopJoin"), s"bnlj:\n$gaPlan")
+  }
 }
