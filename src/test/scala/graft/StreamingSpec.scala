@@ -58,6 +58,30 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("sessionize (session_window) census equals a driver-side microsecond recompute on the fixture") {
+    // the SAME plan runs on the batch-read fixture; session_window's
+    // merge rule is "new session iff ts - prev >= gap" at FULL timestamp
+    // precision (q_sessionize's oracled census is the second-granularity
+    // cousin — different declared semantics, both pinned by tests)
+    val events = Tables.events(spark, sf)
+    val got = EventStreams.sessionize(events, "30 minutes")
+      .select(col("user_id"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sorted.toSeq
+    val expected = events
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).toSeq.flatMap { case (u, es) =>
+        val uss = es.map(_._2).sorted
+        val newFlags = true +: uss.drop(1).zip(uss.dropRight(1))
+          .map { case (cur, prev) => cur - prev >= 1800L * 1000000L }
+        val ids = newFlags.scanLeft(0)((a, f) => if (f) a + 1 else a).drop(1)
+        ids.groupBy(identity).values.map(g => (u, g.size.toLong))
+      }.sorted
+    assert(got == expected,
+      s"session census diverged: ${got.size} vs ${expected.size} sessions")
+  }
+
   test("slidingRates emits one row per overlapping hop window") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[E]
