@@ -141,7 +141,13 @@ object Soak {
       // broadcast + one position join — the curve certifies the
       // no-per-group-window shape stays ~linear as the corpus grows
       "quantile_norm" -> (() => noop(graft.operators.Rank
-        .quantileNormalize(docs, "source", "n_chars", "doc_id", "norm"))))
+        .quantileNormalize(docs, "source", "n_chars", "doc_id", "norm"))),
+      // round-14: rare-gram-blocked diagonal islands on the adversarial
+      // blow-up — the copies push every 5-gram's dfreq UP, so past the
+      // cap the blocking DROPS saturated grams and the family measures
+      // the intended regime (rare-gram attribution), not an all-pairs
+      // quadratic
+      "cross_doc_spans" -> (() => noop(Dedup.crossDocSpans(docs))))
 
     // Trade-table families (round-10 additions): N disjoint re-keyed
     // copies of orders/lineitem written in the Tables layout, so the
@@ -323,7 +329,11 @@ object Soak {
       // fan-out grows with purchases×clicks-per-user-week — the soak
       // watches that product stay user-bounded under the rekey
       "attribution_multi" -> (() => noop(
-        SparkEntry.queries("q_attribution_multi")(spark, d))))
+        SparkEntry.queries("q_attribution_multi")(spark, d))),
+      "growth_accounting" -> (() => noop(
+        SparkEntry.queries("q_growth_accounting")(spark, d))),
+      "interarrival" -> (() => noop(
+        SparkEntry.queries("q_interarrival")(spark, d))))
     // untimed per-scale index build so the item_recs row is serving-only
     def warmItemIndex(d: String): Unit =
       try { graft.queries.PipelineQueries.itemIndex(spark, d); () }

@@ -536,6 +536,51 @@ object Dedup {
         col("n_verified"))
   }
 
+  /** Corpus-vs-corpus shared-substring spans (the "Deduplicating
+    * Training Data" exact-substring direction): positional 5-grams,
+    * candidate doc pairs blocked on RARE grams (corpus dfreq ≤
+    * `dfreqCap` — a span made entirely of boilerplate grams is the
+    * repetition family's business; the cap bounds per-gram fan-out at
+    * cap·(cap−1)/2 pairs), then the longest common run per pair via
+    * DIAGONAL islands: matches of pair (a,b) at positions (pa, pb) lie
+    * on diagonal pa−pb, and consecutive pa within one diagonal are one
+    * shared substring (pos − ROW_NUMBER islands, windows keyed by
+    * (pair, diagonal) so parallelism grows with pairs). Returns
+    * (a, b, max_run, n_matched, span_tokens) for pairs with
+    * max_run ≥ `minRun`, unordered/unlimited — callers rank and cut.
+    */
+  def crossDocSpans(docs: DataFrame, dfreqCap: Int = 20, minRun: Int = 3,
+      textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
+    val toks5 = docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tk"))
+      .groupBy(col("doc_id")).agg(first(col("tk")).as("tk")) // HOF barrier
+      .filter(size(col("tk")) >= 5)
+    val posGrams = toks5.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), size(col("tk")) - 5),
+        i => concat_ws(" ", slice(col("tk"), i + 1, lit(5)))))
+        .as(Seq("pos", "g")))
+      .localCheckpoint(true) // dfreq + both sides of the pair join
+    val rare = posGrams.groupBy(col("g")).agg(count(lit(1)).as("dfreq"))
+      .filter(col("dfreq") <= dfreqCap).select(col("g"))
+    val occ = posGrams.join(rare, Seq("g"))
+    val pr = occ.select(col("g"), col("doc_id").as("a"), col("pos").as("pa"))
+      .join(occ.select(col("g"), col("doc_id").as("b"), col("pos").as("pb")),
+        Seq("g"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"), col("pa"), col("pb"))
+      .withColumn("diag", col("pa") - col("pb"))
+    val wIsl = Window.partitionBy(col("a"), col("b"), col("diag"))
+      .orderBy(col("pa"))
+    pr.withColumn("grp", col("pa") - row_number().over(wIsl))
+      .groupBy(col("a"), col("b"), col("diag"), col("grp"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("a"), col("b"))
+      .agg(max(col("run")).as("max_run"), sum(col("run")).as("n_matched"))
+      .filter(col("max_run") >= minRun)
+      .select(col("a"), col("b"), col("max_run"), col("n_matched"),
+        (col("max_run") + 4).as("span_tokens"))
+  }
+
   /** SimHash near-dup pairs: 64-bit signature per doc (custom codegen'd
     * expression), bucketed by 4 × 16-bit bands (two docs within Hamming
     * distance ≤ 3 are guaranteed to collide in ≥1 band by pigeonhole),

@@ -398,37 +398,9 @@ object TextQueries {
     // pos − ROW_NUMBER islands trick, windows keyed by (pair, diagonal)
     // so parallelism grows with pairs. Top-50 by longest span with full
     // tiebreak. All integers; oracle replays every step.
-    "q_cross_doc_spans" -> ((s, d) => {
-      val toks5 = docs(s, d)
-        .select(col("doc_id"), Dedup.tokens(col("text")).as("tk"))
-        .groupBy(col("doc_id")).agg(first(col("tk")).as("tk")) // HOF barrier
-        .filter(size(col("tk")) >= 5)
-      val posGrams = toks5.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), size(col("tk")) - 5),
-          i => concat_ws(" ", slice(col("tk"), i + 1, lit(5)))))
-          .as(Seq("pos", "g")))
-        .localCheckpoint(true) // dfreq + both sides of the pair join
-      val rare = posGrams.groupBy(col("g")).agg(count(lit(1)).as("dfreq"))
-        .filter(col("dfreq") <= 20).select(col("g"))
-      val occ = posGrams.join(rare, Seq("g"))
-      val pr = occ.select(col("g"), col("doc_id").as("a"), col("pos").as("pa"))
-        .join(occ.select(col("g"), col("doc_id").as("b"), col("pos").as("pb")),
-          Seq("g"))
-        .filter(col("a") < col("b"))
-        .select(col("a"), col("b"), col("pa"), col("pb"))
-        .withColumn("diag", col("pa") - col("pb"))
-      val wIsl = Window.partitionBy(col("a"), col("b"), col("diag"))
-        .orderBy(col("pa"))
-      pr.withColumn("grp", col("pa") - row_number().over(wIsl))
-        .groupBy(col("a"), col("b"), col("diag"), col("grp"))
-        .agg(count(lit(1)).as("run"))
-        .groupBy(col("a"), col("b"))
-        .agg(max(col("run")).as("max_run"), sum(col("run")).as("n_matched"))
-        .filter(col("max_run") >= 3)
-        .select(col("a"), col("b"), col("max_run"), col("n_matched"),
-          (col("max_run") + 4).as("span_tokens"))
-        .orderBy(col("max_run").desc, col("a"), col("b")).limit(50)
-    }),
+    "q_cross_doc_spans" -> ((s, d) =>
+      Dedup.crossDocSpans(docs(s, d))
+        .orderBy(col("max_run").desc, col("a"), col("b")).limit(50)),
 
     // Intra-document repetition census (Gopher/RefinedWeb repetition
     // rules — TextAnalysis.repetitionStats): top-2-gram concentration,
