@@ -168,7 +168,9 @@ object Bench {
     // cross-document shared-substring spans (rare-gram diagonal islands)
     "q_cross_doc_spans",
     // weekly growth accounting, chi2 cell residuals, inter-arrival gaps
-    "q_growth_accounting", "q_chi2_residuals", "q_interarrival")
+    "q_growth_accounting", "q_chi2_residuals", "q_interarrival",
+    // PIVOT long->wide + calendar spine gap-fill
+    "q_pivot", "q_gap_fill")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

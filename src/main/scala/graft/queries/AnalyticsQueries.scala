@@ -946,6 +946,43 @@ object AnalyticsQueries {
         .orderBy(col("l_returnflag"), col("metric"))
     }),
 
+    // PIVOT (long → wide, the unpivot's inverse): per-returnflag revenue
+    // cents pivoted on the CLOSED linestatus domain {F, O} — explicit
+    // value list, so the output schema is static and the relational
+    // rewrite (one conditional aggregation) is exactly what the oracle
+    // writes by hand. One shuffle, exact integers.
+    "q_pivot" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          cents(col("l_extendedprice")).as("price_c"))
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("price_c")))
+        .select(col("l_returnflag"),
+          coalesce(col("F"), lit(0L)).as("f_price_c"),
+          coalesce(col("O"), lit(0L)).as("o_price_c"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Calendar gap-fill (the time-series spine every dashboard needs
+    // before charting a daily metric): the full [min_day, max_day]
+    // spine via sequence() (domain-bounded — |days| rows, never a
+    // per-event explode), left join of the daily counts, zeros filled,
+    // missing days flagged. Exact integers throughout.
+    "q_gap_fill" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .groupBy(floor(unix_timestamp(col("ts")) / 86400).cast("long")
+          .as("day"))
+        .agg(count(lit(1)).as("n"))
+      val bounds = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      val spine = bounds
+        .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+      spine.join(daily, Seq("day"), "left")
+        .select(col("day"), coalesce(col("n"), lit(0L)).as("n"),
+          col("n").isNull.as("is_gap"))
+        .orderBy(col("day"))
+    }),
+
     // SQL-text entry point + GROUPING SETS (neither ROLLUP nor CUBE):
     // exercises spark.sql over a registered view — the engine's parser
     // surface.
@@ -2742,6 +2779,29 @@ object AnalyticsQueries {
         |SELECT l_returnflag, metric, v
         |FROM wide UNPIVOT (v FOR metric IN (qty_c, price_c))
         |ORDER BY l_returnflag, metric""".stripMargin,
+
+    // the pivot's relational rewrite, written by hand
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'F'
+        |    THEN CAST(ROUND(l_extendedprice*100) AS BIGINT) END), 0)
+        |    AS BIGINT) AS f_price_c,
+        |  CAST(COALESCE(SUM(CASE WHEN l_linestatus = 'O'
+        |    THEN CAST(ROUND(l_extendedprice*100) AS BIGINT) END), 0)
+        |    AS BIGINT) AS o_price_c
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // generate_series spine over the bounded day domain; zeros filled
+    "q_gap_fill" ->
+      """WITH daily AS (
+        |  SELECT (epoch_us(ts) // 1000000) // 86400 AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+        |spine AS (SELECT UNNEST(generate_series(lo, hi)) AS day FROM b)
+        |SELECT s.day, COALESCE(d.n, 0) AS n, d.n IS NULL AS is_gap
+        |FROM spine s LEFT JOIN daily d USING (day)
+        |ORDER BY s.day""".stripMargin,
 
     "q_grouping_sets" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
