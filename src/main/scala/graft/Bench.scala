@@ -170,7 +170,10 @@ object Bench {
     // weekly growth accounting, chi2 cell residuals, inter-arrival gaps
     "q_growth_accounting", "q_chi2_residuals", "q_interarrival",
     // PIVOT long->wide + calendar spine gap-fill
-    "q_pivot", "q_gap_fill")
+    "q_pivot", "q_gap_fill",
+    // round-14 batch 2: two-proportion A/B z-test, Kaplan–Meier reorder
+    // survival, exact 7-day rolling median
+    "q_ab_test", "q_kaplan_meier", "q_rolling_median")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1181,6 +1181,124 @@ object EventQueries {
         .select(col("st.mx_day").as("shift_day"),
           col("st.mx").as("cusum_scaled"),
           ratio6(col("st.mx"), col("td")).as("cusum_r"))
+    }),
+
+    // Two-proportion A/B z-test (the experimentation readout): users
+    // deterministically split by user_id parity (the q_split_hash
+    // modulo discipline — mirrors exactly cross-engine), conversion =
+    // any purchase with value ≥ 100. Counts are exact integers from ONE
+    // per-user aggregate + ONE conditional grand aggregate (no shuffle
+    // beyond the user rollup at any scale); the rates are ratio6; the z
+    // statistic is the one double chain, written in the SAME op order
+    // on both engines (+,−,×,÷,√ are all correctly-rounded IEEE ops)
+    // and reported det6. Zero-variance pools (p̂ ∈ {0,1}) report z = 0
+    // identically on both sides.
+    "q_ab_test" -> ((s, d) => {
+      val u = ev(s, d).groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase" &&
+          col("value") >= 100.0, 1L).otherwise(0L)).as("conv"))
+      val onerow = u.agg(
+        sum(when(pmod(col("user_id"), lit(2)) === 0, 1L).otherwise(0L))
+          .as("n_a"),
+        sum(when(pmod(col("user_id"), lit(2)) === 0, col("conv"))
+          .otherwise(0L)).as("c_a"),
+        sum(when(pmod(col("user_id"), lit(2)) === 1, 1L).otherwise(0L))
+          .as("n_b"),
+        sum(when(pmod(col("user_id"), lit(2)) === 1, col("conv"))
+          .otherwise(0L)).as("c_b"))
+      val p1 = col("c_a").cast("double") / col("n_a")
+      val p2 = col("c_b").cast("double") / col("n_b")
+      val p = (col("c_a") + col("c_b")).cast("double") /
+        (col("n_a") + col("n_b"))
+      val se = sqrt(p * (lit(1.0) - p) *
+        (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))
+      onerow.select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+        ratio6(col("c_a"), col("n_a")).as("rate_a_r"),
+        ratio6(col("c_b"), col("n_b")).as("rate_b_r"),
+        when(se === 0.0, lit(0.0)).otherwise(det6((p1 - p2) / se))
+          .as("z_r"))
+    }),
+
+    // Kaplan–Meier reorder-survival curve (time-to-second-order per
+    // customer; administrative censoring at 365 days with staggered
+    // entry: follow-up = min(365, last-fixture-day − first-order day)).
+    // Risk-set arithmetic is exact integers (one per-customer rollup,
+    // one duration aggregate, one domain-bounded cumulative window —
+    // the duration domain is capped at 366 values by the cutoff, so the
+    // partitionless window and the fold are constant-size at any
+    // fixture scale). The survival product is the ONE double chain
+    // s ← s·(1 − d/n), folded in sorted duration order on both engines
+    // (prefix slice-fold here, RECURSIVE CTE there; multiplying the
+    // 1.0 seed is bit-exact by IEEE identity) and reported det6.
+    "q_kaplan_meier" -> ((s, d) => {
+      val o = Tables.load(s, d, "orders").select(col("o_custkey"),
+        floor(unix_timestamp(col("o_orderdate")) / 86400).cast("long")
+          .as("day"))
+      val f = o.groupBy(col("o_custkey")).agg(min(col("day")).as("d1"))
+      val gap = o.join(f, Seq("o_custkey"))
+        .filter(col("day") > col("d1"))
+        .groupBy(col("o_custkey"))
+        .agg(min(col("day") - col("d1")).as("gap"))
+      val g = o.agg(max(col("day")).as("gmax"))
+      val pu = f.join(gap, Seq("o_custkey"), "left")
+        .crossJoin(broadcast(g))
+        .select(col("gap"),
+          least(lit(365L), col("gmax") - col("d1")).as("fu"))
+        .select(
+          when(col("gap").isNotNull && col("gap") <= col("fu"),
+            col("gap")).otherwise(col("fu")).as("t"),
+          when(col("gap").isNotNull && col("gap") <= col("fu"), 1L)
+            .otherwise(0L).as("obs"))
+      val byd = pu.groupBy(col("t"))
+        .agg(sum(col("obs")).as("d_events"), count(lit(1)).as("m"))
+      val tot = byd.agg(sum(col("m")).as("n_total"))
+      val wRisk = Window.orderBy(col("t"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val risk = byd.crossJoin(broadcast(tot))
+        .withColumn("n_risk",
+          col("n_total") - coalesce(sum(col("m")).over(wRisk), lit(0L)))
+        .filter(col("d_events") > 0)
+        .select(col("t"), col("d_events"), col("n_risk"))
+      val arr = risk.agg(sort_array(collect_list(struct(col("t"),
+        col("d_events"), col("n_risk")))).as("steps"))
+      arr.select(col("steps"), posexplode(col("steps")))
+        .select(col("col.t").as("t"), col("col.n_risk").as("n_risk"),
+          col("col.d_events").as("d_events"),
+          det6(aggregate(
+            slice(col("steps"), lit(1), col("pos") + 1), lit(1.0),
+            (acc, x) => acc * (lit(1.0) -
+              x.getField("d_events").cast("double") /
+                x.getField("n_risk")))).as("surv_r"))
+        .orderBy(col("t"))
+    }),
+
+    // Exact 7-day rolling median of daily revenue (the robust KPI
+    // smoother next to q_events_ewma's mean): daily integer cents, a
+    // RANGE frame over the bounded day domain (missing days shrink the
+    // window identically on both engines), the median picked from the
+    // sorted window array — odd windows are exact integers, even
+    // windows are (a+b)/2 with both operands far below 2^53, exactly
+    // representable — so the output needs NO rounding contract at all.
+    "q_rolling_median" -> ((s, d) => {
+      val daily = Tables.load(s, d, "orders")
+        .groupBy(floor(unix_timestamp(col("o_orderdate")) / 86400)
+          .cast("long").as("day"))
+        .agg(sum(cents(col("o_totalprice"))).as("rev_c"))
+      val w = Window.orderBy(col("day")).rangeBetween(-6, 0)
+      daily
+        .withColumn("arr", sort_array(collect_list(col("rev_c")).over(w)))
+        .select(col("day"), col("rev_c"),
+          size(col("arr")).cast("long").as("n_win"),
+          when(pmod(size(col("arr")), lit(2)) === 1,
+            element_at(col("arr"),
+              ((size(col("arr")) + 1) / 2).cast("int")).cast("double"))
+            .otherwise(
+              (element_at(col("arr"), (size(col("arr")) / 2).cast("int")) +
+                element_at(col("arr"),
+                  (size(col("arr")) / 2).cast("int") + 1))
+                .cast("double") / 2.0)
+            .as("med_7d"))
+        .orderBy(col("day"))
     })
   )
 
@@ -1940,6 +2058,100 @@ object EventQueries {
         |  FROM rec r JOIN ser s ON s.i = r.i + 1)
         |SELECT mx_day AS shift_day, CAST(mx AS BIGINT) AS cusum_scaled,
         |  ${ratio6Sql("mx", "td")} AS cusum_r
-        |FROM rec, tot WHERE i = td""".stripMargin
+        |FROM rec, tot WHERE i = td""".stripMargin,
+
+    // the same parity split + conversion flag; the z chain is written
+    // in the engine's exact op order (left-assoc products, 1.0/n sums)
+    "q_ab_test" -> {
+      val p1 = "(CAST(c_a AS DOUBLE) / n_a)"
+      val p2 = "(CAST(c_b AS DOUBLE) / n_b)"
+      val p = "(CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))"
+      val se = s"sqrt((($p * (1.0 - $p)) * ((1.0 / n_a) + (1.0 / n_b))))"
+      s"""WITH u AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'purchase' AND value >= 100.0
+        |        THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY user_id),
+        |c AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END)
+        |      AS BIGINT) AS c_a,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN conv ELSE 0 END)
+        |      AS BIGINT) AS c_b
+        |  FROM u)
+        |SELECT n_a, c_a, n_b, c_b,
+        |  ${ratio6Sql("c_a", "n_a")} AS rate_a_r,
+        |  ${ratio6Sql("c_b", "n_b")} AS rate_b_r,
+        |  CASE WHEN $se = 0.0 THEN 0.0
+        |       ELSE ${det6Sql(s"($p1 - $p2) / $se")} END AS z_r
+        |FROM c""".stripMargin
+    },
+
+    // the same risk-set algebra (window over ALL durations, THEN the
+    // d>0 filter) and the same survival recursion, seeded at
+    // (1.0 − d/n) = 1.0·(1.0 − d/n) by IEEE identity
+    "q_kaplan_meier" ->
+      s"""WITH RECURSIVE o AS (
+        |  SELECT o_custkey,
+        |    (epoch_us(o_orderdate) // 1000000) // 86400 AS day
+        |  FROM orders),
+        |f AS (SELECT o_custkey, MIN(day) AS d1 FROM o GROUP BY 1),
+        |g2 AS (SELECT o.o_custkey, MIN(day - d1) AS gap
+        |  FROM o JOIN f USING (o_custkey) WHERE day > d1 GROUP BY 1),
+        |gm AS (SELECT MAX(day) AS gmax FROM o),
+        |pu AS (
+        |  SELECT CASE WHEN gap IS NOT NULL
+        |                AND gap <= LEAST(365, gmax - d1)
+        |              THEN gap ELSE LEAST(365, gmax - d1) END AS t,
+        |         CASE WHEN gap IS NOT NULL
+        |                AND gap <= LEAST(365, gmax - d1)
+        |              THEN 1 ELSE 0 END AS obs
+        |  FROM f LEFT JOIN g2 USING (o_custkey), gm),
+        |byd AS (SELECT t, CAST(SUM(obs) AS BIGINT) AS d_events,
+        |    CAST(COUNT(*) AS BIGINT) AS m FROM pu GROUP BY t),
+        |tot AS (SELECT CAST(SUM(m) AS BIGINT) AS n_total FROM byd),
+        |risk AS (
+        |  SELECT t, d_events,
+        |    CAST(n_total - COALESCE(SUM(m) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS n_risk
+        |  FROM byd, tot),
+        |st AS (SELECT ROW_NUMBER() OVER (ORDER BY t) AS i, t, d_events,
+        |    n_risk FROM risk WHERE d_events > 0),
+        |rec AS (
+        |  SELECT i, t, d_events, n_risk,
+        |    (1.0 - CAST(d_events AS DOUBLE) / n_risk) AS s
+        |  FROM st WHERE i = 1
+        |  UNION ALL
+        |  SELECT s2.i, s2.t, s2.d_events, s2.n_risk,
+        |    r.s * (1.0 - CAST(s2.d_events AS DOUBLE) / s2.n_risk)
+        |  FROM rec r JOIN st s2 ON s2.i = r.i + 1)
+        |SELECT t, n_risk, d_events, ${det6Sql("s")} AS surv_r
+        |FROM rec ORDER BY t""".stripMargin,
+
+    // the window list is sorted and indexed exactly like the engine's
+    // sort_array + element_at (both 1-based); even windows are the same
+    // exact (a+b)/2.0
+    "q_rolling_median" ->
+      """WITH daily AS (
+        |  SELECT (epoch_us(o_orderdate) // 1000000) // 86400 AS day,
+        |    CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+        |      AS rev_c
+        |  FROM orders GROUP BY 1),
+        |win AS (
+        |  SELECT day, rev_c,
+        |    list_sort(list(rev_c) OVER (ORDER BY day
+        |      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)) AS arr
+        |  FROM daily)
+        |SELECT day, rev_c, CAST(len(arr) AS BIGINT) AS n_win,
+        |  CASE WHEN len(arr) % 2 = 1
+        |       THEN CAST(arr[(len(arr) + 1) // 2] AS DOUBLE)
+        |       ELSE CAST(arr[len(arr) // 2] + arr[len(arr) // 2 + 1]
+        |              AS DOUBLE) / 2.0 END AS med_7d
+        |FROM win ORDER BY day""".stripMargin
   )
 }
