@@ -173,7 +173,10 @@ object Bench {
     "q_pivot", "q_gap_fill",
     // round-14 batch 2: two-proportion A/B z-test, Kaplan–Meier reorder
     // survival, exact 7-day rolling median
-    "q_ab_test", "q_kaplan_meier", "q_rolling_median")
+    "q_ab_test", "q_kaplan_meier", "q_rolling_median",
+    // round-14 batch 3: tie-corrected Mann–Whitney, Levenshtein fuzzy
+    // join, deterministic per-group mode
+    "q_mann_whitney", "q_fuzzy_edit", "q_group_mode")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

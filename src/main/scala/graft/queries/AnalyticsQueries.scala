@@ -2184,6 +2184,96 @@ object AnalyticsQueries {
           ratio6(col("d_num"),
             col("n1").cast("decimal(38,0)") * col("n2").cast("decimal(38,0)"))
             .as("d_r"))
+    }),
+
+    // Mann–Whitney rank-sum test (the nonparametric twin of q_ks: does
+    // l_quantity differ between returnflags A and R?) with EXACT
+    // tie handling on the bounded 50-value quantity domain: per-value
+    // cells, one domain-bounded cumulative window, and the tied-rank
+    // identity 2·avgrank = 2·cum_before + m + 1 keeps DOUBLED rank sums
+    // in exact DECIMAL — 2U₁ and the tie term Σ(m³−m) are exact
+    // integers at any scale. The normal approximation (tie-corrected
+    // variance) is the one double chain, mirrored op for op, det6.
+    "q_mann_whitney" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .filter(col("l_returnflag").isin("A", "R"))
+        .select(col("l_returnflag").as("g"),
+          col("l_quantity").cast("long").as("x"))
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val cells = li.groupBy(col("x")).agg(
+        sum(when(col("g") === "A", 1L).otherwise(0L)).as("m1"),
+        count(lit(1)).as("m"))
+      val wcum = Window.orderBy(col("x"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = cells
+        .withColumn("cb", coalesce(sum(col("m")).over(wcum), lit(0L)))
+      val agg0 = ranked.agg(
+        sum(dec(col("m1"))).as("n1"),
+        sum(dec(col("m") - col("m1"))).as("n2"),
+        sum(dec(col("m1")) * dec(col("cb") * 2 + col("m") + 1))
+          .as("r1_x2"),
+        sum(dec(col("m")) * dec(col("m")) * dec(col("m")) - dec(col("m")))
+          .as("t_ties"))
+      val u1x2 = (col("r1_x2") - col("n1") * (col("n1") + 1)).as("u1_x2")
+      val base = agg0.select(col("n1"), col("n2"), u1x2, col("t_ties"))
+      val n1d = col("n1").cast("double")
+      val n2d = col("n2").cast("double")
+      val nd = (col("n1") + col("n2")).cast("double")
+      val du1 = col("u1_x2").cast("double") / 2.0
+      val mu = (n1d * n2d) / 2.0
+      val vr = ((n1d * n2d) / 12.0) *
+        ((nd + 1.0) - col("t_ties").cast("double") / (nd * (nd - 1.0)))
+      base.select(col("n1").cast("long").as("n1"),
+        col("n2").cast("long").as("n2"), col("u1_x2"), col("t_ties"),
+        det6((du1 - mu) / sqrt(vr)).as("z_r"))
+    }),
+
+    // Edit-distance (Levenshtein ≤ 3) fuzzy self-join over distinct part
+    // names — the classic-DP twin of the q_fuzzy_jw family, same
+    // blocking discipline (last-token block key; the |len(a)−len(b)| ≤ 3
+    // band is a LOSSLESS Levenshtein lower bound inside a block).
+    // Distances are exact integers on both engines (both implement the
+    // textbook DP), so the pair relation hash-matches with no rounding
+    // contract at all.
+    "q_fuzzy_edit" -> ((s, d) => {
+      val names = t(s, d, "part").select(col("p_name")).distinct()
+        .withColumn("blk", element_at(split(col("p_name"), " "), -1))
+        .withColumn("l", length(col("p_name")))
+      val a = names.select(col("blk"), col("p_name").as("name_a"),
+        col("l").as("la"))
+      val b = names.select(col("blk"), col("p_name").as("name_b"),
+        col("l").as("lb"))
+      a.join(b, Seq("blk"))
+        .filter(col("name_a") < col("name_b") &&
+          abs(col("la") - col("lb")) <= 3)
+        .withColumn("dist",
+          levenshtein(col("name_a"), col("name_b")).cast("long"))
+        .filter(col("dist") <= 3)
+        .select(col("name_a"), col("name_b"), col("dist"))
+        .orderBy(col("name_a"), col("name_b"))
+    }),
+
+    // Deterministic per-group mode (most frequent value, ties broken to
+    // the SMALLEST value — the cross-engine-stable convention Spark's
+    // own mode() and DuckDB's mode() both leave unspecified): modal
+    // nation per market segment from ONE domain-bounded count aggregate
+    // + a per-group row_number. The imputation/denoising primitive.
+    "q_group_mode" -> ((s, d) => {
+      val c = t(s, d, "customer")
+        .groupBy(col("c_mktsegment"), col("c_nationkey"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("n").desc, col("c_nationkey"))
+      val tot = t(s, d, "customer").groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_total"))
+      c.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .join(tot, Seq("c_mktsegment"))
+        .select(col("c_mktsegment"),
+          col("c_nationkey").cast("long").as("mode_nation"),
+          col("n").as("n_mode"), col("n_total"),
+          ratio6(col("n"), col("n_total")).as("share_r"))
+        .orderBy(col("c_mktsegment"))
     })
   )
 
@@ -3528,7 +3618,86 @@ object AnalyticsQueries {
         |  FROM cum, tot GROUP BY n1, n2)
         |SELECT n1, n2, d_num,
         |  ${ratio6Sql("d_num", "CAST(n1 AS HUGEINT) * CAST(n2 AS HUGEINT)")} AS d_r
-        |FROM agg""".stripMargin
+        |FROM agg""".stripMargin,
+
+    // the same tied-rank identity in HUGEINT; the z chain is the
+    // engine's exact op order (left-assoc products, /2.0 and /12.0
+    // literal divisions)
+    "q_mann_whitney" -> {
+      val du1 = "(CAST(u1_x2 AS DOUBLE) / 2.0)"
+      val n1d = "CAST(n1 AS DOUBLE)"
+      val n2d = "CAST(n2 AS DOUBLE)"
+      val nd = "CAST(n1 + n2 AS DOUBLE)"
+      val mu = s"(($n1d * $n2d) / 2.0)"
+      val vr = s"((($n1d * $n2d) / 12.0) * (($nd + 1.0) - " +
+        s"(CAST(t_ties AS DOUBLE) / ($nd * ($nd - 1.0)))))"
+      s"""WITH li AS (
+        |  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS x
+        |  FROM lineitem WHERE l_returnflag IN ('A', 'R')),
+        |cells AS (
+        |  SELECT x,
+        |    CAST(SUM(CASE WHEN g = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+        |    CAST(COUNT(*) AS BIGINT) AS m
+        |  FROM li GROUP BY 1),
+        |ranked AS (
+        |  SELECT x, m1, m,
+        |    CAST(COALESCE(SUM(m) OVER (ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS cb
+        |  FROM cells),
+        |agg AS (
+        |  SELECT
+        |    CAST(SUM(CAST(m1 AS HUGEINT)) AS DECIMAL(38,0)) AS n1,
+        |    CAST(SUM(CAST(m - m1 AS HUGEINT)) AS DECIMAL(38,0)) AS n2,
+        |    CAST(SUM(CAST(m1 AS HUGEINT) *
+        |      CAST(cb * 2 + m + 1 AS HUGEINT)) AS DECIMAL(38,0)) AS r1_x2,
+        |    CAST(SUM(CAST(m AS HUGEINT) * CAST(m AS HUGEINT) *
+        |      CAST(m AS HUGEINT) - CAST(m AS HUGEINT))
+        |      AS DECIMAL(38,0)) AS t_ties
+        |  FROM ranked),
+        |base AS (
+        |  SELECT n1, n2,
+        |    CAST(r1_x2 - n1 * (n1 + 1) AS DECIMAL(38,0)) AS u1_x2, t_ties
+        |  FROM agg)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |  u1_x2, t_ties,
+        |  ${det6Sql(s"(($du1 - $mu) / sqrt($vr))")} AS z_r
+        |FROM base""".stripMargin
+    },
+
+    // the same last-token block + lossless length band; both engines'
+    // levenshtein is the textbook DP — exact integers, no contract
+    "q_fuzzy_edit" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part),
+        |b AS (SELECT p_name, string_split(p_name, ' ')[-1] AS blk,
+        |        len(p_name) AS l
+        |      FROM n)
+        |SELECT a.p_name AS name_a, b2.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b2.p_name) AS BIGINT) AS dist
+        |FROM b a JOIN b b2 ON a.blk = b2.blk AND a.p_name < b2.p_name
+        |  AND abs(a.l - b2.l) <= 3
+        |WHERE levenshtein(a.p_name, b2.p_name) <= 3
+        |ORDER BY name_a, name_b""".stripMargin,
+
+    // the same (count desc, value asc) deterministic tie-break
+    "q_group_mode" ->
+      s"""WITH c AS (
+        |  SELECT c_mktsegment, c_nationkey, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM customer GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_total
+        |  FROM customer GROUP BY 1),
+        |r AS (
+        |  SELECT c_mktsegment, c_nationkey, n,
+        |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY n DESC, c_nationkey) AS rn
+        |  FROM c)
+        |SELECT r.c_mktsegment,
+        |  CAST(r.c_nationkey AS BIGINT) AS mode_nation,
+        |  r.n AS n_mode, tot.n_total,
+        |  ${ratio6Sql("r.n", "tot.n_total")} AS share_r
+        |FROM r JOIN tot USING (c_mktsegment)
+        |WHERE rn = 1 ORDER BY r.c_mktsegment""".stripMargin
   )
 
   /** The [[graft.operators.Graph.pageRank]] recurrence unrolled into

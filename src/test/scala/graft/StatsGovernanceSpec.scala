@@ -670,4 +670,80 @@ class StatsGovernanceSpec extends SparkTestBase {
     assert(row.getLong(1) == mx.toLong)
     assert(math.abs(row.getDouble(2) - mx.toDouble / td.toDouble) < 1e-6)
   }
+
+  // ---- round-14 batch 2: rank-sum test, edit-distance join, mode ----
+
+  test("q_mann_whitney matches an exact tied-rank driver recompute") {
+    val xs = Tables.load(spark, sf, "lineitem")
+      .filter(col("l_returnflag").isin("A", "R"))
+      .select(col("l_returnflag"), col("l_quantity").cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val all = xs.map(_._2).sorted
+    // doubled average rank per value (2·avgrank = sum of the tied
+    // consecutive ranks ×2 / m — always an integer)
+    val rank2 = all.zipWithIndex.groupBy(_._1).map { case (v, ps) =>
+      v -> BigInt(ps.map(_._2 + 1).map(_.toLong).sum) * 2 / ps.length
+    }
+    val r1x2 = xs.filter(_._1 == "A").map { case (_, v) => rank2(v) }.sum
+    val n1 = BigInt(xs.count(_._1 == "A"))
+    val n2 = BigInt(xs.count(_._1 == "R"))
+    val u1x2 = r1x2 - n1 * (n1 + 1)
+    val tTies = all.groupBy(identity).values
+      .map(g => BigInt(g.length).pow(3) - BigInt(g.length)).sum
+    val row = q("q_mann_whitney").collect().head
+    assert(row.getLong(0) == n1.toLong && row.getLong(1) == n2.toLong)
+    assert(BigInt(row.getDecimal(2).toBigInteger) == u1x2)
+    assert(BigInt(row.getDecimal(3).toBigInteger) == tTies)
+    val du1 = u1x2.toDouble / 2.0
+    val mu = (n1.toDouble * n2.toDouble) / 2.0
+    val nd = (n1 + n2).toDouble
+    val vr = ((n1.toDouble * n2.toDouble) / 12.0) *
+      ((nd + 1.0) - tTies.toDouble / (nd * (nd - 1.0)))
+    val z = math.floor((du1 - mu) / math.sqrt(vr) * 1e6 + 0.5) / 1e6
+    assert(row.getDouble(4) == z)
+  }
+
+  test("q_fuzzy_edit distances match a driver Levenshtein DP") {
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = dp(0); dp(0) = j
+        for (i <- 1 to a.length) {
+          val cur = dp(i)
+          dp(i) = math.min(math.min(dp(i) + 1, dp(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(a.length)
+    }
+    val rows = q("q_fuzzy_edit").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, d0) =>
+      assert(a < b)
+      assert(d0 == lev(a, b).toLong && d0 >= 1 && d0 <= 3,
+        s"($a,$b) dist $d0 != ${lev(a, b)}")
+    }
+    // blocked pairs share a last token
+    rows.foreach { case (a, b, _) =>
+      assert(a.split(" ").last == b.split(" ").last)
+    }
+  }
+
+  test("q_group_mode picks the max-count, smallest-value nation") {
+    val cust = Tables.load(spark, sf, "customer")
+      .select(col("c_mktsegment"), col("c_nationkey")).collect()
+      .map(r => (r.getString(0), r.getInt(1).toLong))
+    val expect = cust.groupBy(_._1).map { case (seg, xs) =>
+      val counts = xs.groupBy(_._2).map { case (n0, g) => (n0, g.size.toLong) }
+      val (mn, mc) = counts.toSeq.sortBy { case (n0, c0) => (-c0, n0) }.head
+      seg -> ((seg, mn, mc, xs.size.toLong))
+    }
+    q("q_group_mode").collect().foreach { r =>
+      val (seg, mn, mc, tot) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(expect(seg) == ((seg, mn, mc, tot)))
+    }
+  }
 }
