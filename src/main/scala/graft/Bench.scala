@@ -176,7 +176,10 @@ object Bench {
     "q_ab_test", "q_kaplan_meier", "q_rolling_median",
     // round-14 batch 3: tie-corrected Mann–Whitney, Levenshtein fuzzy
     // join, deterministic per-group mode
-    "q_mann_whitney", "q_fuzzy_edit", "q_group_mode")
+    "q_mann_whitney", "q_fuzzy_edit", "q_group_mode",
+    // round-14 batch 4: directional containment join (sub-document
+    // dedup), Zipf rank-frequency fit
+    "q_containment_join", "q_zipf_fit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -459,6 +459,64 @@ object Dedup {
     (lit(1L) + least(sza - pa, szb - pb)) * lit((tn + td).toLong) >=
       lit(tn.toLong) * (sza + szb)
 
+  /** Lossless DIRECTIONAL set-containment join: every ordered pair
+    * (a, b), a ≠ b, with C(a→b) = |A∩B| / |A| ≥ tn/td — the
+    * asymmetric near-dup relation symmetric Jaccard misses (a short
+    * doc embedded in a long one; the RefinedWeb-style sub-document
+    * dedup primitive). Same PPJoin skeleton as [[prefixJaccardJoin]],
+    * adapted to the one-sided threshold:
+    *  - the CONTAINED side keeps its rarest-first prefix of size
+    *    `sza − ceil(tn·sza/td) + 1` (if no prefix token hits B, the
+    *    intersection fits in the suffix: ≤ ceil(tn·sza/td) − 1);
+    *  - the CONTAINER side indexes ALL its tokens (containment does
+    *    not bound |B| from above, so B cannot prune — the postings
+    *    stay small for frequent tokens because the A side only emits
+    *    its globally RAREST members);
+    *  - length bound tn·sza ≤ td·szb (|A∩B| ≤ |B|), position filter
+    *    `(1 + min(sza−pa, szb−pb))·td ≥ tn·sza` (valid at the first
+    *    common token in the global order, which the prefix theorem
+    *    puts in A's prefix);
+    *  - exact verify `td·|A∩B| ≥ tn·sza`.
+    * Returns (id_a, id_b, inter, sza, containment) — id_a is the
+    * contained doc. Empty shingle sets drop out.
+    */
+  def prefixContainmentJoin(docs: DataFrame, tn: Int, td: Int,
+      nShingle: Int = 3, textCol: String = "text",
+      idCol: String = "doc_id"): DataFrame = {
+    require(tn > 0 && td > 0 && tn <= td, s"threshold $tn/$td not in (0,1]")
+    val sets = shingleSets(docs, nShingle, textCol, idCol)
+    val dfreq = sets.select(explode(col("shs")).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("dfreq"))
+      .localCheckpoint(true) // consumed by both ranked relations
+    val aPrefix = prefixOf(sets, dfreq, tn, td)
+    val wDoc = Window.partitionBy(col("id")).orderBy(col("dfreq"), col("g"))
+    val bAll = sets.select(col("id"), col("sz"), explode(col("shs")).as("g"))
+      .join(dfreq, Seq("g"))
+      .withColumn("pos", row_number().over(wDoc).cast("long"))
+      .select(col("g"), col("id"), col("sz"), col("pos"))
+      .localCheckpoint(true)
+    val cand = aPrefix.select(col("g"), col("id").as("id_a"),
+        col("sz").as("sza"), col("pos").as("pa"))
+      .join(bAll.select(col("g"), col("id").as("id_b"),
+        col("sz").as("szb"), col("pos").as("pb")), Seq("g"))
+      .filter(col("id_a") =!= col("id_b") &&
+        lit(tn.toLong) * col("sza") <= lit(td.toLong) * col("szb") &&
+        (lit(1L) + least(col("sza") - col("pa"), col("szb") - col("pb"))) *
+          lit(td.toLong) >= lit(tn.toLong) * col("sza"))
+      .select(col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(sets.select(col("id").as("id_a"), col("shs").as("sa"),
+        col("sz").as("sza")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("shs").as("sb")),
+        Seq("id_b"))
+      .withColumn("inter",
+        size(array_intersect(col("sa"), col("sb"))).cast("long"))
+      .filter(lit(td.toLong) * col("inter") >= lit(tn.toLong) * col("sza"))
+      .select(col("id_a"), col("id_b"), col("inter"), col("sza"),
+        (col("inter").cast("double") / col("sza")).as("containment"))
+  }
+
   /** Exact-verification tail shared by the PPJoin forms: fetch both
     * sets per candidate, integer threshold `td·inter ≥ tn·uni`, one
     * reporting division.

@@ -289,6 +289,58 @@ object TextQueries {
     "q_ssjoin_stats" -> ((s, d) =>
       Dedup.prefixJaccardFunnel(docs(s, d), tn = 4, td = 5, nShingle = 3)),
 
+    // Lossless DIRECTIONAL containment join at 9/10 (the asymmetric
+    // near-dup relation Jaccard misses: a short doc embedded in a long
+    // one — sub-document dedup). PPJoin skeleton with the one-sided
+    // threshold (contained side keeps its rarest-first prefix, the
+    // container side indexes all tokens; integer length + position
+    // prunes; exact verify td·inter ≥ tn·sza). The oracle is PURE
+    // BRUTE FORCE over ordered pairs, so any lossy prune would surface
+    // as missing rows.
+    "q_containment_join" -> ((s, d) =>
+      Dedup.prefixContainmentJoin(docs(s, d), tn = 9, td = 10,
+          nShingle = 3)
+        .select(col("id_a"), col("id_b"), col("inter"), col("sza"),
+          ratio6(col("inter"), col("sza")).as("c_r"))
+        .orderBy(col("id_a"), col("id_b"))),
+
+    // Zipf slope of the corpus term-frequency distribution (the
+    // rank-frequency law every natural corpus should roughly obey —
+    // the data-card diagnostic for synthetic/templated text): top-200
+    // terms by (freq desc, term) — bounded-then-rank over the
+    // post-limit relation — then OLS of ln(freq) on ln(rank) with the
+    // four moment sums folded in sorted rank order (sort_array +
+    // aggregate HOF here, RECURSIVE CTE there: identical fp op order),
+    // slope/intercept written in the same final op order, det6.
+    "q_zipf_fit" -> ((s, d) => {
+      val tf = docs(s, d)
+        .select(explode(Dedup.tokens(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term")).limit(200)
+      val wr = Window.orderBy(col("cnt").desc, col("term"))
+      val ranked = tf.withColumn("rank", row_number().over(wr).cast("long"))
+      val folded = ranked.agg(
+        count(lit(1)).as("n_terms"),
+        aggregate(
+          sort_array(collect_list(struct(col("rank"), col("cnt")))),
+          struct(lit(0.0).as("sx"), lit(0.0).as("sy"),
+            lit(0.0).as("sxy"), lit(0.0).as("sxx")),
+          (acc, e) => {
+            val x = log(e.getField("rank").cast("double"))
+            val y = log(e.getField("cnt").cast("double"))
+            struct((acc.getField("sx") + x).as("sx"),
+              (acc.getField("sy") + y).as("sy"),
+              (acc.getField("sxy") + x * y).as("sxy"),
+              (acc.getField("sxx") + x * x).as("sxx"))
+          }).as("m"))
+      val nd = col("n_terms").cast("double")
+      val slope = (nd * col("m.sxy") - col("m.sx") * col("m.sy")) /
+        (nd * col("m.sxx") - col("m.sx") * col("m.sx"))
+      folded.select(col("n_terms"),
+        det6(slope).as("slope_r"),
+        det6((col("m.sy") - slope * col("m.sx")) / nd).as("intercept_r"))
+    }),
+
     // Deterministic Poisson bootstrap (Chamandy et al. 2012, the
     // resampling scheme that works in one pass at any scale because
     // replica weights are INDEPENDENT per row — no global sample-of-n):
@@ -2174,6 +2226,64 @@ object TextQueries {
          |SELECT n_docs, n_docs * (n_docs - 1) // 2 AS n_all_pairs,
          |  n_length_pairs, n_candidates, n_candidates_pos, n_verified
          |FROM nd, lp, nc, ncp, nv""".stripMargin,
+
+    // brute force over ORDERED pairs (each unordered intersection
+    // evaluated once, then emitted in both directions with its own
+    // contained-side size) — the losslessness check for the one-sided
+    // prefix/length/position prunes
+    "q_containment_join" ->
+      s"""WITH $shinglesCte,
+         |ne AS (
+         |  SELECT doc_id, shs, CAST(len(shs) AS BIGINT) AS sz
+         |  FROM mh_shingles WHERE len(shs) > 0),
+         |j AS (
+         |  SELECT a.doc_id AS ia, b.doc_id AS ib,
+         |    CAST(len(list_intersect(a.shs, b.shs)) AS BIGINT) AS inter,
+         |    a.sz AS sa, b.sz AS sb
+         |  FROM ne a JOIN ne b ON a.doc_id < b.doc_id),
+         |dir AS (
+         |  SELECT ia AS id_a, ib AS id_b, inter, sa AS sza FROM j
+         |  UNION ALL
+         |  SELECT ib AS id_a, ia AS id_b, inter, sb AS sza FROM j)
+         |SELECT id_a, id_b, inter, sza,
+         |  ${ratio6Sql("inter", "sza")} AS c_r
+         |FROM dir WHERE 10 * inter >= 9 * sza
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the same sorted moment fold as a RECURSIVE CTE (ln() is DuckDB's
+    // natural log — the r12 base-10 trap); the closing slope/intercept
+    // expressions mirror the engine's op order exactly
+    "q_zipf_fit" -> {
+      val nd = "CAST(n_terms AS DOUBLE)"
+      val slope = s"(($nd * sxy) - (sx * sy)) / (($nd * sxx) - (sx * sx))"
+      s"""WITH RECURSIVE tf AS (
+         |  SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM (SELECT UNNEST($duckToks) AS term FROM documents)
+         |  GROUP BY term),
+         |top AS (
+         |  SELECT term, cnt,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS BIGINT)
+         |      AS rnk
+         |  FROM tf QUALIFY rnk <= 200),
+         |n0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_terms FROM top),
+         |rec AS (
+         |  SELECT CAST(1 AS BIGINT) AS i,
+         |    ln(CAST(rnk AS DOUBLE)) AS sx,
+         |    ln(CAST(cnt AS DOUBLE)) AS sy,
+         |    ln(CAST(rnk AS DOUBLE)) * ln(CAST(cnt AS DOUBLE)) AS sxy,
+         |    ln(CAST(rnk AS DOUBLE)) * ln(CAST(rnk AS DOUBLE)) AS sxx
+         |  FROM top WHERE rnk = 1
+         |  UNION ALL
+         |  SELECT r.i + 1,
+         |    r.sx + ln(CAST(t.rnk AS DOUBLE)),
+         |    r.sy + ln(CAST(t.cnt AS DOUBLE)),
+         |    r.sxy + ln(CAST(t.rnk AS DOUBLE)) * ln(CAST(t.cnt AS DOUBLE)),
+         |    r.sxx + ln(CAST(t.rnk AS DOUBLE)) * ln(CAST(t.rnk AS DOUBLE))
+         |  FROM rec r JOIN top t ON t.rnk = r.i + 1)
+         |SELECT n_terms, ${det6Sql(slope)} AS slope_r,
+         |  ${det6Sql(s"(sy - ($slope) * sx) / $nd")} AS intercept_r
+         |FROM rec, n0 WHERE i = n_terms""".stripMargin
+    },
 
     "q_bootstrap_ci" -> bootstrapOracle,
 

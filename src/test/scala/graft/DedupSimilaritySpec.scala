@@ -67,6 +67,39 @@ class DedupSimilaritySpec extends SparkTestBase {
       "planted pairs must be in the ground truth")
   }
 
+  test("prefixContainmentJoin equals brute force over ordered pairs") {
+    val rnd = new scala.util.Random(7)
+    // random docs over a tight vocab + planted sub-document pairs:
+    // 110 is strictly contained in 111 (C(110→111)=1, C(111→110)<1),
+    // 112/113 near-containment at the ceil boundary (9 of 10 tokens)
+    val base = (0 until 40).map { i =>
+      (i.toLong,
+        Seq.fill(10 + rnd.nextInt(15))(s"w${rnd.nextInt(22)}").mkString(" "))
+    }
+    val planted = Seq(
+      (110L, (1 to 8).map(i => s"s$i").mkString(" ")),
+      (111L, (1 to 8).map(i => s"s$i").mkString(" ") + " t1 t2 t3"),
+      (112L, (1 to 10).map(i => s"u$i").mkString(" ")),
+      (113L, (1 to 9).map(i => s"u$i").mkString(" ") + " v1"))
+    val docs = (base ++ planted).toDF("doc_id", "text")
+    val got = Dedup.prefixContainmentJoin(docs, tn = 9, td = 10,
+        nShingle = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sets = (base ++ planted).map { case (id, tx) =>
+      id -> tx.split("\\s+").filter(_.nonEmpty).toSet }
+    val want = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets
+      if ia != ib && sa.nonEmpty && sb.nonEmpty
+      inter = (sa & sb).size
+      if 10 * inter >= 9 * sa.size
+    } yield (ia, ib)).toSet
+    assert(got == want, s"got=$got want=$want")
+    assert(want.contains((110L, 111L)), "planted containment missing")
+    assert(!want.contains((111L, 110L)),
+      "containment must be directional: the long doc is not contained")
+    assert(want.contains((113L, 112L)), "boundary 9/10 containment missing")
+  }
+
   test("prefixJaccardProbe equals brute force over batch × corpus only") {
     val rnd = new scala.util.Random(5)
     val corpus = (0 until 30).map(i =>

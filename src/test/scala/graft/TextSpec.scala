@@ -451,4 +451,29 @@ class TextSpec extends SparkTestBase {
       }
     }
   }
+
+  test("q_zipf_fit matches a driver-side log-log OLS on the same top-200") {
+    val row = graft.queries.TextQueries.queries("q_zipf_fit")(spark, sf)
+      .collect().head
+    // term counts via the engine tokenizer, fold + OLS re-done in Scala
+    val tf = Tables.documents(spark, sf)
+      .select(explode(graft.operators.Dedup.tokens(col("text"))).as("t"))
+      .groupBy(col("t")).count().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val top = tf.sortBy { case (t, c) => (-c, t) }.take(200)
+    val n = top.length
+    var sx = 0.0; var sy = 0.0; var sxy = 0.0; var sxx = 0.0
+    top.zipWithIndex.foreach { case ((_, c), i) =>
+      val x = math.log((i + 1).toDouble); val y = math.log(c.toDouble)
+      sx += x; sy += y; sxy += x * y; sxx += x * x
+    }
+    val nd = n.toDouble
+    val slope = (nd * sxy - sx * sy) / (nd * sxx - sx * sx)
+    def d6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    assert(row.getLong(0) == n.toLong)
+    assert(row.getDouble(1) == d6(slope))
+    assert(row.getDouble(2) == d6((sy - slope * sx) / nd))
+    // a natural-ish corpus has a negative rank-frequency slope
+    assert(slope < 0.0)
+  }
 }
