@@ -179,7 +179,10 @@ object Bench {
     "q_mann_whitney", "q_fuzzy_edit", "q_group_mode",
     // round-14 batch 4: directional containment join (sub-document
     // dedup), Zipf rank-frequency fit
-    "q_containment_join", "q_zipf_fit")
+    "q_containment_join", "q_zipf_fit",
+    // round-14 batch 5: Fano burstiness, WoW audience overlap,
+    // power-iteration PCA on the exact correlation matrix
+    "q_fano_burstiness", "q_audience_overlap", "q_pca_power")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2274,6 +2274,58 @@ object AnalyticsQueries {
           col("n").as("n_mode"), col("n_total"),
           ratio6(col("n"), col("n_total")).as("share_r"))
         .orderBy(col("c_mktsegment"))
+    }),
+
+    // First principal component of the standardized lineitem measures
+    // via 10 power iterations on the 4×4 correlation matrix — the
+    // q_corr_matrix exact-moment discipline extended to an EIGENVECTOR:
+    // the matrix entries are the same mirrored double chains (exact
+    // DECIMAL numerators, one divide + sqrt), and the iteration runs as
+    // an aggregate-HOF fold over sequence(1,10) whose state is the
+    // (v₁..v₄, ‖Mv‖) struct — lambda-variable state, so the expression
+    // DAG stays linear in the iteration count (no textual blow-up).
+    // The start vector (0.5,0.5,0.5,0.5) is unit-norm; dot products and
+    // norms are written in fixed left-assoc order and the oracle
+    // unrolls the identical chain as 10 CTE pairs. Outputs det6.
+    // The heavy work is ONE moment aggregate over the fact scan — the
+    // iteration is O(1) on a one-row relation at any scale.
+    "q_pca_power" -> ((s, d) => {
+      val names = Seq("qty", "price", "disc", "tax")
+      val li = t(s, d, "lineitem").select(
+        col("l_quantity").cast("long").as("qty"),
+        cents(col("l_extendedprice")).as("price"),
+        cents(col("l_discount")).as("disc"),
+        cents(col("l_tax")).as("tax"))
+      val pairAggs = for {
+        i <- names.indices; j <- i until names.size
+      } yield sum((col(names(i)) * col(names(j))).cast("decimal(38,0)"))
+        .as(s"sp_${names(i)}_${names(j)}")
+      val aggs = (count(lit(1)).cast("decimal(38,0)").as("n") +:
+        names.map(nm => sum(col(nm).cast("decimal(38,0)")).as(s"s_$nm"))) ++
+        pairAggs
+      val one = li.agg(aggs.head, aggs.tail: _*)
+      def mom(a: String, b: String): Column = {
+        val (x, y) =
+          if (names.indexOf(a) <= names.indexOf(b)) (a, b) else (b, a)
+        (col("n") * col(s"sp_${x}_$y") - col(s"s_$a") * col(s"s_$b"))
+          .cast("double")
+      }
+      def cc(a: String, b: String): Column =
+        if (a == b) lit(1.0)
+        else mom(a, b) / sqrt(mom(a, a) * mom(b, b))
+      val fold = aggregate(sequence(lit(1), lit(10)),
+        struct((names.map(nm => lit(0.5).as(s"v_$nm")) :+
+          lit(0.0).as("lam")): _*),
+        (acc, _) => {
+          val w = names.map(a => names.map(b =>
+            cc(a, b) * acc.getField(s"v_$b")).reduceLeft(_ + _))
+          val nrm = sqrt(w.map(x => x * x).reduceLeft(_ + _))
+          struct((names.zip(w).map { case (nm, wi) =>
+            (wi / nrm).as(s"v_$nm") } :+ nrm.as("lam")): _*)
+        })
+      one.select((col("n").cast("long").as("n_rows") +:
+        names.map(nm => det6(fold.getField(s"v_$nm")).as(s"load_$nm"))) :+
+        det6(fold.getField("lam")).as("lambda_r"): _*)
     })
   )
 
@@ -3154,6 +3206,8 @@ object AnalyticsQueries {
 
     "q_corr_matrix" -> corrMatrixOracle,
 
+    "q_pca_power" -> pcaPowerOracle,
+
     "q_random_walks" -> walkOracle,
 
     "q_lpa_communities" -> lpaOracle,
@@ -4000,6 +4054,60 @@ object AnalyticsQueries {
        |FROM b)
        |$rows
        |ORDER BY col_a, col_b""".stripMargin
+  }
+
+  /** [[corrMatrixOracle]]'s moment machinery + the power iteration
+    * unrolled as 10 (w, normalize) CTE pairs — generated from the same
+    * `names`/iteration spec as the engine fold so the fp op order can't
+    * drift. Diagonal correlations are the literal 1.0 on both sides.
+    */
+  private def pcaPowerOracle: String = {
+    val names = Seq("qty", "price", "disc", "tax")
+    val moments = (Seq("CAST(COUNT(*) AS HUGEINT) AS n") ++
+      names.map(a => s"CAST(SUM(CAST($a AS HUGEINT)) AS HUGEINT) AS s_$a") ++
+      (for { i <- names.indices; j <- i until names.size } yield
+        s"CAST(SUM(CAST(${names(i)} * ${names(j)} AS HUGEINT)) AS HUGEINT)" +
+          s" AS sp_${names(i)}_${names(j)}")).mkString(",\n  ")
+    def momSql(a: String, b: String): String = {
+      val (x, y) =
+        if (names.indexOf(a) <= names.indexOf(b)) (a, b) else (b, a)
+      s"CAST(n * sp_${x}_$y - s_$a * s_$b AS DOUBLE)"
+    }
+    def cSql(a: String, b: String): String =
+      if (a == b) "CAST(1.0 AS DOUBLE)"
+      else s"(${momSql(a, b)} / sqrt(${momSql(a, a)} * ${momSql(b, b)}))"
+    val nrm = names.map(a => s"w_$a * w_$a").mkString(" + ")
+    val vCols = names.map(a => s"v_$a").mkString(", ")
+    val wCols = names.map(a => s"w_$a").mkString(", ")
+    val iters = (1 to 10).map { k =>
+      val prev = if (k == 1) "it0" else s"it${k - 1}"
+      val ws = names.map(a => "(" +
+        names.map(b => s"${cSql(a, b)} * v_$b").mkString(" + ") +
+        s") AS w_$a").mkString(",\n    ")
+      s"""w$k AS (SELECT *, $ws FROM $prev),
+         |it$k AS (
+         |  SELECT * EXCLUDE ($vCols, lam, $wCols),
+         |    ${names.map(a => s"w_$a / sqrt($nrm) AS v_$a").mkString(",\n    ")},
+         |    sqrt($nrm) AS lam
+         |  FROM w$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH b AS (
+       |  SELECT CAST(l_quantity AS BIGINT) AS qty,
+       |    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price,
+       |    CAST(ROUND(l_discount * 100) AS BIGINT) AS disc,
+       |    CAST(ROUND(l_tax * 100) AS BIGINT) AS tax
+       |  FROM lineitem),
+       |m AS (SELECT
+       |  $moments
+       |FROM b),
+       |it0 AS (SELECT m.*,
+       |  ${names.map(a => s"CAST(0.5 AS DOUBLE) AS v_$a").mkString(", ")},
+       |  CAST(0.0 AS DOUBLE) AS lam FROM m),
+       |$iters
+       |SELECT CAST(n AS BIGINT) AS n_rows,
+       |  ${names.map(a => det6Sql(s"v_$a") + s" AS load_$a").mkString(",\n  ")},
+       |  ${det6Sql("lam")} AS lambda_r
+       |FROM it10""".stripMargin
   }
 
   /** The co-purchase edge CTE shared by the q_triangles and q_kcore

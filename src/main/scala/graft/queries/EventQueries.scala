@@ -1272,6 +1272,57 @@ object EventQueries {
         .orderBy(col("t"))
     }),
 
+    // Fano-factor burstiness per event type (variance/mean of the daily
+    // count series — the overdispersion diagnostic separating bursty
+    // traffic from Poisson-like): with td observed days, Σx and Σx²
+    // exact integers, F = (td·Σx² − (Σx)²) / ((td−1)·Σx) is a ratio of
+    // exact integers — ratio6, ZERO float ops before the last. Days the
+    // type was never observed contribute no cell (the q_acf gap
+    // convention), mirrored in the oracle.
+    "q_fano_burstiness" -> ((s, d) => {
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val daily = ev(s, d)
+        .groupBy(col("event_type"),
+          floor(unix_timestamp(col("ts")) / 86400).cast("long").as("day"))
+        .agg(count(lit(1)).as("x"))
+      daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("td"),
+          sum(col("x")).as("sx"),
+          sum(dec(col("x")) * dec(col("x"))).as("sxx"))
+        .filter(col("td") > 1)
+        .select(col("event_type"), col("td"), col("sx"),
+          ratio6(col("sx"), col("td")).as("mean_r"),
+          ratio6(dec(col("td")) * col("sxx") - dec(col("sx")) * dec(col("sx")),
+            dec(col("td") - 1) * dec(col("sx"))).as("fano_r"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Week-over-week audience overlap (the retention lens as a set
+    // metric): Jaccard between consecutive weeks' active-user sets from
+    // ONE (user, week) distinct — intersection via the shifted-week
+    // self-join, union by inclusion-exclusion, ratio6. Bounded week
+    // domain; parallelism comes from the distinct, never a per-week
+    // re-scan.
+    "q_audience_overlap" -> ((s, d) => {
+      val uw = ev(s, d).select(col("user_id"),
+        floor(unix_timestamp(col("ts")) / 604800).cast("long").as("week"))
+        .distinct()
+      val sizes = uw.groupBy(col("week")).agg(count(lit(1)).as("n"))
+      val inter = uw.join(
+          uw.select(col("user_id"), (col("week") - 1).as("week")),
+          Seq("user_id", "week"))
+        .groupBy(col("week")).agg(count(lit(1)).as("inter"))
+      sizes.select(col("week"), col("n").as("n_w"))
+        .join(sizes.select((col("week") - 1).as("week"),
+          col("n").as("n_next")), Seq("week"))
+        .join(inter, Seq("week"), "left")
+        .select(col("week"), col("n_w"), col("n_next"),
+          coalesce(col("inter"), lit(0L)).as("inter"))
+        .withColumn("jacc_r", ratio6(col("inter"),
+          col("n_w") + col("n_next") - col("inter")))
+        .orderBy(col("week"))
+    }),
+
     // Exact 7-day rolling median of daily revenue (the robust KPI
     // smoother next to q_events_ewma's mean): daily integer cents, a
     // RANGE frame over the bounded day domain (missing days shrink the
@@ -2132,6 +2183,47 @@ object EventQueries {
         |  FROM rec r JOIN st s2 ON s2.i = r.i + 1)
         |SELECT t, n_risk, d_events, ${det6Sql("s")} AS surv_r
         |FROM rec ORDER BY t""".stripMargin,
+
+    // the same observed-day cells and exact-integer Fano ratio
+    "q_fano_burstiness" ->
+      s"""WITH daily AS (
+        |  SELECT event_type, (epoch_us(ts) // 1000000) // 86400 AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS td,
+        |    CAST(SUM(x) AS BIGINT) AS sx,
+        |    CAST(SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT))
+        |      AS DECIMAL(38,0)) AS sxx
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, td, sx,
+        |  ${ratio6Sql("sx", "td")} AS mean_r,
+        |  ${ratio6Sql(
+             "CAST(td AS HUGEINT) * CAST(sxx AS HUGEINT) - " +
+               "CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT)",
+             "CAST(td - 1 AS HUGEINT) * CAST(sx AS HUGEINT)")} AS fano_r
+        |FROM agg WHERE td > 1 ORDER BY event_type""".stripMargin,
+
+    // the same shifted-week intersection + inclusion-exclusion union
+    "q_audience_overlap" ->
+      s"""WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |    (epoch_us(ts) // 1000000) // 604800 AS week
+        |  FROM events),
+        |sizes AS (SELECT week, CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM uw GROUP BY 1),
+        |inter AS (
+        |  SELECT a.week, CAST(COUNT(*) AS BIGINT) AS inter
+        |  FROM uw a JOIN uw b
+        |    ON a.user_id = b.user_id AND b.week = a.week + 1
+        |  GROUP BY 1)
+        |SELECT s.week, s.n AS n_w, s2.n AS n_next,
+        |  COALESCE(i.inter, 0) AS inter,
+        |  ${ratio6Sql("COALESCE(i.inter, 0)",
+             "s.n + s2.n - COALESCE(i.inter, 0)")} AS jacc_r
+        |FROM sizes s JOIN sizes s2 ON s2.week = s.week + 1
+        |LEFT JOIN inter i ON i.week = s.week
+        |ORDER BY s.week""".stripMargin,
 
     // the window list is sorted and indexed exactly like the engine's
     // sort_array + element_at (both 1-based); even windows are the same

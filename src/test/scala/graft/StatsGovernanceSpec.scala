@@ -731,6 +731,78 @@ class StatsGovernanceSpec extends SparkTestBase {
     }
   }
 
+  test("q_pca_power matches a driver power iteration on driver moments") {
+    val li = Tables.load(spark, sf, "lineitem")
+      .select(col("l_quantity").cast("long"),
+        col("l_extendedprice"), col("l_discount"), col("l_tax"))
+      .collect().map(r => Array(r.getLong(0),
+        math.round(r.getDouble(1) * 100), math.round(r.getDouble(2) * 100),
+        math.round(r.getDouble(3) * 100)))
+    val n = BigInt(li.length)
+    val s4 = (0 until 4).map(i => li.map(r => BigInt(r(i))).sum)
+    val sp = Array.tabulate(4, 4)((i, j) =>
+      li.map(r => BigInt(r(i)) * BigInt(r(j))).sum)
+    def mom(i: Int, j: Int) = (n * sp(i)(j) - s4(i) * s4(j)).toDouble
+    def c(i: Int, j: Int) =
+      if (i == j) 1.0 else mom(i, j) / math.sqrt(mom(i, i) * mom(j, j))
+    var v = Array.fill(4)(0.5); var lam = 0.0
+    for (_ <- 1 to 10) {
+      val w = Array.tabulate(4)(i =>
+        (0 until 4).map(j => c(i, j) * v(j)).reduceLeft(_ + _))
+      val nrm = math.sqrt(w.map(x => x * x).reduceLeft(_ + _))
+      v = w.map(_ / nrm); lam = nrm
+    }
+    def d6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val row = q("q_pca_power").collect().head
+    assert(row.getLong(0) == li.length.toLong)
+    (0 until 4).foreach { i =>
+      assert(row.getDouble(1 + i) == d6(v(i)),
+        s"loading $i: ${row.getDouble(1 + i)} != ${d6(v(i))}")
+    }
+    assert(row.getDouble(5) == d6(lam))
+    // the dominant eigenvalue of a 4x4 correlation matrix is in [1, 4]
+    assert(lam >= 1.0 && lam <= 4.0)
+  }
+
+  test("q_fano_burstiness matches exact BigInt variance/mean ratios") {
+    val daily = evFixture.groupBy(e => (e._4, e._2 / 86400)).toSeq
+      .map { case ((ty, _), es) => (ty, es.size.toLong) }
+      .groupBy(_._1).map { case (ty, xs) => ty -> xs.map(_._2) }
+    def r6(num: BigInt, den: BigInt): Double = {
+      val n6 = num * 1000000
+      ((n6 / den + (if ((n6 % den) * 2 >= den) 1 else 0)).toDouble) / 1e6
+    }
+    val rows = q("q_fano_burstiness").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val xs = daily(r.getString(0))
+      val td = BigInt(xs.size); val sx = xs.map(BigInt(_)).sum
+      val sxx = xs.map(x => BigInt(x) * BigInt(x)).sum
+      assert(r.getLong(1) == td.toLong && r.getLong(2) == sx.toLong)
+      assert(r.getDouble(3) == r6(sx, td))
+      assert(r.getDouble(4) == r6(td * sxx - sx * sx, (td - 1) * sx))
+    }
+  }
+
+  test("q_audience_overlap: inter/union recomputed from user-week sets") {
+    val uw = evFixture.map(e => (e._1, e._2 / 604800)).distinct
+      .groupBy(_._2).map { case (w, xs) => w -> xs.map(_._1).toSet }
+    val rows = q("q_audience_overlap").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, nW, nN, inter) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val (a, b) = (uw(w), uw(w + 1))
+      assert(nW == a.size.toLong && nN == b.size.toLong)
+      assert(inter == (a & b).size.toLong)
+      val j = r.getDouble(4)
+      assert(j >= 0.0 && j <= 1.0)
+      assert(math.abs(j - inter.toDouble / (a | b).size) < 1e-6)
+    }
+    assert(rows.length == uw.keys.toSeq.sorted.sliding(2)
+      .count(p => p.length == 2 && p(1) == p(0) + 1))
+  }
+
   test("q_group_mode picks the max-count, smallest-value nation") {
     val cust = Tables.load(spark, sf, "customer")
       .select(col("c_mktsegment"), col("c_nationkey")).collect()
