@@ -182,7 +182,10 @@ object Bench {
     "q_containment_join", "q_zipf_fit",
     // round-14 batch 5: Fano burstiness, WoW audience overlap,
     // power-iteration PCA on the exact correlation matrix
-    "q_fano_burstiness", "q_audience_overlap", "q_pca_power")
+    "q_fano_burstiness", "q_audience_overlap", "q_pca_power",
+    // round-14 batch 6: Lorenz knee, degree assortativity, order-to-
+    // ship latency order statistics
+    "q_lorenz_knee", "q_degree_assortativity", "q_ship_latency")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -91,6 +91,45 @@ object Rank {
     (df.sparkSession.createDataFrame(out, schema), total)
   }
 
+  /** [[withGlobalRank]] + [[withRunningTotal]] in ONE range-sorted pass:
+    * per-partition (row count, weight sum) collected together, both
+    * offset arrays broadcast, one emit job. For consumers that need the
+    * Lorenz pair (k, cum) — knee detection, exact-share cuts — this
+    * halves the sort work and guarantees rank/total row alignment by
+    * construction. Same LongType-weight / NULL=0 contract as
+    * [[withRunningTotal]]. Returns (frame, total rows, grand total).
+    */
+  def withRankAndRunningTotal(df: DataFrame, rankCol: String,
+      runCol: String, weightCol: String,
+      order: Column*): (DataFrame, Long, Long) = {
+    require(df.schema(weightCol).dataType == LongType,
+      s"withRankAndRunningTotal weight '$weightCol' must be LongType, " +
+        s"got ${df.schema(weightCol).dataType}")
+    val sorted = df.orderBy(order: _*)
+    val idx = sorted.schema.fieldIndex(weightCol)
+    def w(r: Row): Long = if (r.isNullAt(idx)) 0L else r.getLong(idx)
+    val schema = StructType(sorted.schema.fields ++ Seq(
+      StructField(rankCol, LongType, nullable = false),
+      StructField(runCol, LongType, nullable = false)))
+    val rdd = sorted.rdd
+    val stats = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var c = 0L; var s = 0L
+      it.foreach { r => c += 1; s += w(r) }
+      Iterator((pid, c, s))
+    }.collect().sortBy(_._1)
+    val cOff = stats.map(_._2).scanLeft(0L)(_ + _)
+    val sOff = stats.map(_._3).scanLeft(0L)(_ + _)
+    val (totalN, totalW) =
+      if (stats.isEmpty) (0L, 0L) else (cOff.last, sOff.last)
+    val bcC = df.sparkSession.sparkContext.broadcast(cOff)
+    val bcS = df.sparkSession.sparkContext.broadcast(sOff)
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var k = bcC.value(pid); var acc = bcS.value(pid)
+      it.map { r => k += 1; acc += w(r); Row.fromSeq(r.toSeq :+ k :+ acc) }
+    }
+    (df.sparkSession.createDataFrame(out, schema), totalN, totalW)
+  }
+
   /** Quantile normalization: map each row's `valueCol` within its
     * `groupCol` distribution onto the POOLED distribution — the row at
     * within-group rank r (of n_g) becomes the pooled order statistic at

@@ -2326,6 +2326,94 @@ object AnalyticsQueries {
       one.select((col("n").cast("long").as("n_rows") +:
         names.map(nm => det6(fold.getField(s"v_$nm")).as(s"load_$nm"))) :+
         det6(fold.getField("lam")).as("lambda_r"): _*)
+    }),
+
+    // Lorenz-curve knee (the "how many customers before returns
+    // diminish" cut the ABC classes hard-code at 80/95): the point of
+    // maximum vertical distance from the equality diagonal, argmax over
+    // k of cum_k·N − k·S — EXACT integer cross products, no float
+    // geometry at all. Rank and prefix sum come from ONE range-sorted
+    // pass (Rank.withRankAndRunningTotal — never a single-partition
+    // window); the argmax is one max_by over a total (m, −k) order.
+    "q_lorenz_knee" -> ((s, d) => {
+      val rev = t(s, d, "orders").groupBy(col("o_custkey"))
+        .agg(sum(cents(col("o_totalprice"))).as("rev_c"))
+      val (run, nCust, totC) = graft.operators.Rank.withRankAndRunningTotal(
+        rev, "k", "cum_c", "rev_c", col("rev_c").desc, col("o_custkey"))
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val m = (dec(col("cum_c")) * lit(nCust) - dec(col("k")) * lit(totC))
+        .as("m")
+      run.select(col("k"), col("cum_c"), m)
+        .agg(max_by(struct(col("k"), col("cum_c"), col("m")),
+          struct(col("m"), (-col("k")).as("nk"))).as("best"))
+        .select(lit(nCust).as("n_custs"), lit(totC).as("total_c"),
+          col("best.k").as("knee_k"), col("best.cum_c").as("knee_cum_c"),
+          ratio6(col("best.cum_c"), lit(totC)).as("knee_share_r"),
+          ratio6(col("best.k"), lit(nCust)).as("knee_frac_r"))
+    }),
+
+    // Degree assortativity of the co-purchase graph (do hubs link to
+    // hubs?): Pearson correlation of endpoint degrees over the DIRECTED
+    // edge list — the q_corr_matrix exact-moment chain on (deg_u,
+    // deg_v) pairs; the only float ops are the final divide + sqrt,
+    // mirrored. Degrees attach by two broadcast-size joins on the
+    // already-reduced edge relation.
+    "q_degree_assortativity" -> ((s, d) => {
+      val e = coPurchaseEdges(s, d)
+      val sym = e.select(col("u").as("a"), col("v").as("b"))
+        .unionAll(e.select(col("v").as("a"), col("u").as("b")))
+      val deg = sym.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+      val xy = sym
+        .join(deg.select(col("a"), col("deg").as("x")), Seq("a"))
+        .join(deg.select(col("a").as("b"), col("deg").as("y")), Seq("b"))
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val one = xy.agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x")) * dec(col("y"))).as("sxy"),
+        sum(dec(col("x")) * dec(col("x"))).as("sxx"),
+        sum(dec(col("y")) * dec(col("y"))).as("syy"))
+      one.select(col("n").cast("long").as("n_edges_dir"),
+        det6((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double") *
+            (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+          .as("assort_r"))
+    }),
+
+    // Order-to-ship latency profile per priority (the fulfilment-SLA
+    // readout; a fact-to-fact join the TPC-H suite lacks): integer day
+    // gaps from the orderkey equi-join, exact mean (ratio6), and p50 /
+    // p90 as EXACT lower order statistics on the bounded integer-day
+    // gap grid — smallest gap whose cumulative count reaches ⌈p·n⌉,
+    // via per-(priority, gap) cells + one domain-bounded cumulative
+    // window; all-integer (the non-dyadic 0.9 would be an interpolation
+    // seam through percentile()/quantile_cont).
+    "q_ship_latency" -> ((s, d) => {
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_orderpriority"),
+        floor(unix_timestamp(col("o_orderdate")) / 86400).cast("long")
+          .as("od"))
+      val l = t(s, d, "lineitem").select(col("l_orderkey").as("o_orderkey"),
+        floor(unix_timestamp(col("l_shipdate")) / 86400).cast("long")
+          .as("sd"))
+      val cells = l.join(o, Seq("o_orderkey"))
+        .select(col("o_orderpriority"), (col("sd") - col("od")).as("gap"))
+        .groupBy(col("o_orderpriority"), col("gap"))
+        .agg(count(lit(1)).as("m"), sum(col("gap")).as("sg"))
+      val wcum = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("gap"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells.withColumn("cum", sum(col("m")).over(wcum))
+        .withColumn("ntot", sum(col("m")).over(
+          Window.partitionBy(col("o_orderpriority"))))
+        .groupBy(col("o_orderpriority"))
+        .agg(max(col("ntot")).as("n_lines"),
+          ratio6(sum(col("sg")), max(col("ntot"))).as("mean_gap_r"),
+          min(when(col("cum") * 2 >= col("ntot"), col("gap")))
+            .as("p50_gap"),
+          min(when(col("cum") * 10 >= col("ntot") * 9, col("gap")))
+            .as("p90_gap"),
+          max(col("gap")).as("max_gap"))
+        .orderBy(col("o_orderpriority"))
     })
   )
 
@@ -3207,6 +3295,87 @@ object AnalyticsQueries {
     "q_corr_matrix" -> corrMatrixOracle,
 
     "q_pca_power" -> pcaPowerOracle,
+
+    // the same integer cross-product argmax (ORDER BY m DESC, k LIMIT 1
+    // = max_by over the total (m, −k) order)
+    "q_lorenz_knee" ->
+      s"""WITH rev AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+        |      AS rev_c
+        |  FROM orders GROUP BY 1),
+        |run AS (
+        |  SELECT rev_c,
+        |    CAST(ROW_NUMBER() OVER (ORDER BY rev_c DESC, o_custkey)
+        |      AS BIGINT) AS k,
+        |    CAST(SUM(rev_c) OVER (ORDER BY rev_c DESC, o_custkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum_c
+        |  FROM rev),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_custs,
+        |  CAST(SUM(rev_c) AS BIGINT) AS total_c FROM rev),
+        |best AS (
+        |  SELECT k, cum_c FROM run, tot
+        |  ORDER BY CAST(cum_c AS HUGEINT) * n_custs
+        |    - CAST(k AS HUGEINT) * total_c DESC, k
+        |  LIMIT 1)
+        |SELECT n_custs, total_c, k AS knee_k, cum_c AS knee_cum_c,
+        |  ${ratio6Sql("cum_c", "total_c")} AS knee_share_r,
+        |  ${ratio6Sql("k", "n_custs")} AS knee_frac_r
+        |FROM best, tot""".stripMargin,
+
+    // the same exact-moment Pearson chain over endpoint degrees
+    "q_degree_assortativity" ->
+      s"""WITH $coPurchaseCte,
+        |sym AS (SELECT u AS a, v AS b FROM edges
+        |  UNION ALL SELECT v AS a, u AS b FROM edges),
+        |deg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS deg
+        |  FROM sym GROUP BY 1),
+        |xy AS (
+        |  SELECT dx.deg AS x, dy.deg AS y
+        |  FROM sym JOIN deg dx ON dx.a = sym.a
+        |  JOIN deg dy ON dy.a = sym.b),
+        |m AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+        |  SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+        |  SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+        |  SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+        |  SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+        |FROM xy)
+        |SELECT CAST(n AS BIGINT) AS n_edges_dir,
+        |  ${det6Sql("CAST(n * sxy - sx * sy AS DOUBLE) / " +
+                     "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * " +
+                     "CAST(n * syy - sy * sy AS DOUBLE))")} AS assort_r
+        |FROM m""".stripMargin,
+
+    // the same all-integer order statistics on the bounded gap grid
+    "q_ship_latency" ->
+      s"""WITH o AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |    (epoch_us(o_orderdate) // 1000000) // 86400 AS od
+        |  FROM orders),
+        |l AS (
+        |  SELECT l_orderkey AS o_orderkey,
+        |    (epoch_us(l_shipdate) // 1000000) // 86400 AS sd
+        |  FROM lineitem),
+        |cells AS (
+        |  SELECT o_orderpriority, sd - od AS gap,
+        |    CAST(COUNT(*) AS BIGINT) AS m,
+        |    CAST(SUM(sd - od) AS BIGINT) AS sg
+        |  FROM l JOIN o USING (o_orderkey) GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT o_orderpriority, gap, m, sg,
+        |    CAST(SUM(m) OVER (PARTITION BY o_orderpriority ORDER BY gap
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS cum,
+        |    CAST(SUM(m) OVER (PARTITION BY o_orderpriority)
+        |      AS BIGINT) AS ntot
+        |  FROM cells)
+        |SELECT o_orderpriority, MAX(ntot) AS n_lines,
+        |  ${ratio6Sql("SUM(sg)", "MAX(ntot)")} AS mean_gap_r,
+        |  MIN(CASE WHEN cum * 2 >= ntot THEN gap END) AS p50_gap,
+        |  MIN(CASE WHEN cum * 10 >= ntot * 9 THEN gap END) AS p90_gap,
+        |  MAX(gap) AS max_gap
+        |FROM cum GROUP BY 1 ORDER BY o_orderpriority""".stripMargin,
 
     "q_random_walks" -> walkOracle,
 

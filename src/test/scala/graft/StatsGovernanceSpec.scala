@@ -803,6 +803,100 @@ class StatsGovernanceSpec extends SparkTestBase {
       .count(p => p.length == 2 && p(1) == p(0) + 1))
   }
 
+  test("q_lorenz_knee matches a driver argmax and withRankAndRunningTotal " +
+    "aligns with the two-pass primitives") {
+    val rev = Tables.load(spark, sf, "orders")
+      .select(col("o_custkey"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100)))
+      .groupBy(_._1).toSeq.map { case (c, xs) => (c, xs.map(_._2).sum) }
+    val sorted = rev.sortBy { case (c, v) => (-v, c) }
+    val n = BigInt(sorted.length)
+    val s0 = sorted.map(x => BigInt(x._2)).sum
+    var cum = BigInt(0); var bestM = BigInt(Long.MinValue); var bk = 0L
+    var bcum = BigInt(0)
+    sorted.zipWithIndex.foreach { case ((_, v), i) =>
+      cum += v
+      val m = cum * n - BigInt(i + 1) * s0
+      if (m > bestM) { bestM = m; bk = i + 1; bcum = cum }
+    }
+    val row = q("q_lorenz_knee").collect().head
+    assert(row.getLong(0) == n.toLong && row.getLong(1) == s0.toLong)
+    assert(row.getLong(2) == bk, s"knee ${row.getLong(2)} != $bk")
+    assert(row.getLong(3) == bcum.toLong)
+    // the combined one-pass primitive equals the two independent passes
+    val base = Tables.load(spark, sf, "orders").groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("w"))
+    val (both, nb, tw) = graft.operators.Rank.withRankAndRunningTotal(
+      base, "k", "cum", "w", col("w").desc, col("o_custkey"))
+    val (ranked, nr) = graft.operators.Rank.withGlobalRank(
+      base, "k", col("w").desc, col("o_custkey"))
+    val (run, tw2) = graft.operators.Rank.withRunningTotal(
+      base, "cum", "w", col("w").desc, col("o_custkey"))
+    assert(nb == nr && tw == tw2)
+    val gotBoth = both.select(col("o_custkey"), col("k"), col("cum"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val gotK = ranked.select(col("o_custkey"), col("k")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val gotC = run.select(col("o_custkey"), col("cum")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(gotBoth == gotBoth.map { case (c, _, _) =>
+      (c, gotK(c), gotC(c)) })
+  }
+
+  test("q_degree_assortativity matches a driver Pearson over degrees") {
+    val li = Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val capped = li.groupBy(_._1).toSeq.flatMap { case (o, xs) =>
+      xs.map(_._2).distinct.sorted.take(20).map((o, _)) }
+    val pairCnt = capped.groupBy(_._1).toSeq.flatMap { case (_, xs) =>
+      val ps = xs.map(_._2).sorted
+      for (i <- ps.indices; j <- (i + 1) until ps.size)
+        yield (ps(i), ps(j))
+    }.groupBy(identity).filter(_._2.size >= 2).keys.toSeq
+    val sym = pairCnt.flatMap { case (u, v) => Seq((u, v), (v, u)) }
+    val deg = sym.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val xy = sym.map { case (a, b) => (deg(a), deg(b)) }
+    val nE = BigInt(xy.size)
+    val sx = xy.map(p => BigInt(p._1)).sum
+    val sy = xy.map(p => BigInt(p._2)).sum
+    val sxy = xy.map(p => BigInt(p._1) * BigInt(p._2)).sum
+    val sxx = xy.map(p => BigInt(p._1) * BigInt(p._1)).sum
+    val syy = xy.map(p => BigInt(p._2) * BigInt(p._2)).sum
+    val r = (nE * sxy - sx * sy).toDouble /
+      math.sqrt((nE * sxx - sx * sx).toDouble * (nE * syy - sy * sy).toDouble)
+    val row = q("q_degree_assortativity").collect().head
+    assert(row.getLong(0) == nE.toLong)
+    assert(row.getDouble(1) == math.floor(r * 1e6 + 0.5) / 1e6)
+  }
+
+  test("q_ship_latency: exact order statistics on the gap grid") {
+    val rows = q("q_ship_latency").collect()
+    assert(rows.length == 5)
+    val o = Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        floor(unix_timestamp(col("o_orderdate")) / 86400).cast("long"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    val gaps = Tables.load(spark, sf, "lineitem")
+      .select(col("l_orderkey"),
+        floor(unix_timestamp(col("l_shipdate")) / 86400).cast("long"))
+      .collect().map { r =>
+        val (p, od) = o(r.getLong(0)); (p, r.getLong(1) - od) }
+      .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).sorted }
+    rows.foreach { r =>
+      val g = gaps(r.getString(0))
+      val n = g.length
+      assert(r.getLong(1) == n.toLong)
+      def ordStat(num: Int, den: Int): Long =
+        g((num * n + den - 1) / den - 1) // smallest gap with cum*den >= num*n
+      assert(r.getLong(3) == ordStat(1, 2), s"${r.getString(0)} p50")
+      assert(r.getLong(4) == ordStat(9, 10), s"${r.getString(0)} p90")
+      assert(r.getLong(5) == g.max)
+      assert(math.abs(r.getDouble(2) - g.sum.toDouble / n) < 1e-6)
+    }
+  }
+
   test("q_group_mode picks the max-count, smallest-value nation") {
     val cust = Tables.load(spark, sf, "customer")
       .select(col("c_mktsegment"), col("c_nationkey")).collect()
