@@ -185,7 +185,10 @@ object Bench {
     "q_fano_burstiness", "q_audience_overlap", "q_pca_power",
     // round-14 batch 6: Lorenz knee, degree assortativity, order-to-
     // ship latency order statistics
-    "q_lorenz_knee", "q_degree_assortativity", "q_ship_latency")
+    "q_lorenz_knee", "q_degree_assortativity", "q_ship_latency",
+    // round-14 batch 7: Cramér's V, grouped exact-ratio regression,
+    // Herfindahl concentration
+    "q_cramers_v", "q_ols_grouped", "q_hhi")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

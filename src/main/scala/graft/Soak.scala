@@ -147,7 +147,14 @@ object Soak {
       // cap the blocking DROPS saturated grams and the family measures
       // the intended regime (rare-gram attribution), not an all-pairs
       // quadratic
-      "cross_doc_spans" -> (() => noop(Dedup.crossDocSpans(docs))))
+      "cross_doc_spans" -> (() => noop(Dedup.crossDocSpans(docs))),
+      // round-14 batch 6: the DIRECTIONAL containment join on the same
+      // adversarial blow-up — copies are near-identical, so true
+      // containment pairs grow like the ssjoin family's; the B-side
+      // indexes ALL tokens, so this row watches the full-postings
+      // candidate term stay rare-gram-bounded
+      "containment_join" -> (() => noop(
+        Dedup.prefixContainmentJoin(docs, tn = 9, td = 10))))
 
     // Trade-table families (round-10 additions): N disjoint re-keyed
     // copies of orders/lineitem written in the Tables layout, so the
@@ -333,7 +340,24 @@ object Soak {
       "growth_accounting" -> (() => noop(
         SparkEntry.queries("q_growth_accounting")(spark, d))),
       "interarrival" -> (() => noop(
-        SparkEntry.queries("q_interarrival")(spark, d))))
+        SparkEntry.queries("q_interarrival")(spark, d))),
+      // round-14 batch 6 trade rows: reorder-survival (per-customer
+      // rollup + a ≤366-value fold — the curve prices the rollup),
+      // Lorenz knee (ONE range sort + O(partitions) driver state),
+      // fact-fact ship-latency join (the heaviest new shuffle), WoW
+      // audience overlap (user-week distinct + shifted self-join —
+      // users grow N× under the rekey), and the PCA moment scan (one
+      // grand aggregate; the iteration is O(1))
+      "kaplan_meier" -> (() => noop(
+        SparkEntry.queries("q_kaplan_meier")(spark, d))),
+      "lorenz_knee" -> (() => noop(
+        SparkEntry.queries("q_lorenz_knee")(spark, d))),
+      "ship_latency" -> (() => noop(
+        SparkEntry.queries("q_ship_latency")(spark, d))),
+      "audience_overlap" -> (() => noop(
+        SparkEntry.queries("q_audience_overlap")(spark, d))),
+      "pca_power" -> (() => noop(
+        SparkEntry.queries("q_pca_power")(spark, d))))
     // untimed per-scale index build so the item_recs row is serving-only
     def warmItemIndex(d: String): Unit =
       try { graft.queries.PipelineQueries.itemIndex(spark, d); () }
@@ -375,7 +399,13 @@ object Soak {
       // level the field before timing: cold-scan the fresh tables and
       // build the per-dir serving index untimed
       touchDocs(d, e); touchTrade(td); warmItemIndex(td)
-      (families(d, e) ++ tradeFamilies(td)).foreach { case (name, f) =>
+      // SPARK_GRAFT_SOAK_FAMILIES=a,b,c restricts to named families
+      // (iteration aid — the per-round evidence run times everything)
+      val only = sys.env.get("SPARK_GRAFT_SOAK_FAMILIES")
+        .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+      (families(d, e) ++ tradeFamilies(td))
+        .filter { case (name, _) => only.isEmpty || only(name) }
+        .foreach { case (name, f) =>
         val secs = (1 to runs).flatMap { _ =>
           val t0 = System.nanoTime()
           try { f(); Some((System.nanoTime() - t0) / 1e9) }

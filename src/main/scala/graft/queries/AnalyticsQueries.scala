@@ -89,6 +89,39 @@ object AnalyticsQueries {
           .as("jacc_r"))
   }
 
+  /** The χ² independence chain over the source×lang contingency —
+    * ONE definition shared by q_chi2_independence and q_cramers_v:
+    * exact DECIMAL numerators per cell, the float term folded in
+    * sorted cell order (partition-count-independent), marginals
+    * broadcast. Returns one row: (chi2 UNROUNDED double, n_total,
+    * nr, nc).
+    */
+  private def chi2Agg(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.documents(s, d)
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("o"))
+    val rows = cells.groupBy(col("source")).agg(sum(col("o")).as("rtot"))
+    val colsM = cells.groupBy(col("lang")).agg(sum(col("o")).as("ctot"))
+    val tot = cells.agg(sum(col("o")).as("n_total"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val numd = (dec(col("o")) * dec(col("n_total")) -
+      dec(col("rtot")) * dec(col("ctot"))).cast("double")
+    val terms = cells.join(broadcast(rows), Seq("source"))
+      .join(broadcast(colsM), Seq("lang"))
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("lang"), col("o"), col("n_total"),
+        (numd * numd /
+          (dec(col("rtot")) * dec(col("ctot"))).cast("double") /
+          col("n_total").cast("double")).as("term"))
+    terms.agg(
+      aggregate(
+        sort_array(collect_list(struct(col("source"), col("lang"),
+          col("term")))),
+        lit(0.0), (acc, x) => acc + x.getField("term")).as("chi2"),
+      countDistinct(col("source")).as("nr"),
+      countDistinct(col("lang")).as("nc"),
+      sum(col("o")).as("n_total"))
+  }
+
   private def blockedPartPairs(s: SparkSession, d: String): DataFrame = {
     val names = t(s, d, "part").select(col("p_name")).distinct()
       .withColumn("block", element_at(split(col("p_name"), " "), -1))
@@ -1836,33 +1869,21 @@ object AnalyticsQueries {
     // at the per-cell division, and the final sum folds the ≤domain
     // cells in SORTED order (aggregate HOF) so the statistic is
     // partition-count-independent bit-identical.
-    "q_chi2_independence" -> ((s, d) => {
-      val cells = Tables.documents(s, d)
-        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("o"))
-      val rows = cells.groupBy(col("source")).agg(sum(col("o")).as("rtot"))
-      val colsM = cells.groupBy(col("lang")).agg(sum(col("o")).as("ctot"))
-      val tot = cells.agg(sum(col("o")).as("n_total"))
-      val dec = (c: Column) => c.cast("decimal(38,0)")
-      val numd = (dec(col("o")) * dec(col("n_total")) -
-        dec(col("rtot")) * dec(col("ctot"))).cast("double")
-      val terms = cells.join(broadcast(rows), Seq("source"))
-        .join(broadcast(colsM), Seq("lang"))
-        .crossJoin(broadcast(tot))
-        .select(col("source"), col("lang"), col("o"), col("n_total"),
-          (numd * numd /
-            (dec(col("rtot")) * dec(col("ctot"))).cast("double") /
-            col("n_total").cast("double")).as("term"))
-      terms.agg(
-          aggregate(
-            sort_array(collect_list(struct(col("source"), col("lang"),
-              col("term")))),
-            lit(0.0), (acc, x) => acc + x.getField("term")).as("chi2"),
-          ((countDistinct(col("source")) - 1) *
-            (countDistinct(col("lang")) - 1)).as("dof"),
-          sum(col("o")).as("n_total"))
-        .select(det6(col("chi2")).as("chi2_r"), col("dof"),
-          col("n_total"))
-    }),
+    "q_chi2_independence" -> ((s, d) =>
+      chi2Agg(s, d).select(det6(col("chi2")).as("chi2_r"),
+        ((col("nr") - 1) * (col("nc") - 1)).as("dof"), col("n_total"))),
+
+    // Cramér's V effect size from the SAME chi² chain ([[chi2Agg]] —
+    // one definition, the statistic and its normalization can't drift):
+    // V = √(χ² / (n·(min(r,c) − 1))), the one extra double chain over
+    // exact integers, det6.
+    "q_cramers_v" -> ((s, d) =>
+      chi2Agg(s, d).select(
+        det6(col("chi2")).as("chi2_r"), col("n_total"),
+        col("nr"), col("nc"),
+        det6(sqrt(col("chi2") /
+          (col("n_total") * (least(col("nr"), col("nc")) - 1))
+            .cast("double"))).as("v_r"))),
 
     // Per-cell Pearson residuals for the source×lang contingency (the
     // drill-down q_chi2_independence points at: WHICH cells drive the
@@ -2414,6 +2435,56 @@ object AnalyticsQueries {
             .as("p90_gap"),
           max(col("gap")).as("max_gap"))
         .orderBy(col("o_orderpriority"))
+    }),
+
+    // Grouped regression across a dimension join (price-vs-quantity
+    // slope per BRAND — the per-segment elasticity readout): the
+    // q_ols_fit exact-moment discipline with the grouping key fetched
+    // by a broadcast dimension join; slope and intercept are EXACT
+    // integer ratios (sratio6) — zero float ops anywhere.
+    "q_ols_grouped" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_partkey"), col("l_quantity").cast("long").as("x"),
+          cents(col("l_extendedprice")).as("y"))
+        .join(broadcast(t(s, d, "part")
+          .select(col("p_partkey").as("l_partkey"), col("p_brand"))),
+          Seq("l_partkey"))
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val m = li.groupBy(col("p_brand")).agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(dec(col("x"))).as("sx"), sum(dec(col("y"))).as("sy"),
+        sum(dec(col("x") * col("x"))).as("sxx"),
+        sum(dec(col("x") * col("y"))).as("sxy"))
+      val sxxc = col("n") * col("sxx") - col("sx") * col("sx")
+      val sxyc = col("n") * col("sxy") - col("sx") * col("sy")
+      m.select(col("p_brand"), col("n").cast("long").as("n_rows"),
+          sratio6(sxyc, sxxc).as("slope_r"),
+          sratio6(col("sy") * sxxc - sxyc * col("sx"), col("n") * sxxc)
+            .as("intercept_r"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // Herfindahl–Hirschman revenue concentration per nation (the
+    // market-structure audit next to q_gini_revenue's Lorenz scalar):
+    // HHI = Σ shareᵢ² = Σ revᵢ² / (Σ revᵢ)² — ONE exact integer ratio
+    // (ratio6), zero float ops; per-customer revenue is one rollup and
+    // the nation key rides a broadcast dimension join.
+    "q_hhi" -> ((s, d) => {
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val rev = t(s, d, "orders").groupBy(col("o_custkey"))
+        .agg(sum(cents(col("o_totalprice"))).as("rev_c"))
+        .join(broadcast(t(s, d, "customer")
+          .select(col("c_custkey").as("o_custkey"),
+            col("c_nationkey").cast("long").as("nation"))),
+          Seq("o_custkey"))
+      rev.groupBy(col("nation"))
+        .agg(count(lit(1)).as("n_custs"),
+          sum(col("rev_c")).as("total_c"),
+          sum(dec(col("rev_c")) * dec(col("rev_c"))).as("sq"))
+        .select(col("nation"), col("n_custs"), col("total_c"),
+          ratio6(col("sq"),
+            dec(col("total_c")) * dec(col("total_c"))).as("hhi_r"))
+        .orderBy(col("nation"))
     })
   )
 
@@ -3346,6 +3417,79 @@ object AnalyticsQueries {
                      "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * " +
                      "CAST(n * syy - sy * sy AS DOUBLE))")} AS assort_r
         |FROM m""".stripMargin,
+
+    // the chi2 chain + the extra normalization, same op order
+    "q_cramers_v" ->
+      s"""WITH cells AS (
+        |  SELECT source, lang, COUNT(*) AS o FROM documents GROUP BY 1, 2),
+        |r AS (SELECT source, CAST(SUM(o) AS BIGINT) AS rtot
+        |      FROM cells GROUP BY 1),
+        |cl AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS ctot
+        |       FROM cells GROUP BY 1),
+        |tt AS (SELECT CAST(SUM(o) AS BIGINT) AS n_total FROM cells),
+        |nums AS (
+        |  SELECT c.o, c.source, c.lang,
+        |    CAST(CAST(c.o AS DECIMAL(38,0)) * CAST(t.n_total AS DECIMAL(38,0))
+        |      - CAST(r.rtot AS DECIMAL(38,0)) * CAST(cl.ctot AS DECIMAL(38,0))
+        |      AS DOUBLE) AS numd,
+        |    CAST(CAST(r.rtot AS DECIMAL(38,0)) * CAST(cl.ctot AS DECIMAL(38,0)) AS DOUBLE) AS dend,
+        |    CAST(t.n_total AS DOUBLE) AS ntd
+        |  FROM cells c JOIN r USING (source) JOIN cl USING (lang), tt t),
+        |terms AS (
+        |  SELECT o, source, lang, numd * numd / dend / ntd AS term
+        |  FROM nums)
+        |SELECT ${det6Sql("SUM(term)")} AS chi2_r,
+        |  CAST(SUM(o) AS BIGINT) AS n_total,
+        |  COUNT(DISTINCT source) AS nr, COUNT(DISTINCT lang) AS nc,
+        |  ${det6Sql("sqrt(SUM(term) / CAST(SUM(o) * " +
+             "(LEAST(COUNT(DISTINCT source), COUNT(DISTINCT lang)) - 1) " +
+             "AS DOUBLE))")} AS v_r
+        |FROM terms""".stripMargin,
+
+    // the q_ols_fit exact-ratio machinery, grouped by the joined brand
+    "q_ols_grouped" ->
+      s"""WITH li AS (
+        |  SELECT p_brand, CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(ROUND(l_extendedprice*100) AS BIGINT) AS y
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey),
+        |m AS (
+        |  SELECT p_brand,
+        |    CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(CAST(x AS DECIMAL(38,0))) AS HUGEINT) AS sx,
+        |    CAST(SUM(CAST(y AS DECIMAL(38,0))) AS HUGEINT) AS sy,
+        |    CAST(SUM(CAST(x*x AS DECIMAL(38,0))) AS HUGEINT) AS sxx,
+        |    CAST(SUM(CAST(x*y AS DECIMAL(38,0))) AS HUGEINT) AS sxy
+        |  FROM li GROUP BY 1),
+        |c AS (
+        |  SELECT p_brand, n, sx, sy,
+        |    (n*sxx - sx*sx) AS sxxc,
+        |    (n*sxy - sx*sy) AS sxyc
+        |  FROM m)
+        |SELECT p_brand, CAST(n AS BIGINT) AS n_rows,
+        |  ${sratio6Sql("sxyc", "sxxc")} AS slope_r,
+        |  ${sratio6Sql("sy*sxxc - sxyc*sx", "n*sxxc")} AS intercept_r
+        |FROM c ORDER BY p_brand""".stripMargin,
+
+    // the same single exact ratio Σrev² / (Σrev)²
+    "q_hhi" ->
+      s"""WITH rev AS (
+        |  SELECT o_custkey,
+        |    CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+        |      AS rev_c
+        |  FROM orders GROUP BY 1),
+        |j AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nation, rev_c
+        |  FROM rev JOIN customer ON c_custkey = o_custkey),
+        |agg AS (
+        |  SELECT nation, CAST(COUNT(*) AS BIGINT) AS n_custs,
+        |    CAST(SUM(rev_c) AS BIGINT) AS total_c,
+        |    CAST(SUM(CAST(rev_c AS HUGEINT) * CAST(rev_c AS HUGEINT))
+        |      AS HUGEINT) AS sq
+        |  FROM j GROUP BY 1)
+        |SELECT nation, n_custs, total_c,
+        |  ${ratio6Sql("sq",
+             "CAST(total_c AS HUGEINT) * CAST(total_c AS HUGEINT)")} AS hhi_r
+        |FROM agg ORDER BY nation""".stripMargin,
 
     // the same all-integer order statistics on the bounded gap grid
     "q_ship_latency" ->

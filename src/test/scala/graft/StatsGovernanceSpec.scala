@@ -897,6 +897,71 @@ class StatsGovernanceSpec extends SparkTestBase {
     }
   }
 
+  test("q_cramers_v: V consistent with chi2_r and bounded in [0,1]") {
+    val chi = q("q_chi2_independence").collect().head
+    val row = q("q_cramers_v").collect().head
+    assert(row.getDouble(0) == chi.getDouble(0)) // same chi2_r
+    val (n, nr, nc) = (row.getLong(1), row.getLong(2), row.getLong(3))
+    val v = row.getDouble(4)
+    assert(v >= 0.0 && v <= 1.0)
+    // recompute from the rounded chi2 — agreement within rounding slack
+    val vApprox = math.sqrt(chi.getDouble(0) / (n * (math.min(nr, nc) - 1)))
+    assert(math.abs(v - vApprox) < 1e-4)
+  }
+
+  test("q_ols_grouped matches exact BigInt per-brand regression") {
+    val part = Tables.load(spark, sf, "part")
+      .select(col("p_partkey"), col("p_brand")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val xs = Tables.load(spark, sf, "lineitem")
+      .select(col("l_partkey"), col("l_quantity").cast("long"),
+        col("l_extendedprice")).collect()
+      .map(r => (part(r.getLong(0)), BigInt(r.getLong(1)),
+        BigInt(math.round(r.getDouble(2) * 100))))
+      .groupBy(_._1)
+    def sr6(num: BigInt, den: BigInt): Double = {
+      val (s0, n0, d0) =
+        (if (num < 0) -1.0 else 1.0, num.abs * 1000000, den)
+      s0 * ((n0 / d0 + (if ((n0 % d0) * 2 >= d0) 1 else 0)).toDouble / 1e6)
+    }
+    q("q_ols_grouped").collect().foreach { r =>
+      val g = xs(r.getString(0))
+      val n = BigInt(g.size)
+      val sx = g.map(_._2).sum; val sy = g.map(_._3).sum
+      val sxx = g.map(t => t._2 * t._2).sum
+      val sxy = g.map(t => t._2 * t._3).sum
+      val sxxc = n * sxx - sx * sx; val sxyc = n * sxy - sx * sy
+      assert(r.getLong(1) == g.size.toLong)
+      assert(r.getDouble(2) == sr6(sxyc, sxxc), s"${r.getString(0)} slope")
+      assert(r.getDouble(3) == sr6(sy * sxxc - sxyc * sx, n * sxxc),
+        s"${r.getString(0)} intercept")
+    }
+  }
+
+  test("q_hhi matches exact BigInt share-squared sums; bounds hold") {
+    val cust = Tables.load(spark, sf, "customer")
+      .select(col("c_custkey"), col("c_nationkey").cast("long")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rev = Tables.load(spark, sf, "orders")
+      .select(col("o_custkey"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), BigInt(math.round(r.getDouble(1) * 100))))
+      .groupBy(_._1).map { case (c, v) => (c, v.map(_._2).sum) }
+    val byNation = rev.toSeq.groupBy { case (c, _) => cust(c) }
+    def r6(num: BigInt, den: BigInt): Double =
+      (num * 1000000 / den +
+        (if ((num * 1000000 % den) * 2 >= den) 1 else 0)).toDouble / 1e6
+    q("q_hhi").collect().foreach { r =>
+      val g = byNation(r.getLong(0)).map(_._2)
+      val tot = g.sum; val sq = g.map(x => x * x).sum
+      assert(r.getLong(1) == g.size.toLong)
+      assert(r.getLong(2) == tot.toLong)
+      val hhi = r.getDouble(3)
+      assert(hhi == r6(sq, tot * tot))
+      // 1/n <= HHI <= 1
+      assert(hhi <= 1.0 && hhi >= 1.0 / g.size - 1e-6)
+    }
+  }
+
   test("q_group_mode picks the max-count, smallest-value nation") {
     val cust = Tables.load(spark, sf, "customer")
       .select(col("c_mktsegment"), col("c_nationkey")).collect()
