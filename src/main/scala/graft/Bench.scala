@@ -188,7 +188,10 @@ object Bench {
     "q_lorenz_knee", "q_degree_assortativity", "q_ship_latency",
     // round-14 batch 7: Cramér's V, grouped exact-ratio regression,
     // Herfindahl concentration
-    "q_cramers_v", "q_ols_grouped", "q_hhi")
+    "q_cramers_v", "q_ols_grouped", "q_hhi",
+    // round-14 batch 8: Markov stationary distribution, additive
+    // Holt–Winters
+    "q_markov_steady", "q_holt_winters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -24,6 +24,15 @@ object EventQueries {
 
   private def ev(s: SparkSession, d: String) = Tables.events(s, d)
 
+  /** The fixture's closed event-type domain — shared by the
+    * q_markov_steady engine fold and its generated oracle so the
+    * matrix layout and iteration order can't drift. (The fixture
+    * generator emits exactly these five; RegistrySpec's fixture canary
+    * would surface a drift.)
+    */
+  private val eventTypes =
+    Seq("click", "error", "purchase", "signup", "view")
+
   /** Materialized media tables (genuine PNG / WAV bytes) per scale dir —
     * the `binaryFile`-scan stand-in. Built once so the decode queries
     * measure DECODING of stored bytes, not the synthetic generator (the
@@ -1323,6 +1332,82 @@ object EventQueries {
         .orderBy(col("week"))
     }),
 
+    // Stationary distribution of the event-type Markov chain (where
+    // does a user's session settle?): the q_event_transitions count
+    // matrix over the CLOSED 5-type domain, row-stochastic P from
+    // exact integer counts (one double division per entry, mirrored),
+    // then π ← πP for 15 fixed iterations as an aggregate-HOF fold
+    // (lambda-variable state — the q_pca_power machinery). A row with
+    // no outgoing transitions becomes an absorbing self-loop (CASE
+    // mirrored in the oracle); dot products in fixed left-assoc type
+    // order; outputs det6.
+    "q_markov_steady" -> ((s, d) => {
+      val types = eventTypes
+      val e = ev(s, d).select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("sec"), col("event_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("sec"), col("event_id"))
+      val pairs = e
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+      val aggs = (count(lit(1)).as("n_transitions") +:
+        types.map(a => sum(when(col("prev_type") === a, 1L).otherwise(0L))
+          .as(s"r_$a"))) ++
+        (for { a <- types; b <- types } yield
+          sum(when(col("prev_type") === a && col("event_type") === b, 1L)
+            .otherwise(0L)).as(s"c_${a}_$b"))
+      val one = pairs.agg(aggs.head, aggs.tail: _*)
+      def p(a: String, b: String): Column =
+        when(col(s"r_$a") > 0,
+          col(s"c_${a}_$b").cast("double") / col(s"r_$a"))
+          .otherwise(lit(if (a == b) 1.0 else 0.0))
+      val fold = aggregate(sequence(lit(1), lit(15)),
+        struct(types.map(tp => lit(0.2).as(s"pi_$tp")): _*),
+        (acc, _) => struct(types.map { b =>
+          types.map(a => acc.getField(s"pi_$a") * p(a, b))
+            .reduceLeft(_ + _).as(s"pi_$b")
+        }: _*))
+      one.select(col("n_transitions") +:
+        types.map(tp => det6(fold.getField(s"pi_$tp")).as(s"pi_$tp")): _*)
+    }),
+
+    // Additive Holt–Winters (triple exponential smoothing, weekly
+    // season m=7) over the daily count series — the seasonal upgrade of
+    // q_holt_linear: state (level, trend, 7-slot seasonal ring), the
+    // UNIFORM recursion from the zero state for every step (no
+    // first-step special case to mirror), dyadic smoothing constants
+    // (α=β=0.5, γ=0.25 — exactly representable), l′ inlined textually
+    // into b′ and s′ exactly as the oracle's RECURSIVE CTE writes it.
+    // Gap days are absent from the index (the q_holt_linear series
+    // convention). Outputs det6; fc1 = l + b + next seasonal.
+    "q_holt_winters" -> ((s, d) => {
+      val daily = ev(s, d)
+        .groupBy(floor(unix_timestamp(col("ts")) / 86400).cast("long")
+          .as("day"))
+        .agg(count(lit(1)).cast("double").as("y"))
+      val ring = (1 to 7).map(i => s"s$i")
+      val zero = struct((Seq(lit(0.0).as("l"), lit(0.0).as("b")) ++
+        ring.map(r => lit(0.0).as(r))): _*)
+      val folded = daily.agg(count(lit(1)).as("n_days"),
+        aggregate(
+          sort_array(collect_list(struct(col("day"), col("y")))),
+          zero,
+          (st, e) => {
+            val y = e.getField("y")
+            val l = st.getField("l"); val b = st.getField("b")
+            val s1 = st.getField("s1")
+            val lNew = lit(0.5) * (y - s1) + lit(0.5) * (l + b)
+            val bNew = lit(0.5) * (lNew - l) + lit(0.5) * b
+            val sNew = lit(0.25) * (y - lNew) + lit(0.75) * s1
+            struct((Seq(lNew.as("l"), bNew.as("b")) ++
+              (2 to 7).map(i => st.getField(s"s$i").as(s"s${i - 1}")) :+
+              sNew.as("s7")): _*)
+          }).as("st"))
+      folded.select(col("n_days"),
+        det6(col("st.l")).as("level_r"), det6(col("st.b")).as("trend_r"),
+        det6(col("st.l") + col("st.b") + col("st.s1")).as("fc1_r"))
+    }),
+
     // Exact 7-day rolling median of daily revenue (the robust KPI
     // smoother next to q_events_ewma's mean): daily integer cents, a
     // RANGE frame over the bounded day domain (missing days shrink the
@@ -2183,6 +2268,83 @@ object EventQueries {
         |  FROM rec r JOIN st s2 ON s2.i = r.i + 1)
         |SELECT t, n_risk, d_events, ${det6Sql("s")} AS surv_r
         |FROM rec ORDER BY t""".stripMargin,
+
+    // the same count matrix + 15 unrolled π←πP CTEs generated from the
+    // shared eventTypes list (the q_pca_power oracle machinery)
+    "q_markov_steady" -> {
+      val types = eventTypes
+      val sums = (Seq("CAST(COUNT(*) AS BIGINT) AS n_transitions") ++
+        types.map(a =>
+          s"CAST(SUM(CASE WHEN prev_type = '$a' THEN 1 ELSE 0 END) " +
+            s"AS BIGINT) AS r_$a") ++
+        (for { a <- types; b <- types } yield
+          s"CAST(SUM(CASE WHEN prev_type = '$a' AND next_type = '$b' " +
+            s"THEN 1 ELSE 0 END) AS BIGINT) AS c_${a}_$b"))
+        .mkString(",\n  ")
+      def pSql(a: String, b: String): String =
+        s"(CASE WHEN r_$a > 0 THEN CAST(c_${a}_$b AS DOUBLE) / r_$a " +
+          s"ELSE CAST(${if (a == b) "1.0" else "0.0"} AS DOUBLE) END)"
+      val piCols = types.map(tp => s"pi_$tp").mkString(", ")
+      val iters = (1 to 15).map { k =>
+        val prev = if (k == 1) "it0" else s"it${k - 1}"
+        val ps = types.map(b => "(" +
+          types.map(a => s"pi_$a * ${pSql(a, b)}").mkString(" + ") +
+          s") AS npi_$b").mkString(",\n    ")
+        s"""w$k AS (SELECT *, $ps FROM $prev),
+           |it$k AS (
+           |  SELECT * EXCLUDE ($piCols,
+           |    ${types.map(tp => s"npi_$tp").mkString(", ")}),
+           |    ${types.map(tp => s"npi_$tp AS pi_$tp").mkString(", ")}
+           |  FROM w$k)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+        |  SELECT user_id, event_type, event_id,
+        |    CAST(FLOOR(date_part('epoch', ts)) AS BIGINT) AS sec
+        |  FROM events),
+        |lagged AS (
+        |  SELECT LAG(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY sec, event_id) AS prev_type,
+        |    event_type AS next_type
+        |  FROM e),
+        |pairs AS (SELECT prev_type, next_type FROM lagged
+        |  WHERE prev_type IS NOT NULL),
+        |m AS (SELECT
+        |  $sums
+        |FROM pairs),
+        |it0 AS (SELECT m.*,
+        |  ${types.map(tp => s"CAST(0.2 AS DOUBLE) AS pi_$tp").mkString(", ")}
+        |FROM m),
+        |$iters
+        |SELECT n_transitions,
+        |  ${types.map(tp => det6Sql(s"pi_$tp") + s" AS pi_$tp").mkString(",\n  ")}
+        |FROM it15""".stripMargin
+    },
+
+    // the same uniform zero-state recursion, l′ inlined into b′ and s′
+    "q_holt_winters" ->
+      s"""WITH RECURSIVE daily AS (
+        |  SELECT (epoch_us(ts) // 1000000) // 86400 AS day, COUNT(*) AS n
+        |  FROM events GROUP BY 1),
+        |ser AS (
+        |  SELECT ROW_NUMBER() OVER (ORDER BY day) AS i, CAST(n AS DOUBLE) AS y
+        |  FROM daily),
+        |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily),
+        |rec AS (
+        |  SELECT CAST(0 AS BIGINT) AS i, CAST(0.0 AS DOUBLE) AS l,
+        |    CAST(0.0 AS DOUBLE) AS b,
+        |    ${(1 to 7).map(i => s"CAST(0.0 AS DOUBLE) AS s$i").mkString(", ")}
+        |  UNION ALL
+        |  SELECT r.i + 1,
+        |    0.5 * (ser.y - r.s1) + 0.5 * (r.l + r.b),
+        |    0.5 * ((0.5 * (ser.y - r.s1) + 0.5 * (r.l + r.b)) - r.l)
+        |      + 0.5 * r.b,
+        |    r.s2, r.s3, r.s4, r.s5, r.s6, r.s7,
+        |    0.25 * (ser.y - (0.5 * (ser.y - r.s1) + 0.5 * (r.l + r.b)))
+        |      + 0.75 * r.s1
+        |  FROM rec r JOIN ser ON ser.i = r.i + 1)
+        |SELECT n_days, ${det6Sql("l")} AS level_r, ${det6Sql("b")} AS trend_r,
+        |  ${det6Sql("l + b + s1")} AS fc1_r
+        |FROM rec, nd WHERE i = n_days""".stripMargin,
 
     // the same observed-day cells and exact-integer Fano ratio
     "q_fano_burstiness" ->

@@ -962,6 +962,50 @@ class StatsGovernanceSpec extends SparkTestBase {
     }
   }
 
+  test("q_markov_steady matches a driver chain iteration; pi sums to ~1") {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val pairs = evFixture.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val ordered = es.sortBy(e => (e._2, e._3)).map(_._4)
+      ordered.zip(ordered.tail)
+    }
+    val idx = types.zipWithIndex.toMap
+    val c = Array.fill(5, 5)(0L); val r = Array.fill(5)(0L)
+    pairs.foreach { case (a, b) => c(idx(a))(idx(b)) += 1; r(idx(a)) += 1 }
+    def p(i: Int, j: Int): Double =
+      if (r(i) > 0) c(i)(j).toDouble / r(i)
+      else if (i == j) 1.0 else 0.0
+    var pi = Array.fill(5)(0.2)
+    for (_ <- 1 to 15)
+      pi = Array.tabulate(5)(j =>
+        (0 until 5).map(i => pi(i) * p(i, j)).reduceLeft(_ + _))
+    def d6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val row = q("q_markov_steady").collect().head
+    assert(row.getLong(0) == pairs.size.toLong)
+    (0 until 5).foreach { j =>
+      assert(row.getDouble(1 + j) == d6(pi(j)), s"pi ${types(j)}")
+    }
+    assert(math.abs(pi.sum - 1.0) < 1e-9, "stochastic iteration preserved mass")
+  }
+
+  test("q_holt_winters matches a driver zero-state triple-smoothing fold") {
+    val daily = evFixture.map(_._2 / 86400)
+      .groupBy(identity).toSeq.map { case (day, v) => (day, v.size.toDouble) }
+      .sortBy(_._1)
+    var l = 0.0; var b = 0.0; var s = Array.fill(7)(0.0)
+    daily.foreach { case (_, y) =>
+      val lNew = 0.5 * (y - s(0)) + 0.5 * (l + b)
+      val bNew = 0.5 * ((0.5 * (y - s(0)) + 0.5 * (l + b)) - l) + 0.5 * b
+      val sNew = 0.25 * (y - (0.5 * (y - s(0)) + 0.5 * (l + b))) + 0.75 * s(0)
+      s = s.drop(1) :+ sNew; l = lNew; b = bNew
+    }
+    def d6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val row = q("q_holt_winters").collect().head
+    assert(row.getLong(0) == daily.size.toLong)
+    assert(row.getDouble(1) == d6(l))
+    assert(row.getDouble(2) == d6(b))
+    assert(row.getDouble(3) == d6(l + b + s(0)))
+  }
+
   test("q_group_mode picks the max-count, smallest-value nation") {
     val cust = Tables.load(spark, sf, "customer")
       .select(col("c_mktsegment"), col("c_nationkey")).collect()
