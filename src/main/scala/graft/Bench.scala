@@ -191,7 +191,9 @@ object Bench {
     "q_cramers_v", "q_ols_grouped", "q_hhi",
     // round-14 batch 8: Markov stationary distribution, additive
     // Holt–Winters
-    "q_markov_steady", "q_holt_winters")
+    "q_markov_steady", "q_holt_winters",
+    // round-14 batch 9: exact MRR, blocking-quality audit, churn hazard
+    "q_eval_mrr", "q_blocking_quality", "q_churn_hazard")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2297,6 +2297,40 @@ object AnalyticsQueries {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // Blocking-quality audit for the JW entity-resolution family (the
+    // record-linkage literature's two headline metrics): reduction
+    // ratio = 1 − |candidates|/|all pairs| (how much work the last-
+    // token blocks save) and pairs completeness = |found|/|true| (what
+    // recall they cost), with the TRUTH side a brute-force all-pairs
+    // JW pass — quadratic BY DEFINITION (that is what it audits), run
+    // over the bounded distinct-name relation; at corpus scale this
+    // audit runs on a sample. Candidates and found reuse the exact
+    // blockedPartPairs / jwMatches relations q_fuzzy_jw reports, so
+    // the audit can't drift from the operator it audits. All counts
+    // exact; both metrics ratio6.
+    "q_blocking_quality" -> ((s, d) => {
+      val names = t(s, d, "part").select(col("p_name")).distinct()
+      val jw = round(graft.functions.TextHashFunctions.jaro_winkler(
+        col("a"), col("b")), 6)
+      val allTrue = names.select(col("p_name").as("a"))
+        .join(names.select(col("p_name").as("b")), col("a") < col("b"))
+        .filter(jw >= 0.9)
+      val nn = names.agg(count(lit(1)).as("n_names"))
+      val nc = blockedPartPairs(s, d)
+        .agg(count(lit(1)).as("n_candidates"))
+      val nt = allTrue.agg(count(lit(1)).as("n_true"))
+      val nf = jwMatches(s, d).agg(count(lit(1)).as("n_found"))
+      nn.crossJoin(broadcast(nc)).crossJoin(broadcast(nt))
+        .crossJoin(broadcast(nf))
+        .withColumn("n_all_pairs", expr("n_names * (n_names - 1) DIV 2"))
+        .select(col("n_names"), col("n_all_pairs"), col("n_candidates"),
+          ratio6(col("n_all_pairs") - col("n_candidates"),
+            col("n_all_pairs")).as("rr_r"),
+          col("n_true"), col("n_found"),
+          when(col("n_true") > 0, ratio6(col("n_found"), col("n_true")))
+            .otherwise(lit(1.0)).as("pc_r"))
+    }),
+
     // First principal component of the standardized lineitem measures
     // via 10 power iterations on the 4×4 correlation matrix — the
     // q_corr_matrix exact-moment discipline extended to an EIGENVECTOR:
@@ -3417,6 +3451,41 @@ object AnalyticsQueries {
                      "sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * " +
                      "CAST(n * syy - sy * sy AS DOUBLE))")} AS assort_r
         |FROM m""".stripMargin,
+
+    // candidate CTE = the q_fuzzy_jw oracle's block relation; truth =
+    // brute force over all distinct-name pairs with the same built-in
+    // JW (proven equal to the engine's codegen'd JW by q_fuzzy_jw)
+    "q_blocking_quality" ->
+      s"""WITH n AS (
+        |  SELECT DISTINCT p_name,
+        |    list_extract(string_split(p_name, ' '), -1) AS block
+        |  FROM part),
+        |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_names FROM n),
+        |r AS (
+        |  SELECT p_name, block,
+        |    ROW_NUMBER() OVER (PARTITION BY block ORDER BY p_name) AS rn
+        |  FROM n),
+        |cand AS (
+        |  SELECT a.p_name AS a, b.p_name AS b
+        |  FROM r a JOIN r b ON a.block = b.block AND a.p_name < b.p_name
+        |  WHERE a.rn <= 1000 AND b.rn <= 1000),
+        |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand),
+        |tp AS (
+        |  SELECT a.p_name AS a, b.p_name AS b
+        |  FROM n a JOIN n b ON a.p_name < b.p_name
+        |  WHERE ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6)
+        |    >= 0.9),
+        |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM tp),
+        |nf AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_found FROM cand
+        |  WHERE ROUND(jaro_winkler_similarity(a, b), 6) >= 0.9)
+        |SELECT n_names, n_names * (n_names - 1) // 2 AS n_all_pairs,
+        |  n_candidates,
+        |  ${ratio6Sql("n_names * (n_names - 1) // 2 - n_candidates",
+             "n_names * (n_names - 1) // 2")} AS rr_r,
+        |  n_true, n_found,
+        |  CASE WHEN n_true > 0 THEN ${ratio6Sql("n_found", "n_true")}
+        |       ELSE CAST(1.0 AS DOUBLE) END AS pc_r
+        |FROM nn, nc, nt, nf""".stripMargin,
 
     // the chi2 chain + the extra normalization, same op order
     "q_cramers_v" ->

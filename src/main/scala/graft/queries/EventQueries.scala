@@ -1332,6 +1332,32 @@ object EventQueries {
         .orderBy(col("week"))
     }),
 
+    // Discrete churn-hazard curve by customer tenure (the Kaplan–Meier
+    // sibling viewed as per-interval risk): tenure = 30-day periods
+    // between a customer's first and last order; at tenure t the risk
+    // set is everyone whose tenure reached t, hazard h_t = churned_t /
+    // at_risk_t — exact integers end to end (one per-customer rollup,
+    // one bounded-tenure-domain cumulative window, ratio6). NOTE the
+    // last observed period is "churn" by construction here (a lifetime
+    // census, no censoring — q_kaplan_meier is the censored treatment,
+    // and the events table's uniform users make IT the wrong fixture
+    // for a hazard curve: every user spans the whole month).
+    "q_churn_hazard" -> ((s, d) => {
+      val day = floor(unix_timestamp(col("o_orderdate")) / 86400)
+      val uw = Tables.load(s, d, "orders").groupBy(col("o_custkey"))
+        .agg(floor((max(day) - min(day)) / 30).cast("long").as("ten"))
+      val byT = uw.groupBy(col("ten")).agg(count(lit(1)).as("churned"))
+      val tot = byT.agg(sum(col("churned")).as("n_users"))
+      val wcum = Window.orderBy(col("ten"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      byT.crossJoin(broadcast(tot))
+        .withColumn("at_risk",
+          col("n_users") - coalesce(sum(col("churned")).over(wcum), lit(0L)))
+        .select(col("ten"), col("at_risk"), col("churned"),
+          ratio6(col("churned"), col("at_risk")).as("hazard_r"))
+        .orderBy(col("ten"))
+    }),
+
     // Stationary distribution of the event-type Markov chain (where
     // does a user's session settle?): the q_event_transitions count
     // matrix over the CLOSED 5-type domain, row-stochastic P from
@@ -2268,6 +2294,30 @@ object EventQueries {
         |  FROM rec r JOIN st s2 ON s2.i = r.i + 1)
         |SELECT t, n_risk, d_events, ${det6Sql("s")} AS surv_r
         |FROM rec ORDER BY t""".stripMargin,
+
+    // the same lifetime census + risk-set window (filter AFTER the
+    // window, the q_kaplan_meier discipline)
+    "q_churn_hazard" ->
+      s"""WITH uw AS (
+        |  SELECT o_custkey,
+        |    CAST((MAX((epoch_us(o_orderdate) // 1000000) // 86400)
+        |      - MIN((epoch_us(o_orderdate) // 1000000) // 86400)) // 30
+        |      AS BIGINT) AS ten
+        |  FROM orders GROUP BY 1),
+        |byt AS (SELECT ten, CAST(COUNT(*) AS BIGINT) AS churned
+        |  FROM uw GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(churned) AS BIGINT) AS n_users FROM byt)
+        |SELECT ten,
+        |  CAST(n_users - COALESCE(SUM(churned) OVER (ORDER BY ten
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS at_risk,
+        |  churned,
+        |  ${ratio6Sql(
+             "churned",
+             "n_users - COALESCE(SUM(churned) OVER (ORDER BY ten " +
+               "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)")}
+        |    AS hazard_r
+        |FROM byt, tot ORDER BY ten""".stripMargin,
 
     // the same count matrix + 15 unrolled π←πP CTEs generated from the
     // shared eventTypes list (the q_pca_power oracle machinery)

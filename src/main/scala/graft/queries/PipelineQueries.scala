@@ -236,6 +236,32 @@ object PipelineQueries {
         .crossJoin(Eval.precisionAtKGlobal(v, rankedTop100(train), K))
     }),
 
+    // Mean reciprocal rank @10 (the eval-family member MAP/hit/precision
+    // lacked) — EXACT: 1/rank for rank ∈ 1..10 carried as the integer
+    // 2520/rank (2520 = lcm(1..10), so every reciprocal is a whole
+    // number of 1/2520 units); MRR = Σ units / (2520·n_users) is ONE
+    // exact integer ratio (ratio6) — zero float ops. Users with labels
+    // but no hit contribute 0 (the standard convention).
+    "q_eval_mrr" -> ((s, d) => {
+      val (train, v, _) = hashSplit(Tables.ratings(s, d))
+      val dedup = train.groupBy(col("userId"), col("movieId"))
+        .agg(avg(col("rating")).as("r"))
+      val recs = Recommend.topKPerKey(dedup, "userId",
+        Seq(col("r").desc, col("movieId")), 10)
+        .select(col("userId"), col("movieId"), col("rank"))
+      val labels = v.select(col("userId"), col("movieId")).distinct()
+      val firstHit = recs.join(labels, Seq("userId", "movieId"))
+        .groupBy(col("userId")).agg(min(col("rank")).as("fr"))
+      labels.select(col("userId")).distinct()
+        .join(firstHit, Seq("userId"), "left")
+        .agg(count(lit(1)).as("n_users"),
+          sum(when(col("fr").isNotNull, 1L).otherwise(0L)).as("n_hit"),
+          sum(when(col("fr").isNotNull, expr("2520 DIV fr"))
+            .otherwise(0L)).as("units"))
+        .select(col("n_users"), col("n_hit"),
+          ratio6(col("units"), lit(2520L) * col("n_users")).as("mrr_r"))
+    }),
+
     // U4 quirk replica: reference's swapped-argument mAP (als.py:128-131
     // passes ground truth as top_k) — deterministic sorted-label order.
     "q_eval_map_swapped" -> ((s, d) => {
@@ -635,6 +661,34 @@ object PipelineQueries {
          |FROM nlab n LEFT JOIN hits h ON n.userId = h.userId""".stripMargin,
 
     "q_eval_map_std" -> mapAtKOracle("map_at_k"),
+
+    // the same recs/labels relations; 2520//fr integer reciprocals
+    "q_eval_mrr" ->
+      s"""WITH $splitSql,
+         |dedup AS (
+         |  SELECT userId, movieId, AVG(rating) AS r
+         |  FROM train GROUP BY userId, movieId
+         |),
+         |recs AS (
+         |  SELECT userId, movieId,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY userId
+         |      ORDER BY r DESC, movieId) AS BIGINT) AS rank
+         |  FROM dedup QUALIFY rank <= 10
+         |),
+         |labels AS (SELECT DISTINCT userId, movieId FROM val),
+         |fh AS (
+         |  SELECT r.userId, MIN(r.rank) AS fr
+         |  FROM recs r JOIN labels l
+         |    ON r.userId = l.userId AND r.movieId = l.movieId
+         |  GROUP BY 1),
+         |u AS (SELECT DISTINCT userId FROM labels)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         |  CAST(SUM(CASE WHEN fr IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_hit,
+         |  ${ratio6Sql(
+             "SUM(CASE WHEN fr IS NOT NULL THEN 2520 // fr ELSE 0 END)",
+             "2520 * COUNT(*)")} AS mrr_r
+         |FROM u LEFT JOIN fh USING (userId)""".stripMargin,
 
     // DE-EXEMPTED r12: the RDD RankingMetrics form is asserted EQUAL to
     // the DataFrame standardMapAtK in EvalSpec, so it takes the SAME

@@ -88,4 +88,35 @@ class EvalSpec extends AnyFunSuite {
     val got = Eval.rmse(df).first().getDouble(0)
     assert(math.abs(got - math.sqrt(0.5)) < 1e-6)
   }
+
+  test("q_eval_mrr: exact 1/2520-unit reciprocals vs a driver recompute") {
+    val spark0 = SparkTestBase.spark
+    val row = SparkEntry.queries("q_eval_mrr")(spark0, SparkTestBase.sf)
+      .collect().head
+    // independent recompute: first-hit ranks from the same deterministic
+    // split/recs definitions, MRR folded exactly in BigInt 1/2520 units
+    val ratings = Tables.ratings(spark0, SparkTestBase.sf)
+      .select(col("userId"), col("movieId"), col("rating")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val train = ratings.filter(t => t._2 % 10 < 6)
+    val valL = ratings.filter(t => t._2 % 10 == 6 || t._2 % 10 == 7)
+    val recs = train.groupBy(t => (t._1, t._2))
+      .map { case ((u, m), xs) => (u, m, xs.map(_._3).sum / xs.size) }
+      .groupBy(_._1).flatMap { case (_, xs) =>
+        xs.toSeq.sortBy(t => (-t._3, t._2)).take(10).zipWithIndex
+          .map { case ((u, m, _), i) => (u, m, i + 1L) }
+      }.toSet
+    val labels = valL.map(t => (t._1, t._2)).toSet
+    val users = labels.map(_._1)
+    val firstHit = recs.filter(r => labels.contains((r._1, r._2)))
+      .groupBy(_._1).map { case (u, xs) => u -> xs.map(_._3).min }
+    val units = users.toSeq.map(u =>
+      firstHit.get(u).map(r => BigInt(2520 / r)).getOrElse(BigInt(0))).sum
+    val den = BigInt(2520) * users.size
+    val mrr = (units * 1000000 / den +
+      (if ((units * 1000000 % den) * 2 >= den) 1 else 0)).toDouble / 1e6
+    assert(row.getLong(0) == users.size.toLong)
+    assert(row.getLong(1) == firstHit.size.toLong)
+    assert(row.getDouble(2) == mrr)
+  }
 }

@@ -1006,6 +1006,49 @@ class StatsGovernanceSpec extends SparkTestBase {
     assert(row.getDouble(3) == d6(l + b + s(0)))
   }
 
+  test("q_blocking_quality: count identities + q_fuzzy_jw cross-check") {
+    val row = q("q_blocking_quality").collect().head
+    val (nNames, nAll, nCand) =
+      (row.getLong(0), row.getLong(1), row.getLong(2))
+    val (nTrue, nFound) = (row.getLong(4), row.getLong(5))
+    assert(nAll == nNames * (nNames - 1) / 2)
+    assert(nCand <= nAll && nFound <= nCand && nFound <= nTrue)
+    def r6(num: Long, den: Long): Double = {
+      val n6 = BigInt(num) * 1000000
+      (n6 / den + (if ((n6 % den) * 2 >= den) 1 else 0)).toDouble / 1e6
+    }
+    assert(row.getDouble(3) == r6(nAll - nCand, nAll))
+    assert(row.getDouble(6) ==
+      (if (nTrue > 0) r6(nFound, nTrue) else 1.0))
+    // found = the pair set q_fuzzy_jw reports (shared relation)
+    assert(nFound == q("q_fuzzy_jw").count())
+  }
+
+  test("q_churn_hazard matches a driver lifetime census; risk telescopes") {
+    val o = Tables.load(spark, sf, "orders")
+      .select(col("o_custkey"),
+        floor(unix_timestamp(col("o_orderdate")) / 86400).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ten = o.groupBy(_._1).toSeq.map { case (_, xs) =>
+      val ds = xs.map(_._2); (ds.max - ds.min) / 30 }
+    val byT = ten.groupBy(identity).map { case (t, g) => t -> g.size.toLong }
+    val total = ten.size.toLong
+    var atRisk = total
+    val rows = q("q_churn_hazard").collect()
+    assert(rows.map(_.getLong(2)).sum == total)
+    rows.sortBy(_.getLong(0)).foreach { r =>
+      val t = r.getLong(0)
+      assert(r.getLong(2) == byT(t))
+      // at_risk telescopes: total minus everyone who churned earlier
+      val expRisk = total - byT.filter(_._1 < t).values.sum
+      assert(r.getLong(1) == expRisk, s"tenure $t risk")
+      val h = r.getDouble(3)
+      assert(h > 0.0 && h <= 1.0)
+      atRisk = expRisk
+    }
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+  }
+
   test("q_group_mode picks the max-count, smallest-value nation") {
     val cust = Tables.load(spark, sf, "customer")
       .select(col("c_mktsegment"), col("c_nationkey")).collect()
