@@ -193,7 +193,9 @@ object Bench {
     // Holt–Winters
     "q_markov_steady", "q_holt_winters",
     // round-14 batch 9: exact MRR, blocking-quality audit, churn hazard
-    "q_eval_mrr", "q_blocking_quality", "q_churn_hazard")
+    "q_eval_mrr", "q_blocking_quality", "q_churn_hazard",
+    // round-14 batch 10: LPA modularity, exact seasonal decomposition
+    "q_modularity", "q_seasonal_decompose")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2297,6 +2297,42 @@ object AnalyticsQueries {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // Newman modularity of the LPA partition (the "are these
+    // communities real?" score the q_lpa_communities census lacks):
+    // Q = Σ_c e_c/m − Σ_c (d_c/2m)², cleared of fractions to ONE exact
+    // signed integer ratio (4m·e_intra − Σ_c d_c²) / 4m² — sratio6,
+    // zero float ops. Labels come from the SAME Graph.lpaSteps(3)
+    // relation the census reports; Σe_c needs only the total
+    // equal-label edge count, Σd_c² one per-label degree rollup.
+    "q_modularity" -> ((s, d) => {
+      val dec = (c: Column) => c.cast("decimal(38,0)")
+      val e = coPurchaseEdges(s, d).localCheckpoint(true)
+      val labels = graft.operators.Graph.lpaSteps(e, rounds = 3)
+      val sym = e.select(col("u").as("a"), col("v").as("b"))
+        .unionAll(e.select(col("v").as("a"), col("u").as("b")))
+      val deg = sym.groupBy(col("a").as("node"))
+        .agg(count(lit(1)).as("deg"))
+      val m = e.agg(count(lit(1)).as("m"))
+      val intra = e
+        .join(labels.select(col("node").as("u"), col("label").as("lu")),
+          Seq("u"))
+        .join(labels.select(col("node").as("v"), col("label").as("lv")),
+          Seq("v"))
+        .filter(col("lu") === col("lv"))
+        .agg(count(lit(1)).as("e_intra"))
+      val dsq = labels.join(deg, Seq("node"))
+        .groupBy(col("label")).agg(sum(col("deg")).as("d_c"))
+        .agg(count(lit(1)).as("n_communities"),
+          sum(dec(col("d_c")) * dec(col("d_c"))).as("sum_dsq"))
+      dsq.crossJoin(broadcast(m)).crossJoin(broadcast(intra))
+        .select(col("n_communities"), col("m").as("m_edges"),
+          col("e_intra"),
+          sratio6(
+            dec(lit(4)) * dec(col("m")) * dec(col("e_intra")) -
+              col("sum_dsq"),
+            dec(lit(4)) * dec(col("m")) * dec(col("m"))).as("q_r"))
+    }),
+
     // Blocking-quality audit for the JW entity-resolution family (the
     // record-linkage literature's two headline metrics): reduction
     // ratio = 1 − |candidates|/|all pairs| (how much work the last-
@@ -3594,6 +3630,28 @@ object AnalyticsQueries {
 
     "q_lpa_communities" -> lpaOracle,
 
+    // the same LPA labels (shared lpaCtes) + the cleared-fraction
+    // integer modularity
+    "q_modularity" ->
+      s"""WITH $lpaCtes,
+        |dg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+        |  FROM sym GROUP BY 1),
+        |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges),
+        |ei AS (SELECT CAST(COUNT(*) AS BIGINT) AS e_intra
+        |  FROM edges e JOIN l3 a ON a.node = e.u
+        |  JOIN l3 b ON b.node = e.v
+        |  WHERE a.label = b.label),
+        |dc AS (SELECT l.label, CAST(SUM(deg) AS HUGEINT) AS d_c
+        |  FROM l3 l JOIN dg USING (node) GROUP BY 1),
+        |dsq AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+        |    CAST(SUM(d_c * d_c) AS HUGEINT) AS sum_dsq
+        |  FROM dc)
+        |SELECT n_communities, m AS m_edges, e_intra,
+        |  ${sratio6Sql("4 * CAST(m AS HUGEINT) * e_intra - sum_dsq",
+             "4 * CAST(m AS HUGEINT) * m")} AS q_r
+        |FROM dsq, mm, ei""".stripMargin,
+
     // the replayed walks feed the same windowed pair count + marginals
     "q_walk_skipgrams" ->
       s"""WITH $walkCte,
@@ -4319,7 +4377,11 @@ object AnalyticsQueries {
     * (ROW_NUMBER over (count DESC, label) — the same min-label
     * tiebreak), exact integers end to end.
     */
-  private def lpaOracle: String = {
+  /** The LPA round CTEs (no leading WITH — the r12 composition lesson),
+    * shared by [[lpaOracle]] and the q_modularity oracle. Exposes
+    * `edges(u,v)`, `sym(node,nbr)` and the final labels `l3(node,label)`.
+    */
+  private def lpaCtes: String = {
     val rounds = 3
     val body = (1 to rounds).map { r =>
       s""", c$r AS (
@@ -4333,15 +4395,18 @@ object AnalyticsQueries {
          |        ORDER BY cnt DESC, label) AS rn
          |    FROM c$r) x WHERE rn = 1)""".stripMargin
     }.mkString
-    s"""WITH $coPurchaseCte,
+    s"""$coPurchaseCte,
        |sym AS MATERIALIZED (
        |  SELECT u AS node, v AS nbr FROM edges
        |  UNION SELECT v AS node, u AS nbr FROM edges),
        |l0 AS (SELECT DISTINCT node, node AS label FROM sym)""".stripMargin +
-      body +
-      s"\nSELECT label, COUNT(*) AS n_members FROM l$rounds" +
-      "\nGROUP BY label ORDER BY label"
+      body
   }
+
+  private def lpaOracle: String =
+    s"WITH $lpaCtes" +
+      "\nSELECT label, COUNT(*) AS n_members FROM l3" +
+      "\nGROUP BY label ORDER BY label"
 
   /** q_random_walks' twin: replays every walk step through the mod-2^64
     * HUGEINT mix64 (combine constants seed·golden / 0xc2b2ae3d27d4eb4f /

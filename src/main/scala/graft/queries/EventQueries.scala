@@ -1332,6 +1332,38 @@ object EventQueries {
         .orderBy(col("week"))
     }),
 
+    // Additive seasonal decomposition, kept EXACT (the STL-lite
+    // diagnostic behind q_seasonality's raw DOW means): daily counts on
+    // the zero-filled day spine (the q_gap_fill convention), trend =
+    // centered 7-day moving average carried as the INTEGER sum T7 (1/7
+    // units), detrended D7 = 7·x − T7 (still integer), and the seasonal
+    // component per day-of-week = mean(D7)/7 — one exact signed ratio
+    // (sratio6) per DOW. Boundary days without a full window are
+    // excluded identically on both engines. Bounded day domain
+    // throughout.
+    "q_seasonal_decompose" -> ((s, d) => {
+      val daily = ev(s, d)
+        .groupBy(floor(unix_timestamp(col("ts")) / 86400).cast("long")
+          .as("day"))
+        .agg(count(lit(1)).as("x"))
+      val bounds = daily.agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      val spine = bounds.select(explode(sequence(col("lo"), col("hi")))
+        .as("day"))
+        .join(daily, Seq("day"), "left")
+        .select(col("day"), coalesce(col("x"), lit(0L)).as("x"))
+      val w = Window.orderBy(col("day")).rowsBetween(-3, 3)
+      val dec7 = spine
+        .withColumn("t7", sum(col("x")).over(w))
+        .withColumn("nw", count(lit(1)).over(w))
+        .filter(col("nw") === 7)
+        .select(pmod(col("day"), lit(7)).as("dow"),
+          (col("x") * 7 - col("t7")).as("d7"))
+      dec7.groupBy(col("dow"))
+        .agg(count(lit(1)).as("n_days"),
+          sratio6(sum(col("d7")), count(lit(1)) * 7).as("seasonal_r"))
+        .orderBy(col("dow"))
+    }),
+
     // Discrete churn-hazard curve by customer tenure (the Kaplan–Meier
     // sibling viewed as per-interval risk): tenure = 30-day periods
     // between a customer's first and last order; at tenure t the risk
@@ -2294,6 +2326,33 @@ object EventQueries {
         |  FROM rec r JOIN st s2 ON s2.i = r.i + 1)
         |SELECT t, n_risk, d_events, ${det6Sql("s")} AS surv_r
         |FROM rec ORDER BY t""".stripMargin,
+
+    // the same zero-filled spine + integer 1/7-unit decomposition; the
+    // oracle's %7 is wrapped non-negative to mirror pmod (the
+    // q_seasonality convention)
+    "q_seasonal_decompose" ->
+      s"""WITH daily AS (
+        |  SELECT (epoch_us(ts) // 1000000) // 86400 AS day,
+        |    CAST(COUNT(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1),
+        |b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+        |spine AS (
+        |  SELECT gs.day, COALESCE(d.x, 0) AS x
+        |  FROM (SELECT UNNEST(range(lo, hi + 1)) AS day FROM b) gs
+        |  LEFT JOIN daily d USING (day)),
+        |win AS (
+        |  SELECT day, x,
+        |    CAST(SUM(x) OVER (ORDER BY day
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS t7,
+        |    COUNT(*) OVER (ORDER BY day
+        |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS nw
+        |  FROM spine),
+        |d7 AS (
+        |  SELECT ((day % 7) + 7) % 7 AS dow, x * 7 - t7 AS d7
+        |  FROM win WHERE nw = 7)
+        |SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  ${sratio6Sql("SUM(d7)", "COUNT(*) * 7")} AS seasonal_r
+        |FROM d7 GROUP BY 1 ORDER BY dow""".stripMargin,
 
     // the same lifetime census + risk-set window (filter AFTER the
     // window, the q_kaplan_meier discipline)

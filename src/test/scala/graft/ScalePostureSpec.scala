@@ -825,4 +825,37 @@ class ScalePostureSpec extends SparkTestBase {
     assert(!gaPlan.contains("CartesianProduct"), s"cartesian:\n$gaPlan")
     assert(!gaPlan.contains("BroadcastNestedLoopJoin"), s"bnlj:\n$gaPlan")
   }
+
+  test("round-14 session-2 plans: containment/survival/latency join shapes") {
+    // containment join: candidate generation must be the token equi
+    // join — the only nested loop anywhere would mean the prefix
+    // relation degenerated to a cross product
+    val cj = SparkEntry.queries("q_containment_join")(spark, sf)
+    cj.collect()
+    val cjPlan = cj.queryExecution.executedPlan.toString
+      .split("Initial Plan")(0)
+    assert(!cjPlan.contains("CartesianProduct"), s"cartesian:\n$cjPlan")
+    assert(!cjPlan.contains("BroadcastNestedLoopJoin"), s"bnlj:\n$cjPlan")
+    // Kaplan–Meier: per-customer rollups are equi joins; the only
+    // nested-loop is the broadcast 1-row gmax/total attach
+    val km = SparkEntry.queries("q_kaplan_meier")(spark, sf)
+    km.collect()
+    val kmPlan = km.queryExecution.executedPlan.toString
+      .split("Initial Plan")(0)
+    assert(!kmPlan.contains("CartesianProduct"), s"cartesian:\n$kmPlan")
+    // ship latency: ONE fact-fact equi join, never a nested loop
+    val sl = SparkEntry.queries("q_ship_latency")(spark, sf)
+    sl.collect()
+    val slPlan = sl.queryExecution.executedPlan.toString
+      .split("Initial Plan")(0)
+    assert(!slPlan.contains("CartesianProduct"), s"cartesian:\n$slPlan")
+    assert(!slPlan.contains("BroadcastNestedLoopJoin"), s"bnlj:\n$slPlan")
+    // mrr: recs/labels joins all equi
+    val mr = SparkEntry.queries("q_eval_mrr")(spark, sf)
+    mr.collect()
+    val mrPlan = mr.queryExecution.executedPlan.toString
+      .split("Initial Plan")(0)
+    assert(!mrPlan.contains("CartesianProduct"), s"cartesian:\n$mrPlan")
+    assert(!mrPlan.contains("BroadcastNestedLoopJoin"), s"bnlj:\n$mrPlan")
+  }
 }

@@ -1049,6 +1049,50 @@ class StatsGovernanceSpec extends SparkTestBase {
     assert(rows.map(_.getLong(0)).distinct.length == rows.length)
   }
 
+  test("q_modularity: identities hold and the label partition is LPA's") {
+    val row = q("q_modularity").collect().head
+    val (nc, m, eIntra) = (row.getLong(0), row.getLong(1), row.getLong(2))
+    val qr = row.getDouble(3)
+    // communities match the census; intra edges can't exceed m
+    assert(nc == q("q_lpa_communities").count())
+    assert(eIntra >= 0 && eIntra <= m)
+    assert(qr > -1.0 && qr < 1.0, s"modularity out of range: $qr")
+    // LPA groups similar nodes: intra share should beat the random
+    // expectation, i.e. Q > 0 on the co-purchase fixture
+    assert(qr > 0.0, s"LPA partition scored non-positive Q: $qr")
+  }
+
+  test("q_seasonal_decompose: seasonal components from an exact driver fold") {
+    val daily = evFixture.map(_._2 / 86400)
+      .groupBy(identity).map { case (d0, v) => d0 -> v.size.toLong }
+    val (lo, hi) = (daily.keys.min, daily.keys.max)
+    val spine = (lo to hi).map(d0 => (d0, daily.getOrElse(d0, 0L)))
+    val rows = q("q_seasonal_decompose").collect()
+    def sr6(num: BigInt, den: BigInt): Double = {
+      val s0 = if (num < 0) -1.0 else 1.0
+      val n6 = num.abs * 1000000
+      s0 * (n6 / den + (if ((n6 % den) * 2 >= den) 1 else 0)).toDouble / 1e6
+    }
+    val d7 = spine.indices.drop(3).dropRight(3).map { i =>
+      val t7 = (i - 3 to i + 3).map(j => spine(j)._2).sum
+      (((spine(i)._1 % 7) + 7) % 7, spine(i)._2 * 7 - t7)
+    }
+    val expect = d7.groupBy(_._1).map { case (dow, xs) =>
+      dow -> ((xs.size.toLong,
+        sr6(xs.map(x => BigInt(x._2)).sum, BigInt(xs.size) * 7)))
+    }
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, s0) = expect(r.getLong(0))
+      assert(r.getLong(1) == n && r.getDouble(2) == s0, s"dow ${r.getLong(0)}")
+    }
+    // additive identity: the seasonal components of a full week of
+    // day-slots sum to ~0 (means of detrended units over the same spine)
+    val total = d7.map(x => BigInt(x._2)).sum
+    assert((total.abs: BigInt) <= BigInt(7) * d7.size,
+      "detrended units should center near zero")
+  }
+
   test("q_group_mode picks the max-count, smallest-value nation") {
     val cust = Tables.load(spark, sf, "customer")
       .select(col("c_mktsegment"), col("c_nationkey")).collect()
