@@ -195,7 +195,9 @@ object Bench {
     // round-14 batch 9: exact MRR, blocking-quality audit, churn hazard
     "q_eval_mrr", "q_blocking_quality", "q_churn_hazard",
     // round-14 batch 10: LPA modularity, exact seasonal decomposition
-    "q_modularity", "q_seasonal_decompose")
+    "q_modularity", "q_seasonal_decompose",
+    // round-14 batch 11: Markov removal-effect attribution, JS drift
+    "q_markov_attribution", "q_js_divergence")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2297,6 +2297,38 @@ object AnalyticsQueries {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // Jensen–Shannon divergence between two sources' length
+    // distributions (the bounded symmetric drift metric next to
+    // q_ks_two_sample's sup-distance and q_dq_drift's moments):
+    // 100-char buckets over the bounded length domain, p/q from exact
+    // integer cells, JS = Σ ½p·ln(p/m) + ½q·ln(q/m) with m = (p+q)/2,
+    // folded in sorted bucket order on the engine (the chi² term
+    // discipline — the oracle's single-node SUM differs only below the
+    // 6dp contract). det6.
+    "q_js_divergence" -> ((s, d) => {
+      val dd = Tables.documents(s, d)
+        .filter(col("source").isin("src0", "src1"))
+        .select(col("source"), expr("n_chars DIV 100").as("bucket"))
+      val cells = dd.groupBy(col("bucket")).agg(
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("c0"),
+        sum(when(col("source") === "src1", 1L).otherwise(0L)).as("c1"))
+      val tot = dd.agg(
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("n0"),
+        sum(when(col("source") === "src1", 1L).otherwise(0L)).as("n1"))
+      val p = col("c0").cast("double") / col("n0")
+      val q0 = col("c1").cast("double") / col("n1")
+      val m = (p + q0) / 2.0
+      val term =
+        when(col("c0") > 0, lit(0.5) * (p * log(p / m))).otherwise(0.0) +
+          when(col("c1") > 0, lit(0.5) * (q0 * log(q0 / m))).otherwise(0.0)
+      cells.crossJoin(broadcast(tot))
+        .select(col("bucket"), term.as("term"))
+        .agg(count(lit(1)).as("n_buckets"),
+          det6(aggregate(
+            sort_array(collect_list(struct(col("bucket"), col("term")))),
+            lit(0.0), (acc, x) => acc + x.getField("term"))).as("js_r"))
+    }),
+
     // Newman modularity of the LPA partition (the "are these
     // communities real?" score the q_lpa_communities census lacks):
     // Q = Σ_c e_c/m − Σ_c (d_c/2m)², cleared of fractions to ONE exact
@@ -3629,6 +3661,38 @@ object AnalyticsQueries {
     "q_random_walks" -> walkOracle,
 
     "q_lpa_communities" -> lpaOracle,
+
+    // the same cells + per-term CASE; single-node SUM vs the engine's
+    // sorted fold — sub-6dp association difference only
+    "q_js_divergence" -> {
+      val p = "(CAST(c0 AS DOUBLE) / n0)"
+      val q0 = "(CAST(c1 AS DOUBLE) / n1)"
+      val m = s"(($p + $q0) / 2.0)"
+      val term =
+        s"(CASE WHEN c0 > 0 THEN 0.5 * ($p * ln($p / $m)) ELSE 0.0 END" +
+          s" + CASE WHEN c1 > 0 THEN 0.5 * ($q0 * ln($q0 / $m))" +
+          s" ELSE 0.0 END)"
+      s"""WITH dd AS (
+        |  SELECT source, n_chars // 100 AS bucket FROM documents
+        |  WHERE source IN ('src0', 'src1')),
+        |cells AS (
+        |  SELECT bucket,
+        |    CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c0,
+        |    CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS c1
+        |  FROM dd GROUP BY 1),
+        |tot AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n0,
+        |    CAST(SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n1
+        |  FROM dd)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |  ${det6Sql(s"SUM($term)")} AS js_r
+        |FROM cells, tot""".stripMargin
+    },
 
     // the same LPA labels (shared lpaCtes) + the cleared-fraction
     // integer modularity

@@ -33,6 +33,82 @@ object EventQueries {
   private val eventTypes =
     Seq("click", "error", "purchase", "signup", "view")
 
+  /** The q_markov_attribution oracle: the same journey counts, then
+    * 30 unrolled absorption iterations for FIVE scenarios at once
+    * (base + one column set per removed channel), generated from the
+    * same `eventTypes` spec as the engine folds.
+    */
+  private def markovAttributionOracle: String = {
+    val types = eventTypes
+    val na = types.filterNot(_ == "purchase")
+    val scens: Seq[(String, Option[String])] =
+      ("base", Option.empty[String]) +: na.map(k => (s"rm_$k", Some(k)))
+    val sums = (Seq("CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users") ++
+      types.map(t0 => "CAST(SUM(CASE WHEN rn = 1 AND event_type = " +
+        s"'$t0' THEN 1 ELSE 0 END) AS BIGINT) AS s_$t0") ++
+      na.map(i => s"CAST(SUM(CASE WHEN event_type = '$i' THEN 1 ELSE 0 " +
+        s"END) AS BIGINT) AS den_$i") ++
+      (for { i <- na; j <- types } yield
+        s"CAST(SUM(CASE WHEN event_type = '$i' AND next_type = '$j' " +
+          s"THEN 1 ELSE 0 END) AS BIGINT) AS c_${i}_$j"))
+      .mkString(",\n  ")
+    val aCols = scens.flatMap { case (sn, _) => na.map(i => s"a_${sn}_$i") }
+    val naCols = scens.flatMap { case (sn, _) => na.map(i => s"na_${sn}_$i") }
+    val iters = (1 to 30).map { k =>
+      val prev = if (k == 1) "it0" else s"it${k - 1}"
+      val updates = scens.flatMap { case (sn, removed) =>
+        na.map { i =>
+          val terms = na.filterNot(removed.contains)
+            .map(j => s"CAST(c_${i}_$j AS DOUBLE) * a_${sn}_$j")
+            .mkString(" + ")
+          s"(CASE WHEN den_$i > 0 THEN (CAST(c_${i}_purchase AS DOUBLE)" +
+            s" + $terms) / den_$i ELSE CAST(0.0 AS DOUBLE) END)" +
+            s" AS na_${sn}_$i"
+        }
+      }.mkString(",\n    ")
+      s"""w$k AS (SELECT *, $updates FROM $prev),
+         |it$k AS (
+         |  SELECT * EXCLUDE (${(aCols ++ naCols).mkString(", ")}),
+         |    ${scens.flatMap { case (sn, _) =>
+               na.map(i => s"na_${sn}_$i AS a_${sn}_$i") }.mkString(", ")}
+         |  FROM w$k)""".stripMargin
+    }.mkString(",\n")
+    def convExpr(sn: String): String =
+      types.map { t0 =>
+        val a = if (t0 == "purchase") "CAST(1.0 AS DOUBLE)"
+          else s"a_${sn}_$t0"
+        s"CAST(s_$t0 AS DOUBLE) / n_users * $a"
+      }.mkString(" + ")
+    val cb = convExpr("base")
+    val rows = na.map { k =>
+      val ck = convExpr(s"rm_$k")
+      s"""SELECT '$k' AS channel,
+         |  ${det6Sql(cb)} AS conv_base_r,
+         |  ${det6Sql(ck)} AS conv_removed_r,
+         |  CASE WHEN ($cb) > 0.0 THEN ${det6Sql(s"(($cb) - ($ck)) / ($cb)")}
+         |       ELSE CAST(0.0 AS DOUBLE) END AS removal_r
+         |FROM it30""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, event_id,
+       |    CAST(FLOOR(date_part('epoch', ts)) AS BIGINT) AS sec
+       |  FROM events),
+       |seq0 AS (
+       |  SELECT user_id, event_type,
+       |    COALESCE(LEAD(event_type) OVER w, 'END') AS next_type,
+       |    ROW_NUMBER() OVER w AS rn
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)),
+       |m AS (SELECT
+       |  $sums
+       |FROM seq0),
+       |it0 AS (SELECT m.*,
+       |  ${aCols.map(c => s"CAST(0.0 AS DOUBLE) AS $c").mkString(", ")}
+       |FROM m),
+       |$iters
+       |$rows
+       |ORDER BY channel""".stripMargin
+  }
+
   /** Materialized media tables (genuine PNG / WAV bytes) per scale dir —
     * the `binaryFile`-scan stand-in. Built once so the decode queries
     * measure DECODING of stored bytes, not the synthetic generator (the
@@ -1429,6 +1505,74 @@ object EventQueries {
         types.map(tp => det6(fold.getField(s"pi_$tp")).as(s"pi_$tp")): _*)
     }),
 
+    // Markov removal-effect attribution (the data-driven alternative to
+    // last-touch/linear credit — Anderl et al.'s absorbing-chain
+    // framework): journeys are per-user ordered events; 'purchase' is
+    // the absorbing conversion state and journey ends absorb to NULL
+    // (P(i→j) = c_ij/den_i with den_i = ALL i occurrences, so the
+    // missing mass IS the null absorption — no renormalization).
+    // Absorption probabilities solve a = (c_i,purchase + Σ c_ij·a_j)/
+    // den_i by 30 fixed iterations from 0 (monotone convergent), once
+    // for the base chain and once per removed channel (transitions into
+    // the removed state become lost mass). Every count is an exact
+    // integer from ONE pass; the iterations are aggregate-HOF folds
+    // (lambda-variable state) mirrored by generated unrolled CTEs;
+    // conversion mixes over the exact first-event distribution. det6.
+    "q_markov_attribution" -> ((s, d) => {
+      val types = eventTypes
+      val na = types.filterNot(_ == "purchase")
+      val e = ev(s, d).select(col("user_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("sec"), col("event_id"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("sec"), col("event_id"))
+      val withNext = e
+        .withColumn("next_type",
+          coalesce(lead(col("event_type"), 1).over(w), lit("END")))
+        .withColumn("rn", row_number().over(w))
+      val aggs = (countDistinct(col("user_id")).as("n_users") +:
+        types.map(t0 => sum(when(col("rn") === 1 &&
+          col("event_type") === t0, 1L).otherwise(0L)).as(s"s_$t0"))) ++
+        na.map(i => sum(when(col("event_type") === i, 1L).otherwise(0L))
+          .as(s"den_$i")) ++
+        (for { i <- na; j <- types } yield
+          sum(when(col("event_type") === i && col("next_type") === j, 1L)
+            .otherwise(0L)).as(s"c_${i}_$j"))
+      val one = withNext.agg(aggs.head, aggs.tail: _*)
+      def absorbFold(removed: Option[String]) =
+        aggregate(sequence(lit(1), lit(30)),
+          struct(na.map(i => lit(0.0).as(s"a_$i")): _*),
+          (acc, _) => struct(na.map { i =>
+            val num = na.filterNot(removed.contains)
+              .foldLeft(col(s"c_${i}_purchase").cast("double")) {
+                (sum0, j) =>
+                  sum0 + col(s"c_${i}_$j").cast("double") *
+                    acc.getField(s"a_$j")
+              }
+            when(col(s"den_$i") > 0, num / col(s"den_$i"))
+              .otherwise(lit(0.0)).as(s"a_$i")
+          }: _*))
+      def conv(fold: Column): Column =
+        types.map { t0 =>
+          val a = if (t0 == "purchase") lit(1.0)
+            else fold.getField(s"a_$t0")
+          col(s"s_$t0").cast("double") / col("n_users") * a
+        }.reduceLeft(_ + _)
+      val cBase = conv(absorbFold(None))
+      val rows = na.map { k =>
+        val cK = conv(absorbFold(Some(k)))
+        struct(lit(k).as("channel"), det6(cBase).as("conv_base_r"),
+          det6(cK).as("conv_removed_r"),
+          when(cBase > 0.0, det6((cBase - cK) / cBase))
+            .otherwise(lit(0.0)).as("removal_r"))
+      }
+      one.select(explode(array(rows: _*)).as("r"))
+        .select(col("r.channel").as("channel"),
+          col("r.conv_base_r").as("conv_base_r"),
+          col("r.conv_removed_r").as("conv_removed_r"),
+          col("r.removal_r").as("removal_r"))
+        .orderBy(col("channel"))
+    }),
+
     // Additive Holt–Winters (triple exponential smoothing, weekly
     // season m=7) over the daily count series — the seasonal upgrade of
     // q_holt_linear: state (level, trend, 7-slot seasonal ring), the
@@ -2377,6 +2521,8 @@ object EventQueries {
                "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)")}
         |    AS hazard_r
         |FROM byt, tot ORDER BY ten""".stripMargin,
+
+    "q_markov_attribution" -> markovAttributionOracle,
 
     // the same count matrix + 15 unrolled π←πP CTEs generated from the
     // shared eventTypes list (the q_pca_power oracle machinery)

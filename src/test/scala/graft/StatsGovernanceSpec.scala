@@ -1093,6 +1093,86 @@ class StatsGovernanceSpec extends SparkTestBase {
       "detrended units should center near zero")
   }
 
+  test("q_markov_attribution matches a driver absorbing-chain solve") {
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val na = types.filterNot(_ == "purchase")
+    val journeys = evFixture.groupBy(_._1).toSeq.map { case (_, es) =>
+      es.sortBy(e => (e._2, e._3)).map(_._4)
+    }
+    val idx = types.zipWithIndex.toMap
+    val c = Array.fill(4, 5)(0L); val den = Array.fill(4)(0L)
+    val sCnt = Array.fill(5)(0L)
+    val naIdx = na.zipWithIndex.toMap
+    journeys.foreach { j =>
+      sCnt(idx(j.head)) += 1
+      j.zipWithIndex.foreach { case (t0, i) =>
+        if (t0 != "purchase") {
+          den(naIdx(t0)) += 1
+          if (i + 1 < j.length) c(naIdx(t0))(idx(j(i + 1))) += 1
+        }
+      }
+    }
+    def absorb(removed: Option[String]): Array[Double] = {
+      var a = Array.fill(4)(0.0)
+      for (_ <- 1 to 30) {
+        a = Array.tabulate(4) { i =>
+          if (den(i) == 0) 0.0
+          else {
+            var num = c(i)(idx("purchase")).toDouble
+            na.filterNot(removed.contains).foreach { j =>
+              num = num + c(i)(idx(j)).toDouble * a(naIdx(j))
+            }
+            num / den(i)
+          }
+        }
+      }
+      a
+    }
+    val nUsers = journeys.size
+    def conv(a: Array[Double]): Double =
+      types.map { t0 =>
+        val av = if (t0 == "purchase") 1.0 else a(naIdx(t0))
+        sCnt(idx(t0)).toDouble / nUsers * av
+      }.reduceLeft(_ + _)
+    def d6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val cBase = conv(absorb(None))
+    val rows = q("q_markov_attribution").collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      val k = r.getString(0)
+      val cK = conv(absorb(Some(k)))
+      assert(r.getDouble(1) == d6(cBase), s"$k base")
+      assert(r.getDouble(2) == d6(cK), s"$k removed")
+      assert(r.getDouble(3) == d6((cBase - cK) / cBase), s"$k effect")
+      // removing a channel can only lose conversion mass
+      assert(r.getDouble(3) >= 0.0)
+    }
+  }
+
+  test("q_js_divergence: bounded, symmetric-by-construction, near-exact") {
+    val row = q("q_js_divergence").collect().head
+    val js = row.getDouble(1)
+    // JS divergence in nats is bounded by ln 2
+    assert(js >= 0.0 && js <= math.log(2.0) + 1e-9, s"js out of range: $js")
+    val docs = Tables.documents(spark, sf)
+      .filter(col("source").isin("src0", "src1"))
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1) / 100))
+    val buckets = docs.map(_._2).distinct.sorted
+    assert(row.getLong(0) == buckets.length.toLong)
+    val n0 = docs.count(_._1 == "src0").toDouble
+    val n1 = docs.count(_._1 == "src1").toDouble
+    // fold in sorted bucket order, mirroring the engine's sorted fold
+    val expect = buckets.foldLeft(0.0) { (acc, b) =>
+      val p = docs.count(d0 => d0._1 == "src0" && d0._2 == b) / n0
+      val q0 = docs.count(d0 => d0._1 == "src1" && d0._2 == b) / n1
+      val m = (p + q0) / 2.0
+      acc + ((if (p > 0) 0.5 * (p * math.log(p / m)) else 0.0) +
+        (if (q0 > 0) 0.5 * (q0 * math.log(q0 / m)) else 0.0))
+    }
+    assert(js == math.floor(expect * 1e6 + 0.5) / 1e6)
+  }
+
   test("q_group_mode picks the max-count, smallest-value nation") {
     val cust = Tables.load(spark, sf, "customer")
       .select(col("c_mktsegment"), col("c_nationkey")).collect()
