@@ -197,7 +197,9 @@ object Bench {
     // round-14 batch 10: LPA modularity, exact seasonal decomposition
     "q_modularity", "q_seasonal_decompose",
     // round-14 batch 11: Markov removal-effect attribution, JS drift
-    "q_markov_attribution", "q_js_divergence")
+    "q_markov_attribution", "q_js_divergence",
+    // round-14 batch 12: fixed-k reservoir, share-of-parent rollup
+    "q_sample_reservoir", "q_share_of_parent")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

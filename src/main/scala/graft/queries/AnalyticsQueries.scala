@@ -2297,6 +2297,37 @@ object AnalyticsQueries {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // Share-of-parent hierarchy rollup (the BI drill-down companion to
+    // q_rollup's subtotals): revenue per nation with its share WITHIN
+    // its region and the region's share of the grand total — every
+    // share an exact ratio6 of integer cents; the nation→region
+    // dimension spine broadcasts, the two parent levels come from ONE
+    // reaggregation chain (never a rescan of the fact side).
+    "q_share_of_parent" -> ((s, d) => {
+      val rev = t(s, d, "orders")
+        .join(broadcast(t(s, d, "customer")
+          .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))),
+          Seq("o_custkey"))
+        .groupBy(col("c_nationkey"))
+        .agg(sum(cents(col("o_totalprice"))).as("rev_c"))
+        .join(broadcast(t(s, d, "nation")
+          .select(col("n_nationkey").as("c_nationkey"), col("n_name"),
+            col("n_regionkey"))),
+          Seq("c_nationkey"))
+        .join(broadcast(t(s, d, "region")
+          .select(col("r_regionkey").as("n_regionkey"), col("r_name"))),
+          Seq("n_regionkey"))
+      val byRegion = rev.groupBy(col("r_name"))
+        .agg(sum(col("rev_c")).as("region_c"))
+      val total = byRegion.agg(sum(col("region_c")).as("total_c"))
+      rev.join(broadcast(byRegion), Seq("r_name"))
+        .crossJoin(broadcast(total))
+        .select(col("r_name"), col("n_name"), col("rev_c"),
+          ratio6(col("rev_c"), col("region_c")).as("share_of_region_r"),
+          ratio6(col("region_c"), col("total_c")).as("region_share_r"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
     // Jensen–Shannon divergence between two sources' length
     // distributions (the bounded symmetric drift metric next to
     // q_ks_two_sample's sup-distance and q_dq_drift's moments):
@@ -3661,6 +3692,29 @@ object AnalyticsQueries {
     "q_random_walks" -> walkOracle,
 
     "q_lpa_communities" -> lpaOracle,
+
+    // the same two-level reaggregation; exact cent ratios
+    "q_share_of_parent" ->
+      s"""WITH rev AS (
+        |  SELECT c_nationkey,
+        |    CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+        |      AS rev_c
+        |  FROM orders JOIN customer ON c_custkey = o_custkey
+        |  GROUP BY 1),
+        |dim AS (
+        |  SELECT n_nationkey, n_name, r_name
+        |  FROM nation JOIN region ON r_regionkey = n_regionkey),
+        |nat AS (
+        |  SELECT r_name, n_name, rev_c
+        |  FROM rev JOIN dim ON n_nationkey = c_nationkey),
+        |reg AS (SELECT r_name, CAST(SUM(rev_c) AS BIGINT) AS region_c
+        |  FROM nat GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(region_c) AS BIGINT) AS total_c FROM reg)
+        |SELECT n.r_name, n.n_name, n.rev_c,
+        |  ${ratio6Sql("n.rev_c", "r.region_c")} AS share_of_region_r,
+        |  ${ratio6Sql("r.region_c", "t.total_c")} AS region_share_r
+        |FROM nat n JOIN reg r USING (r_name), tot t
+        |ORDER BY n.r_name, n.n_name""".stripMargin,
 
     // the same cells + per-term CASE; single-node SUM vs the engine's
     // sorted fold — sub-6dp association difference only

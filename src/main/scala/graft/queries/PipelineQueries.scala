@@ -505,6 +505,27 @@ object PipelineQueries {
       ranked.filter(pmod(col("grank"), lit(25)) === 1)
         .select(col("doc_id"), col("n_chars"), col("grank"))
         .orderBy(col("grank"))
+    }),
+
+    // Deterministic fixed-k-per-group reservoir (the ML-pipeline
+    // sampler the fraction-based q_hash_sample isn't: exactly 10 docs
+    // per source however large the group): rank each doc by its mix64
+    // key (the SQL-replayable house hash — bootstrap/walk machinery)
+    // inside a per-source window, keep rank ≤ 10. Equivalent to
+    // single-pass weighted-reservoir with uniform keys; deterministic,
+    // so it VALUE-matches cross-engine, unlike seeded sampleBy.
+    "q_sample_reservoir" -> ((s, d) => {
+      val z = graft.functions.TextHashFunctions.mix64(
+        col("doc_id"), lit(0L), lit(0L), seed = 99)
+      val docs = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), z.as("zs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("zs"), col("doc_id"))
+      docs.withColumn("rnk",
+          org.apache.spark.sql.functions.row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 10)
+        .select(col("source"), col("rnk"), col("doc_id"), col("zs"))
+        .orderBy(col("source"), col("rnk"))
     })
   )
 
@@ -661,6 +682,34 @@ object PipelineQueries {
          |FROM nlab n LEFT JOIN hits h ON n.userId = h.userId""".stripMargin,
 
     "q_eval_map_std" -> mapAtKOracle("map_at_k"),
+
+    // the mix64 HUGEINT replay (bootstrap/walk machinery) + the same
+    // per-source rank
+    "q_sample_reservoir" -> {
+      val mM = "18446744073709551616"
+      val seedT = java.lang.Long.toUnsignedString(99L * 0x9e3779b97f4a7c15L)
+      def mm64(a: String, b: String) = TextQueries.mm64(a, b)
+      s"""WITH b1 AS (
+         |  SELECT source, doc_id,
+         |    ($seedT + ${mm64("CAST(doc_id AS HUGEINT)",
+                "14029467366897019727")} + 0 + 0) % $mM AS z0
+         |  FROM documents),
+         |b2 AS (SELECT *, ${mm64("xor(z0, z0 // 1073741824)",
+              "13787848793156543929")} AS z1 FROM b1),
+         |b3 AS (SELECT *, ${mm64("xor(z1, z1 // 134217728)",
+              "10723151780598845931")} AS z2 FROM b2),
+         |b4 AS (SELECT *, xor(z2, z2 // 2147483648) AS zz FROM b3),
+         |b5 AS (SELECT source, doc_id,
+         |    CAST(CASE WHEN zz >= 9223372036854775808
+         |      THEN zz - $mM ELSE zz END AS BIGINT) AS zs
+         |  FROM b4),
+         |r AS (SELECT source, doc_id, zs,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY zs, doc_id) AS BIGINT) AS rnk
+         |  FROM b5)
+         |SELECT source, rnk, doc_id, zs FROM r WHERE rnk <= 10
+         |ORDER BY source, rnk""".stripMargin
+    },
 
     // the same recs/labels relations; 2520//fr integer reciprocals
     "q_eval_mrr" ->

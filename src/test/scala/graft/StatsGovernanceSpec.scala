@@ -1173,6 +1173,54 @@ class StatsGovernanceSpec extends SparkTestBase {
     assert(js == math.floor(expect * 1e6 + 0.5) / 1e6)
   }
 
+  test("q_sample_reservoir: exact-k per group, keys match direct mix64Eval") {
+    val rows = q("q_sample_reservoir").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val bySrc = rows.groupBy(_._1)
+    val srcSizes = Tables.documents(spark, sf).groupBy(col("source"))
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySrc.foreach { case (src, xs) =>
+      assert(xs.length == math.min(10L, srcSizes(src)).toInt)
+      assert(xs.map(_._2).sorted.toSeq == (1L to xs.length).toSeq)
+      // ranks follow (zs, doc_id) order
+      val sorted = xs.sortBy(_._2)
+      assert(sorted.map(x => (x._4, x._3)).toSeq ==
+        sorted.map(x => (x._4, x._3)).sortBy(identity).toSeq)
+    }
+    // every emitted key equals the direct driver hash of the doc id
+    rows.foreach { case (_, _, docId, zs) =>
+      assert(zs == graft.functions.TextHashFunctions
+        .mix64Eval(docId, 0L, 0L, 99))
+    }
+    // the winners are the true per-source minima
+    val all = Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id")).collect()
+      .map(r => (r.getString(0),
+        graft.functions.TextHashFunctions.mix64Eval(r.getLong(1), 0L, 0L, 99),
+        r.getLong(1)))
+    all.groupBy(_._1).foreach { case (src, xs) =>
+      val want = xs.map(x => (x._2, x._3)).sorted.take(10).toSeq
+      val got = bySrc(src).sortBy(_._2).map(x => (x._4, x._3)).toSeq
+      assert(got == want, s"$src winners differ")
+    }
+  }
+
+  test("q_share_of_parent: shares telescope exactly") {
+    val rows = q("q_share_of_parent").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rows.map(_._2).distinct.length == 25)
+    rows.groupBy(_._1).foreach { case (region, xs) =>
+      // within-region shares sum to ~1 (each share rounds at 1e-6)
+      val s0 = xs.map(_._4).sum
+      assert(math.abs(s0 - 1.0) < 1e-4, s"$region shares sum $s0")
+      // one region share repeated on every member row
+      assert(xs.map(_._5).distinct.length == 1)
+    }
+    val regShares = rows.groupBy(_._1).map(_._2.head._5)
+    assert(math.abs(regShares.sum - 1.0) < 1e-4)
+  }
+
   test("q_group_mode picks the max-count, smallest-value nation") {
     val cust = Tables.load(spark, sf, "customer")
       .select(col("c_mktsegment"), col("c_nationkey")).collect()
