@@ -199,7 +199,9 @@ object Bench {
     // round-14 batch 11: Markov removal-effect attribution, JS drift
     "q_markov_attribution", "q_js_divergence",
     // round-14 batch 12: fixed-k reservoir, share-of-parent rollup
-    "q_sample_reservoir", "q_share_of_parent")
+    "q_sample_reservoir", "q_share_of_parent",
+    // round-14 batch 13: WoW rank movers, local-peak detection
+    "q_rank_movers", "q_peaks")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2297,6 +2297,76 @@ object AnalyticsQueries {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // Week-over-week rank movers (the "movers & shakers" leaderboard
+    // delta): brand revenue ranked within each of the LAST TWO full
+    // weeks, joined on brand, biggest |Δrank| first. Ranks are
+    // row_number over the bounded |brands| domain per week (25 brands —
+    // a per-week window over a pre-aggregated relation, not the fact
+    // scan); revenue in exact cents; everything integer.
+    "q_rank_movers" -> ((s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_partkey"),
+          floor(unix_timestamp(col("l_shipdate")) / 604800).cast("long")
+            .as("week"),
+          cents(col("l_extendedprice")).as("price_c"))
+        .join(broadcast(t(s, d, "part")
+          .select(col("p_partkey").as("l_partkey"), col("p_brand"))),
+          Seq("l_partkey"))
+      val maxW = li.agg(max(col("week")).as("wmax"))
+      val weekly = li.crossJoin(broadcast(maxW))
+        .filter(col("week") === col("wmax") - 1 ||
+          col("week") === col("wmax") - 2)
+        .groupBy(col("week"), col("p_brand"))
+        .agg(sum(col("price_c")).as("rev_c"))
+        .crossJoin(broadcast(maxW))
+      val w = Window.partitionBy(col("week"))
+        .orderBy(col("rev_c").desc, col("p_brand"))
+      val ranked = weekly
+        .withColumn("rnk", row_number().over(w).cast("long"))
+      val cur = ranked.filter(col("week") === col("wmax") - 1)
+        .select(col("p_brand"), col("rev_c").as("rev_cur_c"),
+          col("rnk").as("rank_cur"))
+      val prev = ranked.filter(col("week") === col("wmax") - 2)
+        .select(col("p_brand"), col("rnk").as("rank_prev"))
+      cur.join(prev, Seq("p_brand"))
+        .select(col("p_brand"), col("rev_cur_c"), col("rank_cur"),
+          col("rank_prev"),
+          (col("rank_prev") - col("rank_cur")).as("delta"))
+        .orderBy(abs(col("delta")).desc, col("p_brand"))
+    }),
+
+    // Local-peak detection on the daily revenue series (the
+    // change-point family's spike lens next to q_cusum_shift's level
+    // lens): a peak is a day strictly above both neighbors on the
+    // zero-filled day spine AND at least 5/4 of the trailing 7-day
+    // mean — the comparison cleared to exact integers
+    // (4·7·x > 5·sum7_trailing). Bounded day domain; zero float ops.
+    "q_peaks" -> ((s, d) => {
+      val daily = t(s, d, "orders")
+        .groupBy(floor(unix_timestamp(col("o_orderdate")) / 86400)
+          .cast("long").as("day"))
+        .agg(sum(cents(col("o_totalprice"))).as("x"))
+      val bounds = daily.agg(min(col("day")).as("lo"),
+        max(col("day")).as("hi"))
+      val spine = bounds
+        .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+        .join(daily, Seq("day"), "left")
+        .select(col("day"), coalesce(col("x"), lit(0L)).as("x"))
+      val wo = Window.orderBy(col("day"))
+      val wt = Window.orderBy(col("day")).rowsBetween(-7, -1)
+      spine
+        .withColumn("prv", lag(col("x"), 1).over(wo))
+        .withColumn("nxt", lead(col("x"), 1).over(wo))
+        .withColumn("s7", sum(col("x")).over(wt))
+        .withColumn("n7", count(lit(1)).over(wt))
+        .filter(col("prv").isNotNull && col("nxt").isNotNull &&
+          col("n7") === 7 &&
+          col("x") > col("prv") && col("x") > col("nxt") &&
+          col("x") * 28 > col("s7") * 5)
+        .select(col("day"), col("x"), col("prv"), col("nxt"), col("s7"))
+        .orderBy(col("day"))
+    }),
+
     // Share-of-parent hierarchy rollup (the BI drill-down companion to
     // q_rollup's subtotals): revenue per nation with its share WITHIN
     // its region and the region's share of the grand total — every
@@ -3692,6 +3762,59 @@ object AnalyticsQueries {
     "q_random_walks" -> walkOracle,
 
     "q_lpa_communities" -> lpaOracle,
+
+    // the same two-week rank join over the bounded brand domain
+    "q_rank_movers" ->
+      """WITH li AS (
+        |  SELECT p_brand,
+        |    (epoch_us(l_shipdate) // 1000000) // 604800 AS week,
+        |    CAST(ROUND(l_extendedprice*100) AS BIGINT) AS price_c
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey),
+        |mw AS (SELECT MAX(week) AS wmax FROM li),
+        |weekly AS (
+        |  SELECT week, p_brand, CAST(SUM(price_c) AS BIGINT) AS rev_c
+        |  FROM li, mw WHERE week = wmax - 1 OR week = wmax - 2
+        |  GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT week, p_brand, rev_c,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY week
+        |      ORDER BY rev_c DESC, p_brand) AS BIGINT) AS rnk
+        |  FROM weekly),
+        |cur AS (SELECT p_brand, rev_c AS rev_cur_c, rnk AS rank_cur
+        |  FROM ranked, mw WHERE week = wmax - 1),
+        |prev AS (SELECT p_brand, rnk AS rank_prev
+        |  FROM ranked, mw WHERE week = wmax - 2)
+        |SELECT p_brand, rev_cur_c, rank_cur, rank_prev,
+        |  rank_prev - rank_cur AS delta
+        |FROM cur JOIN prev USING (p_brand)
+        |ORDER BY abs(rank_prev - rank_cur) DESC, p_brand""".stripMargin,
+
+    // the same spine + exact-integer peak predicate
+    "q_peaks" ->
+      """WITH daily AS (
+        |  SELECT (epoch_us(o_orderdate) // 1000000) // 86400 AS day,
+        |    CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+        |      AS x
+        |  FROM orders GROUP BY 1),
+        |b AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+        |spine AS (
+        |  SELECT gs.day, COALESCE(d.x, 0) AS x
+        |  FROM (SELECT UNNEST(range(lo, hi + 1)) AS day FROM b) gs
+        |  LEFT JOIN daily d USING (day)),
+        |win AS (
+        |  SELECT day, x,
+        |    LAG(x) OVER (ORDER BY day) AS prv,
+        |    LEAD(x) OVER (ORDER BY day) AS nxt,
+        |    CAST(SUM(x) OVER (ORDER BY day
+        |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS BIGINT) AS s7,
+        |    COUNT(*) OVER (ORDER BY day
+        |      ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS n7
+        |  FROM spine)
+        |SELECT day, x, prv, nxt, s7
+        |FROM win
+        |WHERE prv IS NOT NULL AND nxt IS NOT NULL AND n7 = 7
+        |  AND x > prv AND x > nxt AND x * 28 > s7 * 5
+        |ORDER BY day""".stripMargin,
 
     // the same two-level reaggregation; exact cent ratios
     "q_share_of_parent" ->

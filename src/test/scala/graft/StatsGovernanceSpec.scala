@@ -1221,6 +1221,40 @@ class StatsGovernanceSpec extends SparkTestBase {
     assert(math.abs(regShares.sum - 1.0) < 1e-4)
   }
 
+  test("q_rank_movers: rank permutation integrity and delta arithmetic") {
+    val rows = q("q_rank_movers").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    // ranks are positive and distinct within each week's leaderboard
+    // (the joined subset need not be contiguous — a brand may sell in
+    // only one of the two weeks)
+    assert(rows.map(_._3).distinct.length == rows.length)
+    assert(rows.map(_._4).distinct.length == rows.length)
+    assert(rows.forall(r => r._3 >= 1 && r._4 >= 1))
+    rows.foreach { case (_, _, rc, rp, d0) => assert(d0 == rp - rc) }
+    // sorted by |delta| desc
+    val ds = rows.map(x => math.abs(x._5))
+    assert(ds.zip(ds.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q_peaks: every reported day is a verified local peak") {
+    val daily = Tables.load(spark, sf, "orders")
+      .select(floor(unix_timestamp(col("o_orderdate")) / 86400)
+        .cast("long"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100)))
+      .groupBy(_._1).map { case (d0, xs) => d0 -> xs.map(_._2).sum }
+    val (lo, hi) = (daily.keys.min, daily.keys.max)
+    def xAt(d0: Long) = daily.getOrElse(d0, 0L)
+    val expect = ((lo + 7) to (hi - 1)).filter { d0 =>
+      val s7 = (d0 - 7 to d0 - 1).map(xAt).sum
+      xAt(d0) > xAt(d0 - 1) && xAt(d0) > xAt(d0 + 1) &&
+        xAt(d0) * 28 > s7 * 5
+    }
+    val got = q("q_peaks").collect().map(_.getLong(0)).toSeq
+    assert(got == expect, s"got ${got.length} peaks, want ${expect.length}")
+  }
+
   test("q_group_mode picks the max-count, smallest-value nation") {
     val cust = Tables.load(spark, sf, "customer")
       .select(col("c_mktsegment"), col("c_nationkey")).collect()
