@@ -487,14 +487,20 @@ object Dedup {
     val sets = shingleSets(docs, nShingle, textCol, idCol)
     val dfreq = sets.select(explode(col("shs")).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("dfreq"))
-      .localCheckpoint(true) // consumed by both ranked relations
-    val aPrefix = prefixOf(sets, dfreq, tn, td)
     val wDoc = Window.partitionBy(col("id")).orderBy(col("dfreq"), col("g"))
+    // ONE ranked-token pass: the container side indexes every token,
+    // and the contained side's prefix is just a position filter of the
+    // SAME checkpointed relation (prefixOf would tokenize+join+rank a
+    // second time; wall-clock is verify-dominated at sf0.1, but this
+    // removes a whole tokenize+dfreq-join+rank stage at any scale)
     val bAll = sets.select(col("id"), col("sz"), explode(col("shs")).as("g"))
       .join(dfreq, Seq("g"))
       .withColumn("pos", row_number().over(wDoc).cast("long"))
       .select(col("g"), col("id"), col("sz"), col("pos"))
       .localCheckpoint(true)
+    val prefixLen = col("sz") -
+      floor((lit(tn) * col("sz") + lit(td - 1)) / lit(td)) + 1
+    val aPrefix = bAll.filter(col("pos") <= prefixLen)
     val cand = aPrefix.select(col("g"), col("id").as("id_a"),
         col("sz").as("sza"), col("pos").as("pa"))
       .join(bAll.select(col("g"), col("id").as("id_b"),
