@@ -201,7 +201,10 @@ object Bench {
     // round-14 batch 12: fixed-k reservoir, share-of-parent rollup
     "q_sample_reservoir", "q_share_of_parent",
     // round-14 batch 13: WoW rank movers, local-peak detection
-    "q_rank_movers", "q_peaks")
+    "q_rank_movers", "q_peaks",
+    // round-14 batch 14: LSH recall audit, rolling P10/P90 band,
+    // 3-way Venn census
+    "q_lsh_recall", "q_rolling_band", "q_venn3")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

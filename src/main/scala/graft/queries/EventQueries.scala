@@ -1610,6 +1610,56 @@ object EventQueries {
         det6(col("st.l") + col("st.b") + col("st.s1")).as("fc1_r"))
     }),
 
+    // Rolling control band (the SLO-envelope op next to
+    // q_rolling_median's point smoother): per day, P10/P90 of the
+    // TRAILING 28 days of revenue — exact lower order statistics
+    // (index ⌈p·n⌉ via all-integer arithmetic) from the sorted window
+    // array, today excluded so breaches test fresh data against
+    // history; breach flags are integer comparisons. Only days with
+    // the full 28-day history report (identical filter both engines).
+    "q_rolling_band" -> ((s, d) => {
+      val daily = Tables.load(s, d, "orders")
+        .groupBy(floor(unix_timestamp(col("o_orderdate")) / 86400)
+          .cast("long").as("day"))
+        .agg(sum(cents(col("o_totalprice"))).as("x"))
+      val w = Window.orderBy(col("day")).rowsBetween(-28, -1)
+      val n = size(col("arr"))
+      def ordIdx(num: Int, den: Int) =
+        ((n * num + lit(den - 1)) / den).cast("int")
+      daily
+        .withColumn("arr", sort_array(collect_list(col("x")).over(w)))
+        .filter(size(col("arr")) === 28)
+        .select(col("day"), col("x"),
+          element_at(col("arr"), ordIdx(1, 10)).as("p10_c"),
+          element_at(col("arr"), ordIdx(9, 10)).as("p90_c"))
+        .withColumn("breach_low",
+          when(col("x") < col("p10_c"), 1L).otherwise(0L))
+        .withColumn("breach_high",
+          when(col("x") > col("p90_c"), 1L).otherwise(0L))
+        .orderBy(col("day"))
+    }),
+
+    // Three-way audience overlap (the inclusion–exclusion Venn census
+    // behind segment planning): per-user flags for click / purchase /
+    // signup from ONE rollup, then every region cardinality and the
+    // union as exact conditional sums — a single pass, no joins at all.
+    "q_venn3" -> ((s, d) => {
+      val u = ev(s, d).groupBy(col("user_id")).agg(
+        max(when(col("event_type") === "click", 1L).otherwise(0L)).as("a"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("b"),
+        max(when(col("event_type") === "signup", 1L).otherwise(0L)).as("c"))
+      u.agg(
+        sum(col("a")).as("n_a"), sum(col("b")).as("n_b"),
+        sum(col("c")).as("n_c"),
+        sum(col("a") * col("b")).as("n_ab"),
+        sum(col("a") * col("c")).as("n_ac"),
+        sum(col("b") * col("c")).as("n_bc"),
+        sum(col("a") * col("b") * col("c")).as("n_abc"),
+        sum(when(col("a") + col("b") + col("c") > 0, 1L).otherwise(0L))
+          .as("n_union"))
+    }),
+
     // Exact 7-day rolling median of daily revenue (the robust KPI
     // smoother next to q_events_ewma's mean): daily integer cents, a
     // RANGE frame over the bounded day domain (missing days shrink the
@@ -2641,6 +2691,47 @@ object EventQueries {
         |FROM sizes s JOIN sizes s2 ON s2.week = s.week + 1
         |LEFT JOIN inter i ON i.week = s.week
         |ORDER BY s.week""".stripMargin,
+
+    // the same trailing list + all-integer order-statistic indices
+    "q_rolling_band" ->
+      """WITH daily AS (
+        |  SELECT (epoch_us(o_orderdate) // 1000000) // 86400 AS day,
+        |    CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT)
+        |      AS x
+        |  FROM orders GROUP BY 1),
+        |win AS (
+        |  SELECT day, x,
+        |    list_sort(list(x) OVER (ORDER BY day
+        |      ROWS BETWEEN 28 PRECEDING AND 1 PRECEDING)) AS arr
+        |  FROM daily),
+        |full28 AS (SELECT * FROM win WHERE len(arr) = 28)
+        |SELECT day, x,
+        |  arr[(len(arr) * 1 + 9) // 10] AS p10_c,
+        |  arr[(len(arr) * 9 + 9) // 10] AS p90_c,
+        |  CAST(CASE WHEN x < arr[(len(arr) * 1 + 9) // 10]
+        |       THEN 1 ELSE 0 END AS BIGINT) AS breach_low,
+        |  CAST(CASE WHEN x > arr[(len(arr) * 9 + 9) // 10]
+        |       THEN 1 ELSE 0 END AS BIGINT) AS breach_high
+        |FROM full28 ORDER BY day""".stripMargin,
+
+    // the same one-pass flags + conditional sums
+    "q_venn3" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS a,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS b,
+        |    MAX(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS c
+        |  FROM events GROUP BY 1)
+        |SELECT CAST(SUM(a) AS BIGINT) AS n_a,
+        |  CAST(SUM(b) AS BIGINT) AS n_b,
+        |  CAST(SUM(c) AS BIGINT) AS n_c,
+        |  CAST(SUM(a * b) AS BIGINT) AS n_ab,
+        |  CAST(SUM(a * c) AS BIGINT) AS n_ac,
+        |  CAST(SUM(b * c) AS BIGINT) AS n_bc,
+        |  CAST(SUM(a * b * c) AS BIGINT) AS n_abc,
+        |  CAST(SUM(CASE WHEN a + b + c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_union
+        |FROM u""".stripMargin,
 
     // the window list is sorted and indexed exactly like the engine's
     // sort_array + element_at (both 1-based); even windows are the same

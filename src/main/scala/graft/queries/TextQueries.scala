@@ -289,6 +289,33 @@ object TextQueries {
     "q_ssjoin_stats" -> ((s, d) =>
       Dedup.prefixJaccardFunnel(docs(s, d), tn = 4, td = 5, nShingle = 3)),
 
+    // LSH recall audit (the blocking-quality metric for the MinHash
+    // family): the banded-LSH near-dup pair set vs the EXACT PPJoin
+    // pair set at the same 0.8 threshold — recall = |lsh| / |exact| as
+    // one exact integer ratio, plus the miss count. Both relations are
+    // the very ones q_dedup_minhash and q_ssjoin_exact report (shared
+    // operators), so the audit can't drift from what it audits; LSH
+    // verification keeps its double-threshold convention and the exact
+    // side its integer one — they agree on boundary pairs because
+    // fl(p/q) for the rational 4/5 IS the double literal 0.8.
+    "q_lsh_recall" -> ((s, d) => {
+      val lsh = Dedup.minhashNearDups(docs(s, d), threshold = 0.8,
+        nShingle = 3, bands = 8, rowsPerBand = 4)
+        .select(col("id_a"), col("id_b"))
+      val exact = Dedup.prefixJaccardJoin(docs(s, d), tn = 4, td = 5,
+        nShingle = 3).select(col("id_a"), col("id_b"))
+      val nL = lsh.agg(count(lit(1)).as("n_lsh"))
+      val nE = exact.agg(count(lit(1)).as("n_exact"))
+      val nH = lsh.join(exact, Seq("id_a", "id_b"))
+        .agg(count(lit(1)).as("n_hit"))
+      nE.crossJoin(broadcast(nL)).crossJoin(broadcast(nH))
+        .select(col("n_exact"), col("n_lsh"), col("n_hit"),
+          (col("n_exact") - col("n_hit")).as("n_missed"),
+          when(col("n_exact") > 0,
+            ratio6(col("n_hit"), col("n_exact"))).otherwise(lit(1.0))
+            .as("recall_r"))
+    }),
+
     // Lossless DIRECTIONAL containment join at 9/10 (the asymmetric
     // near-dup relation Jaccard misses: a short doc embedded in a long
     // one — sub-document dedup). PPJoin skeleton with the one-sided
@@ -2226,6 +2253,57 @@ object TextQueries {
          |SELECT n_docs, n_docs * (n_docs - 1) // 2 AS n_all_pairs,
          |  n_length_pairs, n_candidates, n_candidates_pos, n_verified
          |FROM nd, lp, nc, ncp, nv""".stripMargin,
+
+    // both pair relations replayed (the banding chain verbatim from
+    // q_dedup_minhash, the brute force from q_ssjoin_exact) + counts
+    "q_lsh_recall" ->
+      s"""WITH $minhashCte,
+         |numbered AS (
+         |  SELECT doc_id AS id, band, bucket,
+         |    ROW_NUMBER() OVER (PARTITION BY band, bucket ORDER BY doc_id) AS rn,
+         |    MIN(doc_id) OVER (PARTITION BY band, bucket) AS mn
+         |  FROM mh_buckets
+         |),
+         |expanded AS (
+         |  SELECT a.id AS id_a, b.id AS id_b
+         |  FROM numbered a JOIN numbered b
+         |    ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+         |   AND a.rn <= 256 AND b.rn <= 256
+         |),
+         |overflow AS (
+         |  SELECT mn AS id_a, id AS id_b FROM numbered WHERE rn > 256
+         |),
+         |cand AS (
+         |  SELECT DISTINCT id_a, id_b
+         |  FROM (SELECT * FROM expanded UNION ALL SELECT * FROM overflow)
+         |),
+         |jl AS (
+         |  SELECT c.id_a, c.id_b,
+         |    CAST(len(list_intersect(sa.shs, sb.shs)) AS DOUBLE) AS inter,
+         |    CAST(len(sa.shs) + len(sb.shs) AS DOUBLE) AS tot
+         |  FROM cand c
+         |  JOIN mh_shingles sa ON sa.doc_id = c.id_a
+         |  JOIN mh_shingles sb ON sb.doc_id = c.id_b
+         |),
+         |lsh AS (
+         |  SELECT id_a, id_b FROM jl
+         |  WHERE tot - inter > 0 AND inter / (tot - inter) >= 0.8),
+         |ne AS (
+         |  SELECT doc_id, shs, CAST(len(shs) AS BIGINT) AS sz
+         |  FROM mh_shingles WHERE len(shs) > 0),
+         |ex AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM ne a JOIN ne b ON a.doc_id < b.doc_id
+         |  WHERE 5 * len(list_intersect(a.shs, b.shs)) >=
+         |    4 * (a.sz + b.sz - len(list_intersect(a.shs, b.shs)))),
+         |nl AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_lsh FROM lsh),
+         |nx AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_exact FROM ex),
+         |nh AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+         |  FROM lsh JOIN ex USING (id_a, id_b))
+         |SELECT n_exact, n_lsh, n_hit, n_exact - n_hit AS n_missed,
+         |  CASE WHEN n_exact > 0 THEN ${ratio6Sql("n_hit", "n_exact")}
+         |       ELSE CAST(1.0 AS DOUBLE) END AS recall_r
+         |FROM nx, nl, nh""".stripMargin,
 
     // brute force over ORDERED pairs (each unordered intersection
     // evaluated once, then emitted in both directions with its own

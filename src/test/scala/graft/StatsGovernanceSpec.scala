@@ -1255,6 +1255,51 @@ class StatsGovernanceSpec extends SparkTestBase {
     assert(got == expect, s"got ${got.length} peaks, want ${expect.length}")
   }
 
+  test("q_lsh_recall: verified-LSH pairs are a subset of the exact set") {
+    val row = q("q_lsh_recall").collect().head
+    val (nE, nL, nH, nM) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    // LSH verifies candidates exactly, so lsh ⊆ exact: hits = |lsh|
+    assert(nH == nL, s"an LSH-verified pair is missing from exact: $row")
+    assert(nM == nE - nH)
+    val r = row.getDouble(4)
+    assert(r >= 0.0 && r <= 1.0)
+    assert(nE > 0, "fixture must contain near-dup pairs")
+  }
+
+  test("q_venn3: inclusion-exclusion identity holds exactly") {
+    val r = q("q_venn3").collect().head
+    val Seq(a, b, c, ab, ac, bc, abc, union) =
+      (0 to 7).map(r.getLong)
+    assert(union == a + b + c - ab - ac - bc + abc)
+    assert(abc <= Seq(ab, ac, bc).min)
+    assert(Seq(ab, ac, bc).max <= Seq(a, b, c).max)
+    assert(union <= a + b + c)
+  }
+
+  test("q_rolling_band: band from a driver trailing-window recompute") {
+    val daily = Tables.load(spark, sf, "orders")
+      .select(floor(unix_timestamp(col("o_orderdate")) / 86400)
+        .cast("long"), col("o_totalprice")).collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100)))
+      .groupBy(_._1).map { case (d0, xs) => d0 -> xs.map(_._2).sum }
+    val series = daily.toSeq.sortBy(_._1)
+    val expect = series.indices.drop(28).map { i =>
+      val win = series.slice(i - 28, i).map(_._2).sorted
+      val p10 = win((28 * 1 + 9) / 10 - 1)
+      val p90 = win((28 * 9 + 9) / 10 - 1)
+      val x = series(i)._2
+      (series(i)._1, x, p10, p90,
+        if (x < p10) 1L else 0L, if (x > p90) 1L else 0L)
+    }
+    val rows = q("q_rolling_band").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    assert(rows.toSeq == expect,
+      s"first diff: ${rows.zip(expect).find(p => p._1 != p._2)}")
+  }
+
   test("q_group_mode picks the max-count, smallest-value nation") {
     val cust = Tables.load(spark, sf, "customer")
       .select(col("c_mktsegment"), col("c_nationkey")).collect()
