@@ -392,6 +392,14 @@ object Soak {
     val results = scala.collection.mutable.LinkedHashMap
       .empty[String, scala.collection.mutable.LinkedHashMap[Int, Double]]
     val rowCounts = scala.collection.mutable.LinkedHashMap.empty[Int, (Long, Long)]
+    // per-scale |edges|/|nodes| of the iterative-graph inputs (VERDICT
+    // r14 Next #6): the co-purchase/trade relations densify SUPER-
+    // linearly as the rekeyed fixture grows, so a 10× time ratio alone
+    // cannot distinguish input densification from a plan defect — the
+    // decomposition time = edges × per-edge-cost is what adjudicates.
+    // Counted untimed, once per scale.
+    val edgeCounts = scala.collection.mutable.LinkedHashMap
+      .empty[Int, Map[String, Long]]
     scales.foreach { n =>
       val (d, e) = materialize("soak", n)
       rowCounts(n) = (d.count(), e.count())
@@ -399,6 +407,19 @@ object Soak {
       // level the field before timing: cold-scan the fresh tables and
       // build the per-dir serving index untimed
       touchDocs(d, e); touchTrade(td); warmItemIndex(td)
+      edgeCounts(n) = try {
+        val dirE = graft.queries.AnalyticsQueries
+          .directedTradeEdges(spark, td).count()
+        val nodes = graft.queries.AnalyticsQueries
+          .tradeEdges(spark, td).select("src").distinct().count()
+        val pairE = Dedup.bucketPairs(Dedup.minhashBuckets(d)).count()
+        Map("trade_dir_edges" -> dirE, "trade_sym_edges" -> dirE * 2,
+          "trade_nodes" -> nodes, "minhash_pair_edges" -> pairE)
+      } catch { case ex: Throwable =>
+        System.err.println(s"[soak] x$n edge count failed: ${ex.getMessage}")
+        Map.empty[String, Long]
+      }
+      System.err.println(s"[soak] x$n edges: ${edgeCounts(n)}")
       // SPARK_GRAFT_SOAK_FAMILIES=a,b,c restricts to named families
       // (iteration aid — the per-round evidence run times everything)
       val only = sys.env.get("SPARK_GRAFT_SOAK_FAMILIES")
@@ -431,8 +452,45 @@ object Soak {
     }.mkString(",")
     val rows = rowCounts.map { case (n, (d, e)) =>
       s""""x$n":{"docs":$d,"emb":$e}""" }.mkString(",")
+    // Per-edge decomposition for the iterative-graph families (r14 Next
+    // #6): seconds-per-million-edges at each scale and its x1→xmax
+    // ratio. Iteration counts are FIXED per family (5 power rounds, 4
+    // SSSP rounds, bounded CC rounds), so per-edge cost is the right
+    // unit. per_edge_ratio ≈ 1 ⇒ the raw time ratio was input
+    // densification; >> 1 ⇒ genuine per-edge regression.
+    val edgeBase: Map[String, String] = Map(
+      "pagerank" -> "trade_sym_edges", "pagerank_dist" -> "trade_sym_edges",
+      "ppr_suppliers" -> "trade_sym_edges",
+      "sssp" -> "trade_sym_edges", "sssp_dist" -> "trade_sym_edges",
+      "hits" -> "trade_dir_edges", "hits_dist" -> "trade_dir_edges",
+      "dedup_cc" -> "minhash_pair_edges",
+      "dedup_cc_dist" -> "minhash_pair_edges")
+    val graphFams = results.toSeq.flatMap { case (name, m) =>
+      edgeBase.get(name).flatMap { ek =>
+        val e1 = edgeCounts.getOrElse(1, Map.empty).getOrElse(ek, 0L)
+        val eN = edgeCounts.getOrElse(maxN, Map.empty).getOrElse(ek, 0L)
+        val t1 = m.getOrElse(1, -1.0); val tN = m.getOrElse(maxN, -1.0)
+        if (e1 > 0 && eN > 0 && t1 > 0 && tN > 0) {
+          val pm1 = t1 / (e1 / 1e6); val pmN = tN / (eN / 1e6)
+          val r = math.rint(pmN / pm1 * 100) / 100
+          val verdict =
+            if (r <= 1.5) "per-edge flat: time growth is edge densification"
+            else "per-edge cost grows: plan term super-linear in edges"
+          Some(s""""$name":{"edge_kind":"$ek","edges_x1":$e1,""" +
+            s""""edges_x$maxN":$eN,"edge_ratio":${
+              math.rint(eN.toDouble / e1 * 100) / 100},""" +
+            s""""s_per_medge_x1":${math.rint(pm1 * 1000) / 1000},""" +
+            s""""s_per_medge_x$maxN":${math.rint(pmN * 1000) / 1000},""" +
+            s""""per_edge_ratio":$r,"verdict":"$verdict"}""")
+        } else None
+      }
+    }.mkString(",")
+    val edgesJson = edgeCounts.map { case (n, m) =>
+      s""""x$n":{${m.map { case (k, v) => s""""$k":$v""" }.mkString(",")}}"""
+    }.mkString(",")
     println(s"""{"soak":{"sf":"$sfDir","scales":[${scales.mkString(",")}],""" +
-      s""""data_ratio":$maxN,"rows":{$rows},"families":{$fams}}}""")
+      s""""data_ratio":$maxN,"rows":{$rows},"edges":{$edgesJson},""" +
+      s""""graph_decomp":{$graphFams},"families":{$fams}}}""")
     spark.stop()
   }
 }

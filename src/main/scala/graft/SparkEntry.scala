@@ -55,8 +55,6 @@ object SparkEntry {
     "q_ivf_cell_health" -> "cells are KMeans fit artifacts; planted-skew + shape tests in DedupSimilaritySpec",
     "q_ivf_layout_health" -> "FS-metadata file counts of the at-rest index, not expressible over the parquet tables; fresh-build shape + planted-skew trigger tests in DedupSimilaritySpec",
     "q_sample_balanced_cells" -> "KMeans cell assignment not SQL-expressible; per-cell-count + determinism spec in DedupSimilaritySpec",
-    "q_bpe_vocab" -> "iterative merge loop not SQL-expressible; equals independent driver-side BPE in TextSpec",
-    "q_bpe_tokenize" -> "trained-merge encoding not SQL-expressible; equals independent driver-side encoder in TextSpec",
     "q_media_features" -> "stub codec features; determinism + batch-shape tests in RecommendSpec",
     "q_media_decode" -> "real javax.imageio PNG decode not SQL-expressible; generator-parity + determinism tests in RecommendSpec",
     "q_audio_decode" -> "real javax.sound.sampled WAV decode not SQL-expressible; generator-parity + determinism tests in RecommendSpec",

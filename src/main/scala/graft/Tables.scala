@@ -99,9 +99,15 @@ object Tables {
     * drift).
     */
   val ratingsSql: String =
+    // rating must be DOUBLE, not DECIMAL: DuckDB types a bare `0.5` as
+    // DECIMAL(1,1), which propagates DECIMAL through every consumer's
+    // SUM/ROUND — the forbidden output class (SURVEY §7.4 round-15
+    // output-type contract). Multiples of 0.5 are dyadic, so the DOUBLE
+    // values are bit-identical to the decimal ones.
     """ratings AS (
       |  SELECT o_custkey AS userId, l_partkey AS movieId,
-      |         (CAST(FLOOR(l_quantity) AS BIGINT) % 10) * 0.5 + 0.5 AS rating,
+      |         CAST((CAST(FLOOR(l_quantity) AS BIGINT) % 10) AS DOUBLE)
+      |           * CAST(0.5 AS DOUBLE) + CAST(0.5 AS DOUBLE) AS rating,
       |         o_orderdate AS ts
       |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
       |)""".stripMargin

@@ -114,11 +114,11 @@ object Multimodal {
       * pixels. Untagged sRGB PNGs take no color-management path, so the
       * decoded values are bit-identical across JVMs.
       */
-    def decodeStats(bytes: Array[Byte]): Decoded = {
-      // NOT ImageIO.read(InputStream): that wraps the stream in a
-      // FileCacheImageInputStream (ImageIO cache default) — a TEMP FILE
-      // per decoded image. The bytes are already in memory; decode
-      // through a memory-cached stream instead.
+    /** REAL decode to a BufferedImage (memory-cached stream — no temp
+      * file per image; see the decodeStats note). Shared by the stats
+      * and perceptual-hash paths.
+      */
+    def decodeImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
       val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
       // ImageIO.read(ImageInputStream) closes the stream on the decode
@@ -129,6 +129,15 @@ object Multimodal {
         try javax.imageio.ImageIO.read(iis)
         finally try iis.close() catch { case _: java.io.IOException => () }
       require(img != null, "undecodable image bytes")
+      img
+    }
+
+    def decodeStats(bytes: Array[Byte]): Decoded = {
+      // NOT ImageIO.read(InputStream): that wraps the stream in a
+      // FileCacheImageInputStream (ImageIO cache default) — a TEMP FILE
+      // per decoded image. The bytes are already in memory; decode
+      // through a memory-cached stream instead.
+      val img = decodeImage(bytes)
       val w = img.getWidth
       val h = img.getHeight
       var sr = 0L; var sg = 0L; var sb = 0L
@@ -507,6 +516,82 @@ object Multimodal {
         (id, "image", ImageCodec.encodePng(w, h, id), w, h)
       }
     }.toDF("media_id", "kind", "bytes", "width", "height")
+  }
+
+  /** Content-seeded media table: like [[syntheticImageTable]] but dims
+    * AND raster seed derive from a CONTENT hash (FNV-1a 64 of the UTF-8
+    * text) instead of the row id — so exact-duplicate documents get
+    * bit-identical rasters. This is what makes image near-dup detection
+    * meaningful on this fixture: content dups ARE image dups by
+    * construction, the "same creative re-uploaded" regime of a real
+    * media corpus. Generation is map-only; bytes born on executors.
+    */
+  def contentImageTable(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val ch = graft.functions.TextHashFunctions.fnv64(
+            text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val w = java.lang.Long.remainderUnsigned(ch, 31).toInt + 2
+          val h = java.lang.Long.remainderUnsigned(ch, 23).toInt + 2
+          (id, "image", ImageCodec.encodePng(w, h, ch), w, h)
+        }
+      }.toDF("media_id", "kind", "bytes", "width", "height")
+  }
+
+  /** Per-image perceptual-hash row: four 16-bit aHash bands (always
+    * non-negative BIGINTs — the banding key AND the no-DECIMAL/no-sign
+    * output contract in one shape).
+    */
+  case class ImageHash(media_id: Long, img_width: Int, img_height: Int,
+      b0: Long, b1: Long, b2: Long, b3: Long)
+
+  /** Average-hash (aHash) over REAL decoded pixels, at the
+    * `mapPartitions` codec boundary: decode the PNG with javax.imageio,
+    * nearest-neighbor-sample an 8×8 luma grid (x = ⌊(2i+1)·w/16⌋ —
+    * integer arithmetic, every coordinate in range for any w,h ≥ 1),
+    * integer Rec.601-style luma (299·R + 587·G + 114·B, per-mille scale
+    * — no floats anywhere), threshold each cell against the grid mean
+    * via the cross-multiplied comparison `luma·64 > Σluma` (exact, no
+    * division), and pack bit k = y·8 + x into four 16-bit bands.
+    * PNG is lossless, so the hash is a pure function of (w, h, seed) —
+    * which is what lets a SQL oracle replay it without a decoder.
+    * Map-only; bytes never shuffle (only 4 small ints leave the codec).
+    */
+  def imageAHash(media: DataFrame): Dataset[ImageHash] = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("bytes")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val img = ImageCodec.decodeImage(bytes)
+          val w = img.getWidth; val h = img.getHeight
+          val lumas = new Array[Long](64)
+          var k = 0
+          var j = 0
+          while (j < 8) {
+            var i = 0
+            while (i < 8) {
+              val x = (2 * i + 1) * w / 16
+              val y = (2 * j + 1) * h / 16
+              val rgb = img.getRGB(x, y)
+              val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff
+              val b = rgb & 0xff
+              lumas(k) = 299L * r + 587L * g + 114L * b
+              k += 1; i += 1
+            }
+            j += 1
+          }
+          val sum = lumas.sum
+          val bands = new Array[Long](4)
+          k = 0
+          while (k < 64) {
+            if (lumas(k) * 64 > sum) bands(k / 16) |= 1L << (k % 16)
+            k += 1
+          }
+          ImageHash(id, w, h, bands(0), bands(1), bands(2), bands(3))
+        }
+      }
   }
 
   /** REAL image feature extraction: decode PNG bytes with javax.imageio

@@ -46,6 +46,15 @@ object AnalyticsQueries {
       .filter(col("u") < col("v"))
       .groupBy(col("u"), col("v")).agg(count(lit(1)).as("sup"))
       .filter(col("sup") >= 2).select(col("u"), col("v"))
+      // Eager localCheckpoint (the TextAnalysis/Dedup discipline): the
+      // edge relation is consumed MANY times by its graph consumers —
+      // linkScores alone references it 11× through sym/deg/capped/anti
+      // — and AQE exchange reuse does NOT collapse the forks (the
+      // column-pruning fork trap, SKILL round-4): the r15 plan audit
+      // found the pair-count aggregate computed SEVEN times inside
+      // q_link_recs (the suspected r14 driver 8.06 s ceiling). One
+      // fact-scan + aggregate, materialized once, O(|edges|) storage.
+      .localCheckpoint(true)
   }
 
   /** Link-prediction scores over [[coPurchaseEdges]] — ONE definition
@@ -2201,7 +2210,12 @@ object AnalyticsQueries {
             dec(col("f2")) * dec(col("n1"))).as("dnum"))
         .groupBy(col("n1"), col("n2"))
         .agg(max(col("dnum")).as("d_num"))
-        .select(col("n1"), col("n2"), col("d_num"),
+        // Output contract: BIGINT, never DECIMAL — the driver renders
+        // Spark decimal(38,0) and DuckDB DECIMAL/HUGEINT differently
+        // (r12 q_gopher_gate, r14 red rows). d_num = max|f1·n2 − f2·n1|
+        // ≤ n1·n2 < 2^63 up to ~3·10^9 rows/side; the decimal arithmetic
+        // upstream stays exact, only the OUTPUT column narrows.
+        .select(col("n1"), col("n2"), col("d_num").cast("long").as("d_num"),
           ratio6(col("d_num"),
             col("n1").cast("decimal(38,0)") * col("n2").cast("decimal(38,0)"))
             .as("d_r"))
@@ -2244,33 +2258,32 @@ object AnalyticsQueries {
       val mu = (n1d * n2d) / 2.0
       val vr = ((n1d * n2d) / 12.0) *
         ((nd + 1.0) - col("t_ties").cast("double") / (nd * (nd - 1.0)))
+      // Output contract: BIGINT, never DECIMAL (same seam as q_ks d_num).
+      // 2U1 ≤ 2·n1·n2 and Σ(m³−m) ≤ n³ — both < 2^63 at any driver SF;
+      // the DECIMAL arithmetic upstream stays exact.
       base.select(col("n1").cast("long").as("n1"),
-        col("n2").cast("long").as("n2"), col("u1_x2"), col("t_ties"),
+        col("n2").cast("long").as("n2"),
+        col("u1_x2").cast("long").as("u1_x2"),
+        col("t_ties").cast("long").as("t_ties"),
         det6((du1 - mu) / sqrt(vr)).as("z_r"))
     }),
 
     // Edit-distance (Levenshtein ≤ 3) fuzzy self-join over distinct part
-    // names — the classic-DP twin of the q_fuzzy_jw family, same
-    // blocking discipline (last-token block key; the |len(a)−len(b)| ≤ 3
-    // band is a LOSSLESS Levenshtein lower bound inside a block).
-    // Distances are exact integers on both engines (both implement the
-    // textbook DP), so the pair relation hash-matches with no rounding
-    // contract at all.
+    // names — the classic-DP twin of the q_fuzzy_jw family, routed
+    // through the SAME capped blockedPartPairs relation as its siblings
+    // (maxBlock=1000 + overflow star-attach — block keys have a bounded
+    // ~92-word domain, so uncapped in-block expansion grows O(n²) with
+    // data; the cap is what keeps the family scale-safe). The
+    // |len(a)−len(b)| ≤ 3 band is a LOSSLESS Levenshtein lower bound
+    // applied as a post-filter on the capped candidates. Distances are
+    // exact integers on both engines (both implement the textbook DP),
+    // so the pair relation hash-matches with no rounding contract.
     "q_fuzzy_edit" -> ((s, d) => {
-      val names = t(s, d, "part").select(col("p_name")).distinct()
-        .withColumn("blk", element_at(split(col("p_name"), " "), -1))
-        .withColumn("l", length(col("p_name")))
-      val a = names.select(col("blk"), col("p_name").as("name_a"),
-        col("l").as("la"))
-      val b = names.select(col("blk"), col("p_name").as("name_b"),
-        col("l").as("lb"))
-      a.join(b, Seq("blk"))
-        .filter(col("name_a") < col("name_b") &&
-          abs(col("la") - col("lb")) <= 3)
-        .withColumn("dist",
-          levenshtein(col("name_a"), col("name_b")).cast("long"))
+      blockedPartPairs(s, d)
+        .filter(abs(length(col("a")) - length(col("b"))) <= 3)
+        .withColumn("dist", levenshtein(col("a"), col("b")).cast("long"))
         .filter(col("dist") <= 3)
-        .select(col("name_a"), col("name_b"), col("dist"))
+        .select(col("a").as("name_a"), col("b").as("name_b"), col("dist"))
         .orderBy(col("name_a"), col("name_b"))
     }),
 
@@ -3325,7 +3338,7 @@ object AnalyticsQueries {
         |  FROM orders)
         |SELECT st_n, tag, COUNT(*) AS n,
         |  CAST(0 AS BIGINT) AS n_ratio_nonnull,
-        |  -1.0 AS filled_min
+        |  CAST(-1.0 AS DOUBLE) AS filled_min
         |FROM t GROUP BY st_n, tag ORDER BY st_n, tag""".stripMargin,
 
     "q_array_hof" ->
@@ -3637,7 +3650,11 @@ object AnalyticsQueries {
         |cand AS (
         |  SELECT a.p_name AS a, b.p_name AS b
         |  FROM r a JOIN r b ON a.block = b.block AND a.p_name < b.p_name
-        |  WHERE a.rn <= 1000 AND b.rn <= 1000),
+        |  WHERE a.rn <= 1000 AND b.rn <= 1000
+        |  UNION ALL
+        |  SELECT m.p_name AS a, o.p_name AS b
+        |  FROM r o JOIN r m ON o.block = m.block AND m.rn = 1
+        |  WHERE o.rn > 1000),
         |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand),
         |tp AS (
         |  SELECT a.p_name AS a, b.p_name AS b
@@ -4351,7 +4368,7 @@ object AnalyticsQueries {
         |      - CAST(f2 AS DECIMAL(38,0)) * CAST(n1 AS DECIMAL(38,0)))
         |      AS DECIMAL(38,0))) AS d_num
         |  FROM cum, tot GROUP BY n1, n2)
-        |SELECT n1, n2, d_num,
+        |SELECT n1, n2, CAST(d_num AS BIGINT) AS d_num,
         |  ${ratio6Sql("d_num", "CAST(n1 AS HUGEINT) * CAST(n2 AS HUGEINT)")} AS d_r
         |FROM agg""".stripMargin,
 
@@ -4395,23 +4412,36 @@ object AnalyticsQueries {
         |    CAST(r1_x2 - n1 * (n1 + 1) AS DECIMAL(38,0)) AS u1_x2, t_ties
         |  FROM agg)
         |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
-        |  u1_x2, t_ties,
+        |  CAST(u1_x2 AS BIGINT) AS u1_x2, CAST(t_ties AS BIGINT) AS t_ties,
         |  ${det6Sql(s"(($du1 - $mu) / sqrt($vr))")} AS z_r
         |FROM base""".stripMargin
     },
 
-    // the same last-token block + lossless length band; both engines'
-    // levenshtein is the textbook DP — exact integers, no contract
+    // the same capped blocked-candidate CTE as q_fuzzy_parts/q_fuzzy_jw
+    // (rn<=1000 + overflow star-attach), length band as post-filter;
+    // both engines' levenshtein is the textbook DP — exact integers
     "q_fuzzy_edit" ->
-      """WITH n AS (SELECT DISTINCT p_name FROM part),
-        |b AS (SELECT p_name, string_split(p_name, ' ')[-1] AS blk,
-        |        len(p_name) AS l
-        |      FROM n)
-        |SELECT a.p_name AS name_a, b2.p_name AS name_b,
-        |  CAST(levenshtein(a.p_name, b2.p_name) AS BIGINT) AS dist
-        |FROM b a JOIN b b2 ON a.blk = b2.blk AND a.p_name < b2.p_name
-        |  AND abs(a.l - b2.l) <= 3
-        |WHERE levenshtein(a.p_name, b2.p_name) <= 3
+      """WITH n AS (
+        |  SELECT DISTINCT p_name,
+        |    list_extract(string_split(p_name, ' '), -1) AS block
+        |  FROM part
+        |), r AS (
+        |  SELECT p_name, block,
+        |    ROW_NUMBER() OVER (PARTITION BY block ORDER BY p_name) AS rn
+        |  FROM n
+        |), cand AS (
+        |  SELECT a.p_name AS a, b.p_name AS b
+        |  FROM r a JOIN r b ON a.block = b.block AND a.p_name < b.p_name
+        |  WHERE a.rn <= 1000 AND b.rn <= 1000
+        |  UNION ALL
+        |  SELECT m.p_name AS a, o.p_name AS b
+        |  FROM r o JOIN r m ON o.block = m.block AND m.rn = 1
+        |  WHERE o.rn > 1000
+        |)
+        |SELECT a AS name_a, b AS name_b,
+        |  CAST(levenshtein(a, b) AS BIGINT) AS dist
+        |FROM cand
+        |WHERE abs(len(a) - len(b)) <= 3 AND levenshtein(a, b) <= 3
         |ORDER BY name_a, name_b""".stripMargin,
 
     // the same (count desc, value asc) deterministic tie-break
@@ -4510,7 +4540,9 @@ object AnalyticsQueries {
     * [[tradeEdges]] symmetrize it. ONE definition so the engine queries
     * and both generated oracles can never drift on the edge mining.
     */
-  private def directedTradeEdges(s: SparkSession, d: String): DataFrame = {
+  // private[graft]: Soak counts this relation per blow-up scale to
+  // decompose time-growth into edge-growth × per-edge cost (r14 Next #6)
+  private[graft] def directedTradeEdges(s: SparkSession, d: String): DataFrame = {
     val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
     val l = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
     o.join(l, col("o_orderkey") === col("l_orderkey"))
@@ -4519,7 +4551,7 @@ object AnalyticsQueries {
         concat(lit("s"), col("l_suppkey")).as("dst"))
   }
 
-  private def tradeEdges(s: SparkSession, d: String): DataFrame =
+  private[graft] def tradeEdges(s: SparkSession, d: String): DataFrame =
     directedTradeEdges(s, d)
       .select(explode(array(
         struct(col("src"), col("dst")),

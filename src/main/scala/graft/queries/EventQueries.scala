@@ -58,12 +58,17 @@ object EventQueries {
       val prev = if (k == 1) "it0" else s"it${k - 1}"
       val updates = scens.flatMap { case (sn, removed) =>
         na.map { i =>
-          val terms = na.filterNot(removed.contains)
-            .map(j => s"CAST(c_${i}_$j AS DOUBLE) * a_${sn}_$j")
-            .mkString(" + ")
-          s"(CASE WHEN den_$i > 0 THEN (CAST(c_${i}_purchase AS DOUBLE)" +
-            s" + $terms) / den_$i ELSE CAST(0.0 AS DOUBLE) END)" +
-            s" AS na_${sn}_$i"
+          // a_removed ≡ 0 — the removed node is the null state (the
+          // engine's absorbFold `if (removed.contains(i))` branch)
+          if (removed.contains(i)) s"CAST(0.0 AS DOUBLE) AS na_${sn}_$i"
+          else {
+            val terms = na.filterNot(removed.contains)
+              .map(j => s"CAST(c_${i}_$j AS DOUBLE) * a_${sn}_$j")
+              .mkString(" + ")
+            s"(CASE WHEN den_$i > 0 THEN (CAST(c_${i}_purchase AS DOUBLE)" +
+              s" + $terms) / den_$i ELSE CAST(0.0 AS DOUBLE) END)" +
+              s" AS na_${sn}_$i"
+          }
         }
       }.mkString(",\n    ")
       s"""w$k AS (SELECT *, $updates FROM $prev),
@@ -144,6 +149,15 @@ object EventQueries {
       dir
     })
 
+  private def contentImageDir(s: SparkSession, d: String): String =
+    mediaDirs.getOrElseUpdate(("cpng", d), {
+      val dir = java.nio.file.Files.createTempDirectory("graft_media_cpng")
+        .toString + "/media"
+      Multimodal.contentImageTable(Tables.documents(s, d))
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
+
   /** Force-build every memoized media table for a scale dir. The bench
     * warmup calls this at the TIMED sf so no timed `q_media_* /
     * q_audio_* / q_video_*` line pays table GENERATION — whichever query
@@ -152,7 +166,7 @@ object EventQueries {
     * mid-bench, the suspected BENCH_r07 q_audio_decode 6.7× anomaly).
     */
   def materializeMediaDirs(s: SparkSession, d: String): Unit = {
-    imageDir(s, d); audioDir(s, d); videoDir(s, d)
+    imageDir(s, d); audioDir(s, d); videoDir(s, d); contentImageDir(s, d)
   }
 
   /** One-line JSON provenance for the memoized media tables: row count,
@@ -556,6 +570,58 @@ object EventQueries {
     // as the ANN index. PNG is lossless → fully deterministic;
     // rows-only (a native decoder is not SQL-expressible). Width/height
     // parity with the generator is asserted in RecommendSpec.
+    // multimodal DEDUP (r15, VERDICT Next #7a): perceptual aHash over
+    // REAL decoded pixels of the content-seeded PNG table — decode with
+    // javax.imageio at the codec boundary, NN-sample an 8×8 integer-luma
+    // grid, threshold against the grid mean (cross-multiplied — no
+    // division), pack into four 16-bit bands. PNG is lossless and the
+    // raster is a pure splitmix64 function of the text's FNV-1a hash, so
+    // the DuckDB oracle replays the ENTIRE pipeline (hash → dims →
+    // pixels → luma → bits) from `documents.text` without a decoder —
+    // the engine proves the real decode path, the oracle independently
+    // recomputes the expected pixels. Bytes never shuffle; only 4 small
+    // ints leave the codec.
+    "q_image_phash" -> ((s, d) => {
+      Multimodal.imageAHash(s.read.parquet(contentImageDir(s, d)))
+        .toDF()
+        .select(col("media_id"), col("img_width"), col("img_height"),
+          col("b0"), col("b1"), col("b2"), col("b3"))
+        .orderBy(col("media_id"))
+    }),
+
+    // image near-dup pairs over the aHash bands: the SimHash/LSH banding
+    // discipline applied to the multimodal column — 4 exact-match 16-bit
+    // band buckets (lossless for hamming ≤ 3 by pigeonhole), capped
+    // quadratic expansion + overflow star-attach (Dedup.bucketPairs, cap
+    // 256 mirrored in the oracle), then the exact hamming verify on the
+    // ≤ C(cap,2)-bounded candidates. Content-duplicate documents get
+    // bit-identical rasters by construction, so the verified pair set is
+    // the image twin of q_dedup_exact's cluster structure.
+    "q_image_phash_dups" -> ((s, d) => {
+      val ph = Multimodal.imageAHash(s.read.parquet(contentImageDir(s, d)))
+        .toDF()
+      val buckets = ph.select(col("media_id").as("id"),
+          explode(array((0 to 3).map(t =>
+            struct(lit(t.toLong).as("band"), col(s"b$t").as("bucket"))): _*))
+            .as("e"))
+        .select(col("e.band").as("band"), col("e.bucket").as("bucket"),
+          col("id"))
+      val pairs = graft.operators.Dedup.bucketPairs(buckets)
+      val hx = (t: Int) => graft.functions.TextHashFunctions
+        .hamming64(col(s"a$t"), col(s"z$t")).cast("long")
+      pairs
+        .join(ph.select(col("media_id").as("id_a"), col("b0").as("a0"),
+          col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3")),
+          Seq("id_a"))
+        .join(ph.select(col("media_id").as("id_b"), col("b0").as("z0"),
+          col("b1").as("z1"), col("b2").as("z2"), col("b3").as("z3")),
+          Seq("id_b"))
+        .withColumn("hamming", hx(0) + hx(1) + hx(2) + hx(3))
+        .filter(col("hamming") <= 3)
+        .select(col("id_a").as("a"), col("id_b").as("b"), col("hamming"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     "q_media_decode" -> ((s, d) => {
       Multimodal.imageFeatures(s.read.parquet(imageDir(s, d)))
         .toDF()
@@ -1538,18 +1604,27 @@ object EventQueries {
           sum(when(col("event_type") === i && col("next_type") === j, 1L)
             .otherwise(0L)).as(s"c_${i}_$j"))
       val one = withNext.agg(aggs.head, aggs.tail: _*)
+      // Removed-scenario semantics (Anderl et al.): the removed node is
+      // FULLY replaced by the null state — a_removed ≡ 0, so its
+      // first-touch mass, its direct-to-purchase transitions, AND
+      // transitions into it all earn zero credit (r14 ADVICE: the
+      // earlier form only dropped transitions INTO the removed channel,
+      // understating removal for journey-starting channels).
       def absorbFold(removed: Option[String]) =
         aggregate(sequence(lit(1), lit(30)),
           struct(na.map(i => lit(0.0).as(s"a_$i")): _*),
           (acc, _) => struct(na.map { i =>
-            val num = na.filterNot(removed.contains)
-              .foldLeft(col(s"c_${i}_purchase").cast("double")) {
-                (sum0, j) =>
-                  sum0 + col(s"c_${i}_$j").cast("double") *
-                    acc.getField(s"a_$j")
-              }
-            when(col(s"den_$i") > 0, num / col(s"den_$i"))
-              .otherwise(lit(0.0)).as(s"a_$i")
+            if (removed.contains(i)) lit(0.0).as(s"a_$i")
+            else {
+              val num = na.filterNot(removed.contains)
+                .foldLeft(col(s"c_${i}_purchase").cast("double")) {
+                  (sum0, j) =>
+                    sum0 + col(s"c_${i}_$j").cast("double") *
+                      acc.getField(s"a_$j")
+                }
+              when(col(s"den_$i") > 0, num / col(s"den_$i"))
+                .otherwise(lit(0.0)).as(s"a_$i")
+            }
           }: _*))
       def conv(fold: Column): Column =
         types.map { t0 =>
@@ -1690,7 +1765,111 @@ object EventQueries {
     })
   )
 
+  /** Shared CTE prefix of the q_image_phash / q_image_phash_dups
+    * oracles: replay the content-image raster WITHOUT a PNG decoder —
+    * FNV-1a 64 of the text (unsigned HUGEINT residues, TextQueries.mm64
+    * wrapping multiply), dims `u % 31 + 2` × `u % 23 + 2`, the 64
+    * NN-sampled pixels via the SAME splitmix64 stages as the minhash
+    * permutation twin (identical constants: golden-ratio add, the
+    * 0xBF58.../0x94D0... avalanche multiplies, shifts 30/27/31 as
+    * floor-division), integer luma, mean threshold, four 16-bit bands.
+    * Exposes `iph(media_id, w, h, band, bval)`. PNG losslessness is
+    * what makes this a true oracle of the engine's real-decode path:
+    * both sides arrive at the same pixels by different roads.
+    */
+  private def imagePhashCtes: String = {
+    import graft.queries.TextQueries.{mm64 => m64}
+    s"""iph_ch AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(text) = 0 THEN CAST(14695981039346656037 AS HUGEINT)
+       |    ELSE list_reduce(
+       |      list_prepend(CAST(14695981039346656037 AS HUGEINT),
+       |        list_transform(string_split(text, ''),
+       |          c -> CAST(unicode(c) AS HUGEINT))),
+       |      (h, b) -> ${m64("xor(h, b)", "1099511628211")}) END AS u
+       |  FROM documents),
+       |iph_meta AS (
+       |  SELECT doc_id, u, CAST(u % 31 + 2 AS BIGINT) AS w,
+       |    CAST(u % 23 + 2 AS BIGINT) AS h
+       |  FROM iph_ch),
+       |iph_grid AS (
+       |  SELECT a.i AS i, b.j AS j
+       |  FROM (SELECT UNNEST(range(8)) AS i) a,
+       |       (SELECT UNNEST(range(8)) AS j) b),
+       |iph_z0 AS (
+       |  SELECT doc_id, w, h, i, j,
+       |    (u + CAST(((2*i + 1) * w) // 16 AS HUGEINT) * 11400714819323198485
+       |       + CAST(((2*j + 1) * h) // 16 AS HUGEINT) * 14029467366897019727)
+       |      % 18446744073709551616 AS z
+       |  FROM iph_meta, iph_grid),
+       |iph_z1 AS (SELECT doc_id, w, h, i, j,
+       |  ${m64("xor(z, z // 1073741824)", "13787848793156543929")} AS z
+       |  FROM iph_z0),
+       |iph_z2 AS (SELECT doc_id, w, h, i, j,
+       |  ${m64("xor(z, z // 134217728)", "10723151780598845931")} AS z
+       |  FROM iph_z1),
+       |iph_lum AS (
+       |  SELECT doc_id, w, h, (j*8 + i) AS k,
+       |    CAST(299 * (rgb // 65536) + 587 * ((rgb // 256) % 256)
+       |      + 114 * (rgb % 256) AS BIGINT) AS luma
+       |  FROM (SELECT doc_id, w, h, i, j,
+       |          xor(z, z // 2147483648) % 16777216 AS rgb
+       |        FROM iph_z2)),
+       |iph_tot AS (
+       |  SELECT doc_id, CAST(SUM(luma) AS BIGINT) AS sl
+       |  FROM iph_lum GROUP BY doc_id),
+       |iph AS MATERIALIZED (
+       |  SELECT l.doc_id AS media_id, MIN(w) AS w, MIN(h) AS h,
+       |    k // 16 AS band,
+       |    CAST(SUM(CASE WHEN luma * 64 > t.sl THEN 1 ELSE 0 END
+       |      * (1 << (k % 16))) AS BIGINT) AS bval
+       |  FROM iph_lum l JOIN iph_tot t ON l.doc_id = t.doc_id
+       |  GROUP BY l.doc_id, k // 16)""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_image_phash" ->
+      s"""WITH $imagePhashCtes
+         |SELECT media_id,
+         |  CAST(MIN(w) AS INTEGER) AS img_width,
+         |  CAST(MIN(h) AS INTEGER) AS img_height,
+         |  CAST(MAX(CASE WHEN band = 0 THEN bval END) AS BIGINT) AS b0,
+         |  CAST(MAX(CASE WHEN band = 1 THEN bval END) AS BIGINT) AS b1,
+         |  CAST(MAX(CASE WHEN band = 2 THEN bval END) AS BIGINT) AS b2,
+         |  CAST(MAX(CASE WHEN band = 3 THEN bval END) AS BIGINT) AS b3
+         |FROM iph GROUP BY media_id ORDER BY media_id""".stripMargin,
+
+    // the same capped band-bucket candidate algebra as Dedup.bucketPairs
+    // (rn <= 256 per (band,bval) in id order + overflow star to the
+    // bucket minimum), DISTINCT across bands, exact hamming verify
+    "q_image_phash_dups" ->
+      s"""WITH $imagePhashCtes,
+         |iph_r AS (
+         |  SELECT media_id, band, bval,
+         |    ROW_NUMBER() OVER (PARTITION BY band, bval
+         |      ORDER BY media_id) AS rn,
+         |    MIN(media_id) OVER (PARTITION BY band, bval) AS mn
+         |  FROM iph),
+         |iph_cand AS (
+         |  SELECT x.media_id AS a, y.media_id AS b
+         |  FROM iph_r x JOIN iph_r y
+         |    ON x.band = y.band AND x.bval = y.bval
+         |    AND x.media_id < y.media_id
+         |  WHERE x.rn <= 256 AND y.rn <= 256
+         |  UNION ALL
+         |  SELECT mn AS a, media_id AS b FROM iph_r WHERE rn > 256),
+         |iph_cd AS (SELECT DISTINCT a, b FROM iph_cand),
+         |iph_hx AS (
+         |  SELECT cd.a, cd.b,
+         |    CAST(SUM(bit_count(xor(pa.bval, pb.bval))) AS BIGINT)
+         |      AS hamming
+         |  FROM iph_cd cd
+         |  JOIN iph pa ON cd.a = pa.media_id
+         |  JOIN iph pb ON cd.b = pb.media_id AND pa.band = pb.band
+         |  GROUP BY cd.a, cd.b)
+         |SELECT a, b, hamming FROM iph_hx
+         |WHERE hamming <= 3 ORDER BY a, b""".stripMargin,
+
     // MK S is exact integer; each pairwise slope is one exact division;
     // the median rank convention ((m+1)/2, (m+2)/2 with a 2-value avg)
     // and the OLS exact-moment op order mirror the engine exactly

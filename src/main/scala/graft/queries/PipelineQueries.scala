@@ -605,9 +605,9 @@ object PipelineQueries {
          |      FROM events GROUP BY user_id)
          |SELECT COALESCE(r.userId, e.userId) AS userId,
          |  COALESCE(n_ratings, 0) AS n_ratings,
-         |  COALESCE(sum_rating, 0.0) AS sum_rating,
+         |  COALESCE(sum_rating, CAST(0.0 AS DOUBLE)) AS sum_rating,
          |  COALESCE(n_events, 0) AS n_events,
-         |  COALESCE(sum_value, 0.0) AS sum_value
+         |  COALESCE(sum_value, CAST(0.0 AS DOUBLE)) AS sum_value
          |FROM r FULL OUTER JOIN e ON r.userId = e.userId
          |ORDER BY userId""".stripMargin,
 

@@ -2108,6 +2108,11 @@ object TextQueries {
        |    LEFT JOIN rcc cc USING (doc_id))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // the full 10-round BPE training loop replayed in DuckDB — a STATIC
+    // pure-SQL oracle (no fitted literals): per-round argmax + greedy
+    // rewrite, generated by [[bpeVocabOracleSql]] (r15 de-exemption)
+    "q_bpe_vocab" -> bpeVocabOracleSql,
+
     // the real banding's (doc, band, bucket) relation — see [[minhashCte]]
     "q_minhash_sigs" ->
       s"""WITH $minhashCte
@@ -3703,7 +3708,120 @@ object TextQueries {
     * and the replay is a true cross-engine oracle, not an echo.
     */
   def dynamicOracleSql(s: SparkSession, d: String): Map[String, String] =
-    Map("q_quality_classifier" -> qualityLrOracleSql(qlrModel(s, d)))
+    Map("q_quality_classifier" -> qualityLrOracleSql(qlrModel(s, d)),
+      "q_bpe_tokenize" -> bpeTokenizeOracleSql(bpeModel(s, d)))
+
+  /** One greedy BPE merge round as generated DuckDB CTEs — the EXACT
+    * twin of [[graft.operators.TextAnalysis]]'s mergePairIn / localBpe
+    * greedy left-to-right non-overlapping rewrite, expressed without a
+    * sequential fold (the r13 list_reduce struct-state trap): a
+    * candidate position is TAKEN iff its run of consecutive candidates
+    * has odd length ending there (consecutive candidates only occur
+    * when left = right, and greedy takes the 1st, 3rd, … of each run).
+    * `prev` is the previous round's symbol relation (wid, freq, syms);
+    * `aExpr`/`bExpr` name the round's merge pair (an m-CTE column for
+    * the training replay, a string literal for the encode replay).
+    * Every s-CTE is MATERIALIZED — s{k} is read by both the next pair
+    * count and the next rewrite, and 10 chained re-evaluations would
+    * compound exponentially (SKILL r12 trap).
+    */
+  private def bpeRoundCtes(k: Int, prev: String, aExpr: String,
+      bExpr: String, fromExtra: String): String =
+    s"""c$k AS (
+       |  SELECT wid, freq, syms, $aExpr AS a, $bExpr AS b,
+       |    [syms[i] = $aExpr AND syms[i+1] = $bExpr
+       |      FOR i IN range(1, len(syms))] AS cand
+       |  FROM $prev$fromExtra),
+       |t$k AS (
+       |  SELECT wid, freq, syms, a, b,
+       |    [cand[i] AND ((i - COALESCE(list_max(
+       |        [j FOR j IN range(1, i) IF NOT cand[j]]), 0)) % 2) = 1
+       |      FOR i IN range(1, len(cand) + 1)] AS tk
+       |  FROM c$k),
+       |s$k AS MATERIALIZED (
+       |  SELECT wid, freq,
+       |    flatten([CASE
+       |        WHEN i <= len(tk) AND tk[i] THEN [a || b]
+       |        WHEN i > 1 AND tk[i-1] THEN CAST([] AS VARCHAR[])
+       |        ELSE [syms[i]] END
+       |      FOR i IN range(1, len(syms) + 1)]) AS syms
+       |  FROM t$k)""".stripMargin
+
+  /** The q_bpe_vocab STATIC oracle: the full 10-round training loop
+    * replayed in DuckDB — per round, adjacent-pair counts weighted by
+    * word freq, argmax with the engine's exact tie-break (pf DESC, l, r
+    * in binary collation = Spark's unsigned-UTF-8 order), then the
+    * greedy rewrite above. If a round finds no pair (m{k} empty) every
+    * later round's relations are empty and exactly the engine's
+    * `exhausted` prefix of merges is emitted.
+    */
+  private[queries] def bpeVocabOracleSql: String = {
+    val rounds = (1 to 10).map { k =>
+      s"""p$k AS (
+         |  SELECT pr.l AS l, pr.r AS r, CAST(SUM(freq) AS BIGINT) AS pf
+         |  FROM (SELECT freq,
+         |      UNNEST([{'l': syms[i], 'r': syms[i+1]}
+         |        FOR i IN range(1, len(syms))]) AS pr
+         |    FROM s${k - 1} WHERE len(syms) >= 2)
+         |  GROUP BY pr.l, pr.r),
+         |m$k AS MATERIALIZED (
+         |  SELECT l, r, pf FROM p$k ORDER BY pf DESC, l, r LIMIT 1),
+         |${bpeRoundCtes(k, s"s${k - 1}", "m.l", "m.r", s", m$k m")}"""
+        .stripMargin
+    }.mkString(",\n")
+    val union = (1 to 10).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS round, l AS "left", r AS "right",
+         |    l || r AS merged, pf AS pair_freq FROM m$k""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH vocab AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+       |  FROM (SELECT UNNEST($duckToks) AS w FROM documents)
+       |  GROUP BY w),
+       |s0 AS MATERIALIZED (
+       |  SELECT w AS wid, freq,
+       |    [w[i] FOR i IN range(1, len(w) + 1)] AS syms
+       |  FROM vocab WHERE len(w) > 0),
+       |$rounds
+       |SELECT * FROM (
+       |$union
+       |) ORDER BY round""".stripMargin
+  }
+
+  /** The q_bpe_tokenize DYNAMIC oracle: the fitted merge table embedded
+    * as string literals (a pure function of (corpus, config) — the
+    * qualityLrOracleSql argument), then the encode replayed per DISTINCT
+    * word with the same greedy rounds and flattened back over each
+    * document's token sequence in order.
+    */
+  private def bpeTokenizeOracleSql(merges: Seq[(String, String)]): String = {
+    def slit(x: String): String = "'" + x.replace("'", "''") + "'"
+    val rounds = merges.zipWithIndex.map { case ((a, b), i) =>
+      bpeRoundCtes(i + 1, s"s$i", slit(a), slit(b), "")
+    }.mkString(",\n")
+    val last = s"s${merges.length}"
+    s"""WITH words AS (
+       |  SELECT DISTINCT w
+       |  FROM (SELECT UNNEST($duckToks) AS w FROM documents)
+       |  WHERE len(w) > 0),
+       |s0 AS MATERIALIZED (
+       |  SELECT w AS wid, CAST(1 AS BIGINT) AS freq,
+       |    [w[i] FOR i IN range(1, len(w) + 1)] AS syms
+       |  FROM words),
+       |$rounds,
+       |dt AS (
+       |  SELECT doc_id, UNNEST($duckToks) AS w,
+       |    UNNEST(range(1, len($duckToks) + 1)) AS pos
+       |  FROM documents),
+       |j AS (SELECT dt.doc_id, dt.pos, e.syms
+       |      FROM dt JOIN $last e ON dt.w = e.wid),
+       |ag AS (SELECT doc_id, flatten(list(syms ORDER BY pos)) AS sub
+       |       FROM j GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(len(sub), 0) AS BIGINT) AS n_subwords,
+       |  md5(COALESCE(array_to_string(sub, ' '), '')) AS subword_hash
+       |FROM documents d LEFT JOIN ag USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
 
   /** SQL double literal with exact round-trip (shortest repr parses back
     * to the identical double in DuckDB).

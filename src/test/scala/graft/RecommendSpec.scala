@@ -165,6 +165,113 @@ class RecommendSpec extends SparkTestBase {
     assert(a.length == 500 && a.sameElements(b))
   }
 
+  test("image aHash: content dups hash identically; driver recompute matches the real decode") {
+    // content-seeded rasters: exact-duplicate texts MUST produce
+    // bit-identical hashes (the image-dedup premise), and the hash of
+    // the REAL decode must equal a driver-side recompute straight from
+    // the generator formula — the same independence the SQL oracle has.
+    // plant exact-dup texts (the flat test sf has none): 10 docs
+    // re-keyed with fresh ids — dup pairs exist BY CONSTRUCTION
+    val base = Tables.documents(spark, sf)
+    val docs = base.unionByName(
+      base.orderBy(col("doc_id")).limit(10)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    val media = Multimodal.contentImageTable(docs).persist()
+    val hashes = Multimodal.imageAHash(media).collect()
+      .map(h => h.media_id -> (h.img_width, h.img_height,
+        h.b0, h.b1, h.b2, h.b3)).toMap
+    val texts = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    assert(hashes.size == texts.length)
+    // identical text => identical hash tuple
+    val byText = texts.groupBy(_._2).filter(_._2.length > 1)
+    assert(byText.size >= 10, "planted dup texts must be present")
+    byText.foreach { case (_, ids) =>
+      val hs = ids.map(i => hashes(i._1)).distinct
+      assert(hs.size == 1, s"dup texts hash differently: $hs")
+    }
+    // driver recompute from the generator formula (no decoder)
+    def splitmix(z0: Long): Long = {
+      var z = z0
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    texts.take(50).foreach { case (id, text) =>
+      val ch = graft.functions.TextHashFunctions.fnv64(
+        text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val w = java.lang.Long.remainderUnsigned(ch, 31).toInt + 2
+      val h = java.lang.Long.remainderUnsigned(ch, 23).toInt + 2
+      val lum = for (j <- 0 until 8; i <- 0 until 8) yield {
+        val x = (2 * i + 1) * w / 16; val y = (2 * j + 1) * h / 16
+        val rgb = (splitmix(ch + x * 0x9E3779B97F4A7C15L +
+          y * 0xC2B2AE3D27D4EB4FL) & 0xFFFFFF).toInt
+        299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+          114L * (rgb & 0xff)
+      }
+      val sum = lum.sum
+      val bands = Array.fill(4)(0L)
+      lum.zipWithIndex.foreach { case (l, k) =>
+        if (l * 64 > sum) bands(k / 16) |= 1L << (k % 16)
+      }
+      assert(hashes(id) == ((w, h, bands(0), bands(1), bands(2), bands(3))),
+        s"decode-path hash diverges from generator recompute for doc $id")
+    }
+    media.unpersist()
+  }
+
+  test("image phash dedup pipeline: planted dup pairs found, noise pairs rejected") {
+    // content-seeded noise rasters are either identical (same text) or
+    // uncorrelated (hamming ~32): over a corpus with PLANTED re-keyed
+    // copies, the banded-hamming pipeline must find exactly the planted
+    // pairs at hamming 0 (the registered query runs the same operators
+    // over the memoized per-dir table; here the pipeline is exercised
+    // on the planted corpus directly)
+    val base = Tables.documents(spark, sf)
+    val planted = base.unionByName(
+      base.orderBy(col("doc_id")).limit(10)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    val ph = Multimodal.imageAHash(
+      Multimodal.contentImageTable(planted)).toDF()
+    val buckets = ph.select(col("media_id").as("id"),
+        explode(array((0 to 3).map(t =>
+          struct(lit(t.toLong).as("band"), col(s"b$t").as("bucket"))): _*))
+          .as("e"))
+      .select(col("e.band").as("band"), col("e.bucket").as("bucket"),
+        col("id"))
+    val pairs = graft.operators.Dedup.bucketPairs(buckets)
+    val hx = (t: Int) => graft.functions.TextHashFunctions
+      .hamming64(col(s"a$t"), col(s"z$t")).cast("long")
+    val got = pairs
+      .join(ph.select(col("media_id").as("id_a"), col("b0").as("a0"),
+        col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3")),
+        Seq("id_a"))
+      .join(ph.select(col("media_id").as("id_b"), col("b0").as("z0"),
+        col("b1").as("z1"), col("b2").as("z2"), col("b3").as("z3")),
+        Seq("id_b"))
+      .withColumn("hamming", hx(0) + hx(1) + hx(2) + hx(3))
+      .filter(col("hamming") <= 3)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = planted.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+      .groupBy(_._2).values.filter(_.length > 1)
+      .flatMap { g =>
+        val ids = g.map(_._1).sorted
+        for (i <- ids.indices; j <- (i + 1) until ids.length)
+          yield (math.min(ids(i), ids(j)), math.max(ids(i), ids(j)))
+      }.toSet
+    assert(got.forall(_._3 == 0L), "noise rasters: only exact dups expected")
+    assert(got.map(t => (math.min(t._1, t._2), math.max(t._1, t._2))).toSet
+      == expected,
+      s"pair set mismatch: got ${got.length}, expected ${expected.size}")
+    // and the registered query agrees with its oracle shape at this sf
+    // (may be empty on a dup-free fixture — the value evidence lands at
+    // sf0.1, which carries 8 genuine dup pairs)
+    val q = SparkEntry.queries("q_image_phash_dups")(spark, sf).collect()
+    assert(q.forall(_.getLong(2) <= 3L))
+  }
+
   test("real audio codec: decoded WAV stats match the generator (lossless PCM)") {
     val docs = Tables.documents(spark, sf).limit(40)
     val media = Multimodal.syntheticAudioTable(docs)

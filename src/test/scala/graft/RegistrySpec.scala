@@ -111,6 +111,28 @@ class RegistrySpec extends SparkTestBase {
       s"queries emitting unsortable container columns: ${offenders.mkString("; ")}")
   }
 
+  test("no declared query's output schema contains DecimalType (driver repr seam)") {
+    // The driver renders Spark parquet decimal(38,0) and DuckDB
+    // DECIMAL/HUGEINT differently (float64 "4250.0" vs integer "4250"),
+    // so a decimal OUTPUT column hash-mismatches even when values are
+    // identical — the r12 q_gopher_gate and r14 q_ks/q_mann_whitney red
+    // rows, the ONLY red rows on the whole surface, were exactly the
+    // only queries emitting decimals. Decimal arithmetic INSIDE a query
+    // is fine (exact integer moments); the final select must cast to
+    // BIGINT/DOUBLE/STRING. tools/check.py enforces the same contract
+    // value-side (hard FAIL on any decimal.Decimal).
+    import org.apache.spark.sql.types.DecimalType
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        fn(spark, sf).schema.fields.collect {
+          case f if f.dataType.isInstanceOf[DecimalType] =>
+            s"$name.${f.name}: ${f.dataType.simpleString}"
+        }
+    }
+    assert(offenders.isEmpty,
+      s"queries emitting DECIMAL output columns: ${offenders.mkString("; ")}")
+  }
+
   test("asof joins tolerate an empty right side (all-null attach)") {
     val left = Seq((1L, 100L, "p")).toDF("user_id", "us", "name")
     val right = Seq.empty[(Long, Long, Long)].toDF("user_id", "us", "click_id")

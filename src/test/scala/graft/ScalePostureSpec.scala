@@ -858,4 +858,32 @@ class ScalePostureSpec extends SparkTestBase {
     assert(!mrPlan.contains("CartesianProduct"), s"cartesian:\n$mrPlan")
     assert(!mrPlan.contains("BroadcastNestedLoopJoin"), s"bnlj:\n$mrPlan")
   }
+
+  test("q_link_recs plan: wedge self-join reuses exchanges; no cartesian; ONE wedge join") {
+    // The r14 driver bench read q_link_recs at 8.06 s (r13: 3.19 s)
+    // while the local plan audits clean — this pins the plan shape so a
+    // future regression is a named red test, not a driver surprise:
+    // (a) no cartesian/nested-loop anywhere in the wedge pipeline;
+    // (b) the wedge self-join (capped ⋈ capped on mid) and the repeated
+    //     deg/edge-set consumers REUSE exchanges rather than recompute
+    //     the co-purchase aggregate per consumer — at 100 TB a lost
+    //     reuse is a second full pass over the pair-count shuffle;
+    // (c) exactly ONE wedge join (the both-directions view is an
+    //     explode, never a self-union that would double the plan).
+    val lr = SparkEntry.queries("q_link_recs")(spark, sf)
+    lr.collect()
+    val plan = lr.queryExecution.executedPlan.toString
+      .split("Initial Plan")(0)
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"bnlj:\n$plan")
+    val reused = "ReusedExchange".r.findAllIn(plan).length
+    assert(reused >= 2,
+      s"expected >=2 reused exchanges in the link pipeline, got $reused:\n$plan")
+    // the co-purchase support aggregate (groupBy (u,v) count) must
+    // appear ONCE as a computed exchange — consumers reuse it
+    val supAggs = "Exchange hashpartitioning\\(u#\\d+L?, v#"
+      .r.findAllIn(plan).length
+    assert(supAggs <= 1,
+      s"co-purchase aggregate exchanged $supAggs times (reuse lost):\n$plan")
+  }
 }

@@ -142,8 +142,7 @@ class StatsGovernanceSpec extends SparkTestBase {
     }.max
     val row = q("q_ks_two_sample").collect().head
     assert(row.getLong(0) == a.length && row.getLong(1) == b.length)
-    assert(row.getDecimal(2).longValueExact() == dNum,
-      s"d_num ${row.getDecimal(2)} vs $dNum")
+    assert(row.getLong(2) == dNum, s"d_num ${row.getLong(2)} vs $dNum")
     val d = dNum.toDouble / (a.length.toDouble * b.length.toDouble)
     assert(math.abs(row.getDouble(3) - d) < 1e-6)
     assert(row.getDouble(3) >= 0.0 && row.getDouble(3) <= 1.0)
@@ -692,8 +691,8 @@ class StatsGovernanceSpec extends SparkTestBase {
       .map(g => BigInt(g.length).pow(3) - BigInt(g.length)).sum
     val row = q("q_mann_whitney").collect().head
     assert(row.getLong(0) == n1.toLong && row.getLong(1) == n2.toLong)
-    assert(BigInt(row.getDecimal(2).toBigInteger) == u1x2)
-    assert(BigInt(row.getDecimal(3).toBigInteger) == tTies)
+    assert(BigInt(row.getLong(2)) == u1x2)
+    assert(BigInt(row.getLong(3)) == tTies)
     val du1 = u1x2.toDouble / 2.0
     val mu = (n1.toDouble * n2.toDouble) / 2.0
     val nd = (n1 + n2).toDouble
@@ -1113,10 +1112,13 @@ class StatsGovernanceSpec extends SparkTestBase {
       }
     }
     def absorb(removed: Option[String]): Array[Double] = {
+      // a_removed ≡ 0: the removed node IS the null state (Anderl et
+      // al.) — its first-touch mass and outgoing transitions earn
+      // nothing, not just transitions into it (r14 ADVICE fix)
       var a = Array.fill(4)(0.0)
       for (_ <- 1 to 30) {
         a = Array.tabulate(4) { i =>
-          if (den(i) == 0) 0.0
+          if (removed.contains(na(i)) || den(i) == 0) 0.0
           else {
             var num = c(i)(idx("purchase")).toDouble
             na.filterNot(removed.contains).foreach { j =>

@@ -70,6 +70,30 @@ def main():
             continue
         sc, sr = norm(spark_tbl)
         dc, dr = norm(duck_tbl)
+        # Output-type contract: DECIMAL in EITHER side's output is a hard
+        # FAIL. The r13 assumption ("the driver normalizes Decimal->float
+        # on both sides") was falsified by the r14 driver rows: the only
+        # two red queries on the whole surface were the only two emitting
+        # decimal(38,0) columns. Declared queries must emit
+        # BIGINT/DOUBLE/STRING/BOOL/DATE/TS — never DECIMAL/HUGEINT.
+        import decimal
+        dec_fail = None
+        for side, cols, rows in (("spark", sc, sr), ("duck", dc, dr)):
+            for row in rows[:64]:
+                for cname, v in zip(cols, row):
+                    if isinstance(v, decimal.Decimal):
+                        dec_fail = (side, cname)
+                        break
+                if dec_fail:
+                    break
+            if dec_fail:
+                break
+        if dec_fail:
+            print(f"[FAIL] {name}: DECIMAL value in {dec_fail[0]} output "
+                  f"column '{dec_fail[1]}' — forbidden output type; cast "
+                  f"to BIGINT/DOUBLE on both engines")
+            failures += 1
+            continue
         if sc != dc:
             print(f"[FAIL] {name}: columns differ spark={sc} duck={dc}")
             failures += 1
@@ -79,15 +103,11 @@ def main():
             failures += 1
             continue
         def canon(row):
-            # Type-strict, mirroring the driver's pandas conversion:
-            # DECIMAL -> float64 on BOTH sides there, so normalize
-            # Decimal to float here; but int 3 vs HUGEINT->float64 3.0
-            # MUST still fail (the q_gopher_gate r12 escape — Python's
-            # bare 3 == 3.0 masked it).
-            import decimal
-            def cv(v):
-                return float(v) if isinstance(v, decimal.Decimal) else v
-            return tuple((type(cv(v)).__name__, repr(cv(v))) for v in row)
+            # Type-strict: int 3 vs float64 3.0 MUST fail (the
+            # q_gopher_gate r12 escape — Python's bare 3 == 3.0 masked
+            # it). No Decimal normalization: decimals hard-fail above,
+            # and any that slip past the bounded scan fail here on type.
+            return tuple((type(v).__name__, repr(v)) for v in row)
         bad = [(i, a, b) for i, (a, b) in enumerate(zip(sr, dr))
                if canon(a) != canon(b)]
         if bad:
