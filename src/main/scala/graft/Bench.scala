@@ -205,9 +205,10 @@ object Bench {
     // round-14 batch 14: LSH recall audit, rolling P10/P90 band,
     // 3-way Venn census
     "q_lsh_recall", "q_rolling_band", "q_venn3",
-    // round-15: image perceptual-hash (real PNG decode → integer aHash)
-    // and the banded hamming near-dup join over the multimodal column
-    "q_image_phash", "q_image_phash_dups")
+    // round-15: image perceptual-hash (real PNG decode → integer aHash),
+    // the banded hamming near-dup join over the multimodal column, and
+    // the corpus-vs-corpus span-overlap rollup
+    "q_image_phash", "q_image_phash_dups", "q_source_span_overlap")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

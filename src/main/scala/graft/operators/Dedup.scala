@@ -645,6 +645,33 @@ object Dedup {
         (col("max_run") + 4).as("span_tokens"))
   }
 
+  /** Corpus-vs-corpus span dedup (VERDICT r14 Next #7b): [[crossDocSpans]]
+    * generalized from doc pairs to SOURCE pairs — per unordered source
+    * pair, how many doc pairs share a verbatim ≥`minRun`-diagonal 5-gram
+    * span, the total matched-gram mass, and the longest run. This is the
+    * cross-source twin of the contamination-span report: at corpus scale
+    * it answers "which two ingest feeds are syndicating each other's
+    * text" from the SAME rare-gram-blocked pair relation the doc-level
+    * report already computes (one extra broadcast-sized doc→source join
+    * + a |sources|²-bounded aggregate — no new heavy shuffle).
+    */
+  def sourceSpanOverlap(docs: DataFrame, dfreqCap: Int = 20,
+      minRun: Int = 3, textCol: String = "text", idCol: String = "doc_id",
+      srcCol: String = "source"): DataFrame = {
+    val pairSpans = crossDocSpans(docs, dfreqCap, minRun, textCol, idCol)
+    val src = docs.select(col(idCol), col(srcCol))
+    pairSpans
+      .join(src.select(col(idCol).as("a"), col(srcCol).as("sa")), Seq("a"))
+      .join(src.select(col(idCol).as("b"), col(srcCol).as("sb")), Seq("b"))
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"),
+        col("max_run"), col("n_matched"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("n_matched")).as("matched_grams"),
+        max(col("max_run")).as("max_run"))
+  }
+
   /** SimHash near-dup pairs: 64-bit signature per doc (custom codegen'd
     * expression), bucketed by 4 × 16-bit bands (two docs within Hamming
     * distance ≤ 3 are guaranteed to collide in ≥1 band by pigeonhole),

@@ -481,6 +481,14 @@ object TextQueries {
       Dedup.crossDocSpans(docs(s, d))
         .orderBy(col("max_run").desc, col("a"), col("b")).limit(50)),
 
+    // corpus-vs-corpus span dedup (r15): the doc-pair span relation
+    // rolled up to SOURCE pairs — which feeds syndicate each other.
+    // All-integer outputs; same rare-gram blocking, one broadcast-sized
+    // doc→source attach + a |sources|²-bounded aggregate on top.
+    "q_source_span_overlap" -> ((s, d) =>
+      Dedup.sourceSpanOverlap(docs(s, d))
+        .orderBy(col("source_a"), col("source_b"))),
+
     // Intra-document repetition census (Gopher/RefinedWeb repetition
     // rules — TextAnalysis.repetitionStats): top-2-gram concentration,
     // duplicate-3-gram mass, duplicate 10-token blocks, all as INTEGER
@@ -1817,6 +1825,44 @@ object TextQueries {
     * Exposes `mh_shingles(doc_id, shs)` (the distinct shingle list) and
     * `mh_buckets(doc_id, band BIGINT, bucket BIGINT signed)`.
     */
+  /** Shared CTE prefix of the q_cross_doc_spans / q_source_span_overlap
+    * oracles (Dedup.crossDocSpans' twin, factored so the doc-pair and
+    * source-pair views can never drift): positional 5-grams, rare-gram
+    * (dfreq ≤ 20) pair blocking, diagonal islands, per-pair HAVING
+    * max_run ≥ 3. Exposes `xds_pairs(a, b, max_run, n_matched)`.
+    */
+  private def crossDocSpanCtes: String =
+    s"""xds_t AS (SELECT doc_id, $duckToks AS tk FROM documents),
+       |xds_t5 AS (SELECT doc_id, tk FROM xds_t WHERE len(tk) >= 5),
+       |xds_pg AS (
+       |  SELECT doc_id,
+       |    UNNEST([{'pos': i - 1, 'g': array_to_string(tk[i:i+4], ' ')}
+       |      FOR i IN range(1, len(tk) - 3)]) AS s
+       |  FROM xds_t5),
+       |xds_pp AS (SELECT doc_id, s.pos AS pos, s.g AS g FROM xds_pg),
+       |xds_rare AS (
+       |  SELECT g FROM (SELECT g, COUNT(*) AS c FROM xds_pp GROUP BY g)
+       |  WHERE c <= 20),
+       |xds_occ AS (
+       |  SELECT xds_pp.doc_id, xds_pp.pos, xds_pp.g
+       |  FROM xds_pp JOIN xds_rare USING (g)),
+       |xds_pr AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b, x.pos AS pa, y.pos AS pb
+       |  FROM xds_occ x JOIN xds_occ y
+       |    ON x.g = y.g AND x.doc_id < y.doc_id),
+       |xds_isl AS (
+       |  SELECT a, b, pa - pb AS diag, pa,
+       |    pa - ROW_NUMBER() OVER (PARTITION BY a, b, pa - pb
+       |      ORDER BY pa) AS grp
+       |  FROM xds_pr),
+       |xds_runs AS (
+       |  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS run
+       |  FROM xds_isl GROUP BY a, b, diag, grp),
+       |xds_pairs AS MATERIALIZED (
+       |  SELECT a, b, MAX(run) AS max_run,
+       |    CAST(SUM(run) AS BIGINT) AS n_matched
+       |  FROM xds_runs GROUP BY a, b HAVING MAX(run) >= 3)""".stripMargin
+
   /** The distinct-3-shingle CTE (Dedup.shingles' SQL twin, with the
     * same <3-token fallback) — shared by [[minhashCte]] and the exact
     * set-similarity-join oracles. Exposes `mh_shingles(doc_id, shs)`.
@@ -3605,34 +3651,27 @@ object TextQueries {
     // positional 5-grams, rare-gram pair blocking, diagonal islands —
     // the q_contamination_span machinery generalized to pairs
     "q_cross_doc_spans" ->
-      s"""WITH t AS (SELECT doc_id, $duckToks AS tk FROM documents),
-         |t5 AS (SELECT doc_id, tk FROM t WHERE len(tk) >= 5),
-         |pg AS (
-         |  SELECT doc_id,
-         |    UNNEST([{'pos': i - 1, 'g': array_to_string(tk[i:i+4], ' ')}
-         |      FOR i IN range(1, len(tk) - 3)]) AS s
-         |  FROM t5),
-         |pp AS (SELECT doc_id, s.pos AS pos, s.g AS g FROM pg),
-         |rare AS (
-         |  SELECT g FROM (SELECT g, COUNT(*) AS c FROM pp GROUP BY g)
-         |  WHERE c <= 20),
-         |occ AS (SELECT pp.doc_id, pp.pos, pp.g FROM pp JOIN rare USING (g)),
-         |pr AS (
-         |  SELECT x.doc_id AS a, y.doc_id AS b, x.pos AS pa, y.pos AS pb
-         |  FROM occ x JOIN occ y ON x.g = y.g AND x.doc_id < y.doc_id),
-         |isl AS (
-         |  SELECT a, b, pa - pb AS diag, pa,
-         |    pa - ROW_NUMBER() OVER (PARTITION BY a, b, pa - pb
-         |      ORDER BY pa) AS grp
-         |  FROM pr),
-         |runs AS (
-         |  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS run
-         |  FROM isl GROUP BY a, b, diag, grp)
-         |SELECT a, b, MAX(run) AS max_run,
-         |  CAST(SUM(run) AS BIGINT) AS n_matched,
-         |  MAX(run) + 4 AS span_tokens
-         |FROM runs GROUP BY a, b HAVING MAX(run) >= 3
+      s"""WITH $crossDocSpanCtes
+         |SELECT a, b, max_run, n_matched, max_run + 4 AS span_tokens
+         |FROM xds_pairs
          |ORDER BY max_run DESC, a, b LIMIT 50""".stripMargin,
+
+    // the same span-pair relation rolled up to unordered SOURCE pairs
+    // (Dedup.sourceSpanOverlap's twin — one doc→source attach + group)
+    "q_source_span_overlap" ->
+      s"""WITH $crossDocSpanCtes,
+         |ss AS (
+         |  SELECT least(da.source, db.source) AS source_a,
+         |    greatest(da.source, db.source) AS source_b,
+         |    p.max_run, p.n_matched
+         |  FROM xds_pairs p
+         |  JOIN documents da ON p.a = da.doc_id
+         |  JOIN documents db ON p.b = db.doc_id)
+         |SELECT source_a, source_b, COUNT(*) AS n_pairs,
+         |  CAST(SUM(n_matched) AS BIGINT) AS matched_grams,
+         |  MAX(max_run) AS max_run
+         |FROM ss GROUP BY source_a, source_b
+         |ORDER BY source_a, source_b""".stripMargin,
 
     // Hamilton apportionment in HUGEINT + the same per-source
     // quality-descending prefix admission; ws-split token twin

@@ -812,6 +812,22 @@ class ScalePostureSpec extends SparkTestBase {
     assert(cdPlan.contains("diag"), s"islands window lost its diag key:\n$cdPlan")
   }
 
+  test("q_source_span_overlap: rollup conserves the doc-pair relation") {
+    // sum of n_pairs over source pairs == |crossDocSpans pairs|, and the
+    // matched-gram mass is conserved exactly (the rollup may not drop or
+    // double-count a doc pair); plan has no cartesian
+    val pairs = graft.operators.Dedup.crossDocSpans(
+      Tables.documents(spark, sf)).collect()
+    val roll = SparkEntry.queries("q_source_span_overlap")(spark, sf)
+    val rows = roll.collect()
+    assert(rows.map(_.getLong(2)).sum == pairs.length.toLong)
+    assert(rows.map(_.getLong(3)).sum ==
+      pairs.map(r => r.getAs[Long]("n_matched")).sum)
+    val plan = roll.queryExecution.executedPlan.toString
+      .split("Initial Plan")(0)
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+  }
+
   test("round-14 plans: curriculum single fact pass per stage, growth ledger equi-only") {
     val tc = SparkEntry.queries("q_token_curriculum")(spark, sf)
     tc.collect()
