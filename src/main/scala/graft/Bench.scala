@@ -208,7 +208,8 @@ object Bench {
     // round-15: image perceptual-hash (real PNG decode → integer aHash),
     // the banded hamming near-dup join over the multimodal column, and
     // the corpus-vs-corpus span-overlap rollup
-    "q_image_phash", "q_image_phash_dups", "q_source_span_overlap")
+    "q_image_phash", "q_image_phash_dups", "q_source_span_overlap",
+    "q_image_phash_stability")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -594,6 +594,66 @@ object Multimodal {
       }
   }
 
+  /** aHash STABILITY probe: hash the real decoded raster, then flip the
+    * LOW bit of the red channel of EVERY sampled pixel (a deterministic
+    * ±1-LSB-noise stand-in for re-encode/resample jitter — mixed signs,
+    * so the grid mean barely moves) and hash again. Returns per-image
+    * hamming distance between the two hashes — the property that makes
+    * a perceptual hash usable for near-dup at all (LSB pixel noise ⇒
+    * tiny hamming), measured rather than asserted. A ±299-per-mille
+    * luma wobble flips a cell's bit only when it sits within one step
+    * of the grid mean, so the corpus histogram concentrates at 0 with a
+    * small nonzero tail — real cross-engine evidence for the hamming
+    * arithmetic at values other than 0 (the dup-pair path is all-0).
+    * Map-only; bytes never shuffle.
+    */
+  def imageAHashStability(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    def hashOf(lumas: Array[Long]): Array[Long] = {
+      val sum = lumas.sum
+      val bands = new Array[Long](4)
+      var k = 0
+      while (k < 64) {
+        if (lumas(k) * 64 > sum) bands(k / 16) |= 1L << (k % 16)
+        k += 1
+      }
+      bands
+    }
+    media.select(col("media_id"), col("bytes")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val img = ImageCodec.decodeImage(bytes)
+          val w = img.getWidth; val h = img.getHeight
+          def grid(perturbed: Boolean): Array[Long] = {
+            val out = new Array[Long](64)
+            var k = 0; var j = 0
+            while (j < 8) {
+              var i = 0
+              while (i < 8) {
+                val x = (2 * i + 1) * w / 16; val y = (2 * j + 1) * h / 16
+                val rgb = img.getRGB(x, y)
+                val r0 = (rgb >> 16) & 0xff
+                val r = if (perturbed) r0 ^ 1 else r0
+                out(k) = 299L * r + 587L * ((rgb >> 8) & 0xff) +
+                  114L * (rgb & 0xff)
+                k += 1; i += 1
+              }
+              j += 1
+            }
+            out
+          }
+          val h0 = hashOf(grid(perturbed = false))
+          val h1 = hashOf(grid(perturbed = true))
+          var ham = 0L
+          var t = 0
+          while (t < 4) {
+            ham += java.lang.Long.bitCount(h0(t) ^ h1(t)); t += 1
+          }
+          (id, ham)
+        }
+      }.toDF("media_id", "hamming")
+  }
+
   /** REAL image feature extraction: decode PNG bytes with javax.imageio
     * at the `mapPartitions` codec boundary (the same boundary the stub
     * path proves) and emit width/height/channels + per-channel means

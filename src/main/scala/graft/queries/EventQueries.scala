@@ -622,6 +622,20 @@ object EventQueries {
         .orderBy(col("a"), col("b"))
     }),
 
+    // aHash stability census (r15): flip the low red bit of EVERY
+    // sampled pixel of every REAL decoded raster (deterministic
+    // ±1-LSB-noise stand-in), re-hash, histogram the per-image hamming
+    // distances. Mostly-0-with-a-small-tail is the property that makes
+    // perceptual near-dup work — and the tail exercises the
+    // cross-engine hamming arithmetic at values OTHER than 0 (the dup
+    // pairs are all exact). The oracle replays both rasters from the
+    // splitmix arithmetic, perturbation included.
+    "q_image_phash_stability" -> ((s, d) => {
+      Multimodal.imageAHashStability(s.read.parquet(contentImageDir(s, d)))
+        .groupBy(col("hamming")).agg(count(lit(1)).as("n_images"))
+        .orderBy(col("hamming"))
+    }),
+
     "q_media_decode" -> ((s, d) => {
       Multimodal.imageFeatures(s.read.parquet(imageDir(s, d)))
         .toDF()
@@ -1811,18 +1825,24 @@ object EventQueries {
        |iph_lum AS (
        |  SELECT doc_id, w, h, (j*8 + i) AS k,
        |    CAST(299 * (rgb // 65536) + 587 * ((rgb // 256) % 256)
-       |      + 114 * (rgb % 256) AS BIGINT) AS luma
+       |      + 114 * (rgb % 256) AS BIGINT) AS luma,
+       |    CAST(299 * xor(rgb // 65536, 1)
+       |      + 587 * ((rgb // 256) % 256)
+       |      + 114 * (rgb % 256) AS BIGINT) AS luma_p
        |  FROM (SELECT doc_id, w, h, i, j,
        |          xor(z, z // 2147483648) % 16777216 AS rgb
        |        FROM iph_z2)),
        |iph_tot AS (
-       |  SELECT doc_id, CAST(SUM(luma) AS BIGINT) AS sl
+       |  SELECT doc_id, CAST(SUM(luma) AS BIGINT) AS sl,
+       |    CAST(SUM(luma_p) AS BIGINT) AS slp
        |  FROM iph_lum GROUP BY doc_id),
        |iph AS MATERIALIZED (
        |  SELECT l.doc_id AS media_id, MIN(w) AS w, MIN(h) AS h,
        |    k // 16 AS band,
        |    CAST(SUM(CASE WHEN luma * 64 > t.sl THEN 1 ELSE 0 END
-       |      * (1 << (k % 16))) AS BIGINT) AS bval
+       |      * (1 << (k % 16))) AS BIGINT) AS bval,
+       |    CAST(SUM(CASE WHEN luma_p * 64 > t.slp THEN 1 ELSE 0 END
+       |      * (1 << (k % 16))) AS BIGINT) AS bval_p
        |  FROM iph_lum l JOIN iph_tot t ON l.doc_id = t.doc_id
        |  GROUP BY l.doc_id, k // 16)""".stripMargin
   }
@@ -1838,6 +1858,18 @@ object EventQueries {
          |  CAST(MAX(CASE WHEN band = 2 THEN bval END) AS BIGINT) AS b2,
          |  CAST(MAX(CASE WHEN band = 3 THEN bval END) AS BIGINT) AS b3
          |FROM iph GROUP BY media_id ORDER BY media_id""".stripMargin,
+
+    // per-image hamming(original, perturbed) histogram — the oracle
+    // replays BOTH rasters (perturbation = red-low-bit flip on every
+    // sampled pixel, the engine's rule)
+    "q_image_phash_stability" ->
+      s"""WITH $imagePhashCtes,
+         |iph_ham AS (
+         |  SELECT media_id,
+         |    CAST(SUM(bit_count(xor(bval, bval_p))) AS BIGINT) AS hamming
+         |  FROM iph GROUP BY media_id)
+         |SELECT hamming, COUNT(*) AS n_images
+         |FROM iph_ham GROUP BY hamming ORDER BY hamming""".stripMargin,
 
     // the same capped band-bucket candidate algebra as Dedup.bucketPairs
     // (rn <= 256 per (band,bval) in id order + overflow star to the
