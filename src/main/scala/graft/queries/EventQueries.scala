@@ -189,7 +189,8 @@ object EventQueries {
     val png = stats(imageDir(s, d), None)
     val wav = stats(audioDir(s, d), Some("n_samples_meta"))
     val avi = stats(videoDir(s, d), Some("n_frames_meta"))
-    s"""{"png":$png,"wav":$wav,"avi":$avi}"""
+    val cpng = stats(contentImageDir(s, d), None)
+    s"""{"png":$png,"wav":$wav,"avi":$avi,"cpng":$cpng}"""
   }
 
   private def cents(c: org.apache.spark.sql.Column) = round(c * 100, 0).cast("long")
