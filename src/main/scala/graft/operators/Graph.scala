@@ -696,17 +696,27 @@ object Graph {
                   walkLen: Int, seed: Int = 42): DataFrame = {
     require(nStarts >= 1 && nWalks >= 1 && walkLen >= 0,
       s"nStarts $nStarts nWalks $nWalks walkLen $walkLen")
+    // Precondition (all callers: coPurchaseEdges and the spec fixtures):
+    // `edges` is a DISTINCT undirected edge set with one row per pair
+    // (u < v convention), so the symmetrized relation has no duplicates
+    // and needs no distinct() — which would be one more full |E| shuffle
+    // per walk construction (removed r15; rn numbering is unchanged, so
+    // walks are bit-identical).
     val sym = edges.select(col("u").as("node"), col("v").as("nbr"))
       .unionAll(edges.select(col("v").as("node"), col("u").as("nbr")))
-      .distinct()
     val wAdj = Window.partitionBy(col("node")).orderBy(col("nbr"))
     val adj = sym
       .withColumn("rn", row_number().over(wAdj).cast("long"))
       .withColumn("deg",
         count(lit(1)).over(Window.partitionBy(col("node"))).cast("long"))
       .localCheckpoint(true) // joined 2× per step
-    val degs = adj.select(col("node"), col("deg")).distinct()
-    val starts = adj.select(col("node")).distinct()
+    // per-node relations via the rn=1 row of the CHECKPOINTED adjacency
+    // (every node has one) — map-only, instead of a distinct() that
+    // re-shuffled the full adjacency on EVERY step's lineage (measured:
+    // the walk loop was paying |E|-sized shuffles for a ≤ nStarts·nWalks
+    // frontier; r15 plan audit)
+    val degs = adj.filter(col("rn") === 1L).select(col("node"), col("deg"))
+    val starts = adj.filter(col("rn") === 1L).select(col("node"))
       .orderBy(col("node")).limit(nStarts) // TakeOrdered: bounded
       .select(col("node").as("start"))
     // each step relation is checkpointed: it is read TWICE (next step +
@@ -725,9 +735,16 @@ object Graph {
     for (t <- 1 to walkLen) {
       val choice = graft.functions.TextHashFunctions.mix64(
         col("node"), col("w"), lit(t.toLong), seed)
-      cur = cur
+      // broadcast the FRONTIER side of both lookups explicitly: cur is
+      // ≤ nStarts·nWalks rows but checkpoint-RDD-backed, so the size
+      // estimator can't see it's tiny — without the hint the planner
+      // shuffles the |E|-sized adjacency per step (the 100 TB killer:
+      // a bounded probe must never move the big relation)
+      val stepped = broadcast(cur)
         .join(degs, Seq("node"))
         .withColumn("rn", pmod(choice, col("deg")) + 1L)
+        .select(col("start"), col("w"), col("node"), col("rn"))
+      cur = broadcast(stepped)
         .join(adj.select(col("node"), col("rn"), col("nbr")),
           Seq("node", "rn"))
         .select(col("start"), col("w"), col("nbr").as("node"))
