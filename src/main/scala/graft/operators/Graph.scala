@@ -697,11 +697,16 @@ object Graph {
     require(nStarts >= 1 && nWalks >= 1 && walkLen >= 0,
       s"nStarts $nStarts nWalks $nWalks walkLen $walkLen")
     // Precondition (all callers: coPurchaseEdges and the spec fixtures):
-    // `edges` is a DISTINCT undirected edge set with one row per pair
-    // (u < v convention), so the symmetrized relation has no duplicates
-    // and needs no distinct() — which would be one more full |E| shuffle
+    // `edges` carries NO DUPLICATE UNDIRECTED PAIRS — each {u,v} appears
+    // as exactly one row, in either orientation (the fixtures include a
+    // (4,1) row, so u < v is NOT required). That is what lets the
+    // symmetrized relation skip distinct() — one more full |E| shuffle
     // per walk construction (removed r15; rn numbering is unchanged, so
-    // walks are bit-identical).
+    // walks are bit-identical). A caller passing both (u,v) AND (v,u)
+    // would silently double that neighbor's adjacency rows and skew walk
+    // probabilities — asserted in GraphLayoutSpec rather than here (a
+    // distributed duplicate check would cost the very shuffle this
+    // precondition removes).
     val sym = edges.select(col("u").as("node"), col("v").as("nbr"))
       .unionAll(edges.select(col("v").as("node"), col("u").as("nbr")))
     val wAdj = Window.partitionBy(col("node")).orderBy(col("nbr"))
