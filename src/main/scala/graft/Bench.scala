@@ -209,7 +209,11 @@ object Bench {
     // the banded hamming near-dup join over the multimodal column, and
     // the corpus-vs-corpus span-overlap rollup
     "q_image_phash", "q_image_phash_dups", "q_source_span_overlap",
-    "q_image_phash_stability")
+    "q_image_phash_stability",
+    // round-16: audio perceptual-hash dedup (real WAV decode → integer
+    // frame-energy signature), the incremental image band-index probe,
+    // and the two de-exempted real-decode paths already present above
+    "q_audio_phash", "q_audio_phash_dups", "q_image_dedup_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

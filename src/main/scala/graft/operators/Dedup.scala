@@ -290,6 +290,101 @@ object Dedup {
       valueCol: String = "v", maxBlock: Int = 1000): DataFrame =
     cappedKeyedPairs(rows, Seq(blockCol), valueCol, maxBlock, "a", "b")
 
+  /** (band, bucket, id) rows of a 4×16-bit banded perceptual hash
+    * relation `(media_id, b0..b3)` — the [[minhashBuckets]] shape for
+    * multimodal hashes ([[Multimodal.imageAHash]] /
+    * [[Multimodal.audioAHash]]): exact-match 16-bit band buckets are
+    * LOSSLESS for hamming ≤ 3 by pigeonhole (4 bands, ≤3 differing bits
+    * ⇒ some band matches exactly). ONE definition shared by the batch
+    * dup queries, the persisted index, and the specs so the banding
+    * can't drift.
+    */
+  def bandHashBuckets(hashes: DataFrame, idCol: String = "media_id"): DataFrame =
+    hashes.select(col(idCol).as("id"),
+      explode(array((0 to 3).map(t =>
+        struct(lit(t.toLong).as("band"), col(s"b$t").as("bucket"))): _*))
+        .as("e"))
+      .select(col("e.band").as("band"), col("e.bucket").as("bucket"),
+        col("id"))
+
+  /** Persistable banded-hash index of a media corpus — the
+    * [[MinhashIndex]] pattern for perceptual hashes, TWO relations:
+    *  - `buckets(band, bucket, id)`: ids-only, capped at `maxBucket`
+    *    ids per (band, bucket) (hot-bucket bound — an adversarial
+    *    bucket must not make every future batch pay O(bucket));
+    *  - `hashes(id, b0..b3)`: one hash row per media item, for the
+    *    exact hamming verify.
+    * Built once from decoded media, persisted as parquet; incoming
+    * batches join against it — multimodal dedup becomes MAINTAINABLE
+    * (probe + append) instead of rebuild-only (VERDICT r15 Next #5).
+    */
+  final case class BandHashIndex(buckets: DataFrame, hashes: DataFrame)
+
+  def bandHashIndex(hashes: DataFrame, maxBucket: Int = 256,
+      idCol: String = "media_id"): BandHashIndex = {
+    val w = Window.partitionBy(col("band"), col("bucket")).orderBy(col("id"))
+    val buckets = bandHashBuckets(hashes, idCol)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxBucket).drop("__rn")
+    BandHashIndex(buckets,
+      hashes.select(col(idCol).as("id"), col("b0"), col("b1"), col("b2"),
+        col("b3")))
+  }
+
+  /** Near-dups of a NEW media batch's hashes against an existing
+    * [[bandHashIndex]] — corpus maintenance without re-hashing the
+    * corpus (the [[incrementalNearDup]] shape): the batch's bucket rows
+    * (map-only, small) hash-join the index buckets on (band, bucket)
+    * with IDS ONLY riding the replicated join, candidates dedupe to
+    * (new_id, corpus_id), and the exact hamming verify fetches each
+    * side's 4 bands by id — corpus hashes shuffle only for MATCHED ids.
+    * Returns pairs at hamming ≤ `maxHamming` (lossless for ≤ 3 under
+    * the 4-band split). Same banding ⇒ same collisions as a full-corpus
+    * run restricted to (new × corpus) — asserted in RecommendSpec.
+    */
+  def incrementalBandedDedup(newHashes: DataFrame, index: BandHashIndex,
+      maxHamming: Int = 3, idCol: String = "media_id"): DataFrame = {
+    val hx = (t: Int) => graft.functions.TextHashFunctions
+      .hamming64(col(s"a$t"), col(s"z$t")).cast("long")
+    val cands = bandHashBuckets(newHashes, idCol)
+      .select(col("band"), col("bucket"), col("id").as("new_id"))
+      .join(index.buckets.select(col("band"), col("bucket"),
+        col("id").as("corpus_id")), Seq("band", "bucket"))
+      .select(col("new_id"), col("corpus_id")).distinct()
+    cands
+      .join(newHashes.select(col(idCol).as("new_id"), col("b0").as("a0"),
+        col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3")),
+        Seq("new_id"))
+      .join(index.hashes.select(col("id").as("corpus_id"),
+        col("b0").as("z0"), col("b1").as("z1"), col("b2").as("z2"),
+        col("b3").as("z3")), Seq("corpus_id"))
+      .withColumn("hamming", hx(0) + hx(1) + hx(2) + hx(3))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("new_id"), col("corpus_id"), col("hamming"))
+  }
+
+  /** Batch near-dup pairs over a 4×16-bit banded hash relation: banded
+    * candidates via [[bucketPairs]] (capped quadratic + overflow
+    * star-attach), then the exact hamming verify — the whole
+    * q_image_phash_dups / q_audio_phash_dups pipeline as ONE shared
+    * definition. Returns (a, b, hamming) with a < b.
+    */
+  def bandedHashDups(hashes: DataFrame, maxHamming: Int = 3,
+      idCol: String = "media_id"): DataFrame = {
+    val hx = (t: Int) => graft.functions.TextHashFunctions
+      .hamming64(col(s"a$t"), col(s"z$t")).cast("long")
+    bucketPairs(bandHashBuckets(hashes, idCol))
+      .join(hashes.select(col(idCol).as("id_a"), col("b0").as("a0"),
+        col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3")),
+        Seq("id_a"))
+      .join(hashes.select(col(idCol).as("id_b"), col("b0").as("z0"),
+        col("b1").as("z1"), col("b2").as("z2"), col("b3").as("z3")),
+        Seq("id_b"))
+      .withColumn("hamming", hx(0) + hx(1) + hx(2) + hx(3))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a").as("a"), col("id_b").as("b"), col("hamming"))
+  }
+
   /** Side-output health report for a banded bucketing: one row of
     * (n_buckets, max_bucket, n_truncated, ids_dropped) at a given cap.
     * This is the "log line" of [[bucketPairs]] — at 100 TB you run it on

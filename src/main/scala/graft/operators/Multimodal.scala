@@ -107,12 +107,16 @@ object Multimodal {
     }
 
     final case class Decoded(width: Int, height: Int, nChannels: Int,
-      meanR: Double, meanG: Double, meanB: Double)
+      sumR: Long, sumG: Long, sumB: Long)
 
-    /** REAL decode + per-channel mean: ImageIO parses the container,
-      * inflates the raster, and the stats are computed from actual
-      * pixels. Untagged sRGB PNGs take no color-management path, so the
-      * decoded values are bit-identical across JVMs.
+    /** REAL decode + per-channel EXACT INTEGER sums: ImageIO parses the
+      * container, inflates the raster, and the sums are computed from
+      * actual pixels. Integer sums (not double means) are the output
+      * contract that lets the DuckDB oracle replay the full raster
+      * arithmetic and hash-match bit-for-bit — means are derived
+      * downstream via ExactRatio (r16 de-exemption of q_media_decode).
+      * Untagged sRGB PNGs take no color-management path, so the decoded
+      * values are bit-identical across JVMs.
       */
     /** REAL decode to a BufferedImage (memory-cached stream — no temp
       * file per image; see the decodeStats note). Shared by the stats
@@ -150,9 +154,7 @@ object Multimodal {
         sr += (p >>> 16) & 0xFF; sg += (p >>> 8) & 0xFF; sb += p & 0xFF
         k += 1
       }
-      val n = (w.toLong * h).toDouble
-      Decoded(w, h, img.getColorModel.getNumComponents,
-        sr / n, sg / n, sb / n)
+      Decoded(w, h, img.getColorModel.getNumComponents, sr, sg, sb)
     }
   }
 
@@ -161,10 +163,43 @@ object Multimodal {
   // 16-bit mono PCM WAV encode + container-parsed decode.
   // ------------------------------------------------------------------
   object AudioCodec {
-    /** Deterministic WAV: `nSamples` of a 16-bit mono sine whose
-      * frequency and amplitude derive from the seed. PCM is lossless, so
-      * decoded sample statistics are a pure function of
-      * (nSamples, sampleRate, seed).
+    /** Sample `i` of the deterministic waveform: an ALL-INTEGER triangle
+      * wave whose period and amplitude derive from the seed via
+      * unsigned residues. `v = A − (2A·|2p − P|) div P` sweeps −A → A →
+      * −A over one period P; every op is exact integer arithmetic
+      * (floor division on nonnegative operands), so a SQL oracle
+      * replays the samples verbatim with `%`/`//`/`abs` — the property
+      * that de-exempted q_audio_decode (r16): PCM is lossless, so the
+      * REAL decode and the arithmetic replay meet at the same samples.
+      * (The r15 generator was a `math.sin` sine — libm is not
+      * correctly-rounded, so its samples were NOT cross-engine
+      * replayable; a triangle keeps RMS/ZCR physically meaningful
+      * while making every sample exact.)
+      */
+    def sample(seed: Long, i: Long): Long = {
+      val p0 = java.lang.Long.remainderUnsigned(seed, 179) + 20 // period
+      val a = (java.lang.Long.remainderUnsigned(seed, 7) + 2) * 180 // amp
+      val p = i % p0
+      val tri = a - 2 * a * math.abs(2 * p - p0) / p0
+      // per-8-sample-block splitmix gain (1..15): the triangle alone is
+      // too STRUCTURED for a perceptual hash — its normalized frame
+      // energies depend only on (period, n), a 179-value family, so
+      // unrelated seeds collide at hamming ≤ 3 (observed: the planted-
+      // dup spec found cross-seed pairs). The gain makes the energy
+      // envelope a seed-rich signal while keeping every op exact
+      // integer arithmetic (gain > 0 ⇒ ZCR unchanged; |v| ≤ 1620·15 =
+      // 24300 < 2¹⁵). Same splitmix stages as the image raster — the
+      // SQL replay reuses the mm64 machinery.
+      var z = seed + (i / 8) * 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^= (z >>> 31)
+      tri * (java.lang.Long.remainderUnsigned(z, 15) + 1)
+    }
+
+    /** Deterministic WAV: `nSamples` of the 16-bit mono integer triangle
+      * [[sample]] wave. PCM is lossless, so decoded sample statistics
+      * are a pure function of (nSamples, sampleRate, seed).
       */
     def encodeWav(nSamples: Int, sampleRate: Int, seed: Long): Array[Byte] = {
       val dataLen = nSamples * 2
@@ -176,24 +211,25 @@ object Multimodal {
         .putShort(1).putShort(1) // PCM, mono
         .putInt(sampleRate).putInt(sampleRate * 2).putShort(2).putShort(16)
         .put("data".getBytes("US-ASCII")).putInt(dataLen)
-      val freq = 200.0 + (math.abs(seed) % 800)
-      val amp = 0.2 + (math.abs(seed) % 7) * 0.1
       var i = 0
       while (i < nSamples) {
-        val v = math.sin(2.0 * math.Pi * freq * i / sampleRate) * amp
-        bb.putShort((v * 32767.0).toShort)
+        bb.putShort(sample(seed, i).toShort)
         i += 1
       }
       bb.array()
     }
 
     final case class Decoded(sampleRate: Int, nSamples: Long,
-      rms: Double, zeroCrossings: Long)
+      sumSq: Long, sumAbs: Long, zeroCrossings: Long)
 
     /** REAL decode: AudioSystem parses the RIFF/WAVE container and frame
-      * format; RMS + zero-crossing stats come from the actual PCM
-      * samples — the standard cheap audio-quality signals (silence /
-      * clipping / dead channels show up immediately in RMS and ZCR).
+      * format; EXACT integer sample moments (Σv², Σ|v|) + zero-crossing
+      * count come from the actual PCM samples — the standard cheap
+      * audio-quality signals (silence / clipping / dead channels show up
+      * immediately in RMS and ZCR). Integer moments, not double RMS, are
+      * the operator contract (the image-decode discipline): RMS is
+      * derived downstream as `sqrt(sum_sq/n)/32768` — IEEE
+      * correctly-rounded ops only, bit-reproducible on any engine.
       */
     def decodeStats(bytes: Array[Byte]): Decoded = {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
@@ -203,22 +239,50 @@ object Multimodal {
         require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
           s"expected 16-bit mono PCM, got $fmt")
         val raw = ais.readAllBytes()
-        var sumSq = 0.0
+        var sumSq = 0L
+        var sumAbs = 0L
         var zc = 0L
         var prevPos = true
         var n = 0L
         var i = 0
         while (i + 1 < raw.length) {
           val s = ((raw(i) & 0xFF) | (raw(i + 1) << 8)).toShort
-          sumSq += s.toDouble * s
+          sumSq += s.toLong * s
+          sumAbs += math.abs(s.toLong)
           val pos = s >= 0
           if (n > 0 && pos != prevPos) zc += 1
           prevPos = pos
           n += 1
           i += 2
         }
-        Decoded(fmt.getSampleRate.toInt, n,
-          if (n == 0) 0.0 else math.sqrt(sumSq / n) / 32768.0, zc)
+        Decoded(fmt.getSampleRate.toInt, n, sumSq, sumAbs, zc)
+      } finally ais.close()
+    }
+
+    /** 64 frame-energy cells from REAL decoded PCM: frame k (k = ⌊i·64/n⌋
+      * — integer arithmetic, every index lands in [0, 64)) accumulates
+      * Σ|v| of its samples. The audio twin of the image 8×8 luma grid:
+      * thresholding each cell against the global mean (cross-multiplied,
+      * no division) yields the 64-bit perceptual hash
+      * [[Multimodal.audioAHash]] packs into four 16-bit bands.
+      */
+    def frameEnergies(bytes: Array[Byte]): (Long, Array[Long]) = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+          s"expected 16-bit mono PCM, got $fmt")
+        val raw = ais.readAllBytes()
+        val n = raw.length / 2
+        val e = new Array[Long](64)
+        var i = 0
+        while (i + 1 < raw.length) {
+          val s = ((raw(i) & 0xFF) | (raw(i + 1) << 8)).toShort
+          e(((i / 2).toLong * 64 / n).toInt) += math.abs(s.toLong)
+          i += 2
+        }
+        (n.toLong, e)
       } finally ais.close()
     }
   }
@@ -463,9 +527,10 @@ object Multimodal {
       }
   }
 
-  /** Per-clip REAL-decode stats row. */
+  /** Per-clip REAL-decode stats row (exact integer moments; RMS derived
+    * downstream from sum_sq — the replayable-output contract). */
   case class AudioStats(media_id: Long, sample_rate: Int, n_samples: Long,
-      rms: Double, zero_crossings: Long, n_bytes: Long)
+      sum_sq: Long, sum_abs: Long, zero_crossings: Long, n_bytes: Long)
 
   /** Media table with GENUINE WAV bytes (deterministic sine PCM; length
     * and tone derive from the id). Map-only generation, like
@@ -491,16 +556,75 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
           val s = AudioCodec.decodeStats(bytes)
-          AudioStats(id, s.sampleRate, s.nSamples, s.rms, s.zeroCrossings,
-            bytes.length.toLong)
+          AudioStats(id, s.sampleRate, s.nSamples, s.sumSq, s.sumAbs,
+            s.zeroCrossings, bytes.length.toLong)
         }
       }
   }
 
-  /** Per-image REAL-decode stats row. */
+  /** Content-seeded audio table: like [[syntheticAudioTable]] but sample
+    * count AND waveform seed derive from the FNV-1a 64 content hash of
+    * the text — exact-duplicate documents get bit-identical WAVs, the
+    * "same recording re-uploaded" regime that makes audio near-dup
+    * detection meaningful on this fixture (the [[contentImageTable]]
+    * twin). Map-only; bytes born on executors.
+    */
+  def contentAudioTable(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val ch = graft.functions.TextHashFunctions.fnv64(
+            text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val n = java.lang.Long.remainderUnsigned(ch, 400).toInt + 100
+          (id, "audio", AudioCodec.encodeWav(n, 16000, ch), 16000, n)
+        }
+      }.toDF("media_id", "kind", "bytes", "sample_rate", "n_samples_meta")
+  }
+
+  /** Per-clip audio perceptual-hash row: four 16-bit energy-signature
+    * bands (always non-negative BIGINTs — banding key + no-DECIMAL
+    * output contract in one shape, the [[ImageHash]] twin).
+    */
+  case class AudioHash(media_id: Long, n_samples: Long,
+      b0: Long, b1: Long, b2: Long, b3: Long)
+
+  /** Audio perceptual hash over REAL decoded PCM, at the `mapPartitions`
+    * codec boundary: parse the WAV container with javax.sound.sampled,
+    * fold the samples into 64 frame-energy cells (Σ|v| per frame k =
+    * ⌊i·64/n⌋ — all-integer), threshold each cell against the global
+    * mean via the cross-multiplied comparison `e·64 > Σe` (exact, no
+    * division), and pack bit k into four 16-bit bands. PCM is lossless
+    * and the waveform is pure integer arithmetic of the content seed,
+    * so a SQL oracle replays the whole pipeline (hash → samples →
+    * energies → bits) without a decoder — the audio twin of
+    * [[imageAHash]]. Map-only; bytes never shuffle (4 small ints leave
+    * the codec).
+    */
+  def audioAHash(media: DataFrame): Dataset[AudioHash] = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("bytes")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val (n, e) = AudioCodec.frameEnergies(bytes)
+          val sum = e.sum
+          val bands = new Array[Long](4)
+          var k = 0
+          while (k < 64) {
+            if (e(k) * 64 > sum) bands(k / 16) |= 1L << (k % 16)
+            k += 1
+          }
+          AudioHash(id, n, bands(0), bands(1), bands(2), bands(3))
+        }
+      }
+  }
+
+  /** Per-image REAL-decode stats row (exact integer channel sums; means
+    * derived downstream via ExactRatio — the replayable-output contract
+    * that de-exempted q_media_decode in r16). */
   case class ImageStats(media_id: Long, img_width: Int, img_height: Int,
-      n_channels: Int, mean_r: Double, mean_g: Double, mean_b: Double,
-      n_bytes: Long)
+      n_channels: Int, n_pixels: Long, sum_r: Long, sum_g: Long,
+      sum_b: Long, n_bytes: Long)
 
   /** Media table with GENUINE PNG bytes (encoded per-row from a
     * deterministic raster; dims derived from the id). Generation is
@@ -656,8 +780,9 @@ object Multimodal {
 
   /** REAL image feature extraction: decode PNG bytes with javax.imageio
     * at the `mapPartitions` codec boundary (the same boundary the stub
-    * path proves) and emit width/height/channels + per-channel means
-    * computed from genuine pixel data. Map-only; bytes never shuffle.
+    * path proves) and emit width/height/channels + per-channel EXACT
+    * integer sums computed from genuine pixel data. Map-only; bytes
+    * never shuffle.
     */
   def imageFeatures(media: DataFrame): Dataset[ImageStats] = {
     import media.sparkSession.implicits._
@@ -666,7 +791,8 @@ object Multimodal {
         rows.map { case (id, bytes) =>
           val s = ImageCodec.decodeStats(bytes)
           ImageStats(id, s.width, s.height, s.nChannels,
-            s.meanR, s.meanG, s.meanB, bytes.length.toLong)
+            s.width.toLong * s.height, s.sumR, s.sumG, s.sumB,
+            bytes.length.toLong)
         }
       }
   }

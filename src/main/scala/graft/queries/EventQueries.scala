@@ -158,6 +158,15 @@ object EventQueries {
       dir
     })
 
+  private def contentAudioDir(s: SparkSession, d: String): String =
+    mediaDirs.getOrElseUpdate(("cwav", d), {
+      val dir = java.nio.file.Files.createTempDirectory("graft_media_cwav")
+        .toString + "/media"
+      Multimodal.contentAudioTable(Tables.documents(s, d))
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
+
   /** Force-build every memoized media table for a scale dir. The bench
     * warmup calls this at the TIMED sf so no timed `q_media_* /
     * q_audio_* / q_video_*` line pays table GENERATION — whichever query
@@ -167,6 +176,7 @@ object EventQueries {
     */
   def materializeMediaDirs(s: SparkSession, d: String): Unit = {
     imageDir(s, d); audioDir(s, d); videoDir(s, d); contentImageDir(s, d)
+    contentAudioDir(s, d)
   }
 
   /** One-line JSON provenance for the memoized media tables: row count,
@@ -190,7 +200,8 @@ object EventQueries {
     val wav = stats(audioDir(s, d), Some("n_samples_meta"))
     val avi = stats(videoDir(s, d), Some("n_frames_meta"))
     val cpng = stats(contentImageDir(s, d), None)
-    s"""{"png":$png,"wav":$wav,"avi":$avi,"cpng":$cpng}"""
+    val cwav = stats(contentAudioDir(s, d), Some("n_samples_meta"))
+    s"""{"png":$png,"wav":$wav,"avi":$avi,"cpng":$cpng,"cwav":$cwav}"""
   }
 
   private def cents(c: org.apache.spark.sql.Column) = round(c * 100, 0).cast("long")
@@ -599,28 +610,57 @@ object EventQueries {
     // bit-identical rasters by construction, so the verified pair set is
     // the image twin of q_dedup_exact's cluster structure.
     "q_image_phash_dups" -> ((s, d) => {
-      val ph = Multimodal.imageAHash(s.read.parquet(contentImageDir(s, d)))
-        .toDF()
-      val buckets = ph.select(col("media_id").as("id"),
-          explode(array((0 to 3).map(t =>
-            struct(lit(t.toLong).as("band"), col(s"b$t").as("bucket"))): _*))
-            .as("e"))
-        .select(col("e.band").as("band"), col("e.bucket").as("bucket"),
-          col("id"))
-      val pairs = graft.operators.Dedup.bucketPairs(buckets)
-      val hx = (t: Int) => graft.functions.TextHashFunctions
-        .hamming64(col(s"a$t"), col(s"z$t")).cast("long")
-      pairs
-        .join(ph.select(col("media_id").as("id_a"), col("b0").as("a0"),
-          col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3")),
-          Seq("id_a"))
-        .join(ph.select(col("media_id").as("id_b"), col("b0").as("z0"),
-          col("b1").as("z1"), col("b2").as("z2"), col("b3").as("z3")),
-          Seq("id_b"))
-        .withColumn("hamming", hx(0) + hx(1) + hx(2) + hx(3))
-        .filter(col("hamming") <= 3)
-        .select(col("id_a").as("a"), col("id_b").as("b"), col("hamming"))
+      graft.operators.Dedup.bandedHashDups(
+        Multimodal.imageAHash(s.read.parquet(contentImageDir(s, d))).toDF())
         .orderBy(col("a"), col("b"))
+    }),
+
+    // audio perceptual-hash over REAL decoded PCM (r16, VERDICT Next #4
+    // — the multimodal near-dup story completed: image landed r15):
+    // javax.sound.sampled parses the WAV container at the codec
+    // boundary, the samples fold into 64 frame-energy cells (Σ|v|,
+    // frame k = ⌊i·64/n⌋ — all-integer), each cell thresholds against
+    // the global mean (cross-multiplied, no division), bits pack into
+    // four 16-bit bands. PCM is lossless and the triangle waveform is
+    // pure integer arithmetic of the content seed, so the DuckDB oracle
+    // replays the ENTIRE pipeline (FNV hash → samples → energies →
+    // bits) from `documents.text` with no decoder. Bytes never shuffle.
+    "q_audio_phash" -> ((s, d) => {
+      Multimodal.audioAHash(s.read.parquet(contentAudioDir(s, d)))
+        .toDF()
+        .select(col("media_id"), col("n_samples"),
+          col("b0"), col("b1"), col("b2"), col("b3"))
+        .orderBy(col("media_id"))
+    }),
+
+    // audio near-dup pairs over the energy-signature bands — the same
+    // banded-hamming discipline as q_image_phash_dups via the SHARED
+    // Dedup.bandedHashDups pipeline (capped band buckets + overflow
+    // star-attach + exact hamming ≤ 3 verify). Content-duplicate
+    // documents get bit-identical WAVs by construction, so the verified
+    // pair set is the audio twin of q_dedup_exact's cluster structure.
+    "q_audio_phash_dups" -> ((s, d) => {
+      graft.operators.Dedup.bandedHashDups(
+        Multimodal.audioAHash(s.read.parquet(contentAudioDir(s, d))).toDF())
+        .orderBy(col("a"), col("b"))
+    }),
+
+    // incremental IMAGE near-dup maintenance (r16, VERDICT Next #5):
+    // media_id%10==3 plays the incoming batch, the rest the indexed
+    // corpus — the batch's aHash band rows probe the PERSISTED
+    // ids-only band index (Dedup.bandHashIndex, the minhashIndex
+    // pattern), exact hamming verify fetches hashes by matched id.
+    // Multimodal dedup becomes probe-and-append maintainable instead
+    // of rebuild-only. Fully oracled via the shared phash replay CTEs.
+    "q_image_dedup_incremental" -> ((s, d) => {
+      val media = s.read.parquet(contentImageDir(s, d))
+      val batch = Multimodal.imageAHash(
+        media.filter(pmod(col("media_id"), lit(10)) === 3)).toDF()
+      val corpus = Multimodal.imageAHash(
+        media.filter(pmod(col("media_id"), lit(10)) =!= 3)).toDF()
+      graft.operators.Dedup.incrementalBandedDedup(
+        batch, graft.operators.Dedup.bandHashIndex(corpus))
+        .orderBy(col("new_id"), col("corpus_id"))
     }),
 
     // aHash stability census (r15): flip the low red bit of EVERY
@@ -637,6 +677,13 @@ object EventQueries {
         .orderBy(col("hamming"))
     }),
 
+    // DE-EXEMPTED r16 (VERDICT Next #3): the real javax.imageio decode
+    // path, DRIVER-HASH-VERIFIED — the engine decodes genuine PNG bytes
+    // and emits EXACT integer channel sums; PNG is lossless, so the
+    // DuckDB oracle replays the generator arithmetic over the FULL
+    // raster (id-seeded dims → splitmix pixels → channel sums) and
+    // meets the decoder at the same pixels. Means via ExactRatio, so
+    // no ROUND(DOUBLE) seam anywhere in the output.
     "q_media_decode" -> ((s, d) => {
       Multimodal.imageFeatures(s.read.parquet(imageDir(s, d)))
         .toDF()
@@ -644,25 +691,30 @@ object EventQueries {
           col("img_width").cast("long").as("img_width"),
           col("img_height").cast("long").as("img_height"),
           col("n_channels").cast("long").as("n_channels"),
-          round(col("mean_r"), 4).as("mean_r"),
-          round(col("mean_g"), 4).as("mean_g"),
-          round(col("mean_b"), 4).as("mean_b"))
+          col("n_pixels"), col("sum_r"), col("sum_g"), col("sum_b"),
+          ratio6(col("sum_r"), col("n_pixels")).as("mean_r"),
+          ratio6(col("sum_g"), col("n_pixels")).as("mean_g"),
+          ratio6(col("sum_b"), col("n_pixels")).as("mean_b"))
         .orderBy(col("media_id"))
     }),
 
-    // multimodal: REAL audio decode (javax.sound.sampled) — genuine
-    // 16-bit PCM WAV bytes (materialized once per dir), container-parsed
-    // format + RMS / zero-crossing stats from the actual samples. PCM is
-    // lossless → deterministic; rows-only. Generator parity asserted in
-    // RecommendSpec.
+    // DE-EXEMPTED r16 (VERDICT Next #1): the real javax.sound.sampled
+    // decode path, DRIVER-HASH-VERIFIED — genuine 16-bit PCM WAV bytes
+    // (materialized once per dir), container-parsed format + EXACT
+    // integer sample moments (Σv², Σ|v|, zero crossings) from the
+    // actual samples. PCM is lossless and the triangle waveform is
+    // pure integer arithmetic of the seed, so the oracle replays every
+    // sample with `%`/`//`/`abs`. RMS = sqrt(sum_sq/n)/32768 — IEEE
+    // correctly-rounded ops in mirrored order, pinned via det6.
     "q_audio_decode" -> ((s, d) => {
       Multimodal.audioFeatures(s.read.parquet(audioDir(s, d)))
         .toDF()
         .select(col("media_id"),
           col("sample_rate").cast("long").as("sample_rate"),
-          col("n_samples"),
-          round(col("rms"), 6).as("rms_r"),
-          col("zero_crossings"))
+          col("n_samples"), col("sum_sq"), col("sum_abs"),
+          col("zero_crossings"),
+          det6(sqrt(col("sum_sq").cast("double") /
+            col("n_samples").cast("double")) / lit(32768.0)).as("rms_r"))
         .orderBy(col("media_id"))
     }),
 
@@ -1792,9 +1844,14 @@ object EventQueries {
     * what makes this a true oracle of the engine's real-decode path:
     * both sides arrive at the same pixels by different roads.
     */
-  private def imagePhashCtes: String = {
+  /** FNV-1a 64 of `documents.text` as an unsigned HUGEINT residue —
+    * the shared content-seed CTE of the image-phash AND audio-phash
+    * oracle families (one definition so the two modalities' content
+    * hashing can't drift). Emits `<nm>(doc_id, u)`.
+    */
+  private def contentHashCte(nm: String): String = {
     import graft.queries.TextQueries.{mm64 => m64}
-    s"""iph_ch AS (
+    s"""$nm AS (
        |  SELECT doc_id,
        |    CASE WHEN len(text) = 0 THEN CAST(14695981039346656037 AS HUGEINT)
        |    ELSE list_reduce(
@@ -1802,7 +1859,143 @@ object EventQueries {
        |        list_transform(string_split(text, ''),
        |          c -> CAST(unicode(c) AS HUGEINT))),
        |      (h, b) -> ${m64("xor(h, b)", "1099511628211")}) END AS u
+       |  FROM documents)""".stripMargin
+  }
+
+  /** The q_audio_phash / q_audio_phash_dups oracle prefix: replay the
+    * content-seeded triangle waveform WITHOUT a WAV decoder — FNV-1a 64
+    * content hash (shared [[contentHashCte]]), n = u%400+100 samples of
+    * `v = A − (2A·|2p − P|) // P` (all-integer — the r16 generator
+    * change that made audio replayable), 64 frame-energy cells (Σ|v|,
+    * frame k = ⌊i·64/n⌋), mean threshold (cross-multiplied), four
+    * 16-bit bands. Exposes `aph(media_id, n, band, bval)`. PCM
+    * losslessness is what makes this a true oracle of the engine's
+    * real-decode path: both sides arrive at the same samples.
+    */
+  /** The shared per-sample waveform replay: given `<nm>_meta(doc_id,
+    * u HUGEINT, n, p0, a)`, emits stages ending at `<nm>_v(doc_id, n,
+    * i, v)` — the triangle carrier × the per-8-sample-block splitmix
+    * gain, every op exact integer arithmetic mirroring
+    * [[Multimodal.AudioCodec.sample]] (staged CTEs so the mm64
+    * split-multiply's textual duplication never compounds — the
+    * imagePhashCtes discipline).
+    */
+  private def triangleWaveCtes(nm: String): String = {
+    import graft.queries.TextQueries.{mm64 => m64}
+    s"""${nm}_i AS (
+       |  SELECT doc_id, u, n, p0, a, UNNEST(range(n)) AS i
+       |  FROM ${nm}_meta),
+       |${nm}_z0 AS (
+       |  SELECT doc_id, n, p0, a, i,
+       |    (u + CAST(i // 8 AS HUGEINT) * 11400714819323198485)
+       |      % 18446744073709551616 AS z
+       |  FROM ${nm}_i),
+       |${nm}_z1 AS (SELECT doc_id, n, p0, a, i,
+       |  ${m64("xor(z, z // 1073741824)", "13787848793156543929")} AS z
+       |  FROM ${nm}_z0),
+       |${nm}_z2 AS (SELECT doc_id, n, p0, a, i,
+       |  ${m64("xor(z, z // 134217728)", "10723151780598845931")} AS z
+       |  FROM ${nm}_z1),
+       |${nm}_v AS (
+       |  SELECT doc_id, n, i,
+       |    (a - (2 * a * abs(2 * (i % p0) - p0)) // p0)
+       |      * CAST(xor(z, z // 2147483648) % 15 + 1 AS BIGINT) AS v
+       |  FROM ${nm}_z2)""".stripMargin
+  }
+
+  private def audioPhashCtes: String = {
+    s"""${contentHashCte("aph_ch")},
+       |aph_meta AS (
+       |  SELECT doc_id, u, CAST(u % 400 + 100 AS BIGINT) AS n,
+       |    CAST(u % 179 + 20 AS BIGINT) AS p0,
+       |    CAST((u % 7 + 2) * 180 AS BIGINT) AS a
+       |  FROM aph_ch),
+       |${triangleWaveCtes("aph")},
+       |aph_e AS (
+       |  SELECT doc_id, MIN(n) AS n, (i * 64) // n AS k,
+       |    CAST(SUM(abs(v)) AS BIGINT) AS e
+       |  FROM aph_v GROUP BY doc_id, (i * 64) // n),
+       |aph_tot AS (
+       |  SELECT doc_id, CAST(SUM(e) AS BIGINT) AS te
+       |  FROM aph_e GROUP BY doc_id),
+       |aph AS MATERIALIZED (
+       |  SELECT l.doc_id AS media_id, MIN(l.n) AS n, k // 16 AS band,
+       |    CAST(SUM(CASE WHEN e * 64 > t.te THEN 1 ELSE 0 END
+       |      * (1 << (k % 16))) AS BIGINT) AS bval
+       |  FROM aph_e l JOIN aph_tot t ON l.doc_id = t.doc_id
+       |  GROUP BY l.doc_id, k // 16)""".stripMargin
+  }
+
+  /** The q_audio_decode oracle prefix — same waveform replay as
+    * [[audioPhashCtes]] but ID-seeded (u = doc_id, the
+    * syntheticAudioTable convention): exposes
+    * `aud(media_id, n_samples, sum_sq, sum_abs, zero_crossings)`.
+    * Zero crossings use the engine's decode rule: a sign flip of
+    * (v ≥ 0) between consecutive samples, first sample excluded.
+    */
+  private def audioDecodeCtes: String = {
+    s"""aud_meta AS (
+       |  SELECT doc_id, CAST(doc_id AS HUGEINT) AS u,
+       |    CAST(doc_id % 400 + 100 AS BIGINT) AS n,
+       |    CAST(doc_id % 179 + 20 AS BIGINT) AS p0,
+       |    CAST((doc_id % 7 + 2) * 180 AS BIGINT) AS a
        |  FROM documents),
+       |${triangleWaveCtes("aud")},
+       |aud_l AS (
+       |  SELECT doc_id, n, i, v,
+       |    LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+       |  FROM aud_v),
+       |aud AS (
+       |  SELECT doc_id AS media_id, MIN(n) AS n_samples,
+       |    CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+       |    CAST(SUM(abs(v)) AS BIGINT) AS sum_abs,
+       |    CAST(SUM(CASE WHEN i > 0 AND ((v >= 0) <> (pv >= 0))
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+       |  FROM aud_l GROUP BY doc_id)""".stripMargin
+  }
+
+  /** The q_media_decode oracle prefix: replay the ID-seeded PNG raster
+    * over EVERY pixel (not just the phash's 8×8 samples) — dims
+    * doc_id%31+2 × doc_id%23+2, pixel (x,y) = splitmix64(id + x·K₁ +
+    * y·K₂) via the same staged HUGEINT arithmetic as [[imagePhashCtes]],
+    * then exact per-channel sums. Exposes
+    * `img(media_id, w, h, sum_r, sum_g, sum_b)`.
+    */
+  private def imageDecodeCtes: String = {
+    import graft.queries.TextQueries.{mm64 => m64}
+    s"""img_meta AS (
+       |  SELECT doc_id, CAST(doc_id AS HUGEINT) AS u,
+       |    CAST(doc_id % 31 + 2 AS BIGINT) AS w,
+       |    CAST(doc_id % 23 + 2 AS BIGINT) AS h
+       |  FROM documents),
+       |img_k AS (
+       |  SELECT doc_id, u, w, h, UNNEST(range(w * h)) AS k FROM img_meta),
+       |img_z0 AS (
+       |  SELECT doc_id, w, h, k,
+       |    (u + CAST(k % w AS HUGEINT) * 11400714819323198485
+       |       + CAST(k // w AS HUGEINT) * 14029467366897019727)
+       |      % 18446744073709551616 AS z
+       |  FROM img_k),
+       |img_z1 AS (SELECT doc_id, w, h, k,
+       |  ${m64("xor(z, z // 1073741824)", "13787848793156543929")} AS z
+       |  FROM img_z0),
+       |img_z2 AS (SELECT doc_id, w, h, k,
+       |  ${m64("xor(z, z // 134217728)", "10723151780598845931")} AS z
+       |  FROM img_z1),
+       |img_px AS (
+       |  SELECT doc_id, w, h, xor(z, z // 2147483648) % 16777216 AS rgb
+       |  FROM img_z2),
+       |img AS (
+       |  SELECT doc_id AS media_id, MIN(w) AS w, MIN(h) AS h,
+       |    CAST(SUM(rgb // 65536) AS BIGINT) AS sum_r,
+       |    CAST(SUM((rgb // 256) % 256) AS BIGINT) AS sum_g,
+       |    CAST(SUM(rgb % 256) AS BIGINT) AS sum_b
+       |  FROM img_px GROUP BY doc_id)""".stripMargin
+  }
+
+  private def imagePhashCtes: String = {
+    import graft.queries.TextQueries.{mm64 => m64}
+    s"""${contentHashCte("iph_ch")},
        |iph_meta AS (
        |  SELECT doc_id, u, CAST(u % 31 + 2 AS BIGINT) AS w,
        |    CAST(u % 23 + 2 AS BIGINT) AS h
@@ -1902,6 +2095,97 @@ object EventQueries {
          |  GROUP BY cd.a, cd.b)
          |SELECT a, b, hamming FROM iph_hx
          |WHERE hamming <= 3 ORDER BY a, b""".stripMargin,
+
+    // DE-EXEMPTED r16: full-raster arithmetic replay of the real PNG
+    // decode (exact integer channel sums; means via the shared
+    // ExactRatio spec — no ROUND(DOUBLE) seam)
+    "q_media_decode" ->
+      s"""WITH $imageDecodeCtes
+         |SELECT media_id, w AS img_width, h AS img_height,
+         |  CAST(3 AS BIGINT) AS n_channels, w * h AS n_pixels,
+         |  sum_r, sum_g, sum_b,
+         |  ${ratio6Sql("sum_r", "w * h")} AS mean_r,
+         |  ${ratio6Sql("sum_g", "w * h")} AS mean_g,
+         |  ${ratio6Sql("sum_b", "w * h")} AS mean_b
+         |FROM img ORDER BY media_id""".stripMargin,
+
+    // DE-EXEMPTED r16: per-sample arithmetic replay of the real WAV
+    // decode (exact integer moments; RMS via the det6-pinned
+    // IEEE-correctly-rounded chain in mirrored op order)
+    "q_audio_decode" ->
+      s"""WITH $audioDecodeCtes
+         |SELECT media_id, CAST(16000 AS BIGINT) AS sample_rate,
+         |  n_samples, sum_sq, sum_abs, zero_crossings,
+         |  ${det6Sql("sqrt(CAST(sum_sq AS DOUBLE) / " +
+             "CAST(n_samples AS DOUBLE)) / 32768.0")} AS rms_r
+         |FROM aud ORDER BY media_id""".stripMargin,
+
+    "q_audio_phash" ->
+      s"""WITH $audioPhashCtes
+         |SELECT media_id, MIN(n) AS n_samples,
+         |  CAST(MAX(CASE WHEN band = 0 THEN bval END) AS BIGINT) AS b0,
+         |  CAST(MAX(CASE WHEN band = 1 THEN bval END) AS BIGINT) AS b1,
+         |  CAST(MAX(CASE WHEN band = 2 THEN bval END) AS BIGINT) AS b2,
+         |  CAST(MAX(CASE WHEN band = 3 THEN bval END) AS BIGINT) AS b3
+         |FROM aph GROUP BY media_id ORDER BY media_id""".stripMargin,
+
+    // same capped band-bucket candidate algebra as the image twin
+    // (Dedup.bucketPairs: rn <= 256 per (band,bval) in id order +
+    // overflow star), DISTINCT across bands, exact hamming verify
+    "q_audio_phash_dups" ->
+      s"""WITH $audioPhashCtes,
+         |auh_r AS (
+         |  SELECT media_id, band, bval,
+         |    ROW_NUMBER() OVER (PARTITION BY band, bval
+         |      ORDER BY media_id) AS rn,
+         |    MIN(media_id) OVER (PARTITION BY band, bval) AS mn
+         |  FROM aph),
+         |auh_cand AS (
+         |  SELECT x.media_id AS a, y.media_id AS b
+         |  FROM auh_r x JOIN auh_r y
+         |    ON x.band = y.band AND x.bval = y.bval
+         |    AND x.media_id < y.media_id
+         |  WHERE x.rn <= 256 AND y.rn <= 256
+         |  UNION ALL
+         |  SELECT mn AS a, media_id AS b FROM auh_r WHERE rn > 256),
+         |auh_cd AS (SELECT DISTINCT a, b FROM auh_cand),
+         |auh_hx AS (
+         |  SELECT cd.a, cd.b,
+         |    CAST(SUM(bit_count(xor(pa.bval, pb.bval))) AS BIGINT)
+         |      AS hamming
+         |  FROM auh_cd cd
+         |  JOIN aph pa ON cd.a = pa.media_id
+         |  JOIN aph pb ON cd.b = pb.media_id AND pa.band = pb.band
+         |  GROUP BY cd.a, cd.b)
+         |SELECT a, b, hamming FROM auh_hx
+         |WHERE hamming <= 3 ORDER BY a, b""".stripMargin,
+
+    // incremental image dedup: the index side (media_id%10<>3) capped
+    // at 256 per (band,bval) in id order — the bandHashIndex cap — the
+    // batch side (media_id%10==3) uncapped; exact hamming verify on the
+    // DISTINCT candidates
+    "q_image_dedup_incremental" ->
+      s"""WITH $imagePhashCtes,
+         |inc_r AS (
+         |  SELECT media_id, band, bval,
+         |    ROW_NUMBER() OVER (PARTITION BY band, bval
+         |      ORDER BY media_id) AS rn
+         |  FROM iph WHERE media_id % 10 <> 3),
+         |inc_cand AS (
+         |  SELECT DISTINCT b.media_id AS new_id, c.media_id AS corpus_id
+         |  FROM iph b JOIN inc_r c ON b.band = c.band AND b.bval = c.bval
+         |  WHERE b.media_id % 10 = 3 AND c.rn <= 256),
+         |inc_hx AS (
+         |  SELECT cd.new_id, cd.corpus_id,
+         |    CAST(SUM(bit_count(xor(pa.bval, pb.bval))) AS BIGINT)
+         |      AS hamming
+         |  FROM inc_cand cd
+         |  JOIN iph pa ON cd.new_id = pa.media_id
+         |  JOIN iph pb ON cd.corpus_id = pb.media_id
+         |    AND pa.band = pb.band
+         |  GROUP BY cd.new_id, cd.corpus_id)
+         |SELECT new_id, corpus_id, hamming FROM inc_hx
+         |WHERE hamming <= 3 ORDER BY new_id, corpus_id""".stripMargin,
 
     // MK S is exact integer; each pairwise slope is one exact division;
     // the median rank convention ((m+1)/2, (m+2)/2 with a 2-value avg)

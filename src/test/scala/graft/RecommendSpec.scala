@@ -135,8 +135,11 @@ class RecommendSpec extends SparkTestBase {
   test("real image codec: decoded stats match the generator (lossless PNG round-trip)") {
     // genuine javax.imageio decode of genuine PNG bytes: decoded
     // dimensions must equal the generator's, channels = 3 (RGB), and
-    // means must be real pixel statistics — strictly inside (0, 255)
-    // for the splitmix raster, and bit-identical across partitionings
+    // the EXACT integer channel sums must be real pixel statistics —
+    // strictly inside (0, 255·n_pixels) for the splitmix raster, and
+    // bit-identical across partitionings. One raster is additionally
+    // recomputed driver-side from the generator formula (the same
+    // independence the full-pixel SQL oracle has).
     val docs = Tables.documents(spark, sf).limit(60)
     val media = Multimodal.syntheticImageTable(docs)
     val stats = Multimodal.imageFeatures(media).collect()
@@ -146,15 +149,32 @@ class RecommendSpec extends SparkTestBase {
         s.img_height == (s.media_id % 23 + 2).toInt,
         s"decoded dims diverge from generator for ${s.media_id}")
       assert(s.n_channels == 3)
-      assert(s.mean_r > 0.0 && s.mean_r < 255.0 &&
-        s.mean_g > 0.0 && s.mean_g < 255.0 &&
-        s.mean_b > 0.0 && s.mean_b < 255.0, "means must be genuine pixel stats")
+      assert(s.n_pixels == s.img_width.toLong * s.img_height)
+      val cap = 255L * s.n_pixels
+      assert(s.sum_r > 0 && s.sum_r < cap && s.sum_g > 0 && s.sum_g < cap &&
+        s.sum_b > 0 && s.sum_b < cap, "sums must be genuine pixel stats")
       assert(s.n_bytes > 50L, "real PNG container overhead present")
     }
+    // driver recompute from the splitmix formula for one image
+    def splitmix(z0: Long): Long = {
+      var z = z0
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val probe = stats.minBy(_.media_id)
+    var er = 0L; var eg = 0L; var eb = 0L
+    for (y <- 0 until probe.img_height; x <- 0 until probe.img_width) {
+      val rgb = (splitmix(probe.media_id + x * 0x9E3779B97F4A7C15L +
+        y * 0xC2B2AE3D27D4EB4FL) & 0xFFFFFF).toInt
+      er += (rgb >> 16) & 0xff; eg += (rgb >> 8) & 0xff; eb += rgb & 0xff
+    }
+    assert((probe.sum_r, probe.sum_g, probe.sum_b) == ((er, eg, eb)),
+      s"decode-path sums diverge from generator recompute for ${probe.media_id}")
     val again = Multimodal.imageFeatures(
       Multimodal.syntheticImageTable(docs.repartition(7))).collect()
-    assert(stats.map(s => s.media_id -> (s.mean_r, s.mean_g, s.mean_b)).toMap ==
-      again.map(s => s.media_id -> (s.mean_r, s.mean_g, s.mean_b)).toMap,
+    assert(stats.map(s => s.media_id -> (s.sum_r, s.sum_g, s.sum_b)).toMap ==
+      again.map(s => s.media_id -> (s.sum_r, s.sum_g, s.sum_b)).toMap,
       "decode must be deterministic under repartitioning")
   }
 
@@ -282,15 +302,97 @@ class RecommendSpec extends SparkTestBase {
       assert(s.sample_rate == 16000, s"rate ${s.sample_rate}")
       assert(s.n_samples == s.media_id % 400 + 100,
         s"decoded sample count diverges for ${s.media_id}")
-      // a sine's RMS is amp/sqrt(2); amp ∈ [0.2, 0.8] → rms ∈ (0.1, 0.6)
-      assert(s.rms > 0.1 && s.rms < 0.6, s"non-physical RMS ${s.rms}")
-      assert(s.zero_crossings > 0, "a sine crosses zero")
+      // EXACT replay: the decoded integer moments must equal a
+      // driver-side recompute of the triangle waveform — the same
+      // independence the per-sample SQL oracle has
+      var esq = 0L; var eabs = 0L; var ezc = 0L; var prev = true
+      (0L until s.n_samples).foreach { i =>
+        val v = Multimodal.AudioCodec.sample(s.media_id, i)
+        esq += v * v; eabs += math.abs(v)
+        val pos = v >= 0
+        if (i > 0 && pos != prev) ezc += 1
+        prev = pos
+      }
+      assert((s.sum_sq, s.sum_abs, s.zero_crossings) == ((esq, eabs, ezc)),
+        s"decoded moments diverge from generator recompute for ${s.media_id}")
+      // gain-modulated triangle: rms ≈ (A/√3)·√E[g²]/32768 with
+      // A ∈ [360, 1620], g ∈ 1..15 → roughly (0.04, 0.35)
+      val rms = math.sqrt(s.sum_sq.toDouble / s.n_samples) / 32768.0
+      assert(rms > 0.03 && rms < 0.4, s"non-physical RMS $rms")
+      assert(s.zero_crossings > 0, "a triangle wave crosses zero")
     }
     val again = Multimodal.audioFeatures(
       Multimodal.syntheticAudioTable(docs.repartition(5))).collect()
-    assert(stats.map(s => s.media_id -> (s.rms, s.zero_crossings)).toMap ==
-      again.map(s => s.media_id -> (s.rms, s.zero_crossings)).toMap,
+    assert(stats.map(s => s.media_id -> (s.sum_sq, s.zero_crossings)).toMap ==
+      again.map(s => s.media_id -> (s.sum_sq, s.zero_crossings)).toMap,
       "decode must be deterministic under repartitioning")
+  }
+
+  test("audio aHash: content dups hash identically; planted dup pairs found, noise rejected") {
+    // the audio twin of the image phash dedup test: content-seeded
+    // triangle WAVs are either bit-identical (same text) or
+    // uncorrelated; over a corpus with PLANTED re-keyed copies the
+    // banded-hamming pipeline must find exactly the planted pairs at
+    // hamming 0
+    val base = Tables.documents(spark, sf)
+    val planted = base.unionByName(
+      base.orderBy(col("doc_id")).limit(10)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    val ph = Multimodal.audioAHash(
+      Multimodal.contentAudioTable(planted)).toDF().persist()
+    val texts = planted.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    val hs = ph.collect().map(r =>
+      r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    texts.groupBy(_._2).filter(_._2.length > 1).foreach { case (_, ids) =>
+      assert(ids.map(i => hs(i._1)).distinct.size == 1,
+        "dup texts must hash identically")
+    }
+    val got = graft.operators.Dedup.bandedHashDups(ph).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = texts.groupBy(_._2).values.filter(_.length > 1)
+      .flatMap { g =>
+        val ids = g.map(_._1).sorted
+        for (i <- ids.indices; j <- (i + 1) until ids.length)
+          yield (ids(i), ids(j))
+      }.toSet
+    assert(got.forall(_._3 == 0L), "noise waveforms: only exact dups expected")
+    assert(got.map(t => (math.min(t._1, t._2), math.max(t._1, t._2))).toSet
+      == expected,
+      s"pair set mismatch: got ${got.length}, expected ${expected.size}")
+    ph.unpersist()
+  }
+
+  test("incremental banded dedup equals the full-corpus run restricted to new x corpus") {
+    // the maintainability contract (VERDICT r15 Next #5): probing a
+    // persisted band index with a batch must find exactly the pairs the
+    // batch-inclusive full run finds between batch and corpus ids
+    val base = Tables.documents(spark, sf)
+    val planted = base.unionByName(
+      base.orderBy(col("doc_id")).limit(10)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    val ph = Multimodal.imageAHash(
+      Multimodal.contentImageTable(planted)).toDF().persist()
+    val batch = ph.filter(col("media_id") >= 1000000L)
+    val corpus = ph.filter(col("media_id") < 1000000L)
+    // round-trip the index through parquet — it is a PERSISTED artifact
+    val dir = java.nio.file.Files.createTempDirectory("graft_imgidx").toString
+    val built = graft.operators.Dedup.bandHashIndex(corpus)
+    built.buckets.write.parquet(s"$dir/buckets")
+    built.hashes.write.parquet(s"$dir/hashes")
+    val idx = graft.operators.Dedup.BandHashIndex(
+      spark.read.parquet(s"$dir/buckets"), spark.read.parquet(s"$dir/hashes"))
+    val inc = graft.operators.Dedup.incrementalBandedDedup(batch, idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = graft.operators.Dedup.bandedHashDups(ph).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (a >= 1000000L) != (b >= 1000000L) }
+      .map { case (a, b) => if (a >= 1000000L) (a, b) else (b, a) }.toSet
+    assert(inc == full,
+      s"incremental probe diverges from full run: inc=${inc.size} full=${full.size}")
+    assert(inc.size == 10, "each planted copy must match its original")
+    ph.unpersist()
   }
 
   test("q_audio_decode: deterministic rows from genuine PCM samples") {
