@@ -133,10 +133,59 @@ object IntakeSoak {
       .orderBy(col("batch_id")).select(col("n_admitted"))
       .collect().map(_.getLong(0))
     val indexRows = spark.read.parquet(indexDir).count()
+
+    // ---- image-phash incremental-index family (r16, VERDICT Next #5):
+    // the MULTIMODAL maintenance twin of the exact-hash index above.
+    // Each batch: generate novel content-seeded PNGs (map-only encode),
+    // REAL-decode them to aHashes at the codec boundary, probe the
+    // PERSISTED band index (Dedup.incrementalBandedDedup — ids-only
+    // bucket join + hamming verify), then append the batch's buckets +
+    // hashes. The 100 TB claim measured here: per-batch cost tracks the
+    // BATCH (hash generation + a bucket hash-join whose probe side is
+    // the batch), not the cumulative index — a flat curve while the
+    // index multiplies ~15×.
+    import graft.operators.{Dedup, Multimodal}
+    val imgBatches = sys.env.getOrElse("SPARK_GRAFT_IMGIDX_BATCHES", "15").toInt
+    val itmp = s"$tmp/imgidx"
+    def hashesOf(docsDf: org.apache.spark.sql.DataFrame) =
+      Multimodal.imageAHash(Multimodal.contentImageTable(docsDf)).toDF()
+    locally { // seed index = the base corpus; warmup probe absorbs JIT
+      val idx0 = Dedup.bandHashIndex(hashesOf(docs0))
+      idx0.buckets.write.parquet(s"$itmp/buckets")
+      idx0.hashes.write.parquet(s"$itmp/hashes")
+      Dedup.incrementalBandedDedup(hashesOf(docs0.limit(50)),
+        Dedup.BandHashIndex(spark.read.parquet(s"$itmp/buckets"),
+          spark.read.parquet(s"$itmp/hashes"))).count()
+    }
+    val imgPerBatch = new scala.collection.mutable.ArrayBuffer[Double]
+    val imgDups = new scala.collection.mutable.ArrayBuffer[Long]
+    (0 until imgBatches).foreach { i =>
+      val bdocs = docs0.select(
+        (col("doc_id") + lit((i + 1).toLong * 100000000L)).as("doc_id"),
+        concat(col("text"), lit(s" img copy $i")).as("text"))
+      val t0 = System.nanoTime()
+      val idx = Dedup.BandHashIndex(
+        spark.read.parquet(s"$itmp/buckets"),
+        spark.read.parquet(s"$itmp/hashes"))
+      val bh = hashesOf(bdocs).localCheckpoint(true)
+      imgDups += Dedup.incrementalBandedDedup(bh, idx).count()
+      Dedup.bandHashBuckets(bh).write.mode("append").parquet(s"$itmp/buckets")
+      bh.select(col("media_id").as("id"), col("b0"), col("b1"),
+        col("b2"), col("b3")).write.mode("append").parquet(s"$itmp/hashes")
+      val secs = (System.nanoTime() - t0) / 1e9
+      imgPerBatch += math.rint(secs * 1000) / 1000
+      System.err.println(f"[imgidx] batch $i%2d  $secs%.2f s")
+    }
+    val imgIndexRows = spark.read.parquet(s"$itmp/hashes").count()
+
     println(s"""{"intake":{"sf":"$sfDir","batch_docs":${base.length},""" +
       s""""batches":$nBatches,"pregrown":$pregrown,""" +
       s""""per_batch_s":[${perBatch.mkString(",")}],""" +
-      s""""admitted":[${admitted.mkString(",")}],"index_rows_final":$indexRows}}""")
+      s""""admitted":[${admitted.mkString(",")}],"index_rows_final":$indexRows,""" +
+      s""""image_index":{"batches":$imgBatches,"batch_docs":${base.length},""" +
+      s""""per_batch_s":[${imgPerBatch.mkString(",")}],""" +
+      s""""dups_found":[${imgDups.mkString(",")}],""" +
+      s""""index_rows_final":$imgIndexRows}}}""")
     spark.stop()
   }
 }

@@ -480,6 +480,22 @@ class DedupSimilaritySpec extends SparkTestBase {
       s"candidate join must key on centroid_id:\n$plan")
   }
 
+  test("q_ann_recall: one exact-ratio row, recall@50 above the IVF-PQ floor") {
+    // the registered measured-recall query (VERDICT r15 Next #6): its
+    // single row must carry the in-query brute-force truth size and a
+    // recall_r at or above the family floor the operator tests assert
+    val r = graft.SparkEntry.queries("q_ann_recall")(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getLong(0) == 50L && row.getLong(1) == 50L)
+    val (hits, expected) = (row.getLong(2), row.getLong(3))
+    assert(expected == 50L * 50L,
+      s"truth size $expected (50 queries x top-50 over the 500-vec corpus)")
+    assert(hits >= 0L && hits <= expected)
+    val recall = row.getDouble(4)
+    assert(recall >= 0.5, s"IVF-PQ serving recall@50 $recall below floor")
+  }
+
   test("LSH ANN recall >= 0.6 vs brute force on sf0.001 embeddings") {
     val e = Tables.embeddings(spark, sf)
     val q = e.filter(col("vec_id") < 20)
