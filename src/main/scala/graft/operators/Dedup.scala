@@ -317,6 +317,14 @@ object Dedup {
     * Built once from decoded media, persisted as parquet; incoming
     * batches join against it — multimodal dedup becomes MAINTAINABLE
     * (probe + append) instead of rebuild-only (VERDICT r15 Next #5).
+    *
+    * Maintenance contract: appends do NOT re-cap — a hot bucket grows
+    * until the next compaction (re-run [[bandHashIndex]] over the hash
+    * relation, the IVF maintainIvfPqIndex pattern). Probe cost stays
+    * bounded meanwhile because the batch side is small and candidates
+    * dedupe before the verify; INTAKE_SOAK_r16's image_index family
+    * measures the curve flat (1.39 → 1.44 s/batch) across a 16× index
+    * grow-out.
     */
   final case class BandHashIndex(buckets: DataFrame, hashes: DataFrame)
 
