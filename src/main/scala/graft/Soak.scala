@@ -154,7 +154,21 @@ object Soak {
       // indexes ALL tokens, so this row watches the full-postings
       // candidate term stay rare-gram-bounded
       "containment_join" -> (() => noop(
-        Dedup.prefixContainmentJoin(docs, tn = 9, td = 10))))
+        Dedup.prefixContainmentJoin(docs, tn = 9, td = 10))),
+      // round-16: multimodal perceptual-hash dedup end-to-end on the
+      // scaled corpus — content-seeded codec ENCODE (map-only, born on
+      // executors) + REAL decode to the banded hash + the capped
+      // band-bucket pair join + hamming verify. "copy i" suffixes make
+      // every scaled doc unique content, so the pair set stays the base
+      // corpus's dups per copy and the curve isolates codec + banding
+      // cost, which is ~linear by construction (bytes never shuffle;
+      // 4 ints per item leave the codec).
+      "image_phash_dups" -> (() => noop(Dedup.bandedHashDups(
+        graft.operators.Multimodal.imageAHash(
+          graft.operators.Multimodal.contentImageTable(docs)).toDF()))),
+      "audio_phash_dups" -> (() => noop(Dedup.bandedHashDups(
+        graft.operators.Multimodal.audioAHash(
+          graft.operators.Multimodal.contentAudioTable(docs)).toDF()))))
 
     // Trade-table families (round-10 additions): N disjoint re-keyed
     // copies of orders/lineitem written in the Tables layout, so the

@@ -308,6 +308,33 @@ class ScalePostureSpec extends SparkTestBase {
     assert(bnl <= 2, s"unexpected nested-loop joins ($bnl):\n$plan")
   }
 
+  test("banded-hash dedup plans: equi joins only, bytes never join (r16 multimodal family)") {
+    // the batch dup pipeline: band-bucket candidates + the two hash
+    // fetches must ALL be equi joins — a CartesianProduct would mean
+    // the (band, bucket) key or the id key was lost; and no join may
+    // carry the media `bytes` column (hashes leave the codec as 4
+    // longs, bytes die at the mapPartitions boundary)
+    val dups = SparkEntry.queries("q_audio_phash_dups")(spark, sf)
+    dups.collect()
+    val plan = dups.queryExecution.executedPlan.toString
+      .split("Initial Plan")(0)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in banded dup plan:\n$plan")
+    assert(!"Join.*bytes".r.findFirstIn(plan).isDefined,
+      s"media bytes riding a join:\n$plan")
+    // the incremental probe: same contract
+    val inc = SparkEntry.queries("q_image_dedup_incremental")(spark, sf)
+    inc.collect()
+    val iplan = inc.queryExecution.executedPlan.toString
+      .split("Initial Plan")(0)
+    assert(!iplan.contains("CartesianProduct") &&
+      !iplan.contains("BroadcastNestedLoopJoin"),
+      s"non-equi join in incremental probe plan:\n$iplan")
+    assert(!"Join.*bytes".r.findFirstIn(iplan).isDefined,
+      s"media bytes riding the incremental join:\n$iplan")
+  }
+
   test("round-12 plans: ssjoin equi-only, corr one-scan, walks one bounded broadcast") {
     // PPJoin: the prefix self-join and both verify fetches must be equi
     // joins — a CartesianProduct would mean the prefix key was lost
