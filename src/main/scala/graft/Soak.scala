@@ -162,13 +162,20 @@ object Soak {
       // every scaled doc unique content, so the pair set stays the base
       // corpus's dups per copy and the curve isolates codec + banding
       // cost, which is ~linear by construction (bytes never shuffle;
-      // 4 ints per item leave the codec).
+      // 4 ints per item leave the codec). The hash relation is
+      // checkpointed ONCE inside the timed closure — the registered
+      // queries' shape (the dup join consumes it 3×; without the
+      // materialization each branch re-runs the full decode).
+      // (checkpoint RDDs are released by the ContextCleaner when the
+      // closure-local handle goes out of scope)
       "image_phash_dups" -> (() => noop(Dedup.bandedHashDups(
         graft.operators.Multimodal.imageAHash(
-          graft.operators.Multimodal.contentImageTable(docs)).toDF()))),
+          graft.operators.Multimodal.contentImageTable(docs)).toDF()
+          .localCheckpoint(true)))),
       "audio_phash_dups" -> (() => noop(Dedup.bandedHashDups(
         graft.operators.Multimodal.audioAHash(
-          graft.operators.Multimodal.contentAudioTable(docs)).toDF()))))
+          graft.operators.Multimodal.contentAudioTable(docs)).toDF()
+          .localCheckpoint(true)))))
 
     // Trade-table families (round-10 additions): N disjoint re-keyed
     // copies of orders/lineitem written in the Tables layout, so the

@@ -178,28 +178,35 @@ object Multimodal {
       */
     def sample(seed: Long, i: Long): Long = {
       val p0 = java.lang.Long.remainderUnsigned(seed, 179) + 20 // period
-      val a = (java.lang.Long.remainderUnsigned(seed, 7) + 2) * 180 // amp
+      val amp = java.lang.Long.remainderUnsigned(seed, 7) + 2 // class 2..8
       val p = i % p0
-      val tri = a - 2 * a * math.abs(2 * p - p0) / p0
-      // per-8-sample-block splitmix gain (1..15): the triangle alone is
-      // too STRUCTURED for a perceptual hash — its normalized frame
-      // energies depend only on (period, n), a 179-value family, so
-      // unrelated seeds collide at hamming ≤ 3 (observed: the planted-
-      // dup spec found cross-seed pairs). The gain makes the energy
-      // envelope a seed-rich signal while keeping every op exact
-      // integer arithmetic (gain > 0 ⇒ ZCR unchanged; |v| ≤ 1620·15 =
-      // 24300 < 2¹⁵). Same splitmix stages as the image raster — the
-      // SQL replay reuses the mm64 machinery.
-      var z = seed + (i / 8) * 0x9E3779B97F4A7C15L
+      // SIGN from a square carrier (positive in the middle half of each
+      // period — integer comparison, replayable), MAGNITUDE pure
+      // per-sample splitmix noise scaled by the amplitude class.
+      // Design history, all three measured on the planted-dup spec +
+      // band-bucket census: a bare triangle's normalized frame energies
+      // depend only on (period, n) — unrelated seeds collide at
+      // hamming ≤ 3; a per-block gain still left contiguous-run band
+      // patterns (80-member buckets, a 16× super-linear soak row); and
+      // ANY smooth deterministic envelope leaks through both global-
+      // threshold and delta statistics. Noise-dominated magnitudes make
+      // frame energies sums of iid uniforms, so the delta-hash bits are
+      // iid coin flips across seeds — while the square carrier keeps
+      // ZCR periodic-physical and every op stays exact integer
+      // arithmetic (|v| ≤ 8·3600 = 28800 < 2¹⁵). Same splitmix stages
+      // as the image raster — the SQL replay reuses the mm64 machinery.
+      val sgn = if (math.abs(2 * p - p0) * 2 <= p0) 1L else -1L
+      var z = seed + i * 0x9E3779B97F4A7C15L
       z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
       z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
       z ^= (z >>> 31)
-      tri * (java.lang.Long.remainderUnsigned(z, 15) + 1)
+      sgn * amp * (java.lang.Long.remainderUnsigned(z, 3600) + 1)
     }
 
-    /** Deterministic WAV: `nSamples` of the 16-bit mono integer triangle
-      * [[sample]] wave. PCM is lossless, so decoded sample statistics
-      * are a pure function of (nSamples, sampleRate, seed).
+    /** Deterministic WAV: `nSamples` of the 16-bit mono all-integer
+      * [[sample]] waveform (square carrier × noise magnitudes). PCM is
+      * lossless, so decoded sample statistics are a pure function of
+      * (nSamples, sampleRate, seed).
       */
     def encodeWav(nSamples: Int, sampleRate: Int, seed: Long): Array[Byte] = {
       val dataLen = nSamples * 2
@@ -259,14 +266,19 @@ object Multimodal {
       } finally ais.close()
     }
 
-    /** 64 frame-energy cells from REAL decoded PCM: frame k (k = ⌊i·64/n⌋
-      * — integer arithmetic, every index lands in [0, 64)) accumulates
-      * Σ|v| of its samples. The audio twin of the image 8×8 luma grid:
-      * thresholding each cell against the global mean (cross-multiplied,
-      * no division) yields the 64-bit perceptual hash
-      * [[Multimodal.audioAHash]] packs into four 16-bit bands.
+    /** 64 frame-energy cells + per-frame SAMPLE COUNTS from REAL decoded
+      * PCM: frame k (k = ⌊i·64/n⌋ — integer arithmetic, every index
+      * lands in [0, 64)) accumulates Σ|v| of its samples. The audio twin
+      * of the image 8×8 luma grid. The counts are load-bearing: frames
+      * span ⌊n/64⌋..⌈n/64⌉ samples, and an UNNORMALIZED mean threshold
+      * makes the bit pattern track the Bresenham frame-size pattern of
+      * n — docs sharing n (a 400-value family) collided regardless of
+      * content (measured: band buckets like 0b11111 with 80 members at
+      * sf0.1, and a 16× super-linear soak row). The hash therefore
+      * compares per-sample energies of ADJACENT frames, cross-
+      * multiplied exact (see [[Multimodal.audioAHash]]).
       */
-    def frameEnergies(bytes: Array[Byte]): (Long, Array[Long]) = {
+    def frameEnergies(bytes: Array[Byte]): (Long, Array[Long], Array[Long]) = {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
       try {
@@ -276,13 +288,16 @@ object Multimodal {
         val raw = ais.readAllBytes()
         val n = raw.length / 2
         val e = new Array[Long](64)
+        val c = new Array[Long](64)
         var i = 0
         while (i + 1 < raw.length) {
           val s = ((raw(i) & 0xFF) | (raw(i + 1) << 8)).toShort
-          e(((i / 2).toLong * 64 / n).toInt) += math.abs(s.toLong)
+          val k = ((i / 2).toLong * 64 / n).toInt
+          e(k) += math.abs(s.toLong)
+          c(k) += 1
           i += 2
         }
-        (n.toLong, e)
+        (n.toLong, e, c)
       } finally ais.close()
     }
   }
@@ -592,26 +607,33 @@ object Multimodal {
   /** Audio perceptual hash over REAL decoded PCM, at the `mapPartitions`
     * codec boundary: parse the WAV container with javax.sound.sampled,
     * fold the samples into 64 frame-energy cells (Σ|v| per frame k =
-    * ⌊i·64/n⌋ — all-integer), threshold each cell against the global
-    * mean via the cross-multiplied comparison `e·64 > Σe` (exact, no
-    * division), and pack bit k into four 16-bit bands. PCM is lossless
-    * and the waveform is pure integer arithmetic of the content seed,
-    * so a SQL oracle replays the whole pipeline (hash → samples →
-    * energies → bits) without a decoder — the audio twin of
-    * [[imageAHash]]. Map-only; bytes never shuffle (4 small ints leave
-    * the codec).
+    * ⌊i·64/n⌋ — all-integer), then take the DELTA hash (Haitsma–Kalker
+    * style): bit k = per-sample energy of frame k exceeds frame
+    * (k+1) mod 64, cross-multiplied exact —
+    * `e_k·c_{k+1} > e_{k+1}·c_k`. Two design forces, both measured:
+    * the per-frame counts c_k normalize away the Bresenham frame-size
+    * aliasing of n (without them, same-length docs collided regardless
+    * of content), and the LOCAL delta comparison replaces a global
+    * mean threshold, whose bits over any smooth energy envelope form
+    * contiguous runs — a few hundred distinct band patterns corpus-wide
+    * (observed 80–100-member buckets and a 16× super-linear soak row).
+    * PCM is lossless and the waveform is pure integer arithmetic of
+    * the content seed, so a SQL oracle replays the whole pipeline
+    * (hash → samples → energies → bits) without a decoder — the audio
+    * twin of [[imageAHash]]. Map-only; bytes never shuffle (4 small
+    * ints leave the codec).
     */
   def audioAHash(media: DataFrame): Dataset[AudioHash] = {
     import media.sparkSession.implicits._
     media.select(col("media_id"), col("bytes")).as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
-          val (n, e) = AudioCodec.frameEnergies(bytes)
-          val sum = e.sum
+          val (n, e, c) = AudioCodec.frameEnergies(bytes)
           val bands = new Array[Long](4)
           var k = 0
           while (k < 64) {
-            if (e(k) * 64 > sum) bands(k / 16) |= 1L << (k % 16)
+            val k2 = (k + 1) % 64
+            if (e(k) * c(k2) > e(k2) * c(k)) bands(k / 16) |= 1L << (k % 16)
             k += 1
           }
           AudioHash(id, n, bands(0), bands(1), bands(2), bands(3))

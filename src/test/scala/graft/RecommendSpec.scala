@@ -315,11 +315,11 @@ class RecommendSpec extends SparkTestBase {
       }
       assert((s.sum_sq, s.sum_abs, s.zero_crossings) == ((esq, eabs, ezc)),
         s"decoded moments diverge from generator recompute for ${s.media_id}")
-      // gain-modulated triangle: rms ≈ (A/√3)·√E[g²]/32768 with
-      // A ∈ [360, 1620], g ∈ 1..15 → roughly (0.04, 0.35)
+      // square carrier × uniform noise: rms ≈ amp·√(E[g²])/32768 with
+      // amp ∈ [2, 8], g ∈ 1..3600 → roughly (0.12, 0.52)
       val rms = math.sqrt(s.sum_sq.toDouble / s.n_samples) / 32768.0
-      assert(rms > 0.03 && rms < 0.4, s"non-physical RMS $rms")
-      assert(s.zero_crossings > 0, "a triangle wave crosses zero")
+      assert(rms > 0.1 && rms < 0.55, s"non-physical RMS $rms")
+      assert(s.zero_crossings > 0, "the square carrier crosses zero")
     }
     val again = Multimodal.audioFeatures(
       Multimodal.syntheticAudioTable(docs.repartition(5))).collect()
