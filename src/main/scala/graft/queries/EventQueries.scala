@@ -642,13 +642,17 @@ object EventQueries {
     // audio perceptual-hash over REAL decoded PCM (r16, VERDICT Next #4
     // — the multimodal near-dup story completed: image landed r15):
     // javax.sound.sampled parses the WAV container at the codec
-    // boundary, the samples fold into 64 frame-energy cells (Σ|v|,
-    // frame k = ⌊i·64/n⌋ — all-integer), each cell thresholds against
-    // the global mean (cross-multiplied, no division), bits pack into
-    // four 16-bit bands. PCM is lossless and the triangle waveform is
-    // pure integer arithmetic of the content seed, so the DuckDB oracle
-    // replays the ENTIRE pipeline (FNV hash → samples → energies →
-    // bits) from `documents.text` with no decoder. Bytes never shuffle.
+    // boundary, the samples fold into 64 frame-energy cells (Σ|v| +
+    // sample count, frame k = ⌊i·64/n⌋ — all-integer), and the DELTA
+    // hash compares adjacent frames' per-sample energies
+    // (cross-multiplied exact, Haitsma–Kalker style — see
+    // Multimodal.audioAHash for why a global mean threshold
+    // concentrates); bits pack into four 16-bit bands. PCM is lossless
+    // and the waveform is pure integer arithmetic of the content seed,
+    // so the DuckDB oracle replays the ENTIRE pipeline (FNV hash →
+    // samples → energies → bits) from `documents.text` with no
+    // decoder. Bytes never shuffle; the hash relation is checkpointed
+    // once per (context, dir) and shared with the dups query.
     "q_audio_phash" -> ((s, d) => {
       audioPhash(s, d)
         .select(col("media_id"), col("n_samples"),
