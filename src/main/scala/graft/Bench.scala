@@ -214,6 +214,7 @@ object Bench {
     // frame-energy signature), the incremental image band-index probe,
     // and the two de-exempted real-decode paths already present above
     "q_audio_phash", "q_audio_phash_dups", "q_image_dedup_incremental",
+    "q_phash_bucket_health",
     // measured IVF-PQ serving recall@50 (fit memoized by the fit
     // section — this line times brute-truth + serve + one ratio row)
     "q_ann_recall")

@@ -671,6 +671,26 @@ object EventQueries {
         .orderBy(col("a"), col("b"))
     }),
 
+    // banded perceptual-hash bucket health (the q_minhash_bucket_health
+    // pattern for the multimodal families): bucketStats over BOTH
+    // modalities' real band relations, one row each. This is the
+    // observability hook the cap discipline leans on — n_truncated > 0
+    // is the "retune the banding" alarm, and max_bucket is the measured
+    // blast-radius bound (the audio hash redesign in r16 was driven by
+    // exactly this census read by hand; now it's a driver-verified row
+    // every round). One count aggregate per modality over checkpointed
+    // hashes — trivially cheap.
+    "q_phash_bucket_health" -> ((s, d) => {
+      def side(tag: String, ph: DataFrame) =
+        graft.operators.Dedup.bucketStats(
+          graft.operators.Dedup.bandHashBuckets(ph))
+          .select(lit(tag).as("modality"), col("n_buckets"),
+            col("max_bucket"), col("n_truncated"), col("ids_dropped"))
+      side("audio", audioPhash(s, d))
+        .unionByName(side("image", imagePhash(s, d)))
+        .orderBy(col("modality"))
+    }),
+
     // incremental IMAGE near-dup maintenance (r16, VERDICT Next #5):
     // media_id%10==3 plays the incoming batch, the rest the indexed
     // corpus — the batch's aHash band rows probe the PERSISTED
@@ -2185,6 +2205,30 @@ object EventQueries {
          |  GROUP BY cd.a, cd.b)
          |SELECT a, b, hamming FROM auh_hx
          |WHERE hamming <= 3 ORDER BY a, b""".stripMargin,
+
+    // bucket health of both modalities' band relations (cap 256, the
+    // bucketPairs/bandHashIndex bound)
+    "q_phash_bucket_health" ->
+      s"""WITH $imagePhashCtes, $audioPhashCtes,
+         |pbh_i AS (SELECT band, bval, COUNT(*) AS n
+         |  FROM iph GROUP BY band, bval),
+         |pbh_a AS (SELECT band, bval, COUNT(*) AS n
+         |  FROM aph GROUP BY band, bval),
+         |pbh AS (
+         |  SELECT 'audio' AS modality, CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         |    CAST(MAX(n) AS BIGINT) AS max_bucket,
+         |    CAST(SUM(CASE WHEN n > 256 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_truncated,
+         |    CAST(SUM(CASE WHEN n > 256 THEN n - 256 ELSE 0 END) AS BIGINT)
+         |      AS ids_dropped
+         |  FROM pbh_a
+         |  UNION ALL
+         |  SELECT 'image', CAST(COUNT(*) AS BIGINT),
+         |    CAST(MAX(n) AS BIGINT),
+         |    CAST(SUM(CASE WHEN n > 256 THEN 1 ELSE 0 END) AS BIGINT),
+         |    CAST(SUM(CASE WHEN n > 256 THEN n - 256 ELSE 0 END) AS BIGINT)
+         |  FROM pbh_i)
+         |SELECT * FROM pbh ORDER BY modality""".stripMargin,
 
     // incremental image dedup: the index side (media_id%10<>3) capped
     // at 256 per (band,bval) in id order — the bandHashIndex cap — the
