@@ -109,15 +109,6 @@ object Multimodal {
     final case class Decoded(width: Int, height: Int, nChannels: Int,
       sumR: Long, sumG: Long, sumB: Long)
 
-    /** REAL decode + per-channel EXACT INTEGER sums: ImageIO parses the
-      * container, inflates the raster, and the sums are computed from
-      * actual pixels. Integer sums (not double means) are the output
-      * contract that lets the DuckDB oracle replay the full raster
-      * arithmetic and hash-match bit-for-bit — means are derived
-      * downstream via ExactRatio (r16 de-exemption of q_media_decode).
-      * Untagged sRGB PNGs take no color-management path, so the decoded
-      * values are bit-identical across JVMs.
-      */
     /** REAL decode to a BufferedImage (memory-cached stream — no temp
       * file per image; see the decodeStats note). Shared by the stats
       * and perceptual-hash paths.
@@ -136,6 +127,15 @@ object Multimodal {
       img
     }
 
+    /** REAL decode + per-channel EXACT INTEGER sums: ImageIO parses the
+      * container, inflates the raster, and the sums are computed from
+      * actual pixels. Integer sums (not double means) are the output
+      * contract that lets the DuckDB oracle replay the full raster
+      * arithmetic and hash-match bit-for-bit — means are derived
+      * downstream via ExactRatio (r16 de-exemption of q_media_decode).
+      * Untagged sRGB PNGs take no color-management path, so the decoded
+      * values are bit-identical across JVMs.
+      */
     def decodeStats(bytes: Array[Byte]): Decoded = {
       // NOT ImageIO.read(InputStream): that wraps the stream in a
       // FileCacheImageInputStream (ImageIO cache default) — a TEMP FILE
@@ -547,9 +547,9 @@ object Multimodal {
   case class AudioStats(media_id: Long, sample_rate: Int, n_samples: Long,
       sum_sq: Long, sum_abs: Long, zero_crossings: Long, n_bytes: Long)
 
-  /** Media table with GENUINE WAV bytes (deterministic sine PCM; length
-    * and tone derive from the id). Map-only generation, like
-    * [[syntheticImageTable]].
+  /** Media table with GENUINE WAV bytes (the all-integer square-carrier ×
+    * splitmix-noise [[AudioCodec.sample]] waveform; length and seed derive
+    * from the id). Map-only generation, like [[syntheticImageTable]].
     */
   def syntheticAudioTable(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._

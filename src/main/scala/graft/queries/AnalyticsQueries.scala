@@ -56,14 +56,11 @@ object AnalyticsQueries {
     * Explain, Bench's ceiling re-constructions — paid the full aggregate
     * once per coPurchaseEdges() call, and each of the 10+ graph queries
     * paid its own. One job per (SparkContext, dir) now serves them all;
-    * keyed by the context because a checkpointed plan dies with it.)
+    * keyed WEAKLY by the context itself via [[ContextMemo]] because a
+    * checkpointed plan dies with it.)
     */
-  private val coPurchaseMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
-
   private def coPurchaseEdges(s: SparkSession, d: String): DataFrame =
-    coPurchaseMemo.getOrElseUpdate(
-      (System.identityHashCode(s.sparkContext), d), {
+    ContextMemo.getOrElseUpdate(s.sparkContext, s"copurchase:$d") {
     val lp = t(s, d, "lineitem")
       .select(col("l_orderkey"), col("l_partkey")).distinct()
     val wcap = Window.partitionBy(col("l_orderkey")).orderBy(col("l_partkey"))
@@ -84,7 +81,7 @@ object AnalyticsQueries {
       // q_link_recs (the suspected r14 driver 8.06 s ceiling). One
       // fact-scan + aggregate, materialized once, O(|edges|) storage.
       .localCheckpoint(true)
-  })
+  }
 
   /** Link-prediction scores over [[coPurchaseEdges]] — ONE definition
     * shared by q_link_predict and q_link_recs so the pair set and the

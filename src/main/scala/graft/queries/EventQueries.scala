@@ -192,16 +192,12 @@ object EventQueries {
     * warmup forces these via [[materializeMediaDirs]], so timed lines
     * measure banding + verify, not the one-time hash build.
     */
-  private val phashMemo =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
   private def imagePhash(s: SparkSession, d: String): DataFrame =
-    phashMemo.getOrElseUpdate(
-      (System.identityHashCode(s.sparkContext), "img", d),
+    ContextMemo.getOrElseUpdate(s.sparkContext, s"img:$d")(
       Multimodal.imageAHash(s.read.parquet(contentImageDir(s, d)))
         .toDF().localCheckpoint(true))
   private def audioPhash(s: SparkSession, d: String): DataFrame =
-    phashMemo.getOrElseUpdate(
-      (System.identityHashCode(s.sparkContext), "wav", d),
+    ContextMemo.getOrElseUpdate(s.sparkContext, s"wav:$d")(
       Multimodal.audioAHash(s.read.parquet(contentAudioDir(s, d)))
         .toDF().localCheckpoint(true))
 
