@@ -56,7 +56,6 @@ object SparkEntry {
     "q_ivf_cell_health" -> "cells are KMeans fit artifacts; planted-skew + shape tests in DedupSimilaritySpec",
     "q_ivf_layout_health" -> "FS-metadata file counts of the at-rest index, not expressible over the parquet tables; fresh-build shape + planted-skew trigger tests in DedupSimilaritySpec",
     "q_sample_balanced_cells" -> "KMeans cell assignment not SQL-expressible; per-cell-count + determinism spec in DedupSimilaritySpec",
-    "q_media_features" -> "stub codec features (float32 accumulation order of the pluggable-model stand-in is not SQL-replayable); determinism + batch-shape tests in RecommendSpec",
     "q_video_decode" -> "PERMANENTLY exempt: MJPEG frames are LOSSY JPEG — decoded pixels are a codec implementation detail, not replayable arithmetic (unlike the lossless PNG/WAV paths, de-exempted r16); generator-parity + determinism tests in RecommendSpec",
     "q_split_v1_report" -> "seeded sampleBy never value-matches cross-engine; partition invariant",
     "q_split_v2_report" -> "seeded per-user sample; disjointness invariants (1 row, zeros)",

@@ -36,10 +36,14 @@ object Multimodal {
       media_id: Long, kind: String, bytes: Array[Byte],
       width: Int, height: Int, sample_rate: Int, n_frames: Int)
 
-  /** Extracted feature row — what downstream training pipelines join on. */
+  /** Extracted feature row — what downstream training pipelines join on.
+    * `f_sums` carries the exact-integer bucket sums the floats derive
+    * from (feature(k) = f_sums(k) / 65536 — the replayable-output
+    * contract that de-exempted q_media_features).
+    */
   case class MediaFeatures(
       media_id: Long, kind: String, n_bytes: Long, content_hash: Long,
-      feature: Array[Float])
+      feature: Array[Float], f_sums: Array[Long])
 
   val mediaSchema: StructType = Encoders.product[MediaRow].schema
 
@@ -47,20 +51,40 @@ object Multimodal {
   // STUB CODEC — deterministic fake standing in for image/audio libs.
   // ------------------------------------------------------------------
   object StubCodec {
-    /** Deterministic FNV-based "decode": bytes → dim-length float feature.
-      * A real deployment replaces this body with JPEG/PNG decode + model
+    /** Deterministic stand-in "model": FNV-1a 64 content hash of the
+      * bytes, then per-POSITION contributions from the splitmix64
+      * stream `z_i = splitmix64(u + i·golden)` — bucket `i mod dim`
+      * accumulates the EXACT INTEGER `((z_i >>> 40) & 0xffff) − 32768`.
+      * A real deployment replaces this body with a decode + model
       * inference; signature and batch shape stay identical.
+      *
+      * Two properties the old running-FNV float accumulation lacked
+      * (the r17 de-exemption of q_media_features): the per-position
+      * term depends only on (u, i) — stateless, like a real embedding
+      * model's patch stream, not a sequential fold — and every op is
+      * exact integer arithmetic on the SAME splitmix stages as the
+      * image raster / audio waveform, so a SQL oracle replays the
+      * whole pipeline (FNV hash → stream → bucket sums) from the
+      * source text with no codec. Float features are DERIVED
+      * downstream as `sum / 65536` (the ExactRatio discipline).
       */
-    def decodeToFeature(bytes: Array[Byte], dim: Int): Array[Float] = {
-      val out = new Array[Float](dim)
+    def featureSums(bytes: Array[Byte], dim: Int): (Long, Array[Long]) = {
       var h = 0xcbf29ce484222325L
       var i = 0
       while (i < bytes.length) {
-        h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L
-        out(i % dim) += ((h >>> 40).toInt & 0xffff) / 65536.0f - 0.5f
+        h ^= (bytes(i) & 0xffL); h *= 0x100000001b3L; i += 1
+      }
+      val sums = new Array[Long](dim)
+      i = 0
+      while (i < bytes.length) {
+        var z = h + i * 0x9E3779B97F4A7C15L
+        z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+        z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+        z ^= (z >>> 31)
+        sums(i % dim) += ((z >>> 40) & 0xffffL) - 32768L
         i += 1
       }
-      out
+      (h, sums)
     }
     /** Deterministic fake resize: recompute metadata only (real impl:
       * scale pixels). */
@@ -849,10 +873,9 @@ object Multimodal {
           // batch boundary = where a real impl hands a contiguous buffer
           // to the native decoder / accelerator
           batch.iterator.map { r =>
-            var h = 0xcbf29ce484222325L
-            r.bytes.foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L }
+            val (h, sums) = StubCodec.featureSums(r.bytes, dim)
             MediaFeatures(r.media_id, r.kind, r.bytes.length.toLong, h,
-              StubCodec.decodeToFeature(r.bytes, dim))
+              sums.map(s => (s / 65536.0).toFloat), sums)
           }
         }
       }

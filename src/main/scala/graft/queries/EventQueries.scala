@@ -585,14 +585,21 @@ object EventQueries {
         .orderBy(col("media_id"))
     }),
 
-    // multimodal: batched feature extraction through the stub codec
-    // (mapPartitions path — not SQL-expressible → rows-only)
+    // multimodal: batched feature extraction through the stub codec —
+    // DE-EXEMPTED r17 (VERDICT Next #2, the q_media_decode pattern):
+    // the stand-in model now emits EXACT INTEGER bucket sums from the
+    // splitmix stream of the content hash (StubCodec.featureSums), so
+    // the DuckDB oracle replays the whole pipeline (FNV-1a of the text
+    // → per-position splitmix → bucket-0 sum) with no codec; the float
+    // feature is derived via ExactRatio. The mapPartitions batch shape
+    // (the real-model contract) is unchanged.
     "q_media_features" -> ((s, d) => {
       val feats = Multimodal.extractFeatures(
         Multimodal.syntheticMediaTable(Tables.documents(s, d)), dim = 16)
       feats.toDF()
         .select(col("media_id"), col("kind"), col("n_bytes"), col("content_hash"),
-          round(element_at(col("feature"), 1), 4).as("f0"))
+          element_at(col("f_sums"), 1).as("f0_sum"),
+          sratio6(element_at(col("f_sums"), 1), lit(65536)).as("f0"))
         .orderBy(col("media_id"))
     }),
 
@@ -2035,6 +2042,47 @@ object EventQueries {
        |  FROM img_px GROUP BY doc_id)""".stripMargin
   }
 
+  /** The q_media_features oracle prefix: replay the stub-model feature
+    * extraction WITHOUT the codec — FNV-1a 64 content hash of the text
+    * (shared [[contentHashCte]] — the engine hashes the UTF-8 bytes,
+    * identical for this ASCII fixture), then per-position splitmix64
+    * contributions `((z_i >>> 40) & 0xffff) − 32768` folded into bucket
+    * `i mod 16`, mirroring [[graft.operators.Multimodal.StubCodec
+    * .featureSums]] stage for stage (same mm64 machinery as the image
+    * raster / audio waveform replays). Exposes
+    * `mf_meta(doc_id, u, n)` and `mf(doc_id, f0_sum)` (bucket 0 only —
+    * the declared output).
+    */
+  private def mediaFeatureCtes: String = {
+    import graft.queries.TextQueries.{mm64 => m64}
+    s"""${contentHashCte("mf_ch")},
+       |mf_meta AS (
+       |  SELECT d.doc_id, c.u, CAST(strlen(d.text) AS BIGINT) AS n
+       |  FROM documents d JOIN mf_ch c ON d.doc_id = c.doc_id),
+       |mf_i AS (
+       |  SELECT doc_id, u, n, UNNEST(range(n)) AS i FROM mf_meta),
+       |mf_z0 AS (
+       |  SELECT doc_id, i,
+       |    (u + CAST(i AS HUGEINT) * 11400714819323198485)
+       |      % 18446744073709551616 AS z
+       |  FROM mf_i),
+       |mf_z1 AS (SELECT doc_id, i,
+       |  ${m64("xor(z, z // 1073741824)", "13787848793156543929")} AS z
+       |  FROM mf_z0),
+       |mf_z2 AS (SELECT doc_id, i,
+       |  ${m64("xor(z, z // 134217728)", "10723151780598845931")} AS z
+       |  FROM mf_z1),
+       |mf_c AS (
+       |  SELECT doc_id, i % 16 AS k,
+       |    CAST((xor(z, z // 2147483648) // 1099511627776) % 65536
+       |      AS BIGINT) - 32768 AS c
+       |  FROM mf_z2),
+       |mf AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN k = 0 THEN c ELSE 0 END) AS BIGINT) AS f0_sum
+       |  FROM mf_c GROUP BY doc_id)""".stripMargin
+  }
+
   private def imagePhashCtes: String = {
     import graft.queries.TextQueries.{mm64 => m64}
     s"""${contentHashCte("iph_ch")},
@@ -2137,6 +2185,23 @@ object EventQueries {
          |  GROUP BY cd.a, cd.b)
          |SELECT a, b, hamming FROM iph_hx
          |WHERE hamming <= 3 ORDER BY a, b""".stripMargin,
+
+    // DE-EXEMPTED r17: full arithmetic replay of the stub-model feature
+    // extraction (exact integer bucket sums from the content-hash
+    // splitmix stream; the float via the shared ExactRatio spec)
+    "q_media_features" ->
+      s"""WITH $mediaFeatureCtes
+         |SELECT m.doc_id AS media_id,
+         |  CASE m.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+         |    ELSE 'video' END AS kind,
+         |  m.n AS n_bytes,
+         |  CAST(CASE WHEN m.u >= 9223372036854775808
+         |    THEN m.u - 18446744073709551616 ELSE m.u END AS BIGINT)
+         |    AS content_hash,
+         |  COALESCE(f.f0_sum, 0) AS f0_sum,
+         |  ${sratio6Sql("COALESCE(f.f0_sum, 0)", "65536")} AS f0
+         |FROM mf_meta m LEFT JOIN mf f ON m.doc_id = f.doc_id
+         |ORDER BY media_id""".stripMargin,
 
     // DE-EXEMPTED r16: full-raster arithmetic replay of the real PNG
     // decode (exact integer channel sums; means via the shared

@@ -130,6 +130,16 @@ class RecommendSpec extends SparkTestBase {
       .select(col("media_id"), col("content_hash")).as[(Long, Long)].collect().toMap
     assert(f1 == f2, "batch size must not affect results")
     assert(f1.size == 500)
+    // the float feature is DERIVED from the exact integer bucket sums
+    // (the r17 de-exemption contract): feature(k) = f_sums(k) / 65536
+    val rows = Multimodal.extractFeatures(media, dim = 8, batchSize = 16)
+      .limit(50).collect()
+    rows.foreach { r =>
+      assert(r.feature.length == 8 && r.f_sums.length == 8)
+      r.feature.zip(r.f_sums).foreach { case (f, s) =>
+        assert(f == (s / 65536.0).toFloat, s"feature/sum drift for ${r.media_id}")
+      }
+    }
   }
 
   test("real image codec: decoded stats match the generator (lossless PNG round-trip)") {
