@@ -226,6 +226,9 @@ object Bench {
     // and the two de-exempted real-decode paths already present above
     "q_audio_phash", "q_audio_phash_dups", "q_image_dedup_incremental",
     "q_phash_bucket_health",
+    // round-17: the audio twin of the incremental image band-index
+    // probe, and the de-exempted media-features line already above
+    "q_audio_dedup_incremental",
     // measured IVF-PQ serving recall@50 (fit memoized by the fit
     // section — this line times brute-truth + serve + one ratio row)
     "q_ann_recall")

@@ -145,47 +145,58 @@ object IntakeSoak {
     // the batch), not the cumulative index — a flat curve while the
     // index multiplies ~15×.
     import graft.operators.{Dedup, Multimodal}
-    val imgBatches = sys.env.getOrElse("SPARK_GRAFT_IMGIDX_BATCHES", "15").toInt
-    val itmp = s"$tmp/imgidx"
-    def hashesOf(docsDf: org.apache.spark.sql.DataFrame) =
-      Multimodal.imageAHash(Multimodal.contentImageTable(docsDf)).toDF()
-    locally { // seed index = the base corpus; warmup probe absorbs JIT
-      val idx0 = Dedup.bandHashIndex(hashesOf(docs0))
-      idx0.buckets.write.parquet(s"$itmp/buckets")
-      idx0.hashes.write.parquet(s"$itmp/hashes")
-      Dedup.incrementalBandedDedup(hashesOf(docs0.limit(50)),
-        Dedup.BandHashIndex(spark.read.parquet(s"$itmp/buckets"),
-          spark.read.parquet(s"$itmp/hashes"))).count()
+    val mediaBatches = sys.env.getOrElse("SPARK_GRAFT_IMGIDX_BATCHES", "15").toInt
+    // ONE family runner, applied to image AND (r17, VERDICT Next #5)
+    // audio — the two modalities share the band-index pipeline, so the
+    // soak exercises each real codec's hash path against its own
+    // persisted index.
+    def mediaIndexFamily(tag: String,
+        hashesOf: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+        : String = {
+      val itmp = s"$tmp/${tag}idx"
+      locally { // seed index = the base corpus; warmup probe absorbs JIT
+        val idx0 = Dedup.bandHashIndex(hashesOf(docs0))
+        idx0.buckets.write.parquet(s"$itmp/buckets")
+        idx0.hashes.write.parquet(s"$itmp/hashes")
+        Dedup.incrementalBandedDedup(hashesOf(docs0.limit(50)),
+          Dedup.BandHashIndex(spark.read.parquet(s"$itmp/buckets"),
+            spark.read.parquet(s"$itmp/hashes"))).count()
+      }
+      val perB = new scala.collection.mutable.ArrayBuffer[Double]
+      val dups = new scala.collection.mutable.ArrayBuffer[Long]
+      (0 until mediaBatches).foreach { i =>
+        val bdocs = docs0.select(
+          (col("doc_id") + lit((i + 1).toLong * 100000000L)).as("doc_id"),
+          concat(col("text"), lit(s" $tag copy $i")).as("text"))
+        val t0 = System.nanoTime()
+        val idx = Dedup.BandHashIndex(
+          spark.read.parquet(s"$itmp/buckets"),
+          spark.read.parquet(s"$itmp/hashes"))
+        val bh = hashesOf(bdocs).localCheckpoint(true)
+        dups += Dedup.incrementalBandedDedup(bh, idx).count()
+        Dedup.bandHashBuckets(bh).write.mode("append").parquet(s"$itmp/buckets")
+        bh.select(col("media_id").as("id"), col("b0"), col("b1"),
+          col("b2"), col("b3")).write.mode("append").parquet(s"$itmp/hashes")
+        val secs = (System.nanoTime() - t0) / 1e9
+        perB += math.rint(secs * 1000) / 1000
+        System.err.println(f"[${tag}idx] batch $i%2d  $secs%.2f s")
+      }
+      val idxRows = spark.read.parquet(s"$itmp/hashes").count()
+      s""""${tag}_index":{"batches":$mediaBatches,"batch_docs":${base.length},""" +
+        s""""per_batch_s":[${perB.mkString(",")}],""" +
+        s""""dups_found":[${dups.mkString(",")}],""" +
+        s""""index_rows_final":$idxRows}"""
     }
-    val imgPerBatch = new scala.collection.mutable.ArrayBuffer[Double]
-    val imgDups = new scala.collection.mutable.ArrayBuffer[Long]
-    (0 until imgBatches).foreach { i =>
-      val bdocs = docs0.select(
-        (col("doc_id") + lit((i + 1).toLong * 100000000L)).as("doc_id"),
-        concat(col("text"), lit(s" img copy $i")).as("text"))
-      val t0 = System.nanoTime()
-      val idx = Dedup.BandHashIndex(
-        spark.read.parquet(s"$itmp/buckets"),
-        spark.read.parquet(s"$itmp/hashes"))
-      val bh = hashesOf(bdocs).localCheckpoint(true)
-      imgDups += Dedup.incrementalBandedDedup(bh, idx).count()
-      Dedup.bandHashBuckets(bh).write.mode("append").parquet(s"$itmp/buckets")
-      bh.select(col("media_id").as("id"), col("b0"), col("b1"),
-        col("b2"), col("b3")).write.mode("append").parquet(s"$itmp/hashes")
-      val secs = (System.nanoTime() - t0) / 1e9
-      imgPerBatch += math.rint(secs * 1000) / 1000
-      System.err.println(f"[imgidx] batch $i%2d  $secs%.2f s")
-    }
-    val imgIndexRows = spark.read.parquet(s"$itmp/hashes").count()
+    val imgJson = mediaIndexFamily("image",
+      d => Multimodal.imageAHash(Multimodal.contentImageTable(d)).toDF())
+    val audJson = mediaIndexFamily("audio",
+      d => Multimodal.audioAHash(Multimodal.contentAudioTable(d)).toDF())
 
     println(s"""{"intake":{"sf":"$sfDir","batch_docs":${base.length},""" +
       s""""batches":$nBatches,"pregrown":$pregrown,""" +
       s""""per_batch_s":[${perBatch.mkString(",")}],""" +
       s""""admitted":[${admitted.mkString(",")}],"index_rows_final":$indexRows,""" +
-      s""""image_index":{"batches":$imgBatches,"batch_docs":${base.length},""" +
-      s""""per_batch_s":[${imgPerBatch.mkString(",")}],""" +
-      s""""dups_found":[${imgDups.mkString(",")}],""" +
-      s""""index_rows_final":$imgIndexRows}}}""")
+      s"""$imgJson,$audJson}}""")
     spark.stop()
   }
 }

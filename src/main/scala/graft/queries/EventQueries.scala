@@ -710,6 +710,23 @@ object EventQueries {
         .orderBy(col("new_id"), col("corpus_id"))
     }),
 
+    // incremental AUDIO near-dup maintenance (r17, VERDICT Next #5 —
+    // the audioAHash twin of q_image_dedup_incremental, completing
+    // incremental index coverage for text + image + audio): the
+    // media_id%10==3 batch probes the persisted ids-only band index of
+    // the rest of the corpus through the SAME
+    // bandHashIndex/incrementalBandedDedup pipeline; exact hamming
+    // verify fetches hashes by matched id. Fully oracled via the shared
+    // audio-phash replay CTEs.
+    "q_audio_dedup_incremental" -> ((s, d) => {
+      val ph = audioPhash(s, d)
+      val batch = ph.filter(pmod(col("media_id"), lit(10)) === 3)
+      val corpus = ph.filter(pmod(col("media_id"), lit(10)) =!= 3)
+      graft.operators.Dedup.incrementalBandedDedup(
+        batch, graft.operators.Dedup.bandHashIndex(corpus))
+        .orderBy(col("new_id"), col("corpus_id"))
+    }),
+
     // aHash stability census (r15): flip the low red bit of EVERY
     // sampled pixel of every REAL decoded raster (deterministic
     // ±1-LSB-noise stand-in), re-hash, histogram the per-image hamming
@@ -2316,6 +2333,32 @@ object EventQueries {
          |    AND pa.band = pb.band
          |  GROUP BY cd.new_id, cd.corpus_id)
          |SELECT new_id, corpus_id, hamming FROM inc_hx
+         |WHERE hamming <= 3 ORDER BY new_id, corpus_id""".stripMargin,
+
+    // incremental audio dedup: same algebra over the audio-phash bands
+    // (index side capped at 256 per (band,bval) in id order, batch side
+    // uncapped, exact hamming verify on the DISTINCT candidates)
+    "q_audio_dedup_incremental" ->
+      s"""WITH $audioPhashCtes,
+         |ainc_r AS (
+         |  SELECT media_id, band, bval,
+         |    ROW_NUMBER() OVER (PARTITION BY band, bval
+         |      ORDER BY media_id) AS rn
+         |  FROM aph WHERE media_id % 10 <> 3),
+         |ainc_cand AS (
+         |  SELECT DISTINCT b.media_id AS new_id, c.media_id AS corpus_id
+         |  FROM aph b JOIN ainc_r c ON b.band = c.band AND b.bval = c.bval
+         |  WHERE b.media_id % 10 = 3 AND c.rn <= 256),
+         |ainc_hx AS (
+         |  SELECT cd.new_id, cd.corpus_id,
+         |    CAST(SUM(bit_count(xor(pa.bval, pb.bval))) AS BIGINT)
+         |      AS hamming
+         |  FROM ainc_cand cd
+         |  JOIN aph pa ON cd.new_id = pa.media_id
+         |  JOIN aph pb ON cd.corpus_id = pb.media_id
+         |    AND pa.band = pb.band
+         |  GROUP BY cd.new_id, cd.corpus_id)
+         |SELECT new_id, corpus_id, hamming FROM ainc_hx
          |WHERE hamming <= 3 ORDER BY new_id, corpus_id""".stripMargin,
 
     // MK S is exact integer; each pairwise slope is one exact division;
