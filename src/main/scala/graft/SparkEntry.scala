@@ -52,7 +52,7 @@ object SparkEntry {
     "q_cosine_pq" -> "KMeans codebooks are fit artifacts; recall floor in DedupSimilaritySpec",
     "q_cosine_ivfpq" -> "KMeans cells+codebooks; recall floor + cell-pruned plan assertion",
     "q_cosine_ivfpq_disk" -> "at-rest IVF layout; equals in-memory apply + partition-pruned plan assertion in DedupSimilaritySpec",
-    "q_ann_recall" -> "IVF-PQ cells/codebooks are KMeans fit artifacts; the row IS the measured recall@50 vs the in-query brute-force truth (driver-committed each round); floor asserted in DedupSimilaritySpec",
+    "q_ann_recall" -> "IVF-PQ cells/codebooks are KMeans fit artifacts; the row IS the measured recall@50 vs the in-query brute-force truth (driver-committed each round); production 0.8 floor asserted in DedupSimilaritySpec",
     "q_ivf_cell_health" -> "cells are KMeans fit artifacts; planted-skew + shape tests in DedupSimilaritySpec",
     "q_ivf_layout_health" -> "FS-metadata file counts of the at-rest index, not expressible over the parquet tables; fresh-build shape + planted-skew trigger tests in DedupSimilaritySpec",
     "q_sample_balanced_cells" -> "KMeans cell assignment not SQL-expressible; per-cell-count + determinism spec in DedupSimilaritySpec",

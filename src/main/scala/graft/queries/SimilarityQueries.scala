@@ -263,17 +263,24 @@ object SimilarityQueries {
     // committed driver-measured number each round instead of a test
     // floor; the floor itself is asserted in DedupSimilaritySpec.
     // rerank=64 ≥ k so the exact-rerank window never truncates recall;
-    // nProbe=8 (vs the k=5 queries' 4): a 10× larger k spreads the true
-    // neighbor set over more coarse cells, so the serving config probes
-    // proportionally more — the knob a deployment turns per (k, recall)
-    // target (measured here: 4 probes → 0.45, 8 → above the 0.5 floor).
+    // nProbe=12 (vs the k=5 queries' 4): the fixture's embeddings are
+    // near-isotropic (mean pairwise cos ≈ 0.0004, top-50 mean ≈ 0.22),
+    // so coarse cells barely cluster true neighbors and recall@50
+    // tracks cell COVERAGE ≈ nProbe/nCells — measured r17 at
+    // sf0.001/0.01/0.1: 4 probes → 0.45/0.47/0.49, 8 → 0.72/0.73/0.75,
+    // 10 → 0.81/0.82/0.85, 12 → 0.90/0.89/0.92, 16 → 1.0 (the rerank
+    // window never truncates). 12 of 16 probes is the production
+    // recall ≥ 0.8 target WITH margin at a measured latency within
+    // family norms; on a genuinely clustered corpus the same config
+    // over-delivers (coverage concentrates in few cells). This is the
+    // knob a deployment turns per (k, recall) target.
     "q_ann_recall" -> ((s, d) => {
       val e = emb(s, d)
       val q = e.filter(col("vec_id") < 50)
       val truth = Similarity.bruteForceTopK(e, q, k = 50)
         .select(col("query_id"), col("neighbor_id"))
       val ann = Similarity.ivfPqApply(e, q, k = 50, ivfpqModel(s, d),
-        nProbe = 8, rerank = 64)
+        nProbe = 12, rerank = 64)
         .select(col("query_id"), col("neighbor_id"))
       truth.agg(count(lit(1)).as("n_expected"))
         .crossJoin(

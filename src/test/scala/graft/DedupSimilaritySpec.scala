@@ -493,7 +493,11 @@ class DedupSimilaritySpec extends SparkTestBase {
       s"truth size $expected (50 queries x top-50 over the 500-vec corpus)")
     assert(hits >= 0L && hits <= expected)
     val recall = row.getDouble(4)
-    assert(recall >= 0.5, s"IVF-PQ serving recall@50 $recall below floor")
+    // production floor raised to 0.8 in r17 (VERDICT Next #3): the
+    // serving config is nProbe=12/16, measured 0.90/0.89/0.92 at
+    // sf0.001/0.01/0.1 — see the q_ann_recall doc for the full
+    // probe→recall curve on this near-isotropic fixture
+    assert(recall >= 0.8, s"IVF-PQ serving recall@50 $recall below floor")
   }
 
   test("LSH ANN recall >= 0.6 vs brute force on sf0.001 embeddings") {
