@@ -227,8 +227,10 @@ object Bench {
     "q_audio_phash", "q_audio_phash_dups", "q_image_dedup_incremental",
     "q_phash_bucket_health",
     // round-17: the audio twin of the incremental image band-index
-    // probe, and the de-exempted media-features line already above
-    "q_audio_dedup_incremental",
+    // probe, the video perceptual-hash family completing the
+    // image/audio/video near-dup triad, and the de-exempted
+    // media-features line already above
+    "q_audio_dedup_incremental", "q_video_phash", "q_video_phash_dups",
     // measured IVF-PQ serving recall@50 (fit memoized by the fit
     // section — this line times brute-truth + serve + one ratio row)
     "q_ann_recall")

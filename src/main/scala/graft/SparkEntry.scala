@@ -57,6 +57,8 @@ object SparkEntry {
     "q_ivf_layout_health" -> "FS-metadata file counts of the at-rest index, not expressible over the parquet tables; fresh-build shape + planted-skew trigger tests in DedupSimilaritySpec",
     "q_sample_balanced_cells" -> "KMeans cell assignment not SQL-expressible; per-cell-count + determinism spec in DedupSimilaritySpec",
     "q_video_decode" -> "PERMANENTLY exempt: MJPEG frames are LOSSY JPEG — decoded pixels are a codec implementation detail, not replayable arithmetic (unlike the lossless PNG/WAV paths, de-exempted r16); generator-parity + determinism tests in RecommendSpec",
+    "q_video_phash" -> "PERMANENTLY exempt (the q_video_decode class): the temporal-average aHash reads LOSSY JPEG pixels; determinism + discrimination census in RecommendSpec",
+    "q_video_phash_dups" -> "PERMANENTLY exempt (lossy JPEG pixels); planted-witness form — re-keyed copies ride the query so the row set is never vacuously empty; exact pair-set + noise-rejection test in RecommendSpec",
     "q_split_v1_report" -> "seeded sampleBy never value-matches cross-engine; partition invariant",
     "q_split_v2_report" -> "seeded per-user sample; disjointness invariants (1 row, zeros)",
     "q_compress_ratio" -> "PERMANENTLY exempt: zlib deflate output bytes are a compressor implementation detail, not replayable arithmetic; monotonicity (repetitive < prose < mash) + determinism tests in TextSpec")

@@ -505,6 +505,62 @@ object Multimodal {
       } finally reader.dispose()
       FrameStats(n, if (nPix == 0) 0.0 else lumaSum / nPix)
     }
+
+    /** 8×8 per-cell EXACT INTEGER luma sums accumulated over EVERY
+      * decoded frame (NN-sampled at x = ⌊(2i+1)·w/16⌋, per-mille
+      * Rec.601 integer luma — the [[Multimodal.imageAHash]] grid, once
+      * per frame, summed across the clip). This is the temporal-average
+      * aHash input: thresholding the SUMMED grid against its own mean
+      * is the aHash of the time-averaged frame, so the bits stay
+      * ~balanced for any frame count (a per-frame majority vote would
+      * bias toward 0/1 on even-length clips) and a dropped/duplicated
+      * frame moves each cell only by one frame's contribution — the
+      * near-dup robustness property. Returns (framesDecoded, grid[64]).
+      */
+    def frameLumaGrid(bytes: Array[Byte]): (Int, Array[Long]) = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var pos = 12
+      val grid = new Array[Long](64)
+      var n = 0
+      // one reused JPEG reader + memory-cached streams — the
+      // decodeFrames discipline (plugin discovery / temp-file costs)
+      val reader = javax.imageio.ImageIO
+        .getImageReadersByFormatName("jpeg").next()
+      try {
+        while (pos + 8 <= bytes.length) {
+          val id = bb.getInt(pos)
+          val sz = bb.getInt(pos + 4)
+          if (id == 0x5453494C) { // 'LIST'
+            if (bb.getInt(pos + 8) == 0x69766F6D) pos += 12 // descend movi
+            else pos += 8 + sz + (sz & 1)
+          } else if (id == 0x63643030) { // '00dc'
+            val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+              new java.io.ByteArrayInputStream(bytes, pos + 8, sz))
+            val img = try {
+              reader.setInput(iis, true, true)
+              reader.read(0)
+            } finally iis.close()
+            require(img != null, s"undecodable frame $n")
+            val w = img.getWidth; val h = img.getHeight
+            var k = 0; var j = 0
+            while (j < 8) {
+              var i = 0
+              while (i < 8) {
+                val rgb = img.getRGB((2 * i + 1) * w / 16, (2 * j + 1) * h / 16)
+                grid(k) += 299L * ((rgb >> 16) & 0xff) +
+                  587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+                k += 1; i += 1
+              }
+              j += 1
+            }
+            n += 1
+            pos += 8 + sz + (sz & 1)
+          } else pos += 8 + sz + (sz & 1)
+        }
+      } finally reader.dispose()
+      (n, grid)
+    }
   }
 
   /** Per-clip container-parsed metadata row ([[VideoCodec.parseMeta]]). */
@@ -531,6 +587,70 @@ object Multimodal {
         (id, "video", VideoCodec.encodeAvi(w, h, fps, nf, id), w, h, nf)
       }
     }.toDF("media_id", "kind", "bytes", "width", "height", "n_frames_meta")
+  }
+
+  /** Content-seeded video table: like [[syntheticVideoTable]] but clip
+    * shape AND frame seed derive from the FNV-1a 64 content hash of the
+    * text — exact-duplicate documents get bit-identical AVIs, the "same
+    * clip re-uploaded" regime that makes video near-dup detection
+    * meaningful on this fixture (the [[contentImageTable]] /
+    * [[contentAudioTable]] triplet completed). Map-only; bytes born on
+    * executors.
+    */
+  def contentVideoTable(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.map { case (id, text) =>
+          val ch = graft.functions.TextHashFunctions.fnv64(
+            text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          def m(n: Long) = java.lang.Long.remainderUnsigned(ch, n).toInt
+          val w = (m(9) + 2) * 2
+          val h = (m(7) + 2) * 2
+          val fps = (m(4) + 1) * 5
+          val nf = m(12) + 2
+          (id, "video", VideoCodec.encodeAvi(w, h, fps, nf, ch), w, h, nf)
+        }
+      }.toDF("media_id", "kind", "bytes", "width", "height", "n_frames_meta")
+  }
+
+  /** Per-clip video perceptual-hash row: four 16-bit bands over the
+    * temporal-average aHash (the [[ImageHash]]/[[AudioHash]] shape).
+    */
+  case class VideoHash(media_id: Long, n_frames: Long,
+      b0: Long, b1: Long, b2: Long, b3: Long)
+
+  /** Video perceptual hash over REAL decoded MJPEG frames, at the
+    * `mapPartitions` codec boundary: walk the RIFF container, decode
+    * every JPEG frame with javax.imageio, accumulate the 8×8 NN-sampled
+    * integer luma grid ACROSS frames ([[VideoCodec.frameLumaGrid]]),
+    * then threshold each summed cell against the grid mean
+    * (cross-multiplied — the [[imageAHash]] rule applied to the
+    * time-averaged frame) and pack bit k into four 16-bit bands.
+    * Identical clips hash identically; a dropped frame perturbs each
+    * cell by one frame's luma — the near-dup regime banding tolerates
+    * at hamming ≤ 3. Unlike the image/audio twins this is NOT
+    * SQL-replayable: JPEG is LOSSY, so the decoded pixels are a codec
+    * implementation detail, not arithmetic of the seed (the
+    * q_video_decode exemption class) — covered by planted-dup +
+    * discrimination specs instead. Map-only; bytes never shuffle.
+    */
+  def videoAHash(media: DataFrame): Dataset[VideoHash] = {
+    import media.sparkSession.implicits._
+    media.select(col("media_id"), col("bytes")).as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val (n, grid) = VideoCodec.frameLumaGrid(bytes)
+          val sum = grid.sum
+          val bands = new Array[Long](4)
+          var k = 0
+          while (k < 64) {
+            if (grid(k) * 64 > sum) bands(k / 16) |= 1L << (k % 16)
+            k += 1
+          }
+          VideoHash(id, n.toLong, bands(0), bands(1), bands(2), bands(3))
+        }
+      }
   }
 
   /** Container-parse metadata extraction at the mapPartitions codec

@@ -167,6 +167,15 @@ object EventQueries {
       dir
     })
 
+  private def contentVideoDir(s: SparkSession, d: String): String =
+    mediaDirs.getOrElseUpdate(("cavi", d), {
+      val dir = java.nio.file.Files.createTempDirectory("graft_media_cavi")
+        .toString + "/media"
+      Multimodal.contentVideoTable(Tables.documents(s, d))
+        .write.mode("overwrite").parquet(dir)
+      dir
+    })
+
   /** Force-build every memoized media table for a scale dir. The bench
     * warmup calls this at the TIMED sf so no timed `q_media_* /
     * q_audio_* / q_video_*` line pays table GENERATION — whichever query
@@ -176,7 +185,8 @@ object EventQueries {
     */
   def materializeMediaDirs(s: SparkSession, d: String): Unit = {
     imageDir(s, d); audioDir(s, d); videoDir(s, d); contentImageDir(s, d)
-    contentAudioDir(s, d); imagePhash(s, d); audioPhash(s, d)
+    contentAudioDir(s, d); contentVideoDir(s, d)
+    imagePhash(s, d); audioPhash(s, d); videoPhash(s, d)
   }
 
   /** Memoized CHECKPOINTED perceptual-hash relations per (SparkContext,
@@ -199,6 +209,10 @@ object EventQueries {
   private def audioPhash(s: SparkSession, d: String): DataFrame =
     ContextMemo.getOrElseUpdate(s.sparkContext, s"wav:$d")(
       Multimodal.audioAHash(s.read.parquet(contentAudioDir(s, d)))
+        .toDF().localCheckpoint(true))
+  private def videoPhash(s: SparkSession, d: String): DataFrame =
+    ContextMemo.getOrElseUpdate(s.sparkContext, s"avi:$d")(
+      Multimodal.videoAHash(s.read.parquet(contentVideoDir(s, d)))
         .toDF().localCheckpoint(true))
 
   /** One-line JSON provenance for the memoized media tables: row count,
@@ -223,7 +237,8 @@ object EventQueries {
     val avi = stats(videoDir(s, d), Some("n_frames_meta"))
     val cpng = stats(contentImageDir(s, d), None)
     val cwav = stats(contentAudioDir(s, d), Some("n_samples_meta"))
-    s"""{"png":$png,"wav":$wav,"avi":$avi,"cpng":$cpng,"cwav":$cwav}"""
+    val cavi = stats(contentVideoDir(s, d), Some("n_frames_meta"))
+    s"""{"png":$png,"wav":$wav,"avi":$avi,"cpng":$cpng,"cwav":$cwav,"cavi":$cavi}"""
   }
 
   private def cents(c: org.apache.spark.sql.Column) = round(c * 100, 0).cast("long")
@@ -725,6 +740,45 @@ object EventQueries {
       graft.operators.Dedup.incrementalBandedDedup(
         batch, graft.operators.Dedup.bandHashIndex(corpus))
         .orderBy(col("new_id"), col("corpus_id"))
+    }),
+
+    // video perceptual-hash (r17, VERDICT Next #4 — the multimodal
+    // near-dup triad completed): temporal-average aHash over REAL
+    // MJPEG-in-AVI decodes — every JPEG frame decoded through
+    // javax.imageio, the 8×8 integer luma grid summed across frames,
+    // thresholded against its own mean (Multimodal.videoAHash).
+    // Rows-only like q_video_decode: JPEG is LOSSY, so the decoded
+    // pixels are not replayable arithmetic — planted-dup +
+    // discrimination census in RecommendSpec instead.
+    "q_video_phash" -> ((s, d) => {
+      videoPhash(s, d)
+        .select(col("media_id"), col("n_frames"),
+          col("b0"), col("b1"), col("b2"), col("b3"))
+        .orderBy(col("media_id"))
+    }),
+
+    // video near-dup pairs over the temporal-aHash bands — the same
+    // SHARED Dedup.bandedHashDups pipeline as the image/audio twins
+    // (capped band buckets + overflow star-attach + exact hamming ≤ 3
+    // verify), in PLANTED-WITNESS form: a rows-only query must not be
+    // vacuously empty, and the sf0.001/sf0.01 fixtures contain no
+    // content-duplicate documents (the oracled image/audio twins may
+    // legitimately emit 0 rows there — the oracle proves the empty set;
+    // a rows-only empty proves nothing). The 10 smallest doc_ids are
+    // re-keyed (+1e9) and hashed fresh through the REAL codec path,
+    // the corpus side comes from the checkpointed memo, and the
+    // verified pair set must contain each planted copy paired with its
+    // original (exact-match asserted in RecommendSpec) plus any true
+    // content dups the fixture carries.
+    "q_video_phash_dups" -> ((s, d) => {
+      val plantedDocs = Tables.documents(s, d)
+        .orderBy(col("doc_id")).limit(10)
+        .withColumn("doc_id", col("doc_id") + lit(1000000000L))
+      val phPlanted = Multimodal.videoAHash(
+        Multimodal.contentVideoTable(plantedDocs)).toDF()
+      graft.operators.Dedup.bandedHashDups(
+        videoPhash(s, d).unionByName(phPlanted))
+        .orderBy(col("a"), col("b"))
     }),
 
     // aHash stability census (r15): flip the low red bit of EVERY

@@ -405,6 +405,68 @@ class RecommendSpec extends SparkTestBase {
     ph.unpersist()
   }
 
+  test("video temporal aHash: content dups hash identically; planted dup pairs found, noise rejected") {
+    // the video leg of the multimodal near-dup triad (r17): content-
+    // seeded MJPEG clips are either bit-identical (same text) or
+    // unrelated splitmix rasters; over a corpus with PLANTED re-keyed
+    // copies the shared banded-hamming pipeline must find exactly the
+    // planted pairs at hamming 0, and reject everything else — the
+    // discrimination census the audio family established
+    val base = Tables.documents(spark, sf)
+    val planted = base.unionByName(
+      base.orderBy(col("doc_id")).limit(10)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    val ph = Multimodal.videoAHash(
+      Multimodal.contentVideoTable(planted)).toDF().persist()
+    val texts = planted.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    val hs = ph.collect().map(r =>
+      r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    texts.groupBy(_._2).filter(_._2.length > 1).foreach { case (_, ids) =>
+      assert(ids.map(i => hs(i._1)).distinct.size == 1,
+        "dup texts must hash identically")
+    }
+    // discrimination: unrelated clips' temporal-average hashes are
+    // ~iid 64-bit patterns — the corpus must not collapse into a few
+    // band values (the failure regime the r16 audio redesign fixed)
+    assert(hs.values.toSeq.distinct.size > hs.size / 2,
+      s"hash space collapsed: ${hs.values.toSeq.distinct.size} distinct of ${hs.size}")
+    val got = graft.operators.Dedup.bandedHashDups(ph).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val expected = texts.groupBy(_._2).values.filter(_.length > 1)
+      .flatMap { g =>
+        val ids = g.map(_._1).sorted
+        for (i <- ids.indices; j <- (i + 1) until ids.length)
+          yield (ids(i), ids(j))
+      }.toSet
+    assert(got.forall(_._3 == 0L), "unrelated clips: only exact dups expected")
+    assert(got.map(t => (math.min(t._1, t._2), math.max(t._1, t._2))).toSet
+      == expected,
+      s"pair set mismatch: got ${got.length}, expected ${expected.size}")
+    // generator parity: decoded frame count must equal the content-hash
+    // derived clip length (the real container walk, not metadata)
+    val nf = ph.select(col("media_id"), col("n_frames"))
+      .as[(Long, Long)].collect().toMap
+    texts.take(40).foreach { case (id, text) =>
+      val ch = graft.functions.TextHashFunctions.fnv64(
+        text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      assert(nf(id) == java.lang.Long.remainderUnsigned(ch, 12) + 2,
+        s"decoded frame count diverges from generator for $id")
+    }
+    ph.unpersist()
+    // the registered planted-witness query: each of its 10 re-keyed
+    // copies must pair with its original at hamming 0
+    val q = SparkEntry.queries("q_video_phash_dups")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val plantedIds = base.orderBy(col("doc_id")).limit(10)
+      .select(col("doc_id")).as[Long].collect().toSet
+    val witness = q.filter { case (a, b, _) =>
+      (b >= 1000000000L) && plantedIds(a) }
+    assert(witness.length == 10 && witness.forall(_._3 == 0L),
+      s"planted-witness pairs: got ${witness.length} of 10")
+  }
+
   test("q_audio_decode: deterministic rows from genuine PCM samples") {
     val q = SparkEntry.queries("q_audio_decode")
     val a = q(spark, sf).collect()
