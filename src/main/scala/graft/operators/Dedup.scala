@@ -469,8 +469,16 @@ object Dedup {
     val dfreq = sets.select(explode(col("shs")).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("dfreq"))
     val prefix = prefixOf(sets, dfreq, tn, td)
+    // explicit non-coalescable exchanges on the candidate join and the
+    // pair dedup: both stages are row-count-bound (per-token fanout,
+    // then array_intersect verify) on byte-tiny shuffles, so AQE's
+    // size-based coalescing serialized them onto one task (measured
+    // r17: the candidate+verify tail was 2 consecutive single-task
+    // jobs ≈ 1 s of the 2.9 s line)
+    val shuffleN = sets.sparkSession.sessionState.conf.numShufflePartitions
     val cand = prefix.select(col("g"), col("id").as("id_a"),
         col("sz").as("sza"), col("pos").as("pa"))
+      .repartition(shuffleN, col("g"))
       .join(prefix.select(col("g"), col("id").as("id_b"),
         col("sz").as("szb"), col("pos").as("pb")), Seq("g"))
       .filter(col("id_a") < col("id_b") &&
@@ -478,6 +486,7 @@ object Dedup {
           lit(td) * least(col("sza"), col("szb")) &&
         posFilter(col("pa"), col("pb"), col("sza"), col("szb"), tn, td))
       .select(col("id_a"), col("id_b"))
+      .repartition(shuffleN, col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
     verifyJaccard(cand, sets, sets, tn, td, "id_a", "id_b")
   }
@@ -503,9 +512,13 @@ object Dedup {
       .unionAll(bSets.select(explode(col("shs")).as("g")))
       .groupBy(col("g")).agg(count(lit(1)).as("dfreq"))
       .localCheckpoint(true) // consumed by both prefix builds
+    // same non-coalescable pins as prefixJaccardJoin: candidate fanout
+    // and pair dedup are row-count-bound on byte-tiny shuffles
+    val shuffleN = corpus.sparkSession.sessionState.conf.numShufflePartitions
     val cand = prefixOf(bSets, dfreq, tn, td)
       .select(col("g"), col("id").as("new_id"), col("sz").as("sza"),
         col("pos").as("pa"))
+      .repartition(shuffleN, col("g"))
       .join(prefixOf(cSets, dfreq, tn, td)
         .select(col("g"), col("id").as("corpus_id"), col("sz").as("szb"),
           col("pos").as("pb")),
@@ -514,6 +527,7 @@ object Dedup {
         lit(td) * least(col("sza"), col("szb")) &&
         posFilter(col("pa"), col("pb"), col("sza"), col("szb"), tn, td))
       .select(col("new_id"), col("corpus_id"))
+      .repartition(shuffleN, col("new_id"), col("corpus_id"))
       .dropDuplicates("new_id", "corpus_id")
     verifyJaccard(cand, bSets, cSets, tn, td, "new_id", "corpus_id")
   }
@@ -539,8 +553,16 @@ object Dedup {
     val wDoc = Window.partitionBy(col("id")).orderBy(col("dfreq"), col("g"))
     val prefixLen =
       col("sz") - floor((lit(tn) * col("sz") + lit(td - 1)) / lit(td)) + 1
+    // pin the rank exchange to the session's shuffle width: the ranked
+    // token relation is small in BYTES but every downstream stage is
+    // row-count-bound CPU (candidate join fanout, verify), and AQE's
+    // byte-based coalescing would fold the window AND everything built
+    // on this checkpoint onto ONE task (measured r17: the whole
+    // PPJoin tail ran single-threaded)
+    val shuffleN = sets.sparkSession.sessionState.conf.numShufflePartitions
     sets.select(col("id"), col("sz"), explode(col("shs")).as("g"))
       .join(dfreq, Seq("g"))
+      .repartition(shuffleN, col("id"))
       .withColumn("__rn", row_number().over(wDoc))
       .filter(col("__rn") <= prefixLen)
       .select(col("g"), col("id"), col("sz"),
@@ -596,8 +618,16 @@ object Dedup {
     // SAME checkpointed relation (prefixOf would tokenize+join+rank a
     // second time; wall-clock is verify-dominated at sf0.1, but this
     // removes a whole tokenize+dfreq-join+rank stage at any scale)
+    // pin the rank exchange + candidate/dedup exchanges to the session
+    // shuffle width (the prefixOf discipline): every stage from the
+    // window to the verify is row-count-bound CPU on byte-tiny
+    // shuffles, and AQE's size-based coalescing serialized the whole
+    // tail onto one task (measured r17: two consecutive ~1.3-1.5 s
+    // single-task jobs in a 4.8 s line)
+    val shuffleN = docs.sparkSession.sessionState.conf.numShufflePartitions
     val bAll = sets.select(col("id"), col("sz"), explode(col("shs")).as("g"))
       .join(dfreq, Seq("g"))
+      .repartition(shuffleN, col("id"))
       .withColumn("pos", row_number().over(wDoc).cast("long"))
       .select(col("g"), col("id"), col("sz"), col("pos"))
       .localCheckpoint(true)
@@ -606,6 +636,7 @@ object Dedup {
     val aPrefix = bAll.filter(col("pos") <= prefixLen)
     val cand = aPrefix.select(col("g"), col("id").as("id_a"),
         col("sz").as("sza"), col("pos").as("pa"))
+      .repartition(shuffleN, col("g"))
       .join(bAll.select(col("g"), col("id").as("id_b"),
         col("sz").as("szb"), col("pos").as("pb")), Seq("g"))
       .filter(col("id_a") =!= col("id_b") &&
@@ -613,6 +644,7 @@ object Dedup {
         (lit(1L) + least(col("sza") - col("pa"), col("szb") - col("pb"))) *
           lit(td.toLong) >= lit(tn.toLong) * col("sza"))
       .select(col("id_a"), col("id_b"))
+      .repartition(shuffleN, col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
     cand
       .join(sets.select(col("id").as("id_a"), col("shs").as("sa"),
@@ -672,8 +704,12 @@ object Dedup {
     val dfreq = sets.select(explode(col("shs")).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("dfreq"))
     val prefix = prefixOf(sets, dfreq, tn, td)
+    // same non-coalescable pins as prefixJaccardJoin (row-count-bound
+    // stages on byte-tiny shuffles)
+    val shuffleN = docs.sparkSession.sessionState.conf.numShufflePartitions
     val joined = prefix.select(col("g"), col("id").as("id_a"),
         col("sz").as("sza"), col("pos").as("pa"))
+      .repartition(shuffleN, col("g"))
       .join(prefix.select(col("g"), col("id").as("id_b"),
         col("sz").as("szb"), col("pos").as("pb")), Seq("g"))
       .filter(col("id_a") < col("id_b") &&
@@ -686,6 +722,7 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
     val cand = joined.filter(col("pos_ok"))
       .select(col("id_a"), col("id_b"))
+      .repartition(shuffleN, col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .localCheckpoint(true) // counted AND verified below
     val nCand = candPre.agg(count(lit(1)).as("n_candidates"))

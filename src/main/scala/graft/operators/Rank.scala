@@ -1,7 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{JoinedRow, SpecificInternalRow, UnsafeProjection}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graftbridge.Bridge
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Exact global ranking over a total order WITHOUT a single-partition
@@ -28,6 +31,75 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   */
 object Rank {
 
+  /** Shared core of the three public forms: range-sort `df` by `order`,
+    * collect per-partition (row count, weight sum) in ONE bounded job —
+    * driver state O(partitions) — then append rank and/or running-total
+    * columns per partition from the broadcast offset prefix sums.
+    *
+    * Both passes run over ONE pinned RDD, in Spark's INTERNAL row
+    * format (`queryExecution.toRdd` via the graftbridge shim): the r17
+    * profile showed the old `df.rdd` + `Row.fromSeq` +
+    * `createDataFrame(Row)` form paying external-Row conversion
+    * (per-field boxing both ways) on every row of every pass AND on
+    * every downstream consumption — several µs/row, ×2-3 passes, the
+    * bulk of q_weighted_median's 2 s. The stats pass now only calls
+    * `getLong(ordinal)` on the reused UnsafeRow; the emit pass appends
+    * the long(s) through a JoinedRow + UnsafeProjection (the same
+    * mechanism Spark operators use internally). Arithmetic, partition
+    * boundaries and output values are bit-identical to the old form.
+    */
+  private def withOffsetCols(df: DataFrame, rankCol: Option[String],
+      runCol: Option[String], weightCol: Option[String],
+      order: Seq[Column]): (DataFrame, Long, Long) = {
+    weightCol.foreach { wc =>
+      require(df.schema(wc).dataType == LongType,
+        s"running-total weight '$wc' must be LongType, " +
+          s"got ${df.schema(wc).dataType}")
+    }
+    val spark = df.sparkSession
+    val sorted = df.orderBy(order: _*)
+    val wIdx = weightCol.map(sorted.schema.fieldIndex).getOrElse(-1)
+    val rdd = Bridge.toInternalRdd(sorted)
+    val stats = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var c = 0L; var s = 0L
+      it.foreach { r =>
+        c += 1
+        if (wIdx >= 0 && !r.isNullAt(wIdx)) s += r.getLong(wIdx)
+      }
+      Iterator((pid, c, s))
+    }.collect().sortBy(_._1)
+    val cOff = stats.map(_._2).scanLeft(0L)(_ + _)
+    val sOff = stats.map(_._3).scanLeft(0L)(_ + _)
+    val (totalN, totalW) =
+      if (stats.isEmpty) (0L, 0L) else (cOff.last, sOff.last)
+    val newFields =
+      rankCol.map(StructField(_, LongType, nullable = false)).toSeq ++
+        runCol.map(StructField(_, LongType, nullable = false))
+    val schema = StructType(sorted.schema.fields ++ newFields)
+    val emitRank = rankCol.isDefined
+    val emitRun = runCol.isDefined
+    val nExtra = newFields.size
+    val bcC = spark.sparkContext.broadcast(cOff)
+    val bcS = spark.sparkContext.broadcast(sOff)
+    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val proj = UnsafeProjection.create(schema)
+      val joined = new JoinedRow
+      val extra = new SpecificInternalRow(Seq.fill(nExtra)(LongType))
+      var k = bcC.value(pid)
+      var acc = bcS.value(pid)
+      it.map { r =>
+        var j = 0
+        if (emitRank) { k += 1; extra.setLong(0, k); j = 1 }
+        if (emitRun) {
+          if (wIdx >= 0 && !r.isNullAt(wIdx)) acc += r.getLong(wIdx)
+          extra.setLong(j, acc)
+        }
+        proj(joined(r, extra)): InternalRow
+      }
+    }
+    (Bridge.internalCreateDataFrame(spark, out, schema), totalN, totalW)
+  }
+
   /** `df` + a 1-based dense global rank column over the total order
     * `order` (make it total — include a unique tiebreak key — or the
     * rank of tied rows is decided by sort stability, not content).
@@ -35,24 +107,9 @@ object Rank {
     */
   def withGlobalRank(df: DataFrame, rankCol: String,
       order: Column*): (DataFrame, Long) = {
-    val sorted = df.orderBy(order: _*)
-    val schema = StructType(sorted.schema.fields :+
-      StructField(rankCol, LongType, nullable = false))
-    // Pin the lineage: both jobs below run over this one RDD, so the
-    // range-sort shuffle is written once and the second job's stage is
-    // skipped — identical partition boundaries by construction.
-    val rdd = sorted.rdd
-    val counts = rdd
-      .mapPartitionsWithIndex((pid, it) => Iterator((pid, it.size.toLong)))
-      .collect().sortBy(_._1).map(_._2)
-    val offsets = counts.scanLeft(0L)(_ + _) // offsets(p) = rows before p
-    val total = if (counts.isEmpty) 0L else offsets.last
-    val bc = df.sparkSession.sparkContext.broadcast(offsets)
-    val indexed = rdd.mapPartitionsWithIndex { (pid, it) =>
-      var i = bc.value(pid)
-      it.map { r => i += 1; Row.fromSeq(r.toSeq :+ i) }
-    }
-    (df.sparkSession.createDataFrame(indexed, schema), total)
+    val (out, total, _) =
+      withOffsetCols(df, Some(rankCol), None, None, order)
+    (out, total)
   }
 
   /** `df` + an exact inclusive running total of `weightCol` (LongType —
@@ -68,27 +125,9 @@ object Rank {
     */
   def withRunningTotal(df: DataFrame, runCol: String, weightCol: String,
       order: Column*): (DataFrame, Long) = {
-    require(df.schema(weightCol).dataType == LongType,
-      s"withRunningTotal weight '$weightCol' must be LongType, " +
-        s"got ${df.schema(weightCol).dataType}")
-    val sorted = df.orderBy(order: _*)
-    val idx = sorted.schema.fieldIndex(weightCol)
-    val schema = StructType(sorted.schema.fields :+
-      StructField(runCol, LongType, nullable = false))
-    def w(r: Row): Long = if (r.isNullAt(idx)) 0L else r.getLong(idx)
-    val rdd = sorted.rdd
-    val sums = rdd
-      .mapPartitionsWithIndex((pid, it) =>
-        Iterator((pid, it.foldLeft(0L)((a, r) => a + w(r)))))
-      .collect().sortBy(_._1).map(_._2)
-    val offsets = sums.scanLeft(0L)(_ + _)
-    val total = if (sums.isEmpty) 0L else offsets.last
-    val bc = df.sparkSession.sparkContext.broadcast(offsets)
-    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
-      var acc = bc.value(pid)
-      it.map { r => acc += w(r); Row.fromSeq(r.toSeq :+ acc) }
-    }
-    (df.sparkSession.createDataFrame(out, schema), total)
+    val (out, _, totalW) =
+      withOffsetCols(df, None, Some(runCol), Some(weightCol), order)
+    (out, totalW)
   }
 
   /** [[withGlobalRank]] + [[withRunningTotal]] in ONE range-sorted pass:
@@ -101,34 +140,8 @@ object Rank {
     */
   def withRankAndRunningTotal(df: DataFrame, rankCol: String,
       runCol: String, weightCol: String,
-      order: Column*): (DataFrame, Long, Long) = {
-    require(df.schema(weightCol).dataType == LongType,
-      s"withRankAndRunningTotal weight '$weightCol' must be LongType, " +
-        s"got ${df.schema(weightCol).dataType}")
-    val sorted = df.orderBy(order: _*)
-    val idx = sorted.schema.fieldIndex(weightCol)
-    def w(r: Row): Long = if (r.isNullAt(idx)) 0L else r.getLong(idx)
-    val schema = StructType(sorted.schema.fields ++ Seq(
-      StructField(rankCol, LongType, nullable = false),
-      StructField(runCol, LongType, nullable = false)))
-    val rdd = sorted.rdd
-    val stats = rdd.mapPartitionsWithIndex { (pid, it) =>
-      var c = 0L; var s = 0L
-      it.foreach { r => c += 1; s += w(r) }
-      Iterator((pid, c, s))
-    }.collect().sortBy(_._1)
-    val cOff = stats.map(_._2).scanLeft(0L)(_ + _)
-    val sOff = stats.map(_._3).scanLeft(0L)(_ + _)
-    val (totalN, totalW) =
-      if (stats.isEmpty) (0L, 0L) else (cOff.last, sOff.last)
-    val bcC = df.sparkSession.sparkContext.broadcast(cOff)
-    val bcS = df.sparkSession.sparkContext.broadcast(sOff)
-    val out = rdd.mapPartitionsWithIndex { (pid, it) =>
-      var k = bcC.value(pid); var acc = bcS.value(pid)
-      it.map { r => k += 1; acc += w(r); Row.fromSeq(r.toSeq :+ k :+ acc) }
-    }
-    (df.sparkSession.createDataFrame(out, schema), totalN, totalW)
-  }
+      order: Column*): (DataFrame, Long, Long) =
+    withOffsetCols(df, Some(rankCol), Some(runCol), Some(weightCol), order)
 
   /** Quantile normalization: map each row's `valueCol` within its
     * `groupCol` distribution onto the POOLED distribution — the row at

@@ -1680,14 +1680,25 @@ object AnalyticsQueries {
     "q_khop" -> ((s, d) => {
       val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
       val l = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      // Eager localCheckpoints on every multiply-consumed relation (the
+      // r15 column-pruning-fork lesson, same as coPurchaseEdges): cs is
+      // read by all three hop joins, hop1 by two consumers + its own
+      // count, hop2 by two — without the pins the orders⋈lineitem
+      // distinct re-ran up to 6× (measured r17: 24-26 jobs with
+      // duplicated edge-build pairs, 2.1-2.8 s; pinned: the build runs
+      // once and each hop is one frontier-sized join).
       val cs = o.join(l, col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("c"), col("l_suppkey").as("s")).distinct()
+        .localCheckpoint(true)
       val seeds = t(s, d, "customer")
         .filter(col("c_mktsegment") === "BUILDING")
         .select(col("c_custkey").as("c")).distinct()
+        .localCheckpoint(true)
       val hop1 = cs.join(seeds, Seq("c")).select(col("s")).distinct()
+        .localCheckpoint(true)
       val hop2 = cs.join(hop1, Seq("s")).select(col("c")).distinct()
         .join(seeds, Seq("c"), "left_anti")
+        .localCheckpoint(true)
       val hop3 = cs.join(hop2, Seq("c")).select(col("s")).distinct()
         .join(hop1, Seq("s"), "left_anti")
       val agg = (df: DataFrame, hop: Int) =>

@@ -299,11 +299,18 @@ object TextQueries {
     // side its integer one — they agree on boundary pairs because
     // fl(p/q) for the rational 4/5 IS the double literal 0.8.
     "q_lsh_recall" -> ((s, d) => {
+      // eager pins (the coPurchaseEdges discipline): each pair set is
+      // consumed twice below (own count + the hit join), and the
+      // column-pruning fork — count() prunes ALL columns — defeats AQE
+      // exchange reuse, so without the pins the full LSH and PPJoin
+      // pipelines each ran twice (measured r17: 21 jobs, 3.6 s)
       val lsh = Dedup.minhashNearDups(docs(s, d), threshold = 0.8,
         nShingle = 3, bands = 8, rowsPerBand = 4)
         .select(col("id_a"), col("id_b"))
+        .localCheckpoint(true)
       val exact = Dedup.prefixJaccardJoin(docs(s, d), tn = 4, td = 5,
         nShingle = 3).select(col("id_a"), col("id_b"))
+        .localCheckpoint(true)
       val nL = lsh.agg(count(lit(1)).as("n_lsh"))
       val nE = exact.agg(count(lit(1)).as("n_exact"))
       val nH = lsh.join(exact, Seq("id_a", "id_b"))
