@@ -77,19 +77,24 @@ object Profile {
       val fn = SparkEntry.queries(name)
       println(s"===== $name =====")
       var jobsPerRun = List.empty[Int]
+      var gapPerRun = List.empty[Long] // ms from action start to 1st job
       val times = (1 to runs).map { i =>
         jobs.clear(); stages.clear()
         record = i == runs || runs == 1 || true // count jobs each run
         val t0 = System.nanoTime()
+        val wall0 = System.currentTimeMillis()
         try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
         catch { case e: Throwable =>
           println(s"  FAILED: ${e.getMessage.linesIterator.next()}") }
         val dt = (System.nanoTime() - t0) / 1e9
         jobsPerRun = jobs.size :: jobsPerRun
+        gapPerRun = jobs.values.headOption
+          .map(_.submitted - wall0).getOrElse(-1L) :: gapPerRun
         dt
       }
       println(f"  runs: ${times.map(t => f"$t%.2f").mkString(" ")} s;" +
-        s" jobs/run: ${jobsPerRun.reverse.mkString(" ")}")
+        s" jobs/run: ${jobsPerRun.reverse.mkString(" ")};" +
+        s" planGap(ms): ${gapPerRun.reverse.mkString(" ")}")
       // last run's breakdown
       val t0 = jobs.values.headOption.map(_.submitted).getOrElse(0L)
       jobs.foreach { case (id, j) =>

@@ -18,6 +18,23 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
+  /** Total-order presentation sort for a BOUNDED output (report-sized:
+    * per-item stats, top-k, ≤ ~10⁶ rows) sitting directly on expensive
+    * map lineage. A global `orderBy` is a range exchange whose
+    * partitioner SAMPLES the child first — when no shuffle sits below
+    * the sort (the decode-query shape: parquet scan → mapPartitions
+    * codec → sort), the sampling pass re-executes the whole child, i.e.
+    * the corpus is DECODED TWICE per action (measured r17:
+    * q_video_decode ran its 37k-frame MJPEG decode 2× per run). One
+    * round-robin exchange into a single partition + an in-partition
+    * sort produces the IDENTICAL total order (output sort keys are
+    * total by the repo's determinism contract) with exactly one
+    * evaluation of the child and no sampling job. Only for bounded
+    * outputs — an unbounded relation keeps the scale-safe range sort.
+    */
+  def boundedSort(df: DataFrame, order: Column*): DataFrame =
+    df.repartition(1).sortWithinPartitions(order: _*)
+
   /** Morton interleave of the low `bits` bits of two non-negative
     * integer columns: bit i of `x` lands at position 2i, bit i of `y`
     * at 2i+1. Callers bound the inputs (e.g. `pmod(col, 1 << bits)`);

@@ -175,6 +175,11 @@ object Recommend {
   def cappedInteractions(ratings: DataFrame, cap: Int = 30): DataFrame = {
     val wUser = Window.partitionBy(col("userId")).orderBy(col("movieId"))
     ratings.select(col("userId"), col("movieId")).distinct()
+      // pin the cap-window exchange width: the distinct exchange is
+      // byte-tiny, so AQE coalesced it and the window (and the pair
+      // expansion built on it in itemNeighbors) ran on 1-2 tasks
+      .repartition(ratings.sparkSession.sessionState.conf
+        .numShufflePartitions, col("userId"))
       .withColumn("__rn", row_number().over(wUser))
       .filter(col("__rn") <= cap).drop("__rn")
   }

@@ -45,8 +45,15 @@ object TextAnalysis {
   def repetitionStats(docs: DataFrame, chunk: Int = 10,
       textCol: String = "text", idCol: String = "doc_id"): DataFrame = {
     require(chunk >= 2, s"chunk $chunk")
+    // repartition pin BEFORE the barrier (the Dedup.prefixOf
+    // discipline): the barrier exchange is byte-tiny, so AQE coalesced
+    // the checkpoint to the scan's 1-2 partitions and every n-gram
+    // branch's explode+count ran 2-way parallel (measured r17: two
+    // ~1.5 s 2-task branch jobs inside q_gopher_gate)
+    val shuffleN = docs.sparkSession.sessionState.conf.numShufflePartitions
     val toksDf = docs
       .select(col(idCol), Dedup.tokens(col(textCol)).as("tk"))
+      .repartition(shuffleN, col(idCol))
       .groupBy(col(idCol)).agg(first(col("tk")).as("tk")) // HOF barrier
       .localCheckpoint(true) // read by 3 n-gram branches + the size head
     def grams(n: Int): DataFrame = toksDf

@@ -63,6 +63,10 @@ object AnalyticsQueries {
     ContextMemo.getOrElseUpdate(s.sparkContext, s"copurchase:$d") {
     val lp = t(s, d, "lineitem")
       .select(col("l_orderkey"), col("l_partkey")).distinct()
+      // pin the cap-window exchange width (byte-tiny → AQE would fold
+      // the window + pair expansion onto one task; row-count-bound CPU)
+      .repartition(s.sessionState.conf.numShufflePartitions,
+        col("l_orderkey"))
     val wcap = Window.partitionBy(col("l_orderkey")).orderBy(col("l_partkey"))
     val capped = lp.withColumn("rn", row_number().over(wcap))
       .filter(col("rn") <= 20).select(col("l_orderkey"), col("l_partkey"))

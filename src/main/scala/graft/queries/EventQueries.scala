@@ -120,7 +120,13 @@ object EventQueries {
     * build/serve split the ANN index and BPE model follow). Bytes are
     * generated and written on executors; the decode reads them back
     * through a plain parquet scan and they die at the mapPartitions
-    * codec boundary without shuffling.
+    * codec boundary without shuffling. Written repartitioned to the
+    * session shuffle width (r17, guide §6 file layout): the generator's
+    * 1-2 output files capped every decode scan at 1-2 tasks — single
+    * parquet files are one row group, unsplittable — so the CPU-bound
+    * codec ran nearly serial (q_video_decode: 2 tasks × ~1.1 s); N
+    * files give every decode scan N-way parallelism with zero runtime
+    * shuffle of the bytes.
     */
   private val mediaDirs =
     scala.collection.concurrent.TrieMap.empty[(String, String), String]
@@ -129,6 +135,7 @@ object EventQueries {
       val dir = java.nio.file.Files.createTempDirectory("graft_media_png")
         .toString + "/media"
       Multimodal.syntheticImageTable(Tables.documents(s, d))
+        .repartition(s.sessionState.conf.numShufflePartitions, col("media_id"))
         .write.mode("overwrite").parquet(dir)
       dir
     })
@@ -137,6 +144,7 @@ object EventQueries {
       val dir = java.nio.file.Files.createTempDirectory("graft_media_wav")
         .toString + "/media"
       Multimodal.syntheticAudioTable(Tables.documents(s, d))
+        .repartition(s.sessionState.conf.numShufflePartitions, col("media_id"))
         .write.mode("overwrite").parquet(dir)
       dir
     })
@@ -145,6 +153,7 @@ object EventQueries {
       val dir = java.nio.file.Files.createTempDirectory("graft_media_avi")
         .toString + "/media"
       Multimodal.syntheticVideoTable(Tables.documents(s, d))
+        .repartition(s.sessionState.conf.numShufflePartitions, col("media_id"))
         .write.mode("overwrite").parquet(dir)
       dir
     })
@@ -154,6 +163,7 @@ object EventQueries {
       val dir = java.nio.file.Files.createTempDirectory("graft_media_cpng")
         .toString + "/media"
       Multimodal.contentImageTable(Tables.documents(s, d))
+        .repartition(s.sessionState.conf.numShufflePartitions, col("media_id"))
         .write.mode("overwrite").parquet(dir)
       dir
     })
@@ -163,6 +173,7 @@ object EventQueries {
       val dir = java.nio.file.Files.createTempDirectory("graft_media_cwav")
         .toString + "/media"
       Multimodal.contentAudioTable(Tables.documents(s, d))
+        .repartition(s.sessionState.conf.numShufflePartitions, col("media_id"))
         .write.mode("overwrite").parquet(dir)
       dir
     })
@@ -172,6 +183,7 @@ object EventQueries {
       val dir = java.nio.file.Files.createTempDirectory("graft_media_cavi")
         .toString + "/media"
       Multimodal.contentVideoTable(Tables.documents(s, d))
+        .repartition(s.sessionState.conf.numShufflePartitions, col("media_id"))
         .write.mode("overwrite").parquet(dir)
       dir
     })
@@ -578,7 +590,8 @@ object EventQueries {
           .withColumn("kind", lit("video")), 3)
         .select(col("media_id"), col("n_frames").cast("long").as("n_frames"),
           col("duration_ms"), col("frame_idx").cast("long").as("frame_idx"))
-        .orderBy(col("media_id"), col("frame_idx"))
+        .transform(graft.operators.Layout.boundedSort(
+          _, col("media_id"), col("frame_idx")))
     }),
 
     // multimodal: REAL video decode (MJPEG-in-AVI) — the RIFF container
@@ -597,7 +610,7 @@ object EventQueries {
           col("n_frames_decoded").cast("long").as("n_frames_decoded"),
           col("duration_ms"),
           round(col("mean_luma"), 4).as("mean_luma_r"))
-        .orderBy(col("media_id"))
+        .transform(graft.operators.Layout.boundedSort(_, col("media_id")))
     }),
 
     // multimodal: batched feature extraction through the stub codec —
@@ -615,7 +628,7 @@ object EventQueries {
         .select(col("media_id"), col("kind"), col("n_bytes"), col("content_hash"),
           element_at(col("f_sums"), 1).as("f0_sum"),
           sratio6(element_at(col("f_sums"), 1), lit(65536)).as("f0"))
-        .orderBy(col("media_id"))
+        .transform(graft.operators.Layout.boundedSort(_, col("media_id")))
     }),
 
     // multimodal: REAL image decode (javax.imageio) — genuine PNG bytes
@@ -813,7 +826,7 @@ object EventQueries {
           ratio6(col("sum_r"), col("n_pixels")).as("mean_r"),
           ratio6(col("sum_g"), col("n_pixels")).as("mean_g"),
           ratio6(col("sum_b"), col("n_pixels")).as("mean_b"))
-        .orderBy(col("media_id"))
+        .transform(graft.operators.Layout.boundedSort(_, col("media_id")))
     }),
 
     // DE-EXEMPTED r16 (VERDICT Next #1): the real javax.sound.sampled
@@ -833,7 +846,7 @@ object EventQueries {
           col("zero_crossings"),
           det6(sqrt(col("sum_sq").cast("double") /
             col("n_samples").cast("double")) / lit(32768.0)).as("rms_r"))
-        .orderBy(col("media_id"))
+        .transform(graft.operators.Layout.boundedSort(_, col("media_id")))
     }),
 
     // cohort retention: users grouped by first-seen day, distinct actives

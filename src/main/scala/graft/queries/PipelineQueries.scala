@@ -428,7 +428,13 @@ object PipelineQueries {
       val pool = obs.groupBy(col("movieId")).agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("movieId")).limit(50)
         .select(col("movieId").as("item"))
+      // repartition pin (the Dedup.prefixOf discipline): the user
+      // dimension's distinct exchange is byte-tiny, so AQE coalesced it
+      // to ONE partition and the ×50 pool expansion + anti-probe hash
+      // ran single-task (measured r17: a 287 ms 1-task job)
+      val shuffleN = s.sessionState.conf.numShufflePartitions
       val cand = obs.select(col("userId")).distinct()
+        .repartition(shuffleN, col("userId"))
         .crossJoin(broadcast(pool))
       val neg = cand.join(obs
           .select(col("userId"), col("movieId").as("item")),

@@ -1329,7 +1329,9 @@ object TextQueries {
           round(graft.functions.CompressStats.compress_ratio(col("text")), 6)
             .as("ratio_r"))
         .withColumn("is_redundant", col("ratio_r") < 0.35)
-        .orderBy(col("doc_id"))
+        // boundedSort: the orderBy's range-sampling pass re-ran the
+        // deflate pass over the whole corpus (Layout.boundedSort doc)
+        .transform(graft.operators.Layout.boundedSort(_, col("doc_id")))
     }),
 
     // lexical diversity per source: type-token ratio + hapax share out
