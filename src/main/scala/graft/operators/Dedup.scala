@@ -1075,10 +1075,13 @@ object Dedup {
       while (parent.get(c) != c) { val n = parent.get(c); parent.put(c, r); c = n }
       r
     }
-    p.collect().foreach { row =>
+    // bounded by the caller's count guard; internal-format collect
+    // (Guarded.collectInternal doc) — no external-Row conversion
+    val dts = p.schema.fields.map(_.dataType)
+    Guarded.collectInternal(p).foreach { row =>
       if (!row.isNullAt(0) && !row.isNullAt(1)) {
-        val a = row.get(0).asInstanceOf[Number].longValue
-        val b = row.get(1).asInstanceOf[Number].longValue
+        val a = row.get(0, dts(0)).asInstanceOf[Number].longValue
+        val b = row.get(1, dts(1)).asInstanceOf[Number].longValue
         parent.putIfAbsent(a, a)
         parent.putIfAbsent(b, b)
         val ra = find(a); val rb = find(b)

@@ -246,7 +246,10 @@ object Graph {
     */
   private def hitsLocal(e: DataFrame, iterations: Int): DataFrame = {
     val spark = e.sparkSession
-    val rows = e.collect() // bounded by the caller's localThreshold guard
+    val dt = e.schema.fields(0).dataType
+    // bounded by the caller's localThreshold guard; internal-format
+    // collect — same row order, so index order and float sums unchanged
+    val rows = Guarded.collectInternal(e)
     val hIdx = new java.util.HashMap[Any, Integer]()
     val aIdx = new java.util.HashMap[Any, Integer]()
     val hOrder = scala.collection.mutable.ArrayBuffer.empty[Any]
@@ -256,11 +259,11 @@ object Graph {
     val dstIx = new Array[Int](m)
     var i = 0
     while (i < m) {
-      val s = rows(i).get(0)
+      val s = rows(i).get(0, dt)
       var si = hIdx.get(s)
       if (si == null) { si = hIdx.size(); hIdx.put(s, si); hOrder += s }
       srcIx(i) = si.intValue()
-      val d = rows(i).get(1)
+      val d = rows(i).get(1, dt)
       var di = aIdx.get(d)
       if (di == null) { di = aIdx.size(); aIdx.put(d, di); aOrder += d }
       dstIx(i) = di.intValue()
@@ -284,8 +287,10 @@ object Graph {
       while (j < m) { h(srcIx(j)) += auth(dstIx(j)); j += 1 }
       hub = normalize(h)
     }
-    val out = aOrder.zipWithIndex.map { case (n, k) => Row(n, "auth", auth(k)) } ++
-      hOrder.zipWithIndex.map { case (n, k) => Row(n, "hub", hub(k)) }
+    val out = aOrder.zipWithIndex.map { case (n, k) =>
+      Row(Guarded.extValue(n), "auth", auth(k)) } ++
+      hOrder.zipWithIndex.map { case (n, k) =>
+        Row(Guarded.extValue(n), "hub", hub(k)) }
     val schema = StructType(Seq(
       e.schema.fields(0).copy(name = "node"),
       StructField("kind", org.apache.spark.sql.types.StringType,
@@ -454,7 +459,10 @@ object Graph {
   private def ssspLocal(e: DataFrame, seedNodes: DataFrame,
                         rounds: Int): DataFrame = {
     val spark = e.sparkSession
-    val rows = e.collect() // bounded by the caller's localThreshold guard
+    val dt = e.schema.fields(0).dataType
+    // bounded by the caller's localThreshold guard; internal-format
+    // collect — same row order, so index order is unchanged
+    val rows = Guarded.collectInternal(e)
     val idx = new java.util.HashMap[Any, Integer]()
     val order = scala.collection.mutable.ArrayBuffer.empty[Any]
     def ix(a: Any): Int = {
@@ -468,8 +476,8 @@ object Graph {
     val srcSeen = new java.util.HashSet[Any]()
     var i = 0
     while (i < m) {
-      srcIx(i) = ix(rows(i).get(0)); srcSeen.add(rows(i).get(0))
-      dstIx(i) = ix(rows(i).get(1)); w(i) = rows(i).getLong(2)
+      srcIx(i) = ix(rows(i).get(0, dt)); srcSeen.add(rows(i).get(0, dt))
+      dstIx(i) = ix(rows(i).get(1, dt)); w(i) = rows(i).getLong(2)
       i += 1
     }
     val n = idx.size()
@@ -481,8 +489,8 @@ object Graph {
     // BEFORE the collect (semi-join to the edge srcs) so the driver
     // never materializes more seed rows than the graph has nodes.
     val srcNodes = e.select(col(e.columns(0)).as("node")).distinct()
-    seedNodes.join(srcNodes, Seq("node")).collect().foreach { r =>
-      val a = r.get(0)
+    Guarded.collectInternal(seedNodes.join(srcNodes, Seq("node"))).foreach { r =>
+      val a = r.get(0, dt)
       if (srcSeen.contains(a)) dist(ix(a)) = 0L
     }
     for (_ <- 1 to rounds) {
@@ -497,7 +505,7 @@ object Graph {
       }
     }
     val out = order.zipWithIndex.collect {
-      case (node, k) if dist(k) != INF => Row(node, dist(k))
+      case (node, k) if dist(k) != INF => Row(Guarded.extValue(node), dist(k))
     }
     val schema = StructType(Seq(
       e.schema.fields(0).copy(name = "node"),
@@ -634,8 +642,12 @@ object Graph {
     */
   private def lpaLocal(e: DataFrame, rounds: Int): DataFrame = {
     val spark = e.sparkSession
-    val rows = e.collect() // bounded by the caller's localThreshold guard
-    val ids = rows.flatMap(r => Seq(r.get(0), r.get(1))).distinct
+    val dt = e.schema.fields(0).dataType
+    // bounded by the caller's localThreshold guard; internal-format
+    // collect — UTF8String ids normalize through toString below exactly
+    // like external Strings did
+    val rows = Guarded.collectInternal(e)
+    val ids = rows.flatMap(r => Seq(r.get(0, dt), r.get(1, dt))).distinct
     val sorted: Array[Any] =
       if (ids.forall(_.isInstanceOf[Long]))
         ids.map(_.asInstanceOf[Long]).sorted.map(_.asInstanceOf[Any]).toArray
@@ -646,7 +658,7 @@ object Graph {
     val n = sorted.length
     val adj = Array.fill(n)(scala.collection.mutable.SortedSet.empty[Int])
     rows.foreach { r =>
-      val a = ofRow(r.get(0)); val b = ofRow(r.get(1))
+      val a = ofRow(r.get(0, dt)); val b = ofRow(r.get(1, dt))
       if (a != b) { adj(a) += b; adj(b) += a }
     }
     var lab = Array.tabulate(n)(identity) // label = own sorted position
@@ -766,7 +778,10 @@ object Graph {
     */
   private def kcoreLocal(e: DataFrame, k: Int, rounds: Int): DataFrame = {
     val spark = e.sparkSession
-    val rows = e.collect() // bounded by the caller's localThreshold guard
+    val dt = e.schema.fields(0).dataType
+    // bounded by the caller's localThreshold guard; internal-format
+    // collect (Guarded.collectInternal doc)
+    val rows = Guarded.collectInternal(e)
     val idx = new java.util.HashMap[Any, Integer]()
     def ix(a: Any): Int = {
       var i = idx.get(a)
@@ -776,7 +791,9 @@ object Graph {
     val m = rows.length
     val ua = new Array[Int](m); val va = new Array[Int](m)
     var i = 0
-    while (i < m) { ua(i) = ix(rows(i).get(0)); va(i) = ix(rows(i).get(1)); i += 1 }
+    while (i < m) {
+      ua(i) = ix(rows(i).get(0, dt)); va(i) = ix(rows(i).get(1, dt)); i += 1
+    }
     val n = idx.size()
     var eAlive = Array.fill(m)(true)
     def census: (Long, Long) = {
@@ -826,11 +843,15 @@ object Graph {
   private def localRun(e: DataFrame, seeds: Option[DataFrame],
                        iterations: Int, damping: Double): DataFrame = {
     val spark = e.sparkSession
-    val rows = e.collect() // bounded by the caller's localThreshold guard
+    val dt = e.schema.fields(0).dataType
+    // bounded by the caller's localThreshold guard; internal-format
+    // collect (Guarded.collectInternal doc) — same row order as
+    // collect(), so index assignment and float sums are unchanged
+    val rows = Guarded.collectInternal(e)
     val idx = new java.util.HashMap[Any, Integer]()
     val order = scala.collection.mutable.ArrayBuffer.empty[Any]
     rows.foreach { r =>
-      val s = r.get(0)
+      val s = r.get(0, dt)
       if (!idx.containsKey(s)) { idx.put(s, idx.size()); order += s }
     }
     val n = idx.size()
@@ -840,10 +861,10 @@ object Graph {
     val outDeg = new Array[Long](n)
     var i = 0
     while (i < m) {
-      val s = idx.get(rows(i).get(0))
+      val s = idx.get(rows(i).get(0, dt))
       srcIx(i) = s
       outDeg(s) += 1
-      val d = idx.get(rows(i).get(1))
+      val d = idx.get(rows(i).get(1, dt))
       dstIx(i) = if (d == null) -1 else d.intValue()
       i += 1
     }
@@ -854,8 +875,8 @@ object Graph {
       case Some(s) =>
         val arr = new Array[Double](n)
         var sumW = 0.0
-        s.collect().foreach { r =>
-          val k = idx.get(r.get(0))
+        Guarded.collectInternal(s).foreach { r =>
+          val k = idx.get(r.get(0, dt))
           if (k != null) { arr(k) += r.getDouble(1); sumW += r.getDouble(1) }
         }
         require(sumW > 0, "personalized teleport needs in-graph seeds")
@@ -872,7 +893,8 @@ object Graph {
       }
       rank = Array.tabulate(n)(k => (1.0 - damping) * p(k) + damping * acc(k))
     }
-    val out = order.zipWithIndex.map { case (node, k) => Row(node, rank(k)) }
+    val out = order.zipWithIndex.map { case (node, k) =>
+      Row(Guarded.extValue(node), rank(k)) }
     val schema = StructType(Seq(
       e.schema.fields(0).copy(name = "node"),
       StructField("rank", DoubleType, nullable = false)))

@@ -41,4 +41,31 @@ object Guarded {
     val n = ck.count()
     if (n <= threshold) local(ck, n) else distributed(ck, n)
   }
+
+  /** Bounded-input collect in Spark's INTERNAL row format (graftbridge
+    * `toRdd`), for the local twins: a plain `df.collect()` pays the
+    * external-Row conversion (per-field boxing through the encoder) for
+    * every row ON THE DRIVER after the job ends — measured r17 as a
+    * ~0.4-0.5 s dead gap between the collect job and the next job on a
+    * ~400k-edge relation. Rows are copied (the scan iterator reuses its
+    * UnsafeRow); row ORDER is identical to `df.collect()` (same RDD,
+    * same partition order), so first-seen index assignment and float
+    * accumulation order in the twins are unchanged. Callers read fields
+    * with `get(i, dataType)` / typed getters; string columns surface as
+    * `UTF8String` (equal/hash by bytes — valid hash-map keys), and
+    * [[extValue]] maps them back for externally-typed output rows.
+    */
+  def collectInternal(df: DataFrame)
+      : Array[org.apache.spark.sql.catalyst.InternalRow] =
+    org.apache.spark.sql.graftbridge.Bridge.toInternalRdd(df)
+      .map(_.copy()).collect()
+
+  /** Internal→external value for output-row assembly (UTF8String →
+    * String; everything else is already the external representation for
+    * the types the twins carry: boxed longs/ints/doubles).
+    */
+  def extValue(a: Any): Any = a match {
+    case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+    case x => x
+  }
 }

@@ -4561,11 +4561,19 @@ object AnalyticsQueries {
       localThreshold: Long): DataFrame = {
     val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
     val l = t(s, d, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    // Node ids ride as LONGS through the whole iteration (guide §2.3
+    // narrower types): customers on even, suppliers on odd ids. The
+    // distances are exact INTEGER math (the zero-float-seam family), so
+    // the label representation cannot change any value — only the final
+    // presentation concat below maps back to the oracle's 'c…'/'s…'
+    // strings. vs the r16 string form this cuts the checkpointed edge
+    // relation and the guard-count/collect passes ~3× (two 8-byte longs
+    // per edge instead of two heap strings).
     val pairs = o.join(l, col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_custkey"), col("l_suppkey"))
       .agg(countDistinct(col("o_orderkey")).as("n_ord"))
-      .select(concat(lit("c"), col("o_custkey")).as("a"),
-        concat(lit("s"), col("l_suppkey")).as("b"),
+      .select((col("o_custkey") * 2L).as("a"),
+        (col("l_suppkey") * 2L + 1L).as("b"),
         when(col("n_ord") >= 3, 1L).when(col("n_ord") === 2, 2L)
           .otherwise(3L).as("w"))
     val edges = pairs.select(explode(array(
@@ -4575,9 +4583,14 @@ object AnalyticsQueries {
         col("e.w").as("w"))
     val seeds = t(s, d, "customer")
       .filter(col("c_mktsegment") === "BUILDING")
-      .select(concat(lit("c"), col("c_custkey")).as("node"))
+      .select((col("c_custkey") * 2L).as("node"))
     graft.operators.Graph.sssp(edges, seeds, rounds = 4,
         localThreshold = localThreshold)
+      .select(
+        when(col("node") % 2 === 0, concat(lit("c"), (col("node") / 2).cast("long")))
+          .otherwise(concat(lit("s"), ((col("node") - 1) / 2).cast("long")))
+          .as("node"),
+        col("dist"))
       .orderBy(col("node"))
   }
 

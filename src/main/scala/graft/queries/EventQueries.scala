@@ -214,18 +214,25 @@ object EventQueries {
     * warmup forces these via [[materializeMediaDirs]], so timed lines
     * measure banding + verify, not the one-time hash build.
     */
+  // coalesce(8) after the hash pass: the DECODE reads the media dir at
+  // its file width (32 since the r17 layout fix — that parallelism is
+  // the point), but the resulting hash relation is 4-longs-per-row
+  // tiny, and a 32-partition checkpoint made every downstream banded
+  // join schedule 32 near-empty tasks per stage (measured r17: the
+  // whole phash family drifted +0.2-0.3 s/line). repartition(8) is a
+  // 16 KB shuffle — decode keeps its width, the checkpoint lands compact.
   private def imagePhash(s: SparkSession, d: String): DataFrame =
     ContextMemo.getOrElseUpdate(s.sparkContext, s"img:$d")(
       Multimodal.imageAHash(s.read.parquet(contentImageDir(s, d)))
-        .toDF().localCheckpoint(true))
+        .toDF().repartition(8).localCheckpoint(true))
   private def audioPhash(s: SparkSession, d: String): DataFrame =
     ContextMemo.getOrElseUpdate(s.sparkContext, s"wav:$d")(
       Multimodal.audioAHash(s.read.parquet(contentAudioDir(s, d)))
-        .toDF().localCheckpoint(true))
+        .toDF().repartition(8).localCheckpoint(true))
   private def videoPhash(s: SparkSession, d: String): DataFrame =
     ContextMemo.getOrElseUpdate(s.sparkContext, s"avi:$d")(
       Multimodal.videoAHash(s.read.parquet(contentVideoDir(s, d)))
-        .toDF().localCheckpoint(true))
+        .toDF().repartition(8).localCheckpoint(true))
 
   /** One-line JSON provenance for the memoized media tables: row count,
     * total binary bytes, and the meta-declared decode workload (frames /
