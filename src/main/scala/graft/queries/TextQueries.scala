@@ -1173,15 +1173,22 @@ object TextQueries {
     // bounded aggregate.
     "q_corpus_pipeline" -> ((s, d) => {
       val base = docs(s, d)
+      // eager pin (the coPurchaseEdges discipline): train is consumed
+      // by the fingerprint build AND the semi-join left side, and the
+      // column-pruning fork re-ran the qualityScore+tokenize scan twice
       val train = base.filter(pmod(col("doc_id"), lit(10)) =!= 7)
         .withColumn("q", round(TextAnalysis.qualityScore(col("text")), 6))
         .filter(col("q") >= 0.75)
+        .localCheckpoint(true)
       val keep = train
         .select(col("doc_id"),
           md5(concat_ws(" ", Dedup.tokens(col("text")))).as("fp"))
         .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"))
+      // pinned too: read by the contamination gram join AND the final
+      // anti-join survivors side
       val deduped = train.join(keep, Seq("doc_id"), "left_semi")
+        .localCheckpoint(true)
       val bench = base.filter(pmod(col("doc_id"), lit(10)) === 7)
       // guarded gram join (broadcast under the threshold, shuffle past
       // it — TextAnalysis.contaminationPlan owns the choice + logging)
@@ -1205,9 +1212,13 @@ object TextQueries {
     "q_corpus_pipeline_v2" -> ((s, d) => {
       val base = docs(s, d)
       val m = bm25Model(s, d)
+      // eager pin (the coPurchaseEdges discipline): train is consumed
+      // by the fingerprint build AND the semi-join left side, and the
+      // column-pruning fork re-ran the qualityScore+tokenize scan twice
       val train = base.filter(pmod(col("doc_id"), lit(10)) =!= 7)
         .withColumn("q", round(TextAnalysis.qualityScore(col("text")), 6))
         .filter(col("q") >= 0.75)
+        .localCheckpoint(true)
       val keep = train
         .select(col("doc_id"),
           md5(concat_ws(" ", Dedup.tokens(col("text")))).as("fp"))
@@ -1242,9 +1253,13 @@ object TextQueries {
     "q_corpus_pipeline_v3" -> ((s, d) => {
       val base = docs(s, d)
       val m = bm25Model(s, d)
+      // eager pin (the coPurchaseEdges discipline): train is consumed
+      // by the fingerprint build AND the semi-join left side, and the
+      // column-pruning fork re-ran the qualityScore+tokenize scan twice
       val train = base.filter(pmod(col("doc_id"), lit(10)) =!= 7)
         .withColumn("q", round(TextAnalysis.qualityScore(col("text")), 6))
         .filter(col("q") >= 0.75)
+        .localCheckpoint(true)
       val keep = train
         .select(col("doc_id"),
           md5(concat_ws(" ", Dedup.tokens(col("text")))).as("fp"))
