@@ -160,8 +160,10 @@ object Rank {
   def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
       idCol: String, normCol: String): DataFrame = {
     val base = df.select(col(idCol), col(groupCol), col(valueCol))
-    val (ranked, nTotal) = withGlobalRank(
+    val (ranked0, nTotal) = withGlobalRank(
       base, "__grank", col(groupCol), col(valueCol), col(idCol))
+    // pin: consumed twice (per-group offsets + the position join)
+    val ranked = ranked0.localCheckpoint(true)
     val offs = ranked.groupBy(col(groupCol))
       .agg((min(col("__grank")) - 1L).as("__off"),
         count(lit(1)).as("__n_g"))

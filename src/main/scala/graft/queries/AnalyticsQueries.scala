@@ -2041,9 +2041,12 @@ object AnalyticsQueries {
         cents(col("l_extendedprice")).as("price_c"),
         col("l_quantity").cast("long").as("w"),
         col("l_orderkey"), col("l_linenumber"))
-      val (run, _) = graft.operators.Rank.withRunningTotal(
+      val (run0, _) = graft.operators.Rank.withRunningTotal(
         li, "cum", "w", col("l_returnflag"), col("price_c"),
         col("l_orderkey"), col("l_linenumber"))
+      // pin: the running-total relation is consumed twice (group
+      // offsets + the median probe) — one emit pass, two block reads
+      val run = run0.localCheckpoint(true)
       val g = run.groupBy(col("l_returnflag"))
         .agg(sum(col("w")).as("w_total"),
           min(col("cum") - col("w")).as("start"))
