@@ -512,13 +512,16 @@ object Dedup {
       .unionAll(bSets.select(explode(col("shs")).as("g")))
       .groupBy(col("g")).agg(count(lit(1)).as("dfreq"))
       .localCheckpoint(true) // consumed by both prefix builds
-    // same non-coalescable pins as prefixJaccardJoin: candidate fanout
-    // and pair dedup are row-count-bound on byte-tiny shuffles
-    val shuffleN = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    // NOTE deliberately NOT pinned like prefixJaccardJoin's candidate
+    // join: the probe's left side is a BATCH (a fraction of the
+    // corpus), its fanout is small, and the r17 measurement showed the
+    // two extra non-coalescable exchanges cost more in stage overhead
+    // than the parallelism bought (q_ssjoin_incremental 1.5→2.3 s with
+    // the pins, the one benchdiff flag of the round); the prefixOf rank
+    // windows keep their pins — that is where the probe's real CPU is
     val cand = prefixOf(bSets, dfreq, tn, td)
       .select(col("g"), col("id").as("new_id"), col("sz").as("sza"),
         col("pos").as("pa"))
-      .repartition(shuffleN, col("g"))
       .join(prefixOf(cSets, dfreq, tn, td)
         .select(col("g"), col("id").as("corpus_id"), col("sz").as("szb"),
           col("pos").as("pb")),
@@ -527,7 +530,6 @@ object Dedup {
         lit(td) * least(col("sza"), col("szb")) &&
         posFilter(col("pa"), col("pb"), col("sza"), col("szb"), tn, td))
       .select(col("new_id"), col("corpus_id"))
-      .repartition(shuffleN, col("new_id"), col("corpus_id"))
       .dropDuplicates("new_id", "corpus_id")
     verifyJaccard(cand, bSets, cSets, tn, td, "new_id", "corpus_id")
   }
