@@ -461,6 +461,11 @@ object TextQueries {
         .select(explode(Dedup.shingles(col("text"), 5)).as("g")).distinct()
       val hits = posGrams.join(benchGrams, Seq("g"))
         .select(col("doc_id"), col("pos"))
+        // width pin (the Dedup.prefixOf discipline): the islands window
+        // + both rollups all run in the one post-exchange stage, and
+        // AQE coalesced its byte-tiny input to a single task
+        .repartition(s.sessionState.conf.numShufflePartitions,
+          col("doc_id"))
       val wIsl = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       hits.withColumn("grp", col("pos") - row_number().over(wIsl))
         .groupBy(col("doc_id"), col("grp")).agg(count(lit(1)).as("run"))
@@ -468,7 +473,10 @@ object TextQueries {
         .agg(sum(col("run")).as("n_hit_positions"),
           max(col("run")).as("max_run"),
           (max(col("run")) + 4).as("span_tokens"))
-        .orderBy(col("doc_id"))
+        // boundedSort: the global orderBy's sampling pass re-executed
+        // the whole window+rollup stage (measured r17: twin ~360 ms
+        // jobs); the report is ≤|contaminated docs| rows
+        .transform(graft.operators.Layout.boundedSort(_, col("doc_id")))
     }),
 
     // Corpus-vs-corpus shared-substring spans (VERDICT r13 Next #7a —
